@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for engine session config so Verify, Bench, and tests
+  * run identical plans.
+  *
+  * Scale posture: AQE on (runtime coalesce + skew-join split),
+  * shuffle partitions sized for local[N] here but overridable — on a
+  * real cluster this is ~2-3x total cores. The nanosAsLong flag is
+  * required to scan the ns-precision events table at all.
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
+    val s = builder(s"local[$cpus]", math.max(cpus, 4)).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,13 +1,206 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 + the builder prompt.
+  *
+  * Every `queries` entry has a matching `oracleSql` entry (ANSI SQL in
+  * DuckDB dialect over the same parquet tables) unless the operator is
+  * not SQL-expressible; column names and deterministic orderings are
+  * kept identical on both sides so the driver's hash compare is exact.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Olap.q5RegionRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // core OLAP
+    "q1_agg" -> (Olap.q1Agg _),
+    "q3_shipping" -> (Olap.q3Shipping _),
+    "q5_region_revenue" -> (Olap.q5RegionRevenue _),
+    "topk_per_group" -> (Olap.topkPerGroup _),
+    "rollup_agg" -> (Olap.rollupAgg _),
+    // events
+    "events_json" -> (Events.eventsJson _),
+    "events_hourly" -> (Events.eventsHourly _),
+    "events_sessionize" -> (Events.eventsSessionize _),
+    "events_topusers" -> (Events.eventsTopUsers _),
+    // cleaning + quality
+    "clean_abr" -> (Cleaning.cleanAbr _),
+    "clean_cc" -> (Cleaning.cleanCc _),
+    "clean_dedup_exact" -> (Cleaning.cleanDedupExact _),
+    "quality_metrics" -> (Quality.qualityMetrics _),
+  )
+
+  /** DuckDB-dialect oracle for each query (driver runs these on the
+    * same parquet tables and hash-compares).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),6) AS avg_qty,
+        | round(avg(l_discount),6) AS avg_disc,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        | JOIN customer ON o_custkey=c_custkey
+        |WHERE c_mktsegment='BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        | JOIN customer ON o_custkey=c_custkey
+        | JOIN supplier ON l_suppkey=s_suppkey AND s_nationkey=c_nationkey
+        | JOIN nation ON c_nationkey=n_nationkey
+        | JOIN region ON n_regionkey=r_regionkey
+        |WHERE r_name='ASIA' GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |       ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        | FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+        | coalesce(l_linestatus,'ALL') AS linestatus,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "events_json" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(k) AS BIGINT) AS sum_k,
+        | round(avg(k),6) AS avg_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1),'') AS INT) AS k
+        |      FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT (epoch_ns(ts)//1000000000//3600)*3600 AS hour_ts, event_type,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (SELECT *, epoch_ns(ts)//1000000000 AS ts_s FROM events),
+        |f AS (SELECT *, CASE WHEN ts_s - lag(ts_s) OVER
+        |        (PARTITION BY user_id ORDER BY ts_s, event_id) > 1800
+        |      THEN 1 ELSE 0 END AS new_session FROM e),
+        |g AS (SELECT *, CAST(sum(new_session) OVER
+        |        (PARTITION BY user_id ORDER BY ts_s, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM f)
+        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        | min(ts_s) AS session_start, round(sum(value),2) AS sum_value
+        |FROM g GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "events_topusers" ->
+      """WITH agg AS (SELECT user_id, round(sum(value),2) AS purchase_total,
+        |  CAST(count(*) AS BIGINT) AS n_purchases
+        |  FROM events WHERE event_type='purchase' GROUP BY user_id)
+        |SELECT user_id, purchase_total, n_purchases, rank FROM (
+        |  SELECT *, CAST(row_number() OVER
+        |    (ORDER BY purchase_total DESC, user_id) AS INT) AS rank
+        |  FROM agg) t
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "clean_abr" ->
+      """WITH shaped AS (
+        | SELECT CASE WHEN c_custkey % 7 = 0 THEN printf('%010d', c_custkey)
+        |             ELSE printf('%011d', c_custkey) END AS abn,
+        |   trim('  ' || c_name || '  ') AS entity_name,
+        |   c_mktsegment AS entity_type,
+        |   CASE WHEN c_custkey % 3 = 0 THEN 'active' ELSE 'cancelled' END AS entity_status,
+        |   CASE WHEN c_custkey % 5 = 0 THEN '99'
+        |        ELSE printf('%04d', c_nationkey * 100 + c_custkey % 100) END AS postcode,
+        |   c_acctbal
+        | FROM customer)
+        |SELECT abn, entity_name, entity_type, entity_status, postcode FROM (
+        | SELECT *, row_number() OVER (PARTITION BY abn ORDER BY entity_name) AS rn
+        | FROM (SELECT DISTINCT * FROM shaped
+        |       WHERE regexp_matches(abn, '^\d{11}$')
+        |         AND regexp_matches(postcode, '^\d{4}$')
+        |         AND lower(entity_status) = 'active') d) w
+        |WHERE rn = 1 ORDER BY abn""".stripMargin,
+
+    "clean_cc" ->
+      """WITH shaped AS (
+        | SELECT '  HTTPS://www.' || replace(p_name,' ','-') || '.example.com/'
+        |          || p_brand || '  ' AS raw_url,
+        |   ' ' || p_name || '   ' || p_type || ' ' AS raw_name
+        | FROM part),
+        |cleaned AS (
+        | SELECT lower(substr(trim(raw_url),1,500)) AS website_url,
+        |   array_to_string(list_transform(
+        |     string_split(trim(regexp_replace(raw_name,' +',' ','g')),' '),
+        |     w -> upper(substr(w,1,1)) || lower(substr(w,2))), ' ') AS company_name
+        | FROM shaped)
+        |SELECT DISTINCT website_url, company_name FROM cleaned
+        |WHERE website_url IS NOT NULL AND company_name IS NOT NULL
+        |ORDER BY website_url, company_name""".stripMargin,
+
+    "clean_dedup_exact" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM (
+        | SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |   ORDER BY l_linenumber, l_returnflag, l_quantity) AS rn
+        | FROM (SELECT DISTINCT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |       FROM lineitem) d) w
+        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "quality_metrics" ->
+      """WITH om AS (SELECT CAST(count(*) AS BIGINT) n_rows,
+        |  CAST(count(o_orderkey) AS BIGINT) key_nonnull,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) key_distinct,
+        |  CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS BIGINT) price_positive,
+        |  CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) prio_valid
+        | FROM orders),
+        |cm AS (SELECT CAST(count(*) AS BIGINT) n_rows,
+        |  CAST(count(c_name) AS BIGINT) name_nonnull,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) key_distinct,
+        |  CAST(sum(CASE WHEN c_acctbal >= -1000 THEN 1 ELSE 0 END) AS BIGINT) bal_in_range
+        | FROM customer)
+        |SELECT * FROM (
+        | SELECT 'orders' AS table_name, 'not_null_rate_o_orderkey' AS metric_name,
+        |  round(CAST(key_nonnull AS DOUBLE)/n_rows, 6) AS metric_value,
+        |  CAST(1.0 AS DOUBLE) AS threshold_value,
+        |  CASE WHEN round(CAST(key_nonnull AS DOUBLE)/n_rows,6) >= 1.0 THEN 'pass' ELSE 'fail' END AS status FROM om
+        | UNION ALL SELECT 'orders', 'unique_rate_o_orderkey',
+        |  round(CAST(key_distinct AS DOUBLE)/n_rows,6), CAST(1.0 AS DOUBLE),
+        |  CASE WHEN round(CAST(key_distinct AS DOUBLE)/n_rows,6) >= 1.0 THEN 'pass' ELSE 'fail' END FROM om
+        | UNION ALL SELECT 'orders', 'positive_rate_o_totalprice',
+        |  round(CAST(price_positive AS DOUBLE)/n_rows,6), CAST(0.99 AS DOUBLE),
+        |  CASE WHEN round(CAST(price_positive AS DOUBLE)/n_rows,6) >= 0.99 THEN 'pass' ELSE 'fail' END FROM om
+        | UNION ALL SELECT 'orders', 'valid_rate_o_orderpriority',
+        |  round(CAST(prio_valid AS DOUBLE)/n_rows,6), CAST(0.99 AS DOUBLE),
+        |  CASE WHEN round(CAST(prio_valid AS DOUBLE)/n_rows,6) >= 0.99 THEN 'pass' ELSE 'fail' END FROM om
+        | UNION ALL SELECT 'customer', 'not_null_rate_c_name',
+        |  round(CAST(name_nonnull AS DOUBLE)/n_rows,6), CAST(1.0 AS DOUBLE),
+        |  CASE WHEN round(CAST(name_nonnull AS DOUBLE)/n_rows,6) >= 1.0 THEN 'pass' ELSE 'fail' END FROM cm
+        | UNION ALL SELECT 'customer', 'unique_rate_c_custkey',
+        |  round(CAST(key_distinct AS DOUBLE)/n_rows,6), CAST(1.0 AS DOUBLE),
+        |  CASE WHEN round(CAST(key_distinct AS DOUBLE)/n_rows,6) >= 1.0 THEN 'pass' ELSE 'fail' END FROM cm
+        | UNION ALL SELECT 'customer', 'in_range_rate_c_acctbal',
+        |  round(CAST(bal_in_range AS DOUBLE)/n_rows,6), CAST(0.95 AS DOUBLE),
+        |  CASE WHEN round(CAST(bal_in_range AS DOUBLE)/n_rows,6) >= 0.95 THEN 'pass' ELSE 'fail' END FROM cm
+        |) u ORDER BY table_name, metric_name""".stripMargin,
+  )
 }

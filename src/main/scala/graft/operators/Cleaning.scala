@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Cleaning / standardization operators, re-expressing
+  * reference scripts/cleaning/clean_abr.py:17-55 and
+  * clean_common_crawl.py:6-31 as declarative column pipelines.
+  *
+  * Everything is a codegen'd column expression — regex validation,
+  * title-casing, dedup windows — so the cleaning stage fuses into the
+  * scan at any scale (no UDFs, no driver loops).
+  */
+object Cleaning {
+
+  /** Title-case + collapse internal whitespace (clean_common_crawl.py
+    * clean_company_name). Implemented with a transform lambda rather
+    * than initcap so the DuckDB oracle can mirror it exactly.
+    */
+  def titleCase(c: Column): Column =
+    array_join(
+      transform(
+        split(trim(regexp_replace(c, " +", " ")), " "),
+        w => concat(upper(substring(w, 1, 1)), lower(substring(w, 2, 1000000)))),
+      " ")
+
+  /** ABR-shaped cleaning on a customer projection: standardize,
+    * trim, regex-validate the 11-digit business key and 4-digit
+    * postcode, dedup by key, conform to a fixed schema
+    * (clean_abr.py:26-52).
+    *
+    * The synthetic abn/postcode are derived deterministically from
+    * table columns so validation has both passing and failing rows.
+    */
+  def cleanAbr(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val shaped = c.select(
+      // ~1/7 of rows get a corrupt (10-digit) abn, ~1/5 a bad postcode
+      when(col("c_custkey") % 7 === 0, format_string("%010d", col("c_custkey")))
+        .otherwise(format_string("%011d", col("c_custkey"))).as("abn"),
+      concat(lit("  "), col("c_name"), lit("  ")).as("entity_name"),
+      col("c_mktsegment").as("entity_type"),
+      when(col("c_custkey") % 3 === 0, lit("active")).otherwise(lit("cancelled")).as("entity_status"),
+      when(col("c_custkey") % 5 === 0, lit("99"))
+        .otherwise(format_string("%04d", col("c_nationkey") * 100 + col("c_custkey") % 100)).as("postcode"),
+      col("c_acctbal"))
+    val trimmed = shaped.columns.foldLeft(shaped) { (df, name) =>
+      df.schema(name).dataType match {
+        case org.apache.spark.sql.types.StringType => df.withColumn(name, trim(col(name)))
+        case _ => df
+      }
+    }
+    val keyDedup = Window.partitionBy("abn").orderBy("entity_name")
+    trimmed
+      .filter(col("abn").rlike("^\\d{11}$"))
+      .filter(col("postcode").rlike("^\\d{4}$"))
+      .filter(lower(col("entity_status")) === "active")
+      .dropDuplicates()
+      .withColumn("rn", row_number().over(keyDedup))
+      .filter(col("rn") === 1)
+      .select("abn", "entity_name", "entity_type", "entity_status", "postcode")
+      .orderBy("abn")
+  }
+
+  /** Common-Crawl-shaped cleaning on a part projection: URL trim +
+    * truncate-500 + lowercase, company-name title-case + whitespace
+    * collapse, drop nulls, dedup by (url, name)
+    * (clean_common_crawl.py:6-31).
+    */
+  def cleanCc(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val shaped = p.select(
+      concat(lit("  HTTPS://www."),
+        regexp_replace(col("p_name"), " ", "-"),
+        lit(".example.com/"), col("p_brand"), lit("  ")).as("raw_url"),
+      concat(lit(" "), col("p_name"), lit("   "), col("p_type"), lit(" ")).as("raw_name"),
+      col("p_partkey"))
+    shaped.select(
+      lower(substring(trim(col("raw_url")), 1, 500)).as("website_url"),
+      titleCase(col("raw_name")).as("company_name"))
+      .filter(col("website_url").isNotNull && col("company_name").isNotNull)
+      .dropDuplicates("website_url", "company_name")
+      .orderBy("website_url", "company_name")
+  }
+
+  /** Exact dedup: full-row distinct then keep-first-per-key via a
+    * window — the drop_duplicates() / drop_duplicates(subset=[key])
+    * pair from clean_abr.py:34-35. At scale both are single
+    * hash-shuffles on the dedup key.
+    */
+  def cleanDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+    // total ordering: linenumber alone is not unique in this data
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_returnflag", "l_quantity")
+    l.distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy("l_orderkey")
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-log operators: JSON extraction, tumbling-window rollups,
+  * gap sessionization, per-user ranking. These are the batch twins of
+  * graft.streaming — reference pipelines log per-stage events
+  * (dags/etl_pipeline.py get_stage_logger) and store quality metrics
+  * per run; this generalizes that to an event-analytics surface.
+  *
+  * Timestamps leave the operators as epoch-second BIGINTs so the
+  * DuckDB oracle compares integers, never engine timestamp types.
+  */
+object Events {
+
+  /** JSON property extraction + per-type stats. regexp-based so the
+    * oracle needs no JSON extension; Spark side stays codegen'd.
+    */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").cast("long").as("sum_k"),
+        round(avg("k"), 6).as("avg_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+  }
+
+  /** Tumbling 1-hour windows per event type, on the epoch-seconds
+    * timeline (integer bucket arithmetic, identical in the oracle).
+    */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy((expr("ts_s div 3600") * 3600).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour_ts", "event_type")
+  }
+
+  /** 30-minute-gap sessionization: lag + cumulative-sum of boundary
+    * flags, all inside two window passes over the same (user_id, ts)
+    * partitioning — one shuffle total.
+    */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    // Second-resolution timeline: epoch seconds compare identically
+    // across engines (no float micros round-trip).
+    val e = Tables.events(spark, dir)
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val gapFlag = when(
+      col("ts_s") - lag("ts_s", 1).over(byUser) > 1800L, 1).otherwise(0)
+    e.withColumn("new_session", gapFlag)
+      .withColumn("session_idx", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_s").as("session_start"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Rank users by purchase value; dense_rank + deterministic key
+    * tiebreak on the rounded measure.
+    */
+  def eventsTopUsers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+    val agg = e.groupBy("user_id")
+      .agg(round(sum("value"), 2).as("purchase_total"), count(lit(1)).as("n_purchases"))
+    val w = Window.orderBy(col("purchase_total").desc, col("user_id"))
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .orderBy("rank")
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality metrics: the dbt `unique` / `not_null` column tests
+  * (reference firmable_dbt/models/abr_companies_quality.yml) plus the
+  * analytics.data_quality_metrics row shape
+  * (sql/schema_postgres.sql:86-96) — metric_name, metric_value,
+  * threshold, status — computed as one pass of conditional
+  * aggregations per table (no per-metric rescans).
+  */
+object Quality {
+
+  def qualityMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+
+    // One aggregation pass per table; each metric is a conditional agg.
+    val om = o.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("o_orderkey")).as("key_nonnull"),
+      countDistinct(col("o_orderkey")).as("key_distinct"),
+      sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)).as("price_positive"),
+      sum(when(col("o_orderpriority").rlike("^[1-5]-"), 1L).otherwise(0L)).as("prio_valid"))
+    val cm = c.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("c_name")).as("name_nonnull"),
+      countDistinct(col("c_custkey")).as("key_distinct"),
+      sum(when(col("c_acctbal") >= -1000, 1L).otherwise(0L)).as("bal_in_range"))
+
+    def metric(src: DataFrame, table: String, name: String,
+               value: org.apache.spark.sql.Column, threshold: Double): DataFrame =
+      src.select(
+        lit(table).as("table_name"),
+        lit(name).as("metric_name"),
+        round(value, 6).as("metric_value"),
+        lit(threshold).as("threshold_value"),
+        when(round(value, 6) >= threshold, "pass").otherwise("fail").as("status"))
+
+    val rows = Seq(
+      metric(om, "orders", "not_null_rate_o_orderkey",
+        col("key_nonnull").cast("double") / col("n_rows"), 1.0),
+      metric(om, "orders", "unique_rate_o_orderkey",
+        col("key_distinct").cast("double") / col("n_rows"), 1.0),
+      metric(om, "orders", "positive_rate_o_totalprice",
+        col("price_positive").cast("double") / col("n_rows"), 0.99),
+      metric(om, "orders", "valid_rate_o_orderpriority",
+        col("prio_valid").cast("double") / col("n_rows"), 0.99),
+      metric(cm, "customer", "not_null_rate_c_name",
+        col("name_nonnull").cast("double") / col("n_rows"), 1.0),
+      metric(cm, "customer", "unique_rate_c_custkey",
+        col("key_distinct").cast("double") / col("n_rows"), 1.0),
+      metric(cm, "customer", "in_range_rate_c_acctbal",
+        col("bal_in_range").cast("double") / col("n_rows"), 0.95))
+    rows.reduce(_ unionAll _).orderBy("table_name", "metric_name")
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Per-operator sanity specs on sf0.001: row presence, schema names,
+  * and a few hand-checked invariants. Exact value parity vs the
+  * DuckDB oracle is covered by Verify + tools/check_oracle.py.
+  */
+class OperatorsSpec extends SparkSpec {
+
+  test("every registered query runs and has stable column names") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val cols = df.columns
+      assert(cols.nonEmpty, s"$name has no columns")
+      assert(cols.distinct.length == cols.length, s"$name duplicate column names")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or is documented no-oracle") {
+    val noOracle = Set.empty[String] // keys allowed to skip the oracle
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- noOracle
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("q1_agg aggregates the full lineitem rowcount") {
+    val q1 = operators.Olap.q1Agg(spark, sf)
+    val total = q1.agg(sum("count_order")).head.getLong(0)
+    val expected = Tables.lineitem(spark, sf).count()
+    assert(total == expected)
+  }
+
+  test("topk_per_group never exceeds 3 rows per customer") {
+    val topk = operators.Olap.topkPerGroup(spark, sf)
+    val maxPer = topk.groupBy("o_custkey").count().agg(max("count")).head.getLong(0)
+    assert(maxPer <= 3)
+  }
+
+  test("clean_abr keeps only valid active 11-digit keys") {
+    val out = operators.Cleaning.cleanAbr(spark, sf)
+    assert(out.filter(!col("abn").rlike("^\\d{11}$")).count() == 0)
+    assert(out.filter(col("entity_status") =!= "active").count() == 0)
+    assert(out.select("abn").distinct().count() == out.count())
+  }
+
+  test("clean_cc title-cases and collapses whitespace") {
+    val out = operators.Cleaning.cleanCc(spark, sf)
+    assert(out.filter(col("company_name").contains("  ")).count() == 0)
+    assert(out.filter(col("company_name").rlike("^[a-z]")).count() == 0)
+  }
+
+  test("sessionize: session gaps within a session are <= 30min") {
+    val sess = operators.Events.eventsSessionize(spark, sf)
+    // every event lands in exactly one session
+    val nEvents = sess.agg(sum("n_events")).head.getLong(0)
+    assert(nEvents == Tables.events(spark, sf).count())
+  }
+
+  test("quality_metrics all rates in [0,1] and status consistent") {
+    val qm = operators.Quality.qualityMetrics(spark, sf).collect()
+    qm.foreach { r =>
+      val v = r.getAs[Double]("metric_value")
+      assert(v >= 0.0 && v <= 1.0)
+      val status = r.getAs[String]("status")
+      val thr = r.getAs[Double]("threshold_value")
+      assert(status == (if (v >= thr) "pass" else "fail"))
+    }
+  }
+}
