@@ -34,7 +34,56 @@ object SparkEntry {
     "clean_cc" -> (Cleaning.cleanCc _),
     "clean_dedup_exact" -> (Cleaning.cleanDedupExact _),
     "quality_metrics" -> (Quality.qualityMetrics _),
+    // entity matching
+    "match_exact" -> (Matching.matchExact _),
+    "match_fuzzy_blocked" -> (Matching.matchFuzzyBlocked _),
+    "match_tfidf_topk" -> (Matching.matchTfidfTopk _),
+    "match_combined" -> (Matching.matchCombined _),
+    "match_llm_stub" -> (Matching.matchLlmStub _),
   )
+
+  /** Queries intentionally without a SQL oracle (driver falls back to
+    * the weaker rows-only check); kept in sync with OperatorsSpec.
+    */
+  val noOracle: Set[String] = Set("match_llm_stub")
+
+  /** clean_abr's shaped+filtered relation, shared by several oracles. */
+  private val abrCleanedCte: String =
+    """shaped AS (
+      | SELECT CASE WHEN c_custkey % 7 = 0 THEN printf('%010d', c_custkey)
+      |             ELSE printf('%011d', c_custkey) END AS abn,
+      |   trim('  ' || c_name || '  ') AS entity_name,
+      |   c_mktsegment AS entity_type,
+      |   CASE WHEN c_custkey % 3 = 0 THEN 'active' ELSE 'cancelled' END AS entity_status,
+      |   CASE WHEN c_custkey % 5 = 0 THEN '99'
+      |        ELSE printf('%04d', c_nationkey * 100 + c_custkey % 100) END AS postcode,
+      |   c_acctbal
+      | FROM customer),
+      |abr AS (
+      | SELECT abn, entity_name, entity_type, entity_status, postcode FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY abn ORDER BY entity_name) AS rn
+      |  FROM (SELECT DISTINCT * FROM shaped
+      |        WHERE regexp_matches(abn, '^\d{11}$')
+      |          AND regexp_matches(postcode, '^\d{4}$')
+      |          AND lower(entity_status) = 'active') d) w
+      | WHERE rn = 1)""".stripMargin
+
+  /** Blocked fuzzy scoring relation, shared by fuzzy + combined. */
+  private val fuzzyBestCte: String =
+    """cn AS (SELECT c_custkey, c_name, c_nationkey,
+      |  array_to_string(list_sort(string_split_regex(lower(trim(c_name)),'\s+')),' ') AS c_norm
+      | FROM customer),
+      |sn AS (SELECT s_suppkey, s_name, s_nationkey,
+      |  array_to_string(list_sort(string_split_regex(lower(trim(s_name)),'\s+')),' ') AS s_norm
+      | FROM supplier),
+      |scored AS (SELECT c_custkey, c_name, s_suppkey, s_name,
+      |  round(CAST(1.0 AS DOUBLE) - CAST(levenshtein(c_norm, s_norm) AS DOUBLE)
+      |        / CAST(greatest(length(c_norm), length(s_norm)) AS DOUBLE), 6) AS score
+      | FROM cn JOIN sn ON c_nationkey = s_nationkey),
+      |fuzzy_best AS (SELECT c_custkey, c_name, s_suppkey, s_name, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+      |    ORDER BY score DESC, s_suppkey) AS rn
+      |  FROM scored WHERE score >= 0.5) t WHERE rn = 1)""".stripMargin
 
   /** DuckDB-dialect oracle for each query (driver runs these on the
     * same parquet tables and hash-compares).
@@ -202,5 +251,55 @@ object SparkEntry {
         |  round(CAST(bal_in_range AS DOUBLE)/n_rows,6), CAST(0.95 AS DOUBLE),
         |  CASE WHEN round(CAST(bal_in_range AS DOUBLE)/n_rows,6) >= 0.95 THEN 'pass' ELSE 'fail' END FROM cm
         |) u ORDER BY table_name, metric_name""".stripMargin,
+
+    "match_exact" ->
+      s"""WITH $abrCleanedCte,
+         |cc AS (SELECT printf('%011d', s_suppkey) AS abn, s_name FROM supplier)
+         |SELECT abr.abn, entity_name, s_name AS matched_name,
+         | 'exact' AS method, CAST(1.0 AS DOUBLE) AS score
+         |FROM abr JOIN cc USING (abn) ORDER BY abn""".stripMargin,
+
+    "match_fuzzy_blocked" ->
+      s"""WITH $fuzzyBestCte
+         |SELECT * FROM fuzzy_best ORDER BY c_custkey""".stripMargin,
+
+    "match_tfidf_topk" ->
+      """WITH tokens AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS token
+        |  FROM documents),
+        |doclen AS (SELECT doc_id, count(*) AS len FROM tokens GROUP BY doc_id),
+        |tf AS (SELECT doc_id, token, count(*) AS cnt FROM tokens GROUP BY doc_id, token),
+        |tfn AS (SELECT t.doc_id, token, CAST(cnt AS DOUBLE)/CAST(len AS DOUBLE) AS tf
+        |  FROM tf t JOIN doclen d ON t.doc_id = d.doc_id),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |idf AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM tfn GROUP BY token),
+        |w AS (SELECT doc_id, t.token, tf * ln((SELECT n FROM nd)/df) AS w
+        |  FROM tfn t JOIN idf USING (token)),
+        |norms AS (SELECT doc_id, sqrt(sum(w*w)) AS norm FROM w GROUP BY doc_id),
+        |dots AS (SELECT l.doc_id AS i, r.doc_id AS j, sum(l.w*r.w) AS dot
+        |  FROM w l JOIN w r ON l.token = r.token
+        |  WHERE l.doc_id % 2 = 0 AND r.doc_id % 2 = 1 GROUP BY 1, 2),
+        |cos AS (SELECT i, j, round(dot/(ni.norm*nj.norm), 6) AS cosine
+        |  FROM dots JOIN norms ni ON dots.i = ni.doc_id
+        |            JOIN norms nj ON dots.j = nj.doc_id)
+        |SELECT i, j, cosine FROM (
+        | SELECT *, row_number() OVER (PARTITION BY i ORDER BY cosine DESC, j) AS rn
+        | FROM cos) t
+        |WHERE rn = 1 AND cosine >= 0.5 ORDER BY i""".stripMargin,
+
+    "match_combined" ->
+      s"""WITH $abrCleanedCte,
+         |cc AS (SELECT printf('%011d', s_suppkey) AS abn, s_name FROM supplier),
+         |$fuzzyBestCte,
+         |ex AS (SELECT abr.abn AS left_key, s_name AS right_name,
+         |   'exact' AS method, CAST(1.0 AS DOUBLE) AS score
+         |  FROM abr JOIN cc USING (abn)),
+         |fz AS (SELECT printf('%011d', c_custkey) AS left_key, s_name AS right_name,
+         |   'fuzzy' AS method, score FROM fuzzy_best)
+         |SELECT left_key, right_name, method, score FROM (
+         | SELECT *, row_number() OVER (PARTITION BY left_key, right_name
+         |   ORDER BY method) AS rn
+         | FROM (SELECT * FROM ex UNION ALL SELECT * FROM fz) u) t
+         |WHERE rn = 1 ORDER BY left_key, right_name""".stripMargin,
   )
 }

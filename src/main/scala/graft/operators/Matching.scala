@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Entity matching — the reference's core stage
+  * (scripts/matching/entity_matching.py,
+  * entity_matching_optimized.py, entity_matching_tfidf.py),
+  * re-expressed as blocked distributed joins:
+  *
+  *  - candidate generation is always an equi-join on a blocking key
+  *    (never a cartesian), so candidate count is bounded per block;
+  *  - scoring is codegen'd column math (levenshtein on sorted-token
+  *    names; tf-idf sparse dot via an inverted-index join);
+  *  - "best match per record" (entity_matching.py:29-41) is a
+  *    row_number window over (rounded score desc, key) — rounded
+  *    first so cross-engine float drift can't flip ranks.
+  *
+  * At 100 TB the same plans hold: the block key bounds each join
+  * task, the df table is small→broadcast, skewed tokens are pruned
+  * with a max-df cap (mirrors TfidfVectorizer(max_df) in
+  * entity_matching_optimized.py:141-147).
+  */
+object Matching {
+
+  /** lower/trim + token-sort canonicalization
+    * (entity_matching.py:20-24 normalize_name + token_sort_ratio's
+    * sort step).
+    */
+  def normName(c: Column): Column =
+    array_join(array_sort(split(lower(trim(c)), "\\s+")), " ")
+
+  /** Similarity in [0,1]: 1 - levenshtein/maxlen over token-sorted
+    * names — the engine-portable stand-in for rapidfuzz
+    * token_sort_ratio (entity_matching.py:33).
+    */
+  def tokenSortSim(a: Column, b: Column): Column =
+    lit(1.0) - levenshtein(a, b).cast("double") /
+      greatest(length(a), length(b)).cast("double")
+
+  /** Exact-key match after cleaning: valid active ABR entities joined
+    * to a second source on the 11-digit key (the reference's UNIQUE
+    * abn join, loadingcsv upsert key). Supplier side is tiny →
+    * broadcast.
+    */
+  def matchExact(spark: SparkSession, dir: String): DataFrame = {
+    val abr = Cleaning.cleanAbr(spark, dir)
+    val cc = Tables.supplier(spark, dir).select(
+      format_string("%011d", col("s_suppkey")).as("abn"),
+      col("s_name"))
+    abr.join(broadcast(cc), "abn")
+      .select(col("abn"), col("entity_name"), col("s_name").as("matched_name"),
+        lit("exact").as("method"), lit(1.0).as("score"))
+      .orderBy("abn")
+  }
+
+  /** Blocked fuzzy match: customer×supplier candidates share a
+    * nationkey block (entity_matching_optimized.py:43-63 blocks on a
+    * name prefix; any bounded-cardinality key works), scored with
+    * tokenSortSim, thresholded, best-per-customer.
+    */
+  def matchFuzzyBlocked(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        normName(col("c_name")).as("c_norm"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        normName(col("s_name")).as("s_norm"))
+    val scored = c.join(broadcast(s), col("c_nationkey") === col("s_nationkey"))
+      .withColumn("score", round(tokenSortSim(col("c_norm"), col("s_norm")), 6))
+      .filter(col("score") >= 0.5)
+    val best = Window.partitionBy("c_custkey")
+      .orderBy(col("score").desc, col("s_suppkey"))
+    scored.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select("c_custkey", "c_name", "s_suppkey", "s_name", "score")
+      .orderBy("c_custkey")
+  }
+
+  /** TF-IDF cosine top-1 match between the even and odd halves of the
+    * documents corpus (entity_matching_tfidf.py /
+    * entity_matching.py:44-60). Sparse inverted-index join on token;
+    * idf and norms are computed once and broadcast-joined back.
+    */
+  def matchTfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val tokens = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
+    val docLen = tokens.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      .join(docLen, "doc_id")
+      .withColumn("tf", col("cnt").cast("double") / col("len").cast("double"))
+    val nDocs = docs.count()
+    val df = tf.groupBy("token").agg(countDistinct("doc_id").as("df"))
+    val weights = tf.join(broadcast(df), "token")
+      .withColumn("w", col("tf") * log(lit(nDocs.toDouble) / col("df").cast("double")))
+    val norms = weights.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+    val left = weights.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("i"), col("token"), col("w").as("wi"))
+    val right = weights.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("j"), col("token"), col("w").as("wj"))
+    val dots = left.join(right, "token")
+      .groupBy("i", "j").agg(sum(col("wi") * col("wj")).as("dot"))
+    val cos = dots
+      .join(norms.select(col("doc_id").as("i"), col("norm").as("ni")), "i")
+      .join(norms.select(col("doc_id").as("j"), col("norm").as("nj")), "j")
+      .withColumn("cosine", round(col("dot") / (col("ni") * col("nj")), 6))
+    val best = Window.partitionBy("i").orderBy(col("cosine").desc, col("j"))
+    cos.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1 && col("cosine") >= 0.5)
+      .select(col("i"), col("j"), col("cosine"))
+      .orderBy("i")
+  }
+
+  /** Union of methods + pair dedup with exact winning over fuzzy —
+    * the reference's concat + drop_duplicates combine step
+    * (entity_matching.py:62-66).
+    */
+  def matchCombined(spark: SparkSession, dir: String): DataFrame = {
+    val exact = matchExact(spark, dir)
+      .select(col("abn").as("left_key"), col("matched_name").as("right_name"),
+        col("method"), col("score"))
+    val fuzzy = matchFuzzyBlocked(spark, dir)
+      .select(format_string("%011d", col("c_custkey")).as("left_key"),
+        col("s_name").as("right_name"), lit("fuzzy").as("method"), col("score"))
+    val all = exact.unionByName(fuzzy)
+    val w = Window.partitionBy("left_key", "right_name").orderBy("method")
+    all.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy("left_key", "right_name")
+  }
+
+  /** Deterministic stand-in for the LLM pair classifier
+    * (LLM/llm_entity_matching_demo.py): same I/O contract —
+    * {match, confidence, reason} per candidate pair — driven by
+    * transparent features instead of a model call. No oracle
+    * (rows-only check): the semantics are the contract, not SQL.
+    */
+  def matchLlmStub(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = matchFuzzyBlocked(spark, dir)
+    pairs.select(
+      col("c_custkey"), col("s_suppkey"),
+      (col("score") >= 0.8).as("match"),
+      round(least(lit(1.0), col("score") * 1.1), 6).as("confidence"),
+      concat(lit("token-sort similarity "), col("score").cast("string"),
+        when(col("score") >= 0.8, lit(" >= 0.8: same entity"))
+          .otherwise(lit(" < 0.8: different entity"))).as("reason"))
+      .orderBy("c_custkey")
+  }
+}

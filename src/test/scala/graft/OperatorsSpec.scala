@@ -23,8 +23,7 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("every query has an oracle or is documented no-oracle") {
-    val noOracle = Set.empty[String] // keys allowed to skip the oracle
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- noOracle
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- SparkEntry.noOracle
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle without query: $orphans")
