@@ -40,6 +40,12 @@ object SparkEntry {
     "match_tfidf_topk" -> (Matching.matchTfidfTopk _),
     "match_combined" -> (Matching.matchCombined _),
     "match_llm_stub" -> (Matching.matchLlmStub _),
+    // dedup
+    "dedup_exact_text" -> (Dedup.dedupExactText _),
+    "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
+    "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
+    "dedup_embed_nn" -> (Dedup.dedupEmbedNn _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -301,5 +307,80 @@ object SparkEntry {
          |   ORDER BY method) AS rn
          | FROM (SELECT * FROM ex UNION ALL SELECT * FROM fz) u) t
          |WHERE rn = 1 ORDER BY left_key, right_name""".stripMargin,
+
+    "dedup_exact_text" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper,
+        | CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "dedup_minhash_lsh" -> {
+      val hs = (1 to 8).map(j =>
+        s"list_min(list_transform(s, x -> substr(md5('$j'||'|'||x),1,16))) AS h$j").mkString(",\n  ")
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(text,'\\s+') AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |   generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))) AS s
+         |  FROM toks WHERE len(t) >= 3),
+         |mh AS (SELECT doc_id, s,
+         |  $hs
+         | FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 1 AS band_idx, h1||h2 AS band_val FROM mh
+         |  UNION ALL SELECT doc_id, 2, h3||h4 FROM mh
+         |  UNION ALL SELECT doc_id, 3, h5||h6 FROM mh
+         |  UNION ALL SELECT doc_id, 4, h7||h8 FROM mh),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bands a
+         |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id),
+         |v AS (SELECT i, j,
+         |   CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
+         |   len(sa.s) AS la, len(sb.s) AS lb
+         |  FROM cand JOIN mh sa ON cand.i = sa.doc_id
+         |            JOIN mh sb ON cand.j = sb.doc_id)
+         |SELECT i, j, round(inter/(la+lb-inter),6) AS jaccard FROM v
+         |WHERE round(inter/(la+lb-inter),6) >= 0.8 ORDER BY i, j""".stripMargin
+    },
+
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id,
+        |   unnest(list_distinct(string_split_regex(text,'\s+'))) AS tk FROM documents),
+        |bits AS (SELECT doc_id, tk, b,
+        |   (strpos('0123456789abcdef', substr(md5(tk), (b//4)+1, 1)) - 1) AS nib,
+        |   CASE b%4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS mask
+        | FROM tok CROSS JOIN (SELECT unnest(generate_series(0,15)) AS b) bs),
+        |sv AS (SELECT doc_id, b,
+        |   sum(CASE WHEN (nib//mask)%2 = 1 THEN 1 ELSE -1 END) AS sv
+        | FROM bits GROUP BY 1, 2),
+        |sim AS (SELECT doc_id, CAST(sum(
+        |   (CASE WHEN sv > 0 THEN 1 ELSE 0 END) * CAST(pow(2,b) AS BIGINT)) AS BIGINT) AS simhash
+        | FROM sv GROUP BY doc_id)
+        |SELECT a.doc_id AS i, b.doc_id AS j, a.simhash AS simhash
+        |FROM sim a JOIN sim b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+        |ORDER BY i, j""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH g AS (SELECT doc_id, lang,
+        |   list_distinct(list_transform(generate_series(1, length(text)-2),
+        |     i -> substr(text, i, 3))) AS g
+        | FROM documents WHERE length(text) >= 3)
+        |SELECT i, j, jaccard FROM (
+        | SELECT a.doc_id AS i, b.doc_id AS j,
+        |  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
+        | FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id) t
+        |WHERE jaccard >= 0.5 ORDER BY i, j""".stripMargin,
+
+    "dedup_embed_nn" ->
+      """WITH e AS (SELECT vec_id, label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |p AS (SELECT a.vec_id AS vid, b.vec_id AS nid,
+        |   round(list_sum(list_transform(generate_series(1, len(a.v)),
+        |       i -> a.v[i]*b.v[i])) / (a.norm*b.norm), 6) AS cosine
+        | FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id)
+        |SELECT vid AS vec_id, nid AS nn_id, cosine FROM (
+        | SELECT *, row_number() OVER (PARTITION BY vid
+        |   ORDER BY cosine DESC, nid) AS rn FROM p) t
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
   )
 }
