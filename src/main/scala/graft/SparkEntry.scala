@@ -46,12 +46,27 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_embed_nn" -> (Dedup.dedupEmbedNn _),
+    // text analysis
+    "text_langid" -> (TextAnalysis.textLangid _),
+    "text_quality" -> (TextAnalysis.textQuality _),
+    "text_tokens" -> (TextAnalysis.textTokens _),
+    "text_fingerprint" -> (TextAnalysis.textFingerprint _),
+    "text_bigrams" -> (TextAnalysis.textBigrams _),
+    // similarity search
+    "knn_brute" -> (Similarity.knnBrute _),
+    "knn_signlsh" -> (Similarity.knnSignLsh _),
+    // extraction
+    "extract_xml_entities" -> (sources.Extraction.extractXmlEntities _),
+    "extract_html_names" -> (sources.Extraction.extractHtmlNames _),
+    // multimodal
+    "mm_binary_features" -> (multimodal.BinaryColumns.binaryFeatures _),
+    "mm_fake_decode" -> (multimodal.BinaryColumns.fakeDecodeFeatures _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
     * the weaker rows-only check); kept in sync with OperatorsSpec.
     */
-  val noOracle: Set[String] = Set("match_llm_stub")
+  val noOracle: Set[String] = Set("match_llm_stub", "mm_fake_decode")
 
   /** clean_abr's shaped+filtered relation, shared by several oracles. */
   private val abrCleanedCte: String =
@@ -382,5 +397,145 @@ object SparkEntry {
         | SELECT *, row_number() OVER (PARTITION BY vid
         |   ORDER BY cosine DESC, nid) AS rn FROM p) t
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH m(token, cand_lang) AS (VALUES ${operators.TextAnalysis.markers
+            .map { case (l, t) => s"('$t','$l')" }.mkString(", ")}),
+         |hits AS (SELECT doc_id, cand_lang, CAST(count(*) AS BIGINT) AS score
+         |  FROM (SELECT doc_id, unnest(string_split_regex(text,'\\s+')) AS token
+         |        FROM documents) t
+         |  JOIN m USING (token) GROUP BY 1, 2),
+         |pred AS (SELECT doc_id, cand_lang AS pred_lang, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, cand_lang) AS rn FROM hits) x WHERE rn = 1)
+         |SELECT d.doc_id AS doc_id, coalesce(pred_lang, 'und') AS pred_lang,
+         | coalesce(score, 0) AS score
+         |FROM documents d LEFT JOIN pred ON d.doc_id = pred.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents),
+        |s AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len,
+        |  CAST(len(list_filter(t, x -> x IN ('the','a','or','and'))) AS BIGINT) AS n_stop
+        | FROM d)
+        |SELECT doc_id, n_tokens,
+        | round(CAST(sum_len AS DOUBLE)/n_tokens, 6) AS avg_token_len,
+        | round(CAST(n_stop AS DOUBLE)/n_tokens, 6) AS stop_ratio,
+        | CASE WHEN n_tokens < 20 THEN 'too_short'
+        |      WHEN CAST(n_stop AS DOUBLE)/n_tokens > 0.3 THEN 'boilerplate'
+        |      ELSE 'ok' END AS quality_bucket
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS token
+        |  FROM documents),
+        |agg AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY token)
+        |SELECT token, cnt, df, rank FROM (
+        | SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank
+        | FROM agg) t
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT fp, keeper, n_docs FROM (
+        | SELECT md5(array_to_string(list_sort(list_distinct(
+        |    string_split_regex(text,'\s+'))), ' ')) AS fp,
+        |  min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_docs
+        | FROM documents GROUP BY 1) t
+        |WHERE n_docs >= 2 ORDER BY keeper""".stripMargin,
+
+    "text_bigrams" ->
+      """WITH d AS (SELECT string_split_regex(text,'\s+') AS t FROM documents),
+        |bi AS (SELECT unnest(list_transform(generate_series(1, len(t)-1),
+        |   i -> t[i] || ' ' || t[i+1])) AS bigram FROM d WHERE len(t) >= 2),
+        |agg AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM bi GROUP BY bigram)
+        |SELECT bigram, cnt, rank FROM (
+        | SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, bigram) AS INT) AS rank
+        | FROM agg) t
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "knn_brute" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |q AS (SELECT v, norm FROM n WHERE vec_id = 0),
+        |p AS (SELECT n.vec_id, round(list_sum(list_transform(
+        |    generate_series(1, len(n.v)), i -> n.v[i]*q.v[i])) / (q.norm*n.norm), 6) AS cosine
+        |  FROM n CROSS JOIN q WHERE n.vec_id <> 0)
+        |SELECT vec_id, cosine, rank FROM (
+        | SELECT *, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+        | FROM p) t
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "knn_signlsh" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm,
+        |   CAST(list_sum(list_transform(generate_series(1, 8),
+        |     i -> CASE WHEN v[i] >= 0.0 THEN CAST(pow(2, i-1) AS BIGINT)
+        |          ELSE 0 END)) AS BIGINT) AS bucket
+        | FROM e),
+        |q AS (SELECT v, norm, bucket FROM n WHERE vec_id = 0),
+        |p AS (SELECT n.vec_id, n.bucket, round(list_sum(list_transform(
+        |    generate_series(1, len(n.v)), i -> n.v[i]*q.v[i])) / (q.norm*n.norm), 6) AS cosine
+        |  FROM n JOIN q ON n.bucket = q.bucket WHERE n.vec_id <> 0)
+        |SELECT vec_id, bucket, cosine, rank FROM (
+        | SELECT *, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+        | FROM p) t
+        |WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    "extract_xml_entities" ->
+      """WITH x AS (SELECT
+        |  '<ABR><ABN status="' || CASE WHEN c_custkey % 3 = 0 THEN 'ACT' ELSE 'CAN' END
+        |  || '">' || printf('%011d', c_custkey) || '</ABN>'
+        |  || '<EntityType><EntityTypeText>' || c_mktsegment || '</EntityTypeText></EntityType>'
+        |  || CASE WHEN c_custkey % 4 = 0 THEN
+        |       '<LegalEntity><IndividualName><GivenName>Given' || CAST(c_custkey AS VARCHAR)
+        |       || '</GivenName><FamilyName>Family' || CAST(c_nationkey AS VARCHAR)
+        |       || '</FamilyName></IndividualName></LegalEntity>'
+        |     ELSE '<MainEntity><NonIndividualName><NonIndividualNameText>' || c_name
+        |       || '</NonIndividualNameText></NonIndividualName></MainEntity>' END
+        |  || '<BusinessAddress><AddressDetails><State>S' || CAST(c_nationkey AS VARCHAR)
+        |  || '</State><Postcode>' || printf('%04d', c_nationkey * 100 + c_custkey % 100)
+        |  || '</Postcode></AddressDetails></BusinessAddress></ABR>' AS xml
+        | FROM customer)
+        |SELECT regexp_extract(xml, '<ABN[^>]*>([0-9]+)</ABN>', 1) AS abn,
+        | CASE WHEN regexp_extract(xml, '<NonIndividualNameText>([^<]*)</NonIndividualNameText>', 1) <> ''
+        |   THEN regexp_extract(xml, '<NonIndividualNameText>([^<]*)</NonIndividualNameText>', 1)
+        |   ELSE trim(regexp_extract(xml, '<GivenName>([^<]*)</GivenName>', 1) || ' '
+        |     || regexp_extract(xml, '<FamilyName>([^<]*)</FamilyName>', 1)) END AS entity_name,
+        | regexp_extract(xml, '<ABN status="([A-Z]+)"', 1) AS entity_status,
+        | regexp_extract(xml, '<EntityTypeText>([^<]*)</EntityTypeText>', 1) AS entity_type,
+        | regexp_extract(xml, '<State>([^<]*)</State>', 1) AS state,
+        | regexp_extract(xml, '<Postcode>([0-9]+)</Postcode>', 1) AS postcode
+        |FROM x ORDER BY abn""".stripMargin,
+
+    "extract_html_names" ->
+      """WITH h AS (SELECT p_partkey,
+        |  '<html><head><title>' || p_name || ' | Home</title>'
+        |  || CASE WHEN p_partkey % 3 = 0
+        |       THEN '<meta property="og:site_name" content="' || p_name || ' Co"/>'
+        |     WHEN p_partkey % 3 = 1
+        |       THEN '<script type="application/ld+json">{"@type": "Organization", "name": "'
+        |         || p_name || ' Org"}</script>'
+        |     ELSE '' END
+        |  || '</head><body>' || p_type || '</body></html>' AS html
+        | FROM part)
+        |SELECT p_partkey,
+        | CASE WHEN og <> '' THEN og WHEN ld <> '' THEN ld ELSE title END AS company_name,
+        | CASE WHEN og <> '' THEN 'og_site_name' WHEN ld <> '' THEN 'json_ld'
+        |   ELSE 'title' END AS method
+        |FROM (SELECT p_partkey,
+        |  regexp_extract(html, 'property="og:site_name" content="([^"]*)"', 1) AS og,
+        |  regexp_extract(html, '"@type": "Organization", "name": "([^"]*)"', 1) AS ld,
+        |  trim(regexp_extract(html, '<title>([^|<]*)', 1)) AS title
+        | FROM h) t ORDER BY p_partkey""".stripMargin,
+
+    "mm_binary_features" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        | min(md5(text)) AS min_hash, max(md5(text)) AS max_hash
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 }

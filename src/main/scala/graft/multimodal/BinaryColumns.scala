@@ -1,0 +1,89 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing: media (image/audio/video) travel as
+  * opaque `binary` columns with a typed metadata struct alongside.
+  * The decode step is the only part that needs a media library — not
+  * available in this environment, so [[FakeDecoder]] stands in with a
+  * deterministic bytes→features map while the Spark-side contract
+  * (schema, batch shape, partition parallelism, no driver transfer)
+  * is fully real and tested.
+  */
+object BinaryColumns {
+
+  /** media row: payload + metadata the pipeline carries end-to-end. */
+  case class MediaRow(media_id: Long, payload: Array[Byte],
+                      mime: String, n_bytes: Long, content_hash: String)
+
+  /** fixed-size features extracted per media item. */
+  case class MediaFeatures(media_id: Long, n_bytes: Long,
+                           byte_sum: Long, head_byte: Int, tail_byte: Int)
+
+  /** Documents→media: the text payload plays the role of an encoded
+    * media blob; schema and lineage are what a real image column
+    * would use.
+    */
+  def asMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("payload"),
+        lit("application/octet-stream").as("mime"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        md5(col("text")).as("content_hash"))
+      .as[MediaRow]
+  }
+
+  /** Deterministic stand-in for image/audio decode: pure function of
+    * the payload bytes, runs per-partition like a real decoder batch
+    * would (one library context per partition, no per-row setup).
+    */
+  object FakeDecoder {
+    def decode(payload: Array[Byte]): (Long, Int, Int) = {
+      var s = 0L; var i = 0
+      while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
+      val head = if (payload.nonEmpty) payload(0) & 0xff else -1
+      val tail = if (payload.nonEmpty) payload(payload.length - 1) & 0xff else -1
+      (s, head, tail)
+    }
+
+    /** Real decode would go through an image library here; this
+      * environment ships none, so the entry point is intentionally
+      * unimplemented (see builder brief: stub behind ???).
+      */
+    def decodeImageReal(payload: Array[Byte]): Array[Float] = ???
+  }
+
+  /** Partition-parallel feature extraction over the binary column. */
+  def fakeDecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    asMedia(spark, dir)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (s, head, tail) = FakeDecoder.decode(r.payload)
+          MediaFeatures(r.media_id, r.n_bytes, s, head, tail)
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** Oracle-able binary stats per source: byte lengths + content
+    * hashes aggregated — the part of the multimodal path SQL can see.
+    */
+  def binaryFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), octet_length(col("text")).as("n_bytes"),
+        md5(col("text")).as("h"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_bytes").cast("long").as("total_bytes"),
+        min("h").as("min_hash"),
+        max("h").as("max_hash"))
+      .orderBy("source")
+}

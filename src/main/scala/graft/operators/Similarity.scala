@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  * Brute-force cosine is the correctness baseline; sign-bit LSH is
+  * the scale path (candidates shrink ~2^bits-fold, and the bucket id
+  * is a map-side computation, so the search is one equi-join).
+  */
+object Similarity {
+
+  private def vecsWithNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", expr(
+        "sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+
+  private def cosine(dotExpr: String): Column =
+    round(expr(dotExpr) / (col("q.norm") * col("e.norm")), 6)
+
+  private val dotSql =
+    "aggregate(zip_with(q.v, e.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  /** Brute-force cosine top-10 for the fixed query vector (vec_id 0):
+    * a broadcast of one row against the corpus — the exact baseline
+    * every ANN variant is judged against.
+    */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecsWithNorm(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+    e.as("e").filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q.as("q")))
+      .withColumn("cosine", cosine(dotSql))
+      .select(col("e.vec_id").as("vec_id"), col("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= 10)
+      .orderBy("rank")
+  }
+
+  /** Sign-bit LSH: bucket = 8 sign bits of the first 8 dimensions
+    * (random-hyperplane LSH with axis-aligned planes — deterministic
+    * and engine-portable). Search only the query's bucket, top-5.
+    */
+  def knnSignLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bucketExpr = expr(
+      """aggregate(sequence(1, 8),
+        | CAST(0 AS BIGINT),
+        | (acc, i) -> acc + CASE WHEN element_at(v, i) >= 0.0
+        |   THEN CAST(pow(2, i - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+    val e = vecsWithNorm(spark, dir).withColumn("bucket", bucketExpr)
+    val q = e.filter(col("vec_id") === 0)
+    e.as("e").filter(col("vec_id") =!= 0)
+      .join(broadcast(q.as("q")), col("e.bucket") === col("q.bucket"))
+      .withColumn("cosine", cosine(dotSql))
+      .select(col("e.vec_id").as("vec_id"), col("e.bucket").as("bucket"), col("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .orderBy("rank")
+  }
+}

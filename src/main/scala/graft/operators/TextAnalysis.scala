@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-corpus analysis for training-data curation: language ID,
+  * quality scoring, token stats, fingerprinting. All signals are
+  * integer/ratio arithmetic over whitespace tokens so the DuckDB
+  * oracle reproduces them bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** (lang, marker-token) pairs for the n-gram-heuristic language
+    * classifier. Tiny → broadcast everywhere.
+    */
+  val markers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "or", "en" -> "a",
+    "es" -> "scan", "es" -> "merge",
+    "de" -> "fast", "de" -> "slow",
+    "fr" -> "filter", "fr" -> "stream",
+    "zh" -> "hash", "zh" -> "sort")
+
+  /** SQL VALUES clause mirroring [[markers]] for the oracle. */
+  def markersValues: String =
+    markers.map { case (l, t) => s"('$l','$t')" }.mkString(", ")
+
+  private def toks = split(col("text"), "\\s+")
+
+  /** Marker-scoring language ID: count marker hits per candidate
+    * language, argmax with lang-asc tiebreak; docs with no hits
+    * classify as 'und'.
+    */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val m = markers.toDF("cand_lang", "token")
+    val hits = docs.select(col("doc_id"), explode(toks).as("token"))
+      .join(broadcast(m), "token")
+      .groupBy("doc_id", "cand_lang")
+      .agg(count(lit(1)).as("score"))
+    val best = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cand_lang"))
+    val pred = hits.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score"))
+    docs.select("doc_id").join(pred, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: token counts, mean token length, stopword
+    * ratio, then a deterministic bucket — the length/punct/stopword
+    * heuristics used to filter web corpora.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "or", "and")
+    val d = Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("sum_len", expr(
+        "aggregate(t, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"))
+      .withColumn("n_stop", expr(
+        s"size(filter(t, x -> x IN (${stop.map("'" + _ + "'").mkString(",")})))").cast("long"))
+    d.select(
+      col("doc_id"), col("n_tokens"),
+      round(col("sum_len").cast("double") / col("n_tokens"), 6).as("avg_token_len"),
+      round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+      when(col("n_tokens") < 20, "too_short")
+        .when(col("n_stop").cast("double") / col("n_tokens") > 0.3, "boilerplate")
+        .otherwise("ok").as("quality_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus token stats: top-20 tokens by frequency with doc freq. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("token"))
+    val agg = tok.groupBy("token")
+      .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("df"))
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    agg.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .orderBy("rank")
+  }
+
+  /** Sorted-distinct-token fingerprint: docs with identical token
+    * sets share a fingerprint → near-dup families (token-order /
+    * repetition invariant).
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fp", md5(array_join(array_sort(array_distinct(toks)), " ")))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("keeper")
+
+  /** Top-20 corpus bigrams. */
+  def textBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-1), i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
+        .as("bigram"))
+    val w = Window.orderBy(col("cnt").desc, col("bigram"))
+    bi.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .orderBy("rank")
+  }
+}

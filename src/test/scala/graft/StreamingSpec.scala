@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, SessionUpdate}
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("hourlyCounts: watermarked tumbling windows aggregate per type") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(61), 1, "view", 3.0),
+        Event(4, ts(200), 2, "click", 4.0)) // advances watermark past hour 0-1
+      q.processAllAvailable()
+      val rows = spark.sql("select * from hourly").as[(Timestamp, String, Long, Double)].collect()
+      val h0 = rows.filter(_._1 == ts(0))
+      assert(h0.length == 1 && h0.head._2 == "click" && h0.head._3 == 2 && h0.head._4 == 3.0)
+      val h1 = rows.filter(_._1 == ts(60))
+      assert(h1.length == 1 && h1.head._2 == "view" && h1.head._3 == 1)
+    } finally q.stop()
+  }
+
+  test("sessionize: 30-min gap closes a session, state carries within") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // session A: minutes 0,10,20; then 70 (gap 50min) starts session B
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(10), 7, "click", 2.0),
+        Event(3, ts(20), 7, "click", 3.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ts(70), 7, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from sessions").as[SessionUpdate].collect()
+      assert(rows.length == 1, s"expected exactly the closed session, got ${rows.toSeq}")
+      val s = rows.head
+      assert(s.user_id == 7 && s.session_start == 0 && s.n_events == 3 && s.sum_value == 6.0)
+    } finally q.stop()
+  }
+
+  test("streaming sessionize agrees with the batch operator's totals") {
+    import spark.implicits._
+    // batch result on real data: every event in exactly one session
+    val batch = operators.Events.eventsSessionize(spark, sf)
+    val sums = batch.agg(org.apache.spark.sql.functions.sum("n_events")).head.getLong(0)
+    assert(sums == Tables.events(spark, sf).count())
+  }
+}
