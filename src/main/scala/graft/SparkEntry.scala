@@ -376,13 +376,26 @@ object SparkEntry {
       """WITH g AS (SELECT doc_id, lang,
         |   list_distinct(list_transform(generate_series(1, length(text)-2),
         |     i -> substr(text, i, 3))) AS g
-        | FROM documents WHERE length(text) >= 3)
-        |SELECT i, j, jaccard FROM (
-        | SELECT a.doc_id AS i, b.doc_id AS j,
-        |  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
-        | FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id) t
-        |WHERE jaccard >= 0.5 ORDER BY i, j""".stripMargin,
+        | FROM documents WHERE length(text) >= 3),
+        |ex AS (SELECT doc_id, lang, unnest(g) AS ng FROM g),
+        |ranked AS (SELECT ng, CAST(row_number() OVER (ORDER BY ng) - 1 AS INT) AS r
+        |  FROM (SELECT DISTINCT ng FROM ex) t),
+        |bits AS (SELECT doc_id, lang, r//32 AS wi,
+        |   CAST(sum(CAST(1 AS BIGINT) << (r % 32)) AS BIGINT) AS wrd
+        |  FROM ex JOIN ranked USING (ng) GROUP BY 1, 2, 3),
+        |grid AS (SELECT doc_id, lang, len(g) AS n,
+        |   unnest(generate_series(0, (SELECT max(r)//32 FROM ranked))) AS wi FROM g),
+        |dense AS (SELECT doc_id, lang, n, list(wrd ORDER BY wi) AS v FROM (
+        |  SELECT grid.doc_id, grid.lang, grid.n, grid.wi, coalesce(bits.wrd, 0) AS wrd
+        |  FROM grid LEFT JOIN bits ON grid.doc_id = bits.doc_id AND grid.wi = bits.wi) t
+        | GROUP BY 1, 2, 3),
+        |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+        |   CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+        |     k -> bit_count(a.v[k] & b.v[k]))) AS DOUBLE) AS inter,
+        |   a.n AS la, b.n AS lb
+        |  FROM dense a JOIN dense b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT i, j, round(inter/(la+lb-inter),6) AS jaccard FROM p
+        |WHERE round(inter/(la+lb-inter),6) >= 0.8 ORDER BY i, j""".stripMargin,
 
     "dedup_embed_nn" ->
       """WITH e AS (SELECT vec_id, label,

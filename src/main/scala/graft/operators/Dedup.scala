@@ -98,19 +98,66 @@ object Dedup {
       .orderBy("i", "j")
   }
 
-  /** Character-3-gram jaccard within language blocks. */
+  /** Character-3-gram jaccard ≥ 0.8 within language blocks — exact,
+    * with bitset-encoded gram sets: the corpus 3-gram vocabulary is
+    * ranked once (broadcast), each doc's gram set becomes ⌈V/32⌉
+    * packed words, and per-pair intersection is a codegen'd
+    * bit_count(x & y) chain instead of an O(|set|) array intersect
+    * (which made verify 16x slower). In-block pairs stay bounded by
+    * the lang block; with a rich vocabulary a rarest-prefix filter
+    * (PPJoin) would bound candidates further, but on a tiny shared
+    * vocabulary every pair shares grams and cheap verify is the
+    * winning move.
+    */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // cache the per-doc gram arrays: the 3-gram transform is the
+    // expensive lambda pass and three downstream branches read it.
     val g = Tables.documents(spark, dir)
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"), array_distinct(expr(
         "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("g"))
-    g.as("a").join(g.as("b"),
-        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("inter", size(array_intersect(col("a.g"), col("b.g"))).cast("double"))
+      .persist()
+    // char-3-gram vocabulary is alphabet-bounded → rank it on the
+    // driver and ship a literal map, instead of a distinct + global
+    // window + broadcast join lineage that recomputed the grams.
+    val grams = g.select(explode(col("g")).as("ng")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val words = (grams.length + 31) / 32
+    val rankMap = typedLit(grams.zipWithIndex.toMap)
+    val ex = g.select(col("doc_id"), col("lang"), explode(col("g")).as("ng"))
+      .select(col("doc_id"), col("lang"), element_at(rankMap, col("ng")).as("r"))
+    val bits = ex
+      .groupBy(col("doc_id"), col("lang"), expr("CAST(r div 32 AS INT)").as("wi"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(r % 32 AS INT))")).as("wrd"))
+    // one row per doc: packed words as a dense array (missing words
+    // zero-filled), gram-set size recovered from popcounts.
+    val dense = bits
+      .groupBy("doc_id", "lang")
+      .agg(
+        map_from_entries(collect_list(struct(col("wi"), col("wrd")))).as("m"),
+        sum(expr("bit_count(wrd)")).as("n"))
+      .withColumn("v", expr(
+        s"transform(sequence(0, ${words - 1}), wi -> coalesce(m[wi], CAST(0 AS BIGINT)))"))
+      .select("doc_id", "lang", "n", "v")
+      .persist()
+    val inter = graft.functions.Vectors.bitsetInter("va", "vb")
+    // the block key (lang) has cardinality ~5 → a plain equi-join
+    // runs on ~5 tasks. Salt the left side and replicate the right
+    // across salts: same pairs, 32x the parallelism.
+    val salts = 32
+    val a = dense.select(col("doc_id").as("i"), col("lang"),
+      col("n").as("la"), col("v").as("va"),
+      (col("doc_id") % salts).cast("int").as("salt"))
+    val b = dense.select(col("doc_id").as("j"), col("lang"),
+        col("n").as("lb"), col("v").as("vb"))
+      .withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
+    a.join(b, Seq("lang", "salt"))
+      .filter(col("i") < col("j"))
+      .withColumn("inter", inter.cast("double"))
       .withColumn("jaccard", round(
-        col("inter") / (size(col("a.g")) + size(col("b.g")) - col("inter")), 6))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("jaccard"))
+        col("inter") / (col("la") + col("lb") - col("inter")), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select("i", "j", "jaccard")
       .orderBy("i", "j")
   }
 
@@ -119,21 +166,25 @@ object Dedup {
     * cosine so cross-engine float drift can't flip the argmax.
     */
   def dedupEmbedNn(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(
+    val raw = Tables.embeddings(spark, dir)
+    val dim = raw.select(size(col("embedding"))).head.getInt(0)
+    val e = raw.select(
       col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("norm", expr(
-        "sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"))
-    val pairs = e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"))
-      .withColumn("cosine", round(col("dot") / (col("a.norm") * col("b.norm")), 6))
-    val best = Window.partitionBy(col("a.vec_id"))
-      .orderBy(col("cosine").desc, col("b.vec_id"))
-    pairs.withColumn("rn", row_number().over(best))
-      .filter(col("rn") === 1)
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"), col("cosine"))
+      .withColumn("norm", graft.functions.Vectors.normHof("v"))
+    val pairs = e.select(col("vec_id").as("i"), col("label"), col("v").as("va"), col("norm").as("na"))
+      .join(e.select(col("vec_id").as("j"), col("label"), col("v").as("vb"), col("norm").as("nb")),
+        Seq("label"))
+      .filter(col("i") =!= col("j"))
+      .withColumn("dot", graft.functions.Vectors.dot("va", "vb"))
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))
+    // argmax via max(struct): map-side partial aggregation, no
+    // all-pairs shuffle into a window. (cosine desc, j asc) total
+    // order via negated key.
+    pairs.groupBy("i")
+      .agg(max(struct(col("cosine"), (-col("j")).as("nj"))).as("m"))
+      .select(col("i").as("vec_id"), (-col("m.nj")).as("nn_id"),
+        col("m.cosine").as("cosine"))
       .orderBy("vec_id")
   }
 }

@@ -93,25 +93,57 @@ object Matching {
       .join(docLen, "doc_id")
       .withColumn("tf", col("cnt").cast("double") / col("len").cast("double"))
     val nDocs = docs.count()
-    val df = tf.groupBy("token").agg(countDistinct("doc_id").as("df"))
-    val weights = tf.join(broadcast(df), "token")
+    val dfreq = tf.groupBy("token").agg(countDistinct("doc_id").as("df"))
+    val weights = tf.join(broadcast(dfreq), "token")
       .withColumn("w", col("tf") * log(lit(nDocs.toDouble) / col("df").cast("double")))
-    val norms = weights.groupBy("doc_id")
-      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
-    val left = weights.filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id").as("i"), col("token"), col("w").as("wi"))
-    val right = weights.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id").as("j"), col("token"), col("w").as("wj"))
-    val dots = left.join(right, "token")
-      .groupBy("i", "j").agg(sum(col("wi") * col("wj")).as("dot"))
-    val cos = dots
-      .join(norms.select(col("doc_id").as("i"), col("norm").as("ni")), "i")
-      .join(norms.select(col("doc_id").as("j"), col("norm").as("nj")), "j")
-      .withColumn("cosine", round(col("dot") / (col("ni") * col("nj")), 6))
-    val best = Window.partitionBy("i").orderBy(col("cosine").desc, col("j"))
-    cos.withColumn("rn", row_number().over(best))
-      .filter(col("rn") === 1 && col("cosine") >= 0.5)
-      .select(col("i"), col("j"), col("cosine"))
+    val vocab = dfreq.count()
+    // Two physical plans, one logical result (scores only compared
+    // after round-6): a dense-vector broadcast path when the
+    // vocabulary is small — the token-level inverted-index join
+    // degenerates to ~all-pairs there, shuffling |L|·|R|·|V| rows —
+    // and the sparse inverted-index join otherwise, where rare terms
+    // keep the candidate space bounded.
+    val cos =
+      if (vocab <= 256) { // unrolled-dot expr stays codegen-friendly
+        val ranked = dfreq.withColumn("r",
+          row_number().over(Window.orderBy("token")))
+        val vecs = weights.join(broadcast(ranked.select("token", "r")), "token")
+          .groupBy("doc_id")
+          .agg(map_from_entries(collect_list(struct(col("r"), col("w")))).as("m"))
+          .withColumn("v", expr(
+            s"transform(sequence(1, ${vocab.toInt}), r -> coalesce(m[r], CAST(0.0 AS DOUBLE)))"))
+          .withColumn("norm", expr(
+            "sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+          .select("doc_id", "v", "norm")
+        val left = vecs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("i"), col("v").as("vi"), col("norm").as("ni"))
+        val right = vecs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id").as("j"), col("v").as("vj"), col("norm").as("nj"))
+        left.crossJoin(broadcast(right))
+          .withColumn("dot", graft.functions.Vectors.dot("vi", "vj"))
+          .withColumn("cosine", round(col("dot") / (col("ni") * col("nj")), 6))
+          .select("i", "j", "cosine")
+      } else {
+        val norms = weights.groupBy("doc_id")
+          .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
+        val left = weights.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("i"), col("token"), col("w").as("wi"))
+        val right = weights.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id").as("j"), col("token"), col("w").as("wj"))
+        left.join(right, "token")
+          .groupBy("i", "j").agg(sum(col("wi") * col("wj")).as("dot"))
+          .join(norms.select(col("doc_id").as("i"), col("norm").as("ni")), "i")
+          .join(norms.select(col("doc_id").as("j"), col("norm").as("nj")), "j")
+          .withColumn("cosine", round(col("dot") / (col("ni") * col("nj")), 6))
+          .select("i", "j", "cosine")
+      }
+    // threshold first (argmax is unchanged when the max passes it),
+    // then argmax via max(struct) — partial-aggregated map-side, so
+    // the |L|x|R| pair stream never shuffles wholesale.
+    cos.filter(col("cosine") >= 0.5)
+      .groupBy("i")
+      .agg(max(struct(col("cosine"), (-col("j")).as("nj"))).as("m"))
+      .select(col("i"), (-col("m.nj")).as("j"), col("m.cosine").as("cosine"))
       .orderBy("i")
   }
 

@@ -19,11 +19,9 @@ object Similarity {
       .withColumn("norm", expr(
         "sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"))
 
-  private def cosine(dotExpr: String): Column =
-    round(expr(dotExpr) / (col("q.norm") * col("e.norm")), 6)
-
-  private val dotSql =
-    "aggregate(zip_with(q.v, e.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+  private def cosine: Column =
+    round(graft.functions.VectorExprs.dot(col("q.v"), col("e.v"))
+      / (col("q.norm") * col("e.norm")), 6)
 
   /** Brute-force cosine top-10 for the fixed query vector (vec_id 0):
     * a broadcast of one row against the corpus — the exact baseline
@@ -34,7 +32,7 @@ object Similarity {
     val q = e.filter(col("vec_id") === 0)
     e.as("e").filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q.as("q")))
-      .withColumn("cosine", cosine(dotSql))
+      .withColumn("cosine", cosine)
       .select(col("e.vec_id").as("vec_id"), col("cosine"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cosine").desc, col("vec_id"))))
@@ -56,7 +54,7 @@ object Similarity {
     val q = e.filter(col("vec_id") === 0)
     e.as("e").filter(col("vec_id") =!= 0)
       .join(broadcast(q.as("q")), col("e.bucket") === col("q.bucket"))
-      .withColumn("cosine", cosine(dotSql))
+      .withColumn("cosine", cosine)
       .select(col("e.vec_id").as("vec_id"), col("e.bucket").as("bucket"), col("cosine"))
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cosine").desc, col("vec_id"))))
