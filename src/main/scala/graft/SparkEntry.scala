@@ -24,11 +24,16 @@ object SparkEntry {
     "q5_region_revenue" -> (Olap.q5RegionRevenue _),
     "topk_per_group" -> (Olap.topkPerGroup _),
     "rollup_agg" -> (Olap.rollupAgg _),
+    "parts_never_ordered" -> (Olap.partsNeverOrdered _),
+    "nation_coverage" -> (Olap.nationCoverage _),
     // events
     "events_json" -> (Events.eventsJson _),
     "events_hourly" -> (Events.eventsHourly _),
     "events_sessionize" -> (Events.eventsSessionize _),
     "events_topusers" -> (Events.eventsTopUsers _),
+    "events_asof_join" -> (Events.eventsAsofJoin _),
+    "events_lag_delta" -> (Events.eventsLagDelta _),
+    "events_percentiles" -> (Events.eventsPercentiles _),
     // cleaning + quality
     "clean_abr" -> (Cleaning.cleanAbr _),
     "clean_cc" -> (Cleaning.cleanCc _),
@@ -155,6 +160,50 @@ object SparkEntry {
         | round(sum(l_quantity),2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "parts_never_ordered" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "nation_coverage" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+        |s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+        |SELECT nk, coverage FROM (
+        | SELECT nk, 'both' AS coverage FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s) t1
+        | UNION ALL
+        | SELECT nk, 'customers_only' FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s) t2
+        | UNION ALL
+        | SELECT nk, 'suppliers_only' FROM (SELECT nk FROM s EXCEPT SELECT nk FROM c) t3) u
+        |ORDER BY coverage, nk""".stripMargin,
+
+    "events_asof_join" ->
+      """WITH e AS (SELECT *, epoch_ns(ts)//1000000000 AS ts_s FROM events),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS signup_event,
+        |  last_value(CASE WHEN event_type = 'signup' THEN ts_s END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS signup_ts
+        | FROM e)
+        |SELECT event_id, user_id, signup_event, ts_s - signup_ts AS gap_s
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "events_lag_delta" ->
+      """WITH e AS (SELECT *, epoch_ns(ts)//1000000000 AS ts_s FROM events)
+        |SELECT event_id, user_id,
+        | ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap_s,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |   ROWS UNBOUNDED PRECEDING), 2) AS running_value
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    "events_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.9), 6) AS p90,
+        | round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_json" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

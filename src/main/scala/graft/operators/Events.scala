@@ -63,6 +63,50 @@ object Events {
       .orderBy("user_id", "session_idx")
   }
 
+  /** As-of join, windowed form: each purchase event picks the user's
+    * most recent signup event at-or-before it. One window pass over a
+    * single (user, time) shuffle — no range join, no per-row probe —
+    * which is the scalable shape of "join to latest prior" on any
+    * event volume.
+    */
+  def eventsAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("signup_event",
+        last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("signup_ts",
+        last(when(col("event_type") === "signup", col("ts_s")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("signup_event"), (col("ts_s") - col("signup_ts")).as("gap_s"))
+      .orderBy("event_id")
+  }
+
+  /** Per-user inter-event gaps + running value total (lag + running
+    * sum over one shuffle).
+    */
+  def eventsLagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val ord = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("gap_s", col("ts_s") - lag("ts_s", 1).over(ord))
+      .withColumn("running_value", round(sum("value").over(run), 2))
+      .select("event_id", "user_id", "gap_s", "running_value")
+      .orderBy("event_id")
+  }
+
+  /** Exact percentiles of event value per type (interpolated). */
+  def eventsPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy("event_type")
+  }
+
   /** Rank users by purchase value; dense_rank + deterministic key
     * tiebreak on the rounded measure.
     */

@@ -83,6 +83,27 @@ object Olap {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Anti join: parts never ordered (left_anti = NOT EXISTS). */
+  def partsNeverOrdered(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val l = Tables.lineitem(spark, dir).select("l_partkey").distinct()
+    p.join(l, col("p_partkey") === col("l_partkey"), "left_anti")
+      .select("p_partkey", "p_name", "p_brand")
+      .orderBy("p_partkey")
+  }
+
+  /** Set operations over nation keys: nations having customers but no
+    * suppliers and vice versa (EXCEPT), plus the overlap (INTERSECT).
+    */
+  def nationCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nk")).distinct()
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nk")).distinct()
+    val both = c.intersect(s).withColumn("coverage", lit("both"))
+    val onlyC = c.except(s).withColumn("coverage", lit("customers_only"))
+    val onlyS = s.except(c).withColumn("coverage", lit("suppliers_only"))
+    both.unionByName(onlyC).unionByName(onlyS).orderBy("coverage", "nk")
+  }
+
   /** ROLLUP with ALL-labeled subtotals (coalesce keeps the oracle
     * null-handling trivial).
     */

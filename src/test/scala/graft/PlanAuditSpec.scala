@@ -1,0 +1,53 @@
+package graft
+
+/** Plan-shape audits: the properties that make these operators hold
+  * at 100TB are visible in the physical plan — filters reaching the
+  * parquet scan, pruned read schemas, dimension sides broadcast. If a
+  * refactor silently loses one, correctness tests won't notice but
+  * scale behavior regresses; these specs pin the plan shape.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q3: filters are pushed to the parquet scans") {
+    val p = plan(operators.Olap.q3Shipping(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull"), "expected pushed filters at scan")
+    // the mktsegment equality must reach the customer scan
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("q3: lineitem scan reads only the needed columns") {
+    val p = plan(operators.Olap.q3Shipping(spark, sf))
+    val lineitemScan = p.linesIterator.find(l => l.contains("ReadSchema") && l.contains("l_orderkey"))
+    assert(lineitemScan.isDefined)
+    // projection pruning: quantity/tax/returnflag are not referenced
+    assert(!lineitemScan.get.contains("l_quantity"), lineitemScan.get)
+    assert(!lineitemScan.get.contains("l_tax"), lineitemScan.get)
+  }
+
+  test("q5: star joins broadcast the dimension sides") {
+    val p = plan(operators.Olap.q5RegionRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins in star schema")
+    assert(!p.contains("CartesianProduct"), "no cartesian in q5")
+  }
+
+  test("fuzzy match: supplier side broadcasts, no cartesian") {
+    val p = plan(operators.Matching.matchFuzzyBlocked(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("minhash LSH: candidate generation is an equi-join on band buckets") {
+    val p = plan(operators.Dedup.dedupMinhashLsh(spark, sf))
+    assert(!p.contains("CartesianProduct"), "LSH must not degenerate to a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "LSH must join on band keys")
+  }
+
+  test("native expressions appear in the plan (not UDFs)") {
+    val p = plan(operators.Dedup.dedupEmbedNn(spark, sf))
+    assert(p.contains("graft_dot"), "expected DotProductExpr in plan")
+    assert(!p.toLowerCase.contains("scalaudf"), "no Scala UDFs in the hot path")
+  }
+}
