@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import graft.functions.{BitsetIntersectExpr, DotProductExpr}
+
+/** SparkSessionExtensions entry point: makes the native expressions
+  * available from SQL (`SELECT graft_dot(a, b)`) and installs a
+  * small algebraic optimizer rule. Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * or `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.dotFn)
+    ext.injectFunction(GraftExtensions.bitsetFn)
+    ext.injectOptimizerRule(_ => SelfDotToNormSquared)
+  }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[DotProductExpr].getName, null, name, usage, "")
+
+  val dotFn: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("graft_dot"),
+    info("graft_dot", "graft_dot(a, b) - dot product of two array<double>"),
+    (args: Seq[Expression]) => DotProductExpr(args(0), args(1)))
+
+  val bitsetFn: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("graft_bitset_inter"),
+    info("graft_bitset_inter", "graft_bitset_inter(a, b) - popcount of AND of two array<bigint> bitsets"),
+    (args: Seq[Expression]) => BitsetIntersectExpr(args(0), args(1)))
+}
+
+/** graft_dot(x, x) ≡ Σx², which the same loop computes without the
+  * second array read — a tiny demo of operator-specific algebra the
+  * built-in optimizer can't know about.
+  */
+object SelfDotToNormSquared extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case DotProductExpr(a, b) if a.semanticEquals(b) && a.deterministic =>
+        SelfDotExpr(a)
+    }
+}
+
+/** Σx² over one array — single-operand specialization of
+  * [[DotProductExpr]] produced by [[SelfDotToNormSquared]].
+  */
+case class SelfDotExpr(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<double>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_self_dot"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var k = 0
+    while (k < x.numElements()) { val d = x.getDouble(k); s += d * d; k += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |double s = 0.0;
+         |for (int k = 0; k < $a.numElements(); k++) {
+         |  double d = $a.getDouble(k); s += d * d;
+         |}
+         |${ev.value} = s;
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Own session: extensions must be installed at session build time. */
+class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private lazy val spark: SparkSession =
+    GraftSession.builder("local[2]", 4)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .appName("graft-extensions-spec")
+      .getOrCreate()
+
+  test("graft_dot is callable from SQL") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head.getDouble(0)
+    assert(r == 11.0)
+  }
+
+  test("graft_bitset_inter is callable from SQL") {
+    val r = spark.sql(
+      "SELECT graft_bitset_inter(array(3L, 8L), array(6L, 8L)) AS n").head.getInt(0)
+    assert(r == 2) // 3&6 = 2 (one bit), 8&8 = 8 (one bit)
+  }
+
+  test("optimizer rewrites graft_dot(x, x) to the self-dot form") {
+    // id is non-foldable, so constant folding can't pre-empt the rule
+    val df = spark.sql(
+      "SELECT graft_dot(v, v) AS n2 FROM (SELECT array(CAST(id + 2 AS DOUBLE), 3.0d) AS v FROM range(1)) t")
+    assert(df.head.getDouble(0) == 13.0)
+    assert(df.queryExecution.optimizedPlan.toString.contains("graft_self_dot"))
+  }
+}
