@@ -27,6 +27,7 @@ object GraftSession {
   def local(cpus: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
     val s = builder(s"local[$cpus]", math.max(cpus, 4)).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.registerInto(s)
     s
   }
 }

@@ -24,6 +24,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+
+  /** Post-hoc installation into an existing session (getOrCreate
+    * ignores spark.sql.extensions once a session exists — e.g. in a
+    * shared test JVM or a notebook). Idempotent.
+    */
+  def registerInto(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    Seq(dotFn, bitsetFn).foreach { case (id, i, b) =>
+      GraftShim.registerFunction(spark, id, i, b)
+    }
+    if (!spark.experimental.extraOptimizations.contains(SelfDotToNormSquared)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SelfDotToNormSquared
+    }
+  }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[DotProductExpr].getName, null, name, usage, "")
 

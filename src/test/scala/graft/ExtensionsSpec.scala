@@ -2,14 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Own session: extensions must be installed at session build time. */
+/** Uses the shared session: GraftSession.local installs the graft
+  * functions + optimizer rule via GraftExtensions.registerInto
+  * (spark.sql.extensions can't apply to an already-built session in
+  * this shared test JVM).
+  */
 class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
 
-  private lazy val spark: SparkSession =
-    GraftSession.builder("local[2]", 4)
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .appName("graft-extensions-spec")
-      .getOrCreate()
+  private lazy val spark: SparkSession = SparkSpec.session
 
   test("graft_dot is callable from SQL") {
     val r = spark.sql(
