@@ -37,15 +37,20 @@ object Dedup {
     * ≥ 0.8 verify. Band width bounds bucket sizes at any corpus size.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // persist: the shingle arrays feed minhash computation and both
+    // sides of the candidate verify
     val sh = Tables.documents(spark, dir)
       .withColumn("toks", tokensCol)
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), shinglesCol.as("s"))
-    val withH = (1 to 8).foldLeft(sh) { (d, j) =>
-      d.withColumn(s"h$j",
-        array_min(expr(s"transform(s, x -> substring(md5(concat('$j','|',x)), 1, 16))")))
-    }
-    val withBands = withH.select(col("doc_id"), col("s"),
+      .persist()
+    // minhashes via explode + min-agg: md5 runs codegen'd per shingle
+    // row instead of interpreted inside an array-transform lambda
+    val exsh = sh.select(col("doc_id"), explode(col("s")).as("x"))
+    val minAggs = (1 to 8).map(j =>
+      min(substring(md5(concat(lit(s"$j|"), col("x"))), 1, 16)).as(s"h$j"))
+    val withH = exsh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val withBands = withH.select(col("doc_id"),
       concat(col("h1"), col("h2")).as("b1"),
       concat(col("h3"), col("h4")).as("b2"),
       concat(col("h5"), col("h6")).as("b3"),
@@ -59,8 +64,8 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    val sa = withBands.select(col("doc_id").as("i"), col("s").as("si"))
-    val sb = withBands.select(col("doc_id").as("j"), col("s").as("sj"))
+    val sa = sh.select(col("doc_id").as("i"), col("s").as("si"))
+    val sb = sh.select(col("doc_id").as("j"), col("s").as("sj"))
     cand.join(sa, "i").join(sb, "j")
       .withColumn("inter", size(array_intersect(col("si"), col("sj"))).cast("double"))
       .withColumn("jaccard", round(
@@ -79,10 +84,11 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(tokensCol)).as("tk"))
+      .withColumn("h", md5(col("tk"))) // hash once, not once per bit
     val bits = tok
       .withColumn("b", explode(expr("sequence(0, 15)")))
       .withColumn("nib",
-        expr("instr('0123456789abcdef', substring(md5(tk), (b div 4) + 1, 1)) - 1"))
+        expr("instr('0123456789abcdef', substring(h, (b div 4) + 1, 1)) - 1"))
       .withColumn("mask", expr(
         "CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END"))
       .withColumn("v", expr("CASE WHEN (nib div mask) % 2 = 1 THEN 1 ELSE -1 END"))

@@ -71,11 +71,12 @@ object Matching {
     val scored = c.join(broadcast(s), col("c_nationkey") === col("s_nationkey"))
       .withColumn("score", round(tokenSortSim(col("c_norm"), col("s_norm")), 6))
       .filter(col("score") >= 0.5)
-    val best = Window.partitionBy("c_custkey")
-      .orderBy(col("score").desc, col("s_suppkey"))
-    scored.withColumn("rn", row_number().over(best))
-      .filter(col("rn") === 1)
-      .select("c_custkey", "c_name", "s_suppkey", "s_name", "score")
+    // best-per-customer as a partial-aggregating argmax (score desc,
+    // suppkey asc) — no window sort over the candidate stream
+    scored.groupBy("c_custkey", "c_name")
+      .agg(max(struct(col("score"), (-col("s_suppkey")).as("nk"), col("s_name"))).as("m"))
+      .select(col("c_custkey"), col("c_name"), (-col("m.nk")).as("s_suppkey"),
+        col("m.s_name").as("s_name"), col("m.score").as("score"))
       .orderBy("c_custkey")
   }
 
@@ -89,9 +90,11 @@ object Matching {
     val tokens = docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
     val docLen = tokens.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    // persist: nDocs/vocab counts and the weight pipeline all read tf
     val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
       .join(docLen, "doc_id")
       .withColumn("tf", col("cnt").cast("double") / col("len").cast("double"))
+      .persist()
     val nDocs = docs.count()
     val dfreq = tf.groupBy("token").agg(countDistinct("doc_id").as("df"))
     val weights = tf.join(broadcast(dfreq), "token")
@@ -107,6 +110,7 @@ object Matching {
       if (vocab <= 256) { // unrolled-dot expr stays codegen-friendly
         val ranked = dfreq.withColumn("r",
           row_number().over(Window.orderBy("token")))
+        // persist: left and right halves both read the doc vectors
         val vecs = weights.join(broadcast(ranked.select("token", "r")), "token")
           .groupBy("doc_id")
           .agg(map_from_entries(collect_list(struct(col("r"), col("w")))).as("m"))
@@ -115,6 +119,7 @@ object Matching {
           .withColumn("norm", expr(
             "sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"))
           .select("doc_id", "v", "norm")
+          .persist()
         val left = vecs.filter(col("doc_id") % 2 === 0)
           .select(col("doc_id").as("i"), col("v").as("vi"), col("norm").as("ni"))
         val right = vecs.filter(col("doc_id") % 2 === 1)
