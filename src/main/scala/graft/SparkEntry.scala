@@ -63,6 +63,7 @@ object SparkEntry {
     // extraction
     "extract_xml_entities" -> (sources.Extraction.extractXmlEntities _),
     "extract_html_names" -> (sources.Extraction.extractHtmlNames _),
+    "extract_warc_records" -> (sources.Extraction.extractWarcRecords _),
     // multimodal
     "mm_binary_features" -> (multimodal.BinaryColumns.binaryFeatures _),
     "mm_fake_decode" -> (multimodal.BinaryColumns.fakeDecodeFeatures _),
@@ -593,6 +594,26 @@ object SparkEntry {
         |  regexp_extract(html, '"@type": "Organization", "name": "([^"]*)"', 1) AS ld,
         |  trim(regexp_extract(html, '<title>([^|<]*)', 1)) AS title
         | FROM h) t ORDER BY p_partkey""".stripMargin,
+
+    "extract_warc_records" ->
+      """WITH recs AS (SELECT
+        |  'WARC/1.0' || chr(10) ||
+        |  'WARC-Type: response' || chr(10) ||
+        |  'WARC-Target-URI: https://www.'
+        |    || regexp_replace(lower(s_name), '[^a-z0-9]+', '-', 'g')
+        |    || '.example.com/' || chr(10) ||
+        |  'WARC-Record-ID: rec-' || CAST(s_suppkey AS VARCHAR) || chr(10) ||
+        |  'Content-Length: ' || CAST(strlen(s_name)*3 AS VARCHAR) || chr(10) || chr(10) ||
+        |  '<html><head><title>' || s_name || ' | Site</title></head><body>acct '
+        |    || CAST(s_acctbal AS VARCHAR) || '</body></html>' AS rec
+        | FROM supplier)
+        |SELECT
+        | regexp_extract(rec, 'WARC-Type: ([^\n]+)', 1) AS warc_type,
+        | regexp_extract(rec, 'WARC-Target-URI: ([^\n]+)', 1) AS target_uri,
+        | regexp_extract(rec, 'WARC-Record-ID: ([^\n]+)', 1) AS record_id,
+        | CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) AS INT) AS content_length,
+        | trim(regexp_extract(rec, '<title>([^|<]*)', 1)) AS page_title
+        |FROM recs ORDER BY target_uri""".stripMargin,
 
     "mm_binary_features" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -81,6 +81,39 @@ object Extraction {
       lit("</head><body>"), col("p_type"), lit("</body></html>"))
   }
 
+  /** Synthesized WARC response record per supplier (header block +
+    * blank line + payload — the record shape warcio iterates in
+    * extract_common_crawl.py fetch_html_from_warc).
+    */
+  private def synthWarc: Column =
+    concat(
+      lit("WARC/1.0\n"),
+      lit("WARC-Type: response\n"),
+      lit("WARC-Target-URI: https://www."),
+      regexp_replace(lower(col("s_name")), "[^a-z0-9]+", "-"),
+      lit(".example.com/\n"),
+      lit("WARC-Record-ID: rec-"), col("s_suppkey"), lit("\n"),
+      lit("Content-Length: "), octet_length(col("s_name")) * 3, lit("\n"),
+      lit("\n"),
+      lit("<html><head><title>"), col("s_name"),
+      lit(" | Site</title></head><body>acct "), col("s_acctbal"),
+      lit("</body></html>"))
+
+  /** WARC record parsing: split headers from payload, type/URI/id/
+    * length fields, then the payload's title — the columnar form of
+    * the reference's ArchiveIterator + BeautifulSoup pass.
+    */
+  def extractWarcRecords(spark: SparkSession, dir: String): DataFrame = {
+    val recs = Tables.supplier(spark, dir).select(synthWarc.as("rec"))
+    recs.select(
+      regexp_extract(col("rec"), "WARC-Type: ([^\\n]+)", 1).as("warc_type"),
+      regexp_extract(col("rec"), "WARC-Target-URI: ([^\\n]+)", 1).as("target_uri"),
+      regexp_extract(col("rec"), "WARC-Record-ID: ([^\\n]+)", 1).as("record_id"),
+      regexp_extract(col("rec"), "Content-Length: ([0-9]+)", 1).cast("int").as("content_length"),
+      trim(regexp_extract(col("rec"), "<title>([^|<]*)", 1)).as("page_title"))
+      .orderBy("target_uri")
+  }
+
   /** og:site_name → JSON-LD Organization name → title fallback chain
     * (extract_common_crawl.py extract_company_info steps 1-3), with
     * the method that won recorded per row.

@@ -43,6 +43,18 @@ object Sinks {
       .drop("_rn", "_src")
   }
 
+  /** Range-partitioned, sorted parquet write: the data-lake analog of
+    * the reference loader's CREATE INDEX step
+    * (loadingcsv_topostgre_optimized.py optimize_table) — sorting by
+    * the filter keys tightens parquet row-group min/max stats so
+    * selective scans skip row groups instead of probing a btree.
+    */
+  def writeSortedForPruning(df: DataFrame, path: String, sortCols: Seq[String],
+                            partitions: Int = 8): Unit =
+    df.repartitionByRange(partitions, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** CSV write+read round-trip with an explicit schema — the
     * reference's CSV interchange format, kept schema-stable.
     */

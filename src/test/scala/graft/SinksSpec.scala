@@ -35,6 +35,26 @@ class SinksSpec extends SparkSpec {
     assert(tie.head._2 == "upd")
   }
 
+  test("sorted write clusters values so selective scans prune row groups") {
+    val dir = tmp()
+    Sinks.writeSortedForPruning(Tables.orders(spark, sf), dir, Seq("o_orderdate"), 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == Tables.orders(spark, sf).count())
+    // range partitioning: each file covers a disjoint date range
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 2)
+    // ntz timestamps surface as LocalDateTime; compare on epoch secs
+    val ranges = files.map { f =>
+      val d = spark.read.parquet(f.getPath)
+        .selectExpr("CAST(min(o_orderdate) AS LONG) lo", "CAST(max(o_orderdate) AS LONG) hi").head
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, s"overlap: $hi > $lo")
+      case _ =>
+    }
+  }
+
   test("csv round-trip preserves values under explicit schema") {
     val dir = tmp()
     val df = Tables.nation(spark, sf)
