@@ -34,7 +34,8 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType => // integer div: nanos exceed double's exact range
         raw.withColumn("ts_s", org.apache.spark.sql.functions.expr("ts div 1000000000"))
-      case TimestampType | TimestampNTZType => raw.withColumn("ts_s", col("ts").cast(LongType))
+      case TimestampType | TimestampNTZType => // NTZ refuses a direct long cast
+        raw.withColumn("ts_s", org.apache.spark.sql.functions.expr("to_unix_timestamp(ts)"))
       case other => sys.error(s"unexpected events.ts type: $other")
     }
   }

@@ -46,7 +46,7 @@ class SinksSpec extends SparkSpec {
     // ntz timestamps surface as LocalDateTime; compare on epoch secs
     val ranges = files.map { f =>
       val d = spark.read.parquet(f.getPath)
-        .selectExpr("CAST(min(o_orderdate) AS LONG) lo", "CAST(max(o_orderdate) AS LONG) hi").head
+        .selectExpr("to_unix_timestamp(min(o_orderdate)) lo", "to_unix_timestamp(max(o_orderdate)) hi").head
       (d.getLong(0), d.getLong(1))
     }.sortBy(_._1)
     ranges.sliding(2).foreach {
