@@ -85,7 +85,13 @@ object Matching {
     * entity_matching.py:44-60). Sparse inverted-index join on token;
     * idf and norms are computed once and broadcast-joined back.
     */
-  def matchTfidfTopk(spark: SparkSession, dir: String): DataFrame = {
+  def matchTfidfTopk(spark: SparkSession, dir: String): DataFrame =
+    matchTfidfTopk(spark, dir, denseVocabMax = 256)
+
+  /** denseVocabMax exposed so tests can force the sparse path; both
+    * paths must produce identical rounded results.
+    */
+  def matchTfidfTopk(spark: SparkSession, dir: String, denseVocabMax: Int): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val tokens = docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
@@ -107,7 +113,7 @@ object Matching {
     // and the sparse inverted-index join otherwise, where rare terms
     // keep the candidate space bounded.
     val cos =
-      if (vocab <= 256) { // unrolled-dot expr stays codegen-friendly
+      if (vocab <= denseVocabMax) {
         val ranked = dfreq.withColumn("r",
           row_number().over(Window.orderBy("token")))
         // persist: left and right halves both read the doc vectors

@@ -72,4 +72,12 @@ class OperatorsSpec extends SparkSpec {
       assert(status == (if (v >= thr) "pass" else "fail"))
     }
   }
+
+  test("tfidf dense and sparse paths agree exactly") {
+    val dense = operators.Matching.matchTfidfTopk(spark, sf, denseVocabMax = 256)
+      .collect().map(_.toSeq).toSet
+    val sparse = operators.Matching.matchTfidfTopk(spark, sf, denseVocabMax = 0)
+      .collect().map(_.toSeq).toSet
+    assert(dense == sparse)
+  }
 }
