@@ -34,6 +34,9 @@ object SparkEntry {
     "events_asof_join" -> (Events.eventsAsofJoin _),
     "events_lag_delta" -> (Events.eventsLagDelta _),
     "events_percentiles" -> (Events.eventsPercentiles _),
+    "events_funnel" -> (Events.eventsFunnel _),
+    "events_retention" -> (Events.eventsRetention _),
+    "events_moving_avg" -> (Events.eventsMovingAvg _),
     // cleaning + quality
     "clean_abr" -> (Cleaning.cleanAbr _),
     "clean_cc" -> (Cleaning.cleanCc _),
@@ -51,6 +54,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_embed_nn" -> (Dedup.dedupEmbedNn _),
+    "dedup_components" -> (Dedup.dedupComponents _),
     // text analysis
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_quality" -> (TextAnalysis.textQuality _),
@@ -205,6 +209,45 @@ object SparkEntry {
         | round(quantile_cont(value, 0.9), 6) AS p90,
         | round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_funnel" ->
+      """WITH e AS (SELECT *, epoch_ns(ts)//1000000000 AS ts_s FROM events),
+        |st AS (SELECT user_id,
+        |  min(CASE WHEN event_type='signup' THEN ts_s END) AS t_signup,
+        |  min(CASE WHEN event_type='view' THEN ts_s END) AS t_view,
+        |  min(CASE WHEN event_type='purchase' THEN ts_s END) AS t_purchase
+        | FROM e GROUP BY user_id)
+        |SELECT user_id,
+        | t_signup IS NOT NULL AS reached_signup,
+        | (t_signup IS NOT NULL AND t_view IS NOT NULL
+        |   AND t_view >= t_signup) AS reached_view,
+        | (t_signup IS NOT NULL AND t_view IS NOT NULL AND t_purchase IS NOT NULL
+        |   AND t_view >= t_signup AND t_purchase >= t_view) AS reached_purchase
+        |FROM st ORDER BY user_id""".stripMargin,
+
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts)//1000000000//86400 AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        | CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN cohort ON e.user_id = cohort.user_id
+        |WHERE day - cohort_day <= 7
+        |GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "events_moving_avg" ->
+      """WITH e AS (SELECT *, epoch_ns(ts)//1000000000 AS ts_s FROM events)
+        |SELECT event_id, user_id,
+        | round(avg(value) OVER (PARTITION BY user_id ORDER BY ts_s
+        |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS avg_1h
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    "dedup_components" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    string_split_regex(text,'\s+'))), ' ')) AS fp FROM documents),
+        |fam AS (SELECT doc_id, count(*) OVER (PARTITION BY fp) AS n,
+        |  min(doc_id) OVER (PARTITION BY fp) AS component FROM fp)
+        |SELECT doc_id AS id, component FROM fam WHERE n > 1 ORDER BY id""".stripMargin,
 
     "events_json" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

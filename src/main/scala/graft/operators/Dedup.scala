@@ -167,6 +167,49 @@ object Dedup {
       .orderBy("i", "j")
   }
 
+  /** Connected components over the near-duplicate graph (edges =
+    * fingerprint-identical doc pairs): iterative min-label
+    * propagation to a fixpoint, the clustering step that turns
+    * pairwise dedup hits into keep-one-per-cluster decisions.
+    * Label propagation halves eccentricity per round (log-diameter
+    * rounds); each round is one join + aggregate.
+    */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir)
+      .withColumn("fp", md5(array_join(array_sort(array_distinct(
+        split(col("text"), "\\s+"))), " ")))
+      .select("doc_id", "fp")
+    val edges = fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .persist()
+    val bidir = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val viaNeighbors = bidir
+        .join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min("component").as("nbr_min"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels.orderBy("id")
+  }
+
   /** Embedding near-dup: top-1 cosine neighbor per vector inside its
     * label block (IVF-style coarse partition). Ranks on the rounded
     * cosine so cross-engine float drift can't flip the argmax.

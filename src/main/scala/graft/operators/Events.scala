@@ -107,6 +107,54 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Funnel: users progressing signup → view → purchase in timestamp
+    * order. One aggregation pass per user (min event time per stage),
+    * stage ordering checked on the aggregated row.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val stages = e.groupBy("user_id").agg(
+      min(when(col("event_type") === "signup", col("ts_s"))).as("t_signup"),
+      min(when(col("event_type") === "view", col("ts_s"))).as("t_view"),
+      min(when(col("event_type") === "purchase", col("ts_s"))).as("t_purchase"))
+    stages.select(
+      col("user_id"),
+      col("t_signup").isNotNull.as("reached_signup"),
+      (col("t_signup").isNotNull && col("t_view").isNotNull &&
+        col("t_view") >= col("t_signup")).as("reached_view"),
+      (col("t_signup").isNotNull && col("t_view").isNotNull &&
+        col("t_purchase").isNotNull && col("t_view") >= col("t_signup") &&
+        col("t_purchase") >= col("t_view")).as("reached_purchase"))
+      .orderBy("user_id")
+  }
+
+  /** Day-N retention: cohort = first-seen day per user; for each
+    * (cohort_day, day_offset) the count of distinct active users.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("day", expr("ts_s div 86400"))
+    val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    e.join(cohort, "user_id")
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+      .filter(col("day_offset") <= 7)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Moving 1-hour average of event values per user — a RANGE frame
+    * over the epoch-second timeline (not row-count based).
+    */
+  def eventsMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val frame = Window.partitionBy("user_id").orderBy("ts_s")
+      .rangeBetween(-3600L, 0L)
+    e.withColumn("avg_1h", round(avg("value").over(frame), 6))
+      .select("event_id", "user_id", "avg_1h")
+      .orderBy("event_id")
+  }
+
   /** Rank users by purchase value; dense_rank + deterministic key
     * tiebreak on the rounded measure.
     */
