@@ -26,6 +26,8 @@ object SparkEntry {
     "rollup_agg" -> (Olap.rollupAgg _),
     "parts_never_ordered" -> (Olap.partsNeverOrdered _),
     "nation_coverage" -> (Olap.nationCoverage _),
+    "cube_agg" -> (Olap.cubeAgg _),
+    "market_share" -> (Olap.marketShare _),
     // events
     "events_json" -> (Events.eventsJson _),
     "events_hourly" -> (Events.eventsHourly _),
@@ -209,6 +211,23 @@ object SparkEntry {
         | round(quantile_cont(value, 0.9), 6) AS p90,
         | round(quantile_cont(value, 0.99), 6) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+        | coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY orderstatus, orderpriority""".stripMargin,
+
+    "market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        | round(sum(CASE WHEN c_mktsegment = 'BUILDING'
+        |     THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END)
+        |   / sum(l_extendedprice*(1.0-l_discount)), 6) AS building_share
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
 
     "events_funnel" ->
       """WITH e AS (SELECT *, epoch_ns(ts)//1000000000 AS ts_s FROM events),

@@ -179,9 +179,16 @@ object Dedup {
       .withColumn("fp", md5(array_join(array_sort(array_distinct(
         split(col("text"), "\\s+"))), " ")))
       .select("doc_id", "fp")
-    val edges = fp.as("a").join(fp.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    // star topology per fingerprint family (hub = min doc): the same
+    // components as clique edges but O(n) edges per family instead of
+    // O(n²) — a degenerate family (e.g. millions of empty docs) stays
+    // linear.
+    val hub = fp.groupBy("fp")
+      .agg(min("doc_id").as("hub"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    val edges = fp.join(hub, "fp")
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("src"), col("doc_id").as("dst"))
       .persist()
     val bidir = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst"))).persist()

@@ -170,10 +170,11 @@ object Matching {
       .select(format_string("%011d", col("c_custkey")).as("left_key"),
         col("s_name").as("right_name"), lit("fuzzy").as("method"), col("score"))
     val all = exact.unionByName(fuzzy)
-    val w = Window.partitionBy("left_key", "right_name").orderBy("method")
-    all.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    // keep-first by method ('exact' < 'fuzzy') as an argmin agg
+    all.groupBy("left_key", "right_name")
+      .agg(min(struct(col("method"), col("score"))).as("m"))
+      .select(col("left_key"), col("right_name"),
+        col("m.method").as("method"), col("m.score").as("score"))
       .orderBy("left_key", "right_name")
   }
 

@@ -83,6 +83,34 @@ object Olap {
       .orderBy("o_custkey", "rn")
   }
 
+  /** CUBE over two order dimensions with ALL-labeled subtotals. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy("orderstatus", "orderpriority")
+  }
+
+  /** Market share: BUILDING-segment revenue fraction per order year
+    * (TPC-H q8 shape — conditional aggregate over a ratio).
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("c_mktsegment") === "BUILDING", rev).otherwise(lit(0.0))) / sum(rev),
+        6).as("building_share"))
+      .orderBy("o_year")
+  }
+
   /** Anti join: parts never ordered (left_anti = NOT EXISTS). */
   def partsNeverOrdered(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
