@@ -63,6 +63,8 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_bigrams" -> (TextAnalysis.textBigrams _),
+    "text_tokens_bpe" -> (TextAnalysis.textTokensBpe _),
+    "text_rolling_hash" -> (TextAnalysis.textRollingHash _),
     // similarity search
     "knn_brute" -> (Similarity.knnBrute _),
     "knn_signlsh" -> (Similarity.knnSignLsh _),
@@ -579,6 +581,27 @@ object SparkEntry {
         | SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, bigram) AS INT) AS rank
         | FROM agg) t
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_rolling_hash" ->
+      """SELECT doc_id,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(generate_series(1, length(text)),
+        |     i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |   (acc, x) -> (acc * 31 + x) % 1000000007) AS doc_hash,
+        | list_min(list_transform(
+        |   generate_series(0, CAST(ceil(length(text) / 100.0) AS INT) - 1),
+        |   c -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(generate_series(1, length(substr(text, c * 100 + 1, 100))),
+        |       i -> CAST(ascii(substr(substr(text, c * 100 + 1, 100), i, 1)) AS BIGINT))),
+        |     (acc, x) -> (acc * 31 + x) % 1000000007))) AS min_chunk_hash,
+        | CAST(ceil(length(text) / 100.0) AS INT) AS n_chunks
+        |FROM documents WHERE length(text) >= 1 ORDER BY doc_id""".stripMargin,
 
     "knn_brute" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -99,6 +99,48 @@ object TextAnalysis {
       .filter(col("n_docs") >= 2)
       .orderBy("keeper")
 
+  /** Token counting under two tokenizers: whitespace and a BPE-ish
+    * regex (letter runs / digit runs / single punctuation — the
+    * GPT-2-style pre-tokenization shape).
+    */
+  def textTokensBpe(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(
+      col("doc_id"),
+      size(toks).cast("long").as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+        .cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Rolling-hash fingerprinting: a polynomial (Rabin-Karp style)
+    * hash over the full character stream, plus the minimum over
+    * 100-char chunk hashes (winnowing-lite) — order-sensitive
+    * fingerprints that complement the order-invariant
+    * [[textFingerprint]].
+    */
+  def textRollingHash(spark: SparkSession, dir: String): DataFrame = {
+    val M = 1000000007L
+    val d = Tables.documents(spark, dir).filter(length(col("text")) >= 1)
+    d.select(
+      col("doc_id"),
+      expr(
+        s"""aggregate(
+           |  transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+           |  CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $M)""".stripMargin)
+        .as("doc_hash"),
+      expr(
+        s"""array_min(transform(
+           |  sequence(0, CAST(ceil(length(text) / 100.0) AS INT) - 1),
+           |  c -> aggregate(
+           |    transform(sequence(1, length(substring(text, c * 100 + 1, 100))),
+           |      i -> CAST(ascii(substring(substring(text, c * 100 + 1, 100), i, 1)) AS BIGINT)),
+           |    CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $M)))""".stripMargin)
+        .as("min_chunk_hash"),
+      expr("CAST(ceil(length(text) / 100.0) AS INT)").as("n_chunks"))
+      .orderBy("doc_id")
+  }
+
   /** Top-20 corpus bigrams. */
   def textBigrams(spark: SparkSession, dir: String): DataFrame = {
     val bi = Tables.documents(spark, dir)
