@@ -37,6 +37,52 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup by event id: state bounded by the
+    * watermark horizon (duplicates arriving later than 1 hour are
+    * outside the contract and pass through).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Incremental keyed upsert: every micro-batch merges into a keyed
+    * parquet table with latest-wins semantics — the streaming form of
+    * the reference loader's ON CONFLICT upsert
+    * (entity_matching_tfidf.py upsert_matches_to_postgres), via
+    * foreachBatch + Sinks.upsertLatestWins.
+    */
+  def incrementalUpsert(events: Dataset[Event], tablePath: String,
+                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = events.sparkSession
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Event], _: Long) =>
+        val updates = batch.toDF()
+          .groupBy("user_id")
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.struct("ts", "event_id", "event_type", "value")).as("m"))
+          .select(col("user_id"), col("m.ts").as("ts"), col("m.event_id").as("event_id"),
+            col("m.event_type").as("event_type"), col("m.value").as("value"))
+        val base =
+          if (new java.io.File(tablePath).exists()) spark.read.parquet(tablePath)
+          else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            updates.schema)
+        val merged = graft.sources.Sinks.upsertLatestWins(base, updates, Seq("user_id"), "ts")
+        // write to a temp dir then swap: the merge reads the same path
+        val tmp = tablePath + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val (dst, src) = (new java.io.File(tablePath), new java.io.File(tmp))
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        if (dst.exists()) rm(dst)
+        src.renameTo(dst)
+        ()
+      }
+      .start()
+  }
+
   /** 30-minute-gap sessionization with explicit state — the
     * streaming form of Events.eventsSessionize. Emits a session row
     * every time a gap closes one. State is keyed per user and

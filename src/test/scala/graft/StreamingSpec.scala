@@ -8,7 +8,10 @@ import graft.streaming.EventStreams.{Event, SessionUpdate}
 
 class StreamingSpec extends SparkSpec {
 
-  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+  // hour-aligned 2024 base: epoch-0 event times sit exactly on the
+  // initial watermark and get dropped as late
+  private val base = 1704067200000L // 2024-01-01T00:00:00Z
+  private def ts(min: Long): Timestamp = new Timestamp(base + min * 60000L)
 
   test("hourlyCounts: watermarked tumbling windows aggregate per type") {
     implicit val sqlCtx = spark.sqlContext
@@ -51,7 +54,43 @@ class StreamingSpec extends SparkSpec {
       val rows = spark.sql("select * from sessions").as[SessionUpdate].collect()
       assert(rows.length == 1, s"expected exactly the closed session, got ${rows.toSeq}")
       val s = rows.head
-      assert(s.user_id == 7 && s.session_start == 0 && s.n_events == 3 && s.sum_value == 6.0)
+      assert(s.user_id == 7 && s.session_start == base / 1000 && s.n_events == 3 && s.sum_value == 6.0)
+    } finally q.stop()
+  }
+
+  test("dedupStream drops in-watermark duplicate event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(0), 1, "click", 1.0), // duplicate id
+        Event(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      val n = spark.sql("select count(distinct event_id), count(*) from deduped").head
+      assert(n.getLong(0) == 2 && n.getLong(1) == 2)
+    } finally q.stop()
+  }
+
+  test("incrementalUpsert maintains latest-wins keyed table across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val input = MemoryStream[Event]
+    val q = EventStreams.incrementalUpsert(input.toDS(), s"$dir/table", s"$dir/ckpt")
+    try {
+      input.addData(Event(1, ts(0), 7, "signup", 1.0), Event(2, ts(5), 8, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(10), 7, "purchase", 9.0)) // newer for user 7
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$dir/table")
+        .orderBy("user_id").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).toSeq
+      assert(rows == Seq((7L, "purchase"), (8L, "view")), rows.toString)
     } finally q.stop()
   }
 
