@@ -68,6 +68,7 @@ object SparkEntry {
     // similarity search
     "knn_brute" -> (Similarity.knnBrute _),
     "knn_signlsh" -> (Similarity.knnSignLsh _),
+    "knn_ivf" -> (Similarity.knnIvf _),
     // extraction
     "extract_xml_entities" -> (sources.Extraction.extractXmlEntities _),
     "extract_html_names" -> (sources.Extraction.extractHtmlNames _),
@@ -629,6 +630,33 @@ object SparkEntry {
         |    generate_series(1, len(n.v)), i -> n.v[i]*q.v[i])) / (q.norm*n.norm), 6) AS cosine
         |  FROM n JOIN q ON n.bucket = q.bucket WHERE n.vec_id <> 0)
         |SELECT vec_id, bucket, cosine, rank FROM (
+        | SELECT *, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+        | FROM p) t
+        |WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    "knn_ivf" ->
+      """WITH e AS (SELECT vec_id, label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |px AS (SELECT label, unnest(list_transform(generate_series(1, len(v)),
+        |   i -> {'pos': i, 'x': v[i]}), recursive := true) FROM n),
+        |cent AS (SELECT label, list(cx ORDER BY pos) AS cv FROM (
+        |   SELECT label, pos, avg(x) AS cx FROM px GROUP BY label, pos) g
+        | GROUP BY label),
+        |q AS (SELECT v, norm FROM n WHERE vec_id = 0),
+        |best AS (SELECT label AS target_label FROM (
+        |   SELECT c.label, round(list_sum(list_transform(
+        |       generate_series(1, len(c.cv)), i -> c.cv[i]*q.v[i]))
+        |     / (sqrt(list_sum(list_transform(c.cv, x -> x*x))) * q.norm), 6) AS csim
+        |   FROM cent c CROSS JOIN q) t
+        | ORDER BY csim DESC, label LIMIT 1),
+        |p AS (SELECT n.vec_id, n.label, round(list_sum(list_transform(
+        |     generate_series(1, len(n.v)), i -> n.v[i]*q.v[i]))
+        |   / (n.norm * q.norm), 6) AS cosine
+        |  FROM n JOIN best ON n.label = best.target_label CROSS JOIN q
+        |  WHERE n.vec_id <> 0)
+        |SELECT vec_id, label, cosine, rank FROM (
         | SELECT *, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
         | FROM p) t
         |WHERE rank <= 5 ORDER BY rank""".stripMargin,

@@ -40,6 +40,42 @@ object Similarity {
       .orderBy("rank")
   }
 
+  /** IVF: coarse-quantize with per-label centroids (element-wise
+    * mean), route the query to its nearest centroid, search only that
+    * inverted list. The centroid table is tiny → broadcast; at scale
+    * the lists are the partition layout, so a query touches one
+    * partition instead of the corpus.
+    */
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecsWithNorm(spark, dir)
+    // element-wise mean per label via posexplode + regroup
+    val centroids = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg("x").as("cx"))
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cx))), s -> s.cx)").as("cv"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"), col("norm").as("qn"))
+    // nearest centroid by rounded cosine (tie → smallest label)
+    val best = centroids.crossJoin(broadcast(q))
+      .withColumn("cnorm", graft.functions.Vectors.normHof("cv"))
+      .withColumn("csim", round(
+        graft.functions.VectorExprs.dot(col("cv"), col("qv"))
+          / (col("cnorm") * col("qn")), 6))
+      .agg(max(struct(col("csim"), (-col("label")).cast("long").as("nl"))).as("m"))
+      .select((-col("m.nl")).cast("int").as("target_label"))
+    // search only the winning inverted list
+    e.as("e").join(broadcast(best), col("e.label") === col("target_label"))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q.as("q")))
+      .withColumn("cosine", round(
+        graft.functions.VectorExprs.dot(col("e.v"), col("q.qv"))
+          / (col("e.norm") * col("q.qn")), 6))
+      .select(col("e.vec_id").as("vec_id"), col("e.label").as("label"), col("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .orderBy("rank")
+  }
+
   /** Sign-bit LSH: bucket = 8 sign bits of the first 8 dimensions
     * (random-hyperplane LSH with axis-aligned planes — deterministic
     * and engine-portable). Search only the query's bucket, top-5.
