@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFn)
     ext.injectFunction(GraftExtensions.bitsetFn)
     ext.injectOptimizerRule(_ => SelfDotToNormSquared)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
 
@@ -37,6 +38,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(SelfDotToNormSquared)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SelfDotToNormSquared
+    }
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
     }
   }
 
