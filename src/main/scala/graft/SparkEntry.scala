@@ -407,8 +407,12 @@ object SparkEntry {
         |tfn AS (SELECT t.doc_id, token, CAST(cnt AS DOUBLE)/CAST(len AS DOUBLE) AS tf
         |  FROM tf t JOIN doclen d ON t.doc_id = d.doc_id),
         |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
-        |idf AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |idfall AS (SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
         |  FROM tfn GROUP BY token),
+        |idf AS (SELECT token, df FROM (
+        |  SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS vr
+        |  FROM idfall WHERE df < 0.95 * (SELECT n FROM nd)) t
+        | WHERE vr <= 10000),
         |w AS (SELECT doc_id, t.token, tf * ln((SELECT n FROM nd)/df) AS w
         |  FROM tfn t JOIN idf USING (token)),
         |norms AS (SELECT doc_id, sqrt(sum(w*w)) AS norm FROM w GROUP BY doc_id),
@@ -492,18 +496,21 @@ object SparkEntry {
         |   list_distinct(list_transform(generate_series(1, length(text)-2),
         |     i -> substr(text, i, 3))) AS g
         | FROM documents WHERE length(text) >= 3),
-        |ex AS (SELECT doc_id, lang, unnest(g) AS ng FROM g),
-        |ranked AS (SELECT ng, CAST(row_number() OVER (ORDER BY ng) - 1 AS INT) AS r
-        |  FROM (SELECT DISTINCT ng FROM ex) t),
+        |ex AS (SELECT doc_id, lang,
+        |   ((strpos('0123456789abcdef', substr(md5(ng),1,1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(md5(ng),2,1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5(ng),3,1)) - 1)) % 2048 AS r
+        |  FROM (SELECT doc_id, lang, unnest(g) AS ng FROM g) t),
         |bits AS (SELECT doc_id, lang, r//32 AS wi,
-        |   CAST(sum(CAST(1 AS BIGINT) << (r % 32)) AS BIGINT) AS wrd
-        |  FROM ex JOIN ranked USING (ng) GROUP BY 1, 2, 3),
-        |grid AS (SELECT doc_id, lang, len(g) AS n,
-        |   unnest(generate_series(0, (SELECT max(r)//32 FROM ranked))) AS wi FROM g),
-        |dense AS (SELECT doc_id, lang, n, list(wrd ORDER BY wi) AS v FROM (
-        |  SELECT grid.doc_id, grid.lang, grid.n, grid.wi, coalesce(bits.wrd, 0) AS wrd
+        |   CAST(bit_or(CAST(1 AS BIGINT) << (r % 32)) AS BIGINT) AS wrd
+        |  FROM ex GROUP BY 1, 2, 3),
+        |grid AS (SELECT doc_id, lang,
+        |   unnest(generate_series(0, 63)) AS wi FROM g),
+        |dense AS (SELECT doc_id, lang, list(wrd ORDER BY wi) AS v,
+        |   CAST(sum(bit_count(wrd)) AS BIGINT) AS n FROM (
+        |  SELECT grid.doc_id, grid.lang, grid.wi, coalesce(bits.wrd, 0) AS wrd
         |  FROM grid LEFT JOIN bits ON grid.doc_id = bits.doc_id AND grid.wi = bits.wi) t
-        | GROUP BY 1, 2, 3),
+        | GROUP BY 1, 2),
         |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
         |   CAST(list_sum(list_transform(generate_series(1, len(a.v)),
         |     k -> bit_count(a.v[k] & b.v[k]))) AS DOUBLE) AS inter,

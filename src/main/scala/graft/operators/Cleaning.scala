@@ -34,7 +34,10 @@ object Cleaning {
     * The synthetic abn/postcode are derived deterministically from
     * table columns so validation has both passing and failing rows.
     */
-  def cleanAbr(spark: SparkSession, dir: String): DataFrame = {
+  def cleanAbr(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("clean_abr", spark, dir)(cleanAbrImpl(spark, dir))
+
+  private def cleanAbrImpl(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val shaped = c.select(
       // ~1/7 of rows get a corrupt (10-digit) abn, ~1/5 a bad postcode

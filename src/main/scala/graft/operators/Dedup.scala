@@ -104,37 +104,36 @@ object Dedup {
       .orderBy("i", "j")
   }
 
-  /** Character-3-gram jaccard ≥ 0.8 within language blocks — exact,
-    * with bitset-encoded gram sets: the corpus 3-gram vocabulary is
-    * ranked once (broadcast), each doc's gram set becomes ⌈V/32⌉
-    * packed words, and per-pair intersection is a codegen'd
-    * bit_count(x & y) chain instead of an O(|set|) array intersect
-    * (which made verify 16x slower). In-block pairs stay bounded by
-    * the lang block; with a rich vocabulary a rarest-prefix filter
-    * (PPJoin) would bound candidates further, but on a tiny shared
-    * vocabulary every pair shares grams and cheap verify is the
-    * winning move.
+  /** Character-3-gram jaccard ≥ 0.8 within language blocks, over
+    * fixed-width hashed bitsets: each gram hashes into a 2048-bit
+    * universe (3 md5 nibbles — engine-portable), a doc's gram set
+    * becomes 64 packed 32-bit words built map-side in ONE pass (no
+    * vocabulary scan, no driver collect — a Unicode web corpus has an
+    * effectively unbounded 3-gram vocabulary, so any global ranking
+    * is a scale-killer), and per-pair intersection is a codegen'd
+    * bit_count(x & y) chain instead of an O(|set|) array intersect.
+    * Set sizes are popcounts of the same bitsets, so the jaccard is
+    * the hashed-universe jaccard — the standard feature-hashing
+    * approximation, identical across engines.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // cache the per-doc gram arrays: the 3-gram transform is the
-    // expensive lambda pass and three downstream branches read it.
+    val words = 64 // 2048 bits / 32 bits per word
     val g = Tables.documents(spark, dir)
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"), array_distinct(expr(
         "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("g"))
-      .persist()
-    // char-3-gram vocabulary is alphabet-bounded → rank it on the
-    // driver and ship a literal map, instead of a distinct + global
-    // window + broadcast join lineage that recomputed the grams.
-    val grams = g.select(explode(col("g")).as("ng")).distinct()
-      .collect().map(_.getString(0)).sorted
-    val words = (grams.length + 31) / 32
-    val rankMap = typedLit(grams.zipWithIndex.toMap)
+    // gram → bit index: first 3 md5 nibbles (12 bits) mod 2048, via
+    // instr nibble math so DuckDB reproduces it digit-for-digit
     val ex = g.select(col("doc_id"), col("lang"), explode(col("g")).as("ng"))
-      .select(col("doc_id"), col("lang"), element_at(rankMap, col("ng")).as("r"))
+      .withColumn("h3", substring(md5(col("ng")), 1, 3))
+      .withColumn("r", expr(
+        """((instr('0123456789abcdef', substring(h3, 1, 1)) - 1) * 256
+          | + (instr('0123456789abcdef', substring(h3, 2, 1)) - 1) * 16
+          | + (instr('0123456789abcdef', substring(h3, 3, 1)) - 1)) % 2048""".stripMargin))
+    // bit_or (not sum): distinct grams may collide on a bit
     val bits = ex
       .groupBy(col("doc_id"), col("lang"), expr("CAST(r div 32 AS INT)").as("wi"))
-      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(r % 32 AS INT))")).as("wrd"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(r % 32 AS INT)))").as("wrd"))
     // one row per doc: packed words as a dense array (missing words
     // zero-filled), gram-set size recovered from popcounts.
     val dense = bits
@@ -203,11 +202,14 @@ object Dedup {
           col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min("component").as("nbr_min"))
+      // localCheckpoint (not persist): truncates the lineage each
+      // round — without it the plan re-grows by one join per round
+      // and re-optimization/stack cost compounds at many rounds.
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-        .persist()
+        .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
         .filter(col("component") =!= col("prev")).count()
       labels.unpersist()

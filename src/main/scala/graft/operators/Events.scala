@@ -155,16 +155,16 @@ object Events {
       .orderBy("event_id")
   }
 
-  /** Rank users by purchase value; dense_rank + deterministic key
-    * tiebreak on the rounded measure.
+  /** Top-10 users by purchase value (deterministic key tiebreak on the
+    * rounded measure), planned as TakeOrderedAndProject — at web scale
+    * the user dimension is huge, so a global-window rank would funnel
+    * every user row into one partition.
     */
   def eventsTopUsers(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).filter(col("event_type") === "purchase")
     val agg = e.groupBy("user_id")
       .agg(round(sum("value"), 2).as("purchase_total"), count(lit(1)).as("n_purchases"))
-    val w = Window.orderBy(col("purchase_total").desc, col("user_id"))
-    agg.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .orderBy("rank")
+    graft.functions.TopK.globalWithRank(agg, 10,
+      col("purchase_total").desc, col("user_id"))
   }
 }

@@ -61,7 +61,12 @@ object Matching {
     * name prefix; any bounded-cardinality key works), scored with
     * tokenSortSim, thresholded, best-per-customer.
     */
-  def matchFuzzyBlocked(spark: SparkSession, dir: String): DataFrame = {
+  def matchFuzzyBlocked(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("match_fuzzy_blocked", spark, dir) {
+      matchFuzzyBlockedImpl(spark, dir)
+    }
+
+  private def matchFuzzyBlockedImpl(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         normName(col("c_name")).as("c_norm"))
@@ -102,7 +107,15 @@ object Matching {
       .withColumn("tf", col("cnt").cast("double") / col("len").cast("double"))
       .persist()
     val nDocs = docs.count()
+    // Vocabulary pruning, mirroring TfidfVectorizer(max_df=0.95,
+    // max_features=10000) in entity_matching_optimized.py:146-149:
+    // stopword-grade tokens (df ≥ 95% of docs) explode the
+    // inverted-index join while carrying near-zero idf, and the
+    // max_features cap bounds the broadcast vocabulary. The cap is a
+    // TakeOrderedAndProject (per-partition heaps), not a global window.
     val dfreq = tf.groupBy("token").agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") < lit(0.95 * nDocs))
+      .orderBy(col("df").desc, col("token")).limit(10000)
     val weights = tf.join(broadcast(dfreq), "token")
       .withColumn("w", col("tf") * log(lit(nDocs.toDouble) / col("df").cast("double")))
     val vocab = dfreq.count()

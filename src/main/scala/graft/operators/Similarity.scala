@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -25,19 +24,18 @@ object Similarity {
 
   /** Brute-force cosine top-10 for the fixed query vector (vec_id 0):
     * a broadcast of one row against the corpus — the exact baseline
-    * every ANN variant is judged against.
+    * every ANN variant is judged against. Top-k via TakeOrderedAndProject
+    * (per-partition heaps), never a single-partition window sort.
     */
   def knnBrute(spark: SparkSession, dir: String): DataFrame = {
     val e = vecsWithNorm(spark, dir)
     val q = e.filter(col("vec_id") === 0)
-    e.as("e").filter(col("vec_id") =!= 0)
+    val scored = e.as("e").filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q.as("q")))
       .withColumn("cosine", cosine)
       .select(col("e.vec_id").as("vec_id"), col("cosine"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rank") <= 10)
-      .orderBy("rank")
+    graft.functions.TopK.globalWithRank(scored, 10,
+      col("cosine").desc, col("vec_id"))
   }
 
   /** IVF: coarse-quantize with per-label centroids (element-wise
@@ -63,17 +61,15 @@ object Similarity {
       .agg(max(struct(col("csim"), (-col("label")).cast("long").as("nl"))).as("m"))
       .select((-col("m.nl")).cast("int").as("target_label"))
     // search only the winning inverted list
-    e.as("e").join(broadcast(best), col("e.label") === col("target_label"))
+    val scored = e.as("e").join(broadcast(best), col("e.label") === col("target_label"))
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q.as("q")))
       .withColumn("cosine", round(
         graft.functions.VectorExprs.dot(col("e.v"), col("q.qv"))
           / (col("e.norm") * col("q.qn")), 6))
       .select(col("e.vec_id").as("vec_id"), col("e.label").as("label"), col("cosine"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
-      .orderBy("rank")
+    graft.functions.TopK.globalWithRank(scored, 5,
+      col("cosine").desc, col("vec_id"))
   }
 
   /** Sign-bit LSH: bucket = 8 sign bits of the first 8 dimensions
@@ -88,13 +84,11 @@ object Similarity {
         |   THEN CAST(pow(2, i - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
     val e = vecsWithNorm(spark, dir).withColumn("bucket", bucketExpr)
     val q = e.filter(col("vec_id") === 0)
-    e.as("e").filter(col("vec_id") =!= 0)
+    val scored = e.as("e").filter(col("vec_id") =!= 0)
       .join(broadcast(q.as("q")), col("e.bucket") === col("q.bucket"))
       .withColumn("cosine", cosine)
       .select(col("e.vec_id").as("vec_id"), col("e.bucket").as("bucket"), col("cosine"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
-      .orderBy("rank")
+    graft.functions.TopK.globalWithRank(scored, 5,
+      col("cosine").desc, col("vec_id"))
   }
 }

@@ -75,16 +75,17 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Corpus token stats: top-20 tokens by frequency with doc freq. */
+  /** Corpus token stats: top-20 tokens by frequency with doc freq.
+    * The vocabulary of a web corpus is effectively unbounded, so the
+    * top-k runs as TakeOrderedAndProject over the aggregated counts
+    * (bounded per-partition heaps), not a single-partition window.
+    */
   def textTokens(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks).as("token"))
     val agg = tok.groupBy("token")
       .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("df"))
-    val w = Window.orderBy(col("cnt").desc, col("token"))
-    agg.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 20)
-      .orderBy("rank")
+    graft.functions.TopK.globalWithRank(agg, 20, col("cnt").desc, col("token"))
   }
 
   /** Sorted-distinct-token fingerprint: docs with identical token
@@ -149,10 +150,7 @@ object TextAnalysis {
       .select(explode(expr(
         "transform(sequence(1, size(t)-1), i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
         .as("bigram"))
-    val w = Window.orderBy(col("cnt").desc, col("bigram"))
-    bi.groupBy("bigram").agg(count(lit(1)).as("cnt"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 20)
-      .orderBy("rank")
+    val agg = bi.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    graft.functions.TopK.globalWithRank(agg, 20, col("cnt").desc, col("bigram"))
   }
 }

@@ -50,4 +50,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_dot"), "expected DotProductExpr in plan")
     assert(!p.toLowerCase.contains("scalaudf"), "no Scala UDFs in the hot path")
   }
+
+  test("no registered query plans an unbounded single-partition window sort") {
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // An unpartitioned WindowExec pulls its ENTIRE input into one
+    // partition. That is only acceptable when a limit already bounded
+    // the input to a constant k (the TopK.globalWithRank shape) —
+    // anywhere else it is the #1 scale-killer at 100 TB.
+    def expand(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case o => o.children
+      }
+      p +: kids.flatMap(expand)
+    }
+    def boundedBelow(w: SparkPlan): Boolean = expand(w).tail.exists {
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+           _: CollectLimitExec | _: LocalLimitExec => true
+      case _ => false
+    }
+    for ((name, fn) <- SparkEntry.queries) {
+      val offenders = expand(fn(spark, sf).queryExecution.executedPlan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w) => w
+      }
+      assert(offenders.isEmpty,
+        s"$name plans a global-window sort with unbounded input:\n${offenders.mkString("\n")}")
+    }
+  }
 }
