@@ -671,6 +671,8 @@ object SparkEntry {
     "extract_xml_entities" ->
       """WITH x AS (SELECT
         |  '<ABR><ABN status="' || CASE WHEN c_custkey % 3 = 0 THEN 'ACT' ELSE 'CAN' END
+        |  || '" ABNStatusFromDate="'
+        |  || printf('2020%02d%02d', c_custkey % 12 + 1, c_custkey % 28 + 1)
         |  || '">' || printf('%011d', c_custkey) || '</ABN>'
         |  || '<EntityType><EntityTypeText>' || c_mktsegment || '</EntityTypeText></EntityType>'
         |  || CASE WHEN c_custkey % 4 = 0 THEN
@@ -679,9 +681,12 @@ object SparkEntry {
         |       || '</FamilyName></IndividualName></LegalEntity>'
         |     ELSE '<MainEntity><NonIndividualName><NonIndividualNameText>' || c_name
         |       || '</NonIndividualNameText></NonIndividualName></MainEntity>' END
-        |  || '<BusinessAddress><AddressDetails><State>S' || CAST(c_nationkey AS VARCHAR)
+        |  || CASE WHEN c_custkey % 5 = 0 THEN '<MainBusinessPhysicalAddress>' ELSE '<BusinessAddress>' END
+        |  || '<AddressDetails><State>S' || CAST(c_nationkey AS VARCHAR)
         |  || '</State><Postcode>' || printf('%04d', c_nationkey * 100 + c_custkey % 100)
-        |  || '</Postcode></AddressDetails></BusinessAddress></ABR>' AS xml
+        |  || '</Postcode></AddressDetails>'
+        |  || CASE WHEN c_custkey % 5 = 0 THEN '</MainBusinessPhysicalAddress>' ELSE '</BusinessAddress>' END
+        |  || '</ABR>' AS xml
         | FROM customer)
         |SELECT regexp_extract(xml, '<ABN[^>]*>([0-9]+)</ABN>', 1) AS abn,
         | CASE WHEN regexp_extract(xml, '<NonIndividualNameText>([^<]*)</NonIndividualNameText>', 1) <> ''
@@ -689,9 +694,14 @@ object SparkEntry {
         |   ELSE trim(regexp_extract(xml, '<GivenName>([^<]*)</GivenName>', 1) || ' '
         |     || regexp_extract(xml, '<FamilyName>([^<]*)</FamilyName>', 1)) END AS entity_name,
         | regexp_extract(xml, '<ABN status="([A-Z]+)"', 1) AS entity_status,
+        | regexp_extract(xml, 'ABNStatusFromDate="([0-9]+)"', 1) AS start_date,
         | regexp_extract(xml, '<EntityTypeText>([^<]*)</EntityTypeText>', 1) AS entity_type,
-        | regexp_extract(xml, '<State>([^<]*)</State>', 1) AS state,
-        | regexp_extract(xml, '<Postcode>([0-9]+)</Postcode>', 1) AS postcode
+        | CASE WHEN regexp_extract(xml, '<BusinessAddress><AddressDetails><State>([^<]*)</State>', 1) <> ''
+        |   THEN regexp_extract(xml, '<BusinessAddress><AddressDetails><State>([^<]*)</State>', 1)
+        |   ELSE regexp_extract(xml, '<MainBusinessPhysicalAddress><AddressDetails><State>([^<]*)</State>', 1) END AS state,
+        | CASE WHEN regexp_extract(xml, '<BusinessAddress><AddressDetails><State>[^<]*</State><Postcode>([0-9]+)', 1) <> ''
+        |   THEN regexp_extract(xml, '<BusinessAddress><AddressDetails><State>[^<]*</State><Postcode>([0-9]+)', 1)
+        |   ELSE regexp_extract(xml, '<MainBusinessPhysicalAddress><AddressDetails><State>[^<]*</State><Postcode>([0-9]+)', 1) END AS postcode
         |FROM x ORDER BY abn""".stripMargin,
 
     "extract_html_names" ->

@@ -23,47 +23,89 @@ import graft.Tables
 object Extraction {
 
   /** Deterministic ABR-style XML per customer; 1/4 of rows use the
-    * person-name variant to exercise the fallback path.
+    * person-name variant and 1/5 carry their address under
+    * MainBusinessPhysicalAddress instead of BusinessAddress, so both
+    * fallback chains (extract_abr_xml.py:44-77) have traffic.
     */
   private def synthXml: Column = {
     val abn = format_string("%011d", col("c_custkey"))
     val status = when(col("c_custkey") % 3 === 0, "ACT").otherwise("CAN")
+    val statusDate = format_string("2020%02d%02d",
+      col("c_custkey") % 12 + 1, col("c_custkey") % 28 + 1)
     val orgName = concat(lit("<MainEntity><NonIndividualName><NonIndividualNameText>"),
       col("c_name"), lit("</NonIndividualNameText></NonIndividualName></MainEntity>"))
     val personName = concat(lit("<LegalEntity><IndividualName><GivenName>Given"),
       col("c_custkey"), lit("</GivenName><FamilyName>Family"),
       col("c_nationkey"), lit("</FamilyName></IndividualName></LegalEntity>"))
+    val addrDetails = concat(
+      lit("<AddressDetails><State>S"), col("c_nationkey"),
+      lit("</State><Postcode>"),
+      format_string("%04d", col("c_nationkey") * 100 + col("c_custkey") % 100),
+      lit("</Postcode></AddressDetails>"))
     concat(
-      lit("<ABR><ABN status=\""), status, lit("\">"), abn, lit("</ABN>"),
+      lit("<ABR><ABN status=\""), status,
+      lit("\" ABNStatusFromDate=\""), statusDate, lit("\">"), abn, lit("</ABN>"),
       lit("<EntityType><EntityTypeText>"), col("c_mktsegment"),
       lit("</EntityTypeText></EntityType>"),
       when(col("c_custkey") % 4 === 0, personName).otherwise(orgName),
-      lit("<BusinessAddress><AddressDetails><State>S"), col("c_nationkey"),
-      lit("</State><Postcode>"),
-      format_string("%04d", col("c_nationkey") * 100 + col("c_custkey") % 100),
-      lit("</Postcode></AddressDetails></BusinessAddress></ABR>"))
+      when(col("c_custkey") % 5 === 0,
+        concat(lit("<MainBusinessPhysicalAddress>"), addrDetails,
+          lit("</MainBusinessPhysicalAddress>")))
+        .otherwise(concat(lit("<BusinessAddress>"), addrDetails,
+          lit("</BusinessAddress>"))),
+      lit("</ABR>"))
   }
 
-  /** Parse the synthesized XML back out with the reference's fallback
-    * chain: org name first, else given+family composition.
+  /** Parse ABR XML documents (one per row in `xml`) with the
+    * reference's fallback chains: org name first, else given+family
+    * composition (extract_abr_xml.py:44-57); BusinessAddress first,
+    * else MainBusinessPhysicalAddress (:59-77); ABNStatusFromDate as
+    * start_date (:80). Pure regexp column math — codegen'd and
+    * partition-parallel, unlike the reference's ElementTree loop.
     */
-  def extractXmlEntities(spark: SparkSession, dir: String): DataFrame = {
-    val xml = Tables.customer(spark, dir).select(synthXml.as("xml"))
+  def parseXmlEntities(xml: DataFrame): DataFrame = {
     val org = regexp_extract(col("xml"),
       "<NonIndividualNameText>([^<]*)</NonIndividualNameText>", 1)
     val given = regexp_extract(col("xml"), "<GivenName>([^<]*)</GivenName>", 1)
     val family = regexp_extract(col("xml"), "<FamilyName>([^<]*)</FamilyName>", 1)
+    val baState = regexp_extract(col("xml"),
+      "<BusinessAddress><AddressDetails><State>([^<]*)</State>", 1)
+    val mbState = regexp_extract(col("xml"),
+      "<MainBusinessPhysicalAddress><AddressDetails><State>([^<]*)</State>", 1)
+    val baPost = regexp_extract(col("xml"),
+      "<BusinessAddress><AddressDetails><State>[^<]*</State><Postcode>([0-9]+)", 1)
+    val mbPost = regexp_extract(col("xml"),
+      "<MainBusinessPhysicalAddress><AddressDetails><State>[^<]*</State><Postcode>([0-9]+)", 1)
     xml.select(
       regexp_extract(col("xml"), "<ABN[^>]*>([0-9]+)</ABN>", 1).as("abn"),
       when(org =!= "", org).otherwise(trim(concat(given, lit(" "), family)))
         .as("entity_name"),
       regexp_extract(col("xml"), "<ABN status=\"([A-Z]+)\"", 1).as("entity_status"),
+      regexp_extract(col("xml"), "ABNStatusFromDate=\"([0-9]+)\"", 1).as("start_date"),
       regexp_extract(col("xml"), "<EntityTypeText>([^<]*)</EntityTypeText>", 1)
         .as("entity_type"),
-      regexp_extract(col("xml"), "<State>([^<]*)</State>", 1).as("state"),
-      regexp_extract(col("xml"), "<Postcode>([0-9]+)</Postcode>", 1).as("postcode"))
+      when(baState =!= "", baState).otherwise(mbState).as("state"),
+      when(baPost =!= "", baPost).otherwise(mbPost).as("postcode"))
       .orderBy("abn")
   }
+
+  /** Registered query: synthesize the markup from table columns, then
+    * parse it back (testdata ships no raw XML).
+    */
+  def extractXmlEntities(spark: SparkSession, dir: String): DataFrame =
+    parseXmlEntities(Tables.customer(spark, dir).select(synthXml.as("xml")))
+
+  /** File-in ingestion: one XML document per file, read wholetext —
+    * files partition across executors (the distributed analog of the
+    * reference's per-file iterparse loop, extract_abr_xml.py:120-160)
+    * and feed the same columnar parser.
+    */
+  def readXmlFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .withColumnRenamed("value", "xml")
+
+  def extractXmlFromFiles(spark: SparkSession, path: String): DataFrame =
+    parseXmlEntities(readXmlFiles(spark, path))
 
   /** Deterministic CC-style HTML per part; thirds of the corpus carry
     * the name in og:site_name, JSON-LD, or only <title>.
@@ -103,8 +145,7 @@ object Extraction {
     * length fields, then the payload's title — the columnar form of
     * the reference's ArchiveIterator + BeautifulSoup pass.
     */
-  def extractWarcRecords(spark: SparkSession, dir: String): DataFrame = {
-    val recs = Tables.supplier(spark, dir).select(synthWarc.as("rec"))
+  def parseWarcRecords(recs: DataFrame): DataFrame =
     recs.select(
       regexp_extract(col("rec"), "WARC-Type: ([^\\n]+)", 1).as("warc_type"),
       regexp_extract(col("rec"), "WARC-Target-URI: ([^\\n]+)", 1).as("target_uri"),
@@ -112,7 +153,23 @@ object Extraction {
       regexp_extract(col("rec"), "Content-Length: ([0-9]+)", 1).cast("int").as("content_length"),
       trim(regexp_extract(col("rec"), "<title>([^|<]*)", 1)).as("page_title"))
       .orderBy("target_uri")
-  }
+
+  def extractWarcRecords(spark: SparkSession, dir: String): DataFrame =
+    parseWarcRecords(Tables.supplier(spark, dir).select(synthWarc.as("rec")))
+
+  /** File-in ingestion for WARC: a .warc file concatenates records;
+    * read wholetext (files partition across executors — at CommonCrawl
+    * scale each ~1 GB segment is one task, exactly how warcio walks
+    * them in extract_common_crawl.py), split on record boundaries,
+    * explode to one row per record, feed the same parser.
+    */
+  def readWarcFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .select(explode(split(col("value"), "(?=WARC/1\\.0\\n)")).as("rec"))
+      .filter(col("rec").startsWith("WARC/1.0"))
+
+  def extractWarcFromFiles(spark: SparkSession, path: String): DataFrame =
+    parseWarcRecords(readWarcFiles(spark, path))
 
   /** og:site_name → JSON-LD Organization name → title fallback chain
     * (extract_common_crawl.py extract_company_info steps 1-3), with

@@ -64,4 +64,54 @@ object Sinks {
   def readCsv(spark: org.apache.spark.sql.SparkSession, path: String,
               schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** JDBC batch write — the transport of the reference's loading
+    * layer (loadingcsv_topostgre_optimized.py:100-235, execute_values
+    * page-size batching / fast_copy_load). Each Spark partition opens
+    * its own connection and sends `batchsize` rows per round-trip, so
+    * load bandwidth scales with executors instead of funneling through
+    * the driver the way the reference's single psycopg2 connection
+    * does.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                props: java.util.Properties, batchSize: Int = 10000,
+                mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, props)
+
+  /** Staged JDBC upsert — the distributed form of the reference's
+    * `INSERT ... ON CONFLICT DO UPDATE ... WHERE confidence <
+    * EXCLUDED.confidence` (entity_matching_tfidf.py
+    * upsert_matches_to_postgres): batch-load `updates` into a staging
+    * table in parallel, then one set-based MERGE into the target,
+    * latest `versionCol` winning (ties go to the update, matching
+    * [[upsertLatestWins]]). `updates` must be key-unique — run
+    * [[upsertLatestWins]] over the micro-batch first if it is not.
+    */
+  def upsertJdbc(updates: DataFrame, url: String, table: String,
+                 keyCols: Seq[String], versionCol: String,
+                 props: java.util.Properties, batchSize: Int = 10000): Unit = {
+    val staging = table + "_stg"
+    writeJdbc(updates, url, staging, props, batchSize, SaveMode.Overwrite)
+    // Spark's JDBC writer quotes COLUMN names (case-exact) but passes
+    // the table name through verbatim — mirror that here, or the DB
+    // resolves the identifiers differently than the writer created them.
+    def q(id: String) = "\"" + id + "\""
+    val cols = updates.columns.toSeq
+    val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val set = cols.filterNot(keyCols.contains).map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+    val merge =
+      s"""MERGE INTO $table t USING $staging s ON $on
+         |WHEN MATCHED AND s.${q(versionCol)} >= t.${q(versionCol)} THEN UPDATE SET $set
+         |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
+         |  VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(merge)
+      st.executeUpdate(s"DROP TABLE $staging")
+      st.close()
+    } finally conn.close()
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.sources.Extraction
+
+/** File-in ingestion: the same columnar parsers used by the
+  * registered extraction queries, fed from actual files on disk
+  * (spark.read wholetext) — the composition the reference's
+  * per-file iterparse/warcio loops perform.
+  */
+class ExtractionFilesSpec extends SparkSpec {
+
+  private def write(dir: Path, name: String, content: String): Unit =
+    Files.write(dir.resolve(name), content.getBytes("UTF-8"))
+
+  test("ABR XML files round-trip through parseXmlEntities") {
+    val dir = Files.createTempDirectory("graft-xml")
+    write(dir, "a.xml",
+      """<ABR><ABN status="ACT" ABNStatusFromDate="20200115">00000000001</ABN>""" +
+        "<EntityType><EntityTypeText>PRV</EntityTypeText></EntityType>" +
+        "<MainEntity><NonIndividualName><NonIndividualNameText>Acme Pty" +
+        "</NonIndividualNameText></NonIndividualName></MainEntity>" +
+        "<BusinessAddress><AddressDetails><State>NSW</State><Postcode>2000" +
+        "</Postcode></AddressDetails></BusinessAddress></ABR>")
+    // person-name + MainBusinessPhysicalAddress fallback paths
+    write(dir, "b.xml",
+      """<ABR><ABN status="CAN" ABNStatusFromDate="20210301">00000000002</ABN>""" +
+        "<EntityType><EntityTypeText>IND</EntityTypeText></EntityType>" +
+        "<LegalEntity><IndividualName><GivenName>Jane</GivenName>" +
+        "<FamilyName>Doe</FamilyName></IndividualName></LegalEntity>" +
+        "<MainBusinessPhysicalAddress><AddressDetails><State>VIC</State>" +
+        "<Postcode>3000</Postcode></AddressDetails></MainBusinessPhysicalAddress></ABR>")
+    val out = Extraction.extractXmlFromFiles(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5), r.getString(6)))
+    assert(out.toSeq == Seq(
+      ("00000000001", "Acme Pty", "ACT", "20200115", "PRV", "NSW", "2000"),
+      ("00000000002", "Jane Doe", "CAN", "20210301", "IND", "VIC", "3000")))
+  }
+
+  test("WARC files split into records and parse through parseWarcRecords") {
+    val dir = Files.createTempDirectory("graft-warc")
+    val rec1 = "WARC/1.0\nWARC-Type: response\n" +
+      "WARC-Target-URI: https://www.acme.example.com/\n" +
+      "WARC-Record-ID: rec-1\nContent-Length: 52\n\n" +
+      "<html><head><title>Acme | Site</title></head><body>x</body></html>\n"
+    val rec2 = "WARC/1.0\nWARC-Type: response\n" +
+      "WARC-Target-URI: https://www.zorg.example.com/\n" +
+      "WARC-Record-ID: rec-2\nContent-Length: 48\n\n" +
+      "<html><head><title>Zorg | Site</title></head><body>y</body></html>\n"
+    write(dir, "seg.warc", rec1 + rec2)
+    val out = Extraction.extractWarcFromFiles(spark, dir.toString)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(4)))
+    assert(out.toSeq == Seq(
+      ("https://www.acme.example.com/", "rec-1", "Acme"),
+      ("https://www.zorg.example.com/", "rec-2", "Zorg")))
+  }
+}

@@ -64,6 +64,32 @@ class SinksSpec extends SparkSpec {
       df.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("jdbc sink: batch write + staged MERGE upsert match upsertLatestWins") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val props = new java.util.Properties() // Derby autoloads via the JDBC service loader
+    val base = Seq((1L, "old", 1L), (2L, "keep", 5L)).toDF("k", "v", "ver")
+    val updates = Seq((1L, "new", 2L), (2L, "lose", 4L), (3L, "ins", 1L), (9L, "upd", 3L))
+      .toDF("k", "v", "ver")
+    Sinks.writeJdbc(base.unionByName(Seq((9L, "base", 3L)).toDF("k", "v", "ver")),
+      url, "matches", props, batchSize = 2)
+    Sinks.upsertJdbc(updates, url, "matches", Seq("k"), "ver", props, batchSize = 2)
+    val back = spark.read.jdbc(url, "matches", props)
+      .toDF("k", "v", "ver") // Derby uppercases unquoted identifiers
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    val expected = Sinks.upsertLatestWins(
+        base.unionByName(Seq((9L, "base", 3L)).toDF("k", "v", "ver")),
+        updates, Seq("k"), "ver")
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(back == expected)
+    // staging table dropped after the merge
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "MATCHES_STG", null)
+      assert(!rs.next(), "staging table should be dropped")
+    } finally conn.close()
+  }
+
   test("fake multimodal decode: partition-parallel, deterministic, full coverage") {
     val feats = multimodal.BinaryColumns.fakeDecodeFeatures(spark, sf)
     val docs = Tables.documents(spark, sf)
