@@ -7,6 +7,7 @@ object Bench {
       .getOrElse(Runtime.getRuntime.availableProcessors)
     val spark = GraftSession.builder(s"local[$cpus]", math.max(cpus, 4)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.registerInto(spark)
     // steady-state JIT/codegen warmup so the first measured query
     // doesn't absorb session startup costs
     spark.range(0, 2000000).selectExpr("sum(id * 2)", "count(distinct id % 7)").collect()

@@ -362,7 +362,21 @@ object SparkEntry {
         |  CAST(count(c_name) AS BIGINT) name_nonnull,
         |  CAST(count(DISTINCT c_custkey) AS BIGINT) key_distinct,
         |  CAST(sum(CASE WHEN c_acctbal >= -1000 THEN 1 ELSE 0 END) AS BIGINT) bal_in_range
-        | FROM customer)
+        | FROM customer),
+        |ccsrc AS (SELECT DISTINCT website_url, company_name FROM (
+        |  SELECT lower(substr(trim(raw_url),1,500)) AS website_url,
+        |    array_to_string(list_transform(
+        |      string_split(trim(regexp_replace(raw_name,' +',' ','g')),' '),
+        |      w -> upper(substr(w,1,1)) || lower(substr(w,2))), ' ') AS company_name
+        |  FROM (SELECT '  HTTPS://www.' || replace(p_name,' ','-') || '.example.com/'
+        |          || p_brand || '  ' AS raw_url,
+        |     ' ' || p_name || '   ' || p_type || ' ' AS raw_name FROM part) s) c
+        | WHERE website_url IS NOT NULL AND company_name IS NOT NULL),
+        |ccm AS (SELECT CAST(count(*) AS BIGINT) n_rows,
+        |  CAST(count(website_url) AS BIGINT) url_nonnull,
+        |  CAST(count(company_name) AS BIGINT) name_nonnull,
+        |  CAST(count(DISTINCT (website_url, company_name)) AS BIGINT) pair_distinct
+        | FROM ccsrc)
         |SELECT * FROM (
         | SELECT 'orders' AS table_name, 'not_null_rate_o_orderkey' AS metric_name,
         |  round(CAST(key_nonnull AS DOUBLE)/n_rows, 6) AS metric_value,
@@ -386,6 +400,15 @@ object SparkEntry {
         | UNION ALL SELECT 'customer', 'in_range_rate_c_acctbal',
         |  round(CAST(bal_in_range AS DOUBLE)/n_rows,6), CAST(0.95 AS DOUBLE),
         |  CASE WHEN round(CAST(bal_in_range AS DOUBLE)/n_rows,6) >= 0.95 THEN 'pass' ELSE 'fail' END FROM cm
+        | UNION ALL SELECT 'cc_cleaned', 'not_null_rate_website_url',
+        |  round(CAST(url_nonnull AS DOUBLE)/n_rows,6), CAST(1.0 AS DOUBLE),
+        |  CASE WHEN round(CAST(url_nonnull AS DOUBLE)/n_rows,6) >= 1.0 THEN 'pass' ELSE 'fail' END FROM ccm
+        | UNION ALL SELECT 'cc_cleaned', 'not_null_rate_company_name',
+        |  round(CAST(name_nonnull AS DOUBLE)/n_rows,6), CAST(1.0 AS DOUBLE),
+        |  CASE WHEN round(CAST(name_nonnull AS DOUBLE)/n_rows,6) >= 1.0 THEN 'pass' ELSE 'fail' END FROM ccm
+        | UNION ALL SELECT 'cc_cleaned', 'unique_rate_url_name',
+        |  round(CAST(pair_distinct AS DOUBLE)/n_rows,6), CAST(1.0 AS DOUBLE),
+        |  CASE WHEN round(CAST(pair_distinct AS DOUBLE)/n_rows,6) >= 1.0 THEN 'pass' ELSE 'fail' END FROM ccm
         |) u ORDER BY table_name, metric_name""".stripMargin,
 
     "match_exact" ->

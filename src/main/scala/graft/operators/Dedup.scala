@@ -188,7 +188,20 @@ object Dedup {
     val edges = fp.join(hub, "fp")
       .filter(col("doc_id") =!= col("hub"))
       .select(col("hub").as("src"), col("doc_id").as("dst"))
-      .persist()
+    labelPropagate(edges).orderBy("id")
+  }
+
+  /** Min-label propagation to a fixpoint over an undirected edge list
+    * (src, dst): every node ends up labeled with the smallest node id
+    * in its connected component. Each round combines a neighbor-min
+    * step (labels move one hop along edges) with a pointer-jumping
+    * step (each label chases its own label — component ids ARE node
+    * ids, so one self-join doubles the distance a label has
+    * travelled). Together the reach roughly doubles per round →
+    * log-diameter rounds even on path-shaped components, where
+    * neighbor-min alone needs diameter rounds.
+    */
+  def labelPropagate(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     val bidir = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
     var labels = bidir.select(col("src").as("id")).distinct()
@@ -196,18 +209,26 @@ object Dedup {
       .persist()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0 && rounds < maxRounds) {
       val viaNeighbors = bidir
         .join(labels.withColumnRenamed("id", "dst2"),
           col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min("component").as("nbr_min"))
-      // localCheckpoint (not persist): truncates the lineage each
-      // round — without it the plan re-grows by one join per round
-      // and re-optimization/stack cost compounds at many rounds.
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
+      val merged = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+      // pointer jump: l(v) := min(l(v), l(l(v))). Labels are
+      // min-monotone (l(x) <= x), so chasing only shrinks them.
+      // localCheckpoint (not persist) truncates the lineage each
+      // round — without it the plan re-grows by two joins per round
+      // and re-optimization/stack cost compounds at many rounds.
+      val next = merged
+        .join(merged.select(col("id").as("cid"), col("component").as("ccomp")),
+          merged("component") === col("cid"), "left")
+        .select(merged("id"),
+          least(merged("component"), coalesce(col("ccomp"), merged("component")))
             .as("component"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
@@ -216,7 +237,8 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    labels.orderBy("id")
+    bidir.unpersist()
+    labels
   }
 
   /** Embedding near-dup: top-1 cosine neighbor per vector inside its

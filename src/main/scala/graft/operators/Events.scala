@@ -63,23 +63,28 @@ object Events {
       .orderBy("user_id", "session_idx")
   }
 
-  /** As-of join, windowed form: each purchase event picks the user's
-    * most recent signup event at-or-before it. One window pass over a
-    * single (user, time) shuffle — no range join, no per-row probe —
-    * which is the scalable shape of "join to latest prior" on any
-    * event volume.
+  /** As-of join: each purchase event picks the user's most recent
+    * signup event at-or-before it, on the custom AsofJoinExec
+    * (graft.plans.AsofJoin): co-partitioned sort-merge, O(n+m) per
+    * partition, one buffered row — instead of dragging every event
+    * type through a whole-table window pass. The composite
+    * (ts_s, event_id) time makes tie-ordering deterministic and
+    * identical to the window formulation it replaced (pinned in
+    * AsofJoinSpec).
     */
   def eventsAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    e.withColumn("signup_event",
-        last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("signup_ts",
-        last(when(col("event_type") === "signup", col("ts_s")), ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_s")
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts_s").as("s_ts"),
+        col("event_id").as("s_event"))
+    graft.plans.AsofJoin(purchases, signups,
+        Seq("user_id"), Seq("s_user"),
+        Seq("ts_s", "event_id"), Seq("s_ts", "s_event"))
       .select(col("event_id"), col("user_id"),
-        col("signup_event"), (col("ts_s") - col("signup_ts")).as("gap_s"))
+        col("s_event").as("signup_event"),
+        (col("ts_s") - col("s_ts")).as("gap_s"))
       .orderBy("event_id")
   }
 

@@ -29,6 +29,14 @@ object Quality {
       count(col("c_name")).as("name_nonnull"),
       countDistinct(col("c_custkey")).as("key_distinct"),
       sum(when(col("c_acctbal") >= -1000, 1L).otherwise(0L)).as("bal_in_range"))
+    // metrics over the cleaned Common-Crawl OUTPUT (the dbt
+    // common_crawl_quality.yml url/company_name unique+not_null
+    // tests) — quality is asserted post-clean, not just on sources
+    val ccm = Cleaning.cleanCc(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("website_url")).as("url_nonnull"),
+      count(col("company_name")).as("name_nonnull"),
+      countDistinct(col("website_url"), col("company_name")).as("pair_distinct"))
 
     def metric(src: DataFrame, table: String, name: String,
                value: org.apache.spark.sql.Column, threshold: Double): DataFrame =
@@ -53,7 +61,13 @@ object Quality {
       metric(cm, "customer", "unique_rate_c_custkey",
         col("key_distinct").cast("double") / col("n_rows"), 1.0),
       metric(cm, "customer", "in_range_rate_c_acctbal",
-        col("bal_in_range").cast("double") / col("n_rows"), 0.95))
+        col("bal_in_range").cast("double") / col("n_rows"), 0.95),
+      metric(ccm, "cc_cleaned", "not_null_rate_website_url",
+        col("url_nonnull").cast("double") / col("n_rows"), 1.0),
+      metric(ccm, "cc_cleaned", "not_null_rate_company_name",
+        col("name_nonnull").cast("double") / col("n_rows"), 1.0),
+      metric(ccm, "cc_cleaned", "unique_rate_url_name",
+        col("pair_distinct").cast("double") / col("n_rows"), 1.0))
     rows.reduce(_ unionAll _).orderBy("table_name", "metric_name")
   }
 }

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bitsetFn)
     ext.injectOptimizerRule(_ => SelfDotToNormSquared)
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectPlannerStrategy(_ => AsofStrategy)
   }
 }
 
@@ -42,6 +43,10 @@ object GraftExtensions {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    if (!spark.experimental.extraStrategies.contains(AsofStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsofStrategy
     }
   }
 

@@ -80,4 +80,17 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(dense == sparse)
   }
+
+  test("label propagation converges on a long chain (many rounds)") {
+    import spark.implicits._
+    // a 33-node path graph needs ~log2(32)=5 propagation rounds —
+    // exercises the fixpoint loop well past the star graphs the
+    // fingerprint families produce (diameter 2, 1-2 rounds)
+    val chain = (0L until 32L).map(i => (i, i + 1)).toDF("src", "dst")
+    val twoMore = Seq((100L, 101L), (101L, 102L)).toDF("src", "dst")
+    val labels = operators.Dedup.labelPropagate(chain.unionByName(twoMore))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L to 32L).foreach(i => assert(labels(i) == 0L, s"node $i"))
+    (100L to 102L).foreach(i => assert(labels(i) == 100L, s"node $i"))
+  }
 }

@@ -13,6 +13,6 @@ class PipelineSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName)
     assert(matchDirs.exists(_.startsWith("method=")))
     // stage outputs re-read cleanly
-    assert(spark.read.parquet(s"$out/quality_metrics").count() == 7)
+    assert(spark.read.parquet(s"$out/quality_metrics").count() == 10)
   }
 }
