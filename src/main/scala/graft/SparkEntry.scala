@@ -69,6 +69,10 @@ object SparkEntry {
     "knn_brute" -> (Similarity.knnBrute _),
     "knn_signlsh" -> (Similarity.knnSignLsh _),
     "knn_ivf" -> (Similarity.knnIvf _),
+    "knn_batch" -> (Similarity.knnBatch _),
+    // sketches + range join
+    "approx_distinct_kmv" -> (Sketches.approxDistinctKmv _),
+    "events_range_join" -> (Events.eventsRangeJoin _),
     // extraction
     "extract_xml_entities" -> (sources.Extraction.extractXmlEntities _),
     "extract_html_names" -> (sources.Extraction.extractHtmlNames _),
@@ -471,8 +475,11 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
 
     "dedup_minhash_lsh" -> {
-      val hs = (1 to 8).map(j =>
-        s"list_min(list_transform(s, x -> substr(md5('$j'||'|'||x),1,16))) AS h$j").mkString(",\n  ")
+      val hs = (1 to 8).map { j =>
+        val src = if (j <= 4) 1 else 2
+        val off = ((j - 1) % 4) * 8 + 1
+        s"list_min(list_transform(s, x -> substr(md5('$src'||'|'||x),$off,8))) AS h$j"
+      }.mkString(",\n  ")
       s"""WITH toks AS (SELECT doc_id, string_split_regex(text,'\\s+') AS t FROM documents),
          |sh AS (SELECT doc_id, list_distinct(list_transform(
          |   generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))) AS s
@@ -690,6 +697,46 @@ object SparkEntry {
         | SELECT *, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
         | FROM p) t
         |WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    "knn_batch" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn FROM n WHERE vec_id < 8),
+        |p AS (SELECT q.q_id, n.vec_id, round(list_sum(list_transform(
+        |    generate_series(1, len(n.v)), i -> n.v[i]*q.qv[i])) / (n.norm*q.qn), 6) AS cosine
+        |  FROM n CROSS JOIN q WHERE n.vec_id >= 8)
+        |SELECT q_id, vec_id, cosine, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+        | FROM p) t
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "approx_distinct_kmv" ->
+      """WITH tok0 AS (SELECT lang, unnest(string_split_regex(text,'\s+')) AS token
+        |  FROM documents),
+        |toks AS (SELECT DISTINCT lang, token FROM tok0),
+        |h AS (SELECT lang, token, list_sum(list_transform(generate_series(1, 8),
+        |   i -> (strpos('0123456789abcdef', substr(md5(token), i, 1)) - 1) * pow(16, 8-i)))
+        |   / 4294967296.0 AS u
+        | FROM toks),
+        |kept AS (SELECT lang, u FROM (
+        |   SELECT lang, u, row_number() OVER (PARTITION BY lang ORDER BY u, token) AS rn
+        |   FROM h) t
+        |  WHERE rn <= 64),
+        |est AS (SELECT lang, max(u) AS uk, count(*) AS m FROM kept GROUP BY lang),
+        |ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact FROM toks GROUP BY lang)
+        |SELECT ex.lang AS lang, n_exact,
+        | CASE WHEN m < 64 THEN CAST(m AS DOUBLE) ELSE round(63.0/uk, 6) END AS approx_distinct
+        |FROM ex JOIN est ON ex.lang = est.lang ORDER BY lang""".stripMargin,
+
+    "events_range_join" ->
+      """WITH ev AS (SELECT *, epoch_ns(ts)//1000000000 AS ts_s FROM events),
+        |p AS (SELECT event_id, user_id, ts_s FROM ev WHERE event_type='purchase')
+        |SELECT p.event_id AS event_id, CAST(count(*) AS BIGINT) AS n_prior,
+        | round(sum(e.value), 2) AS sum_prior
+        |FROM p JOIN ev e ON e.user_id = p.user_id
+        | AND e.ts_s >= p.ts_s - 3600 AND e.ts_s < p.ts_s
+        |GROUP BY p.event_id ORDER BY event_id""".stripMargin,
 
     "extract_xml_entities" ->
       """WITH x AS (SELECT

@@ -45,10 +45,16 @@ object Dedup {
       .select(col("doc_id"), shinglesCol.as("s"))
       .persist()
     // minhashes via explode + min-agg: md5 runs codegen'd per shingle
-    // row instead of interpreted inside an array-transform lambda
+    // row instead of interpreted inside an array-transform lambda.
+    // Only TWO digests per shingle: each md5 is split into 4
+    // independent 8-hex-char (32-bit) pieces — digest cost is the
+    // minhash bottleneck and 32 bits per hash is plenty for min-of-set.
     val exsh = sh.select(col("doc_id"), explode(col("s")).as("x"))
-    val minAggs = (1 to 8).map(j =>
-      min(substring(md5(concat(lit(s"$j|"), col("x"))), 1, 16)).as(s"h$j"))
+    val minAggs = (1 to 8).map { j =>
+      val src = if (j <= 4) 1 else 2
+      val off = ((j - 1) % 4) * 8 + 1
+      min(substring(md5(concat(lit(s"$src|"), col("x"))), off, 8)).as(s"h$j")
+    }
     val withH = exsh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     val withBands = withH.select(col("doc_id"),
       concat(col("h1"), col("h2")).as("b1"),
@@ -215,22 +221,28 @@ object Dedup {
           col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min("component").as("nbr_min"))
+      // localCheckpoint (not persist) truncates the lineage each
+      // round — without it the plan re-grows per round and
+      // re-optimization/stack cost compounds at many rounds.
       val merged = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"))
-      // pointer jump: l(v) := min(l(v), l(l(v))). Labels are
-      // min-monotone (l(x) <= x), so chasing only shrinks them.
-      // localCheckpoint (not persist) truncates the lineage each
-      // round — without it the plan re-grows by two joins per round
-      // and re-optimization/stack cost compounds at many rounds.
-      val next = merged
-        .join(merged.select(col("id").as("cid"), col("component").as("ccomp")),
-          merged("component") === col("cid"), "left")
-        .select(merged("id"),
-          least(merged("component"), coalesce(col("ccomp"), merged("component")))
-            .as("component"))
-        .localCheckpoint()
+      // pointer jump from round 2 on: l(v) := min(l(v), l(l(v))) —
+      // labels are min-monotone (l(x) <= x) so chasing only shrinks
+      // them, and reach doubles per round (log-diameter on chains).
+      // Round 1 skips it: diameter-≤2 components (the fingerprint
+      // star families, by far the common case) already finish on the
+      // plain neighbor-min and shouldn't pay the extra join. The
+      // jump input is checkpointed since the self-join reads it twice.
+      val next = (if (rounds == 0) merged else {
+        val m = merged.localCheckpoint()
+        m.join(m.select(col("id").as("cid"), col("component").as("ccomp")),
+            m("component") === col("cid"), "left")
+          .select(m("id"),
+            least(m("component"), coalesce(col("ccomp"), m("component")))
+              .as("component"))
+      }).localCheckpoint()
       changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
         .filter(col("component") =!= col("prev")).count()
       labels.unpersist()
@@ -252,9 +264,14 @@ object Dedup {
       col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("norm", graft.functions.Vectors.normHof("v"))
-    val pairs = e.select(col("vec_id").as("i"), col("label"), col("v").as("va"), col("norm").as("na"))
-      .join(e.select(col("vec_id").as("j"), col("label"), col("v").as("vb"), col("norm").as("nb")),
-        Seq("label"))
+    // the block key (label) has tiny cardinality → salt the left side
+    // and replicate the right across salts: same pairs, 32x tasks
+    val salts = 32
+    val pairs = e.select(col("vec_id").as("i"), col("label"), col("v").as("va"), col("norm").as("na"),
+        (col("vec_id") % salts).cast("int").as("salt"))
+      .join(e.select(col("vec_id").as("j"), col("label"), col("v").as("vb"), col("norm").as("nb"))
+          .withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})"))),
+        Seq("label", "salt"))
       .filter(col("i") =!= col("j"))
       .withColumn("dot", graft.functions.Vectors.dot("va", "vb"))
       .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 6))

@@ -160,6 +160,31 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Range join, binned: each purchase joined to the same user's
+    * events in the preceding hour, aggregated per purchase. A naive
+    * inequality join is a per-key cartesian (the optimizer can only
+    * nested-loop a pure range predicate); bucketizing the timeline
+    * into width-3600 bins turns it into an equi-join on (user, bin)
+    * where each purchase probes exactly two bins — candidate pairs
+    * stay bounded per task at any event volume. This is the standard
+    * binned band-join pattern; the bin width equals the band width so
+    * every qualifying pair lands in exactly one candidate bin.
+    */
+  def eventsRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_s"))
+      .withColumn("bin", explode(array(expr("ts_s div 3600"), expr("ts_s div 3600 - 1"))))
+    val others = e.select(col("user_id").as("r_user"), col("ts_s").as("r_ts"), col("value"))
+      .withColumn("rbin", expr("r_ts div 3600"))
+    purchases.join(others,
+        col("user_id") === col("r_user") && col("bin") === col("rbin"))
+      .filter(col("r_ts") >= col("ts_s") - 3600 && col("r_ts") < col("ts_s"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_prior"), round(sum("value"), 2).as("sum_prior"))
+      .orderBy("event_id")
+  }
+
   /** Top-10 users by purchase value (deterministic key tiebreak on the
     * rounded measure), planned as TakeOrderedAndProject — at web scale
     * the user dimension is huge, so a global-window rank would funnel

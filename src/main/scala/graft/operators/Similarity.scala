@@ -72,6 +72,33 @@ object Similarity {
       col("cosine").desc, col("vec_id"))
   }
 
+  /** Batch ANN: top-3 cosine neighbors for EACH query vector
+    * (vec_id < 8) against the rest of the corpus, through the
+    * TopKPerGroup custom exec — per-partition bounded heaps per query
+    * id, no per-group sort, no window shuffle of the full score
+    * stream. This is the shape of production ANN serving (N queries
+    * per batch), where a row_number window would sort |corpus|·|batch|
+    * scored pairs.
+    */
+  def knnBatch(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecsWithNorm(spark, dir)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+    val scored = e.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", round(
+        graft.functions.VectorExprs.dot(col("v"), col("qv"))
+          / (col("norm") * col("qn")), 6))
+      .select(col("q_id"), col("vec_id"), col("cosine"))
+    val top = graft.plans.TopKPerGroup(scored, Seq("q_id"),
+      Seq(("cosine", true), ("vec_id", false)), 3)
+    // rank recovered over ≤3 rows per group (partitioned window — fine)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .orderBy("q_id", "rank")
+  }
+
   /** Sign-bit LSH: bucket = 8 sign bits of the first 8 dimensions
     * (random-hyperplane LSH with axis-aligned planes — deterministic
     * and engine-portable). Search only the query's bucket, top-5.

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distinct-count sketches for corpus statistics at scale. HLL is the
+  * usual tool, but its hash is engine-specific; KMV (k minimum
+  * values) over an md5-derived uniform hash is deterministic and
+  * engine-portable, so the DuckDB oracle reproduces the estimate
+  * bit-for-bit. Estimator: m distinct values hashed U(0,1) put the
+  * k-th smallest hash at E[u_k] ≈ k/(m+1), so m̂ = (k-1)/u_k.
+  */
+object Sketches {
+
+  /** Per-language distinct-token count: exact vs KMV(k=64) estimate.
+    * The sketch path never holds more than k rows per group
+    * (TopKPerGroup bounded heaps — no per-group sort, no window), so
+    * the same plan sketches a trillion-token corpus; the exact
+    * countDistinct rides along as the verification baseline.
+    */
+  def approxDistinctKmv(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), "\\s+")).as("token"))
+      .distinct()
+    // uniform hash in [0,1): first 8 md5 nibbles via positional math
+    // (no portable hex→int across engines; nibble arithmetic is exact
+    // in doubles at this magnitude, identical digit-for-digit)
+    val hashed = toks.withColumn("h8", substring(md5(col("token")), 1, 8))
+      .withColumn("u", expr(
+        """aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE),
+          | (acc, i) -> acc * 16.0 +
+          |   CAST(instr('0123456789abcdef', substring(h8, i, 1)) - 1 AS DOUBLE))""".stripMargin)
+        / lit(4294967296.0))
+    val kept = graft.plans.TopKPerGroup(
+      hashed.select(col("lang"), col("u"), col("token")),
+      Seq("lang"), Seq(("u", false), ("token", false)), k)
+    val est = kept.groupBy("lang").agg(max("u").as("uk"), count(lit(1)).as("m"))
+      .select(col("lang"),
+        when(col("m") < k, col("m").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) / col("uk"), 6))
+          .as("approx_distinct"))
+    val exact = toks.groupBy("lang").agg(count(lit(1)).as("n_exact"))
+    exact.join(est, "lang")
+      .select(col("lang"), col("n_exact"), col("approx_distinct"))
+      .orderBy("lang")
+  }
+}

@@ -83,6 +83,30 @@ object EventStreams {
       .start()
   }
 
+  /** Watermarked stream-stream interval join: each purchase joined to
+    * the same user's signup events from the preceding hour. Both
+    * sides carry watermarks and the join predicate bounds the time
+    * skew, so the engine can evict buffered rows once the watermark
+    * passes the interval — bounded state on unbounded inputs, the
+    * streaming twin of the batch range/as-of joins.
+    */
+  def purchaseSignupJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_event"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "10 minutes")
+    purchases.join(signups,
+      col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_event"), col("p_user").as("user_id"), col("s_event"),
+        ((col("p_ts").cast("long")) - col("s_ts").cast("long")).as("gap_s"))
+  }
+
   /** 30-minute-gap sessionization with explicit state — the
     * streaming form of Events.eventsSessionize. Emits a session row
     * every time a gap closes one. State is keyed per user and

@@ -51,6 +51,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalaudf"), "no Scala UDFs in the hot path")
   }
 
+  test("knn_batch and approx_distinct_kmv plan through TopKPerGroupExec") {
+    assert(plan(operators.Similarity.knnBatch(spark, sf)).contains("TopKPerGroup"))
+    assert(plan(operators.Sketches.approxDistinctKmv(spark, sf)).contains("TopKPerGroup"))
+  }
+
+  test("events_range_join is an equi-join on (user, bin), not a nested loop") {
+    val p = plan(operators.Events.eventsRangeJoin(spark, sf))
+    assert(!p.contains("CartesianProduct"), "binned range join must not cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "range predicate must ride an equi-join")
+  }
+
   test("no registered query plans an unbounded single-partition window sort") {
     import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

@@ -35,6 +35,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with prior-hour signups") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.purchaseSignupJoin(input.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "signup", 0.0),
+        Event(2, ts(30), 7, "purchase", 5.0), // 30 min after signup → joins
+        Event(3, ts(90), 7, "purchase", 6.0), // 90 min after signup → outside hour
+        Event(4, ts(30), 8, "purchase", 7.0)) // no signup for user 8
+      q.processAllAvailable()
+      val rows = spark.sql("select p_event, user_id, s_event, gap_s from ssjoin")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(rows == Seq((2L, 7L, 1L, 1800L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("sessionize: 30-min gap closes a session, state carries within") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
