@@ -50,6 +50,7 @@ object SparkEntry {
     "match_tfidf_topk" -> (Matching.matchTfidfTopk _),
     "match_combined" -> (Matching.matchCombined _),
     "match_llm_stub" -> (Matching.matchLlmStub _),
+    "match_bm25_topk" -> (Matching.matchBm25Topk _),
     // dedup
     "dedup_exact_text" -> (Dedup.dedupExactText _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
@@ -73,6 +74,7 @@ object SparkEntry {
     // sketches + range join
     "approx_distinct_kmv" -> (Sketches.approxDistinctKmv _),
     "events_range_join" -> (Events.eventsRangeJoin _),
+    "sample_stratified" -> (Sampling.sampleStratified _),
     // extraction
     "extract_xml_entities" -> (sources.Extraction.extractXmlEntities _),
     "extract_html_names" -> (sources.Extraction.extractHtmlNames _),
@@ -697,6 +699,39 @@ object SparkEntry {
         | SELECT *, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
         | FROM p) t
         |WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    "match_bm25_topk" ->
+      """WITH tokens AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS token
+        |  FROM documents),
+        |ctf AS (SELECT doc_id AS j, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tokens WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+        |dl AS (SELECT j, CAST(sum(tf) AS BIGINT) AS len FROM ctf GROUP BY j),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |   CAST(sum(len) AS DOUBLE)/count(*) AS avglen FROM dl),
+        |dfq AS (SELECT token, df FROM (
+        |  SELECT token, CAST(count(DISTINCT j) AS BIGINT) AS df
+        |  FROM ctf GROUP BY token) t
+        | WHERE df < 0.95 * (SELECT n FROM nn)),
+        |q AS (SELECT DISTINCT doc_id AS i, token FROM tokens WHERE doc_id % 2 = 0),
+        |c AS (SELECT q.i, ctf.j,
+        |   ln(((SELECT n FROM nn) - df + 0.5)/(df + 0.5) + 1.0)
+        |     * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * len / (SELECT avglen FROM nn))) AS c
+        |  FROM q JOIN ctf USING (token) JOIN dfq USING (token) JOIN dl ON ctf.j = dl.j),
+        |s AS (SELECT i, j, round(sum(c), 6) AS bm25 FROM c GROUP BY i, j)
+        |SELECT i, j, bm25 FROM (
+        | SELECT *, row_number() OVER (PARTITION BY i ORDER BY bm25 DESC, j) AS rn
+        | FROM s) t
+        |WHERE rn = 1 ORDER BY i""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |   list_sum(list_transform(generate_series(1, 8),
+        |     i -> (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1) * pow(16, 8-i)))
+        |   / 4294967296.0 AS u,
+        |   CASE WHEN lang = 'en' THEN 0.5 ELSE 0.1 END AS rate
+        | FROM documents)
+        |SELECT doc_id, lang, round(u, 6) AS u FROM d
+        |WHERE u < rate ORDER BY doc_id""".stripMargin,
 
     "knn_batch" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

