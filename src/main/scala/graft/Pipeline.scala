@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Cleaning, Matching, Quality}
+import graft.operators.{Cleaning, Dedup, Matching, Quality, Sampling, TextAnalysis}
 import graft.sources.Sinks
 
 /** End-to-end pipeline composition — the graft equivalent of the
@@ -33,5 +33,24 @@ object Pipeline {
       stage("cc_cleaned", Cleaning.cleanCc(spark, dir)),
       stage("entity_matches", Matching.matchCombined(spark, dir), Seq("method")),
       stage("quality_metrics", Quality.qualityMetrics(spark, dir), Seq("table_name")))
+  }
+
+  /** The LLM-training-data curation flow over the documents corpus:
+    * quality-score → near-dup components → keeper election →
+    * stratified sample — each stage parquet-materialized so a failed
+    * stage restarts from its input, not the source (the reference DAG's
+    * retry-per-task property, without the driver orchestration).
+    */
+  def runCuration(spark: SparkSession, dir: String, outDir: String): Seq[StageResult] = {
+    def stage(name: String, df: => DataFrame): StageResult = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+      val rows = spark.read.parquet(s"$outDir/$name").count()
+      StageResult(name, rows, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      stage("doc_quality", TextAnalysis.textQuality(spark, dir)),
+      stage("dup_components", Dedup.dedupComponents(spark, dir)),
+      stage("sampled", Sampling.sampleStratified(spark, dir)))
   }
 }

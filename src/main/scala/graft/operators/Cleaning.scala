@@ -88,21 +88,22 @@ object Cleaning {
       .orderBy("website_url", "company_name")
   }
 
-  /** Exact dedup: full-row distinct then keep-first-per-key via a
-    * window — the drop_duplicates() / drop_duplicates(subset=[key])
-    * pair from clean_abr.py:34-35. At scale both are single
-    * hash-shuffles on the dedup key.
+  /** Exact dedup: the drop_duplicates() / drop_duplicates(subset=
+    * [key]) pair from clean_abr.py:34-35, collapsed to ONE argmin
+    * aggregation — keep-first-under-a-total-order per key is
+    * min(struct(order cols)), which partial-aggregates map-side and
+    * absorbs the full-row distinct (duplicates share the min). The
+    * naive encoding is two shuffles (distinct, then a keyed window
+    * sort); this is one, with combiners.
     */
   def cleanDedupExact(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
     // total ordering: linenumber alone is not unique in this data
-    val w = Window.partitionBy("l_orderkey")
-      .orderBy("l_linenumber", "l_returnflag", "l_quantity")
-    l.distinct()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    l.groupBy("l_orderkey")
+      .agg(min(struct(col("l_linenumber"), col("l_returnflag"), col("l_quantity"))).as("m"))
+      .select(col("l_orderkey"), col("m.l_linenumber").as("l_linenumber"),
+        col("m.l_returnflag").as("l_returnflag"), col("m.l_quantity").as("l_quantity"))
       .orderBy("l_orderkey")
   }
 }
