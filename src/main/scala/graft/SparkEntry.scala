@@ -51,6 +51,8 @@ object SparkEntry {
     "match_combined" -> (Matching.matchCombined _),
     "match_llm_stub" -> (Matching.matchLlmStub _),
     "match_bm25_topk" -> (Matching.matchBm25Topk _),
+    "match_phonetic" -> (Matching.matchPhonetic _),
+    "clean_abr_rejects" -> (Cleaning.cleanAbrRejects _),
     // dedup
     "dedup_exact_text" -> (Dedup.dedupExactText _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
@@ -75,6 +77,8 @@ object SparkEntry {
     "approx_distinct_kmv" -> (Sketches.approxDistinctKmv _),
     "events_range_join" -> (Events.eventsRangeJoin _),
     "sample_stratified" -> (Sampling.sampleStratified _),
+    "text_pmi_bigrams" -> (TextAnalysis.textPmiBigrams _),
+    "mm_frame_sample" -> ((s, d) => multimodal.BinaryColumns.frameSample(s, d)),
     // extraction
     "extract_xml_entities" -> (sources.Extraction.extractXmlEntities _),
     "extract_html_names" -> (sources.Extraction.extractHtmlNames _),
@@ -722,6 +726,78 @@ object SparkEntry {
         | SELECT *, row_number() OVER (PARTITION BY i ORDER BY bm25 DESC, j) AS rn
         | FROM s) t
         |WHERE rn = 1 ORDER BY i""".stripMargin,
+
+    "match_phonetic" ->
+      """WITH p0 AS (SELECT p_partkey, p_name,
+        |   array_to_string(list_sort(string_split_regex(lower(trim(p_name)), '\s+')), ' ') AS norm
+        | FROM part),
+        |pp AS (SELECT p_partkey, p_name, norm,
+        |   substr(norm, 1, 1) || regexp_replace(substr(norm, 2), '[aeiou]', '', 'g') AS blk
+        | FROM p0),
+        |l AS (SELECT p_partkey AS l_key, p_name AS l_name, blk, norm AS l_norm
+        |  FROM pp WHERE p_partkey % 2 = 0),
+        |r AS (SELECT p_partkey AS r_key, p_name AS r_name, blk, norm AS r_norm
+        |  FROM pp WHERE p_partkey % 2 = 1),
+        |cand AS (SELECT l_key, r_key, r_name,
+        |   round(1.0 - CAST(levenshtein(l_norm, r_norm) AS DOUBLE)
+        |     / greatest(length(l_norm), length(r_norm)), 6) AS score
+        |  FROM l JOIN r USING (blk)),
+        |best AS (SELECT l_key, r_key, r_name, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_key ORDER BY score DESC, r_key) AS rn
+        |  FROM cand WHERE score >= 0.5) t WHERE rn = 1)
+        |SELECT l_key, r_key, r_name, score FROM best ORDER BY l_key""".stripMargin,
+
+    "clean_abr_rejects" ->
+      """WITH shaped AS (
+        | SELECT CASE WHEN c_custkey % 7 = 0 THEN printf('%010d', c_custkey)
+        |             ELSE printf('%011d', c_custkey) END AS abn,
+        |   trim('  ' || c_name || '  ') AS entity_name,
+        |   CASE WHEN c_custkey % 3 = 0 THEN 'active' ELSE 'cancelled' END AS entity_status,
+        |   CASE WHEN c_custkey % 5 = 0 THEN '99'
+        |        ELSE printf('%04d', c_nationkey * 100 + c_custkey % 100) END AS postcode
+        | FROM customer)
+        |SELECT abn, entity_name,
+        | CASE WHEN NOT regexp_matches(abn, '^\d{11}$') THEN 'invalid_abn'
+        |      WHEN NOT regexp_matches(postcode, '^\d{4}$') THEN 'invalid_postcode'
+        |      WHEN lower(entity_status) <> 'active' THEN 'inactive_status' END AS reject_reason
+        |FROM shaped
+        |WHERE NOT regexp_matches(abn, '^\d{11}$')
+        |   OR NOT regexp_matches(postcode, '^\d{4}$')
+        |   OR lower(entity_status) <> 'active'
+        |ORDER BY abn, entity_name""".stripMargin,
+
+    "text_pmi_bigrams" ->
+      """WITH uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM (
+        |   SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents) t
+        |  GROUP BY w),
+        |n1 AS (SELECT CAST(sum(cw) AS DOUBLE) AS n FROM uni),
+        |d AS (SELECT string_split_regex(text, '\s+') AS t FROM documents),
+        |bi AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM (
+        |   SELECT t, unnest(generate_series(1, len(t)-1)) AS i FROM d WHERE len(t) >= 2) x),
+        |cbi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cxy FROM bi GROUP BY 1, 2),
+        |n2 AS (SELECT CAST(sum(cxy) AS DOUBLE) AS n FROM cbi),
+        |scored AS (SELECT w1 || ' ' || w2 AS bigram, cxy,
+        |   round(ln((CAST(cxy AS DOUBLE) / (SELECT n FROM n2)) /
+        |     ((CAST(cx AS DOUBLE) / (SELECT n FROM n1))
+        |       * (CAST(cy AS DOUBLE) / (SELECT n FROM n1)))), 6) AS pmi
+        |  FROM cbi
+        |  JOIN (SELECT w AS w1, cw AS cx FROM uni) u1 USING (w1)
+        |  JOIN (SELECT w AS w2, cw AS cy FROM uni) u2 USING (w2)
+        |  WHERE cxy >= 5)
+        |SELECT bigram, cxy, pmi, rank FROM (
+        | SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, bigram) AS INT) AS rank
+        | FROM scored) t
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |   CAST(octet_length(CAST(text AS BLOB)) % 30 + 1 AS BIGINT) AS n_frames
+        | FROM documents)
+        |SELECT media_id, n_frames, frame_idx,
+        | substr(md5(CAST(media_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)), 1, 16) AS frame_sig
+        |FROM (SELECT media_id, n_frames,
+        |   unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx FROM m) t
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "sample_stratified" ->
       """WITH d AS (SELECT doc_id, lang,

@@ -72,6 +72,24 @@ object BinaryColumns {
       .orderBy("media_id")
   }
 
+  /** Video-shaped frame sampling: treat each media item as a clip of
+    * `1 + n_bytes % 30` frames, emit every 5th frame offset with a
+    * deterministic per-frame fingerprint (md5 of id:offset — the
+    * stand-in for a decoded frame's feature hash). The explode is the
+    * REAL batch shape of video pipelines — one row per sampled frame,
+    * partition-parallel, row count = Σ⌈frames/stride⌉ known up front —
+    * only the per-frame decode behind it is faked.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        (octet_length(col("text")).cast("long") % 30 + 1).as("n_frames"))
+      .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1, 5)")))
+      .select(col("media_id"), col("n_frames"), col("frame_idx"),
+        substring(md5(concat(col("media_id"), lit(":"), col("frame_idx"))), 1, 16)
+          .as("frame_sig"))
+      .orderBy("media_id", "frame_idx")
+
   /** Oracle-able binary stats per source: byte lengths + content
     * hashes aggregated — the part of the multimodal path SQL can see.
     */

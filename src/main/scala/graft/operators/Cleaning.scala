@@ -67,6 +67,31 @@ object Cleaning {
       .orderBy("abn")
   }
 
+  /** Quarantine side of [[cleanAbr]]: the rows the validation filters
+    * DROP, each tagged with the first failing rule — real pipelines
+    * route these to a rejects table for triage instead of silently
+    * shrinking the output (the observability half of clean_abr.py's
+    * filter chain). Same one-pass shaped projection; no extra scan.
+    */
+  def cleanAbrRejects(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val shaped = c.select(
+      when(col("c_custkey") % 7 === 0, format_string("%010d", col("c_custkey")))
+        .otherwise(format_string("%011d", col("c_custkey"))).as("abn"),
+      trim(concat(lit("  "), col("c_name"), lit("  "))).as("entity_name"),
+      when(col("c_custkey") % 3 === 0, lit("active")).otherwise(lit("cancelled")).as("entity_status"),
+      when(col("c_custkey") % 5 === 0, lit("99"))
+        .otherwise(format_string("%04d", col("c_nationkey") * 100 + col("c_custkey") % 100)).as("postcode"))
+    shaped
+      .withColumn("reject_reason",
+        when(!col("abn").rlike("^\\d{11}$"), "invalid_abn")
+          .when(!col("postcode").rlike("^\\d{4}$"), "invalid_postcode")
+          .when(lower(col("entity_status")) =!= "active", "inactive_status"))
+      .filter(col("reject_reason").isNotNull)
+      .select("abn", "entity_name", "reject_reason")
+      .orderBy("abn", "entity_name")
+  }
+
   /** Common-Crawl-shaped cleaning on a part projection: URL trim +
     * truncate-500 + lowercase, company-name title-case + whitespace
     * collapse, drop nulls, dedup by (url, name)

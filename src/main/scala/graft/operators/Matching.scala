@@ -171,6 +171,40 @@ object Matching {
       .orderBy("i")
   }
 
+  /** Phonetic/fingerprint-blocked match over real-word names (part
+    * names): block key = consonant skeleton of the token-sorted name
+    * (first char + tail with vowels removed — a portable
+    * Soundex-lite both engines compute identically), so vowel- and
+    * word-order-variant spellings land in the same block without
+    * sharing exact tokens. The full-name skeleton keeps blocks
+    * near-unique — candidate pairs are actual near-variants, not a
+    * first-letter bucket cartesian (a first-WORD key measured 17s at
+    * sf0.1; this shape is ~100x more selective). Scoring/argmax as in
+    * the fuzzy matcher.
+    */
+  def matchPhonetic(spark: SparkSession, dir: String): DataFrame = {
+    def skeleton(c: Column): Column = concat(
+      substring(c, 1, 1),
+      regexp_replace(substring(c, 2, 1000000), "[aeiou]", ""))
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), normName(col("p_name")).as("norm"))
+      .withColumn("blk", skeleton(col("norm")))
+    val left = p.filter(col("p_partkey") % 2 === 0)
+      .select(col("p_partkey").as("l_key"), col("p_name").as("l_name"),
+        col("blk"), col("norm").as("l_norm"))
+    val right = p.filter(col("p_partkey") % 2 === 1)
+      .select(col("p_partkey").as("r_key"), col("p_name").as("r_name"),
+        col("blk"), col("norm").as("r_norm"))
+    left.join(right, "blk")
+      .withColumn("score", round(tokenSortSim(col("l_norm"), col("r_norm")), 6))
+      .filter(col("score") >= 0.5)
+      .groupBy("l_key")
+      .agg(max(struct(col("score"), (-col("r_key")).as("nk"), col("r_name"))).as("m"))
+      .select(col("l_key"), (-col("m.nk")).as("r_key"),
+        col("m.r_name").as("r_name"), col("m.score").as("score"))
+      .orderBy("l_key")
+  }
+
   /** BM25 top-1 match: even docs are queries, odd docs the corpus —
     * the probabilistic-IR upgrade of [[matchTfidfTopk]] (same
     * inverted-index join plan, different weighting). k1=1.2, b=0.75;

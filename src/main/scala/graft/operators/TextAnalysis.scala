@@ -142,6 +142,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Top-20 collocations by pointwise mutual information:
+    * pmi(x,y) = ln(p(xy) / (p(x)p(y))), bigram count ≥ 5 (rare-pair
+    * PMI is noise). Unigram/bigram probabilities are two counting
+    * aggregations; the candidate join shuffles on the word, never
+    * broadcasts the vocabulary; final top-20 is a bounded
+    * TakeOrderedAndProject.
+    */
+  def textPmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val uni = d.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw")).persist()
+    val n1 = uni.agg(sum("cw")).head.getLong(0)
+    val bi = d.withColumn("t", toks).filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-1), i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"))
+        .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cbi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cxy")).persist()
+    val n2 = cbi.agg(sum("cxy")).head.getLong(0)
+    val scored = cbi.filter(col("cxy") >= 5)
+      .join(uni.select(col("w").as("w1"), col("cw").as("cx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("cy")), "w2")
+      .withColumn("pmi", round(log(
+        (col("cxy").cast("double") / lit(n2.toDouble)) /
+          ((col("cx").cast("double") / lit(n1.toDouble))
+            * (col("cy").cast("double") / lit(n1.toDouble)))), 6))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("cxy"), col("pmi"))
+    graft.functions.TopK.globalWithRank(scored, 20, col("pmi").desc, col("bigram"))
+  }
+
   /** Top-20 corpus bigrams. */
   def textBigrams(spark: SparkSession, dir: String): DataFrame = {
     val bi = Tables.documents(spark, dir)
