@@ -129,13 +129,11 @@ object Dedup {
       .select(col("doc_id"), col("lang"), array_distinct(expr(
         "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("g"))
     // gram → bit index: first 3 md5 nibbles (12 bits) mod 2048, via
-    // instr nibble math so DuckDB reproduces it digit-for-digit
+    // the native graft_hex_long (oracle mirrors it with instr nibble
+    // math, digit-for-digit)
     val ex = g.select(col("doc_id"), col("lang"), explode(col("g")).as("ng"))
-      .withColumn("h3", substring(md5(col("ng")), 1, 3))
-      .withColumn("r", expr(
-        """((instr('0123456789abcdef', substring(h3, 1, 1)) - 1) * 256
-          | + (instr('0123456789abcdef', substring(h3, 2, 1)) - 1) * 16
-          | + (instr('0123456789abcdef', substring(h3, 3, 1)) - 1)) % 2048""".stripMargin))
+      .withColumn("r",
+        (graft.functions.HexExprs.hexPrefixLong(md5(col("ng")), 3) % 2048).cast("int"))
     // bit_or (not sum): distinct grams may collide on a bit
     val bits = ex
       .groupBy(col("doc_id"), col("lang"), expr("CAST(r div 32 AS INT)").as("wi"))

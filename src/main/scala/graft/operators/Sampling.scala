@@ -23,13 +23,10 @@ object Sampling {
     * rescanning: any rate r' < r is a filter on `u`.
     */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    // native codegen'd hex-prefix hash (graft_hex_long) — the
+    // interpreted aggregate-lambda formulation costs ~10x per row
     val d = Tables.documents(spark, dir)
-      .withColumn("h8", substring(md5(col("text")), 1, 8))
-      .withColumn("u", expr(
-        """aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE),
-          | (acc, i) -> acc * 16.0 +
-          |   CAST(instr('0123456789abcdef', substring(h8, i, 1)) - 1 AS DOUBLE))""".stripMargin)
-        / lit(4294967296.0))
+      .withColumn("u", graft.functions.HexExprs.uniformHash(col("text")))
       .withColumn("rate", when(col("lang") === "en", 0.5).otherwise(0.1))
     d.filter(col("u") < col("rate"))
       .select(col("doc_id"), col("lang"), round(col("u"), 6).as("u"))

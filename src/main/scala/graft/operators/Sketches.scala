@@ -24,15 +24,12 @@ object Sketches {
     val toks = Tables.documents(spark, dir)
       .select(col("lang"), explode(split(col("text"), "\\s+")).as("token"))
       .distinct()
-    // uniform hash in [0,1): first 8 md5 nibbles via positional math
-    // (no portable hex→int across engines; nibble arithmetic is exact
-    // in doubles at this magnitude, identical digit-for-digit)
-    val hashed = toks.withColumn("h8", substring(md5(col("token")), 1, 8))
-      .withColumn("u", expr(
-        """aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE),
-          | (acc, i) -> acc * 16.0 +
-          |   CAST(instr('0123456789abcdef', substring(h8, i, 1)) - 1 AS DOUBLE))""".stripMargin)
-        / lit(4294967296.0))
+    // uniform hash in [0,1): first 8 md5 nibbles, parsed by the
+    // native codegen'd graft_hex_long — exact in doubles at this
+    // magnitude, digit-for-digit identical to the oracle's positional
+    // nibble sum
+    val hashed = toks
+      .withColumn("u", graft.functions.HexExprs.uniformHash(col("token")))
     val kept = graft.plans.TopKPerGroup(
       hashed.select(col("lang"), col("u"), col("token")),
       Seq("lang"), Seq(("u", false), ("token", false)), k)

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFn)
     ext.injectFunction(GraftExtensions.bitsetFn)
+    ext.injectFunction(GraftExtensions.hexFn)
     ext.injectOptimizerRule(_ => SelfDotToNormSquared)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectPlannerStrategy(_ => AsofStrategy)
@@ -33,7 +34,7 @@ object GraftExtensions {
     */
   def registerInto(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.graftshim.GraftShim
-    Seq(dotFn, bitsetFn).foreach { case (id, i, b) =>
+    Seq(dotFn, bitsetFn, hexFn).foreach { case (id, i, b) =>
       GraftShim.registerFunction(spark, id, i, b)
     }
     if (!spark.experimental.extraOptimizations.contains(SelfDotToNormSquared)) {
@@ -62,6 +63,14 @@ object GraftExtensions {
     FunctionIdentifier("graft_bitset_inter"),
     info("graft_bitset_inter", "graft_bitset_inter(a, b) - popcount of AND of two array<bigint> bitsets"),
     (args: Seq[Expression]) => BitsetIntersectExpr(args(0), args(1)))
+
+  val hexFn: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("graft_hex_long"),
+    info("graft_hex_long", "graft_hex_long(s, n) - first n hex chars of s parsed as a BIGINT"),
+    (args: Seq[Expression]) => args(1) match {
+      case Literal(d: Int, _) => graft.functions.HexPrefixLongExpr(args(0), d)
+      case other => sys.error(s"graft_hex_long digits must be an int literal, got $other")
+    })
 }
 
 /** graft_dot(x, x) ≡ Σx², which the same loop computes without the
