@@ -83,6 +83,41 @@ object EventStreams {
       .start()
   }
 
+  /** public: the state encoder's generated code must reach it. */
+  case class KmvSketch(hashes: List[Double])
+
+  case class DistinctEstimate(event_type: String, approx_users: Double)
+
+  /** Streaming KMV distinct-count: per event type, keep the k
+    * smallest content hashes of user ids in state (constant-size per
+    * group — unlike exact streaming countDistinct, whose state grows
+    * with cardinality forever) and emit the updated estimate each
+    * batch. The batch twin is operators.Sketches.approxDistinctKmv;
+    * same estimator, same deterministic md5-uniform hash.
+    */
+  def kmvDistinctUsers(events: Dataset[Event], k: Int = 32): Dataset[DistinctEstimate] = {
+    import events.sparkSession.implicits._
+    def uhash(v: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[KmvSketch, DistinctEstimate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[Event], state: GroupState[KmvSketch]) =>
+          val cur = state.getOption.map(_.hashes).getOrElse(Nil)
+          val merged = (cur ++ rows.map(e => uhash(e.user_id)))
+            .distinct.sorted.take(k)
+          state.update(KmvSketch(merged))
+          val est =
+            if (merged.size < k) merged.size.toDouble
+            else (k - 1).toDouble / merged.last
+          Iterator(DistinctEstimate(etype, math.round(est * 1e6) / 1e6))
+      }
+  }
+
   /** Watermarked stream-stream interval join: each purchase joined to
     * the same user's signup events from the preceding hour. Both
     * sides carry watermarks and the join predicate bounds the time

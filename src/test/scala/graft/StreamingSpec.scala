@@ -35,6 +35,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch tracks distinct users with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.kmvDistinctUsers(input.toDS(), k = 32)
+      .writeStream.format("memory").queryName("kmv")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 2, "click", 1.0),
+        Event(3, ts(2), 2, "click", 1.0)) // dup user
+      q.processAllAvailable()
+      input.addData(Event(4, ts(3), 3, "click", 1.0))
+      q.processAllAvailable()
+      // below k the estimate is exact; latest Update-mode row wins
+      val rows = spark.sql("select * from kmv")
+        .as[(String, Double)].collect()
+      assert(rows.last == ("click", 3.0), rows.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs purchases with prior-hour signups") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
