@@ -77,6 +77,7 @@ object SparkEntry {
     "approx_distinct_kmv" -> (Sketches.approxDistinctKmv _),
     "events_range_join" -> (Events.eventsRangeJoin _),
     "sample_stratified" -> (Sampling.sampleStratified _),
+    "sample_per_group" -> (Sampling.samplePerGroup _),
     "text_pmi_bigrams" -> (TextAnalysis.textPmiBigrams _),
     "mm_frame_sample" -> ((s, d) => multimodal.BinaryColumns.frameSample(s, d)),
     // extraction
@@ -765,6 +766,17 @@ object SparkEntry {
         |   OR NOT regexp_matches(postcode, '^\d{4}$')
         |   OR lower(entity_status) <> 'active'
         |ORDER BY abn, entity_name""".stripMargin,
+
+    "sample_per_group" ->
+      """WITH d AS (SELECT lang, doc_id,
+        |   list_sum(list_transform(generate_series(1, 8),
+        |     i -> (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1) * pow(16, 8-i)))
+        |   / 4294967296.0 AS u
+        | FROM documents)
+        |SELECT lang, doc_id, round(u, 6) AS u FROM (
+        | SELECT *, row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rn
+        | FROM d) t
+        |WHERE rn <= 10 ORDER BY lang, u, doc_id""".stripMargin,
 
     "text_pmi_bigrams" ->
       """WITH uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM (

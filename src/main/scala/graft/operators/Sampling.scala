@@ -32,4 +32,21 @@ object Sampling {
       .select(col("doc_id"), col("lang"), round(col("u"), 6).as("u"))
       .orderBy("doc_id")
   }
+
+  /** Exactly-k-per-group sample: the k docs with the smallest content
+    * hash per language — a deterministic distributed reservoir
+    * (hash order IS a uniform random order, but reproducible). Runs
+    * on the TopKPerGroup custom exec: bounded per-group heaps, no
+    * per-group sort — rebalancing a trillion-doc corpus to n-per-class
+    * never materializes more than k rows per group per task.
+    */
+  def samplePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val d = Tables.documents(spark, dir)
+      .withColumn("u", graft.functions.HexExprs.uniformHash(col("text")))
+      .select(col("lang"), col("doc_id"), col("u"))
+    graft.plans.TopKPerGroup(d, Seq("lang"), Seq(("u", false), ("doc_id", false)), k)
+      .select(col("lang"), col("doc_id"), round(col("u"), 6).as("u"))
+      .orderBy("lang", "u", "doc_id")
+  }
 }
