@@ -62,6 +62,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "range predicate must ride an equi-join")
   }
 
+  test("matching family candidate generation never cartesians") {
+    for (q <- Seq(
+      operators.Matching.matchTfidfTopk(spark, sf),
+      operators.Matching.matchBm25Topk(spark, sf),
+      operators.Matching.matchPhonetic(spark, sf))) {
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+    }
+  }
+
   test("no registered query plans an unbounded single-partition window sort") {
     import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
