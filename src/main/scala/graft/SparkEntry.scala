@@ -76,6 +76,8 @@ object SparkEntry {
     // sketches + range join
     "approx_distinct_kmv" -> (Sketches.approxDistinctKmv _),
     "events_range_join" -> (Events.eventsRangeJoin _),
+    "events_histogram" -> (Events.eventsHistogram _),
+    "events_zscore" -> (Events.eventsZscore _),
     "sample_stratified" -> (Sampling.sampleStratified _),
     "sample_per_group" -> (Sampling.samplePerGroup _),
     "text_pmi_bigrams" -> (TextAnalysis.textPmiBigrams _),
@@ -864,6 +866,23 @@ object SparkEntry {
         |SELECT ex.lang AS lang, n_exact,
         | CASE WHEN m < 64 THEN CAST(m AS DOUBLE) ELSE round(63.0/uk, 6) END AS approx_distinct
         |FROM ex JOIN est ON ex.lang = est.lang ORDER BY lang""".stripMargin,
+
+    "events_histogram" ->
+      """SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+
+    "events_zscore" ->
+      """WITH stats AS (SELECT event_type,
+        |   sum(value)/count(*) AS mu,
+        |   sqrt(sum(value*value)/count(*)
+        |     - (sum(value)/count(*)) * (sum(value)/count(*))) AS sigma
+        | FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type AS event_type, value,
+        | round((value - mu)/sigma, 6) AS z
+        |FROM events e JOIN stats s ON e.event_type = s.event_type
+        |WHERE abs(round((value - mu)/sigma, 6)) >= 3.0
+        |ORDER BY event_id""".stripMargin,
 
     "events_range_join" ->
       """WITH ev AS (SELECT *, epoch_ns(ts)//1000000000 AS ts_s FROM events),

@@ -257,7 +257,7 @@ object Dedup {
     */
   def dedupEmbedNn(spark: SparkSession, dir: String): DataFrame = {
     val raw = Tables.embeddings(spark, dir)
-    val dim = raw.select(size(col("embedding"))).head.getInt(0)
+    val dim = raw.select(size(col("embedding"))).head().getInt(0)
     val e = raw.select(
       col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))

@@ -160,6 +160,39 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Fixed-width value histogram per event type — the distribution
+    * profiling pass run before choosing quality thresholds. Bins are
+    * integer arithmetic (floor(value/width)), so the whole histogram
+    * is one map-side-combined aggregation — no sort, no sketch
+    * needed, identical across engines.
+    */
+  def eventsHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(col("event_type"),
+        floor(col("value") / 10.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bin")
+  }
+
+  /** Per-type z-score outliers: flag events whose value deviates
+    * > 3σ from their type's mean. Mean/std come from one aggregation
+    * (population σ via E[x²]−E[x]² — a single pass, no second scan),
+    * broadcast back onto the stream — the anomaly-scan shape over any
+    * event volume.
+    */
+  def eventsZscore(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val stats = e.groupBy("event_type").agg(
+      (sum("value") / count(lit(1))).as("mu"),
+      sqrt((sum(col("value") * col("value")) / count(lit(1))) -
+        (sum("value") / count(lit(1))) * (sum("value") / count(lit(1)))).as("sigma"))
+    e.join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 6))
+      .filter(abs(col("z")) >= 3.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy("event_id")
+  }
+
   /** Range join, binned: each purchase joined to the same user's
     * events in the preceding hour, aggregated per purchase. A naive
     * inequality join is a per-key cartesian (the optimizer can only

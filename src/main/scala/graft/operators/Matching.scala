@@ -261,7 +261,7 @@ object Matching {
     // explicit exact-int sum / count (avg() accumulates in double —
     // summation drift there would desync the oracle)
     val avgLen = docLen
-      .agg((sum("len").cast("double") / count(lit(1))).as("a")).head.getDouble(0)
+      .agg((sum("len").cast("double") / count(lit(1))).as("a")).head().getDouble(0)
     // max_df prune BEFORE the inverted-index join: stopword-grade
     // tokens sit in ~every posting list, so they dominate |Q|·|C|
     // join volume while BM25's idf already weights them ≈ 0 —

@@ -153,14 +153,14 @@ object TextAnalysis {
     val d = Tables.documents(spark, dir)
     val uni = d.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw")).persist()
-    val n1 = uni.agg(sum("cw")).head.getLong(0)
+    val n1 = uni.agg(sum("cw")).head().getLong(0)
     val bi = d.withColumn("t", toks).filter(size(col("t")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(t)-1), i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"))
         .as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
     val cbi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cxy")).persist()
-    val n2 = cbi.agg(sum("cxy")).head.getLong(0)
+    val n2 = cbi.agg(sum("cxy")).head().getLong(0)
     val scored = cbi.filter(col("cxy") >= 5)
       .join(uni.select(col("w").as("w1"), col("cw").as("cx")), "w1")
       .join(uni.select(col("w").as("w2"), col("cw").as("cy")), "w2")
