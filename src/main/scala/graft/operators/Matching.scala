@@ -14,9 +14,11 @@ import graft.Tables
   *    (never a cartesian), so candidate count is bounded per block;
   *  - scoring is codegen'd column math (levenshtein on sorted-token
   *    names; tf-idf sparse dot via an inverted-index join);
-  *  - "best match per record" (entity_matching.py:29-41) is a
-  *    row_number window over (rounded score desc, key) — rounded
-  *    first so cross-engine float drift can't flip ranks.
+  *  - "best match per record" (entity_matching.py:29-41) is an
+  *    argmax aggregation max(struct(rounded score, -key)) — partial-
+  *    aggregated map-side (a window would sort the whole candidate
+  *    stream), rounded first so cross-engine float drift can't flip
+  *    ranks.
   *
   * At 100 TB the same plans hold: the block key bounds each join
   * task, the df table is small→broadcast, skewed tokens are pruned
