@@ -53,6 +53,7 @@ object SparkEntry {
     "match_bm25_topk" -> (Matching.matchBm25Topk _),
     "match_phonetic" -> (Matching.matchPhonetic _),
     "clean_abr_rejects" -> (Cleaning.cleanAbrRejects _),
+    "entity_enriched" -> (Matching.entityEnriched _),
     // dedup
     "dedup_exact_text" -> (Dedup.dedupExactText _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
@@ -475,6 +476,25 @@ object SparkEntry {
         | SELECT *, row_number() OVER (PARTITION BY i ORDER BY cosine DESC, j) AS rn
         | FROM cos) t
         |WHERE rn = 1 AND cosine >= 0.5 ORDER BY i""".stripMargin,
+
+    "entity_enriched" ->
+      s"""WITH $abrCleanedCte,
+         |cc AS (SELECT printf('%011d', s_suppkey) AS abn, s_name FROM supplier),
+         |$fuzzyBestCte,
+         |ex AS (SELECT abr.abn AS left_key, s_name AS right_name,
+         |   'exact' AS method, CAST(1.0 AS DOUBLE) AS score
+         |  FROM abr JOIN cc USING (abn)),
+         |fz AS (SELECT printf('%011d', c_custkey) AS left_key, s_name AS right_name,
+         |   'fuzzy' AS method, score FROM fuzzy_best),
+         |comb AS (SELECT left_key, right_name, method, score FROM (
+         | SELECT *, row_number() OVER (PARTITION BY left_key, right_name
+         |   ORDER BY method) AS rn
+         | FROM (SELECT * FROM ex UNION ALL SELECT * FROM fz) u) t
+         | WHERE rn = 1)
+         |SELECT abr.abn AS abn, entity_name, entity_type, postcode,
+         | right_name AS matched_name, method, score
+         |FROM abr LEFT JOIN comb ON abr.abn = comb.left_key
+         |ORDER BY abn, matched_name""".stripMargin,
 
     "match_combined" ->
       s"""WITH $abrCleanedCte,

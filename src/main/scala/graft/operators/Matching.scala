@@ -313,6 +313,23 @@ object Matching {
       .orderBy("left_key", "right_name")
   }
 
+  /** The reference's end product: the cleaned entity register
+    * LEFT-enriched with every match either method found — one row per
+    * (entity, matched name), unmatched entities kept with null
+    * enrichment (the "firmable" combined-company table the whole
+    * reference pipeline exists to produce). Entity side is
+    * PlanCache-shared; the join key is the validated 11-digit
+    * business key.
+    */
+  def entityEnriched(spark: SparkSession, dir: String): DataFrame = {
+    val abr = Cleaning.cleanAbr(spark, dir)
+    val matches = matchCombined(spark, dir).withColumnRenamed("left_key", "abn")
+    abr.join(matches, Seq("abn"), "left")
+      .select(col("abn"), col("entity_name"), col("entity_type"), col("postcode"),
+        col("right_name").as("matched_name"), col("method"), col("score"))
+      .orderBy("abn", "matched_name")
+  }
+
   /** Deterministic stand-in for the LLM pair classifier
     * (LLM/llm_entity_matching_demo.py): same I/O contract —
     * {match, confidence, reason} per candidate pair — driven by
