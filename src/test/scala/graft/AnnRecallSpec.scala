@@ -1,0 +1,37 @@
+package graft
+
+/** Cross-formulation equivalence for the batch ANN path. (A recall
+  * floor vs brute force was evaluated and deliberately NOT pinned:
+  * the driver's synthetic embeddings are near-uniform, so sign-bucket
+  * or centroid proximity does not imply cosine proximity on this
+  * data — measured IVF recall@10 is 1/5 and the 8-bit LSH bucket
+  * often holds a single unrelated vector. The approximate variants'
+  * CONTRACTS — search only the routed list / bucket — are pinned by
+  * the DuckDB oracle instead.)
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  test("knn_batch per-query results match an independent window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = operators.Similarity.knnBatch(spark, sf)
+      .select("q_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val e = Tables.embeddings(spark, sf).selectExpr(
+      "vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .withColumn("norm", expr(
+        "sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id"))
+    val expected = e.filter(col("vec_id") >= 8).crossJoin(broadcast(q))
+      .withColumn("cosine", round(
+        expr("aggregate(zip_with(v, qv, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+          / (col("norm") * col("qn")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("q_id", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+}

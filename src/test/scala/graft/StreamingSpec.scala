@@ -35,6 +35,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file source -> watermarked windows -> parquet sink, end to end") {
+    import spark.implicits._
+    // a real file-based stream (the ingestion shape for drop-folder
+    // pipelines), not MemoryStream: rows land as json files, the
+    // query discovers and processes them incrementally
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-stream-ck").toString
+    def writeBatch(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.write(srcDir.resolve(name),
+        rows.mkString("\n").getBytes("UTF-8"))
+    def js(id: Long, min: Long, et: String, v: Double): String =
+      s"""{"event_id":$id,"ts":"${new java.sql.Timestamp(base + min * 60000L)}","event_type":"$et","value":$v}"""
+    writeBatch("b1.json", Seq(js(1, 5, "click", 1.0), js(2, 10, "click", 2.0)))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE")
+    val stream = spark.readStream.schema(schema).json(srcDir.toString)
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // second file advances the watermark past hour 0 → window emits
+      writeBatch("b2.json", Seq(js(3, 200, "view", 3.0)))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(outDir)
+        .as[(Timestamp, String, Long, Double)].collect()
+      assert(rows.toSeq == Seq((ts(0), "click", 2L, 3.0)), rows.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("streaming KMV sketch tracks distinct users with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
