@@ -36,21 +36,34 @@ object Pipeline {
   }
 
   /** The LLM-training-data curation flow over the documents corpus:
-    * quality-score → near-dup components → keeper election →
-    * stratified sample — each stage parquet-materialized so a failed
-    * stage restarts from its input, not the source (the reference DAG's
+    * quality-score → near-dup components → curated sample. The final
+    * stage CHAINS on the earlier stages' parquet outputs — the sample
+    * keeps only docs whose quality bucket is 'ok' and drops every doc
+    * that lost its near-dup family election (keeper = the component's
+    * min id) — and each stage is materialized, so a failed stage
+    * restarts from its input, not the source (the reference DAG's
     * retry-per-task property, without the driver orchestration).
     */
   def runCuration(spark: SparkSession, dir: String, outDir: String): Seq[StageResult] = {
+    import org.apache.spark.sql.functions.col
     def stage(name: String, df: => DataFrame): StageResult = {
       val t0 = System.nanoTime()
       df.write.mode("overwrite").parquet(s"$outDir/$name")
       val rows = spark.read.parquet(s"$outDir/$name").count()
       StageResult(name, rows, (System.nanoTime() - t0) / 1e9)
     }
-    Seq(
-      stage("doc_quality", TextAnalysis.textQuality(spark, dir)),
-      stage("dup_components", Dedup.dedupComponents(spark, dir)),
-      stage("sampled", Sampling.sampleStratified(spark, dir)))
+    val quality = stage("doc_quality", TextAnalysis.textQuality(spark, dir))
+    val comps = stage("dup_components", Dedup.dedupComponents(spark, dir))
+    val curated = stage("curated_sample", {
+      val ok = spark.read.parquet(s"$outDir/doc_quality")
+        .filter(col("quality_bucket") === "ok").select("doc_id")
+      val dupLosers = spark.read.parquet(s"$outDir/dup_components")
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      Sampling.sampleStratified(spark, dir)
+        .join(ok, Seq("doc_id"))
+        .join(dupLosers, Seq("doc_id"), "left_anti")
+    })
+    Seq(quality, comps, curated)
   }
 }

@@ -16,5 +16,27 @@ object PlanCache {
   private val cache = TrieMap.empty[(String, SparkSession, String), DataFrame]
 
   def cached(name: String, spark: SparkSession, dir: String)(build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((name, spark, dir), build.persist())
+    cache.get((name, spark, dir)) match {
+      case Some(df) => df
+      case None =>
+        val built = build.persist()
+        // putIfAbsent (not getOrElseUpdate): two threads may race the
+        // build — the loser's persisted plan must be unpinned, not
+        // stranded in the block manager forever
+        cache.putIfAbsent((name, spark, dir), built) match {
+          case Some(winner) => built.unpersist(); winner
+          case None => built
+        }
+    }
+
+  /** Unpersist and drop every cached plan — call when the data under
+    * a cached dir changes, or between test suites. The cache is
+    * otherwise intentionally process-lifetime: entries are one small
+    * relation per (operator, session, dir).
+    */
+  def clear(): Unit = {
+    cache.values.foreach(df =>
+      try df.unpersist() catch { case _: Exception => () })
+    cache.clear()
+  }
 }

@@ -460,7 +460,7 @@ object SparkEntry {
         |  FROM tfn t JOIN idf USING (token)),
         |norms AS (SELECT doc_id, sqrt(sum(w*w)) AS norm FROM w GROUP BY doc_id),
         |pref AS (SELECT doc_id, token FROM (
-        |   SELECT doc_id, token, row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, token) AS rn
+        |   SELECT doc_id, token, row_number() OVER (PARTITION BY doc_id ORDER BY round(w, 6) DESC, token) AS rn
         |   FROM w) p WHERE rn <= 8),
         |cand AS (SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
         |  FROM pref l JOIN pref r ON l.token = r.token

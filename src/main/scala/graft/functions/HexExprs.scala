@@ -48,19 +48,29 @@ case class HexPrefixLongExpr(child: Expression, digits: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
+    nullSafeCodeGen(ctx, ev, a => {
+      // freshName: two instances of this expression can land in the
+      // same whole-stage-codegen scope — fixed identifiers would
+      // collide and silently fall the stage back to interpreted mode
+      val bs = ctx.freshName("bs")
+      val acc = ctx.freshName("acc")
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val v = ctx.freshName("v")
       s"""
-         |byte[] bs = $a.getBytes();
-         |long acc = 0L;
-         |int n = java.lang.Math.min($digits, bs.length);
-         |for (int k = 0; k < n; k++) {
-         |  byte c = bs[k];
-         |  long v = (c >= '0' && c <= '9') ? (long)(c - '0')
-         |    : ((c >= 'a' && c <= 'f') ? (long)(c - 'a' + 10) : -1L);
-         |  acc = acc * 16L + v;
+         |byte[] $bs = $a.getBytes();
+         |long $acc = 0L;
+         |int $n = java.lang.Math.min($digits, $bs.length);
+         |for (int $k = 0; $k < $n; $k++) {
+         |  byte $c = $bs[$k];
+         |  long $v = ($c >= '0' && $c <= '9') ? (long)($c - '0')
+         |    : (($c >= 'a' && $c <= 'f') ? (long)($c - 'a' + 10) : -1L);
+         |  $acc = $acc * 16L + $v;
          |}
-         |${ev.value} = acc;
-       """.stripMargin)
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

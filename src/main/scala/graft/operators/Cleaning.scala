@@ -37,7 +37,12 @@ object Cleaning {
   def cleanAbr(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache.cached("clean_abr", spark, dir)(cleanAbrImpl(spark, dir))
 
-  private def cleanAbrImpl(spark: SparkSession, dir: String): DataFrame = {
+  /** The shaped+trimmed ABR projection — the ONE definition of the
+    * synthetic corruption rules, shared by the accept (cleanAbr) and
+    * reject (cleanAbrRejects) sides so they always partition the
+    * input exactly.
+    */
+  private def abrShapedTrimmed(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val shaped = c.select(
       // ~1/7 of rows get a corrupt (10-digit) abn, ~1/5 a bad postcode
@@ -49,14 +54,17 @@ object Cleaning {
       when(col("c_custkey") % 5 === 0, lit("99"))
         .otherwise(format_string("%04d", col("c_nationkey") * 100 + col("c_custkey") % 100)).as("postcode"),
       col("c_acctbal"))
-    val trimmed = shaped.columns.foldLeft(shaped) { (df, name) =>
+    shaped.columns.foldLeft(shaped) { (df, name) =>
       df.schema(name).dataType match {
         case org.apache.spark.sql.types.StringType => df.withColumn(name, trim(col(name)))
         case _ => df
       }
     }
+  }
+
+  private def cleanAbrImpl(spark: SparkSession, dir: String): DataFrame = {
     val keyDedup = Window.partitionBy("abn").orderBy("entity_name")
-    trimmed
+    abrShapedTrimmed(spark, dir)
       .filter(col("abn").rlike("^\\d{11}$"))
       .filter(col("postcode").rlike("^\\d{4}$"))
       .filter(lower(col("entity_status")) === "active")
@@ -73,16 +81,8 @@ object Cleaning {
     * shrinking the output (the observability half of clean_abr.py's
     * filter chain). Same one-pass shaped projection; no extra scan.
     */
-  def cleanAbrRejects(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
-    val shaped = c.select(
-      when(col("c_custkey") % 7 === 0, format_string("%010d", col("c_custkey")))
-        .otherwise(format_string("%011d", col("c_custkey"))).as("abn"),
-      trim(concat(lit("  "), col("c_name"), lit("  "))).as("entity_name"),
-      when(col("c_custkey") % 3 === 0, lit("active")).otherwise(lit("cancelled")).as("entity_status"),
-      when(col("c_custkey") % 5 === 0, lit("99"))
-        .otherwise(format_string("%04d", col("c_nationkey") * 100 + col("c_custkey") % 100)).as("postcode"))
-    shaped
+  def cleanAbrRejects(spark: SparkSession, dir: String): DataFrame =
+    abrShapedTrimmed(spark, dir)
       .withColumn("reject_reason",
         when(!col("abn").rlike("^\\d{11}$"), "invalid_abn")
           .when(!col("postcode").rlike("^\\d{4}$"), "invalid_postcode")
@@ -90,7 +90,6 @@ object Cleaning {
       .filter(col("reject_reason").isNotNull)
       .select("abn", "entity_name", "reject_reason")
       .orderBy("abn", "entity_name")
-  }
 
   /** Common-Crawl-shaped cleaning on a part projection: URL trim +
     * truncate-500 + lowercase, company-name title-case + whitespace

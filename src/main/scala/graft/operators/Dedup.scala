@@ -206,8 +206,11 @@ object Dedup {
     * neighbor-min alone needs diameter rounds.
     */
   def labelPropagate(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val bidir = edges.unionByName(
-      edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    // persist edges before the union: bidir's two branches would
+    // otherwise each re-evaluate the (possibly expensive) edge lineage
+    val e = edges.persist()
+    val bidir = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst"))).persist()
     var labels = bidir.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist()
@@ -248,6 +251,7 @@ object Dedup {
       rounds += 1
     }
     bidir.unpersist()
+    e.unpersist()
     labels
   }
 
@@ -257,7 +261,6 @@ object Dedup {
     */
   def dedupEmbedNn(spark: SparkSession, dir: String): DataFrame = {
     val raw = Tables.embeddings(spark, dir)
-    val dim = raw.select(size(col("embedding"))).head().getInt(0)
     val e = raw.select(
       col("vec_id"), col("label"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))

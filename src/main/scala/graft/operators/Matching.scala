@@ -139,9 +139,12 @@ object Matching {
     // candidates to near-matches (1.4s) and the cosine stays EXACT
     // over the full vectors for every candidate. Runs on the
     // TopKPerGroup custom exec — bounded heaps, no per-doc sort.
+    // prefix ranks on the ROUNDED weight (project rule: never rank on
+    // raw doubles — Spark's and DuckDB's libm can round the last ulp
+    // of log() differently and flip a prefix membership)
     val prefix = graft.plans.TopKPerGroup(
-      weights.select(col("doc_id"), col("token"), col("w")),
-      Seq("doc_id"), Seq(("w", true), ("token", false)), 8)
+      weights.select(col("doc_id"), col("token"), round(col("w"), 6).as("wr")),
+      Seq("doc_id"), Seq(("wr", true), ("token", false)), 8)
     val cand = prefix.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id").as("i"), col("token"))
       .join(prefix.filter(col("doc_id") % 2 === 1)

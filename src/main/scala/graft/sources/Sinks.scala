@@ -92,13 +92,24 @@ object Sinks {
     val files = math.max(1L, (df.count() + rowsPerFile - 1) / rowsPerFile).toInt
     val tmp = path + "_compact_tmp"
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // swap via a backup rename so the original is never deleted until
+    // the compacted copy is in place — an unchecked delete-then-rename
+    // destroys the only copy when the rename fails (cross-filesystem
+    // tmp, permissions)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
     }
-    val (dst, src) = (new java.io.File(path), new java.io.File(tmp))
-    rm(dst)
-    src.renameTo(dst)
-    ()
+    val dst = new java.io.File(path)
+    val src = new java.io.File(tmp)
+    val bak = new java.io.File(path + "_compact_bak")
+    if (bak.exists()) rm(bak)
+    if (!dst.renameTo(bak))
+      sys.error(s"compact: could not move $path aside to $bak")
+    if (!src.renameTo(dst)) {
+      bak.renameTo(dst) // restore
+      sys.error(s"compact: could not move $tmp into place at $path")
+    }
+    rm(bak)
   }
 
   /** JDBC batch write — the transport of the reference's loading
@@ -128,13 +139,15 @@ object Sinks {
   def upsertJdbc(updates: DataFrame, url: String, table: String,
                  keyCols: Seq[String], versionCol: String,
                  props: java.util.Properties, batchSize: Int = 10000): Unit = {
+    val cols = updates.columns.toSeq
+    require(cols.exists(!keyCols.contains(_)),
+      "upsertJdbc needs at least one non-key column to merge")
     val staging = table + "_stg"
     writeJdbc(updates, url, staging, props, batchSize, SaveMode.Overwrite)
     // Spark's JDBC writer quotes COLUMN names (case-exact) but passes
     // the table name through verbatim — mirror that here, or the DB
     // resolves the identifiers differently than the writer created them.
     def q(id: String) = "\"" + id + "\""
-    val cols = updates.columns.toSeq
     val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
     val set = cols.filterNot(keyCols.contains).map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
     val merge =
@@ -145,9 +158,14 @@ object Sinks {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      st.executeUpdate(merge)
-      st.executeUpdate(s"DROP TABLE $staging")
-      st.close()
+      try st.executeUpdate(merge)
+      finally {
+        // drop staging even when the MERGE throws (e.g. duplicate
+        // keys in updates) — otherwise it strands in the DB
+        try st.executeUpdate(s"DROP TABLE $staging")
+        catch { case _: java.sql.SQLException => () }
+        st.close()
+      }
     } finally conn.close()
   }
 }

@@ -16,14 +16,22 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/quality_metrics").count() == 10)
   }
 
-  test("curation pipeline: quality -> dup components -> sample") {
+  test("curation pipeline: quality -> dup components -> curated sample") {
+    import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("graft-curation").toString
     val results = Pipeline.runCuration(spark, sf, out)
-    assert(results.map(_.name) == Seq("doc_quality", "dup_components", "sampled"))
+    assert(results.map(_.name) == Seq("doc_quality", "dup_components", "curated_sample"))
     assert(results.forall(_.rows > 0), results.mkString(", "))
-    // the sample is a strict, non-empty subset of the corpus
+    // the curated sample is a strict subset of the corpus...
     val nDocs = Tables.documents(spark, sf).count()
-    val sampled = results.find(_.name == "sampled").get.rows
-    assert(sampled < nDocs)
+    val curated = spark.read.parquet(s"$out/curated_sample")
+    assert(curated.count() < nDocs)
+    // ...that chains on the earlier stages: no quality failures, no
+    // dup-election losers survive
+    val quality = spark.read.parquet(s"$out/doc_quality")
+    assert(curated.join(quality.filter(col("quality_bucket") =!= "ok"), "doc_id").count() == 0)
+    val losers = spark.read.parquet(s"$out/dup_components")
+      .filter(col("id") =!= col("component")).select(col("id").as("doc_id"))
+    assert(curated.join(losers, "doc_id").count() == 0)
   }
 }
