@@ -75,8 +75,11 @@ object Matching {
     val s = Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
         normName(col("s_name")).as("s_norm"))
+    // banded native similarity: exact for every pair that can clear
+    // the 0.5 threshold; provably-below pairs abandon early
     val scored = c.join(broadcast(s), col("c_nationkey") === col("s_nationkey"))
-      .withColumn("score", round(tokenSortSim(col("c_norm"), col("s_norm")), 6))
+      .withColumn("score", round(
+        graft.functions.BoundedLev.sim(col("c_norm"), col("s_norm"), 0.5), 6))
       .filter(col("score") >= 0.5)
     // best-per-customer as a partial-aggregating argmax (score desc,
     // suppkey asc) — no window sort over the candidate stream
@@ -234,7 +237,8 @@ object Matching {
       .select(col("p_partkey").as("r_key"), col("p_name").as("r_name"),
         col("blk"), col("norm").as("r_norm"))
     left.join(right, "blk")
-      .withColumn("score", round(tokenSortSim(col("l_norm"), col("r_norm")), 6))
+      .withColumn("score", round(
+        graft.functions.BoundedLev.sim(col("l_norm"), col("r_norm"), 0.5), 6))
       .filter(col("score") >= 0.5)
       .groupBy("l_key")
       .agg(max(struct(col("score"), (-col("r_key")).as("nk"), col("r_name"))).as("m"))
