@@ -459,16 +459,14 @@ object SparkEntry {
         |w AS (SELECT doc_id, t.token, tf * ln((SELECT n FROM nd)/df) AS w
         |  FROM tfn t JOIN idf USING (token)),
         |norms AS (SELECT doc_id, sqrt(sum(w*w)) AS norm FROM w GROUP BY doc_id),
-        |pref AS (SELECT doc_id, token FROM (
-        |   SELECT doc_id, token, row_number() OVER (PARTITION BY doc_id ORDER BY round(w, 6) DESC, token) AS rn
-        |   FROM w) p WHERE rn <= 8),
-        |cand AS (SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
-        |  FROM pref l JOIN pref r ON l.token = r.token
-        |  WHERE l.doc_id % 2 = 0 AND r.doc_id % 2 = 1),
-        |dots AS (SELECT c.i, c.j, sum(lw.w * rw.w) AS dot
-        |  FROM cand c JOIN w lw ON lw.doc_id = c.i
-        |              JOIN w rw ON rw.doc_id = c.j AND rw.token = lw.token
-        |  GROUP BY c.i, c.j),
+        |-- UNFILTERED exact pairwise cosine: the Spark side's prefix
+        |-- filter is a lossless threshold bound, so it must reproduce
+        |-- this exact formulation bit-for-bit — the gate now detects
+        |-- any recall loss in the candidate generation.
+        |dots AS (SELECT lw.doc_id AS i, rw.doc_id AS j, sum(lw.w * rw.w) AS dot
+        |  FROM w lw JOIN w rw ON rw.token = lw.token
+        |  WHERE lw.doc_id % 2 = 0 AND rw.doc_id % 2 = 1
+        |  GROUP BY 1, 2),
         |cos AS (SELECT i, j, round(dot/(ni.norm*nj.norm), 6) AS cosine
         |  FROM dots JOIN norms ni ON dots.i = ni.doc_id
         |            JOIN norms nj ON dots.j = nj.doc_id)

@@ -98,10 +98,13 @@ object Matching {
   def matchTfidfTopk(spark: SparkSession, dir: String): DataFrame =
     matchTfidfTopk(spark, dir, denseVocabMax = 4096)
 
-  /** denseVocabMax exposed so tests can force the sparse path; both
-    * paths must produce identical rounded results.
+  /** denseVocabMax exposed so tests can force the sparse path;
+    * prefixFilter=false disables candidate pruning entirely (the
+    * brute-force reference formulation). All variants must produce
+    * identical rounded results — the prefix bound is lossless.
     */
-  def matchTfidfTopk(spark: SparkSession, dir: String, denseVocabMax: Int): DataFrame = {
+  def matchTfidfTopk(spark: SparkSession, dir: String, denseVocabMax: Int,
+      prefixFilter: Boolean = true): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // 1-2-gram vocabulary, mirroring TfidfVectorizer(ngram_range=(1,2))
     // in entity_matching_optimized.py:146-149 — bigram features let
@@ -134,23 +137,46 @@ object Matching {
       .withColumn("w", col("tf") * log(lit(nDocs.toDouble) / col("df").cast("double")))
       .persist()
     val vocab = dfreq.count()
-    // Prefix-filtered candidate generation (PPJoin-style): a pair is
-    // a candidate iff the two docs share one of each other's top-8
-    // highest-weight terms. With a 1-2-gram vocabulary over templated
-    // text, the raw token join is quadratic (every doc shares common
-    // grams with every doc — measured 22s at sf0.1); prefixes bound
-    // candidates to near-matches (1.4s) and the cosine stays EXACT
-    // over the full vectors for every candidate. Runs on the
-    // TopKPerGroup custom exec — bounded heaps, no per-doc sort.
-    // prefix ranks on the ROUNDED weight (project rule: never rank on
-    // raw doubles — Spark's and DuckDB's libm can round the last ulp
-    // of log() differently and flip a prefix membership)
-    val prefix = graft.plans.TopKPerGroup(
-      weights.select(col("doc_id"), col("token"), round(col("w"), 6).as("wr")),
-      Seq("doc_id"), Seq(("wr", true), ("token", false)), 8)
-    val cand = prefix.filter(col("doc_id") % 2 === 0)
+    // Prefix-filtered candidate generation — a LOSSLESS PPJoin bound,
+    // sized from the cosine threshold rather than a fixed top-k: per
+    // query doc, terms are ordered by descending weight and a term
+    // stays in the prefix while the L2 norm of the remaining suffix
+    // (term included) is still >= t·||doc||. If a corpus doc shares
+    // NO prefix term of the query, then by Cauchy-Schwarz
+    // cosine <= ||suffix||/||doc|| < t, so no pair with cosine >= t
+    // can be dropped — the filter only prunes provably-sub-threshold
+    // pairs, unlike a fixed top-8 (which silently loses a true match
+    // whose overlap avoids both top-8s). With a 1-2-gram vocabulary
+    // over templated text the raw token join is quadratic (every doc
+    // shares common grams with every doc — measured 22s at sf0.1);
+    // the prefix join stays near-linear because high-weight terms are
+    // high-idf (rare) terms with short posting lists. The window is
+    // PARTITIONED (per doc) with a running frame — bounded state, no
+    // global sort. Ranked on the ROUNDED weight (project rule: never
+    // rank on raw doubles) with a 2e-6 threshold margin absorbing the
+    // round-6 applied to the final cosine.
+    val simT = 0.5
+    val wOrd = Window.partitionBy("doc_id")
+      .orderBy(col("wr").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = weights
+      .select(col("doc_id"), col("token"), round(col("w"), 6).as("wr"),
+        (col("w") * col("w")).as("w2"))
+      .withColumn("n2", sum(col("w2")).over(Window.partitionBy("doc_id")))
+      .withColumn("cumExc", coalesce(sum(col("w2")).over(wOrd), lit(0.0)))
+      .filter(col("n2") - col("cumExc") >=
+        lit((simT - 2e-6) * (simT - 2e-6)) * col("n2"))
+      .select("doc_id", "token")
+    // probe side = query prefixes; build side = the corpus half's FULL
+    // (max_df-pruned) postings — prefix-vs-prefix without a shared
+    // global ordering would be lossy again (a qualifying token can sit
+    // in one doc's prefix and the other's suffix)
+    val probe =
+      if (prefixFilter) prefix
+      else weights.select("doc_id", "token")
+    val cand = probe.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id").as("i"), col("token"))
-      .join(prefix.filter(col("doc_id") % 2 === 1)
+      .join(weights.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id").as("j"), col("token")), "token")
       .select("i", "j").distinct()
     // Two physical plans, one logical result (scores only compared

@@ -81,6 +81,19 @@ class OperatorsSpec extends SparkSpec {
     assert(dense == sparse)
   }
 
+  test("tfidf prefix filter is lossless vs unfiltered candidates") {
+    // the threshold-derived PPJoin prefix bound must reproduce the
+    // brute-force (no candidate pruning) formulation exactly — zero
+    // recall loss, not an approximation
+    val pruned = operators.Matching.matchTfidfTopk(spark, sf, denseVocabMax = 256)
+      .collect().map(_.toSeq).toSet
+    val full = operators.Matching
+      .matchTfidfTopk(spark, sf, denseVocabMax = 256, prefixFilter = false)
+      .collect().map(_.toSeq).toSet
+    assert(pruned == full)
+    assert(pruned.nonEmpty)
+  }
+
   test("label propagation converges on a long chain (many rounds)") {
     import spark.implicits._
     // a 33-node path graph needs ~log2(32)=5 propagation rounds —
