@@ -15,7 +15,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PlanCache {
   private val cache = TrieMap.empty[(String, SparkSession, String), DataFrame]
 
-  def cached(name: String, spark: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+  def cached(name: String, spark: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
+    // entries for stopped sessions are dead weight: their persisted
+    // blocks are already gone with the session's block manager, and
+    // keeping them would pin the SparkSession itself for the process
+    // lifetime — evict them whenever the cache is touched
+    cache.filterInPlace { case ((_, s, _), _) => !s.sparkContext.isStopped }
     cache.get((name, spark, dir)) match {
       case Some(df) => df
       case None =>
@@ -27,6 +32,17 @@ object PlanCache {
           case Some(winner) => built.unpersist(); winner
           case None => built
         }
+    }
+  }
+
+  /** Drop (and unpersist) every entry cached under `dir` — call after
+    * rewriting data in place, so later reads rebuild from the new
+    * files instead of serving the stale persisted relation.
+    */
+  def invalidate(dir: String): Unit =
+    cache.filterInPlace { case ((_, _, d), df) =>
+      if (d == dir) { try df.unpersist() catch { case _: Exception => () }; false }
+      else true
     }
 
   /** Unpersist and drop every cached plan — call when the data under

@@ -569,13 +569,13 @@ object SparkEntry {
         |ex AS (SELECT doc_id, lang,
         |   ((strpos('0123456789abcdef', substr(md5(ng),1,1)) - 1) * 256
         |    + (strpos('0123456789abcdef', substr(md5(ng),2,1)) - 1) * 16
-        |    + (strpos('0123456789abcdef', substr(md5(ng),3,1)) - 1)) % 2048 AS r
+        |    + (strpos('0123456789abcdef', substr(md5(ng),3,1)) - 1)) % 4096 AS r
         |  FROM (SELECT doc_id, lang, unnest(g) AS ng FROM g) t),
         |bits AS (SELECT doc_id, lang, r//32 AS wi,
         |   CAST(bit_or(CAST(1 AS BIGINT) << (r % 32)) AS BIGINT) AS wrd
         |  FROM ex GROUP BY 1, 2, 3),
         |grid AS (SELECT doc_id, lang,
-        |   unnest(generate_series(0, 63)) AS wi FROM g),
+        |   unnest(generate_series(0, 127)) AS wi FROM g),
         |dense AS (SELECT doc_id, lang, list(wrd ORDER BY wi) AS v,
         |   CAST(sum(bit_count(wrd)) AS BIGINT) AS n FROM (
         |  SELECT grid.doc_id, grid.lang, grid.wi, coalesce(bits.wrd, 0) AS wrd

@@ -111,9 +111,9 @@ object Dedup {
   }
 
   /** Character-3-gram jaccard ≥ 0.8 within language blocks, over
-    * fixed-width hashed bitsets: each gram hashes into a 2048-bit
+    * fixed-width hashed bitsets: each gram hashes into a 4096-bit
     * universe (3 md5 nibbles — engine-portable), a doc's gram set
-    * becomes 64 packed 32-bit words built map-side in ONE pass (no
+    * becomes 128 packed 32-bit words built map-side in ONE pass (no
     * vocabulary scan, no driver collect — a Unicode web corpus has an
     * effectively unbounded 3-gram vocabulary, so any global ranking
     * is a scale-killer), and per-pair intersection is a codegen'd
@@ -122,18 +122,27 @@ object Dedup {
     * the hashed-universe jaccard — the standard feature-hashing
     * approximation, identical across engines.
     */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val words = 64 // 2048 bits / 32 bits per word
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardScores(spark, dir)
+      .filter(col("jaccard") >= 0.8)
+      .select("i", "j", "jaccard")
+      .orderBy("i", "j")
+
+  /** All in-block pair scores, pre-threshold — exposed so tests can
+    * bound the feature-hashing drift against exact gram-set jaccard.
+    */
+  def ngramJaccardScores(spark: SparkSession, dir: String): DataFrame = {
+    val words = 128 // 4096 bits / 32 bits per word
     val g = Tables.documents(spark, dir)
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"), array_distinct(expr(
         "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("g"))
-    // gram → bit index: first 3 md5 nibbles (12 bits) mod 2048, via
+    // gram → bit index: first 3 md5 nibbles (12 bits = 4096), via
     // the native graft_hex_long (oracle mirrors it with instr nibble
     // math, digit-for-digit)
     val ex = g.select(col("doc_id"), col("lang"), explode(col("g")).as("ng"))
       .withColumn("r",
-        (graft.functions.HexExprs.hexPrefixLong(md5(col("ng")), 3) % 2048).cast("int"))
+        (graft.functions.HexExprs.hexPrefixLong(md5(col("ng")), 3) % 4096).cast("int"))
     // bit_or (not sum): distinct grams may collide on a bit
     val bits = ex
       .groupBy(col("doc_id"), col("lang"), expr("CAST(r div 32 AS INT)").as("wi"))
@@ -165,9 +174,7 @@ object Dedup {
       .withColumn("inter", inter.cast("double"))
       .withColumn("jaccard", round(
         col("inter") / (col("la") + col("lb") - col("inter")), 6))
-      .filter(col("jaccard") >= 0.8)
       .select("i", "j", "jaccard")
-      .orderBy("i", "j")
   }
 
   /** Connected components over the near-duplicate graph (edges =

@@ -90,26 +90,34 @@ object Sinks {
               rowsPerFile: Long): Unit = {
     val df = spark.read.parquet(path)
     val files = math.max(1L, (df.count() + rowsPerFile - 1) / rowsPerFile).toInt
-    val tmp = path + "_compact_tmp"
-    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
-    // swap via a backup rename so the original is never deleted until
-    // the compacted copy is in place — an unchecked delete-then-rename
-    // destroys the only copy when the rename fails (cross-filesystem
-    // tmp, permissions)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    // Hadoop FileSystem, not java.io.File: the path may be hdfs:// or
+    // s3a://, where local renames silently do nothing. Resolve the FS
+    // from the path's own scheme.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + "_compact_bak")
+    try {
+      df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // swap via a backup rename so the original is never deleted until
+      // the compacted copy is in place — an unchecked delete-then-rename
+      // destroys the only copy when the rename fails. Note: the swap is
+      // not atomic for concurrent readers (directory renames are not
+      // transactional on any of these filesystems) — schedule compaction
+      // when the table is not being scanned, or use a table format with
+      // snapshot isolation.
+      if (fs.exists(bak)) fs.delete(bak, true)
+      if (!fs.rename(hPath, bak))
+        sys.error(s"compact: could not move $path aside to $bak")
+      if (!fs.rename(tmp, hPath)) {
+        fs.rename(bak, hPath) // restore
+        sys.error(s"compact: could not move $tmp into place at $path")
+      }
+      fs.delete(bak, true)
+    } finally {
+      // never strand the tmp copy (e.g. the write or a rename threw)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
     }
-    val dst = new java.io.File(path)
-    val src = new java.io.File(tmp)
-    val bak = new java.io.File(path + "_compact_bak")
-    if (bak.exists()) rm(bak)
-    if (!dst.renameTo(bak))
-      sys.error(s"compact: could not move $path aside to $bak")
-    if (!src.renameTo(dst)) {
-      bak.renameTo(dst) // restore
-      sys.error(s"compact: could not move $tmp into place at $path")
-    }
-    rm(bak)
   }
 
   /** JDBC batch write — the transport of the reference's loading
@@ -142,7 +150,16 @@ object Sinks {
     val cols = updates.columns.toSeq
     require(cols.exists(!keyCols.contains(_)),
       "upsertJdbc needs at least one non-key column to merge")
-    val staging = table + "_stg"
+    // the table name is interpolated into MERGE/DROP SQL and handed to
+    // Spark's JDBC writer verbatim (the writer does not quote table
+    // identifiers) — restrict it to plain identifiers rather than
+    // trusting the caller's string
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?"),
+      s"upsertJdbc: unsafe table identifier '$table'")
+    // unique per-run staging name: two concurrent upserts into the same
+    // target must not overwrite each other's staged batch
+    val staging = table + "_stg_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     writeJdbc(updates, url, staging, props, batchSize, SaveMode.Overwrite)
     // Spark's JDBC writer quotes COLUMN names (case-exact) but passes
     // the table name through verbatim — mirror that here, or the DB

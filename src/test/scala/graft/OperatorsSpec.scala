@@ -94,6 +94,39 @@ class OperatorsSpec extends SparkSpec {
     assert(pruned.nonEmpty)
   }
 
+  test("ngram hashed-bitset jaccard: collision inflation is bounded") {
+    // dedup_ngram_jaccard scores jaccard over a 4096-bit hashed gram
+    // universe instead of the exact gram sets (feature hashing —
+    // collisions can inflate the score and cause false near-dup
+    // merges). Bound the approximation on the test corpus: compare
+    // exact char-3-gram jaccard vs the hashed score for every
+    // in-block pair and require (a) small max absolute drift and
+    // (b) an unchanged >= 0.8 merge decision set.
+    val docs = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), array_distinct(expr(
+        "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("g"))
+      .persist()
+    val exact = docs.select(col("doc_id").as("i"), col("lang"), col("g").as("ga"))
+      .join(docs.select(col("doc_id").as("j"), col("lang"), col("g").as("gb")), Seq("lang"))
+      .filter(col("i") < col("j"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+      .withColumn("exact_j",
+        col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")))
+      .select("i", "j", "exact_j")
+    val hashed = operators.Dedup.ngramJaccardScores(spark, sf)
+    val joined = exact.join(hashed, Seq("i", "j"), "left")
+      .select(col("exact_j"), coalesce(col("jaccard"), lit(0.0)).as("hashed_j"))
+      .persist()
+    val maxDrift = joined.agg(max(abs(col("hashed_j") - col("exact_j"))))
+      .head.getDouble(0)
+    assert(maxDrift <= 0.05, s"hashed jaccard drifts $maxDrift from exact")
+    val flipped = joined
+      .filter((col("exact_j") >= 0.8) =!= (col("hashed_j") >= 0.8)).count()
+    assert(flipped == 0, s"$flipped pairs flip the 0.8 merge decision")
+    docs.unpersist(); joined.unpersist()
+  }
+
   test("label propagation converges on a long chain (many rounds)") {
     import spark.implicits._
     // a 33-node path graph needs ~log2(32)=5 propagation rounds —
