@@ -61,6 +61,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_embed_nn" -> (Dedup.dedupEmbedNn _),
     "dedup_components" -> (Dedup.dedupComponents _),
+    "dedup_substring" -> (Dedup.dedupSubstring _),
+    "contamination_ngram" -> (Dedup.contaminationNgram _),
     // text analysis
     "text_langid" -> (TextAnalysis.textLangid _),
     "text_quality" -> (TextAnalysis.textQuality _),
@@ -69,11 +71,14 @@ object SparkEntry {
     "text_bigrams" -> (TextAnalysis.textBigrams _),
     "text_tokens_bpe" -> (TextAnalysis.textTokensBpe _),
     "text_rolling_hash" -> (TextAnalysis.textRollingHash _),
+    "text_perplexity" -> (TextAnalysis.textPerplexity _),
+    "text_repetition" -> (TextAnalysis.textRepetition _),
     // similarity search
     "knn_brute" -> (Similarity.knnBrute _),
     "knn_signlsh" -> (Similarity.knnSignLsh _),
     "knn_ivf" -> (Similarity.knnIvf _),
     "knn_batch" -> (Similarity.knnBatch _),
+    "cluster_kmeans" -> (Similarity.clusterKmeans _),
     // sketches + range join
     "approx_distinct_kmv" -> (Sketches.approxDistinctKmv _),
     "events_range_join" -> (Events.eventsRangeJoin _),
@@ -81,6 +86,7 @@ object SparkEntry {
     "events_zscore" -> (Events.eventsZscore _),
     "sample_stratified" -> (Sampling.sampleStratified _),
     "sample_per_group" -> (Sampling.samplePerGroup _),
+    "sample_weighted_mix" -> (Sampling.sampleWeightedMix _),
     "text_pmi_bigrams" -> (TextAnalysis.textPmiBigrams _),
     "mm_frame_sample" -> ((s, d) => multimodal.BinaryColumns.frameSample(s, d)),
     // extraction
@@ -853,6 +859,116 @@ object SparkEntry {
         | FROM documents)
         |SELECT doc_id, lang, round(u, 6) AS u FROM d
         |WHERE u < rate ORDER BY doc_id""".stripMargin,
+
+    "sample_weighted_mix" ->
+      """WITH d AS (SELECT doc_id, source, text,
+        |   CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS n_tokens FROM documents),
+        |bysrc AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tok_s FROM d GROUP BY 1),
+        |b AS (SELECT CAST(min(tok_s) AS DOUBLE) AS budget FROM bysrc),
+        |rates AS (SELECT source, round(least(CAST(1.0 AS DOUBLE),
+        |    (SELECT budget FROM b) / CAST(tok_s AS DOUBLE)), 6) AS rate FROM bysrc),
+        |u AS (SELECT doc_id, source, n_tokens,
+        |   list_sum(list_transform(generate_series(1, 8),
+        |     i -> (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1) * pow(16, 8-i)))
+        |   / 4294967296.0 AS u FROM d)
+        |SELECT u.doc_id, u.source, u.n_tokens, rates.rate, round(u.u, 6) AS u
+        |FROM u JOIN rates ON u.source = rates.source
+        |WHERE u.u < rates.rate ORDER BY doc_id""".stripMargin,
+
+    "text_perplexity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |uni AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS cw FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS total FROM uni),
+        |d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |   sum(cnt * ln((SELECT total FROM tot) / cw)) AS nll
+        |  FROM tf JOIN uni USING (w) GROUP BY 1)
+        |SELECT doc_id, n_tokens, round(nll/n_tokens, 6) AS avg_nll,
+        | round(exp(round(nll/n_tokens, 6)), 6) AS ppl
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |   CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct FROM d),
+        |bi AS (SELECT doc_id, max(c) AS top2 FROM (
+        |   SELECT doc_id, g, count(*) AS c FROM (
+        |     SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+        |        i -> array_to_string(t[i:i+1], ' '))) AS g
+        |     FROM d WHERE len(t) >= 2) x GROUP BY 1, 2) y GROUP BY 1),
+        |tri AS (SELECT doc_id, max(c) AS top3 FROM (
+        |   SELECT doc_id, g, count(*) AS c FROM (
+        |     SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+        |        i -> array_to_string(t[i:i+2], ' '))) AS g
+        |     FROM d WHERE len(t) >= 3) x GROUP BY 1, 2) y GROUP BY 1),
+        |s AS (SELECT base.doc_id, n_tokens,
+        |   round(CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE)/n_tokens, 6) AS dup_word_frac,
+        |   round(CAST(coalesce(top2, 0) AS DOUBLE) * 2 / n_tokens, 6) AS top_bigram_frac,
+        |   round(CAST(coalesce(top3, 0) AS DOUBLE) * 3 / n_tokens, 6) AS top_trigram_frac
+        |  FROM base LEFT JOIN bi ON base.doc_id = bi.doc_id
+        |            LEFT JOIN tri ON base.doc_id = tri.doc_id)
+        |SELECT doc_id, n_tokens, dup_word_frac, top_bigram_frac, top_trigram_frac,
+        | CASE WHEN top_bigram_frac > 0.20 OR top_trigram_frac > 0.18
+        |      THEN 'drop' ELSE 'keep' END AS verdict
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "dedup_substring" ->
+      """WITH ch AS (SELECT DISTINCT doc_id, md5(substr(text, c*32+1, 64)) AS h
+        |  FROM (SELECT doc_id, text, unnest(generate_series(0,
+        |      CAST(floor((length(text)-64)/32.0) AS INT))) AS c
+        |    FROM documents WHERE length(text) >= 64) x),
+        |nch AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY 1),
+        |keep AS (SELECT h FROM ch GROUP BY h HAVING count(*) <= 100),
+        |p AS (SELECT doc_id, h FROM ch JOIN keep USING (h)),
+        |shared AS (SELECT a.doc_id AS i, b.doc_id AS j, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM p a JOIN p b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT i, j, n_shared,
+        | round(CAST(n_shared AS DOUBLE)/least(ni.n, nj.n), 6) AS containment
+        |FROM shared JOIN nch ni ON shared.i = ni.doc_id
+        |            JOIN nch nj ON shared.j = nj.doc_id
+        |WHERE round(CAST(n_shared AS DOUBLE)/least(ni.n, nj.n), 6) >= 0.5
+        |ORDER BY i, j""".stripMargin,
+
+    "contamination_ngram" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents),
+        |g AS (SELECT doc_id, md5(g5) AS h FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t)-4),
+        |      i -> array_to_string(t[i:i+4], ' ')))) AS g5
+        |   FROM d WHERE len(t) >= 5) x),
+        |bench AS (SELECT doc_id AS bench_id, h FROM g WHERE doc_id % 10 = 0),
+        |train AS (SELECT doc_id, h FROM g WHERE doc_id % 10 <> 0)
+        |SELECT doc_id, bench_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM train JOIN bench USING (h)
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY doc_id, bench_id""".stripMargin,
+
+    "cluster_kmeans" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM e),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c,
+        |   list_sum(list_transform(v, x -> x*x)) AS c2 FROM e WHERE vec_id < 8),
+        |p1 AS (SELECT vec_id, cid, round(n2
+        |   - 2*list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*c[i]))
+        |   + c2, 6) AS d2
+        |  FROM n CROSS JOIN c0),
+        |a1 AS (SELECT vec_id, cid AS cluster FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |   FROM p1) t WHERE rn = 1),
+        |mx AS (SELECT cluster, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x
+        |  FROM a1 JOIN n USING (vec_id)),
+        |m1 AS (SELECT cluster AS cid, dim, round(avg(x), 6) AS cx
+        |  FROM mx GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(cx ORDER BY dim) AS c FROM m1 GROUP BY 1),
+        |c1b AS (SELECT cid, c, list_sum(list_transform(c, x -> x*x)) AS c2 FROM c1),
+        |p2 AS (SELECT vec_id, cid, round(n2
+        |   - 2*list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*c[i]))
+        |   + c2, 6) AS d2
+        |  FROM n CROSS JOIN c1b)
+        |SELECT vec_id, cid AS cluster, d2 AS dist2 FROM (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        | FROM p2) t WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "knn_batch" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

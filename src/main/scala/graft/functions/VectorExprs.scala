@@ -92,6 +92,66 @@ case class BitsetIntersectExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Scatter (1-based index, value) pairs into a fixed-width dense
+  * double vector — the sparse→dense densification step of a vector
+  * build. One primitive array fill per row; the `transform(sequence
+  * (1, n), r -> coalesce(m[r], 0.0))` formulation it replaces probes
+  * a Spark map per slot, and map lookups are O(entries) linear scans
+  * (n·nnz work per row, interpreted).
+  */
+case class DenseScatterExpr(indices: Expression, values: Expression, n: Int)
+  extends BinaryExpression {
+  override def left: Expression = indices
+  override def right: Expression = values
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (indices.dataType, values.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<int>, array<double>), got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_dense_scatter"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val idx = a.asInstanceOf[ArrayData]
+    val vs = b.asInstanceOf[ArrayData]
+    val m = math.min(idx.numElements(), vs.numElements())
+    val arr = new Array[Double](n)
+    var k = 0
+    while (k < m) {
+      val i = idx.getInt(k) - 1
+      if (i >= 0 && i < n) arr(i) = vs.getDouble(k)
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val arr = ctx.freshName("arr")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      s"""
+         |int $m = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double[] $arr = new double[$n];
+         |for (int $k = 0; $k < $m; $k++) {
+         |  int $i = $a.getInt($k) - 1;
+         |  if ($i >= 0 && $i < $n) $arr[$i] = $b.getDouble($k);
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(indices = newLeft, values = newRight)
+}
+
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
     GraftShim.column(DotProductExpr(
@@ -100,4 +160,8 @@ object VectorExprs {
   def bitsetInter(a: Column, b: Column): Column =
     GraftShim.column(BitsetIntersectExpr(
       GraftShim.expression(a), GraftShim.expression(b)))
+
+  def denseScatter(indices: Column, values: Column, n: Int): Column =
+    GraftShim.column(DenseScatterExpr(
+      GraftShim.expression(indices), GraftShim.expression(values), n))
 }

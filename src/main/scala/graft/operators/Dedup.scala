@@ -177,6 +177,72 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
+  /** Substring-level duplication: docs sharing verbatim 64-char
+    * blocks. Overlapping chunks (stride 32) are hashed map-side; docs
+    * are candidate pairs when they share a chunk hash (equi-join on
+    * the hash — fixed-width join keys, never the chunk text), and a
+    * pair is reported when the shared chunks cover ≥ 50% of the
+    * smaller doc's chunk set (containment, not jaccard — catches a
+    * small doc embedded in a big one, which symmetric measures miss).
+    * Chunk hashes occurring in more than 100 docs are dropped before
+    * the self-join — the max_df analog for boilerplate blocks, which
+    * would otherwise make one hot hash quadratic.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, CAST(floor((length(text)-64)/32.0) AS INT)), c -> substring(text, c*32+1, 64))"))
+        .as("ch"))
+      .select(col("doc_id"), md5(col("ch")).as("h"))
+      .distinct()
+      .persist()
+    val nch = chunks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val keep = chunks.groupBy("h").agg(count(lit(1)).as("dfh"))
+      .filter(col("dfh") <= 100)
+    val posting = chunks.join(keep.select("h"), "h")
+    val shared = posting.select(col("doc_id").as("i"), col("h"))
+      .join(posting.select(col("doc_id").as("j"), col("h")), "h")
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(nch.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+      .join(nch.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .withColumn("containment", round(
+        col("n_shared").cast("double") / least(col("ni"), col("nj")).cast("double"), 6))
+      .filter(col("containment") >= 0.5)
+      .select("i", "j", "n_shared", "containment")
+      .orderBy("i", "j")
+  }
+
+  /** Benchmark contamination scan: which training docs share enough
+    * word-5-grams with a held-out benchmark set to be leaks (the
+    * n-gram-overlap decontamination step every LLM data pipeline runs
+    * against its eval suites). Benchmark membership here is the
+    * deterministic doc_id % 10 == 0 slice standing in for an external
+    * eval table; grams are hashed so the join moves fixed-width keys.
+    * The join is benchmark-side bounded: at real scale the benchmark
+    * gram set is millions of rows (eval suites are small) and
+    * broadcastable, so the contamination scan is a map-side probe of
+    * the training corpus — no shuffle of the big side.
+    */
+  def contaminationNgram(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .withColumn("t", tokensCol)
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(t)-4), i -> array_join(slice(t, i, 5), ' '))")))
+        .as("g5"))
+      .select(col("doc_id"), md5(col("g5")).as("h"))
+    val bench = grams.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("bench_id"), col("h"))
+    val train = grams.filter(col("doc_id") % 10 =!= 0)
+    train.join(broadcast(bench), "h")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** Connected components over the near-duplicate graph (edges =
     * fingerprint-identical doc pairs): iterative min-label
     * propagation to a fixpoint, the clustering step that turns

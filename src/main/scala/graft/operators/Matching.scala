@@ -108,19 +108,21 @@ object Matching {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // 1-2-gram vocabulary, mirroring TfidfVectorizer(ngram_range=(1,2))
     // in entity_matching_optimized.py:146-149 — bigram features let
-    // multi-word names outweigh their common constituent words
-    val uni = docs
-      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
-    val big = docs.withColumn("t", split(col("text"), "\\s+"))
+    // multi-word names outweigh their common constituent words.
+    // Total gram count per doc is 2·|tokens|-1, known map-side before
+    // the explode — carrying it through the tf aggregation saves the
+    // doc-length shuffle join an explode→count→join formulation pays.
+    val withT = docs.withColumn("t", split(col("text"), "\\s+"))
+      .withColumn("len", (size(col("t")) * 2 - 1).cast("long"))
+    val uni = withT.select(col("doc_id"), col("len"), explode(col("t")).as("token"))
+    val big = withT
       .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), col("len"), explode(expr(
         "transform(sequence(1, size(t)-1), i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
         .as("token"))
     val tokens = uni.unionByName(big)
-    val docLen = tokens.groupBy("doc_id").agg(count(lit(1)).as("len"))
-    // persist: nDocs/vocab counts and the weight pipeline all read tf
-    val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-      .join(docLen, "doc_id")
+    // persist: vocab count and the weight pipeline both read tf
+    val tf = tokens.groupBy("doc_id", "len", "token").agg(count(lit(1)).as("cnt"))
       .withColumn("tf", col("cnt").cast("double") / col("len").cast("double"))
       .persist()
     val nDocs = docs.count()
@@ -130,7 +132,8 @@ object Matching {
     // inverted-index join while carrying near-zero idf, and the
     // max_features cap bounds the broadcast vocabulary. The cap is a
     // TakeOrderedAndProject (per-partition heaps), not a global window.
-    val dfreq = tf.groupBy("token").agg(countDistinct("doc_id").as("df"))
+    // tf is already one row per (doc, token), so df is a plain count.
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .filter(col("df") < lit(0.95 * nDocs))
       .orderBy(col("df").desc, col("token")).limit(10000)
     val weights = tf.join(broadcast(dfreq), "token")
@@ -189,27 +192,41 @@ object Matching {
     // too wide to densify, where rare terms bound the posting lists.
     val cos =
       if (vocab <= denseVocabMax) {
+        // Densifiable (shared-vocabulary) regime: per-doc dense
+        // vectors + a broadcast nested-loop scan of the corpus half.
+        // When the vocabulary is small relative to the corpus, nearly
+        // every pair shares high-weight grams — measured at sf0.1 the
+        // lossless prefix filter still admits 76% of all pairs — so
+        // candidate generation (token join + multi-million-row
+        // distinct) costs more than it saves. Scoring every pair in
+        // place is cheaper: no candidate shuffle, no distinct, one
+        // native codegen'd dot per pair. The broadcast side is one
+        // half's vectors, bounded by max_features·8B per doc (~19 MB
+        // at sf0.1); for corpora whose vector table outgrows a
+        // broadcast the sparse path below is the plan — rare terms
+        // bound its posting lists precisely when the vocabulary is
+        // large, the regime where the prefix filter actually prunes.
         val ranked = dfreq.withColumn("r",
           row_number().over(Window.orderBy("token")))
-        // persist: left and right halves both read the doc vectors
+        // scatter (rank, weight) into a primitive double[vocab] —
+        // native codegen; the transform(sequence(1,n), r -> m[r])
+        // formulation probes an O(entries) Spark map per slot,
+        // interpreted (n·nnz work per doc)
         val vecs = weights.join(broadcast(ranked.select("token", "r")), "token")
           .groupBy("doc_id")
-          .agg(map_from_entries(collect_list(struct(col("r"), col("w")))).as("m"))
-          .withColumn("v", expr(
-            s"transform(sequence(1, ${vocab.toInt}), r -> coalesce(m[r], CAST(0.0 AS DOUBLE)))"))
-          .withColumn("norm", expr(
-            "sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"))
-          .select("doc_id", "v", "norm")
+          .agg(collect_list(struct(col("r"), col("w"))).as("rw"),
+            sum(col("w") * col("w")).as("n2"))
+          .select(col("doc_id"),
+            graft.functions.VectorExprs.denseScatter(
+              expr("transform(rw, x -> x.r)"), expr("transform(rw, x -> x.w)"),
+              vocab.toInt).as("v"),
+            sqrt(col("n2")).as("norm"))
           .persist()
-        // broadcast BOTH vector lookups: a shuffle join here would
-        // re-partition the candidate stream with a full 962-double
-        // vector duplicated onto every pair row (measured ~8 GB of
-        // shuffle at 1M candidates); broadcast keeps the pair stream
-        // in place — scan candidates, two local map lookups, one
-        // native dot, zero shuffles
-        cand
-          .join(broadcast(vecs.select(col("doc_id").as("i"), col("v").as("vi"), col("norm").as("ni"))), "i")
-          .join(broadcast(vecs.select(col("doc_id").as("j"), col("v").as("vj"), col("norm").as("nj"))), "j")
+        val evens = vecs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("i"), col("v").as("vi"), col("norm").as("ni"))
+        val odds = vecs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id").as("j"), col("v").as("vj"), col("norm").as("nj"))
+        evens.crossJoin(broadcast(odds))
           .withColumn("dot", graft.functions.Vectors.dot("vi", "vj"))
           .withColumn("cosine", round(col("dot") / (col("ni") * col("nj")), 6))
           .select("i", "j", "cosine")

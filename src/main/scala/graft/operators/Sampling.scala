@@ -33,6 +33,30 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Token-budget data mixing: sample each source down to an equal
+    * token budget (the smallest source's token count), the
+    * equal-allocation form of the source-weighting step that decides
+    * a training mix. Two aggregations (per-source token totals →
+    * per-source keep rates, broadcast back — source cardinality is
+    * bounded), then the same deterministic content-hash filter as
+    * [[sampleStratified]]: map-side, reproducible, re-thresholdable
+    * via the emitted hash without rescanning.
+    */
+  def sampleWeightedMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), "\\s+")).cast("long"))
+    val bySource = d.groupBy("source").agg(sum("n_tokens").as("tok_s"))
+    val budget = bySource.agg(min("tok_s")).head.getLong(0)
+    val rates = bySource.select(col("source"),
+      round(least(lit(1.0), lit(budget.toDouble) / col("tok_s").cast("double")), 6).as("rate"))
+    d.join(broadcast(rates), "source")
+      .withColumn("u", graft.functions.HexExprs.uniformHash(col("text")))
+      .filter(col("u") < col("rate"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rate"),
+        round(col("u"), 6).as("u"))
+      .orderBy("doc_id")
+  }
+
   /** Exactly-k-per-group sample: the k docs with the smallest content
     * hash per language — a deterministic distributed reservoir
     * (hash order IS a uniform random order, but reproducible). Runs

@@ -118,4 +118,49 @@ object Similarity {
     graft.functions.TopK.globalWithRank(scored, 5,
       col("cosine").desc, col("vec_id"))
   }
+
+  /** Deterministic Lloyd's k-means (k=8, 2 assignment rounds, seeds =
+    * the first k vectors) over the embedding corpus — the clustering
+    * step behind semantic dedup / diversity-balanced sampling of
+    * training data (SemDeDup-style: prune within clusters, sample
+    * across them).
+    *
+    * Scale shape: an assignment round is a broadcast of k centroids
+    * against the corpus (map-side native dot per (vector, centroid),
+    * argmin via min(struct) — partial-aggregated, never a window);
+    * the update round is posexplode + per-(cluster, dim) avg — two
+    * shuffles of k·dim rows. Nothing is ever collected to the driver
+    * and no stage depends on corpus size beyond the scans.
+    *
+    * Determinism: distances use the ||v||² − 2·v·c + ||c||² identity,
+    * rounded to 6 before the argmin (tie → smaller cluster id);
+    * updated centroids are rounded per-dimension, so both engines run
+    * round 2 from identical inputs.
+    */
+  def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("n2", graft.functions.VectorExprs.dot(col("v"), col("v")))
+      .persist()
+    val init = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(
+          cents.withColumn("c2", graft.functions.VectorExprs.dot(col("c"), col("c")))))
+        .withColumn("d2", round(
+          col("n2") - lit(2.0) * graft.functions.VectorExprs.dot(col("v"), col("c"))
+            + col("c2"), 6))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cluster"), col("m.d2").as("dist2"))
+    val a1 = assign(init)
+    val c1 = a1.join(e, "vec_id")
+      .select(col("cluster").as("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cid", "dim").agg(round(avg("x"), 6).as("cx"))
+      .groupBy("cid")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, cx))), s -> s.cx)").as("c"))
+    assign(c1).orderBy("vec_id")
+  }
 }

@@ -173,6 +173,75 @@ object TextAnalysis {
     graft.functions.TopK.globalWithRank(scored, 20, col("pmi").desc, col("bigram"))
   }
 
+  /** Unigram-LM perplexity proxy: train a unigram language model on
+    * the corpus itself (count / total), score each doc by its mean
+    * negative log-likelihood and perplexity = exp(avg_nll) — the
+    * cheap stand-in for the KenLM/CCNet-style model-based quality
+    * filter used to rank web documents for LLM training.
+    *
+    * Scale shape: the model IS a token-count aggregation; scoring is
+    * an equi-join of per-doc term frequencies against it (shuffles on
+    * the token — at web scale the model table is larger than a
+    * broadcast but the join stays a plain hash join), then one
+    * aggregation per doc. No driver-side model state.
+    */
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("w"))
+    // per-doc term frequency first: the model join then moves one row
+    // per DISTINCT (doc, token) instead of one per token occurrence
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt")).persist()
+    val uni = tf.groupBy("w").agg(sum("cnt").as("cw"))
+    val total = uni.agg(sum("cw")).head.getLong(0)
+    val out = tf.join(uni, "w")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_tokens"),
+        sum(col("cnt").cast("double") *
+          log(lit(total.toDouble) / col("cw").cast("double"))).as("nll"))
+      .withColumn("avg_nll", round(col("nll") / col("n_tokens").cast("double"), 6))
+      .select(col("doc_id"), col("n_tokens"), col("avg_nll"),
+        round(exp(col("avg_nll")), 6).as("ppl"))
+      .orderBy("doc_id")
+    out
+  }
+
+  /** Repetition metrics (the Gopher repetition filters): duplicate
+    * word fraction, and the fraction of tokens covered by the single
+    * most-repeated 2-gram / 3-gram. Heavily repetitive docs are
+    * boilerplate/spam and get dropped before training. All three
+    * signals are per-doc aggregations — map-side math plus one
+    * shuffle per n-gram order on (doc, gram).
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("t"))).cast("long"))
+    def topNgram(n: Int): DataFrame =
+      d.filter(size(col("t")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(t)-${n - 1}), i -> array_join(slice(t, i, $n), ' '))"))
+          .as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as(s"top$n"))
+    val scored = d.select("doc_id", "n_tokens", "n_distinct")
+      .join(topNgram(2), Seq("doc_id"), "left")
+      .join(topNgram(3), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("dup_word_frac"),
+        round(coalesce(col("top2"), lit(0L)).cast("double") * 2 / col("n_tokens").cast("double"), 6)
+          .as("top_bigram_frac"),
+        round(coalesce(col("top3"), lit(0L)).cast("double") * 3 / col("n_tokens").cast("double"), 6)
+          .as("top_trigram_frac"))
+    // decide on the ROUNDED fractions so the oracle's decision is
+    // bit-identical; thresholds follow the Gopher paper's 0.20 / 0.18
+    scored.withColumn("verdict",
+      when(col("top_bigram_frac") > 0.20 || col("top_trigram_frac") > 0.18, "drop")
+        .otherwise("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Top-20 corpus bigrams. */
   def textBigrams(spark: SparkSession, dir: String): DataFrame = {
     val bi = Tables.documents(spark, dir)

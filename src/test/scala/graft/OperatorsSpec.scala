@@ -84,11 +84,12 @@ class OperatorsSpec extends SparkSpec {
   test("tfidf prefix filter is lossless vs unfiltered candidates") {
     // the threshold-derived PPJoin prefix bound must reproduce the
     // brute-force (no candidate pruning) formulation exactly — zero
-    // recall loss, not an approximation
-    val pruned = operators.Matching.matchTfidfTopk(spark, sf, denseVocabMax = 256)
+    // recall loss, not an approximation. denseVocabMax=0 forces the
+    // sparse inverted-index path, the only one that prunes candidates.
+    val pruned = operators.Matching.matchTfidfTopk(spark, sf, denseVocabMax = 0)
       .collect().map(_.toSeq).toSet
     val full = operators.Matching
-      .matchTfidfTopk(spark, sf, denseVocabMax = 256, prefixFilter = false)
+      .matchTfidfTopk(spark, sf, denseVocabMax = 0, prefixFilter = false)
       .collect().map(_.toSeq).toSet
     assert(pruned == full)
     assert(pruned.nonEmpty)
