@@ -44,6 +44,7 @@ object SparkEntry {
     "clean_cc" -> (Cleaning.cleanCc _),
     "clean_dedup_exact" -> (Cleaning.cleanDedupExact _),
     "quality_metrics" -> (Quality.qualityMetrics _),
+    "curation_decisions" -> (Quality.curationDecisions _),
     // entity matching
     "match_exact" -> (Matching.matchExact _),
     "match_fuzzy_blocked" -> (Matching.matchFuzzyBlocked _),
@@ -942,6 +943,54 @@ object SparkEntry {
         |FROM train JOIN bench USING (h)
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    "curation_decisions" ->
+      """WITH d0 AS (SELECT doc_id, text, string_split_regex(text,'\s+') AS t FROM documents),
+        |k AS (SELECT md5(text) AS h, min(doc_id) AS keeper FROM d0 GROUP BY 1),
+        |dup AS (SELECT doc_id, CAST(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END AS INT) AS is_dup
+        |  FROM d0 JOIN k ON md5(d0.text) = k.h),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |   CAST(len(list_filter(t, x -> x IN ('the','a','or','and'))) AS BIGINT) AS n_stop
+        |  FROM d0),
+        |bi AS (SELECT doc_id, max(c) AS top2 FROM (
+        |   SELECT doc_id, g, count(*) AS c FROM (
+        |     SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-1),
+        |        i -> array_to_string(t[i:i+1], ' '))) AS g
+        |     FROM d0 WHERE len(t) >= 2) x GROUP BY 1, 2) y GROUP BY 1),
+        |tri AS (SELECT doc_id, max(c) AS top3 FROM (
+        |   SELECT doc_id, g, count(*) AS c FROM (
+        |     SELECT doc_id, unnest(list_transform(generate_series(1, len(t)-2),
+        |        i -> array_to_string(t[i:i+2], ' '))) AS g
+        |     FROM d0 WHERE len(t) >= 3) x GROUP BY 1, 2) y GROUP BY 1),
+        |rep AS (SELECT base.doc_id, CAST(CASE WHEN
+        |     round(CAST(coalesce(top2, 0) AS DOUBLE) * 2 / n_tokens, 6) > 0.20
+        |     OR round(CAST(coalesce(top3, 0) AS DOUBLE) * 3 / n_tokens, 6) > 0.18
+        |   THEN 1 ELSE 0 END AS INT) AS is_repetitive
+        |  FROM base LEFT JOIN bi ON base.doc_id = bi.doc_id
+        |            LEFT JOIN tri ON base.doc_id = tri.doc_id),
+        |q AS (SELECT doc_id, CAST(CASE WHEN n_tokens < 20 THEN 1
+        |    WHEN CAST(n_stop AS DOUBLE)/n_tokens > 0.3 THEN 1 ELSE 0 END AS INT) AS is_lowq
+        |  FROM base),
+        |g AS (SELECT doc_id, md5(g5) AS h2 FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t)-4),
+        |      i -> array_to_string(t[i:i+4], ' ')))) AS g5
+        |   FROM d0 WHERE len(t) >= 5) x),
+        |conp AS (SELECT tr.doc_id AS doc_id, be.bench_id, count(*) AS ns FROM
+        |   (SELECT doc_id, h2 FROM g WHERE doc_id % 10 <> 0) tr
+        |   JOIN (SELECT doc_id AS bench_id, h2 FROM g WHERE doc_id % 10 = 0) be USING (h2)
+        |   GROUP BY 1, 2 HAVING count(*) >= 3),
+        |con AS (SELECT DISTINCT doc_id FROM conp)
+        |SELECT dup.doc_id, is_dup, is_repetitive, is_lowq,
+        | CAST(CASE WHEN con.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_contaminated,
+        | CASE WHEN is_dup = 1 THEN 'drop_duplicate'
+        |      WHEN con.doc_id IS NOT NULL THEN 'drop_contaminated'
+        |      WHEN is_repetitive = 1 THEN 'drop_repetitive'
+        |      WHEN is_lowq = 1 THEN 'drop_quality'
+        |      ELSE 'keep' END AS decision
+        |FROM dup JOIN rep ON dup.doc_id = rep.doc_id
+        |         JOIN q ON dup.doc_id = q.doc_id
+        |         LEFT JOIN con ON dup.doc_id = con.doc_id
+        |ORDER BY dup.doc_id""".stripMargin,
 
     "cluster_kmeans" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

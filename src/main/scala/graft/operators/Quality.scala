@@ -77,4 +77,42 @@ object Quality {
         col("pair_distinct").cast("double") / col("n_rows"), 1.0))
     rows.reduce(_ unionAll _).orderBy("table_name", "metric_name")
   }
+
+  /** The curation end product: one keep/drop decision per document,
+    * combining the independent filter signals — exact-duplicate
+    * keeper status, Gopher repetition verdict, heuristic quality
+    * bucket, and benchmark contamination — with a fixed precedence
+    * (duplicate > contaminated > repetitive > low-quality). This is
+    * the training-data analog of [[graft.operators.Matching.entityEnriched]]:
+    * the table a downstream consumer actually reads.
+    *
+    * Every signal is a per-doc relation keyed by doc_id, so the
+    * combination is equi-joins on the primary key — co-partitioned
+    * after the first shuffle, no signal rescans the corpus twice.
+    */
+  def curationDecisions(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val keepers = docs.groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("keeper"))
+    val dup = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(keepers, "h")
+      .select(col("doc_id"), (col("doc_id") =!= col("keeper")).cast("int").as("is_dup"))
+    val rep = TextAnalysis.textRepetition(spark, dir)
+      .select(col("doc_id"), (col("verdict") === "drop").cast("int").as("is_repetitive"))
+    val qual = TextAnalysis.textQuality(spark, dir)
+      .select(col("doc_id"), (col("quality_bucket") =!= "ok").cast("int").as("is_lowq"))
+    val contam = Dedup.contaminationNgram(spark, dir)
+      .select("doc_id").distinct()
+      .withColumn("is_contaminated", lit(1))
+    dup.join(rep, "doc_id").join(qual, "doc_id")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("is_contaminated", coalesce(col("is_contaminated"), lit(0)))
+      .withColumn("decision",
+        when(col("is_dup") === 1, "drop_duplicate")
+          .when(col("is_contaminated") === 1, "drop_contaminated")
+          .when(col("is_repetitive") === 1, "drop_repetitive")
+          .when(col("is_lowq") === 1, "drop_quality")
+          .otherwise("keep"))
+      .select("doc_id", "is_dup", "is_repetitive", "is_lowq", "is_contaminated", "decision")
+      .orderBy("doc_id")
+  }
 }
