@@ -189,25 +189,25 @@ object Dedup {
     * would otherwise make one hot hash quadratic.
     */
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = Tables.documents(spark, dir)
+    // per-doc distinct chunk-hash SET built map-side (array_distinct
+    // over ~len/32 chunks), so the doc's chunk count rides along with
+    // every posting row — no global distinct shuffle, no separate
+    // per-doc count aggregation, no count joins back onto the pairs
+    val posting = Tables.documents(spark, dir)
       .filter(length(col("text")) >= 64)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, CAST(floor((length(text)-64)/32.0) AS INT)), c -> substring(text, c*32+1, 64))"))
-        .as("ch"))
-      .select(col("doc_id"), md5(col("ch")).as("h"))
-      .distinct()
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, CAST(floor((length(text)-64)/32.0) AS INT)), c -> md5(substring(text, c*32+1, 64)))"))
+        .as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+        explode(col("hs")).as("h"))
       .persist()
-    val nch = chunks.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val keep = chunks.groupBy("h").agg(count(lit(1)).as("dfh"))
+    val keep = posting.groupBy("h").agg(count(lit(1)).as("dfh"))
       .filter(col("dfh") <= 100)
-    val posting = chunks.join(keep.select("h"), "h")
-    val shared = posting.select(col("doc_id").as("i"), col("h"))
-      .join(posting.select(col("doc_id").as("j"), col("h")), "h")
+    val pruned = posting.join(keep.select("h"), "h")
+    pruned.select(col("doc_id").as("i"), col("n").as("ni"), col("h"))
+      .join(pruned.select(col("doc_id").as("j"), col("n").as("nj"), col("h")), "h")
       .filter(col("i") < col("j"))
-      .groupBy("i", "j").agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(nch.select(col("doc_id").as("i"), col("n").as("ni")), "i")
-      .join(nch.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .groupBy("i", "j", "ni", "nj").agg(count(lit(1)).as("n_shared"))
       .withColumn("containment", round(
         col("n_shared").cast("double") / least(col("ni"), col("nj")).cast("double"), 6))
       .filter(col("containment") >= 0.5)

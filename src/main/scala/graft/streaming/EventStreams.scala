@@ -142,6 +142,30 @@ object EventStreams {
         ((col("p_ts").cast("long")) - col("s_ts").cast("long")).as("gap_s"))
   }
 
+  /** Streaming decontamination gate: an unbounded document stream
+    * checked against a STATIC benchmark 5-gram table — the
+    * stream-static join shape an always-on ingestion pipeline uses to
+    * keep eval-suite leaks out of a training corpus (batch twin:
+    * [[graft.operators.Dedup.contaminationNgram]]). The static side
+    * is broadcast (eval suites are small), so the join is a stateless
+    * map-side probe per microbatch; the per-doc flag dedup rides the
+    * watermark, keeping state bounded. Emits each contaminated doc
+    * once.
+    */
+  def contaminationGate(docs: DataFrame, benchGramHashes: DataFrame): DataFrame = {
+    val grams = docs
+      .withWatermark("ts", "10 minutes")
+      .withColumn("t", split(col("text"), "\\s+"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), col("ts"), explode(array_distinct(expr(
+        "transform(sequence(1, size(t)-4), i -> array_join(slice(t, i, 5), ' '))")))
+        .as("g5"))
+      .withColumn("h", md5(col("g5")))
+    grams.join(broadcast(benchGramHashes), "h")
+      .select("doc_id", "ts")
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
   /** 30-minute-gap sessionization with explicit state — the
     * streaming form of Events.eventsSessionize. Emits a session row
     * every time a gap closes one. State is keyed per user and

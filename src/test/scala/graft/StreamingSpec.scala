@@ -150,6 +150,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contaminationGate flags benchmark-overlapping docs once, passes clean docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // static benchmark side: the 5-gram hashes of one "eval" sentence
+    val benchText = "alpha beta gamma delta epsilon zeta"
+    val bench = Seq(benchText).toDF("text")
+      .withColumn("t", split(col("text"), "\\s+"))
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-4), i -> array_join(slice(t, i, 5), ' '))")).as("g5"))
+      .select(md5(col("g5")).as("h"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.contaminationGate(docs, bench)
+      .writeStream.format("memory").queryName("contam")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, ts(0), "alpha beta gamma delta epsilon tail words here"), // leaks gram 1
+        (2L, ts(1), "totally unrelated clean document text with words"),
+        (1L, ts(2), "alpha beta gamma delta epsilon zeta full leak"), // same doc again
+        (3L, ts(3), "beta gamma delta epsilon zeta prefix overlap"))
+      input.addData((9L, ts(300), "late watermark advancer document with words"))
+      q.processAllAvailable()
+      val flagged = spark.sql("select doc_id from contam").collect().map(_.getLong(0)).sorted
+      assert(flagged.toSeq == Seq(1L, 3L), s"got ${flagged.toSeq}")
+    } finally q.stop()
+  }
+
   test("incrementalUpsert maintains latest-wins keyed table across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
