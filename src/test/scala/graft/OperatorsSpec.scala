@@ -95,15 +95,6 @@ class OperatorsSpec extends SparkSpec {
     assert(pruned.nonEmpty)
   }
 
-  test("bm25 dense and sparse paths agree exactly") {
-    val dense = operators.Matching.matchBm25Topk(spark, sf, denseVocabMax = 4096)
-      .collect().map(_.toSeq).toSet
-    val sparse = operators.Matching.matchBm25Topk(spark, sf, denseVocabMax = 0)
-      .collect().map(_.toSeq).toSet
-    assert(dense == sparse)
-    assert(dense.nonEmpty)
-  }
-
   test("ngram hashed-bitset jaccard: collision inflation is bounded") {
     // dedup_ngram_jaccard scores jaccard over a 4096-bit hashed gram
     // universe instead of the exact gram sets (feature hashing —
