@@ -72,6 +72,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("tfidf dense regime: native scatter vectors + broadcast scan, no cartesian") {
+    val p = plan(operators.Matching.matchTfidfTopk(spark, sf))
+    assert(p.contains("graft_dense_scatter"), "dense vectors must build natively")
+    assert(p.contains("BroadcastNestedLoopJoin"), "corpus half must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("kmeans: centroids broadcast, assignment is an aggregate not a window") {
+    val p = plan(operators.Similarity.clusterKmeans(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), "k centroids ride a broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("WindowExec"), "argmin must be min(struct), not a window")
+  }
+
   test("no registered query plans an unbounded single-partition window sort") {
     import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
