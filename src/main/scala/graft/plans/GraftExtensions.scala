@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFn)
     ext.injectFunction(GraftExtensions.bitsetFn)
     ext.injectFunction(GraftExtensions.hexFn)
+    ext.injectFunction(GraftExtensions.scatterFn)
     ext.injectOptimizerRule(_ => SelfDotToNormSquared)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectPlannerStrategy(_ => AsofStrategy)
@@ -34,7 +35,7 @@ object GraftExtensions {
     */
   def registerInto(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.graftshim.GraftShim
-    Seq(dotFn, bitsetFn, hexFn).foreach { case (id, i, b) =>
+    Seq(dotFn, bitsetFn, hexFn, scatterFn).foreach { case (id, i, b) =>
       GraftShim.registerFunction(spark, id, i, b)
     }
     if (!spark.experimental.extraOptimizations.contains(SelfDotToNormSquared)) {
@@ -70,6 +71,15 @@ object GraftExtensions {
     (args: Seq[Expression]) => args(1) match {
       case Literal(d: Int, _) => graft.functions.HexPrefixLongExpr(args(0), d)
       case other => sys.error(s"graft_hex_long digits must be an int literal, got $other")
+    })
+
+  val scatterFn: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("graft_dense_scatter"),
+    info("graft_dense_scatter",
+      "graft_dense_scatter(indices, values, n) - scatter 1-based (index, value) pairs into a dense array<double> of length n"),
+    (args: Seq[Expression]) => args(2) match {
+      case Literal(n: Int, _) => graft.functions.DenseScatterExpr(args(0), args(1), n)
+      case other => sys.error(s"graft_dense_scatter length must be an int literal, got $other")
     })
 }
 

@@ -23,6 +23,13 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r == 2) // 3&6 = 2 (one bit), 8&8 = 8 (one bit)
   }
 
+  test("graft_dense_scatter is callable from SQL") {
+    val r = spark.sql(
+      "SELECT graft_dense_scatter(array(2, 4), array(5.0d, 7.0d), 4) AS v")
+      .head.getSeq[Double](0)
+    assert(r == Seq(0.0, 5.0, 0.0, 7.0))
+  }
+
   test("optimizer rewrites graft_dot(x, x) to the self-dot form") {
     // id is non-foldable, so constant folding can't pre-empt the rule
     val df = spark.sql(
