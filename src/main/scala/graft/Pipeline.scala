@@ -54,16 +54,20 @@ object Pipeline {
     }
     val quality = stage("doc_quality", TextAnalysis.textQuality(spark, dir))
     val comps = stage("dup_components", Dedup.dedupComponents(spark, dir))
+    // the per-doc end-product table (dup/repetition/quality/
+    // contamination signals + final verdict) — materialized so
+    // downstream consumers read decisions, not signal internals
+    val decisions = stage("curation_decisions", Quality.curationDecisions(spark, dir))
     val curated = stage("curated_sample", {
-      val ok = spark.read.parquet(s"$outDir/doc_quality")
-        .filter(col("quality_bucket") === "ok").select("doc_id")
+      val keep = spark.read.parquet(s"$outDir/curation_decisions")
+        .filter(col("decision") === "keep").select("doc_id")
       val dupLosers = spark.read.parquet(s"$outDir/dup_components")
         .filter(col("id") =!= col("component"))
         .select(col("id").as("doc_id"))
       Sampling.sampleStratified(spark, dir)
-        .join(ok, Seq("doc_id"))
+        .join(keep, Seq("doc_id"))
         .join(dupLosers, Seq("doc_id"), "left_anti")
     })
-    Seq(quality, comps, curated)
+    Seq(quality, comps, decisions, curated)
   }
 }

@@ -97,6 +97,7 @@ object SparkEntry {
     // multimodal
     "mm_binary_features" -> (multimodal.BinaryColumns.binaryFeatures _),
     "mm_fake_decode" -> (multimodal.BinaryColumns.fakeDecodeFeatures _),
+    "mm_resize" -> (multimodal.BinaryColumns.resizePlan _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -850,6 +851,21 @@ object SparkEntry {
         |FROM (SELECT media_id, n_frames,
         |   unnest(generate_series(0, n_frames - 1, 5)) AS frame_idx FROM m) t
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "mm_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |d AS (SELECT media_id, 64 + n_bytes % 448 AS w,
+        |   64 + (n_bytes // 7) % 448 AS h FROM m),
+        |s AS (SELECT media_id, w, h,
+        |   least(1000, least(224000 // w, 224000 // h)) AS scale FROM d),
+        |o AS (SELECT media_id, w, h,
+        |   greatest(1, (w * scale) // 1000) AS out_w,
+        |   greatest(1, (h * scale) // 1000) AS out_h FROM s)
+        |SELECT media_id, w, h, out_w, out_h,
+        | substr(md5(CAST(media_id AS VARCHAR) || ':' || CAST(out_w AS VARCHAR)
+        |   || 'x' || CAST(out_h AS VARCHAR)), 1, 16) AS resize_sig
+        |FROM o ORDER BY media_id""".stripMargin,
 
     "sample_stratified" ->
       """WITH d AS (SELECT doc_id, lang,

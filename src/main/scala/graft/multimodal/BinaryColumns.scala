@@ -90,6 +90,32 @@ object BinaryColumns {
           .as("frame_sig"))
       .orderBy("media_id", "frame_idx")
 
+  /** Image-resize plumbing: each media item carries synthetic source
+    * dimensions (a pure function of its byte length, standing in for
+    * decoded header metadata), and is aspect-fit into a 224×224
+    * training box with integer milli-scale math — downscale only,
+    * never below 1px. The REAL parts are the schema and the resize
+    * arithmetic every image pipeline runs (fit scale, rounding,
+    * aspect preservation); only the pixel resample behind it is
+    * faked, as a per-item signature. Map-side, partition-parallel,
+    * no shuffle.
+    */
+  def resizePlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .withColumn("w", lit(64L) + col("n_bytes") % 448)
+      .withColumn("h", lit(64L) + expr("n_bytes div 7") % 448)
+      .withColumn("scale", least(lit(1000L),
+        least(expr("224000 div w"), expr("224000 div h"))))
+      .withColumn("out_w", greatest(lit(1L), expr("(w * scale) div 1000")))
+      .withColumn("out_h", greatest(lit(1L), expr("(h * scale) div 1000")))
+      .select(col("media_id"), col("w"), col("h"), col("out_w"), col("out_h"),
+        substring(md5(concat(col("media_id").cast("string"), lit(":"),
+          col("out_w").cast("string"), lit("x"), col("out_h").cast("string"))), 1, 16)
+          .as("resize_sig"))
+      .orderBy("media_id")
+
   /** Oracle-able binary stats per source: byte lengths + content
     * hashes aggregated — the part of the multimodal path SQL can see.
     */

@@ -20,7 +20,8 @@ class PipelineSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val out = java.nio.file.Files.createTempDirectory("graft-curation").toString
     val results = Pipeline.runCuration(spark, sf, out)
-    assert(results.map(_.name) == Seq("doc_quality", "dup_components", "curated_sample"))
+    assert(results.map(_.name) ==
+      Seq("doc_quality", "dup_components", "curation_decisions", "curated_sample"))
     assert(results.forall(_.rows > 0), results.mkString(", "))
     // the curated sample is a strict subset of the corpus...
     val nDocs = Tables.documents(spark, sf).count()
