@@ -66,6 +66,40 @@ class ScaleToolsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == df.count())
   }
 
+  test("PlanCache.invalidate drops entries for the named dir only") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft-pc-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-pc-b").toString
+    Tables.nation(spark, sf).limit(3).write.mode("overwrite").parquet(dirA)
+    Tables.nation(spark, sf).limit(5).write.mode("overwrite").parquet(dirB)
+    var builds = 0
+    def cachedCount(d: String): Long =
+      PlanCache.cached("pc_test", spark, d) {
+        builds += 1; spark.read.parquet(d)
+      }.count()
+    assert(cachedCount(dirA) == 3 && cachedCount(dirB) == 5)
+    assert(builds == 2)
+    cachedCount(dirA)
+    assert(builds == 2, "second read must be a cache hit")
+    // rewrite dirA, then invalidate: the entry must rebuild from the
+    // new files; dirB's entry must survive untouched
+    Tables.nation(spark, sf).limit(4).write.mode("overwrite").parquet(dirA)
+    PlanCache.invalidate(dirA)
+    assert(cachedCount(dirA) == 4, "invalidate must force a rebuild")
+    assert(builds == 3)
+    assert(cachedCount(dirB) == 5 && builds == 3, "other dirs keep their entries")
+    PlanCache.invalidate(dirA); PlanCache.invalidate(dirB)
+  }
+
+  test("upsertJdbc rejects unsafe table identifiers") {
+    import org.apache.spark.sql.functions.lit
+    val df = Tables.nation(spark, sf).limit(1).withColumn("v", lit(1L))
+    val props = new java.util.Properties()
+    intercept[IllegalArgumentException] {
+      graft.sources.Sinks.upsertJdbc(df, "jdbc:derby:memory:unused",
+        "t; DROP TABLE x", Seq("n_nationkey"), "v", props)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
