@@ -735,7 +735,7 @@ object SparkEntry {
         |       generate_series(1, len(c.cv)), i -> c.cv[i]*q.v[i]))
         |     / (sqrt(list_sum(list_transform(c.cv, x -> x*x))) * q.norm), 6) AS csim
         |   FROM cent c CROSS JOIN q) t
-        | ORDER BY csim DESC, label LIMIT 1),
+        | ORDER BY csim DESC, label LIMIT 2),
         |p AS (SELECT n.vec_id, n.label, round(list_sum(list_transform(
         |     generate_series(1, len(n.v)), i -> n.v[i]*q.v[i]))
         |   / (n.norm * q.norm), 6) AS cosine

@@ -38,11 +38,13 @@ object Similarity {
       col("cosine").desc, col("vec_id"))
   }
 
-  /** IVF: coarse-quantize with per-label centroids (element-wise
-    * mean), route the query to its nearest centroid, search only that
-    * inverted list. The centroid table is tiny → broadcast; at scale
-    * the lists are the partition layout, so a query touches one
-    * partition instead of the corpus.
+  /** IVF with multi-probe: coarse-quantize with per-label centroids
+    * (element-wise mean), route the query to its nprobe=2 nearest
+    * centroids, search only those inverted lists. Probing the
+    * runner-up cell is the standard recall fix for queries sitting on
+    * a Voronoi boundary, at 2/nlist of the corpus instead of all of
+    * it. The centroid table is tiny → broadcast; at scale the lists
+    * are the partition layout, so a query touches nprobe partitions.
     */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = vecsWithNorm(spark, dir)
@@ -52,15 +54,17 @@ object Similarity {
       .groupBy("label")
       .agg(expr("transform(sort_array(collect_list(struct(pos, cx))), s -> s.cx)").as("cv"))
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"), col("norm").as("qn"))
-    // nearest centroid by rounded cosine (tie → smallest label)
+    // nprobe nearest centroids by rounded cosine (tie → smallest
+    // label); a bounded TakeOrdered over the ≤nlist centroid rows
     val best = centroids.crossJoin(broadcast(q))
       .withColumn("cnorm", graft.functions.Vectors.normHof("cv"))
       .withColumn("csim", round(
         graft.functions.VectorExprs.dot(col("cv"), col("qv"))
           / (col("cnorm") * col("qn")), 6))
-      .agg(max(struct(col("csim"), (-col("label")).cast("long").as("nl"))).as("m"))
-      .select((-col("m.nl")).cast("int").as("target_label"))
-    // search only the winning inverted list
+      .orderBy(col("csim").desc, col("label"))
+      .limit(2)
+      .select(col("label").as("target_label"))
+    // search only the probed inverted lists
     val scored = e.as("e").join(broadcast(best), col("e.label") === col("target_label"))
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q.as("q")))
