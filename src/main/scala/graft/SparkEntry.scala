@@ -39,6 +39,7 @@ object SparkEntry {
     "events_funnel" -> (Events.eventsFunnel _),
     "events_retention" -> (Events.eventsRetention _),
     "events_moving_avg" -> (Events.eventsMovingAvg _),
+    "events_dau_wau" -> (Events.eventsDauWau _),
     // cleaning + quality
     "clean_abr" -> (Cleaning.cleanAbr _),
     "clean_cc" -> (Cleaning.cleanCc _),
@@ -55,6 +56,7 @@ object SparkEntry {
     "match_phonetic" -> (Matching.matchPhonetic _),
     "clean_abr_rejects" -> (Cleaning.cleanAbrRejects _),
     "entity_enriched" -> (Matching.entityEnriched _),
+    "cc_domains" -> (Cleaning.ccDomains _),
     // dedup
     "dedup_exact_text" -> (Dedup.dedupExactText _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
@@ -364,6 +366,40 @@ object SparkEntry {
         |SELECT DISTINCT website_url, company_name FROM cleaned
         |WHERE website_url IS NOT NULL AND company_name IS NOT NULL
         |ORDER BY website_url, company_name""".stripMargin,
+
+    "cc_domains" ->
+      """WITH shaped AS (
+        | SELECT '  HTTPS://www.' || replace(p_name,' ','-') || '.example.com/'
+        |          || p_brand || '  ' AS raw_url,
+        |   ' ' || p_name || '   ' || p_type || ' ' AS raw_name
+        | FROM part),
+        |cleaned AS (
+        | SELECT lower(substr(trim(raw_url),1,500)) AS website_url,
+        |   array_to_string(list_transform(
+        |     string_split(trim(regexp_replace(raw_name,' +',' ','g')),' '),
+        |     w -> upper(substr(w,1,1)) || lower(substr(w,2))), ' ') AS company_name
+        | FROM shaped),
+        |cc AS (SELECT DISTINCT website_url, company_name FROM cleaned
+        | WHERE website_url IS NOT NULL AND company_name IS NOT NULL),
+        |agg AS (SELECT regexp_extract(website_url, '^https?://([^/]+)/', 1) AS domain,
+        |   CAST(count(*) AS BIGINT) AS n_entities,
+        |   CAST(count(DISTINCT company_name) AS BIGINT) AS n_names
+        | FROM cc GROUP BY 1)
+        |SELECT domain, n_entities, n_names, rank FROM (
+        | SELECT *, CAST(row_number() OVER (ORDER BY n_entities DESC, domain) AS INT) AS rank
+        | FROM agg) t
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "events_dau_wau" ->
+      """WITH d AS (SELECT (epoch_ns(ts)//1000000000)//86400 AS day, user_id
+        |  FROM events),
+        |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM d GROUP BY 1),
+        |wau AS (SELECT day//7 AS week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM d GROUP BY 1)
+        |SELECT day, dau, wau, round(CAST(dau AS DOUBLE)/wau, 6) AS stickiness
+        |FROM dau JOIN wau ON dau.day//7 = wau.week
+        |ORDER BY day""".stripMargin,
 
     "clean_dedup_exact" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM (

@@ -112,6 +112,24 @@ object Cleaning {
       .orderBy("website_url", "company_name")
   }
 
+  /** Domain-level rollup of the cleaned web register: entities and
+    * distinct names per host — the "which domains did we crawl"
+    * analytic a CC-derived register is actually queried with
+    * (clean_common_crawl.py keys everything on the URL). Host
+    * extraction is a codegen'd regexp on the already-normalized URL;
+    * top-20 rides a bounded TakeOrdered, never a global window.
+    */
+  def ccDomains(spark: SparkSession, dir: String): DataFrame = {
+    val agg = cleanCc(spark, dir)
+      .withColumn("domain",
+        regexp_extract(col("website_url"), "^https?://([^/]+)/", 1))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_entities"),
+        countDistinct("company_name").as("n_names"))
+    graft.functions.TopK.globalWithRank(agg, 20,
+      col("n_entities").desc, col("domain"))
+  }
+
   /** Exact dedup: the drop_duplicates() / drop_duplicates(subset=
     * [key]) pair from clean_abr.py:34-35, collapsed to ONE argmin
     * aggregation — keep-first-under-a-total-order per key is

@@ -160,6 +160,26 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** DAU / WAU / stickiness: distinct active users per day and per
+    * 7-day bucket, with stickiness = dau/wau per day — the
+    * engagement rollup every event pipeline reports. Two exact
+    * distinct aggregations on the integer day/week timeline plus a
+    * broadcast-scale join of the tiny per-period tables.
+    */
+  def eventsDauWau(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(expr("ts_s div 86400").as("day"), col("user_id"))
+    val dau = d.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = d.withColumn("week", expr("day div 7"))
+      .groupBy("week").agg(countDistinct("user_id").as("wau"))
+    dau.withColumn("week", expr("day div 7"))
+      .join(wau, "week")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Fixed-width value histogram per event type — the distribution
     * profiling pass run before choosing quality thresholds. Bins are
     * integer arithmetic (floor(value/width)), so the whole histogram
