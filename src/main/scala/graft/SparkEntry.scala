@@ -40,6 +40,7 @@ object SparkEntry {
     "events_retention" -> (Events.eventsRetention _),
     "events_moving_avg" -> (Events.eventsMovingAvg _),
     "events_dau_wau" -> (Events.eventsDauWau _),
+    "events_funnel_time" -> (Events.eventsFunnelTime _),
     // cleaning + quality
     "clean_abr" -> (Cleaning.cleanAbr _),
     "clean_cc" -> (Cleaning.cleanCc _),
@@ -400,6 +401,20 @@ object SparkEntry {
         |SELECT day, dau, wau, round(CAST(dau AS DOUBLE)/wau, 6) AS stickiness
         |FROM dau JOIN wau ON dau.day//7 = wau.week
         |ORDER BY day""".stripMargin,
+
+    "events_funnel_time" ->
+      """WITH e AS (SELECT epoch_ns(ts)//1000000000 AS ts_s, user_id, event_type
+        |  FROM events),
+        |su AS (SELECT user_id, min(ts_s) AS t0 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |d AS (SELECT su.user_id, min(ts_s - t0) AS delta_s
+        |  FROM su JOIN e ON su.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_s >= su.t0 GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converters,
+        | round(quantile_cont(delta_s, 0.5), 6) AS p50_s,
+        | round(quantile_cont(delta_s, 0.9), 6) AS p90_s,
+        | CAST(max(delta_s) AS BIGINT) AS max_s
+        |FROM d""".stripMargin,
 
     "clean_dedup_exact" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM (

@@ -112,6 +112,28 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Conversion latency: per converting user, seconds from first
+    * signup to the first purchase at-or-after it, summarized as
+    * exact interpolated percentiles — the time-to-convert companion
+    * of [[eventsFunnel]]'s stage counts. Plan: one filtered
+    * aggregation per stage, an equi-join on the user, a per-user min,
+    * and a single global summary row.
+    */
+  def eventsFunnelTime(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_s").as("t0"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_s"))
+    su.join(pu, "user_id")
+      .filter(col("ts_s") >= col("t0"))
+      .groupBy("user_id").agg(min(col("ts_s") - col("t0")).as("delta_s"))
+      .agg(count(lit(1)).as("n_converters"),
+        round(expr("percentile(delta_s, 0.5)"), 6).as("p50_s"),
+        round(expr("percentile(delta_s, 0.9)"), 6).as("p90_s"),
+        max("delta_s").as("max_s"))
+  }
+
   /** Funnel: users progressing signup → view → purchase in timestamp
     * order. One aggregation pass per user (min event time per stage),
     * stage ordering checked on the aggregated row.
