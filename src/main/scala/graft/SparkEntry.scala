@@ -904,7 +904,7 @@ object SparkEntry {
         |ORDER BY media_id, frame_idx""".stripMargin,
 
     "mm_resize" ->
-      """WITH m AS (SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes
+      """WITH m AS (SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes
         |  FROM documents),
         |d AS (SELECT media_id, 64 + n_bytes % 448 AS w,
         |   64 + (n_bytes // 7) % 448 AS h FROM m),

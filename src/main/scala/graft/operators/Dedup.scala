@@ -291,9 +291,12 @@ object Dedup {
     // least()), so ANY change strictly decreases sum(component) — one
     // cheap aggregate per round instead of a join+filter+count of
     // old-vs-new labels. decimal(38,0) so giant id sums can't wrap.
+    // sum over an EMPTY relation is null (edge-free input — e.g. a
+    // corpus with no duplicate families): normalize to 0 so the first
+    // round compares cleanly and the loop exits.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head
-        .getDecimal(0)
+      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var changed = true
     var rounds = 0

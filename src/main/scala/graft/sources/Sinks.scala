@@ -160,7 +160,22 @@ object Sinks {
     // target must not overwrite each other's staged batch
     val staging = table + "_stg_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-    writeJdbc(updates, url, staging, props, batchSize, SaveMode.Overwrite)
+    def dropStaging(): Unit = {
+      val c = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val st = c.createStatement()
+        try st.executeUpdate(s"DROP TABLE $staging")
+        catch { case _: java.sql.SQLException => () }
+        finally st.close()
+      } finally c.close()
+    }
+    // a failed batch load must not strand the uniquely-named staging
+    // table (unlike a fixed name, nothing would ever reclaim it)
+    try writeJdbc(updates, url, staging, props, batchSize, SaveMode.Overwrite)
+    catch { case e: Throwable =>
+      try dropStaging() catch { case _: Exception => () }
+      throw e
+    }
     // Spark's JDBC writer quotes COLUMN names (case-exact) but passes
     // the table name through verbatim — mirror that here, or the DB
     // resolves the identifiers differently than the writer created them.

@@ -143,26 +143,30 @@ object EventStreams {
   }
 
   /** Streaming decontamination gate: an unbounded document stream
-    * checked against a STATIC benchmark 5-gram table — the
-    * stream-static join shape an always-on ingestion pipeline uses to
-    * keep eval-suite leaks out of a training corpus (batch twin:
-    * [[graft.operators.Dedup.contaminationNgram]]). The static side
-    * is broadcast (eval suites are small), so the join is a stateless
-    * map-side probe per microbatch; the per-doc flag dedup rides the
-    * watermark, keeping state bounded. Emits each contaminated doc
-    * once.
+    * checked against a STATIC benchmark 5-gram set, flagging docs that
+    * share >= minShared grams — the SAME threshold semantics as the
+    * batch twin [[graft.operators.Dedup.contaminationNgram]], so a doc
+    * gets the same verdict whichever ingestion path it takes. Each doc
+    * arrives whole, so the shared-gram count is a per-ROW map-side
+    * computation (array_intersect against the benchmark set inlined as
+    * a literal — eval suites are small; a web-scale suite would ship
+    * as a Bloom-filter broadcast instead, trading exactness at the
+    * threshold for size). No streaming aggregation state at all; the
+    * per-doc flag dedup rides the watermark, keeping state bounded.
+    * Emits each contaminated doc once with its shared-gram count.
     */
-  def contaminationGate(docs: DataFrame, benchGramHashes: DataFrame): DataFrame = {
-    val grams = docs
+  def contaminationGate(docs: DataFrame, benchGramHashes: DataFrame,
+                        minShared: Int = 3): DataFrame = {
+    val bench = benchGramHashes.select("h").collect().map(_.getString(0)).toSeq
+    docs
       .withWatermark("ts", "10 minutes")
       .withColumn("t", split(col("text"), "\\s+"))
       .filter(size(col("t")) >= 5)
-      .select(col("doc_id"), col("ts"), explode(array_distinct(expr(
-        "transform(sequence(1, size(t)-4), i -> array_join(slice(t, i, 5), ' '))")))
-        .as("g5"))
-      .withColumn("h", md5(col("g5")))
-    grams.join(broadcast(benchGramHashes), "h")
-      .select("doc_id", "ts")
+      .withColumn("hs", array_distinct(expr(
+        "transform(sequence(1, size(t)-4), i -> md5(array_join(slice(t, i, 5), ' ')))")))
+      .withColumn("n_shared", size(array_intersect(col("hs"), typedLit(bench))))
+      .filter(col("n_shared") >= minShared)
+      .select("doc_id", "ts", "n_shared")
       .dropDuplicatesWithinWatermark("doc_id")
   }
 

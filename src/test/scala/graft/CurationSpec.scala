@@ -33,8 +33,12 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(col("containment") <= 0 || col("containment") > 1).count() == 0)
     assert(out.filter(col("i") >= col("j")).count() == 0)
     // doc pairs with identical text must surface with full containment
-    val exact = operators.Dedup.dedupExactText(spark, sf)
-      .filter(col("n_docs") >= 2).count()
+    // (only families the operator can see: its chunking needs >= 64
+    // chars of text)
+    val exact = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 64)
+      .groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).count()
     if (exact > 0)
       assert(out.filter(col("containment") === 1.0).count() > 0)
     out.unpersist()

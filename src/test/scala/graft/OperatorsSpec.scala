@@ -128,6 +128,12 @@ class OperatorsSpec extends SparkSpec {
     docs.unpersist(); joined.unpersist()
   }
 
+  test("label propagation handles an empty edge list (dup-free corpus)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(operators.Dedup.labelPropagate(empty).count() == 0)
+  }
+
   test("label propagation converges on a long chain (many rounds)") {
     import spark.implicits._
     // a 33-node path graph needs ~log2(32)=5 propagation rounds —

@@ -155,7 +155,9 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     // static benchmark side: the 5-gram hashes of one "eval" sentence
-    val benchText = "alpha beta gamma delta epsilon zeta"
+    // (10 words -> 6 grams); the gate needs >= 3 shared grams, i.e. a
+    // verbatim run of >= 7 benchmark words — same bar as the batch op
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val bench = Seq(benchText).toDF("text")
       .withColumn("t", split(col("text"), "\\s+"))
       .select(explode(expr(
@@ -168,14 +170,14 @@ class StreamingSpec extends SparkSpec {
       .outputMode(OutputMode.Append).start()
     try {
       input.addData(
-        (1L, ts(0), "alpha beta gamma delta epsilon tail words here"), // leaks gram 1
+        (1L, ts(0), "alpha beta gamma delta epsilon zeta eta leaked run"), // 7-word run = 3 grams
         (2L, ts(1), "totally unrelated clean document text with words"),
-        (1L, ts(2), "alpha beta gamma delta epsilon zeta full leak"), // same doc again
-        (3L, ts(3), "beta gamma delta epsilon zeta prefix overlap"))
+        (1L, ts(2), "alpha beta gamma delta epsilon zeta eta again leak"), // same doc again
+        (3L, ts(3), "beta gamma delta epsilon zeta short overlap only")) // 5-word run = 1 gram
       input.addData((9L, ts(300), "late watermark advancer document with words"))
       q.processAllAvailable()
       val flagged = spark.sql("select doc_id from contam").collect().map(_.getLong(0)).sorted
-      assert(flagged.toSeq == Seq(1L, 3L), s"got ${flagged.toSeq}")
+      assert(flagged.toSeq == Seq(1L), s"got ${flagged.toSeq}")
     } finally q.stop()
   }
 
