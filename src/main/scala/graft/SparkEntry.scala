@@ -41,6 +41,7 @@ object SparkEntry {
     "events_moving_avg" -> (Events.eventsMovingAvg _),
     "events_dau_wau" -> (Events.eventsDauWau _),
     "events_funnel_time" -> (Events.eventsFunnelTime _),
+    "events_anomaly_mad" -> (Events.eventsAnomalyMad _),
     // cleaning + quality
     "clean_abr" -> (Cleaning.cleanAbr _),
     "clean_cc" -> (Cleaning.cleanCc _),
@@ -416,6 +417,20 @@ object SparkEntry {
         | CAST(max(delta_s) AS BIGINT) AS max_s
         |FROM d""".stripMargin,
 
+    "events_anomaly_mad" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM e GROUP BY 1),
+        |mad AS (SELECT e.event_type,
+        |   round(quantile_cont(abs(value - med), 0.5), 6) AS mad,
+        |   round(any_value(med), 6) AS med
+        |  FROM e JOIN med USING (event_type) GROUP BY 1)
+        |SELECT event_id, e.event_type, round(value, 6) AS value,
+        | mad.med, mad.mad, round(abs(value - mad.med), 6) AS dev
+        |FROM e JOIN mad USING (event_type)
+        |WHERE round(abs(value - mad.med), 6) > 8.0 * mad.mad
+        |ORDER BY event_id""".stripMargin,
+
     "clean_dedup_exact" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM (
         | SELECT *, row_number() OVER (PARTITION BY l_orderkey
@@ -764,7 +779,8 @@ object SparkEntry {
         |q AS (SELECT v, norm, bucket FROM n WHERE vec_id = 0),
         |p AS (SELECT n.vec_id, n.bucket, round(list_sum(list_transform(
         |    generate_series(1, len(n.v)), i -> n.v[i]*q.v[i])) / (q.norm*n.norm), 6) AS cosine
-        |  FROM n JOIN q ON n.bucket = q.bucket WHERE n.vec_id <> 0)
+        |  FROM n JOIN q ON bit_count(xor(n.bucket, q.bucket)) <= 1
+        |  WHERE n.vec_id <> 0)
         |SELECT vec_id, bucket, cosine, rank FROM (
         | SELECT *, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
         | FROM p) t

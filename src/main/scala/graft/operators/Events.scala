@@ -182,6 +182,31 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Robust outlier scan via median absolute deviation: per event
+    * type, median and MAD of the value, then every event whose
+    * |value − median| exceeds k·MAD — the robust companion of the
+    * 3σ z-score scan ([[eventsZscore]]), immune to the outliers it
+    * hunts inflating the threshold. Two exact interpolated medians
+    * per type (tiny per-type tables broadcast back onto the stream);
+    * the scan itself is a map-side filter.
+    */
+  def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val med = e.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = e.join(broadcast(med), "event_type")
+      .withColumn("absdev", abs(col("value") - col("med")))
+      .groupBy("event_type")
+      .agg(round(expr("percentile(absdev, 0.5)"), 6).as("mad"),
+        round(first("med"), 6).as("med"))
+    e.join(broadcast(mad), "event_type")
+      .withColumn("dev", round(abs(col("value") - col("med")), 6))
+      .filter(col("dev") > lit(8.0) * col("mad"))
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 6).as("value"), col("med"), col("mad"), col("dev"))
+      .orderBy("event_id")
+  }
+
   /** DAU / WAU / stickiness: distinct active users per day and per
     * 7-day bucket, with stickiness = dau/wau per day — the
     * engagement rollup every event pipeline reports. Two exact

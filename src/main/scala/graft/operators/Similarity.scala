@@ -103,9 +103,13 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** Sign-bit LSH: bucket = 8 sign bits of the first 8 dimensions
-    * (random-hyperplane LSH with axis-aligned planes — deterministic
-    * and engine-portable). Search only the query's bucket, top-5.
+  /** Sign-bit LSH with multi-probe: bucket = 8 sign bits of the first
+    * 8 dimensions (random-hyperplane LSH with axis-aligned planes —
+    * deterministic and engine-portable). The query probes its own
+    * bucket plus all 8 Hamming-1 neighbors — the multi-probe LSH
+    * recall fix for vectors whose signs sit near a hyperplane —
+    * searching 9/2^bits of the corpus instead of one bucket. The
+    * probe list is 9 broadcast rows; candidates stay an equi-join.
     */
   def knnSignLsh(spark: SparkSession, dir: String): DataFrame = {
     val bucketExpr = expr(
@@ -114,11 +118,20 @@ object Similarity {
         | (acc, i) -> acc + CASE WHEN element_at(v, i) >= 0.0
         |   THEN CAST(pow(2, i - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
     val e = vecsWithNorm(spark, dir).withColumn("bucket", bucketExpr)
+    // rename the query side before the join: q shares e's lineage, and
+    // alias-qualified column refs on a self-join resolve ambiguously.
+    // Multi-probe as a Hamming-≤1 condition on the ONE broadcast query
+    // row — a map-side filter over the corpus, equivalent to probing
+    // the 9 bucket values but with no generator for the optimizer to
+    // misprune.
     val q = e.filter(col("vec_id") === 0)
-    val scored = e.as("e").filter(col("vec_id") =!= 0)
-      .join(broadcast(q.as("q")), col("e.bucket") === col("q.bucket"))
-      .withColumn("cosine", cosine)
-      .select(col("e.vec_id").as("vec_id"), col("e.bucket").as("bucket"), col("cosine"))
+      .select(col("v").as("qv"), col("norm").as("qn"), col("bucket").as("qbucket"))
+    val scored = e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), expr("bit_count(bucket ^ qbucket) <= 1"))
+      .withColumn("cosine", round(
+        graft.functions.VectorExprs.dot(col("v"), col("qv"))
+          / (col("norm") * col("qn")), 6))
+      .select(col("vec_id"), col("bucket"), col("cosine"))
     graft.functions.TopK.globalWithRank(scored, 5,
       col("cosine").desc, col("vec_id"))
   }
