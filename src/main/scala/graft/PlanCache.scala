@@ -4,13 +4,22 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Per-(session, dir) memo of small derived relations that several
-  * operators re-derive (cleaned ABR, blocked fuzzy matches). Without
-  * it, a bench/verify run re-executes the shared lineage once per
-  * consuming query; with it, the first consumer materializes the
+/** Per-(session, dir) memo of derived relations that several
+  * operators (or several branches of one operator) re-derive
+  * (cleaned ABR, blocked fuzzy matches, tf tables, packed bitsets).
+  * Without it, a bench/verify run re-executes the shared lineage once
+  * per consuming query; with it, the first consumer materializes the
   * relation into the block-manager cache and later consumers reuse
-  * the InMemoryRelation. Only bounded outputs belong here (one row
-  * per entity/customer) — never raw fact tables.
+  * the InMemoryRelation.
+  *
+  * This is also the LIFECYCLE home for every persisted intermediate
+  * in the operator library: operators never call bare `.persist()`
+  * (which leaks the blocks for the session lifetime — nothing ever
+  * unpersists them), they route through [[cached]] so `clear()` /
+  * `invalidate(dir)` reclaims everything in one sweep at run end.
+  * Entries must be deterministic functions of (dir); never cache raw
+  * fact tables — only aggregated/derived relations an operator would
+  * otherwise persist anyway.
   */
 object PlanCache {
   private val cache = TrieMap.empty[(String, SparkSession, String), DataFrame]

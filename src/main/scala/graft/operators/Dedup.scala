@@ -39,11 +39,12 @@ object Dedup {
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // persist: the shingle arrays feed minhash computation and both
     // sides of the candidate verify
-    val sh = Tables.documents(spark, dir)
-      .withColumn("toks", tokensCol)
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), shinglesCol.as("s"))
-      .persist()
+    val sh = graft.PlanCache.cached("minhash_shingles", spark, dir) {
+      Tables.documents(spark, dir)
+        .withColumn("toks", tokensCol)
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), shinglesCol.as("s"))
+    }
     // minhashes via explode + min-agg: md5 runs codegen'd per shingle
     // row instead of interpreted inside an array-transform lambda.
     // Only TWO digests per shingle: each md5 is split into 4
@@ -149,15 +150,16 @@ object Dedup {
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(r % 32 AS INT)))").as("wrd"))
     // one row per doc: packed words as a dense array (missing words
     // zero-filled), gram-set size recovered from popcounts.
-    val dense = bits
-      .groupBy("doc_id", "lang")
-      .agg(
-        map_from_entries(collect_list(struct(col("wi"), col("wrd")))).as("m"),
-        sum(expr("bit_count(wrd)")).as("n"))
-      .withColumn("v", expr(
-        s"transform(sequence(0, ${words - 1}), wi -> coalesce(m[wi], CAST(0 AS BIGINT)))"))
-      .select("doc_id", "lang", "n", "v")
-      .persist()
+    val dense = graft.PlanCache.cached("ngram_bitsets", spark, dir) {
+      bits
+        .groupBy("doc_id", "lang")
+        .agg(
+          map_from_entries(collect_list(struct(col("wi"), col("wrd")))).as("m"),
+          sum(expr("bit_count(wrd)")).as("n"))
+        .withColumn("v", expr(
+          s"transform(sequence(0, ${words - 1}), wi -> coalesce(m[wi], CAST(0 AS BIGINT)))"))
+        .select("doc_id", "lang", "n", "v")
+    }
     val inter = graft.functions.Vectors.bitsetInter("va", "vb")
     // the block key (lang) has cardinality ~5 → a plain equi-join
     // runs on ~5 tasks. Salt the left side and replicate the right
@@ -193,14 +195,15 @@ object Dedup {
     // over ~len/32 chunks), so the doc's chunk count rides along with
     // every posting row — no global distinct shuffle, no separate
     // per-doc count aggregation, no count joins back onto the pairs
-    val posting = Tables.documents(spark, dir)
-      .filter(length(col("text")) >= 64)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, CAST(floor((length(text)-64)/32.0) AS INT)), c -> md5(substring(text, c*32+1, 64)))"))
-        .as("hs"))
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
-        explode(col("hs")).as("h"))
-      .persist()
+    val posting = graft.PlanCache.cached("substring_posting", spark, dir) {
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) >= 64)
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(sequence(0, CAST(floor((length(text)-64)/32.0) AS INT)), c -> md5(substring(text, c*32+1, 64)))"))
+          .as("hs"))
+        .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+          explode(col("hs")).as("h"))
+    }
     val keep = posting.groupBy("h").agg(count(lit(1)).as("dfh"))
       .filter(col("dfh") <= 100)
     val pruned = posting.join(keep.select("h"), "h")
@@ -221,10 +224,14 @@ object Dedup {
     * against its eval suites). Benchmark membership here is the
     * deterministic doc_id % 10 == 0 slice standing in for an external
     * eval table; grams are hashed so the join moves fixed-width keys.
-    * The join is benchmark-side bounded: at real scale the benchmark
-    * gram set is millions of rows (eval suites are small) and
-    * broadcastable, so the contamination scan is a map-side probe of
-    * the training corpus — no shuffle of the big side.
+    * No broadcast HINT on the benchmark side: here it is a fixed
+    * fraction of the corpus's distinct 5-grams, so it grows with the
+    * data and a forced broadcast would eventually blow the driver.
+    * AQE's size statistics pick broadcast exactly when the benchmark
+    * side is genuinely small (a real external eval suite — millions
+    * of gram rows, bounded) and fall back to a shuffled hash join
+    * when it isn't; the hint belongs only on a table whose size is
+    * known-bounded by construction.
     */
   def contaminationNgram(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
@@ -237,7 +244,7 @@ object Dedup {
     val bench = grams.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("bench_id"), col("h"))
     val train = grams.filter(col("doc_id") % 10 =!= 0)
-    train.join(broadcast(bench), "h")
+    train.join(bench, "h")
       .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
       .orderBy("doc_id", "bench_id")

@@ -100,11 +100,15 @@ object Matching {
 
   /** denseVocabMax exposed so tests can force the sparse path;
     * prefixFilter=false disables candidate pruning entirely (the
-    * brute-force reference formulation). All variants must produce
-    * identical rounded results — the prefix bound is lossless.
+    * brute-force reference formulation); denseBroadcastMaxBytes caps
+    * the estimated broadcast-side vector-table size (docs × vocab ×
+    * 8B) above which the dense path is refused even for a narrow
+    * vocabulary. All variants must produce identical rounded results
+    * — the prefix bound is lossless and both regimes score exactly.
     */
   def matchTfidfTopk(spark: SparkSession, dir: String, denseVocabMax: Int,
-      prefixFilter: Boolean = true): DataFrame = {
+      prefixFilter: Boolean = true,
+      denseBroadcastMaxBytes: Long = 256L << 20): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // 1-2-gram vocabulary, mirroring TfidfVectorizer(ngram_range=(1,2))
     // in entity_matching_optimized.py:146-149 — bigram features let
@@ -121,10 +125,14 @@ object Matching {
         "transform(sequence(1, size(t)-1), i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
         .as("token"))
     val tokens = uni.unionByName(big)
-    // persist: vocab count and the weight pipeline both read tf
-    val tf = tokens.groupBy("doc_id", "len", "token").agg(count(lit(1)).as("cnt"))
-      .withColumn("tf", col("cnt").cast("double") / col("len").cast("double"))
-      .persist()
+    // cached (not bare persist): vocab count and the weight pipeline
+    // both read tf, and PlanCache ownership means clear()/invalidate
+    // reclaims the blocks at run end instead of leaking them for the
+    // session lifetime
+    val tf = graft.PlanCache.cached("tfidf_tf", spark, dir) {
+      tokens.groupBy("doc_id", "len", "token").agg(count(lit(1)).as("cnt"))
+        .withColumn("tf", col("cnt").cast("double") / col("len").cast("double"))
+    }
     val nDocs = docs.count()
     // Vocabulary pruning, mirroring TfidfVectorizer(max_df=0.95,
     // max_features=10000) in entity_matching_optimized.py:146-149:
@@ -136,9 +144,10 @@ object Matching {
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .filter(col("df") < lit(0.95 * nDocs))
       .orderBy(col("df").desc, col("token")).limit(10000)
-    val weights = tf.join(broadcast(dfreq), "token")
-      .withColumn("w", col("tf") * log(lit(nDocs.toDouble) / col("df").cast("double")))
-      .persist()
+    val weights = graft.PlanCache.cached("tfidf_weights", spark, dir) {
+      tf.join(broadcast(dfreq), "token")
+        .withColumn("w", col("tf") * log(lit(nDocs.toDouble) / col("df").cast("double")))
+    }
     val vocab = dfreq.count()
     // Prefix-filtered candidate generation — a LOSSLESS PPJoin bound,
     // sized from the cosine threshold rather than a fixed top-k: per
@@ -190,8 +199,15 @@ object Matching {
     // measured 14.8s vs 2s dense at sf0.1) — and the
     // candidate-restricted sparse inverted-index join for vocabularies
     // too wide to densify, where rare terms bound the posting lists.
+    // Dense-regime guard: vocabulary width alone does not bound the
+    // broadcast — the broadcast side is one corpus half's VECTORS, so
+    // its size scales with docs × vocab × 8B. A huge corpus with a
+    // small shared vocabulary must still take the sparse path (the
+    // escape hatch the densification depends on), so gate on the
+    // estimated vector-table size too, not only on vocab width.
+    val denseBytes = (nDocs / 2 + 1) * (vocab * 8L + 64L)
     val cos =
-      if (vocab <= denseVocabMax) {
+      if (vocab <= denseVocabMax && denseBytes <= denseBroadcastMaxBytes) {
         // Densifiable (shared-vocabulary) regime: per-doc dense
         // vectors + a broadcast nested-loop scan of the corpus half.
         // When the vocabulary is small relative to the corpus, nearly
@@ -212,16 +228,17 @@ object Matching {
         // native codegen; the transform(sequence(1,n), r -> m[r])
         // formulation probes an O(entries) Spark map per slot,
         // interpreted (n·nnz work per doc)
-        val vecs = weights.join(broadcast(ranked.select("token", "r")), "token")
-          .groupBy("doc_id")
-          .agg(collect_list(struct(col("r"), col("w"))).as("rw"),
-            sum(col("w") * col("w")).as("n2"))
-          .select(col("doc_id"),
-            graft.functions.VectorExprs.denseScatter(
-              expr("transform(rw, x -> x.r)"), expr("transform(rw, x -> x.w)"),
-              vocab.toInt).as("v"),
-            sqrt(col("n2")).as("norm"))
-          .persist()
+        val vecs = graft.PlanCache.cached("tfidf_vecs", spark, dir) {
+          weights.join(broadcast(ranked.select("token", "r")), "token")
+            .groupBy("doc_id")
+            .agg(collect_list(struct(col("r"), col("w"))).as("rw"),
+              sum(col("w") * col("w")).as("n2"))
+            .select(col("doc_id"),
+              graft.functions.VectorExprs.denseScatter(
+                expr("transform(rw, x -> x.r)"), expr("transform(rw, x -> x.w)"),
+                vocab.toInt).as("v"),
+              sqrt(col("n2")).as("norm"))
+        }
         val evens = vecs.filter(col("doc_id") % 2 === 0)
           .select(col("doc_id").as("i"), col("v").as("vi"), col("norm").as("ni"))
         val odds = vecs.filter(col("doc_id") % 2 === 1)
@@ -308,10 +325,13 @@ object Matching {
     val (k1, b) = (1.2, 0.75)
     val tokens = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
-    val corpusTf = tokens.filter(col("doc_id") % 2 === 1)
-      .groupBy(col("doc_id").as("j"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .persist() // read by len, df, and the scoring join
+    // read by len, df, and the scoring join; PlanCache-owned so the
+    // blocks are reclaimable at run end
+    val corpusTf = graft.PlanCache.cached("bm25_corpus_tf", spark, dir) {
+      tokens.filter(col("doc_id") % 2 === 1)
+        .groupBy(col("doc_id").as("j"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+    }
     val docLen = corpusTf.groupBy("j").agg(sum("tf").as("len"))
     val nDocs = docLen.count()
     // explicit exact-int sum / count (avg() accumulates in double —

@@ -18,32 +18,31 @@ object Quality {
     val c = Tables.customer(spark, dir)
 
     // One aggregation pass per table; each metric is a conditional
-    // agg. Each 1-row aggregate is persisted: the metric rows union
-    // inlines its subtree once per branch, and Spark does no
+    // agg. Each 1-row aggregate is PlanCache-cached: the metric rows
+    // union inlines its subtree once per branch, and Spark does no
     // cross-branch CSE — uncached, cleanCc's scan+shuffle would run
-    // once per cc metric.
-    val om = o.agg(
+    // once per cc metric. Routing through PlanCache (not bare
+    // persist) keeps the blocks reclaimable via clear()/invalidate.
+    val om = graft.PlanCache.cached("quality_om", spark, dir)(o.agg(
       count(lit(1)).as("n_rows"),
       count(col("o_orderkey")).as("key_nonnull"),
       countDistinct(col("o_orderkey")).as("key_distinct"),
       sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)).as("price_positive"),
-      sum(when(col("o_orderpriority").rlike("^[1-5]-"), 1L).otherwise(0L)).as("prio_valid"))
-      .persist()
-    val cm = c.agg(
+      sum(when(col("o_orderpriority").rlike("^[1-5]-"), 1L).otherwise(0L)).as("prio_valid")))
+    val cm = graft.PlanCache.cached("quality_cm", spark, dir)(c.agg(
       count(lit(1)).as("n_rows"),
       count(col("c_name")).as("name_nonnull"),
       countDistinct(col("c_custkey")).as("key_distinct"),
-      sum(when(col("c_acctbal") >= -1000, 1L).otherwise(0L)).as("bal_in_range"))
-      .persist()
+      sum(when(col("c_acctbal") >= -1000, 1L).otherwise(0L)).as("bal_in_range")))
     // metrics over the cleaned Common-Crawl OUTPUT (the dbt
     // common_crawl_quality.yml url/company_name unique+not_null
     // tests) — quality is asserted post-clean, not just on sources
-    val ccm = Cleaning.cleanCc(spark, dir).agg(
-      count(lit(1)).as("n_rows"),
-      count(col("website_url")).as("url_nonnull"),
-      count(col("company_name")).as("name_nonnull"),
-      countDistinct(col("website_url"), col("company_name")).as("pair_distinct"))
-      .persist()
+    val ccm = graft.PlanCache.cached("quality_ccm", spark, dir)(
+      Cleaning.cleanCc(spark, dir).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("website_url")).as("url_nonnull"),
+        count(col("company_name")).as("name_nonnull"),
+        countDistinct(col("website_url"), col("company_name")).as("pair_distinct")))
 
     def metric(src: DataFrame, table: String, name: String,
                value: org.apache.spark.sql.Column, threshold: Double): DataFrame =

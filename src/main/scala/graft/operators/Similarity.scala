@@ -156,11 +156,12 @@ object Similarity {
     */
   def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
     val k = 8
-    val e = Tables.embeddings(spark, dir).select(
-      col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("n2", graft.functions.VectorExprs.dot(col("v"), col("v")))
-      .persist()
+    val e = graft.PlanCache.cached("kmeans_vecs", spark, dir) {
+      Tables.embeddings(spark, dir).select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("n2", graft.functions.VectorExprs.dot(col("v"), col("v")))
+    }
     val init = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
     def assign(cents: DataFrame): DataFrame =

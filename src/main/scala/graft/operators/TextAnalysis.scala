@@ -151,15 +151,19 @@ object TextAnalysis {
     */
   def textPmiBigrams(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val uni = d.select(explode(toks).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cw")).persist()
+    val uni = graft.PlanCache.cached("pmi_uni", spark, dir) {
+      d.select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+    }
     val n1 = uni.agg(sum("cw")).head().getLong(0)
     val bi = d.withColumn("t", toks).filter(size(col("t")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(t)-1), i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"))
         .as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val cbi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cxy")).persist()
+    val cbi = graft.PlanCache.cached("pmi_cbi", spark, dir) {
+      bi.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+    }
     val n2 = cbi.agg(sum("cxy")).head().getLong(0)
     val scored = cbi.filter(col("cxy") >= 5)
       .join(uni.select(col("w").as("w1"), col("cw").as("cx")), "w1")
@@ -190,7 +194,9 @@ object TextAnalysis {
       .select(col("doc_id"), explode(toks).as("w"))
     // per-doc term frequency first: the model join then moves one row
     // per DISTINCT (doc, token) instead of one per token occurrence
-    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt")).persist()
+    val tf = graft.PlanCache.cached("ppl_tf", spark, dir) {
+      tok.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    }
     val uni = tf.groupBy("w").agg(sum("cnt").as("cw"))
     val total = uni.agg(sum("cw")).head.getLong(0)
     val out = tf.join(uni, "w")

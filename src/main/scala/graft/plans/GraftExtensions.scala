@@ -78,9 +78,21 @@ object GraftExtensions {
     info("graft_dense_scatter",
       "graft_dense_scatter(indices, values, n) - scatter 1-based (index, value) pairs into a dense array<double> of length n"),
     (args: Seq[Expression]) => args(2) match {
-      case Literal(n: Int, _) => graft.functions.DenseScatterExpr(args(0), args(1), n)
+      // validate at resolution time: a negative n would throw
+      // NegativeArraySizeException per ROW at eval, and a huge n
+      // allocates an n-double array per row — both are plan bugs the
+      // user should see once, up front, with the offending value
+      case Literal(n: Int, _) if n > 0 && n <= DenseScatterMaxLen =>
+        graft.functions.DenseScatterExpr(args(0), args(1), n)
+      case Literal(n: Int, _) => sys.error(
+        s"graft_dense_scatter length must be in (0, $DenseScatterMaxLen], got $n")
       case other => sys.error(s"graft_dense_scatter length must be an int literal, got $other")
     })
+
+  /** Hard cap on the per-row dense array (4M doubles = 32 MB/row) —
+    * anything wider is a mis-sized vocabulary, not a real vector.
+    */
+  val DenseScatterMaxLen: Int = 1 << 22
 }
 
 /** graft_dot(x, x) ≡ Σx², which the same loop computes without the

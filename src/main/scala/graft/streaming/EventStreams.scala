@@ -149,15 +149,26 @@ object EventStreams {
     * gets the same verdict whichever ingestion path it takes. Each doc
     * arrives whole, so the shared-gram count is a per-ROW map-side
     * computation (array_intersect against the benchmark set inlined as
-    * a literal — eval suites are small; a web-scale suite would ship
-    * as a Bloom-filter broadcast instead, trading exactness at the
-    * threshold for size). No streaming aggregation state at all; the
+    * a literal). The literal (and its generated code) grows with the
+    * benchmark set, so the collect is HARD-CAPPED at maxInlineGrams —
+    * the gate fails fast at build time instead of silently blowing the
+    * driver or the 64KB codegen method limit mid-stream. A suite past
+    * the cap ships as a Bloom-filter broadcast instead
+    * ([[contaminationGateBloom]]), trading exactness at the threshold
+    * for constant size. No streaming aggregation state at all; the
     * per-doc flag dedup rides the watermark, keeping state bounded.
     * Emits each contaminated doc once with its shared-gram count.
     */
   def contaminationGate(docs: DataFrame, benchGramHashes: DataFrame,
-                        minShared: Int = 3): DataFrame = {
-    val bench = benchGramHashes.select("h").collect().map(_.getString(0)).toSeq
+                        minShared: Int = 3,
+                        maxInlineGrams: Int = 200000): DataFrame = {
+    // bound the driver collect BEFORE collecting: limit(cap+1) pulls
+    // at most cap+1 rows even when the benchmark table is huge
+    val bench = benchGramHashes.select("h").limit(maxInlineGrams + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(bench.size <= maxInlineGrams,
+      s"benchmark gram set exceeds maxInlineGrams=$maxInlineGrams; " +
+        "use contaminationGateBloom (broadcast Bloom filter) for large eval suites")
     docs
       .withWatermark("ts", "10 minutes")
       .withColumn("t", split(col("text"), "\\s+"))
@@ -167,6 +178,41 @@ object EventStreams {
       .withColumn("n_shared", size(array_intersect(col("hs"), typedLit(bench))))
       .filter(col("n_shared") >= minShared)
       .select("doc_id", "ts", "n_shared")
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
+  /** Web-scale form of [[contaminationGate]]: the benchmark gram set
+    * ships as a broadcast Bloom filter (constant ~`1.2·n·ln(1/fpp)/8`
+    * bytes regardless of gram width) instead of an inlined literal.
+    * The probe is a per-row map-side filter over the doc's gram
+    * hashes — still no streaming aggregation state. Bloom filters
+    * have false POSITIVES only, so the gate is a guaranteed SUPERSET
+    * of the exact gate: `n_maybe_shared >= n_shared` per doc, no
+    * contaminated doc is ever missed, and flagged docs feed the exact
+    * batch verifier ([[graft.operators.Dedup.contaminationNgram]])
+    * downstream — the standard sketch-then-verify decontamination
+    * shape. The probe is a deterministic Scala function over the
+    * broadcast sketch (justified non-codegen: Spark's BloomFilter has
+    * no Column-level mightContain), applied inside `filter(hs, ...)`
+    * so only the array lambda is interpreted, not the row pipeline.
+    */
+  def contaminationGateBloom(docs: DataFrame, benchGramHashes: DataFrame,
+                             minShared: Int = 3,
+                             expectedGrams: Long = 1L << 20,
+                             fpp: Double = 0.01): DataFrame = {
+    val bf = benchGramHashes.stat.bloomFilter("h", expectedGrams, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: String) => bc.value.mightContainString(h))
+    docs
+      .withWatermark("ts", "10 minutes")
+      .withColumn("t", split(col("text"), "\\s+"))
+      .filter(size(col("t")) >= 5)
+      .withColumn("hs", array_distinct(expr(
+        "transform(sequence(1, size(t)-4), i -> md5(array_join(slice(t, i, 5), ' ')))")))
+      .withColumn("n_maybe_shared",
+        size(filter(col("hs"), h => mightContain(h))))
+      .filter(col("n_maybe_shared") >= minShared)
+      .select("doc_id", "ts", "n_maybe_shared")
       .dropDuplicatesWithinWatermark("doc_id")
   }
 

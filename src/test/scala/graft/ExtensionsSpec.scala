@@ -30,6 +30,18 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r == Seq(0.0, 5.0, 0.0, 7.0))
   }
 
+  test("graft_dense_scatter rejects out-of-range lengths at resolution time") {
+    // a negative length would NPE/NegativeArraySize per ROW at eval;
+    // a huge one allocates gigabytes per row — both must fail once,
+    // at planning, with the offending value in the message
+    val neg = intercept[Exception](
+      spark.sql("SELECT graft_dense_scatter(array(1), array(1.0d), -1) AS v").collect())
+    assert(neg.getMessage.contains("-1"))
+    val huge = intercept[Exception](
+      spark.sql("SELECT graft_dense_scatter(array(1), array(1.0d), 2147483647) AS v").collect())
+    assert(huge.getMessage.contains("2147483647"))
+  }
+
   test("optimizer rewrites graft_dot(x, x) to the self-dot form") {
     // id is non-foldable, so constant folding can't pre-empt the rule
     val df = spark.sql(

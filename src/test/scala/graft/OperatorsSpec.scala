@@ -81,6 +81,21 @@ class OperatorsSpec extends SparkSpec {
     assert(dense == sparse)
   }
 
+  test("tfidf dense regime refuses an over-budget broadcast and falls back to sparse") {
+    // vocab fits denseVocabMax, but the estimated vector-table bytes
+    // (docs x vocab x 8B) exceed the broadcast budget: the operator
+    // must take the sparse path (no OOM-prone broadcast) and still
+    // produce the identical rounded result.
+    val guarded = operators.Matching
+      .matchTfidfTopk(spark, sf, denseVocabMax = 4096, prefixFilter = true,
+        denseBroadcastMaxBytes = 1L)
+      .collect().map(_.toSeq).toSet
+    val dense = operators.Matching.matchTfidfTopk(spark, sf, denseVocabMax = 4096)
+      .collect().map(_.toSeq).toSet
+    assert(guarded == dense)
+    assert(guarded.nonEmpty)
+  }
+
   test("tfidf prefix filter is lossless vs unfiltered candidates") {
     // the threshold-derived PPJoin prefix bound must reproduce the
     // brute-force (no candidate pruning) formulation exactly — zero

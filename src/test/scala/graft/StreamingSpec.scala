@@ -181,6 +181,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contaminationGate fails fast when the benchmark set exceeds the inline cap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bench = Seq("aaa", "bbb", "ccc").toDF("h")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val e = intercept[IllegalArgumentException](
+      EventStreams.contaminationGate(docs, bench, maxInlineGrams = 2))
+    assert(e.getMessage.contains("contaminationGateBloom"))
+  }
+
+  test("contaminationGateBloom is a superset gate: flags every exact hit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq(benchText).toDF("text")
+      .withColumn("t", split(col("text"), "\\s+"))
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-4), i -> array_join(slice(t, i, 5), ' '))")).as("g5"))
+      .select(md5(col("g5")).as("h"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.contaminationGateBloom(docs, bench)
+      .writeStream.format("memory").queryName("contam_bloom")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, ts(0), "alpha beta gamma delta epsilon zeta eta leaked run"), // 3 shared grams
+        (2L, ts(1), "totally unrelated clean document text with words"),
+        (1L, ts(2), "alpha beta gamma delta epsilon zeta eta again leak"),
+        (3L, ts(3), "beta gamma delta epsilon zeta short overlap only")) // 1 shared gram
+      input.addData((9L, ts(300), "late watermark advancer document with words"))
+      q.processAllAvailable()
+      val rows = spark.sql("select doc_id, n_maybe_shared from contam_bloom")
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      // no false negatives: the exact-contaminated doc MUST be flagged,
+      // with an estimate >= its exact shared count (Bloom FPs only add)
+      val flagged = rows.map(_._1).toSet
+      assert(flagged.contains(1L), s"got $rows")
+      assert(rows.filter(_._1 == 1L).forall(_._2 >= 3), s"got $rows")
+      // each doc emitted at most once (watermark dedup)
+      assert(rows.map(_._1).length == flagged.size)
+    } finally q.stop()
+  }
+
   test("incrementalUpsert maintains latest-wins keyed table across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
