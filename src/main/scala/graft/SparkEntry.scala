@@ -102,6 +102,15 @@ object SparkEntry {
     "mm_binary_features" -> (multimodal.BinaryColumns.binaryFeatures _),
     "mm_fake_decode" -> (multimodal.BinaryColumns.fakeDecodeFeatures _),
     "mm_resize" -> (multimodal.BinaryColumns.resizePlan _),
+    // round 4: privacy, diversity, sketches, crosstabs, paths, URLs, splits
+    "text_pii_scrub" -> (TextAnalysis.textPiiScrub _),
+    "text_token_entropy" -> (TextAnalysis.textTokenEntropy _),
+    "heavy_hitters_cms" -> (Sketches.heavyHittersCms _),
+    "pivot_agg" -> (Olap.pivotAgg _),
+    "q4_priority_exists" -> (Olap.q4PriorityExists _),
+    "events_path_transitions" -> (Events.eventsPathTransitions _),
+    "clean_url_canon" -> (Cleaning.cleanUrlCanon _),
+    "sample_hash_split" -> (Sampling.sampleHashSplit _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -1241,5 +1250,126 @@ object SparkEntry {
         | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         | min(md5(text)) AS min_hash, max(md5(text)) AS max_hash
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_pii_scrub" ->
+      """WITH withpii AS (SELECT doc_id,
+        |  text ||
+        |  CASE WHEN doc_id % 4 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 6 = 0 THEN ' call 555-' || printf('%04d', doc_id % 10000) ELSE '' END ||
+        |  CASE WHEN doc_id % 10 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ELSE '' END
+        |  AS text FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS INT) AS n_phones,
+        | CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b555-[0-9]{4}\b', '<PHONE>', 'g'),
+        |   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS scrub_md5
+        |FROM withpii ORDER BY doc_id""".stripMargin,
+
+    "text_token_entropy" ->
+      """WITH tf AS (
+        | SELECT doc_id, w, count(*) AS cnt
+        | FROM (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS w FROM documents)
+        | GROUP BY 1, 2),
+        |agg AS (
+        | SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS clc
+        | FROM tf GROUP BY 1),
+        |scored AS (
+        | SELECT doc_id, n_tokens, n_distinct,
+        |  round(ln(CAST(n_tokens AS DOUBLE)) - clc / CAST(n_tokens AS DOUBLE), 6) AS entropy
+        | FROM agg)
+        |SELECT doc_id, n_tokens, n_distinct, entropy,
+        | CASE WHEN n_distinct > 1
+        |      THEN round(entropy / ln(CAST(n_distinct AS DOUBLE)), 6)
+        |      ELSE CAST(0.0 AS DOUBLE) END AS norm_entropy
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "heavy_hitters_cms" ->
+      """WITH exact AS (
+        | SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+        | FROM (SELECT unnest(string_split_regex(text,'\s+')) AS token FROM documents)
+        | GROUP BY 1),
+        |sk0 AS (SELECT token, n_exact, unnest(generate_series(0, 3)) AS row FROM exact),
+        |sketch AS (
+        | SELECT row, substr(md5(row || '|' || token), 1, 2) AS bucket,
+        |  CAST(sum(n_exact) AS BIGINT) AS bsum
+        | FROM sk0 GROUP BY 1, 2),
+        |top AS (
+        | SELECT token, n_exact,
+        |  CAST(row_number() OVER (ORDER BY n_exact DESC, token) AS INT) AS rank
+        | FROM exact ORDER BY n_exact DESC, token LIMIT 20),
+        |probe AS (SELECT rank, token, n_exact, unnest(generate_series(0, 3)) AS row FROM top)
+        |SELECT rank, probe.token AS token, probe.n_exact AS n_exact,
+        | min(bsum) AS cms_est
+        |FROM probe JOIN sketch
+        |  ON sketch.row = probe.row
+        | AND sketch.bucket = substr(md5(probe.row || '|' || probe.token), 1, 2)
+        |GROUP BY 1, 2, 3 ORDER BY rank""".stripMargin,
+
+    "pivot_agg" ->
+      """SELECT o_orderpriority,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+        | CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending,
+        | CAST(count(*) FILTER (WHERE o_orderstatus IN ('O','F','P')) AS BIGINT) AS n_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_path_transitions" ->
+      """WITH seq AS (
+        | SELECT user_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts)//1000000000, event_id) AS to_type
+        | FROM events),
+        |agg AS (
+        | SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        | FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM agg ORDER BY from_type, to_type""".stripMargin,
+
+    "clean_url_canon" ->
+      """WITH base AS (
+        | SELECT p_partkey,
+        |  'HTTPS://WWW.' || replace(p_name, ' ', '-') || '.Example.COM' AS host,
+        |  '/catalog/' || replace(p_brand, '#', '') || '/item' AS path
+        | FROM part),
+        |variants AS (
+        | SELECT p_partkey, unnest([
+        |   host || ':443' || path,
+        |   lower(host) || path || '?utm_source=crawl&utm_campaign=x',
+        |   host || path || '/#section']) AS raw_url
+        | FROM base),
+        |canon AS (
+        | SELECT p_partkey,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    lower(raw_url),
+        |    '#.*$', '', 'g'), ':(443|80)/', '/', 'g'), 'utm_[a-z]+=[^&#]*&?', '', 'g'),
+        |    '[?&]+$', '', 'g'), '\?&', '?', 'g'), '/$', '', 'g') AS u
+        | FROM variants)
+        |SELECT u AS canon_url, CAST(count(*) AS BIGINT) AS n_variants,
+        | min(p_partkey) AS first_key
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sample_hash_split" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1) * pow(16, 8-i)))
+        |  / 4294967296.0 AS u
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+        | round(u, 6) AS u
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 }

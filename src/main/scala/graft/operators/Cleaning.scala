@@ -130,6 +130,52 @@ object Cleaning {
       col("n_entities").desc, col("domain"))
   }
 
+  /** URL canonicalization + dedup — the crawl-frontier normalization
+    * every web-corpus pipeline runs before URL-level dedup: the same
+    * logical page arrives as many lexical variants (case-shifted
+    * host, explicit default port, tracking params, fragments,
+    * trailing slash), and canonicalization collapses them so one
+    * fetch/document survives per page. Each part synthesizes THREE
+    * crawl variants of its URL (uppercase+port, utm-decorated,
+    * fragment+slash) — the dedup must collapse every triple to one
+    * canonical row.
+    *
+    * Scale shape: canonicalization is chained codegen'd regexes
+    * (map-side, fuses into the scan; RE2-safe — no lookaround, so the
+    * same patterns run in any engine); dedup is one argmin
+    * aggregation on the canonical key, partial-aggregated map-side.
+    */
+  def cleanUrlCanon(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val base = p.select(
+      col("p_partkey"),
+      concat(lit("HTTPS://WWW."), regexp_replace(col("p_name"), " ", "-"),
+        lit(".Example.COM")).as("host"),
+      concat(lit("/catalog/"), regexp_replace(col("p_brand"), "#", ""),
+        lit("/item")).as("path"))
+    val variants = base.select(
+      col("p_partkey"),
+      explode(array(
+        concat(col("host"), lit(":443"), col("path")),
+        concat(lower(col("host")), col("path"), lit("?utm_source=crawl&utm_campaign=x")),
+        concat(col("host"), col("path"), lit("/#section")))).as("raw_url"))
+    val canon = variants
+      // lowercase (scheme+host dominate; synthesized paths are lower)
+      .withColumn("u", lower(col("raw_url")))
+      // strip fragment, then explicit default ports before a path
+      .withColumn("u", regexp_replace(col("u"), "#.*$", ""))
+      .withColumn("u", regexp_replace(col("u"), ":(443|80)/", "/"))
+      // drop tracking params, then any orphaned separators they leave
+      .withColumn("u", regexp_replace(col("u"), "utm_[a-z]+=[^&#]*&?", ""))
+      .withColumn("u", regexp_replace(col("u"), "[?&]+$", ""))
+      .withColumn("u", regexp_replace(col("u"), "\\?&", "?"))
+      // trailing slash
+      .withColumn("u", regexp_replace(col("u"), "/$", ""))
+    canon.groupBy(col("u").as("canon_url"))
+      .agg(count(lit(1)).as("n_variants"), min("p_partkey").as("first_key"))
+      .orderBy("canon_url")
+  }
+
   /** Exact dedup: the drop_duplicates() / drop_duplicates(subset=
     * [key]) pair from clean_abr.py:34-35, collapsed to ONE argmin
     * aggregation — keep-first-under-a-total-order per key is

@@ -297,4 +297,26 @@ object Events {
     graft.functions.TopK.globalWithRank(agg, 10,
       col("purchase_total").desc, col("user_id"))
   }
+
+  /** Event-path transition matrix: for each consecutive pair of
+    * events per user, count (from_type → to_type) and its share of
+    * all transitions LEAVING from_type — the first-order Markov model
+    * behind funnel discovery / next-action analytics. The lead window
+    * is PARTITIONED per user (bounded state, shuffles on user_id);
+    * the share window runs over the aggregated |types|² matrix, which
+    * is constant-size regardless of event volume.
+    */
+  def eventsPathTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val pairs = e
+      .withColumn("to_type", lead("event_type", 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .withColumn("p", round(
+        col("n").cast("double")
+          / sum("n").over(Window.partitionBy("from_type")).cast("double"), 6))
+      .orderBy("from_type", "to_type")
+  }
 }

@@ -147,4 +147,42 @@ object Olap {
         col("n_rows"), col("sum_qty"))
       .orderBy("returnflag", "linestatus")
   }
+
+  /** Status-by-priority pivot: order counts and revenue spread across
+    * the order-status values as COLUMNS — the crosstab/pivot report
+    * shape the reference serves from Postgres. Statuses are pinned
+    * explicitly (O/F/P), so the pivot is one partial-aggregated pass
+    * with a fixed output schema — no values-discovery pre-query, no
+    * schema drift between runs (the failure mode of open-ended
+    * `pivot(col)` at scale).
+    */
+  def pivotAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_finished"),
+        coalesce(col("P"), lit(0L)).as("n_pending"))
+      .withColumn("n_total", col("n_open") + col("n_finished") + col("n_pending"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Priority counts over orders having at least one discounted line
+    * — the TPC-H Q4 shape (EXISTS-correlated subquery) as a left-semi
+    * join: the fact side streams once, the semi join never duplicates
+    * an order across its matching lines, and no distinct is needed
+    * anywhere. At scale both sides shuffle on the order key.
+    */
+  def q4PriorityExists(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_discount") > 0.05)
+      .select("l_orderkey")
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
 }

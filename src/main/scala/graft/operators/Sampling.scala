@@ -73,4 +73,23 @@ object Sampling {
       .select(col("lang"), col("doc_id"), round(col("u"), 6).as("u"))
       .orderBy("lang", "u", "doc_id")
   }
+
+  /** Deterministic train/val/test split assignment (80/10/10) by
+    * content hash — the split step of every training pipeline, done
+    * so membership is a pure function of the DOCUMENT: stable across
+    * runs, engines and repartitioning (rand() is none of those), and
+    * exact duplicates land in the same split, so near-dup leakage
+    * across the eval boundary can't enter through the splitter
+    * itself. Map-side only — the assignment fuses into the scan; the
+    * emitted hash makes any other ratio a re-filter, not a rescan.
+    */
+  def sampleHashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("u", graft.functions.HexExprs.uniformHash(col("text")))
+      .withColumn("split",
+        when(col("u") < 0.8, "train")
+          .when(col("u") < 0.9, "val")
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("split"), round(col("u"), 6).as("u"))
+      .orderBy("doc_id")
 }

@@ -259,4 +259,77 @@ object TextAnalysis {
     val agg = bi.groupBy("bigram").agg(count(lit(1)).as("cnt"))
     graft.functions.TopK.globalWithRank(agg, 20, col("cnt").desc, col("bigram"))
   }
+
+  /** Email / phone / IPv4 literals matched by the scrubber; shared
+    * with the oracle SQL (RE2-safe: no lookaround, no backrefs).
+    */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiPhoneRe = "\\b555-[0-9]{4}\\b"
+  val piiIpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction — the scrub pass a training pipeline runs before
+    * any text leaves the curation boundary: count and replace emails,
+    * phone numbers and IPv4 addresses with typed placeholder tags.
+    * The corpus ships no PII, so (like cleanAbr's corruption rules) a
+    * deterministic fraction of docs gets synthetic PII APPENDED first
+    * — both engines synthesize identically, so the oracle checks the
+    * real detect+redact logic on a mix of hit and clean rows.
+    *
+    * Scale shape: pure map-side regexp work that fuses into the scan
+    * — no shuffle, no state; counts come from regexp_extract_all so
+    * detection and redaction read the text once each, codegen'd.
+    */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          concat(lit(" call 555-"), format_string("%04d", col("doc_id") % 10000)))
+          .otherwise(lit("")),
+        when(col("doc_id") % 10 === 0,
+          concat(lit(" from 10.0."), col("doc_id") % 256, lit("."),
+            (col("doc_id") * 7) % 256))
+          .otherwise(lit(""))).as("text"))
+    withPii.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(piiEmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(piiPhoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all(col("text"), lit(piiIpRe), lit(0))).as("n_ips"),
+      md5(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), piiEmailRe, "<EMAIL>"),
+            piiPhoneRe, "<PHONE>"),
+          piiIpRe, "<IP>")).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-distribution Shannon entropy per doc (nats) — the
+    * diversity signal that separates natural text (high entropy) from
+    * keyword-stuffed / machine-generated boilerplate (low entropy);
+    * normalized against ln(n_distinct), the max possible for the
+    * doc's vocabulary. One explode + two aggregations per doc, all
+    * map-side-combinable; no global state.
+    */
+  def textTokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    tf.groupBy("doc_id")
+      .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(col("cnt").cast("double") * log(col("cnt").cast("double"))).as("clc"))
+      // H = ln(n) - (1/n)·Σ c·ln(c): one pass, no per-token division
+      .withColumn("entropy", round(
+        log(col("n_tokens").cast("double"))
+          - col("clc") / col("n_tokens").cast("double"), 6))
+      .withColumn("norm_entropy",
+        when(col("n_distinct") > 1, round(
+          col("entropy") / log(col("n_distinct").cast("double")), 6))
+          .otherwise(lit(0.0)))
+      .select("doc_id", "n_tokens", "n_distinct", "entropy", "norm_entropy")
+      .orderBy("doc_id")
+  }
 }

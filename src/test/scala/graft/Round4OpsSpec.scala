@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant specs for the round-4 operator batch (PII scrub, token
+  * entropy, CMS heavy hitters, pivot, Q4 semi-join, event paths, URL
+  * canonicalization, hash split). Value parity vs DuckDB is covered
+  * by Verify + check_oracle; these pin the semantic invariants that a
+  * hash match alone would not explain.
+  */
+class Round4OpsSpec extends SparkSpec {
+
+  test("text_pii_scrub detects every synthesized PII planting") {
+    val out = operators.TextAnalysis.textPiiScrub(spark, sf).cache()
+    // every doc_id % 4 == 0 row had an email appended, so >= 1 hit
+    assert(out.filter(col("doc_id") % 4 === 0 && col("n_emails") < 1).count() == 0)
+    assert(out.filter(col("doc_id") % 6 === 0 && col("n_phones") < 1).count() == 0)
+    assert(out.filter(col("doc_id") % 10 === 0 && col("n_ips") < 1).count() == 0)
+    // the synthetic corpus itself carries no PII
+    assert(out.filter(col("doc_id") % 4 =!= 0 && col("n_emails") > 0).count() == 0)
+    out.unpersist()
+  }
+
+  test("text_token_entropy stays within [0, ln(n_distinct)]") {
+    val out = operators.TextAnalysis.textTokenEntropy(spark, sf).cache()
+    assert(out.filter(col("entropy") < -1e-9).count() == 0)
+    // norm_entropy = H / ln(n_distinct) <= 1 (+ rounding slack)
+    assert(out.filter(col("norm_entropy") > 1.000001).count() == 0)
+    assert(out.filter(col("n_distinct") > col("n_tokens")).count() == 0)
+    out.unpersist()
+  }
+
+  test("heavy_hitters_cms estimate never under-counts") {
+    val out = operators.Sketches.heavyHittersCms(spark, sf).cache()
+    assert(out.count() == 20)
+    // CMS collisions only ADD mass: min-over-rows >= true count
+    assert(out.filter(col("cms_est") < col("n_exact")).count() == 0)
+    out.unpersist()
+  }
+
+  test("pivot_agg columns partition the orders table") {
+    val out = operators.Olap.pivotAgg(spark, sf)
+    val total = out.agg(sum("n_total")).head.getLong(0)
+    assert(total == Tables.orders(spark, sf).count())
+    assert(out.filter(
+      col("n_total") =!= col("n_open") + col("n_finished") + col("n_pending"))
+      .count() == 0)
+  }
+
+  test("q4_priority_exists counts each qualifying order once") {
+    val out = operators.Olap.q4PriorityExists(spark, sf)
+    val expected = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf).filter(col("l_discount") > 0.05)
+          .select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"))
+      .count()
+    assert(out.agg(sum("n_orders")).head.getLong(0) == expected)
+  }
+
+  test("events_path_transitions probabilities sum to 1 per source") {
+    val out = operators.Events.eventsPathTransitions(spark, sf)
+    val sums = out.groupBy("from_type").agg(sum("p").as("psum"))
+    // rounding at 6dp: each from_type's outgoing mass is 1 ± |types|*5e-7
+    assert(sums.filter(abs(col("psum") - 1.0) > 1e-4).count() == 0)
+  }
+
+  test("clean_url_canon collapses all three crawl variants") {
+    val out = operators.Cleaning.cleanUrlCanon(spark, sf).cache()
+    // each part contributes 3 variants that MUST land on one key
+    assert(out.filter(col("n_variants") % 3 =!= 0).count() == 0)
+    val bad = out.filter(
+      col("canon_url").rlike("[A-Z]") ||
+        col("canon_url").contains("utm_") ||
+        col("canon_url").contains("#") ||
+        col("canon_url").contains(":443") ||
+        col("canon_url").endsWith("/"))
+    assert(bad.count() == 0)
+    out.unpersist()
+  }
+
+  test("sample_hash_split is exhaustive, typed, and roughly 80/10/10") {
+    val docs = Tables.documents(spark, sf).count()
+    val out = operators.Sampling.sampleHashSplit(spark, sf).cache()
+    assert(out.count() == docs)
+    val bys = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bys.keySet.subsetOf(Set("train", "val", "test")))
+    // md5-uniform: train share within a wide tolerance at 500 docs
+    assert(bys("train").toDouble / docs > 0.7 && bys("train").toDouble / docs < 0.9)
+    out.unpersist()
+  }
+}
