@@ -111,6 +111,16 @@ object SparkEntry {
     "events_path_transitions" -> (Events.eventsPathTransitions _),
     "clean_url_canon" -> (Cleaning.cleanUrlCanon _),
     "sample_hash_split" -> (Sampling.sampleHashSplit _),
+    // round 4, batch 2: OLAP plan shapes + pipeline analytics
+    "q10_returned" -> (Olap.q10Returned _),
+    "q14_promo_share" -> (Olap.q14PromoShare _),
+    "q15_top_supplier" -> (Olap.q15TopSupplier _),
+    "q18_large_orders" -> (Olap.q18LargeOrders _),
+    "q19_disjunctive" -> (Olap.q19Disjunctive _),
+    "orders_rfm" -> (Olap.ordersRfm _),
+    "text_keywords_tfidf" -> (TextAnalysis.textKeywordsTfidf _),
+    "events_sliding_dau" -> (Events.eventsSlidingDau _),
+    "embed_label_stats" -> (Similarity.embedLabelStats _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -1371,5 +1381,126 @@ object SparkEntry {
         | CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
         | round(u, 6) AS u
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, n_name,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        | JOIN customer ON o_custkey=c_custkey
+        | JOIN nation ON c_nationkey=n_nationkey
+        |WHERE l_returnflag='R'
+        |GROUP BY 1,2,3 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q14_promo_share" ->
+      """WITH m AS (
+        | SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |  round(sum(CASE WHEN p_type='PROMO'
+        |            THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END),2) AS promo_rev,
+        |  round(sum(l_extendedprice*(1.0-l_discount)),2) AS total_rev
+        | FROM lineitem JOIN part ON l_partkey=p_partkey GROUP BY 1)
+        |SELECT month, promo_rev, total_rev,
+        | round(promo_rev/total_rev, 6) AS promo_share
+        |FROM m ORDER BY month""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey, round(sum(l_extendedprice*(1.0-l_discount)),2) AS total_rev
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |   AND l_shipdate < TIMESTAMP '1997-04-01'
+        | GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey=s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        | SELECT l_orderkey, round(sum(l_quantity),2) AS sum_qty
+        | FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity),2) > 300.0)
+        |SELECT c_custkey, c_name, o_orderkey,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        | round(o_totalprice,2) AS o_totalprice, sum_qty
+        |FROM orders JOIN big ON o_orderkey=l_orderkey
+        | JOIN customer ON o_custkey=c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey=p_partkey
+        |WHERE (p_brand='Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand='Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand='Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "orders_rfm" ->
+      """WITH rfm AS (
+        | SELECT o_custkey,
+        |  CAST(max(epoch(o_orderdate)) AS BIGINT) AS last_s,
+        |  CAST(count(*) AS BIGINT) AS frequency,
+        |  round(sum(o_totalprice),2) AS monetary
+        | FROM orders GROUP BY 1),
+        |r2 AS (
+        | SELECT o_custkey,
+        |  CAST((epoch(TIMESTAMP '2001-09-01') - last_s)//86400 AS BIGINT) AS recency_days,
+        |  frequency, monetary FROM rfm),
+        |med AS (
+        | SELECT round(quantile_cont(recency_days, 0.5),4) AS r_med,
+        |  round(quantile_cont(frequency, 0.5),4) AS f_med,
+        |  round(quantile_cont(monetary, 0.5),4) AS m_med
+        | FROM r2)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        | (CASE WHEN recency_days <= r_med THEN 'H' ELSE 'L' END ||
+        |  CASE WHEN frequency > f_med THEN 'H' ELSE 'L' END ||
+        |  CASE WHEN monetary > m_med THEN 'H' ELSE 'L' END) AS segment
+        |FROM r2 CROSS JOIN med ORDER BY o_custkey""".stripMargin,
+
+    "text_keywords_tfidf" ->
+      """WITH tf AS (
+        | SELECT doc_id, w AS token, CAST(count(*) AS BIGINT) AS c
+        | FROM (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS w FROM documents)
+        | GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |scored AS (
+        | SELECT doc_id, tf.token AS token,
+        |  round(c * ln(CAST(nd AS DOUBLE)/df), 6) AS tfidf
+        | FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+        |ranked AS (
+        | SELECT doc_id, token, tfidf,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, token) AS INT) AS rank
+        | FROM scored)
+        |SELECT doc_id, rank, token, tfidf FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "events_sliding_dau" ->
+      """WITH du AS (
+        | SELECT DISTINCT epoch_ns(ts)//1000000000//86400 AS day_idx, user_id
+        | FROM events),
+        |x AS (SELECT day_idx + unnest(generate_series(0, 6)) AS day, user_id FROM du)
+        |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau7
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "embed_label_stats" ->
+      """WITH v AS (
+        | SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        | FROM embeddings),
+        |norms AS (
+        | SELECT label, sqrt(list_sum(list_transform(ve, x -> x*x))) AS nrm FROM v),
+        |mn AS (
+        | SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(avg(nrm),6) AS mean_norm
+        | FROM norms GROUP BY 1),
+        |dims AS (
+        | SELECT label, unnest(ve) AS x,
+        |  unnest(generate_series(1, len(ve))) AS i
+        | FROM v),
+        |cent AS (SELECT label, i, round(avg(x),6) AS cx FROM dims GROUP BY 1, 2),
+        |cn AS (
+        | SELECT label, round(sqrt(sum(cx*cx)),6) AS centroid_norm
+        | FROM cent GROUP BY 1)
+        |SELECT mn.label AS label, n_vecs, mean_norm, centroid_norm
+        |FROM mn JOIN cn ON mn.label = cn.label ORDER BY label""".stripMargin,
   )
 }

@@ -298,6 +298,27 @@ object Events {
       col("purchase_total").desc, col("user_id"))
   }
 
+  /** 7-day sliding distinct users per day ("rolling DAU"): each
+    * (day, user) presence pair contributes to the 7 target days it
+    * falls inside, so the window is an EXPLODE of a constant 7
+    * offsets — never a self-join of the event table against a date
+    * range or a global sliding sort. Presence pairs are deduped first
+    * (one row per user-day regardless of event volume), so the
+    * exploded stream is bounded by 7·|user-days|, and the final
+    * count-distinct shuffles on the day key.
+    */
+  def eventsSlidingDau(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val du = e.select(expr("ts_s div 86400").as("day_idx"), col("user_id"))
+      .distinct()
+    du.select(explode(expr("sequence(0, 6)")).as("off"),
+        col("day_idx"), col("user_id"))
+      .select((col("day_idx") + col("off")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("dau7"))
+      .orderBy("day")
+  }
+
   /** Event-path transition matrix: for each consecutive pair of
     * events per user, count (from_type → to_type) and its share of
     * all transitions LEAVING from_type — the first-order Markov model

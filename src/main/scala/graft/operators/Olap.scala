@@ -169,6 +169,156 @@ object Olap {
       .orderBy("o_orderpriority")
   }
 
+  /** Returned-item top customers (TPC-H Q10 shape): revenue lost to
+    * returns per customer, top-20. The returnflag filter pushes to
+    * the lineitem scan (the fact side shrinks BEFORE the join), the
+    * customer/nation dims broadcast, and the top-k is
+    * TakeOrderedAndProject on the aggregated (per-customer) output.
+    */
+  def q10Returned(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Promo revenue share by ship month (TPC-H Q14 shape): one
+    * conditional aggregate over the joined fact — promo mass and
+    * total mass come out of the SAME pass, so the ratio costs one
+    * scan + one shuffle. The month key is derived map-side; part is
+    * a broadcast dim.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .withColumn("rev", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .groupBy("month")
+      .agg(
+        round(sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0.0))), 2)
+          .as("promo_rev"),
+        round(sum("rev"), 2).as("total_rev"))
+      .withColumn("promo_share",
+        round(col("promo_rev") / col("total_rev"), 6))
+      .orderBy("month")
+  }
+
+  /** Top-revenue supplier (TPC-H Q15 shape): per-supplier revenue
+    * over one quarter, then keep the supplier(s) hitting the global
+    * max — the "create view + join against scalar max" pattern. The
+    * scalar max is a one-row broadcast against the aggregated view,
+    * so the view is computed once (persisted) and scanned twice
+    * cheaply; no window over the full supplier set.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1997-04-01").cast("timestamp")
+    val rev = graft.PlanCache.cached("q15_rev", spark, dir) {
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .groupBy("l_suppkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("total_rev"))
+    }
+    val top = rev.agg(max("total_rev").as("max_rev"))
+    rev
+      .join(broadcast(top), col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Large-volume orders (TPC-H Q18 shape): orders whose line
+    * quantity total clears a threshold, with their customers. The
+    * HAVING filter runs on the aggregated (small) side and the result
+    * joins back to orders/customer — a semi-join-shaped reduction,
+    * never a distinct over the fact table.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+      .filter(col("sum_qty") > 300.0)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+  }
+
+  /** Disjunctive-predicate revenue (TPC-H Q19 shape): OR of three
+    * brand/size/quantity conjunction bands, evaluated in ONE scan —
+    * the predicate is a single pushable filter expression, not a
+    * UNION of three scans. Verifies complex boolean pushdown
+    * survives the join (part is broadcast; the filter still prunes
+    * lineitem at the scan via the quantity bounds).
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val joined = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val bands =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    joined.filter(bands)
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** RFM customer segmentation: recency / frequency / monetary per
+    * customer, each split at its median into a 3-letter segment
+    * (H/L per axis) — the classic CRM rollup, done scale-first: the
+    * three medians are ONE scalar aggregate row broadcast back over
+    * the per-customer table, so segmentation is a map-side compare —
+    * no ntile window over all customers (which would single-partition
+    * the sort). Medians are exact percentile_0.5 on ROUNDED inputs so
+    * both engines interpolate identical numbers.
+    */
+  def ordersRfm(spark: SparkSession, dir: String): DataFrame = {
+    val rfm = graft.PlanCache.cached("orders_rfm_base", spark, dir) {
+      Tables.orders(spark, dir).groupBy("o_custkey").agg(
+        // o_orderdate is TIMESTAMP_NTZ; hop via TIMESTAMP (session tz
+        // is pinned UTC) to get epoch seconds
+        max(col("o_orderdate").cast("timestamp").cast("long")).as("last_s"),
+        count(lit(1)).as("frequency"),
+        round(sum("o_totalprice"), 2).as("monetary"))
+        .withColumn("recency_days",
+          ((lit("2001-09-01").cast("timestamp").cast("long") - col("last_s"))
+            / 86400L).cast("long"))
+    }
+    val med = rfm.agg(
+      round(expr("percentile(recency_days, 0.5)"), 4).as("r_med"),
+      round(expr("percentile(frequency, 0.5)"), 4).as("f_med"),
+      round(expr("percentile(monetary, 0.5)"), 4).as("m_med"))
+    rfm.crossJoin(broadcast(med))
+      .withColumn("segment", concat(
+        when(col("recency_days") <= col("r_med"), "H").otherwise("L"),
+        when(col("frequency") > col("f_med"), "H").otherwise("L"),
+        when(col("monetary") > col("m_med"), "H").otherwise("L")))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), col("segment"))
+      .orderBy("o_custkey")
+  }
+
   /** Priority counts over orders having at least one discounted line
     * — the TPC-H Q4 shape (EXISTS-correlated subquery) as a left-semi
     * join: the fact side streams once, the semi join never duplicates

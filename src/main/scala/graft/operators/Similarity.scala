@@ -181,4 +181,27 @@ object Similarity {
       .agg(expr("transform(sort_array(collect_list(struct(dim, cx))), s -> s.cx)").as("c"))
     assign(c1).orderBy("vec_id")
   }
+
+  /** Per-label embedding population stats: count, mean vector norm,
+    * and the norm of the label CENTROID — the collapse diagnostic for
+    * embedding spaces (centroid_norm ≪ mean_norm ⇒ the label's
+    * vectors point in scattered directions; ≈ mean_norm ⇒ they are
+    * aligned/duplicated). Norms are one native-codegen dot per row;
+    * the centroid is a (label, dim) average — both aggregations are
+    * map-side-combinable and the output is |labels| rows.
+    */
+  def embedLabelStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecsWithNorm(spark, dir)
+    val byLabel = e.groupBy("label").agg(
+      count(lit(1)).as("n_vecs"),
+      round(avg("norm"), 6).as("mean_norm"))
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("label", "dim").agg(round(avg("x"), 6).as("cx"))
+      .groupBy("label")
+      .agg(round(sqrt(sum(col("cx") * col("cx"))), 6).as("centroid_norm"))
+    byLabel.join(cent, "label")
+      .select("label", "n_vecs", "mean_norm", "centroid_norm")
+      .orderBy("label")
+  }
 }

@@ -307,6 +307,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document keyword extraction: top-3 tokens by TF-IDF — the
+    * "what is this document about" signal used for topic balancing
+    * and cluster labeling in corpus curation. df is one aggregate
+    * over the per-doc term table, N is a one-row broadcast, and the
+    * final top-k window is PARTITIONED by doc_id (per-doc state is a
+    * 3-row heap — no global sort anywhere).
+    */
+  def textKeywordsTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.PlanCache.cached("kw_tf", spark, dir) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(toks).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    }
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("nd"))
+    val scored = tf
+      .join(df_, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(
+        col("c") * log(col("nd").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "token", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
   /** Token-distribution Shannon entropy per doc (nats) — the
     * diversity signal that separates natural text (high entropy) from
     * keyword-stuffed / machine-generated boilerplate (low entropy);

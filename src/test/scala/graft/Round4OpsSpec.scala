@@ -78,6 +78,60 @@ class Round4OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q14_promo_share ratio stays a share of its own month") {
+    val out = operators.Olap.q14PromoShare(spark, sf)
+    assert(out.filter(col("promo_share") < 0 || col("promo_share") > 1).count() == 0)
+    assert(out.filter(col("promo_rev") > col("total_rev")).count() == 0)
+  }
+
+  test("q15_top_supplier rows all carry the one maximal revenue") {
+    val out = operators.Olap.q15TopSupplier(spark, sf)
+    assert(out.select("total_rev").distinct().count() == 1)
+    assert(out.count() >= 1)
+  }
+
+  test("q18_large_orders only emits orders over the threshold") {
+    val out = operators.Olap.q18LargeOrders(spark, sf)
+    assert(out.filter(col("sum_qty") <= 300.0).count() == 0)
+  }
+
+  test("q19_disjunctive returns one aggregate row") {
+    assert(operators.Olap.q19Disjunctive(spark, sf).count() == 1)
+  }
+
+  test("orders_rfm covers every customer with a 3-letter segment") {
+    val out = operators.Olap.ordersRfm(spark, sf).cache()
+    val customers = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(out.count() == customers)
+    assert(out.filter(!col("segment").rlike("^[HL]{3}$")).count() == 0)
+    out.unpersist()
+  }
+
+  test("text_keywords_tfidf keeps at most 3 keywords per doc") {
+    val out = operators.TextAnalysis.textKeywordsTfidf(spark, sf).cache()
+    val maxPer = out.groupBy("doc_id").count().agg(max("count")).head.getLong(0)
+    assert(maxPer <= 3)
+    assert(out.filter(col("rank") < 1 || col("rank") > 3).count() == 0)
+    out.unpersist()
+  }
+
+  test("events_sliding_dau dominates the single-day DAU") {
+    val daily = Tables.events(spark, sf)
+      .select(expr("ts_s div 86400").as("day"), col("user_id"))
+      .groupBy("day").agg(countDistinct("user_id").as("dau1"))
+    val out = operators.Events.eventsSlidingDau(spark, sf)
+    // day d's 7-day window [d-6, d] contains day d itself
+    assert(out.join(daily, "day").filter(col("dau7") < col("dau1")).count() == 0)
+  }
+
+  test("embed_label_stats centroid norm obeys the triangle inequality") {
+    val out = operators.Similarity.embedLabelStats(spark, sf).cache()
+    assert(out.count() == 10)
+    // ||mean(x)|| <= mean(||x||), with 6dp rounding slack
+    assert(out.filter(col("centroid_norm") > col("mean_norm") + 1e-5).count() == 0)
+    out.unpersist()
+  }
+
   test("sample_hash_split is exhaustive, typed, and roughly 80/10/10") {
     val docs = Tables.documents(spark, sf).count()
     val out = operators.Sampling.sampleHashSplit(spark, sf).cache()
