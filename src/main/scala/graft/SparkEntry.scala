@@ -121,6 +121,8 @@ object SparkEntry {
     "text_keywords_tfidf" -> (TextAnalysis.textKeywordsTfidf _),
     "events_sliding_dau" -> (Events.eventsSlidingDau _),
     "embed_label_stats" -> (Similarity.embedLabelStats _),
+    "graph_pagerank" -> (Graph.graphPagerank _),
+    "grouping_sets_agg" -> (Olap.groupingSetsAgg _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -1502,5 +1504,43 @@ object SparkEntry {
         | FROM cent GROUP BY 1)
         |SELECT mn.label AS label, n_vecs, mean_norm, centroid_norm
         |FROM mn JOIN cn ON mn.label = cn.label ORDER BY label""".stripMargin,
+
+    "graph_pagerank" ->
+      """WITH e AS (
+        | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        | FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM deg),
+        |r0 AS (SELECT src AS node, 1.0/nn AS r FROM deg CROSS JOIN n),
+        |it1 AS (
+        | SELECT e.dst AS node, 0.15/nn + 0.85*sum(r/outdeg) AS r
+        | FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+        |  CROSS JOIN n
+        | GROUP BY e.dst, nn),
+        |it2 AS (
+        | SELECT e.dst AS node, 0.15/nn + 0.85*sum(r/outdeg) AS r
+        | FROM e JOIN it1 ON e.src = it1.node JOIN deg ON e.src = deg.src
+        |  CROSS JOIN n
+        | GROUP BY e.dst, nn),
+        |it3 AS (
+        | SELECT e.dst AS node, 0.15/nn + 0.85*sum(r/outdeg) AS r
+        | FROM e JOIN it2 ON e.src = it2.node JOIN deg ON e.src = deg.src
+        |  CROSS JOIN n
+        | GROUP BY e.dst, nn)
+        |SELECT node AS p_partkey, round(r, 6) AS pagerank,
+        | CAST(row_number() OVER (ORDER BY round(r, 6) DESC, node) AS INT) AS rank
+        |FROM it3 ORDER BY rank LIMIT 20""".stripMargin,
+
+    "grouping_sets_agg" ->
+      """SELECT CAST(GROUPING(l_returnflag, o_orderpriority) AS BIGINT) AS gid,
+        | coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | CAST(count(*) AS BIGINT) AS n_lines,
+        | round(sum(l_extendedprice*(1.0-l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY GROUPING SETS ((l_returnflag, o_orderpriority),
+        | (l_returnflag), (o_orderpriority), ())
+        |ORDER BY gid, returnflag, priority""".stripMargin,
   )
 }

@@ -96,6 +96,33 @@ object Olap {
       .orderBy("orderstatus", "orderpriority")
   }
 
+  /** Arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices)
+    * across a fact-dim join: per (returnflag × priority), per
+    * returnflag, per priority, and grand total — four report grains
+    * in ONE aggregation pass (Spark expands the sets after the
+    * partial aggregate; no UNION of four scans). grouping_id
+    * disambiguates grains so 'ALL' placeholders can't collide with a
+    * real value.
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("o_orderpriority")),
+          Seq(col("l_returnflag")), Seq(col("o_orderpriority")), Seq()),
+        col("l_returnflag"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_lines"), col("revenue"))
+      .orderBy("gid", "returnflag", "priority")
+  }
+
   /** Market share: BUILDING-segment revenue fraction per order year
     * (TPC-H q8 shape — conditional aggregate over a ratio).
     */

@@ -132,6 +132,26 @@ class Round4OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("graph_pagerank emits a positive, rank-ordered top-20") {
+    val out = operators.Graph.graphPagerank(spark, sf).cache()
+    assert(out.count() == 20)
+    assert(out.filter(col("pagerank") <= 0).count() == 0)
+    val ranks = out.orderBy("rank").select("pagerank")
+      .collect().map(_.getDouble(0))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    out.unpersist()
+  }
+
+  test("grouping_sets_agg grains agree on the grand total") {
+    val out = operators.Olap.groupingSetsAgg(spark, sf).cache()
+    // four grains: 0 = (rf, prio), 1 = rf-only, 2 = prio-only, 3 = total
+    assert(out.select("gid").distinct().count() == 4)
+    val byGid = out.groupBy("gid").agg(sum("n_lines").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byGid.values.toSet.size == 1, s"grain totals disagree: $byGid")
+    out.unpersist()
+  }
+
   test("sample_hash_split is exhaustive, typed, and roughly 80/10/10") {
     val docs = Tables.documents(spark, sf).count()
     val out = operators.Sampling.sampleHashSplit(spark, sf).cache()
