@@ -46,9 +46,11 @@ object Pipeline {
     */
   def runCuration(spark: SparkSession, dir: String, outDir: String): Seq[StageResult] = {
     import org.apache.spark.sql.functions.col
-    def stage(name: String, df: => DataFrame): StageResult = {
+    def stage(name: String, df: => DataFrame, partitionCols: Seq[String] = Nil): StageResult = {
       val t0 = System.nanoTime()
-      df.write.mode("overwrite").parquet(s"$outDir/$name")
+      val out = df
+      if (partitionCols.nonEmpty) Sinks.writePartitioned(out, s"$outDir/$name", partitionCols)
+      else out.write.mode("overwrite").parquet(s"$outDir/$name")
       val rows = spark.read.parquet(s"$outDir/$name").count()
       StageResult(name, rows, (System.nanoTime() - t0) / 1e9)
     }
@@ -68,6 +70,21 @@ object Pipeline {
         .join(keep, Seq("doc_id"))
         .join(dupLosers, Seq("doc_id"), "left_anti")
     })
-    Seq(quality, comps, decisions, curated)
+    // the shippable artifact: curated docs with PII redacted at the
+    // boundary (same detectors as the batch operator and streaming
+    // gate), a deterministic content-hash train/val/test split, and
+    // the export laid out BY split so a trainer reads its split via
+    // partition pruning, not a scan-and-filter
+    val export = stage("training_export", {
+      val curatedIds = spark.read.parquet(s"$outDir/curated_sample").select("doc_id")
+      val split = Sampling.sampleHashSplit(spark, dir).select("doc_id", "split")
+      Tables.documents(spark, dir)
+        .join(curatedIds, Seq("doc_id"))
+        .select(Seq(col("doc_id"), col("lang"), col("source"),
+          TextAnalysis.piiRedact(col("text")).as("text")) ++
+          TextAnalysis.piiCounts(col("text")): _*)
+        .join(split, Seq("doc_id"))
+    }, Seq("split"))
+    Seq(quality, comps, decisions, curated, export)
   }
 }

@@ -267,6 +267,25 @@ object TextAnalysis {
   val piiPhoneRe = "\\b555-[0-9]{4}\\b"
   val piiIpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
+  /** Per-kind PII hit counts for a text column — shared by the batch
+    * operator, the streaming gate, and the pipeline export stage so
+    * every surface applies the SAME detectors.
+    */
+  def piiCounts(text: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = Seq(
+    size(regexp_extract_all(text, lit(piiEmailRe), lit(0))).as("n_emails"),
+    size(regexp_extract_all(text, lit(piiPhoneRe), lit(0))).as("n_phones"),
+    size(regexp_extract_all(text, lit(piiIpRe), lit(0))).as("n_ips"))
+
+  /** The redacted text: typed placeholders substituted in one
+    * chained (codegen'd) pass.
+    */
+  def piiRedact(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, piiEmailRe, "<EMAIL>"),
+        piiPhoneRe, "<PHONE>"),
+      piiIpRe, "<IP>")
+
   /** PII redaction — the scrub pass a training pipeline runs before
     * any text leaves the curation boundary: count and replace emails,
     * phone numbers and IPv4 addresses with typed placeholder tags.
@@ -294,16 +313,8 @@ object TextAnalysis {
             (col("doc_id") * 7) % 256))
           .otherwise(lit(""))).as("text"))
     withPii.select(
-      col("doc_id"),
-      size(regexp_extract_all(col("text"), lit(piiEmailRe), lit(0))).as("n_emails"),
-      size(regexp_extract_all(col("text"), lit(piiPhoneRe), lit(0))).as("n_phones"),
-      size(regexp_extract_all(col("text"), lit(piiIpRe), lit(0))).as("n_ips"),
-      md5(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), piiEmailRe, "<EMAIL>"),
-            piiPhoneRe, "<PHONE>"),
-          piiIpRe, "<IP>")).as("scrub_md5"))
+      Seq(col("doc_id")) ++ piiCounts(col("text")) ++
+        Seq(md5(piiRedact(col("text"))).as("scrub_md5")): _*)
       .orderBy("doc_id")
   }
 

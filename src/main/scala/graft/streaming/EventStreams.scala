@@ -216,6 +216,21 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("doc_id")
   }
 
+  /** Streaming PII scrub: the privacy gate applied ON INGEST, so raw
+    * identifiers never reach the lake — redacted text plus per-kind
+    * hit counts per doc. Stateless (pure map-side regex work via the
+    * SAME [[graft.operators.TextAnalysis.piiCounts]]/
+    * [[graft.operators.TextAnalysis.piiRedact]] detectors as the
+    * batch operator, so batch and stream provably agree) — no
+    * watermark, no state store; the stream stays append-mode and the
+    * whole transform fuses into the source's project.
+    */
+  def piiScrubStream(docs: DataFrame): DataFrame =
+    docs.select(
+      Seq(col("doc_id"), col("ts"),
+        graft.operators.TextAnalysis.piiRedact(col("text")).as("text")) ++
+        graft.operators.TextAnalysis.piiCounts(col("text")): _*)
+
   /** 30-minute-gap sessionization with explicit state — the
     * streaming form of Events.eventsSessionize. Emits a session row
     * every time a gap closes one. State is keyed per user and

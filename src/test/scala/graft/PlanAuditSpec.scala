@@ -86,6 +86,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("WindowExec"), "argmin must be min(struct), not a window")
   }
 
+  test("pagerank: every message-passing round broadcasts the rank vector") {
+    val p = plan(operators.Graph.graphPagerank(spark, sf))
+    // 3 iteration joins (rank onto edges) + the r0 nn cross join must
+    // all ride broadcasts — a shuffled edge list per round is the
+    // scale failure this plan shape exists to avoid
+    val hashBroadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(hashBroadcasts >= 3, s"expected >=3 broadcast rounds, got $hashBroadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no registered query plans an unbounded single-partition window sort") {
     import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

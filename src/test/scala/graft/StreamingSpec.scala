@@ -181,6 +181,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("piiScrubStream redacts on ingest and agrees with the batch detectors") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStreams.piiScrubStream(docs)
+      .writeStream.format("memory").queryName("scrub")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, ts(0), "reach me at jo.doe+x@mail.example.org or 555-0199 today"),
+        (2L, ts(1), "server at 192.168.0.12 and 10.0.3.77 responded"),
+        (3L, ts(2), "a perfectly clean document with no identifiers"))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from scrub order by doc_id").collect()
+      assert(rows.length == 3)
+      val byId = rows.map(r => r.getLong(0) ->
+        (r.getString(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+      assert(byId(1L)._2 == 1 && byId(1L)._3 == 1 && byId(1L)._4 == 0)
+      assert(byId(1L)._1.contains("<EMAIL>") && byId(1L)._1.contains("<PHONE>"))
+      assert(byId(2L)._4 == 2 && byId(2L)._1.contains("<IP>"))
+      assert(byId(3L) == (("a perfectly clean document with no identifiers", 0, 0, 0)))
+      // no raw identifier survives the gate
+      assert(rows.forall(r => !r.getString(2).contains("@mail") &&
+        !r.getString(2).contains("192.168")))
+    } finally q.stop()
+  }
+
   test("contaminationGate fails fast when the benchmark set exceeds the inline cap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
