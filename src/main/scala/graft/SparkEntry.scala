@@ -123,6 +123,7 @@ object SparkEntry {
     "embed_label_stats" -> (Similarity.embedLabelStats _),
     "graph_pagerank" -> (Graph.graphPagerank _),
     "grouping_sets_agg" -> (Olap.groupingSetsAgg _),
+    "match_jaro" -> (Matching.matchJaro _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -1542,5 +1543,24 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((l_returnflag, o_orderpriority),
         | (l_returnflag), (o_orderpriority), ())
         |ORDER BY gid, returnflag, priority""".stripMargin,
+
+    "match_jaro" ->
+      """WITH p0 AS (SELECT p_partkey, p_name,
+        |   array_to_string(list_sort(string_split_regex(lower(trim(p_name)), '\s+')), ' ') AS norm
+        | FROM part),
+        |pp AS (SELECT p_partkey, p_name, norm,
+        |   substr(norm, 1, 1) || regexp_replace(substr(norm, 2), '[aeiou]', '', 'g') AS blk
+        | FROM p0),
+        |l AS (SELECT p_partkey AS l_key, blk, norm AS l_norm
+        |  FROM pp WHERE p_partkey % 2 = 0),
+        |r AS (SELECT p_partkey AS r_key, p_name AS r_name, blk, norm AS r_norm
+        |  FROM pp WHERE p_partkey % 2 = 1),
+        |cand AS (SELECT l_key, r_key, r_name,
+        |   round(jaro_winkler_similarity(l_norm, r_norm), 6) AS score
+        |  FROM l JOIN r USING (blk)),
+        |best AS (SELECT l_key, r_key, r_name, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_key ORDER BY score DESC, r_key) AS rn
+        |  FROM cand WHERE score >= 0.8) t WHERE rn = 1)
+        |SELECT l_key, r_key, r_name, score FROM best ORDER BY l_key""".stripMargin,
   )
 }

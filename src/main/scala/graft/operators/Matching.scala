@@ -311,6 +311,39 @@ object Matching {
       .orderBy("l_key")
   }
 
+  /** Jaro-Winkler best match: the transposition-tolerant short-name
+    * metric (typo-style noise: swapped letters, shared prefixes)
+    * alongside the edit-distance family — scored by the native
+    * codegen [[graft.functions.JaroWinkler]] expression, whose
+    * semantics are pinned to DuckDB's jaro_winkler_similarity so the
+    * oracle checks every pair exactly. Same scale shape as
+    * [[matchPhonetic]]: selective consonant-skeleton block, per-pair
+    * native scoring, one argmax aggregation (map-side combined) — no
+    * window over the pair stream.
+    */
+  def matchJaro(spark: SparkSession, dir: String): DataFrame = {
+    def skeleton(c: Column): Column = concat(
+      substring(c, 1, 1),
+      regexp_replace(substring(c, 2, 1000000), "[aeiou]", ""))
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), normName(col("p_name")).as("norm"))
+      .withColumn("blk", skeleton(col("norm")))
+    val left = p.filter(col("p_partkey") % 2 === 0)
+      .select(col("p_partkey").as("l_key"), col("blk"), col("norm").as("l_norm"))
+    val right = p.filter(col("p_partkey") % 2 === 1)
+      .select(col("p_partkey").as("r_key"), col("p_name").as("r_name"),
+        col("blk"), col("norm").as("r_norm"))
+    left.join(right, "blk")
+      .withColumn("score", round(
+        graft.functions.JaroWinkler.sim(col("l_norm"), col("r_norm")), 6))
+      .filter(col("score") >= 0.8)
+      .groupBy("l_key")
+      .agg(max(struct(col("score"), (-col("r_key")).as("nk"), col("r_name"))).as("m"))
+      .select(col("l_key"), (-col("m.nk")).as("r_key"),
+        col("m.r_name").as("r_name"), col("m.score").as("score"))
+      .orderBy("l_key")
+  }
+
   /** BM25 top-1 match: even docs are queries, odd docs the corpus —
     * the probabilistic-IR upgrade of [[matchTfidfTopk]] (same
     * inverted-index join plan, different weighting). k1=1.2, b=0.75;

@@ -35,7 +35,7 @@ object GraftExtensions {
     */
   def registerInto(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.graftshim.GraftShim
-    Seq(dotFn, bitsetFn, hexFn, scatterFn).foreach { case (id, i, b) =>
+    Seq(dotFn, bitsetFn, hexFn, scatterFn, jaroFn).foreach { case (id, i, b) =>
       GraftShim.registerFunction(spark, id, i, b)
     }
     if (!spark.experimental.extraOptimizations.contains(SelfDotToNormSquared)) {
@@ -88,6 +88,12 @@ object GraftExtensions {
         s"graft_dense_scatter length must be in (0, $DenseScatterMaxLen], got $n")
       case other => sys.error(s"graft_dense_scatter length must be an int literal, got $other")
     })
+
+  val jaroFn: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("graft_jaro_winkler"),
+    info("graft_jaro_winkler",
+      "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-pinned semantics)"),
+    (args: Seq[Expression]) => graft.functions.JaroWinklerExpr(args(0), args(1)))
 
   /** Hard cap on the per-row dense array (4M doubles = 32 MB/row) —
     * anything wider is a mis-sized vocabulary, not a real vector.
