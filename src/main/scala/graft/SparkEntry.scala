@@ -124,6 +124,9 @@ object SparkEntry {
     "graph_pagerank" -> (Graph.graphPagerank _),
     "grouping_sets_agg" -> (Olap.groupingSetsAgg _),
     "match_jaro" -> (Matching.matchJaro _),
+    "part_affinity" -> (Graph.partAffinity _),
+    "approx_quantiles_sampled" -> (Sketches.approxQuantilesSampled _),
+    "orders_scd2" -> (Olap.ordersScd2 _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -1562,5 +1565,69 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY l_key ORDER BY score DESC, r_key) AS rn
         |  FROM cand WHERE score >= 0.8) t WHERE rn = 1)
         |SELECT l_key, r_key, r_name, score FROM best ORDER BY l_key""".stripMargin,
+
+    "part_affinity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS nn FROM op),
+        |pc AS (SELECT p, CAST(count(*) AS BIGINT) AS np FROM op GROUP BY 1),
+        |pairs AS (
+        | SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+        | FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        | GROUP BY 1, 2 HAVING count(*) >= 5),
+        |scored AS (
+        | SELECT part_a, part_b, n_ab,
+        |  round(CAST(n_ab AS DOUBLE)/nn, 6) AS support,
+        |  round(CAST(n_ab AS DOUBLE)/pa.np, 6) AS confidence,
+        |  round(CAST(n_ab AS DOUBLE)*nn/(pa.np*pb.np), 6) AS lift
+        | FROM pairs CROSS JOIN n
+        |  JOIN pc pa ON part_a = pa.p JOIN pc pb ON part_b = pb.p)
+        |SELECT part_a, part_b, n_ab, support, confidence, lift,
+        | CAST(row_number() OVER (ORDER BY lift DESC, part_a, part_b) AS INT) AS rank
+        |FROM scored ORDER BY rank LIMIT 20""".stripMargin,
+
+    "approx_quantiles_sampled" ->
+      """WITH e AS (
+        | SELECT event_type, value,
+        |  list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |            substr(md5(CAST(event_id AS VARCHAR)), i, 1)) - 1)
+        |         * pow(16, 8-i))) / 4294967296.0 AS u
+        | FROM events),
+        |full_q AS (
+        | SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |  round(quantile_cont(value, 0.9), 6) AS p90_exact,
+        |  round(quantile_cont(value, 0.99), 6) AS p99_exact
+        | FROM e GROUP BY 1),
+        |samp AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample,
+        |  round(quantile_cont(value, 0.5), 6) AS p50_est,
+        |  round(quantile_cont(value, 0.9), 6) AS p90_est,
+        |  round(quantile_cont(value, 0.99), 6) AS p99_est
+        | FROM e WHERE u < 0.1 GROUP BY 1)
+        |SELECT full_q.event_type AS event_type,
+        | p50_exact, p90_exact, p99_exact,
+        | n_sample, p50_est, p90_est, p99_est,
+        | round(abs(p50_est - p50_exact), 6) AS p50_err,
+        | round(abs(p90_est - p90_exact), 6) AS p90_err
+        |FROM full_q JOIN samp ON full_q.event_type = samp.event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "orders_scd2" ->
+      """WITH base AS (
+        | SELECT o_custkey, o_orderkey,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS valid_from_s,
+        |  round(o_totalprice, 2) AS o_totalprice
+        | FROM orders),
+        |v AS (
+        | SELECT o_custkey, o_orderkey, valid_from_s, o_totalprice,
+        |  CAST(row_number() OVER w AS INT) AS version,
+        |  coalesce(lead(valid_from_s) OVER w - 1, 253402300799) AS valid_to_s
+        | FROM base
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from_s, o_orderkey))
+        |SELECT o_custkey, version, o_orderkey, valid_from_s,
+        | CAST(valid_to_s AS BIGINT) AS valid_to_s, o_totalprice,
+        | CAST(CASE WHEN valid_to_s = 253402300799 THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM v ORDER BY o_custkey, version""".stripMargin,
   )
 }

@@ -72,4 +72,39 @@ object Graph {
     graft.functions.TopK.globalWithRank(r3, 20,
       col("pagerank").desc, col("p_partkey"))
   }
+
+  /** Market-basket association rules over the same co-order graph:
+    * support / confidence / lift for part pairs appearing in ≥ 5
+    * orders, top-20 by lift. One distinct (order, part) projection
+    * feeds everything: the pair counts (self-join on the order key —
+    * bounded per-order blowup), the per-part order counts, and the
+    * one-row order total; the three statistics are then a map-side
+    * arithmetic over one pair row + two part-count joins. Undirected
+    * pairs are counted once (a < b).
+    */
+  def partAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val op = graft.PlanCache.cached("affinity_op", spark, dir) {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+    }
+    val n = op.agg(countDistinct("o").as("nn"))
+    val pc = op.groupBy("p").agg(count(lit(1)).as("np"))
+    val pairs = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    val scored = pairs
+      .crossJoin(broadcast(n))
+      .join(pc.select(col("p").as("part_a"), col("np").as("na")), "part_a")
+      .join(pc.select(col("p").as("part_b"), col("np").as("nb")), "part_b")
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("nn"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("na"), 6).as("confidence"),
+        round(col("n_ab").cast("double") * col("nn") / (col("na") * col("nb")), 6)
+          .as("lift"))
+    graft.functions.TopK.globalWithRank(scored, 20,
+      col("lift").desc, col("part_a"), col("part_b"))
+  }
 }

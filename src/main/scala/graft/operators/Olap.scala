@@ -346,6 +346,31 @@ object Olap {
       .orderBy("o_custkey")
   }
 
+  /** SCD type-2 dimension build from the order history: one version
+    * row per (customer, order) with [valid_from, valid_to) epoch
+    * bounds, a per-customer version number, and an is_current flag —
+    * the warehouse pattern for tracking attribute history. Both
+    * windows are PARTITIONED by customer (bounded per-key state,
+    * shuffles once on o_custkey); the open version carries a
+    * far-future sentinel instead of NULL so downstream range probes
+    * (`valid_from <= t < valid_to`) need no null branch.
+    */
+  def ordersScd2(spark: SparkSession, dir: String): DataFrame = {
+    val farFuture = 253402300799L // 9999-12-31T23:59:59Z
+    val w = Window.partitionBy("o_custkey").orderBy("valid_from_s", "o_orderkey")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("valid_from_s"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("valid_to_s",
+        coalesce(lead("valid_from_s", 1).over(w) - 1, lit(farFuture)))
+      .withColumn("is_current", (col("valid_to_s") === farFuture).cast("int"))
+      .select("o_custkey", "version", "o_orderkey", "valid_from_s",
+        "valid_to_s", "o_totalprice", "is_current")
+      .orderBy("o_custkey", "version")
+  }
+
   /** Priority counts over orders having at least one discounted line
     * — the TPC-H Q4 shape (EXISTS-correlated subquery) as a left-semi
     * join: the fact side streams once, the semi join never duplicates

@@ -60,6 +60,36 @@ object Sketches {
     * it broadcast-style; nothing here grows with the data except the
     * one exact count aggregation used for verification.
     */
+  /** Quantiles by deterministic hash sampling: exact percentiles on
+    * a content-hash 10% sample vs the exact full-data percentiles,
+    * with the absolute error alongside — the scalable-quantile
+    * pattern when a full sort/exact-percentile pass is too expensive:
+    * the sample is a pure map-side filter (no coordinated sampling
+    * state, reproducible across runs and engines), and the exact
+    * columns double as the built-in error verification, the same
+    * sketch-vs-truth shape as [[heavyHittersCms]].
+    */
+  def approxQuantilesSampled(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.PlanCache.cached("aq_events", spark, dir) {
+      Tables.events(spark, dir).select(
+        col("event_type"), col("value"),
+        graft.functions.HexExprs.uniformHash(col("event_id").cast("string")).as("u"))
+    }
+    val full = e.groupBy("event_type").agg(
+      round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+      round(expr("percentile(value, 0.9)"), 6).as("p90_exact"),
+      round(expr("percentile(value, 0.99)"), 6).as("p99_exact"))
+    val samp = e.filter(col("u") < 0.1).groupBy("event_type").agg(
+      count(lit(1)).as("n_sample"),
+      round(expr("percentile(value, 0.5)"), 6).as("p50_est"),
+      round(expr("percentile(value, 0.9)"), 6).as("p90_est"),
+      round(expr("percentile(value, 0.99)"), 6).as("p99_est"))
+    full.join(samp, "event_type")
+      .withColumn("p50_err", round(abs(col("p50_est") - col("p50_exact")), 6))
+      .withColumn("p90_err", round(abs(col("p90_est") - col("p90_exact")), 6))
+      .orderBy("event_type")
+  }
+
   def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
     val d = 4
     val exact = Tables.documents(spark, dir)

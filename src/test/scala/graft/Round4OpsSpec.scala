@@ -152,6 +152,44 @@ class Round4OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("part_affinity statistics obey their definitional bounds") {
+    val out = operators.Graph.partAffinity(spark, sf).cache()
+    assert(out.count() <= 20)
+    assert(out.filter(col("confidence") > 1.0 || col("confidence") <= 0).count() == 0)
+    // support = n_ab/N <= n_ab/n_a = confidence, since n_a <= N
+    assert(out.filter(col("support") > col("confidence")).count() == 0)
+    assert(out.filter(col("lift") <= 0).count() == 0)
+    assert(out.filter(col("n_ab") < 5).count() == 0)
+    out.unpersist()
+  }
+
+  test("approx_quantiles_sampled: ~10% sample, monotone percentiles") {
+    val out = operators.Sketches.approxQuantilesSampled(spark, sf).cache()
+    val total = Tables.events(spark, sf).count()
+    val sampled = out.agg(sum("n_sample")).head.getLong(0)
+    val frac = sampled.toDouble / total
+    assert(frac > 0.05 && frac < 0.15, s"sample fraction $frac")
+    assert(out.filter(col("p50_exact") > col("p90_exact") ||
+      col("p90_exact") > col("p99_exact")).count() == 0)
+    assert(out.filter(col("p50_est") > col("p90_est")).count() == 0)
+    out.unpersist()
+  }
+
+  test("orders_scd2 versions partition each customer's timeline") {
+    val out = operators.Olap.ordersScd2(spark, sf).cache()
+    assert(out.count() == Tables.orders(spark, sf).count())
+    // exactly one open (is_current) version per customer
+    val multi = out.filter(col("is_current") === 1)
+      .groupBy("o_custkey").count().filter(col("count") =!= 1).count()
+    assert(multi == 0)
+    // versions are contiguous 1..n per customer
+    val vstats = out.groupBy("o_custkey")
+      .agg(min("version").as("vmin"), max("version").as("vmax"),
+        count(lit(1)).as("n"))
+    assert(vstats.filter(col("vmin") =!= 1 || col("vmax") =!= col("n")).count() == 0)
+    out.unpersist()
+  }
+
   test("sample_hash_split is exhaustive, typed, and roughly 80/10/10") {
     val docs = Tables.documents(spark, sf).count()
     val out = operators.Sampling.sampleHashSplit(spark, sf).cache()
