@@ -127,6 +127,8 @@ object SparkEntry {
     "part_affinity" -> (Graph.partAffinity _),
     "approx_quantiles_sampled" -> (Sketches.approxQuantilesSampled _),
     "orders_scd2" -> (Olap.ordersScd2 _),
+    "events_gap_fill" -> (Events.eventsGapFill _),
+    "customer_pareto" -> (Olap.customerPareto _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -1629,5 +1631,60 @@ object SparkEntry {
         | CAST(valid_to_s AS BIGINT) AS valid_to_s, o_totalprice,
         | CAST(CASE WHEN valid_to_s = 253402300799 THEN 1 ELSE 0 END AS INT) AS is_current
         |FROM v ORDER BY o_custkey, version""".stripMargin,
+
+    "events_gap_fill" ->
+      """WITH hourly AS (
+        | SELECT event_type, epoch_ns(ts)//1000000000//3600 AS h,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM b),
+        |ff AS (
+        | SELECT g.event_type, g.h, max(hr.h) AS src_h
+        | FROM grid g JOIN hourly hr
+        |   ON hr.event_type = g.event_type AND hr.h <= g.h
+        | GROUP BY 1, 2)
+        |SELECT ff.event_type AS event_type, ff.h AS hour,
+        | CASE WHEN ff.src_h = ff.h THEN f.n ELSE CAST(0 AS BIGINT) END AS n_observed,
+        | f.n AS n_filled,
+        | CAST(CASE WHEN ff.src_h = ff.h THEN 0 ELSE 1 END AS INT) AS is_gap
+        |FROM ff JOIN hourly f
+        |  ON f.event_type = ff.event_type AND f.h = ff.src_h
+        |ORDER BY event_type, hour""".stripMargin,
+
+    "customer_pareto" ->
+      """WITH rev AS (
+        | SELECT o_custkey, round(sum(o_totalprice),2) AS rev
+        | FROM orders GROUP BY 1),
+        |b AS (SELECT
+        | round(quantile_cont(rev, 0.1),4) AS b1, round(quantile_cont(rev, 0.2),4) AS b2,
+        | round(quantile_cont(rev, 0.3),4) AS b3, round(quantile_cont(rev, 0.4),4) AS b4,
+        | round(quantile_cont(rev, 0.5),4) AS b5, round(quantile_cont(rev, 0.6),4) AS b6,
+        | round(quantile_cont(rev, 0.7),4) AS b7, round(quantile_cont(rev, 0.8),4) AS b8,
+        | round(quantile_cont(rev, 0.9),4) AS b9
+        | FROM rev),
+        |d AS (
+        | SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(sum(rev),2) AS decile_rev
+        | FROM (SELECT rev,
+        |   (CASE WHEN rev > b1 THEN 1 ELSE 0 END + CASE WHEN rev > b2 THEN 1 ELSE 0 END +
+        |    CASE WHEN rev > b3 THEN 1 ELSE 0 END + CASE WHEN rev > b4 THEN 1 ELSE 0 END +
+        |    CASE WHEN rev > b5 THEN 1 ELSE 0 END + CASE WHEN rev > b6 THEN 1 ELSE 0 END +
+        |    CASE WHEN rev > b7 THEN 1 ELSE 0 END + CASE WHEN rev > b8 THEN 1 ELSE 0 END +
+        |    CASE WHEN rev > b9 THEN 1 ELSE 0 END) AS decile
+        |  FROM rev CROSS JOIN b) GROUP BY 1),
+        |t AS (SELECT sum(decile_rev) AS total_rev FROM d),
+        |ws AS (
+        | SELECT decile, n_customers, decile_rev,
+        |  round(decile_rev/total_rev, 6) AS rev_share, total_rev
+        | FROM d CROSS JOIN t),
+        |cum AS (
+        | SELECT a.decile AS decile,
+        |  round(sum(b.decile_rev/b.total_rev),6) AS cum_share_from_top
+        | FROM ws a JOIN ws b ON b.decile >= a.decile GROUP BY 1)
+        |SELECT ws.decile AS decile, n_customers, decile_rev, rev_share,
+        | cum_share_from_top
+        |FROM ws JOIN cum ON ws.decile = cum.decile
+        |ORDER BY decile DESC""".stripMargin,
   )
 }

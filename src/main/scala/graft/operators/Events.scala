@@ -319,6 +319,38 @@ object Events {
       .orderBy("day")
   }
 
+  /** Time-series gap fill: densify each event type's hourly count
+    * series over its own [min, max] hour range and forward-fill the
+    * missing hours from the latest observed hour — the resample/
+    * step-interpolation pass dashboards and feature pipelines need
+    * before windowed math. The fill IS an as-of join (grid hour ←
+    * latest observed hour ≤ it), so it runs on the custom
+    * AsofJoinExec: co-partitioned by event_type, one sorted merge per
+    * partition, O(grid + observed) — never a per-gap backward scan.
+    * The grid is timeline-bounded (hours × |types|), constant in
+    * event VOLUME — densification cost does not grow with data.
+    */
+  def eventsGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = graft.PlanCache.cached("gapfill_hourly", spark, dir) {
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"), expr("ts_s div 3600").as("h"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val grid = hourly.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1)")).as("h"))
+    val observed = hourly.select(
+      col("event_type").as("etype"), col("h").as("hr"), col("n"))
+    graft.plans.AsofJoin(grid, observed,
+        Seq("event_type"), Seq("etype"), Seq("h"), Seq("hr"))
+      .select(col("event_type"), col("h").as("hour"),
+        when(col("hr") === col("h"), col("n")).otherwise(lit(0L)).as("n_observed"),
+        col("n").as("n_filled"),
+        (col("hr") =!= col("h")).cast("int").as("is_gap"))
+      .orderBy("event_type", "hour")
+  }
+
   /** Event-path transition matrix: for each consecutive pair of
     * events per user, count (from_type → to_type) and its share of
     * all transitions LEAVING from_type — the first-order Markov model

@@ -346,6 +346,42 @@ object Olap {
       .orderBy("o_custkey")
   }
 
+  /** Revenue concentration by customer decile (Pareto analysis):
+    * bucket customers into revenue deciles and report each decile's
+    * customer count, revenue mass and share — "do 10% of customers
+    * carry 40% of revenue". Deciles come from NINE percentile
+    * boundaries computed as ONE scalar aggregate row broadcast back
+    * over the per-customer table (same shape as [[ordersRfm]]), so
+    * bucketing is a map-side comparison sum — no ntile window sorting
+    * all customers in one partition. The cumulative share joins the
+    * 10-row decile table to itself (bounded triangle), not a window.
+    */
+  def customerPareto(spark: SparkSession, dir: String): DataFrame = {
+    val rev = graft.PlanCache.cached("pareto_rev", spark, dir) {
+      Tables.orders(spark, dir).groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("rev"))
+    }
+    val bcols = (1 to 9).map(i =>
+      round(expr(s"percentile(rev, 0.$i)"), 4).as(s"b$i"))
+    val bounds = rev.agg(bcols.head, bcols.tail: _*)
+    val deciles = rev.crossJoin(broadcast(bounds))
+      .withColumn("decile",
+        (1 to 9).map(i => (col("rev") > col(s"b$i")).cast("int"))
+          .reduce(_ + _))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), round(sum("rev"), 2).as("decile_rev"))
+    val total = deciles.agg(sum("decile_rev").as("total_rev"))
+    val withShare = deciles.crossJoin(broadcast(total))
+      .withColumn("rev_share", round(col("decile_rev") / col("total_rev"), 6))
+    val cum = withShare.as("a")
+      .join(withShare.as("b"), col("b.decile") >= col("a.decile"))
+      .groupBy(col("a.decile").as("decile"))
+      .agg(round(sum(col("b.decile_rev") / col("b.total_rev")), 6).as("cum_share_from_top"))
+    withShare.select("decile", "n_customers", "decile_rev", "rev_share")
+      .join(cum, "decile")
+      .orderBy(col("decile").desc)
+  }
+
   /** SCD type-2 dimension build from the order history: one version
     * row per (customer, order) with [valid_from, valid_to) epoch
     * bounds, a per-customer version number, and an is_current flag —

@@ -190,6 +190,34 @@ class Round4OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("events_gap_fill densifies every type's timeline, fill carries forward") {
+    val out = operators.Events.eventsGapFill(spark, sf).cache()
+    // a dense grid: per type, rows == span of hours
+    val spans = out.groupBy("event_type")
+      .agg(min("hour").as("h0"), max("hour").as("h1"), count(lit(1)).as("n"))
+    assert(spans.filter(col("n") =!= col("h1") - col("h0") + 1).count() == 0)
+    // gap rows observe nothing but inherit a positive filled count
+    assert(out.filter(col("is_gap") === 1 &&
+      (col("n_observed") =!= 0 || col("n_filled") <= 0)).count() == 0)
+    // observed rows: filled IS the observation
+    assert(out.filter(col("is_gap") === 0 &&
+      col("n_observed") =!= col("n_filled")).count() == 0)
+    out.unpersist()
+  }
+
+  test("customer_pareto deciles partition customers, shares telescope") {
+    val out = operators.Olap.customerPareto(spark, sf).cache()
+    val customers = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(out.agg(sum("n_customers")).head.getLong(0) == customers)
+    val shareSum = out.agg(sum("rev_share")).head.getDouble(0)
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    // cumulative-from-top decreases as the decile index rises toward the top
+    val cums = out.orderBy("decile").select("cum_share_from_top")
+      .collect().map(_.getDouble(0))
+    assert(cums.zip(cums.tail).forall { case (lo, hi) => lo >= hi - 1e-9 })
+    out.unpersist()
+  }
+
   test("sample_hash_split is exhaustive, typed, and roughly 80/10/10") {
     val docs = Tables.documents(spark, sf).count()
     val out = operators.Sampling.sampleHashSplit(spark, sf).cache()
