@@ -231,6 +231,23 @@ object EventStreams {
         graft.operators.TextAnalysis.piiRedact(col("text")).as("text")) ++
         graft.operators.TextAnalysis.piiCounts(col("text")): _*)
 
+  /** Streaming Count-Min sketch: the running d=4 × w=256 bucket-sum
+    * table over the token stream — the streaming face of
+    * [[graft.operators.Sketches.heavyHittersCms]], with the SAME
+    * bucket derivation (first 2 md5 hex chars of "row|token"), so a
+    * batch probe of the streamed sketch answers the same frequency
+    * queries. The aggregation state is the sketch itself: at most
+    * d·w = 1024 keys REGARDLESS of stream volume or vocabulary — the
+    * point of CMS — so this needs no watermark to stay bounded.
+    */
+  def cmsSketchStream(docs: DataFrame, d: Int = 4): DataFrame =
+    docs
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .withColumn("row", explode(expr(s"sequence(0, ${d - 1})")))
+      .withColumn("bucket",
+        substring(md5(concat(col("row"), lit("|"), col("token"))), 1, 2))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("bsum"))
+
   /** 30-minute-gap sessionization with explicit state — the
     * streaming form of Events.eventsSessionize. Emits a session row
     * every time a gap closes one. State is keyed per user and

@@ -210,6 +210,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cmsSketchStream bucket sums equal the batch sketch on the same tokens") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick red fox runs past the sleeping dog"),
+      (3L, "a slow green turtle watches the quick fox"))
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = EventStreams.cmsSketchStream(docs)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(texts: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("select row, bucket, bsum from cms_stream")
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      // the same sketch computed in batch over the same rows
+      val batch = texts.toDF("doc_id", "text")
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .withColumn("row", explode(expr("sequence(0, 3)")))
+        .withColumn("bucket",
+          substring(md5(concat(col("row"), lit("|"), col("token"))), 1, 2))
+        .groupBy("row", "bucket").agg(count(lit(1)).as("bsum"))
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch)
+      // state is the sketch: never more than d*w keys
+      assert(streamed.size <= 4 * 256)
+    } finally q.stop()
+  }
+
   test("contaminationGate fails fast when the benchmark set exceeds the inline cap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
