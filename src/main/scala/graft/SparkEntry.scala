@@ -1486,9 +1486,11 @@ object SparkEntry {
       """WITH du AS (
         | SELECT DISTINCT epoch_ns(ts)//1000000000//86400 AS day_idx, user_id
         | FROM events),
+        |m AS (SELECT max(day_idx) AS maxd FROM du),
         |x AS (SELECT day_idx + unnest(generate_series(0, 6)) AS day, user_id FROM du)
         |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau7
-        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM x CROSS JOIN m WHERE day <= maxd
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "embed_label_stats" ->
       """WITH v AS (
@@ -1624,7 +1626,7 @@ object SparkEntry {
         |v AS (
         | SELECT o_custkey, o_orderkey, valid_from_s, o_totalprice,
         |  CAST(row_number() OVER w AS INT) AS version,
-        |  coalesce(lead(valid_from_s) OVER w - 1, 253402300799) AS valid_to_s
+        |  coalesce(lead(valid_from_s) OVER w, 253402300799) AS valid_to_s
         | FROM base
         | WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from_s, o_orderkey))
         |SELECT o_custkey, version, o_orderkey, valid_from_s,

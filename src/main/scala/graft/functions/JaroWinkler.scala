@@ -17,12 +17,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * either side empty → 0.0; match window ⌊max(n,m)/2⌋−1;
   * transpositions = half the mismatched matched-char positions;
   * Winkler prefix boost (ℓ ≤ 4, p = 0.1) only above jaro > 0.7.
+  * Comparison is over UTF-8 BYTES (DuckDB's unit — 'café' is 5
+  * units), not UTF-16 chars, so non-ASCII names score identically
+  * in both engines.
   */
 object JaroWinkler {
 
   def sim(au: UTF8String, bu: UTF8String): Double = {
-    val s = au.toString
-    val t = bu.toString
+    val s = au.getBytes
+    val t = bu.getBytes
     val n = s.length
     val m = t.length
     if (n == 0 || m == 0) return 0.0
@@ -36,7 +39,7 @@ object JaroWinkler {
       var j = math.max(0, i - window)
       var found = false
       while (j <= hi && !found) {
-        if (!tMatch(j) && s.charAt(i) == t.charAt(j)) {
+        if (!tMatch(j) && s(i) == t(j)) {
           sMatch(i) = true; tMatch(j) = true; matches += 1; found = true
         }
         j += 1
@@ -50,7 +53,7 @@ object JaroWinkler {
     while (i < n) {
       if (sMatch(i)) {
         while (!tMatch(k)) k += 1
-        if (s.charAt(i) != t.charAt(k)) mismatched += 1
+        if (s(i) != t(k)) mismatched += 1
         k += 1
       }
       i += 1
@@ -60,7 +63,7 @@ object JaroWinkler {
     if (jaro <= 0.7) return jaro
     var l = 0
     val maxL = math.min(4, math.min(n, m))
-    while (l < maxL && s.charAt(l) == t.charAt(l)) l += 1
+    while (l < maxL && s(l) == t(l)) l += 1
     jaro + l * 0.1 * (1.0 - jaro)
   }
 

@@ -311,9 +311,15 @@ object Events {
     val e = Tables.events(spark, dir)
     val du = e.select(expr("ts_s div 86400").as("day_idx"), col("user_id"))
       .distinct()
+    // bound the exploded windows to the observed timeline: without
+    // it, the last day's presence pairs project 6 phantom "future"
+    // days whose shrinking tails read as a DAU decline
+    val maxd = du.agg(max("day_idx").as("maxd"))
     du.select(explode(expr("sequence(0, 6)")).as("off"),
         col("day_idx"), col("user_id"))
       .select((col("day_idx") + col("off")).as("day"), col("user_id"))
+      .crossJoin(broadcast(maxd))
+      .filter(col("day") <= col("maxd"))
       .groupBy("day")
       .agg(countDistinct("user_id").as("dau7"))
       .orderBy("day")

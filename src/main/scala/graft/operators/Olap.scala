@@ -389,7 +389,11 @@ object Olap {
     * windows are PARTITIONED by customer (bounded per-key state,
     * shuffles once on o_custkey); the open version carries a
     * far-future sentinel instead of NULL so downstream range probes
-    * (`valid_from <= t < valid_to`) need no null branch.
+    * need no null branch. Intervals are HALF-OPEN — valid_to_s IS
+    * the successor's valid_from_s — so `valid_from <= t < valid_to`
+    * matches exactly one version for every in-range t, with no
+    * 1-second seams (same-date successors yield an empty [t, t)
+    * version, which such probes correctly never select).
     */
   def ordersScd2(spark: SparkSession, dir: String): DataFrame = {
     val farFuture = 253402300799L // 9999-12-31T23:59:59Z
@@ -400,7 +404,7 @@ object Olap {
         round(col("o_totalprice"), 2).as("o_totalprice"))
       .withColumn("version", row_number().over(w).cast("int"))
       .withColumn("valid_to_s",
-        coalesce(lead("valid_from_s", 1).over(w) - 1, lit(farFuture)))
+        coalesce(lead("valid_from_s", 1).over(w), lit(farFuture)))
       .withColumn("is_current", (col("valid_to_s") === farFuture).cast("int"))
       .select("o_custkey", "version", "o_orderkey", "valid_from_s",
         "valid_to_s", "o_totalprice", "is_current")

@@ -44,22 +44,6 @@ object Sketches {
       .orderBy("lang")
   }
 
-  /** Count-Min-Sketch heavy hitters: the CMS estimate for the top-20
-    * corpus tokens, with the exact count alongside as the baseline.
-    * The sketch is d=4 hash rows × w=256 buckets (bucket key = first
-    * 2 md5 hex chars of "row|token" — a STRING key, so the oracle
-    * mirrors it with no numeric hex conversion); estimate = min over
-    * rows of the bucket sum, which can only OVER-count (collisions
-    * add), never under — `cms_est >= n_exact` is an invariant.
-    *
-    * Scale shape: the sketch is built from the per-token count
-    * aggregate (d small rows per DISTINCT token, not per occurrence)
-    * and is a FIXED d·w = 1024 rows regardless of corpus size — the
-    * whole point of CMS: frequency queries over an unbounded stream
-    * in constant space. The candidate probe joins 20·d rows against
-    * it broadcast-style; nothing here grows with the data except the
-    * one exact count aggregation used for verification.
-    */
   /** Quantiles by deterministic hash sampling: exact percentiles on
     * a content-hash 10% sample vs the exact full-data percentiles,
     * with the absolute error alongside — the scalable-quantile
@@ -90,23 +74,47 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  /** The CMS bucket derivation — d rows per input row, bucket = first
+    * 2 md5 hex chars of "row|token" (a STRING key, so the oracle
+    * mirrors it with no numeric hex conversion). ONE definition
+    * shared by the batch sketch below and the streaming sketch
+    * (graft.streaming.EventStreams.cmsSketchStream): parity between
+    * the two is structural, not copy-paste.
+    */
+  def cmsBuckets(tokens: DataFrame, d: Int = 4): DataFrame =
+    tokens
+      .withColumn("row", explode(expr(s"sequence(0, ${d - 1})")))
+      .withColumn("bucket",
+        substring(md5(concat(col("row"), lit("|"), col("token"))), 1, 2))
+
+  /** Count-Min-Sketch heavy hitters: the CMS estimate for the top-20
+    * corpus tokens, with the exact count alongside as the baseline.
+    * The sketch is d=4 hash rows × w=256 buckets; estimate = min over
+    * rows of the bucket sum, which can only OVER-count (collisions
+    * add), never under — `cms_est >= n_exact` is an invariant.
+    *
+    * Scale shape: the sketch is built from the per-token count
+    * aggregate (d small rows per DISTINCT token, not per occurrence)
+    * and is a FIXED d·w = 1024 rows regardless of corpus size — the
+    * whole point of CMS: frequency queries over an unbounded stream
+    * in constant space. The candidate probe joins 20·d rows against
+    * it broadcast-style; nothing here grows with the data except the
+    * one exact count aggregation used for verification — and that
+    * aggregate is PlanCache'd because both the sketch branch and the
+    * top-20 branch read it.
+    */
   def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
-    val d = 4
-    val exact = Tables.documents(spark, dir)
-      .select(explode(split(col("text"), "\\s+")).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("n_exact"))
+    val exact = graft.PlanCache.cached("cms_exact", spark, dir) {
+      Tables.documents(spark, dir)
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_exact"))
+    }
     // d bucket rows per distinct token; bucket sums = occurrence mass
-    val sketch = exact
-      .select(col("token"), col("n_exact"),
-        explode(expr(s"sequence(0, ${d - 1})")).as("row"))
-      .withColumn("bucket", substring(md5(concat(col("row"), lit("|"), col("token"))), 1, 2))
+    val sketch = cmsBuckets(exact.select(col("token"), col("n_exact")))
       .groupBy("row", "bucket").agg(sum("n_exact").as("bsum"))
     val top = graft.functions.TopK.globalWithRank(
       exact, 20, col("n_exact").desc, col("token"))
-    top
-      .select(col("token"), col("n_exact"), col("rank"),
-        explode(expr(s"sequence(0, ${d - 1})")).as("row"))
-      .withColumn("bucket", substring(md5(concat(col("row"), lit("|"), col("token"))), 1, 2))
+    cmsBuckets(top.select(col("token"), col("n_exact"), col("rank")))
       .join(broadcast(sketch), Seq("row", "bucket")) // sketch is a fixed 1024 rows
       .groupBy("token", "n_exact", "rank")
       .agg(min("bsum").as("cms_est"))

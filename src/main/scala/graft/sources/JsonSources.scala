@@ -27,34 +27,38 @@ object JsonSources {
 
   private val corrupt = "_corrupt_record"
 
-  /** Read JSONL with PERMISSIVE + columnNameOfCorruptRecord: well-
-    * formed rows parse columnar, malformed rows carry their raw bytes
-    * in the corrupt column. One scan, no driver involvement.
+  /** Read as raw text lines and parse each with from_json: EVERY row
+    * keeps its exact raw bytes alongside the parse result (a
+    * schema'd JSON read would surrender the raw line the moment the
+    * JSON parses, even when required fields are missing — losing
+    * unknown fields the producer sent). One scan, no driver
+    * involvement; malformed input marks the in-struct corrupt column
+    * (PERMISSIVE from_json yields an otherwise-null struct, so a
+    * null struct test can't distinguish malformed from all-null).
     */
   def readJsonlDocs(spark: SparkSession, path: String): DataFrame =
-    spark.read
-      .schema(docSchema.add(StructField(corrupt, StringType)))
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", corrupt)
-      .json(path)
+    spark.read.text(path)
+      .select(col("value").as("raw"),
+        from_json(col("value"), docSchema.add(StructField(corrupt, StringType)),
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corrupt))
+          .as("doc"))
 
   /** Clean rows only (parse succeeded AND the key survived). */
   def goodDocs(spark: SparkSession, path: String): DataFrame =
     readJsonlDocs(spark, path)
-      .filter(col(corrupt).isNull && col("doc_id").isNotNull)
-      .drop(corrupt)
+      .filter(col(s"doc.$corrupt").isNull && col("doc.doc_id").isNotNull)
+      .select(col("doc.doc_id").as("doc_id"), col("doc.lang").as("lang"),
+        col("doc.source").as("source"), col("doc.text").as("text"))
 
-  /** Quarantine: the raw line of every record that failed to parse
-    * (or parsed without the required key), tagged with the reason —
-    * replayable once the producer is fixed.
+  /** Quarantine: the EXACT raw line of every record that failed to
+    * parse (or parsed without the required key), tagged with the
+    * reason — byte-identical replay once the producer is fixed,
+    * including fields outside [[docSchema]].
     */
   def quarantine(spark: SparkSession, path: String): DataFrame =
     readJsonlDocs(spark, path)
-      .filter(col(corrupt).isNotNull || col("doc_id").isNull)
-      .select(
-        coalesce(col(corrupt),
-          to_json(struct(col("doc_id"), col("lang"), col("source"), col("text"))))
-          .as("raw"),
-        when(col(corrupt).isNotNull, "malformed_json")
+      .filter(col(s"doc.$corrupt").isNotNull || col("doc.doc_id").isNull)
+      .select(col("raw"),
+        when(col(s"doc.$corrupt").isNotNull, "malformed_json")
           .otherwise("missing_doc_id").as("reason"))
 }

@@ -241,11 +241,8 @@ object EventStreams {
     * point of CMS — so this needs no watermark to stay bounded.
     */
   def cmsSketchStream(docs: DataFrame, d: Int = 4): DataFrame =
-    docs
-      .select(explode(split(col("text"), "\\s+")).as("token"))
-      .withColumn("row", explode(expr(s"sequence(0, ${d - 1})")))
-      .withColumn("bucket",
-        substring(md5(concat(col("row"), lit("|"), col("token"))), 1, 2))
+    graft.operators.Sketches.cmsBuckets(
+        docs.select(explode(split(col("text"), "\\s+")).as("token")), d)
       .groupBy("row", "bucket").agg(count(lit(1)).as("bsum"))
 
   /** 30-minute-gap sessionization with explicit state — the

@@ -32,7 +32,11 @@ class JaroWinklerSpec extends SparkSpec {
       // boost cap at prefix length 4
       ("aaaaaaaaaab", "aaaaaaaaaaz", 0.9636363636363636),
       ("prefix", "prefixtotallydiff", 0.8705882352941177),
-      ("ab", "ba", 0.0))
+      ("ab", "ba", 0.0),
+      // non-ASCII: DuckDB compares UTF-8 BYTES ('café' = 5 units)
+      ("café", "cafe", 0.8483333333333334),
+      ("münchen", "munchen", 0.8821428571428571),
+      ("naïve", "naive", 0.8577777777777779))
     for ((a, b, expected) <- cases)
       assert(math.abs(jw(a, b) - expected) < 1e-12,
         s"jw($a, $b) = ${jw(a, b)}, duckdb says $expected")
