@@ -86,6 +86,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("WindowExec"), "argmin must be min(struct), not a window")
   }
 
+  test("q10: the returnflag filter reaches the lineitem scan") {
+    val p = plan(operators.Olap.q10Returned(spark, sf))
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("q14: the joined scan reads only the columns the query needs") {
+    val p = plan(operators.Olap.q14PromoShare(spark, sf))
+    val lineitemScan = p.linesIterator.find(l =>
+      l.contains("ReadSchema") && l.contains("l_partkey"))
+    assert(lineitemScan.isDefined, "no lineitem scan schema in plan")
+    // shipdate/price/discount/partkey only — never the full 11 columns
+    val schema = lineitemScan.get
+    assert(!schema.contains("l_returnflag") && !schema.contains("l_tax") &&
+      !schema.contains("l_suppkey"), schema)
+  }
+
   test("pagerank: every message-passing round broadcasts the rank vector") {
     val p = plan(operators.Graph.graphPagerank(spark, sf))
     // 3 iteration joins (rank onto edges) + the r0 nn cross join must
