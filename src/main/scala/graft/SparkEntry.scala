@@ -129,6 +129,7 @@ object SparkEntry {
     "orders_scd2" -> (Olap.ordersScd2 _),
     "events_gap_fill" -> (Events.eventsGapFill _),
     "customer_pareto" -> (Olap.customerPareto _),
+    "pack_sequences" -> ((s, d) => Sampling.packSequences(s, d)),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -1688,5 +1689,20 @@ object SparkEntry {
         | cum_share_from_top
         |FROM ws JOIN cum ON ws.decile = cum.decile
         |ORDER BY decile DESC""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH d AS (
+        | SELECT doc_id, lang, CAST(doc_id % 8 AS INT) AS shard,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, lang, shard, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        | FROM d)
+        |SELECT doc_id, lang, shard, n_tokens,
+        | CAST((cum_tokens - n_tokens)//2048 AS BIGINT) AS bin,
+        | CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -72,6 +73,38 @@ object Sampling {
     graft.plans.TopKPerGroup(d, Seq("lang"), Seq(("u", false), ("doc_id", false)), k)
       .select(col("lang"), col("doc_id"), round(col("u"), 6).as("u"))
       .orderBy("lang", "u", "doc_id")
+  }
+
+  /** Sequence packing: assign docs to fixed token-budget bins (the
+    * pre-training step that concatenates documents into fixed-length
+    * training sequences). Docs are packed greedily in doc_id order
+    * within a (lang, shard) partition: bin = floor(cumulative
+    * tokens / budget), offset = tokens before the doc in its
+    * partition — enough for a writer to materialize each bin by
+    * grouping on (lang, shard, bin).
+    *
+    * Scale shape: the running sum is a window PARTITIONED by
+    * (lang, shard) — shard = doc_id mod 8 splits each language's
+    * stream so no partition (and no executor) ever holds a whole
+    * language; widen the shard count with the cluster, never the
+    * window. Token counts are map-side; nothing global anywhere.
+    * Cross-shard bins stay independent by construction — a trainer
+    * reads (lang, shard, bin) groups in any order.
+    */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+    val w = Window.partitionBy("lang", "shard")
+      .orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(8)).cast("int").as("shard"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("bin", ((col("cum_tokens") - col("n_tokens")) / budget)
+        .cast("long"))
+      .withColumn("start_offset", col("cum_tokens") - col("n_tokens"))
+      .select("doc_id", "lang", "shard", "n_tokens", "bin", "start_offset")
+      .orderBy("doc_id")
   }
 
   /** Deterministic train/val/test split assignment (80/10/10) by

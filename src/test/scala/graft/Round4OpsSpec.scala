@@ -218,6 +218,21 @@ class Round4OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pack_sequences: contiguous offsets per shard, bin = offset div budget") {
+    val out = operators.Sampling.packSequences(spark, sf).cache()
+    assert(out.count() == Tables.documents(spark, sf).count())
+    // each doc starts exactly where its shard predecessor ended
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "shard").orderBy("doc_id")
+    val gaps = out.withColumn("prev_end",
+        lag(col("start_offset") + col("n_tokens"), 1, 0L).over(w))
+      .filter(col("start_offset") =!= col("prev_end"))
+    assert(gaps.count() == 0)
+    assert(out.filter(col("bin") =!= (col("start_offset") / 2048).cast("long"))
+      .count() == 0)
+    out.unpersist()
+  }
+
   test("sample_hash_split is exhaustive, typed, and roughly 80/10/10") {
     val docs = Tables.documents(spark, sf).count()
     val out = operators.Sampling.sampleHashSplit(spark, sf).cache()
