@@ -130,6 +130,11 @@ object SparkEntry {
     "events_gap_fill" -> (Events.eventsGapFill _),
     "customer_pareto" -> (Olap.customerPareto _),
     "pack_sequences" -> ((s, d) => Sampling.packSequences(s, d)),
+    "q7_volume" -> (Olap.q7Volume _),
+    "q9_profit" -> (Olap.q9Profit _),
+    "q21_sole_supplier" -> (Olap.q21SoleSupplier _),
+    "q22_idle_balance" -> (Olap.q22IdleBalance _),
+    "sample_temperature" -> ((s, d) => Sampling.sampleTemperature(s, d)),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -1704,5 +1709,73 @@ object SparkEntry {
         | CAST((cum_tokens - n_tokens)//2048 AS BIGINT) AS bin,
         | CAST(cum_tokens - n_tokens AS BIGINT) AS start_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q7_volume" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS INT) AS l_year,
+        | round(sum(l_extendedprice*(1.0-l_discount)), 2) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ns.n_name IN ('NATION_3','NATION_8')
+        |  AND nc.n_name IN ('NATION_3','NATION_8')
+        |  AND ns.n_name <> nc.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+        | round(sum(l_extendedprice*(1.0-l_discount)
+        |   - p_retailprice*l_quantity*0.1), 2) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type = 'ECONOMY'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q21_sole_supplier" ->
+      """WITH late AS (
+        | SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag='R'),
+        |alll AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS waiting
+        |FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM alll a
+        |   WHERE a.l_orderkey = l1.l_orderkey AND a.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY waiting DESC, s_name LIMIT 20""".stripMargin,
+
+    "q22_idle_balance" ->
+      """WITH pos AS (SELECT * FROM customer WHERE c_acctbal > 0),
+        |a AS (SELECT avg(c_acctbal) AS avg_bal FROM pos),
+        |active AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        | round(sum(c_acctbal), 2) AS total_bal
+        |FROM pos, a
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM active WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sample_temperature" ->
+      """WITH bylang AS (
+        | SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |p AS (SELECT lang, n_docs, pow(CAST(n_docs AS DOUBLE), 0.3) AS p_raw FROM bylang),
+        |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total_docs, sum(p_raw) AS p_sum FROM p),
+        |rates AS (SELECT lang, round(least(CAST(1.0 AS DOUBLE),
+        |   p_raw / (SELECT p_sum FROM t) * (SELECT total_docs FROM t) * 0.5
+        |     / CAST(n_docs AS DOUBLE)), 6) AS keep_rate FROM p),
+        |u AS (SELECT doc_id, lang,
+        |   list_sum(list_transform(generate_series(1, 8),
+        |     i -> (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1) * pow(16, 8-i)))
+        |   / 4294967296.0 AS u FROM documents)
+        |SELECT u.doc_id, u.lang, rates.keep_rate, round(u.u, 6) AS u
+        |FROM u JOIN rates ON u.lang = rates.lang
+        |WHERE u.u < rates.keep_rate ORDER BY doc_id""".stripMargin,
   )
 }

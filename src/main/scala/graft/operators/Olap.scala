@@ -427,4 +427,112 @@ object Olap {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
   }
+
+  /** Bilateral shipping volume between two nations by year — the
+    * TPC-H Q7 shape (reference analytics layer: sql/schema_postgres.sql).
+    * The date filter is a plain range predicate on l_shipdate (not
+    * wrapped in year()) so it pushes down to the parquet scan;
+    * lineitem⋈orders and the customer join shuffle on their keys
+    * (customer is a fact-sized table at scale — never broadcast);
+    * supplier and the two-row nation slices broadcast.
+    */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val n = Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_3", "NATION_8"))
+    val ns = n.select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val nc = n.select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(ns), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(nc), col("c_nationkey") === col("c_nkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("volume"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Profit by supplier nation and year — the TPC-H Q9 shape, adapted
+    * to the testdata (no partsupp table: p_retailprice stands in for
+    * supplycost at a 10% rate). One shuffle total: part, supplier and
+    * nation all broadcast, the filtered part slice prunes lineitem in
+    * the join, and the only exchange is the final group-by. No orders
+    * join — the year comes from l_shipdate.
+    */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "ECONOMY")
+      .select("p_partkey", "p_retailprice")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        - col("p_retailprice") * col("l_quantity") * lit(0.1)), 2).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Suppliers who were the SOLE returned-flag supplier on
+    * multi-supplier orders — the TPC-H Q21 shape (EXISTS + NOT EXISTS
+    * correlated pair), decorrelated into one pass over lineitem: per
+    * order, count distinct suppliers and distinct flagged suppliers;
+    * `n_supp > 1 && n_flagged == 1` IS the exists/not-exists pair.
+    * One explicit repartition on the order key feeds BOTH stacked
+    * aggregations (supplier dedup, then the order rollup — a prefix
+    * partitioning satisfies the wider grouping), avoiding the 3×-row
+    * Expand that two countDistincts would plan and the two lineitem
+    * self-joins a literal translation runs. Top-20 is TakeOrdered.
+    */
+  def q21SoleSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_returnflag") === "R").cast("int").as("f"))
+      .repartition(col("l_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max("f").as("is_flagged"))
+    perSupp.groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).as("n_supp"),
+        sum("is_flagged").as("n_flagged"),
+        max(when(col("is_flagged") === 1, col("l_suppkey"))).as("s_suppkey"))
+      .filter(col("n_supp") > 1 && col("n_flagged") === 1)
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("waiting"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        "s_suppkey")
+      .select(col("s_name"), col("waiting"))
+      .orderBy(col("waiting").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** High-balance customers with no recent orders, by segment — the
+    * TPC-H Q22 shape: a scalar subquery (global average balance)
+    * broadcast as a one-row cross join, then a left-anti join against
+    * the distinct recently-active customer keys. The orders side is
+    * date-filtered BEFORE the distinct so the pushdown reaches the
+    * scan; AQE picks broadcast-anti when the active set is small.
+    */
+  def q22IdleBalance(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2000-01-01").cast("timestamp")
+    val pos = Tables.customer(spark, dir).filter(col("c_acctbal") > 0)
+    val avgRow = pos.agg(avg("c_acctbal").as("avg_bal"))
+    val active = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= cutoff)
+      .select("o_custkey").distinct()
+    pos.crossJoin(broadcast(avgRow))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
 }

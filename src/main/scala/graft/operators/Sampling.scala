@@ -107,6 +107,33 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled language mixing (the mT5/XLM-R rebalancing
+    * step): sampling probability per language ∝ n_lang^alpha with
+    * alpha = 0.3, so low-resource languages are boosted relative to
+    * their natural share, then a 50%-of-corpus target converts the
+    * distribution into per-language keep rates. Two tiny aggregations
+    * (per-language counts → one scalar row), both broadcast back;
+    * membership is the same deterministic content-hash threshold as
+    * [[sampleStratified]] — map-side, reproducible, no sampling state.
+    */
+  def sampleTemperature(spark: SparkSession, dir: String, alpha: Double = 0.3): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val byLang = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("p_raw", pow(col("n_docs").cast("double"), alpha))
+    val totals = byLang.agg(
+      sum("n_docs").cast("double").as("total_docs"), sum("p_raw").as("p_sum"))
+    val rates = byLang.crossJoin(broadcast(totals))
+      .select(col("lang"),
+        round(least(lit(1.0),
+          col("p_raw") / col("p_sum") * col("total_docs") * lit(0.5)
+            / col("n_docs").cast("double")), 6).as("keep_rate"))
+    d.join(broadcast(rates), "lang")
+      .withColumn("u", graft.functions.HexExprs.uniformHash(col("text")))
+      .filter(col("u") < col("keep_rate"))
+      .select(col("doc_id"), col("lang"), col("keep_rate"), round(col("u"), 6).as("u"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic train/val/test split assignment (80/10/10) by
     * content hash — the split step of every training pipeline, done
     * so membership is a pure function of the DOCUMENT: stable across

@@ -103,6 +103,41 @@ class PlanAuditSpec extends SparkSpec {
       !schema.contains("l_suppkey"), schema)
   }
 
+  test("q21: decorrelated exists-pair is one lineitem pass, no self-join") {
+    val p = plan(operators.Olap.q21SoleSupplier(spark, sf))
+    // a literal EXISTS/NOT-EXISTS translation would self-join lineitem
+    // (sort-merge at scale); the one-pass aggregate never joins it
+    assert(!p.contains("SortMergeJoin"), "lineitem self-join leaked into q21")
+    // the orderkey repartition feeds both stacked aggregations, so no
+    // Expand (the multi-countDistinct plan) and exactly two shuffles:
+    // repartition(orderkey) + groupBy(suppkey); top-20 is TakeOrdered
+    assert(!p.contains("Expand"), "multi-distinct Expand leaked into q21")
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, s"expected <=2 hash exchanges, got $shuffles\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must be TakeOrdered")
+    assert(p.contains("BroadcastHashJoin"), "supplier lookup must broadcast")
+  }
+
+  test("q9: dims broadcast, the only exchange is the final group-by") {
+    val p = plan(operators.Olap.q9Profit(spark, sf))
+    assert(!p.contains("SortMergeJoin"), "q9 dims must broadcast")
+    // the p_type filter reaches the part scan
+    assert(p.contains("EqualTo(p_type,ECONOMY)"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1, s"expected 1 hash exchange, got $shuffles\n$p")
+  }
+
+  test("q7: ship-date range predicate pushes to the lineitem scan") {
+    val p = plan(operators.Olap.q7Volume(spark, sf))
+    // year() would defeat pushdown; the range literal form must not
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(p.contains("LessThan(l_shipdate"),
+      p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
   test("pagerank: every message-passing round broadcasts the rank vector") {
     val p = plan(operators.Graph.graphPagerank(spark, sf))
     // 3 iteration joins (rank onto edges) + the r0 nn cross join must

@@ -233,6 +233,64 @@ class Round4OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q7_volume: symmetric nation pairs, no self-pairs") {
+    val out = operators.Olap.q7Volume(spark, sf).cache()
+    assert(out.filter(col("supp_nation") === col("cust_nation")).count() == 0)
+    // both directions of the pair appear (trade is bilateral in the data)
+    val pairs = out.select("supp_nation", "cust_nation").distinct().count()
+    assert(pairs == 2)
+    assert(out.filter(col("l_year") < 1996 || col("l_year") > 1997).count() == 0)
+    out.unpersist()
+  }
+
+  test("q21_sole_supplier: one-pass aggregate equals the self-join form") {
+    val l = Tables.lineitem(spark, sf)
+    val late = l.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey").distinct()
+    val multi = l.groupBy("l_orderkey")
+      .agg(countDistinct("l_suppkey").as("ns")).filter(col("ns") > 1)
+      .select("l_orderkey")
+    val soleLate = late.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("nl"), max("l_suppkey").as("sk"))
+      .filter(col("nl") === 1)
+    val expected = soleLate.join(multi, "l_orderkey")
+      .groupBy("sk").agg(count(lit(1)).as("waiting"))
+    val out = operators.Olap.q21SoleSupplier(spark, sf)
+      .join(Tables.supplier(spark, sf), "s_name")
+      .select(col("s_suppkey").as("sk"), col("waiting"))
+    assert(out.join(expected, Seq("sk", "waiting"), "left_anti").count() == 0)
+  }
+
+  test("q22_idle_balance picks only above-average, inactive customers") {
+    val out = operators.Olap.q22IdleBalance(spark, sf)
+    val cutoff = lit("2000-01-01").cast("timestamp")
+    val pos = Tables.customer(spark, sf).filter(col("c_acctbal") > 0)
+    val avgBal = pos.agg(avg("c_acctbal")).head.getDouble(0)
+    val active = Tables.orders(spark, sf).filter(col("o_orderdate") >= cutoff)
+      .select("o_custkey").distinct()
+    val expected = pos.filter(col("c_acctbal") > avgBal)
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .count()
+    assert(out.agg(sum("n_cust")).head.getLong(0) == expected)
+  }
+
+  test("sample_temperature boosts low-resource languages") {
+    val out = operators.Sampling.sampleTemperature(spark, sf).cache()
+    val natural = Tables.documents(spark, sf).groupBy("lang")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = out.select("lang", "keep_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // smaller languages must get a keep rate >= any larger language's
+    val ordered = natural.toSeq.sortBy(_._2).map(_._1).filter(rates.contains)
+    ordered.sliding(2).foreach {
+      case Seq(small, big) => assert(rates(small) >= rates(big) - 1e-9)
+      case _ =>
+    }
+    assert(out.filter(col("u") >= col("keep_rate")).count() == 0)
+    out.unpersist()
+  }
+
   test("sample_hash_split is exhaustive, typed, and roughly 80/10/10") {
     val docs = Tables.documents(spark, sf).count()
     val out = operators.Sampling.sampleHashSplit(spark, sf).cache()
