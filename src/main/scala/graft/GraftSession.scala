@@ -22,6 +22,14 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // Runtime bloom-filter semi-join reduction: when one side of a
+      // shuffle join carries a selective filter, inject a
+      // might_contain prefilter on the other side's scan so the big
+      // side sheds non-joining rows BEFORE the shuffle. The default
+      // creation/application size thresholds stay in place — they are
+      // the correct guard at cluster scale (tests lower them to pin
+      // the injection on local data).
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
 
   def local(cpus: Int = Runtime.getRuntime.availableProcessors): SparkSession = {

@@ -138,6 +138,30 @@ class PlanAuditSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
+  test("runtime bloom filter injects a semi-join reduction on shuffle joins") {
+    // At cluster scale the 10 GB application-side threshold gates this;
+    // locally we lower the thresholds to prove the engine config
+    // actually injects the filter when a join side is selective.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.{col, sum}
+      val o = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val p = Tables.lineitem(spark, sf)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"), s"no bloom runtime filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("pagerank: every message-passing round broadcasts the rank vector") {
     val p = plan(operators.Graph.graphPagerank(spark, sf))
     // 3 iteration joins (rank onto edges) + the r0 nn cross join must
