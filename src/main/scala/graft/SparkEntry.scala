@@ -135,6 +135,7 @@ object SparkEntry {
     "q21_sole_supplier" -> (Olap.q21SoleSupplier _),
     "q22_idle_balance" -> (Olap.q22IdleBalance _),
     "sample_temperature" -> ((s, d) => Sampling.sampleTemperature(s, d)),
+    "chunk_overlap" -> ((s, d) => TextAnalysis.chunkOverlap(s, d)),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -1777,5 +1778,16 @@ object SparkEntry {
         |SELECT u.doc_id, u.lang, rates.keep_rate, round(u.u, 6) AS u
         |FROM u JOIN rates ON u.lang = rates.lang
         |WHERE u.u < rates.keep_rate ORDER BY doc_id""".stripMargin,
+
+    "chunk_overlap" ->
+      """WITH tok AS (
+        | SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
+        |s AS (SELECT doc_id, ts,
+        |   unnest(generate_series(0, len(ts) - 1, 48)) AS start FROM tok)
+        |SELECT doc_id, CAST(start // 48 AS INT) AS chunk_id,
+        | CAST(start AS BIGINT) AS start_tok,
+        | CAST(least(64, len(ts) - start) AS BIGINT) AS n_tok,
+        | md5(array_to_string(ts[start + 1 : start + 64], ' ')) AS chunk_md5
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
   )
 }

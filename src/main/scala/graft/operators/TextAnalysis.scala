@@ -372,4 +372,30 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "n_distinct", "entropy", "norm_entropy")
       .orderBy("doc_id")
   }
+
+  /** Overlapping token-window chunking (the RAG / context-window
+    * prep step): size-64 chunks on a stride of 48 (16-token overlap),
+    * emitted as (doc_id, chunk_id, start, length, md5-of-chunk) so
+    * downstream embedding jobs join back by (doc_id, chunk_id) and
+    * the content hash keys chunk-level dedup. Entirely map-side —
+    * sequence() builds the start offsets, explode is narrow, the
+    * chunk text is sliced and hashed inside one projection; NO
+    * shuffle anywhere, so it scales linearly with corpus bytes.
+    */
+  def chunkOverlap(spark: SparkSession, dir: String,
+      chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("ts"))
+      .withColumn("start",
+        explode(sequence(lit(0), size(col("ts")) - 1, lit(stride))))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        col("start").cast("bigint").as("start_tok"),
+        least(lit(chunkSize), size(col("ts")) - col("start")).cast("bigint")
+          .as("n_tok"),
+        md5(array_join(slice(col("ts"), col("start") + 1, lit(chunkSize)), " "))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
 }

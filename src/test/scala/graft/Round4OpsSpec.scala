@@ -291,6 +291,28 @@ class Round4OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("chunk_overlap covers every token with stride-48 windows") {
+    val out = operators.TextAnalysis.chunkOverlap(spark, sf).cache()
+    // every doc chunks; chunk 0 always starts at 0
+    val docs = Tables.documents(spark, sf).count()
+    assert(out.filter(col("chunk_id") === 0 && col("start_tok") === 0).count() == docs)
+    // starts advance by exactly the stride and lengths never exceed size
+    assert(out.filter(col("start_tok") =!= col("chunk_id").cast("long") * 48).count() == 0)
+    assert(out.filter(col("n_tok") > 64 || col("n_tok") < 1).count() == 0)
+    // consecutive chunks overlap by 16: next start < prior start + 64
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("chunk_id")
+    val broken = out.withColumn("prev_start", lag("start_tok", 1).over(w))
+      .filter(col("prev_start").isNotNull &&
+        col("start_tok") >= col("prev_start") + 64)
+    assert(broken.count() == 0)
+    // the plan is shuffle-free up to the final presentation sort
+    val p = operators.TextAnalysis.chunkOverlap(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    out.unpersist()
+  }
+
   test("sample_hash_split is exhaustive, typed, and roughly 80/10/10") {
     val docs = Tables.documents(spark, sf).count()
     val out = operators.Sampling.sampleHashSplit(spark, sf).cache()
