@@ -278,4 +278,23 @@ object EventStreams {
           closed.result().iterator
       }
   }
+
+  /** Declarative sessionization: the built-in session_window gap
+    * aggregation (watermark-bounded state, merged by Spark's
+    * SessionWindowStateStore) — the plan-level counterpart of
+    * [[sessionize]]'s explicit state machine. Prefer this form when
+    * the per-session result is a plain aggregate (count/sum/min/max):
+    * it gets map-side partial merges and needs no user code in the
+    * hot path; drop to flatMapGroupsWithState only for session logic
+    * an aggregate can't express. Emits on watermark close.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("session_start"),
+        col("session_window.end").cast("long").as("session_end"),
+        col("n_events"), col("total_value"))
 }

@@ -132,6 +132,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindowAgg closes gap sessions declaratively, matching sessionize") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionWindowAgg(input.toDF())
+      .writeStream.format("memory").queryName("swagg")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // session A: minutes 0,10,20 for user 7; user 9 fires once at 15
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(10), 7, "click", 2.0),
+        Event(3, ts(20), 7, "click", 3.0),
+        Event(4, ts(15), 9, "view", 5.0))
+      q.processAllAvailable()
+      // minute 300 pushes the watermark (1h) past both session ends
+      input.addData(Event(5, ts(300), 7, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from swagg")
+        .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+      assert(rows.length == 2, s"expected both closed sessions, got ${rows.toSeq}")
+      val a = rows.find(_._1 == 7).get
+      // start at minute 0, end = last event (min 20) + 30-min gap
+      assert(a._2 == base / 1000 && a._3 == base / 1000 + 50 * 60)
+      assert(a._4 == 3 && a._5 == 6.0)
+      val b = rows.find(_._1 == 9).get
+      assert(b._4 == 1 && b._5 == 5.0)
+    } finally q.stop()
+  }
+
   test("dedupStream drops in-watermark duplicate event ids") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
