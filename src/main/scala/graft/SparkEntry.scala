@@ -136,6 +136,7 @@ object SparkEntry {
     "q22_idle_balance" -> (Olap.q22IdleBalance _),
     "sample_temperature" -> ((s, d) => Sampling.sampleTemperature(s, d)),
     "chunk_overlap" -> ((s, d) => TextAnalysis.chunkOverlap(s, d)),
+    "approx_distinct_kmv_agg" -> (Sketches.approxDistinctKmvAgg _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -1789,5 +1790,24 @@ object SparkEntry {
         | CAST(least(64, len(ts) - start) AS BIGINT) AS n_tok,
         | md5(array_to_string(ts[start + 1 : start + 64], ' ')) AS chunk_md5
         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "approx_distinct_kmv_agg" ->
+      """WITH tok AS (
+        | SELECT lang, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+        |h AS (SELECT DISTINCT lang,
+        |   list_sum(list_transform(generate_series(1, 8),
+        |     i -> (strpos('0123456789abcdef', substr(md5(token), i, 1)) - 1) * pow(16, 8-i)))
+        |   AS hv FROM tok),
+        |r AS (SELECT lang AS klang, hv,
+        |   row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h),
+        |k AS (SELECT klang, count(*) AS m,
+        |   max(CASE WHEN rn = 64 THEN hv END) AS hk FROM r WHERE rn <= 64 GROUP BY 1),
+        |e AS (SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS n_exact
+        |   FROM tok GROUP BY 1)
+        |SELECT e.lang,
+        | CASE WHEN m < 64 THEN CAST(m AS DOUBLE)
+        |      ELSE round(63.0 / (hk / 4294967296.0), 6) END AS approx_distinct,
+        | e.n_exact
+        |FROM k JOIN e ON k.klang = e.lang ORDER BY e.lang""".stripMargin,
   )
 }

@@ -44,6 +44,29 @@ object Sketches {
       .orderBy("lang")
   }
 
+  /** The same per-language KMV estimate through the native
+    * [[graft.functions.KmvSketchAgg]] aggregate — the production
+    * shape: per-group state is a bounded k-long sketch, partial
+    * buffers combine MAP-SIDE, and the shuffle moves one sketch per
+    * (mapper, group) instead of the k candidate rows + a second
+    * aggregation that the TopKPerGroup formulation needs. The
+    * estimate is deterministic (same md5-nibble hash), so the DuckDB
+    * oracle replays it exactly; the exact distinct rides along.
+    */
+  def approxDistinctKmvAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), "\\s+")).as("token"))
+    val h = graft.functions.HexExprs.hexPrefixLong(md5(col("token")), 8)
+    val kmv = GraftShim.column(
+      graft.functions.KmvSketchAgg(GraftShim.expression(h), 64)
+        .toAggregateExpression())
+    toks.groupBy("lang")
+      .agg(kmv.as("approx_distinct"), countDistinct("token").as("n_exact"))
+      .select("lang", "approx_distinct", "n_exact")
+      .orderBy("lang")
+  }
+
   /** Quantiles by deterministic hash sampling: exact percentiles on
     * a content-hash 10% sample vs the exact full-data percentiles,
     * with the absolute error alongside — the scalable-quantile

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bitsetFn)
     ext.injectFunction(GraftExtensions.hexFn)
     ext.injectFunction(GraftExtensions.scatterFn)
+    ext.injectFunction(GraftExtensions.kmvFn)
     ext.injectOptimizerRule(_ => SelfDotToNormSquared)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectPlannerStrategy(_ => AsofStrategy)
@@ -35,7 +36,7 @@ object GraftExtensions {
     */
   def registerInto(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.graftshim.GraftShim
-    Seq(dotFn, bitsetFn, hexFn, scatterFn, jaroFn).foreach { case (id, i, b) =>
+    Seq(dotFn, bitsetFn, hexFn, scatterFn, jaroFn, kmvFn).foreach { case (id, i, b) =>
       GraftShim.registerFunction(spark, id, i, b)
     }
     if (!spark.experimental.extraOptimizations.contains(SelfDotToNormSquared)) {
@@ -94,6 +95,18 @@ object GraftExtensions {
     info("graft_jaro_winkler",
       "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-pinned semantics)"),
     (args: Seq[Expression]) => graft.functions.JaroWinklerExpr(args(0), args(1)))
+
+  val kmvFn: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("graft_kmv_distinct"),
+    info("graft_kmv_distinct",
+      "graft_kmv_distinct(hash, k) - KMV approximate distinct count over BIGINT hashes (bounded k-long sketch state)"),
+    (args: Seq[Expression]) => args(1) match {
+      case Literal(k: Int, _) if k > 1 && k <= 65536 =>
+        graft.functions.KmvSketchAgg(args(0), k)
+      case Literal(k: Int, _) => sys.error(
+        s"graft_kmv_distinct k must be in (1, 65536], got $k")
+      case other => sys.error(s"graft_kmv_distinct k must be an int literal, got $other")
+    })
 
   /** Hard cap on the per-row dense array (4M doubles = 32 MB/row) —
     * anything wider is a mis-sized vocabulary, not a real vector.
