@@ -137,6 +137,15 @@ object SparkEntry {
     "sample_temperature" -> ((s, d) => Sampling.sampleTemperature(s, d)),
     "chunk_overlap" -> ((s, d) => TextAnalysis.chunkOverlap(s, d)),
     "approx_distinct_kmv_agg" -> (Sketches.approxDistinctKmvAgg _),
+    // round 4, batch 5: TPC-H completion (lineitem as the supply relation)
+    "q6_forecast" -> (Olap.q6Forecast _),
+    "q12_priority_class" -> (Olap.q12PriorityClass _),
+    "q13_custdist" -> (Olap.q13Custdist _),
+    "q2_min_cost" -> (Olap.q2MinCost _),
+    "q11_important_stock" -> (Olap.q11ImportantStock _),
+    "q16_supplier_cnt" -> (Olap.q16SupplierCnt _),
+    "q17_small_qty" -> (Olap.q17SmallQty _),
+    "q20_excess_share" -> (Olap.q20ExcessShare _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -1809,5 +1818,89 @@ object SparkEntry {
         |      ELSE round(63.0 / (hk / 4294967296.0), 6) END AS approx_distinct,
         | e.n_exact
         |FROM k JOIN e ON k.klang = e.lang ORDER BY e.lang""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.04 AND l_discount <= 0.06 AND l_quantity < 24""".stripMargin,
+
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_custdist" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey FROM orders
+        |  WHERE o_orderpriority <> '1-URGENT'),
+        |c AS (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN o ON c_custkey = o_custkey GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM c GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q2_min_cost" ->
+      """WITH p AS (SELECT p_partkey, p_name FROM part
+        |  WHERE p_type = 'STANDARD' AND p_size >= 40),
+        |cost AS (SELECT p_partkey, l_suppkey,
+        |   min(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem JOIN p ON l_partkey = p_partkey GROUP BY 1, 2),
+        |best AS (SELECT p_partkey, unit_cost, l_suppkey AS s_suppkey FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY p_partkey
+        |    ORDER BY unit_cost, l_suppkey) AS rn FROM cost) t WHERE rn = 1)
+        |SELECT best.p_partkey, p.p_name, s_name, n_name AS nation, unit_cost,
+        | s_acctbal
+        |FROM best JOIN supplier ON best.s_suppkey = supplier.s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN p ON best.p_partkey = p.p_partkey
+        |ORDER BY s_acctbal DESC, best.p_partkey LIMIT 100""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH s AS (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5),
+        |pp AS (SELECT l_partkey AS p_partkey,
+        |   round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS stock_value
+        |  FROM lineitem JOIN s ON l_suppkey = s_suppkey GROUP BY 1),
+        |t AS (SELECT round(0.001 * sum(stock_value), 2) AS threshold FROM pp)
+        |SELECT p_partkey, stock_value FROM pp, t
+        |WHERE stock_value > threshold
+        |ORDER BY stock_value DESC, p_partkey""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_type, p_size FROM part
+        |  WHERE p_type <> 'STANDARD' AND p_size IN (1, 10, 20, 30, 40, 50))
+        |SELECT p_brand, p_type, p_size,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN p ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#5'),
+        |sl AS (SELECT p_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN p ON l_partkey = p_partkey),
+        |caps AS (SELECT p_partkey, 0.2 * avg(l_quantity) AS qty_cap
+        |  FROM sl GROUP BY 1)
+        |SELECT round(CAST(sum(l_extendedprice) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM sl JOIN caps USING (p_partkey)
+        |WHERE l_quantity < qty_cap""".stripMargin,
+
+    "q20_excess_share" ->
+      """WITH p AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+        |ps AS (SELECT p_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+        |  FROM lineitem JOIN p ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        |pt AS (SELECT p_partkey, sum(supp_qty) AS part_qty FROM ps GROUP BY 1),
+        |dom AS (SELECT DISTINCT l_suppkey FROM ps JOIN pt USING (p_partkey)
+        |  WHERE supp_qty > 0.5 * part_qty)
+        |SELECT s_name, s_nationkey FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dom) AND s_nationkey < 13
+        |ORDER BY s_name""".stripMargin,
   )
 }

@@ -514,6 +514,204 @@ object Olap {
       .limit(20)
   }
 
+  /** Blanket-discount revenue forecast — the TPC-H Q6 shape: ONE
+    * filtered aggregate where every predicate is a bare column
+    * comparison (date range, discount band, quantity cap — nothing
+    * wrapped in year()/casts), so all of them push to the parquet
+    * scan and prune row groups by min-max stats. At 100 TB the scan
+    * IS the query; a predicate that fails to push down makes this
+    * 100× slower with an identical answer.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi
+        && col("l_discount") >= 0.04 && col("l_discount") <= 0.06
+        && col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Priority class counts per return flag — the TPC-H Q12 shape
+    * (shipmode stands in as l_returnflag on this schema): the
+    * date-filtered fact side joins orders on the order key (both
+    * fact-sized — a shuffle join, never a broadcast) and the
+    * high/low split is a conditional aggregate computed in the same
+    * pass, not two queries.
+    */
+  def q12PriorityClass(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_orderkey", "l_returnflag")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Customer order-count distribution — the TPC-H Q13 shape: a LEFT
+    * join so zero-order customers survive into the c_count=0 bucket,
+    * with the priority exclusion applied to the orders side BEFORE
+    * the join (pushable; an ON-clause residual would not prune the
+    * scan). Two aggregations: per-customer counts (fact-keyed
+    * shuffle), then the tiny distribution rollup.
+    */
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Minimum-cost supplier per part — the TPC-H Q2 shape, adapted to
+    * the testdata (no partsupp: unit cost = min l_extendedprice /
+    * l_quantity observed per (part, supplier)). The correlated min
+    * subquery decorrelates into two stacked aggregations — per-pair
+    * unit cost, then argmin per part via min(struct) (map-side
+    * partial-aggregated; no window, no self-join) — and the part
+    * slice is broadcast so lineitem is pruned in the scan join.
+    * min() is order-independent, so the doubles are bit-identical
+    * across engines and need NO rounding (rounding would introduce
+    * a half-boundary mismatch, not remove one).
+    */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD" && col("p_size") >= 40)
+      .select("p_partkey", "p_name")
+    val best = Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "l_suppkey")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      .groupBy("p_partkey")
+      .agg(min(struct(col("unit_cost"), col("l_suppkey"))).as("m"))
+      .select(col("p_partkey"),
+        col("m.unit_cost").as("unit_cost"), col("m.l_suppkey").as("s_suppkey"))
+    best
+      .join(broadcast(Tables.supplier(spark, dir)), "s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(p), "p_partkey")
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("n_name").as("nation"), col("unit_cost"), col("s_acctbal"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"))
+      .limit(100)
+  }
+
+  /** High-value stock per part for one supplier region — the TPC-H
+    * Q11 shape: the HAVING-against-a-scalar-subquery decorrelates
+    * into a one-row broadcast cross join against the per-part value
+    * table. The per-part aggregate is PlanCache'd because both the
+    * total and the filtered output derive from it — un-persisted,
+    * lineitem would be scanned twice.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") < 5).select("s_suppkey")
+    val perPart = graft.PlanCache.cached("q11_perpart", spark, dir) {
+      Tables.lineitem(spark, dir)
+        .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(round(sum("l_extendedprice"), 2).as("stock_value"))
+    }
+    val total = perPart.agg(round(lit(0.001) * sum("stock_value"), 2).as("threshold"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("stock_value") > col("threshold"))
+      .select("p_partkey", "stock_value")
+      .orderBy(col("stock_value").desc, col("p_partkey"))
+  }
+
+  /** Supplier diversity per part attribute — the TPC-H Q16 shape:
+    * the NOT IN complaint-supplier exclusion is a broadcast left-anti
+    * join applied to the fact side BEFORE the dimension join, and the
+    * single count(DISTINCT) plans as a two-phase aggregate (no
+    * Expand — that tax only applies to multi-distinct).
+    */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val excl = Tables.supplier(spark, dir)
+      .filter(col("s_suppkey") % 7 === 0).select("s_suppkey")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") =!= "STANDARD"
+        && col("p_size").isin(1, 10, 20, 30, 40, 50))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Small-quantity-order revenue for one brand — the TPC-H Q17
+    * shape: the correlated per-part average decorrelates into a tiny
+    * per-part cap table broadcast back onto the SAME brand slice.
+    * The slice is PlanCache'd so lineitem is scanned once, not once
+    * per branch; quantities are integral so the 0.2·avg cap is
+    * bit-identical across engines.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#5").select("p_partkey")
+    val slice = graft.PlanCache.cached("q17_brand_slice", spark, dir) {
+      Tables.lineitem(spark, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select("p_partkey", "l_quantity", "l_extendedprice")
+    }
+    val caps = slice.groupBy("p_partkey")
+      .agg((lit(0.2) * avg("l_quantity")).as("qty_cap"))
+    slice.join(broadcast(caps), "p_partkey")
+      .filter(col("l_quantity") < col("qty_cap"))
+      .agg(
+        round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Dominant suppliers of promo parts — the TPC-H Q20 shape
+    * (nested IN subqueries): per-(part, supplier) shipped volume,
+    * per-part totals REGROUPED from that aggregate (never a second
+    * lineitem scan — the relation is PlanCache'd and an explicit
+    * part-key repartition lets both grouping grains and the
+    * back-join reuse ONE exchange), suppliers holding > half a
+    * part's volume kept via a left-semi join. Quantities are
+    * integral, so the half-share comparison is exact.
+    */
+  def q20ExcessShare(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val perPS = graft.PlanCache.cached("q20_per_part_supp", spark, dir) {
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .repartition(col("p_partkey"))
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("supp_qty"))
+    }
+    val perPart = perPS.groupBy("p_partkey").agg(sum("supp_qty").as("part_qty"))
+    val dominant = perPS.join(perPart, "p_partkey")
+      .filter(col("supp_qty") > lit(0.5) * col("part_qty"))
+      .select("l_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .filter(col("s_nationkey") < 13)
+      .select("s_name", "s_nationkey")
+      .orderBy("s_name")
+  }
+
   /** High-balance customers with no recent orders, by segment — the
     * TPC-H Q22 shape: a scalar subquery (global average balance)
     * broadcast as a one-row cross join, then a left-anti join against
