@@ -146,6 +146,11 @@ object SparkEntry {
     "q16_supplier_cnt" -> (Olap.q16SupplierCnt _),
     "q17_small_qty" -> (Olap.q17SmallQty _),
     "q20_excess_share" -> (Olap.q20ExcessShare _),
+    // round 4, batch 6: semantic dedup + classifier-style curation
+    "dedup_semantic" -> (Dedup.dedupSemantic _),
+    "quality_classifier" -> (TextAnalysis.qualityClassifier _),
+    "tokenizer_oov" -> ((s, d) => TextAnalysis.tokenizerOov(s, d)),
+    "graph_triangles" -> (Graph.graphTriangles _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -1902,5 +1907,89 @@ object SparkEntry {
         |SELECT s_name, s_nationkey FROM supplier
         |WHERE s_suppkey IN (SELECT l_suppkey FROM dom) AND s_nationkey < 13
         |ORDER BY s_name""".stripMargin,
+
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM e),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c,
+        |   list_sum(list_transform(v, x -> x*x)) AS c2 FROM e WHERE vec_id < 8),
+        |p1 AS (SELECT vec_id, cid, round(n2
+        |   - 2*list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*c[i]))
+        |   + c2, 6) AS d2
+        |  FROM n CROSS JOIN c0),
+        |a1 AS (SELECT vec_id, cid AS cluster FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |   FROM p1) t WHERE rn = 1),
+        |w AS (SELECT a1.vec_id, cluster, v, sqrt(n2) AS nm
+        |  FROM a1 JOIN n USING (vec_id)),
+        |pairs AS (SELECT a.vec_id AS i, b.vec_id AS j,
+        |   round(list_sum(list_transform(generate_series(1, len(a.v)),
+        |     k -> a.v[k]*b.v[k])) / (a.nm*b.nm), 6) AS cosine
+        |  FROM w a JOIN w b ON a.cluster = b.cluster AND b.vec_id < a.vec_id),
+        |hits AS (SELECT i, min(j) AS dup_of, max(cosine) AS max_cos
+        |  FROM pairs WHERE cosine >= 0.3 GROUP BY 1)
+        |SELECT a1.vec_id, a1.cluster,
+        | CASE WHEN dup_of IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+        | dup_of, max_cos
+        |FROM a1 LEFT JOIN hits ON a1.vec_id = hits.i
+        |ORDER BY a1.vec_id""".stripMargin,
+
+    "quality_classifier" ->
+      """WITH f AS (SELECT doc_id, text,
+        |   string_split_regex(text, '\s+') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |   CAST(len(t) AS BIGINT) AS n_tokens,
+        |   CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) AS sum_len,
+        |   CAST(len(list_filter(t, x -> x IN ('the','a','or','and'))) AS BIGINT) AS n_stop,
+        |   length(text) AS n_chars,
+        |   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+        |  FROM f),
+        |h AS (SELECT doc_id, n_tokens,
+        |   round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+        |   round(CAST(n_digit AS DOUBLE) / n_chars, 6) AS digit_ratio,
+        |   round(abs(sum_len / n_tokens - 5.0), 6) AS len_dev
+        |  FROM g),
+        |i AS (SELECT *, round(-1.0 + 0.35 * ln(1.0 + n_tokens)
+        |   + 2.0 * stop_ratio - 4.0 * digit_ratio - 0.15 * len_dev, 6) AS logit
+        |  FROM h)
+        |SELECT doc_id, n_tokens, stop_ratio, digit_ratio,
+        | round(1.0 / (1.0 + exp(-logit)), 6) AS score,
+        | CASE WHEN round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5
+        |      THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM i ORDER BY doc_id""".stripMargin,
+
+    "tokenizer_oov" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |v AS (SELECT token FROM (SELECT token, count(*) AS cnt FROM tok
+        |   GROUP BY 1 ORDER BY cnt DESC, token LIMIT 256) q)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        | round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 6) AS oov_rate
+        |FROM tok LEFT JOIN v ON tok.token = v.token
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "graph_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |d AS (SELECT node, count(*) AS dg FROM (
+        |   SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) nn GROUP BY 1),
+        |orient AS (SELECT
+        |   CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v) THEN u ELSE v END AS src,
+        |   CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v) THEN v ELSE u END AS dst
+        |  FROM e JOIN d du ON e.u = du.node JOIN d dv ON e.v = dv.node),
+        |w AS (SELECT x.src AS a, x.dst AS n1, y.dst AS n2
+        |  FROM orient x JOIN orient y ON x.src = y.src AND x.dst < y.dst),
+        |tri AS (SELECT a, n1, n2 FROM w JOIN e ON n1 = e.u AND n2 = e.v),
+        |pn AS (SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT a AS node FROM tri UNION ALL SELECT n1 FROM tri
+        |        UNION ALL SELECT n2 FROM tri) t
+        |  GROUP BY 1)
+        |SELECT p_partkey, n_triangles,
+        | CAST(row_number() OVER (ORDER BY n_triangles DESC, p_partkey) AS INT) AS rank
+        |FROM pn ORDER BY rank LIMIT 20""".stripMargin,
   )
 }

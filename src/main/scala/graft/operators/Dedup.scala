@@ -347,6 +347,52 @@ object Dedup {
     labels
   }
 
+  /** SemDeDup-style semantic dedup: coarse-cluster the corpus (one
+    * assignment round against the k=8 seed centroids — the identical
+    * formulation, and the identical PlanCache'd vector relation, as
+    * [[Similarity.clusterKmeans]] round 1), then hunt near-duplicates
+    * ONLY within a cluster: a vector is dropped when an earlier
+    * (smaller-id) same-cluster vector has cosine ≥ τ, and records
+    * which one (min such id) so the drop is explainable.
+    *
+    * This is the scale story of semantic dedup: clustering first
+    * turns the O(N²) cosine search into k independent O((N/k)²)
+    * blocks — and at 100 TB, k grows with the corpus so the block
+    * size stays bounded. The block key has tiny cardinality, so the
+    * self-join salts the left side and replicates the right across
+    * salts (same pairs, salts× tasks), exactly like [[dedupEmbedNn]].
+    * τ=0.3 ≈ the p99 pair cosine of this synthetic corpus — real
+    * embedding spaces use 0.9+; the machinery is threshold-agnostic.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val tau = 0.3
+    val assigned = Similarity.seedAssignment(spark, dir, 8)
+      .select("vec_id", "cluster")
+    val withC = Similarity.kmeansVecs(spark, dir)
+      .withColumn("norm", sqrt(col("n2")))
+      .join(assigned, "vec_id")
+    val salts = 32
+    val left = withC.select(col("cluster"), col("vec_id").as("i"),
+      col("v").as("vi"), col("norm").as("ni"),
+      (col("vec_id") % salts).cast("int").as("salt"))
+    val right = withC.select(col("cluster"), col("vec_id").as("j"),
+      col("v").as("vj"), col("norm").as("nj"))
+      .withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
+    val hits = left.join(right, Seq("cluster", "salt"))
+      .filter(col("j") < col("i"))
+      .withColumn("cosine", round(
+        graft.functions.VectorExprs.dot(col("vi"), col("vj"))
+          / (col("ni") * col("nj")), 6))
+      .filter(col("cosine") >= tau)
+      .groupBy("i")
+      .agg(min("j").as("dup_of"), max("cosine").as("max_cos"))
+    assigned.join(hits, col("vec_id") === col("i"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        when(col("dup_of").isNull, "keep").otherwise("drop").as("verdict"),
+        col("dup_of"), col("max_cos"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding near-dup: top-1 cosine neighbor per vector inside its
     * label block (IVF-style coarse partition). Ranks on the rounded
     * cosine so cross-engine float drift can't flip the argmax.
@@ -378,3 +424,4 @@ object Dedup {
       .orderBy("vec_id")
   }
 }
+

@@ -107,4 +107,73 @@ object Graph {
     graft.functions.TopK.globalWithRank(scored, 20,
       col("lift").desc, col("part_a"), col("part_b"))
   }
+
+  /** Triangle participation counts over the co-order part graph —
+    * the clustering-coefficient building block (community density,
+    * spam-graph detection). Top-20 parts by the number of triangles
+    * they sit in.
+    *
+    * Scale shape: the classic degree-ordered node-iterator. Every
+    * undirected edge is ORIENTED from its lower-(degree, id) endpoint
+    * to the higher one; wedges are pairs of out-edges sharing a
+    * source, so a hub of degree d contributes C(out-deg, 2) wedges
+    * with out-deg = O(√m) after orientation — the worst-case wedge
+    * count drops from Σd² (hub-quadratic) to O(m^1.5), the bound that
+    * makes triangle counting feasible on power-law graphs. Wedge
+    * generation and the closing-edge check are both equi-joins
+    * (shared source; (n1, n2) against the canonical edge list) —
+    * no cartesian anywhere. Each triangle is counted exactly once
+    * (out-pairs ordered by id; closing edge canonical u < v).
+    */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val op = graft.PlanCache.cached("affinity_op", spark, dir) {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+    }
+    // canonical undirected edges (u < v); used by orientation AND the
+    // closing-edge probe → PlanCache'd
+    val e = graft.PlanCache.cached("triangle_edges", spark, dir) {
+      op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+    }
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // oriented out-edges feed both sides of the wedge self-join;
+    // cache them ALREADY src-partitioned so the self-join reuses the
+    // cached layout on both sides — zero exchanges at wedge time
+    // (the wedge stream is 30× the edge list; never shuffle it or
+    // its inputs)
+    val oriented = graft.PlanCache.cached("triangle_oriented", spark, dir) {
+      e.join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+        .select(
+          when(lowFirst, col("u")).otherwise(col("v")).as("src"),
+          when(lowFirst, col("v")).otherwise(col("u")).as("dst"))
+        .repartition(col("src"))
+    }
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.src").as("a"), col("x.dst").as("n1"), col("y.dst").as("n2"))
+    // n1 < n2 already canonical, so the closing probe is an equi-join.
+    // The wedge stream is the big side (O(m^1.5) rows — 40M+ at sf0.1)
+    // while the edge list is O(m) narrow (two longs): BROADCAST the
+    // edges so the probe is map-side and the wedge stream never
+    // leaves its partitions — shuffling wedges costs more than the
+    // whole rest of the query. On a graph whose edge list outgrows a
+    // broadcast, drop the hint: the closing join shuffles on (n1,n2)
+    // and the orientation bound still caps the wedge volume.
+    val tri = wedges.join(broadcast(e), col("n1") === col("u") && col("n2") === col("v"))
+      .select("a", "n1", "n2")
+    val perNode = tri
+      .select(explode(array(col("a"), col("n1"), col("n2"))).as("p_partkey"))
+      .groupBy("p_partkey").agg(count(lit(1)).as("n_triangles"))
+    graft.functions.TopK.globalWithRank(perNode, 20,
+      col("n_triangles").desc, col("p_partkey"))
+  }
 }

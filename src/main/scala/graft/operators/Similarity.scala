@@ -154,26 +154,49 @@ object Similarity {
     * updated centroids are rounded per-dimension, so both engines run
     * round 2 from identical inputs.
     */
-  def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val k = 8
-    val e = graft.PlanCache.cached("kmeans_vecs", spark, dir) {
+  /** Shared (vec_id, v, n2) relation under the PlanCache — built once
+    * per (session, dir) for every operator that scores against the
+    * embedding corpus (k-means, semantic dedup).
+    */
+  private[operators] def kmeansVecs(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("kmeans_vecs", spark, dir) {
       Tables.embeddings(spark, dir).select(
         col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("n2", graft.functions.VectorExprs.dot(col("v"), col("v")))
     }
-    val init = e.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("c"))
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(
-          cents.withColumn("c2", graft.functions.VectorExprs.dot(col("c"), col("c")))))
-        .withColumn("d2", round(
-          col("n2") - lit(2.0) * graft.functions.VectorExprs.dot(col("v"), col("c"))
-            + col("c2"), 6))
-        .groupBy("vec_id")
-        .agg(min(struct(col("d2"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cluster"), col("m.d2").as("dist2"))
-    val a1 = assign(init)
+
+  /** One assignment round of the corpus against a broadcast centroid
+    * table — the ||v||² − 2·v·c + ||c||² identity with the distance
+    * rounded before the min(struct) argmin (tie → smaller cluster
+    * id), so both engines agree bit-for-bit.
+    */
+  private[operators] def assignToCentroids(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(
+        cents.withColumn("c2", graft.functions.VectorExprs.dot(col("c"), col("c")))))
+      .withColumn("d2", round(
+        col("n2") - lit(2.0) * graft.functions.VectorExprs.dot(col("v"), col("c"))
+          + col("c2"), 6))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cluster"), col("m.d2").as("dist2"))
+
+  /** Seed-centroid assignment (centroids = the first k vectors) —
+    * round 1 of [[clusterKmeans]], also the coarse partition for
+    * [[Dedup.dedupSemantic]].
+    */
+  private[operators] def seedAssignment(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = kmeansVecs(spark, dir)
+    assignToCentroids(e,
+      e.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("c")))
+  }
+
+  def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val e = kmeansVecs(spark, dir)
+    def assign(cents: DataFrame): DataFrame = assignToCentroids(e, cents)
+    val a1 = seedAssignment(spark, dir, k)
     val c1 = a1.join(e, "vec_id")
       .select(col("cluster").as("cid"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("cid", "dim").agg(round(avg("x"), 6).as("cx"))

@@ -398,4 +398,71 @@ object TextAnalysis {
           .as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
   }
+
+  /** Model-based quality filtering, distilled: a fixed-weight
+    * logistic classifier over cheap map-side features (log length,
+    * stopword ratio, digit ratio, token-length deviation) — the
+    * deterministic stand-in for the fastText/linear quality
+    * classifiers web-corpus pipelines run per document. Everything
+    * is one codegen'd projection: no shuffle, no model file, no UDF,
+    * so at 100 TB it rides the scan. The logit is rounded before the
+    * sigmoid and the score after it, so both engines make identical
+    * keep/drop calls.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "or", "and")
+    Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("sum_len", expr(
+        "aggregate(t, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"))
+      .withColumn("n_stop", expr(
+        s"size(filter(t, x -> x IN (${stop.map("'" + _ + "'").mkString(",")})))").cast("long"))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_tokens"), 6))
+      .withColumn("digit_ratio", round(
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("double") / length(col("text")), 6))
+      .withColumn("len_dev", round(abs(
+        col("sum_len").cast("double") / col("n_tokens") - lit(5.0)), 6))
+      .withColumn("logit", round(
+        lit(-1.0) + lit(0.35) * log(lit(1.0) + col("n_tokens"))
+          + lit(2.0) * col("stop_ratio") - lit(4.0) * col("digit_ratio")
+          - lit(0.15) * col("len_dev"), 6))
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 6))
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+        col("digit_ratio"), col("score"),
+        when(col("score") >= 0.5, "keep").otherwise("drop").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  /** Tokenizer-vocabulary coverage: the OOV (out-of-vocabulary) rate
+    * of each document against a BOUNDED learned vocabulary — the
+    * top-256 corpus tokens by frequency (count-desc, token-asc total
+    * order). The diagnostic every tokenizer-training pipeline runs:
+    * a doc whose tokens mostly miss the vocab will shatter into
+    * bytes/unks at training time.
+    *
+    * Scale shape: the vocabulary is top-k over the aggregated token
+    * counts (TakeOrderedAndProject — bounded per-partition heaps,
+    * never a global window) and is k rows by construction →
+    * broadcast; the per-doc scoring is then a map-side hash-lookup
+    * join plus one partial-aggregated groupBy on doc_id.
+    */
+  def tokenizerOov(spark: SparkSession, dir: String, vocabSize: Int = 256): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left_outer")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .orderBy("doc_id")
+  }
 }

@@ -297,4 +297,43 @@ object EventStreams {
         col("session_window.start").cast("long").as("session_start"),
         col("session_window.end").cast("long").as("session_end"),
         col("n_events"), col("total_value"))
+
+  /** public: the state encoder's generated code must reach it. */
+  case class WelfordState(n: Long, mean: Double, m2: Double)
+
+  case class AnomalyScore(event_id: Long, event_type: String, value: Double,
+                          z: Double, is_anomaly: Boolean)
+
+  /** Online per-type anomaly scoring — the streaming twin of
+    * Events.eventsZscore, without ever seeing the full history: state
+    * per event type is a constant-size Welford (n, mean, M2) triple,
+    * so variance is tracked in one numerically-stable pass (no
+    * sum-of-squares cancellation). Each event is scored against the
+    * state BEFORE it updates it (causal score — an outlier can't
+    * deflate its own z), and flagging waits for a 30-event burn-in
+    * per key so early noise can't alarm. Within a micro-batch, events
+    * apply in (ts, event_id) order for replay determinism.
+    */
+  def anomalyScoreStream(events: Dataset[Event], zThresh: Double = 3.0): Dataset[AnomalyScore] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[WelfordState, AnomalyScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[Event], state: GroupState[WelfordState]) =>
+          var s = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val std = if (s.n >= 2) math.sqrt(s.m2 / (s.n - 1)) else 0.0
+            val z = if (std > 0) (e.value - s.mean) / std else 0.0
+            val flag = s.n >= 30 && math.abs(z) > zThresh
+            val n1 = s.n + 1
+            val d = e.value - s.mean
+            val mean1 = s.mean + d / n1
+            s = WelfordState(n1, mean1, s.m2 + d * (e.value - mean1))
+            AnomalyScore(e.event_id, etype, e.value, z, flag)
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
 }

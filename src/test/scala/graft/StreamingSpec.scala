@@ -336,6 +336,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyScoreStream: causal Welford z flags a planted outlier after burn-in") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.anomalyScoreStream(input.toDS())
+      .writeStream.format("memory").queryName("anom")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val tame = (1 to 40).map(i => Event(i, ts(i), 1, "click", (i % 5).toDouble))
+      input.addData(tame: _*)
+      q.processAllAvailable()
+      input.addData(Event(100, ts(100), 1, "click", 1000.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from anom")
+        .as[EventStreams.AnomalyScore].collect()
+      // burn-in: nothing among the first 30 may alarm; the state was
+      // built from 40 tame events when the outlier arrives
+      assert(rows.filter(_.event_id <= 30).forall(!_.is_anomaly))
+      val outlier = rows.find(_.event_id == 100).get
+      // exact parity with sample stats over the 40 tame values
+      val vals = tame.map(_.value)
+      val mean = vals.sum / vals.size
+      val std = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / (vals.size - 1))
+      assert(outlier.is_anomaly)
+      assert(math.abs(outlier.z - (1000.0 - mean) / std) < 1e-6, outlier.z.toString)
+    } finally q.stop()
+  }
+
   test("streaming sessionize agrees with the batch operator's totals") {
     import spark.implicits._
     // batch result on real data: every event in exactly one session
