@@ -151,6 +151,13 @@ object SparkEntry {
     "quality_classifier" -> (TextAnalysis.qualityClassifier _),
     "tokenizer_oov" -> ((s, d) => TextAnalysis.tokenizerOov(s, d)),
     "graph_triangles" -> (Graph.graphTriangles _),
+    // round 4, batch 7: interval sweep, cohort LTV, YoY growth
+    "orders_concurrency" -> (Olap.ordersConcurrency _),
+    "lineitem_monthly_yoy" -> (Olap.lineitemMonthlyYoy _),
+    "events_cohort_ltv" -> (Events.eventsCohortLtv _),
+    // round 4, batch 8: entity-resolution closure + feature store
+    "entity_canonical" -> (Matching.entityCanonical _),
+    "events_user_profile" -> (Events.eventsUserProfile _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -1991,5 +1998,75 @@ object SparkEntry {
         |SELECT p_partkey, n_triangles,
         | CAST(row_number() OVER (ORDER BY n_triangles DESC, p_partkey) AS INT) AS rank
         |FROM pn ORDER BY rank LIMIT 20""".stripMargin,
+
+    "orders_concurrency" ->
+      """WITH o AS (SELECT CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS d FROM orders),
+        |deltas AS (SELECT day, CAST(sum(delta) AS BIGINT) AS net FROM (
+        |   SELECT d AS day, 1 AS delta FROM o
+        |   UNION ALL SELECT d + 30, -1 FROM o) t GROUP BY 1)
+        |SELECT day, net,
+        | CAST(sum(net) OVER (ORDER BY day) AS BIGINT) AS open_orders
+        |FROM deltas ORDER BY day""".stripMargin,
+
+    "lineitem_monthly_yoy" ->
+      """WITH m AS (SELECT CAST(year(l_shipdate) AS INT) AS yr,
+        |   CAST(month(l_shipdate) AS INT) AS mo,
+        |   round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  FROM lineitem GROUP BY 1, 2),
+        |l AS (SELECT *, lag(yr) OVER (PARTITION BY mo ORDER BY yr) AS prev_yr,
+        |   lag(revenue) OVER (PARTITION BY mo ORDER BY yr) AS prev_rev
+        |  FROM m)
+        |SELECT yr, mo, revenue,
+        | CASE WHEN yr - prev_yr = 1 THEN prev_rev END AS prev_year_revenue,
+        | CASE WHEN yr - prev_yr = 1
+        |      THEN round((revenue - prev_rev) / prev_rev * 100.0, 4) END AS yoy_pct
+        |FROM l ORDER BY yr, mo""".stripMargin,
+
+    "events_cohort_ltv" ->
+      """WITH e AS (SELECT *, epoch_ns(ts)//1000000000//604800 AS week FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+        |sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM cohort GROUP BY 1),
+        |cells AS (SELECT cohort_week, week - cohort_week AS week_offset,
+        |   round(sum(value), 2) AS revenue,
+        |   CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_buyers
+        |  FROM e JOIN cohort ON e.user_id = cohort.user_id
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, revenue, n_buyers, cohort_size,
+        | round(revenue / cohort_size, 6) AS ltv_per_user
+        |FROM cells JOIN sizes USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // star-shaped closure: every customer has exactly ONE best-match
+    // supplier, so a component's min node is min(2·custkey, 2·supp+1)
+    // over the supplier's star — the window form is exact here; the
+    // Spark side runs the general label propagation.
+    "entity_canonical" ->
+      s"""WITH $fuzzyBestCte,
+        |ed AS (SELECT c_custkey * 2 AS cnode, s_suppkey * 2 + 1 AS snode
+        |  FROM fuzzy_best),
+        |scomp AS (SELECT snode, least(min(cnode), snode) AS entity_id
+        |  FROM ed GROUP BY snode)
+        |SELECT node_type, key, entity_id FROM (
+        | SELECT 'customer' AS node_type, cnode // 2 AS key, entity_id
+        |  FROM ed JOIN scomp USING (snode)
+        | UNION ALL
+        | SELECT 'supplier' AS node_type, snode // 2 AS key, entity_id
+        |  FROM scomp) u
+        |ORDER BY node_type, key""".stripMargin,
+
+    "events_user_profile" ->
+      """WITH e AS (SELECT *, epoch_ns(ts)//1000000000 AS ts_s FROM events)
+        |SELECT user_id,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT ts_s // 86400) AS BIGINT) AS active_days,
+        | min(ts_s) AS first_s, max(ts_s) AS last_s,
+        | CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        | CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+        | CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+        | CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signups,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -378,4 +378,57 @@ object Events {
           / sum("n").over(Window.partitionBy("from_type")).cast("double"), 6))
       .orderBy("from_type", "to_type")
   }
+
+  /** Cohort LTV matrix: users grouped by first-seen week, revenue per
+    * (cohort_week, week_offset) cell, normalized by cohort size — the
+    * lifetime-value companion of [[eventsRetention]]'s activity
+    * matrix. Cohorts come from ALL events (first touch), revenue from
+    * purchases only. The per-user first-seen aggregate and the
+    * purchase join both shuffle on user_id (fact-sized, stable key);
+    * cohort sizes are |weeks| rows → broadcast back onto the matrix.
+    */
+  def eventsCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("week", expr("ts_s div 604800"))
+    val cohort = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    e.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(
+        round(sum("value"), 2).as("revenue"),
+        countDistinct("user_id").as("n_buyers"))
+      .join(broadcast(sizes), "cohort_week")
+      .withColumn("ltv_per_user",
+        round(col("revenue") / col("cohort_size"), 6))
+      .select("cohort_week", "week_offset", "revenue", "n_buyers",
+        "cohort_size", "ltv_per_user")
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Per-user feature vector — the feature-store aggregation every
+    * behavioral-ML pipeline materializes: activity counts per event
+    * type (fixed pinned set → plain conditional sums, no pivot
+    * discovery pass), span, distinct active days, purchase value.
+    * ONE groupBy over the stream; every aggregate except the single
+    * distinct-day count partial-aggregates map-side, and that one is
+    * a two-phase distinct (no Expand — it is the only distinct).
+    */
+  def eventsUserProfile(spark: SparkSession, dir: String): DataFrame = {
+    def n(t: String) =
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_${t}s")
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(expr("ts_s div 86400")).as("active_days"),
+        min("ts_s").as("first_s"),
+        max("ts_s").as("last_s"),
+        n("purchase"), n("view"), n("click"), n("signup"), n("error"),
+        round(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0)), 2).as("purchase_value"))
+      .orderBy("user_id")
+  }
 }

@@ -462,4 +462,29 @@ object Matching {
           .otherwise(lit(" < 0.8: different entity"))).as("reason"))
       .orderBy("c_custkey")
   }
+
+  /** Canonical entity ids over the match graph — the entity-resolution
+    * CLOSURE step the reference stops short of: every matched
+    * (customer, supplier) pair is an edge in a bipartite identity
+    * graph (customer node = 2·key, supplier node = 2·key+1 — disjoint
+    * id spaces), and each connected component becomes one canonical
+    * entity (id = the component's min node id) via
+    * [[Dedup.labelPropagate]]'s pointer-jumped label propagation.
+    * On this best-match-per-customer graph components are
+    * supplier-centered stars, but the machinery is the general
+    * transitive closure: A≈B≈C merge into one entity even when A and
+    * C never matched directly — exactly what a grouped-by-pair match
+    * table cannot express.
+    */
+  def entityCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val edges = matchFuzzyBlocked(spark, dir)
+      .select((col("c_custkey") * 2).as("src"),
+        (col("s_suppkey") * 2 + 1).as("dst"))
+    Dedup.labelPropagate(edges)
+      .select(
+        when(col("id") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
+        expr("id div 2").as("key"),
+        col("component").as("entity_id"))
+      .orderBy("node_type", "key")
+  }
 }

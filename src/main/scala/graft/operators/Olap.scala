@@ -514,6 +514,63 @@ object Olap {
       .limit(20)
   }
 
+  /** Concurrent open orders per day — the interval-overlap sweep: an
+    * order is "open" for 30 days from its order date; each interval
+    * becomes a +1 at its start day and a −1 past its end day, and the
+    * open count is the running sum of the per-day nets.
+    *
+    * The running sum is NOT a global window (that single-partitions
+    * the timeline — PlanAuditSpec rejects it): days are grouped into
+    * 128-day blocks, the cumsum runs PARTITIONED per block, and each
+    * block's starting offset is the sum of all earlier blocks' nets —
+    * a bounded triangle join over the ~tens of block totals (the
+    * [[customerPareto]] trick). At any scale the timeline is calendar
+    * -bounded, but the partitioned form also keeps every task's state
+    * bounded when the timeline grows with retention.
+    */
+  def ordersConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(expr("to_unix_timestamp(o_orderdate) div 86400").as("d"))
+    val deltas = o.select(col("d").as("day"), lit(1L).as("delta"))
+      .unionAll(o.select((col("d") + 30).as("day"), lit(-1L).as("delta")))
+      .groupBy("day").agg(sum("delta").as("net"))
+      .withColumn("blk", expr("day div 128"))
+    val inBlk = deltas.withColumn("cum_in_blk",
+      sum("net").over(Window.partitionBy("blk").orderBy("day")))
+    val blkTot = deltas.groupBy("blk").agg(sum("net").as("btot"))
+    val prefix = blkTot.as("a")
+      .join(blkTot.as("b"), col("b.blk") < col("a.blk"), "left_outer")
+      .groupBy(col("a.blk").as("blk"))
+      .agg(coalesce(sum(col("b.btot")), lit(0L)).as("blk_prefix"))
+    inBlk.join(broadcast(prefix), "blk")
+      .select(col("day"), col("net"),
+        (col("cum_in_blk") + col("blk_prefix")).as("open_orders"))
+      .orderBy("day")
+  }
+
+  /** Year-over-year revenue growth by calendar month — monthly
+    * aggregate (one map-side-combined pass over lineitem), then a
+    * 12-month lag window over the ~dozens of month rows, partitioned
+    * by calendar month so each partition holds one row per year and
+    * the lag is exactly "same month last year".
+    */
+  def lineitemMonthlyYoy(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.lineitem(spark, dir)
+      .groupBy(year(col("l_shipdate")).as("yr"), month(col("l_shipdate")).as("mo"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+    val prev = Window.partitionBy("mo").orderBy("yr")
+    m.withColumn("prev_yr", lag("yr", 1).over(prev))
+      .withColumn("prev_year_revenue",
+        // only a CONSECUTIVE prior year counts as year-over-year
+        when(col("yr") - col("prev_yr") === 1, lag("revenue", 1).over(prev)))
+      .withColumn("yoy_pct",
+        round((col("revenue") - col("prev_year_revenue"))
+          / col("prev_year_revenue") * 100.0, 4))
+      .select("yr", "mo", "revenue", "prev_year_revenue", "yoy_pct")
+      .orderBy("yr", "mo")
+  }
+
   /** Blanket-discount revenue forecast — the TPC-H Q6 shape: ONE
     * filtered aggregate where every predicate is a bare column
     * comparison (date range, discount band, quantity cap — nothing

@@ -65,6 +65,56 @@ object Sinks {
               schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** CSV ingestion with a quarantine lane (the CSV twin of
+    * JsonSources): lines are read as text and parsed with from_csv
+    * in PERMISSIVE mode against the explicit schema — malformed rows
+    * neither crash the load (FAILFAST) nor vanish (DROPMALFORMED);
+    * their RAW BYTES land in [[csvQuarantine]] for triage. Parsing
+    * via text + from_csv (not the native csv scan) both preserves the
+    * original line and sidesteps Spark's corrupt-column-only query
+    * restriction. The reference loader reads CSVs with pandas
+    * defaults, which silently coerces — this keeps the contract
+    * explicit. Header lines (exact field-name match) are dropped
+    * per-file, so globs of many files work.
+    */
+  private val csvCorrupt = "_corrupt_record"
+
+  def readCsvPermissive(spark: org.apache.spark.sql.SparkSession, path: String,
+                        schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val full = schema.add(org.apache.spark.sql.types.StructField(
+      csvCorrupt, org.apache.spark.sql.types.StringType))
+    val header = schema.fieldNames.mkString(",")
+    spark.read.text(path)
+      .filter(col("value") =!= header)
+      .select(
+        from_csv(col("value"), full, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> csvCorrupt)).as("r"),
+        col("value"))
+  }
+
+  def csvGood(spark: org.apache.spark.sql.SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    readCsvPermissive(spark, path, schema)
+      .filter(col(s"r.$csvCorrupt").isNull)
+      .select(col("r.*")).drop(csvCorrupt)
+
+  def csvQuarantine(spark: org.apache.spark.sql.SparkSession, path: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame =
+    readCsvPermissive(spark, path, schema)
+      .filter(col(s"r.$csvCorrupt").isNotNull)
+      .select(col("value").as("raw_line"))
+
+  /** ORC write+read round-trip — the second columnar interchange
+    * format (Hive-ecosystem handoff). Same pushdown/pruning contract
+    * as parquet: predicates and column pruning reach the ORC scan.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Z-ordered parquet write: sort by the Morton interleave of two
     * filter dimensions so each file covers a RECTANGLE in (x, y) —
     * row-group min/max stats then prune selective scans on either

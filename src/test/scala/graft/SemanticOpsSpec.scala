@@ -67,6 +67,38 @@ class SemanticOpsSpec extends SparkSpec {
     e.unpersist(); out.unpersist()
   }
 
+  test("entity_canonical: components close transitively over the match graph") {
+    val out = operators.Matching.entityCanonical(spark, sf).cache()
+    // ids disjoint by construction: every entity_id is some node's id
+    assert(out.filter(col("entity_id") > col("key") * 2 + 1).count() == 0)
+    // a customer and its best-match supplier share one entity
+    val pairs = operators.Matching.matchFuzzyBlocked(spark, sf)
+      .select((col("c_custkey") * 2).as("cn"), (col("s_suppkey") * 2 + 1).as("sn"))
+    val byNode = out.select(
+      (when(col("node_type") === "customer", col("key") * 2)
+        .otherwise(col("key") * 2 + 1)).as("node"), col("entity_id"))
+    val joined = pairs
+      .join(byNode.withColumnRenamed("entity_id", "ce"), col("cn") === col("node"))
+      .drop("node")
+      .join(byNode.withColumnRenamed("entity_id", "se"), col("sn") === col("node"))
+    assert(joined.filter(col("ce") =!= col("se")).count() == 0)
+    // the canonical id is the component minimum: no member is smaller
+    assert(byNode.filter(col("node") < col("entity_id")).count() == 0)
+    out.unpersist()
+  }
+
+  test("events_user_profile: type counts partition the event count") {
+    val out = operators.Events.eventsUserProfile(spark, sf).cache()
+    assert(out.count() == Tables.events(spark, sf)
+      .select("user_id").distinct().count())
+    assert(out.filter(col("n_events") =!=
+      col("n_purchases") + col("n_views") + col("n_clicks")
+        + col("n_signups") + col("n_errors")).count() == 0)
+    assert(out.filter(col("first_s") > col("last_s")).count() == 0)
+    assert(out.filter(col("active_days") < 1).count() == 0)
+    out.unpersist()
+  }
+
   test("tokenizer_oov: rates bounded, vocabulary bounded via TakeOrdered") {
     val out = operators.TextAnalysis.tokenizerOov(spark, sf).cache()
     assert(out.filter(col("oov_rate") < 0 || col("oov_rate") > 1).count() == 0)

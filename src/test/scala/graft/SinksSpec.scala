@@ -64,6 +64,40 @@ class SinksSpec extends SparkSpec {
       df.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("orc round-trip preserves values, predicates reach the orc scan") {
+    val dir = tmp()
+    val df = Tables.nation(spark, sf)
+    Sinks.writeOrc(df, dir)
+    val back = Sinks.readOrc(spark, dir)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      df.orderBy("n_nationkey").collect().toSeq)
+    val p = back.filter(col("n_nationkey") > 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(n_nationkey), GreaterThan(n_nationkey,10)]"), p)
+  }
+
+  test("csv quarantine: malformed rows are preserved, good rows parse clean") {
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val lines = Seq(
+      "id,name,score",
+      "1,alpha,0.5",
+      "2,beta,not_a_number", // type violation -> quarantine
+      "3,gamma,1.25")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "in.csv"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val good = Sinks.csvGood(spark, dir, schema)
+    val bad = Sinks.csvQuarantine(spark, dir, schema)
+    assert(good.count() == 2)
+    assert(good.filter(col("id") === 2).count() == 0)
+    val q = bad.collect().map(_.getString(0))
+    assert(q.length == 1 && q.head.contains("not_a_number"), q.mkString("|"))
+  }
+
   test("jdbc sink: batch write + staged MERGE upsert match upsertLatestWins") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graftjdbc;create=true"

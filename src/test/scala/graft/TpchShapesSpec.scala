@@ -123,6 +123,59 @@ class TpchShapesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("orders_concurrency: sweep conserves mass and never goes negative") {
+    val out = operators.Olap.ordersConcurrency(spark, sf).cache()
+    assert(out.filter(col("open_orders") < 0).count() == 0)
+    // every +1 is matched by a -1 thirty days later: the net sum is 0
+    assert(out.agg(sum("net")).head.getLong(0) == 0L)
+    // the peak cannot exceed the order count
+    val peak = out.agg(max("open_orders")).head.getLong(0)
+    assert(peak <= Tables.orders(spark, sf).count())
+    assert(peak > 0)
+    out.unpersist()
+  }
+
+  test("lineitem_monthly_yoy: YoY only against the consecutive prior year") {
+    val out = operators.Olap.lineitemMonthlyYoy(spark, sf).cache()
+    assert(out.select("yr", "mo").distinct().count() == out.count())
+    assert(out.filter(col("yoy_pct").isNotNull && col("prev_year_revenue").isNull)
+      .count() == 0)
+    out.unpersist()
+  }
+
+  test("events_cohort_ltv: buyers bounded by cohort, revenue mass conserved") {
+    val out = operators.Events.eventsCohortLtv(spark, sf).cache()
+    assert(out.filter(col("n_buyers") > col("cohort_size")).count() == 0)
+    val total = out.agg(round(sum("revenue"), 0)).head.getDouble(0)
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(round(sum("value"), 0)).head.getDouble(0)
+    assert(math.abs(total - purchases) <= 1.0, s"$total vs $purchases")
+    out.unpersist()
+  }
+
+  test("q20: both grouping grains and the back-join ride ONE part-key exchange") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.SparkPlan
+    def expand(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case o => o.children
+      }
+      p +: kids.flatMap(expand)
+    }
+    PlanCache.clear() // count the exchanges of a cold build, not the cache hit
+    val df = operators.Olap.q20ExcessShare(spark, sf)
+    df.collect()
+    val shuffles = expand(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike])
+    // one explicit part-key repartition + the final small orderBy range
+    // exchange; the regroup, the perPart join and the semi join must
+    // all reuse the cached layout
+    assert(shuffles <= 3, s"expected <=3 shuffles, got $shuffles")
+  }
+
   test("q20/q2/q16 plans: part slices broadcast, no cartesian anywhere") {
     Seq(
       operators.Olap.q2MinCost(spark, sf),
