@@ -158,6 +158,7 @@ object SparkEntry {
     // round 4, batch 8: entity-resolution closure + feature store
     "entity_canonical" -> (Matching.entityCanonical _),
     "events_user_profile" -> (Events.eventsUserProfile _),
+    "mm_audio_windows" -> (multimodal.BinaryColumns.audioWindows _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -2068,5 +2069,23 @@ object SparkEntry {
         | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
         | round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "mm_audio_windows" ->
+      """WITH d AS (SELECT doc_id AS media_id, text,
+        |   octet_length(encode(text)) // 16 AS n_frames
+        |  FROM documents WHERE octet_length(encode(text)) >= 16),
+        |f AS (SELECT media_id, text,
+        |   unnest(generate_series(0, n_frames - 1)) AS frame_idx FROM d),
+        |fr AS (SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |   substr(text, frame_idx * 16 + 1, 16) AS frame FROM f),
+        |s AS (SELECT media_id, frame_idx, frame,
+        |   list_transform(generate_series(1, 16),
+        |     i -> CAST(ord(substr(frame, i, 1)) AS BIGINT)) AS samples FROM fr)
+        |SELECT media_id, frame_idx,
+        | CAST(list_sum(samples) AS BIGINT) AS sum_amp,
+        | CAST(list_max(samples) AS BIGINT) AS peak,
+        | CAST(list_sum(list_transform(samples, x -> x * x)) AS BIGINT) AS energy,
+        | substr(md5(frame), 1, 16) AS frame_sig
+        |FROM s ORDER BY media_id, frame_idx""".stripMargin,
   )
 }

@@ -130,4 +130,32 @@ object BinaryColumns {
         min("h").as("min_hash"),
         max("h").as("max_hash"))
       .orderBy("source")
+
+  /** Audio-shaped fixed-frame windowing: treat each item's bytes as a
+    * PCM stream (byte value = sample amplitude — the text column
+    * stands in for the decoded waveform), cut NON-overlapping
+    * 16-sample frames, and compute the per-frame stats every audio
+    * pipeline derives before a model sees anything: amplitude sum,
+    * peak, integer energy (Σ s²), plus a frame signature. The explode
+    * + per-frame arithmetic is the REAL batch shape (row count =
+    * Σ⌊bytes/16⌋, map-side, no shuffle, linear in corpus bytes); only
+    * the codec behind it is faked. Integer-only math keeps the oracle
+    * exact (ord/ascii agree on the ASCII corpus).
+    */
+  def audioWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(octet_length(col("text")) >= 16)
+      .select(col("doc_id").as("media_id"), col("text"),
+        expr("octet_length(text) div 16").as("n_frames"))
+      .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1)")))
+      .withColumn("frame", expr("substring(text, frame_idx * 16 + 1, 16)"))
+      .withColumn("samples", expr(
+        "transform(sequence(1, 16), i -> CAST(ascii(substring(frame, i, 1)) AS BIGINT))"))
+      .select(
+        col("media_id"), col("frame_idx"),
+        expr("aggregate(samples, CAST(0 AS BIGINT), (a, x) -> a + x)").as("sum_amp"),
+        expr("array_max(samples)").as("peak"),
+        expr("aggregate(samples, CAST(0 AS BIGINT), (a, x) -> a + x * x)").as("energy"),
+        substring(md5(col("frame")), 1, 16).as("frame_sig"))
+      .orderBy("media_id", "frame_idx")
 }

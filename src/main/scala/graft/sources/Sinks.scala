@@ -115,6 +115,21 @@ object Sinks {
   def readOrc(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** JDBC SOURCE with partition-parallel reads — the migration path
+    * for pulling the reference's Postgres tables INTO the lake, and
+    * the read half of the [[writeJdbc]]/[[upsertJdbc]] loader.
+    * `numPartitions` tasks each pull one [lower, upper) stride of
+    * `partCol` concurrently (a single-connection read serializes the
+    * whole table through the driver); filters and column pruning
+    * push into the remote WHERE clause (the JDBCRelation scan prints
+    * PushedFilters), so selective extracts never ship full rows.
+    */
+  def readJdbcPartitioned(spark: org.apache.spark.sql.SparkSession, url: String,
+                          table: String, partCol: String, lower: Long, upper: Long,
+                          numPartitions: Int,
+                          props: java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, partCol, lower, upper, numPartitions, props)
+
   /** Z-ordered parquet write: sort by the Morton interleave of two
     * filter dimensions so each file covers a RECTANGLE in (x, y) —
     * row-group min/max stats then prune selective scans on either

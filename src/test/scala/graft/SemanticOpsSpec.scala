@@ -87,6 +87,25 @@ class SemanticOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("mm_audio_windows: full frames only, integer stats bounded by ASCII range") {
+    val out = multimodal.BinaryColumns.audioWindows(spark, sf).cache()
+    // frame count per media = floor(bytes/16), all frames full-width
+    val expected = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 16)
+      .agg(sum(expr("length(text) div 16"))).head.getLong(0)
+    assert(out.count() == expected)
+    // printable-ASCII corpus: samples in [32, 126]
+    assert(out.filter(col("peak") > 126 || col("peak") < 32).count() == 0)
+    assert(out.filter(col("sum_amp") < 32 * 16 || col("sum_amp") > 126 * 16).count() == 0)
+    // Cauchy-Schwarz-ish sanity: 16*energy >= sum_amp^2
+    assert(out.filter(col("energy") * 16 < col("sum_amp") * col("sum_amp")).count() == 0)
+    // map-side only: no shuffle before the output sort
+    val p = multimodal.BinaryColumns.audioWindows(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"))
+    out.unpersist()
+  }
+
   test("events_user_profile: type counts partition the event count") {
     val out = operators.Events.eventsUserProfile(spark, sf).cache()
     assert(out.count() == Tables.events(spark, sf)

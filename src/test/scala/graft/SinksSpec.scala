@@ -124,6 +124,23 @@ class SinksSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("jdbc source: partition-parallel read with remote filter pushdown") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftjdbcsrc;create=true"
+    val props = new java.util.Properties()
+    val df = (0L until 100L).map(i => (i, s"name_$i", i % 7)).toDF("k", "v", "grp")
+    Sinks.writeJdbc(df, url, "src_table", props, batchSize = 25)
+    val back = Sinks.readJdbcPartitioned(spark, url, "src_table",
+      "k", 0L, 100L, 4, props)
+    assert(back.rdd.getNumPartitions == 4, "expected 4 parallel JDBC slices")
+    assert(back.count() == 100)
+    val filtered = back.filter(col("grp") === 3)
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("grp"),
+      s"filter must push into the remote query:\n$p")
+    assert(filtered.count() == df.filter(col("grp") === 3).count())
+  }
+
   test("fake multimodal decode: partition-parallel, deterministic, full coverage") {
     val feats = multimodal.BinaryColumns.fakeDecodeFeatures(spark, sf)
     val docs = Tables.documents(spark, sf)
