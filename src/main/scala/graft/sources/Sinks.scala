@@ -43,6 +43,39 @@ object Sinks {
       .drop("_rn", "_src")
   }
 
+  /** Incremental aggregate maintenance: fold ONE new batch of facts
+    * into a persisted keyed aggregate table (counts + sums merge
+    * exactly: they are commutative monoids), instead of recomputing
+    * over all history. This is the batch analog of a streaming state
+    * store — cost is O(batch + |keys|) per run, not O(history) — and
+    * the pattern behind every "daily rollup updated hourly" table.
+    * The batch is pre-aggregated BEFORE the union (map-side combine:
+    * only |batch keys| rows meet the table), and the rewrite goes
+    * through a temp directory so a failed job never truncates the
+    * live table (same staging discipline as [[compact]]). avg-style
+    * ratios must be derived from (sum, count) at READ time — storing
+    * them would not merge.
+    */
+  def incrementalAggregate(spark: org.apache.spark.sql.SparkSession,
+                           tablePath: String, batch: DataFrame,
+                           keyCols: Seq[String], sumCol: String): DataFrame = {
+    val part = batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(col(sumCol)).as("sum_val"))
+    val fs = new java.io.File(tablePath)
+    val merged =
+      if (fs.exists() && fs.listFiles() != null && fs.listFiles().nonEmpty)
+        spark.read.parquet(tablePath).unionByName(part)
+          .groupBy(keyCols.map(col): _*)
+          .agg(sum("n_rows").as("n_rows"), sum("sum_val").as("sum_val"))
+      else part
+    val tmp = tablePath + ".tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val out = spark.read.parquet(tmp)
+    out.write.mode(SaveMode.Overwrite).parquet(tablePath)
+    new java.io.File(tmp).listFiles().foreach(_.delete()); new java.io.File(tmp).delete()
+    spark.read.parquet(tablePath)
+  }
+
   /** Range-partitioned, sorted parquet write: the data-lake analog of
     * the reference loader's CREATE INDEX step
     * (loadingcsv_topostgre_optimized.py optimize_table) — sorting by

@@ -200,4 +200,18 @@ class PlanAuditSpec extends SparkSpec {
         s"$name plans a global-window sort with unbounded input:\n${offenders.mkString("\n")}")
     }
   }
+
+  test("no registered query plans a cartesian product or a Scala UDF") {
+    // A CartesianProduct is |L|x|R| rows with no pruning — on two
+    // fact-sized inputs at 100 TB that is never the intended plan
+    // (broadcast cross joins plan as BroadcastNestedLoopJoin and are
+    // allowed: one side is bounded by the broadcast threshold).
+    // ScalaUDFs break whole-stage codegen in the hot path; every
+    // scalar extension here is a native Expression instead.
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      assert(!p.toLowerCase.contains("scalaudf"), s"$name plans a Scala UDF")
+    }
+  }
 }

@@ -124,6 +124,29 @@ class SinksSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("incrementalAggregate: three batch folds equal one full recompute") {
+    val dir = tmp() + "/agg_table"
+    val o = Tables.orders(spark, sf)
+    val batches = Seq(
+      o.filter(col("o_orderkey") % 3 === 0),
+      o.filter(col("o_orderkey") % 3 === 1),
+      o.filter(col("o_orderkey") % 3 === 2))
+    var last: org.apache.spark.sql.DataFrame = null
+    batches.foreach { b =>
+      last = Sinks.incrementalAggregate(spark, dir, b,
+        Seq("o_orderstatus"), "o_totalprice")
+    }
+    val full = o.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), sum("o_totalprice").as("sum_val"))
+    val got = last.orderBy("o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100)))
+    val want = full.orderBy("o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("jdbc source: partition-parallel read with remote filter pushdown") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graftjdbcsrc;create=true"
