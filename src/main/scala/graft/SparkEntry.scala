@@ -2072,8 +2072,8 @@ object SparkEntry {
 
     "mm_audio_windows" ->
       """WITH d AS (SELECT doc_id AS media_id, text,
-        |   octet_length(encode(text)) // 16 AS n_frames
-        |  FROM documents WHERE octet_length(encode(text)) >= 16),
+        |   length(text) // 16 AS n_frames
+        |  FROM documents WHERE length(text) >= 16),
         |f AS (SELECT media_id, text,
         |   unnest(generate_series(0, n_frames - 1)) AS frame_idx FROM d),
         |fr AS (SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,

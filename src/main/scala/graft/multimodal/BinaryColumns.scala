@@ -138,15 +138,19 @@ object BinaryColumns {
     * pipeline derives before a model sees anything: amplitude sum,
     * peak, integer energy (Σ s²), plus a frame signature. The explode
     * + per-frame arithmetic is the REAL batch shape (row count =
-    * Σ⌊bytes/16⌋, map-side, no shuffle, linear in corpus bytes); only
+    * Σ⌊chars/16⌋, map-side, no shuffle, linear in corpus bytes); only
     * the codec behind it is faked. Integer-only math keeps the oracle
-    * exact (ord/ascii agree on the ASCII corpus).
+    * exact (ord/ascii agree on the ASCII corpus). Frame count and
+    * frame slicing BOTH use character units (length/substring) — a
+    * byte-based count with char-based slicing would diverge from
+    * itself, and from the oracle, the moment a multi-byte character
+    * appears.
     */
   def audioWindows(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .filter(octet_length(col("text")) >= 16)
+      .filter(length(col("text")) >= 16)
       .select(col("doc_id").as("media_id"), col("text"),
-        expr("octet_length(text) div 16").as("n_frames"))
+        expr("length(text) div 16").as("n_frames"))
       .withColumn("frame_idx", explode(expr("sequence(0, n_frames - 1)")))
       .withColumn("frame", expr("substring(text, frame_idx * 16 + 1, 16)"))
       .withColumn("samples", expr(

@@ -529,12 +529,17 @@ object Olap {
     * bounded when the timeline grows with retention.
     */
   def ordersConcurrency(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-      .select(expr("to_unix_timestamp(o_orderdate) div 86400").as("d"))
-    val deltas = o.select(col("d").as("day"), lit(1L).as("delta"))
-      .unionAll(o.select((col("d") + 30).as("day"), lit(-1L).as("delta")))
-      .groupBy("day").agg(sum("delta").as("net"))
-      .withColumn("blk", expr("day div 128"))
+    // PlanCache'd: the per-day nets feed BOTH the in-block cumsum and
+    // the block totals — unpersisted, the orders scan + union +
+    // aggregation would run twice
+    val deltas = graft.PlanCache.cached("concurrency_deltas", spark, dir) {
+      val o = Tables.orders(spark, dir)
+        .select(expr("to_unix_timestamp(o_orderdate) div 86400").as("d"))
+      o.select(col("d").as("day"), lit(1L).as("delta"))
+        .unionAll(o.select((col("d") + 30).as("day"), lit(-1L).as("delta")))
+        .groupBy("day").agg(sum("delta").as("net"))
+        .withColumn("blk", expr("day div 128"))
+    }
     val inBlk = deltas.withColumn("cum_in_blk",
       sum("net").over(Window.partitionBy("blk").orderBy("day")))
     val blkTot = deltas.groupBy("blk").agg(sum("net").as("btot"))

@@ -183,14 +183,17 @@ object Similarity {
 
   /** Seed-centroid assignment (centroids = the first k vectors) —
     * round 1 of [[clusterKmeans]], also the coarse partition for
-    * [[Dedup.dedupSemantic]].
+    * [[Dedup.dedupSemantic]]. PlanCache'd per k: dedupSemantic feeds
+    * it into three plan branches (both pair sides + the output join),
+    * which would otherwise re-run the corpus×k argmin three times.
     */
-  private[operators] def seedAssignment(spark: SparkSession, dir: String, k: Int): DataFrame = {
-    val e = kmeansVecs(spark, dir)
-    assignToCentroids(e,
-      e.filter(col("vec_id") < k)
-        .select(col("vec_id").cast("int").as("cid"), col("v").as("c")))
-  }
+  private[operators] def seedAssignment(spark: SparkSession, dir: String, k: Int): DataFrame =
+    graft.PlanCache.cached(s"seed_assign_$k", spark, dir) {
+      val e = kmeansVecs(spark, dir)
+      assignToCentroids(e,
+        e.filter(col("vec_id") < k)
+          .select(col("vec_id").cast("int").as("cid"), col("v").as("c")))
+    }
 
   def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
     val k = 8

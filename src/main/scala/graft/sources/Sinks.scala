@@ -61,18 +61,31 @@ object Sinks {
                            keyCols: Seq[String], sumCol: String): DataFrame = {
     val part = batch.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"), sum(col(sumCol)).as("sum_val"))
-    val fs = new java.io.File(tablePath)
+    // Hadoop FS, not java.io.File: tablePath may be hdfs://, s3a://,
+    // or a file: URI — a local-only existence probe would silently
+    // rebuild the table from one batch and DROP the history
+    val hPath = new org.apache.hadoop.fs.Path(tablePath)
+    val hfs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = hfs.exists(hPath) && hfs.listStatus(hPath).nonEmpty
     val merged =
-      if (fs.exists() && fs.listFiles() != null && fs.listFiles().nonEmpty)
+      if (exists)
         spark.read.parquet(tablePath).unionByName(part)
           .groupBy(keyCols.map(col): _*)
           .agg(sum("n_rows").as("n_rows"), sum("sum_val").as("sum_val"))
       else part
-    val tmp = tablePath + ".tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val out = spark.read.parquet(tmp)
-    out.write.mode(SaveMode.Overwrite).parquet(tablePath)
-    new java.io.File(tmp).listFiles().foreach(_.delete()); new java.io.File(tmp).delete()
+    // crash-safe swap: write the merged table to a tmp dir (which
+    // also materializes the read of the OLD table before anything
+    // touches it), then rename old→trash, tmp→live, drop trash.
+    // A crash before the first rename leaves the old table live; a
+    // crash between the renames leaves the full result in tmp/trash
+    // — nothing is ever truncated in place.
+    val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
+    val trash = new org.apache.hadoop.fs.Path(tablePath + ".old")
+    hfs.delete(tmp, true); hfs.delete(trash, true)
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (hfs.exists(hPath)) hfs.rename(hPath, trash)
+    hfs.rename(tmp, hPath)
+    hfs.delete(trash, true)
     spark.read.parquet(tablePath)
   }
 
@@ -107,8 +120,17 @@ object Sinks {
     * original line and sidesteps Spark's corrupt-column-only query
     * restriction. The reference loader reads CSVs with pandas
     * defaults, which silently coerces — this keeps the contract
-    * explicit. Header lines (exact field-name match) are dropped
-    * per-file, so globs of many files work.
+    * explicit. Header lines (exact field-name match, bare or
+    * double-quoted) are dropped per-file, so globs of many files
+    * work; for an all-string schema a data row literally equal to
+    * the header is indistinguishable from one — inherent to headered
+    * CSV, not to this reader.
+    *
+    * Spark's PERMISSIVE CSV treats a token-count mismatch as
+    * non-corrupt (missing fields → null, extra fields → dropped), so
+    * the quarantine predicate ALSO routes wrong-arity lines: a short
+    * row would otherwise sail through as nulls and a long row would
+    * silently lose data — both are exactly what triage exists for.
     */
   private val csvCorrupt = "_corrupt_record"
 
@@ -117,25 +139,29 @@ object Sinks {
     val full = schema.add(org.apache.spark.sql.types.StructField(
       csvCorrupt, org.apache.spark.sql.types.StringType))
     val header = schema.fieldNames.mkString(",")
+    val quotedHeader = schema.fieldNames.map("\"" + _ + "\"").mkString(",")
+    // arity of the raw line: split on commas outside double quotes
+    val arity = size(split(col("value"), ",(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)", -1))
     spark.read.text(path)
-      .filter(col("value") =!= header)
+      .filter(col("value") =!= header && col("value") =!= quotedHeader)
       .select(
         from_csv(col("value"), full, Map(
           "mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> csvCorrupt)).as("r"),
-        col("value"))
+        col("value"),
+        (arity === schema.fields.length).as("_arity_ok"))
   }
 
   def csvGood(spark: org.apache.spark.sql.SparkSession, path: String,
               schema: org.apache.spark.sql.types.StructType): DataFrame =
     readCsvPermissive(spark, path, schema)
-      .filter(col(s"r.$csvCorrupt").isNull)
+      .filter(col(s"r.$csvCorrupt").isNull && col("_arity_ok"))
       .select(col("r.*")).drop(csvCorrupt)
 
   def csvQuarantine(spark: org.apache.spark.sql.SparkSession, path: String,
                     schema: org.apache.spark.sql.types.StructType): DataFrame =
     readCsvPermissive(spark, path, schema)
-      .filter(col(s"r.$csvCorrupt").isNotNull)
+      .filter(col(s"r.$csvCorrupt").isNotNull || !col("_arity_ok"))
       .select(col("value").as("raw_line"))
 
   /** ORC write+read round-trip — the second columnar interchange

@@ -86,16 +86,22 @@ class SinksSpec extends SparkSpec {
       "id,name,score",
       "1,alpha,0.5",
       "2,beta,not_a_number", // type violation -> quarantine
+      "4,delta",             // too FEW fields -> quarantine (not nulls)
+      "5,eps,0.5,extra",     // too MANY fields -> quarantine (not silent drop)
+      "6,\"zeta,comma\",2.5", // quoted comma is ONE field -> good
       "3,gamma,1.25")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "in.csv"),
       String.join("\n", lines: _*).getBytes("UTF-8"))
     val good = Sinks.csvGood(spark, dir, schema)
     val bad = Sinks.csvQuarantine(spark, dir, schema)
-    assert(good.count() == 2)
-    assert(good.filter(col("id") === 2).count() == 0)
-    val q = bad.collect().map(_.getString(0))
-    assert(q.length == 1 && q.head.contains("not_a_number"), q.mkString("|"))
+    assert(good.count() == 3)
+    assert(good.filter(col("id").isin(2, 4, 5)).count() == 0)
+    assert(good.filter(col("id") === 6).head.getString(1) == "zeta,comma")
+    val q = bad.collect().map(_.getString(0)).sorted
+    assert(q.length == 3, q.mkString("|"))
+    assert(q.exists(_.contains("not_a_number")) && q.exists(_.startsWith("4,"))
+      && q.exists(_.contains("extra")), q.mkString("|"))
   }
 
   test("jdbc sink: batch write + staged MERGE upsert match upsertLatestWins") {
