@@ -159,6 +159,14 @@ object SparkEntry {
     "entity_canonical" -> (Matching.entityCanonical _),
     "events_user_profile" -> (Events.eventsUserProfile _),
     "mm_audio_windows" -> (multimodal.BinaryColumns.audioWindows _),
+    // round 4, batch 9: quantization, tokenizer training, attribution,
+    // session depth, market quartiles, ANN quality eval
+    "embed_quantize_int8" -> (Similarity.embedQuantizeInt8 _),
+    "bpe_pair_merge" -> (TextAnalysis.bpePairMerge _),
+    "events_attribution" -> (Events.eventsAttribution _),
+    "events_session_stats" -> (Events.eventsSessionStats _),
+    "orders_ntile" -> (Olap.ordersNtile _),
+    "knn_recall_eval" -> (Similarity.knnRecallEval _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -2087,5 +2095,106 @@ object SparkEntry {
         | CAST(list_sum(list_transform(samples, x -> x * x)) AS BIGINT) AS energy,
         | substr(md5(frame), 1, 16) AS frame_sig
         |FROM s ORDER BY media_id, frame_idx""".stripMargin,
+
+    "embed_quantize_int8" ->
+      """WITH dims AS (
+        | SELECT CAST(i AS INT) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        | FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+        |sc AS (SELECT dim, max(abs(x)) AS scale FROM dims GROUP BY dim
+        |       HAVING max(abs(x)) > 0),
+        |q AS (SELECT dims.dim, sc.scale,
+        |   CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT) AS code, x
+        | FROM dims JOIN sc ON dims.dim = sc.dim)
+        |SELECT dim, max(scale) AS scale,
+        | round(avg(abs(x - code * scale / 127.0)), 6) AS avg_abs_err,
+        | CAST(max(abs(code)) AS BIGINT) AS max_code
+        |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "bpe_pair_merge" ->
+      """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS w
+        |  FROM documents),
+        |f AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM w
+        |      WHERE len(w) >= 2 GROUP BY w),
+        |p AS (SELECT substring(w, CAST(i AS INT), 2) AS pair, freq
+        |      FROM f, unnest(generate_series(1, len(w) - 1)) AS t(i)),
+        |a AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p GROUP BY pair)
+        |SELECT pair, cnt, rank FROM (
+        | SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rank
+        | FROM a) t
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "events_attribution" ->
+      """WITH e AS (SELECT *, epoch_ns(ts)//1000000000 AS ts_s FROM events),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN event_type IN ('view','click') THEN event_type END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS t_type
+        | FROM e),
+        |p AS (SELECT coalesce(t_type, 'unattributed') AS channel, value
+        |      FROM w WHERE event_type = 'purchase'),
+        |a AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+        |      round(sum(value), 2) AS revenue FROM p GROUP BY channel),
+        |t AS (SELECT round(sum(value), 2) AS tot FROM p)
+        |SELECT channel, n_purchases, revenue,
+        | round(revenue / tot, 6) AS rev_share
+        |FROM a CROSS JOIN t ORDER BY channel""".stripMargin,
+
+    "events_session_stats" ->
+      """WITH e AS (SELECT *, epoch_ns(ts)//1000000000 AS ts_s FROM events),
+        |f AS (SELECT *, CASE WHEN ts_s - lag(ts_s) OVER
+        |        (PARTITION BY user_id ORDER BY ts_s, event_id) > 1800
+        |      THEN 1 ELSE 0 END AS new_session FROM e),
+        |g AS (SELECT *, sum(new_session) OVER
+        |        (PARTITION BY user_id ORDER BY ts_s, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS session_idx FROM f),
+        |s AS (SELECT user_id, session_idx, count(*) AS n_events,
+        |      max(ts_s) - min(ts_s) AS duration_s
+        |      FROM g GROUP BY user_id, session_idx),
+        |b AS (SELECT CASE WHEN n_events = 1 THEN '1'
+        |             WHEN n_events <= 4 THEN '2-4'
+        |             WHEN n_events <= 9 THEN '5-9'
+        |             ELSE '10+' END AS bucket, n_events, duration_s FROM s)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_sessions,
+        | round(avg(n_events), 6) AS avg_events,
+        | round(avg(duration_s), 6) AS avg_duration_s
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "orders_ntile" ->
+      """WITH spend AS (
+        | SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+        | FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        | SELECT c_nationkey, spend,
+        |  CAST(ntile(4) OVER (PARTITION BY c_nationkey
+        |                 ORDER BY spend DESC, c_custkey) AS INT) AS quartile
+        | FROM spend JOIN customer ON o_custkey = c_custkey)
+        |SELECT CAST(c_nationkey AS INT) AS nationkey, quartile,
+        | CAST(count(*) AS BIGINT) AS n_cust,
+        | round(sum(spend), 2) AS quartile_spend
+        |FROM ranked GROUP BY 1, 2 ORDER BY nationkey, quartile""".stripMargin,
+
+    "knn_recall_eval" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm,
+        |   CAST(list_sum(list_transform(generate_series(1, 8),
+        |     i -> CASE WHEN v[i] >= 0.0 THEN CAST(pow(2, i-1) AS BIGINT)
+        |          ELSE 0 END)) AS BIGINT) AS bucket
+        | FROM e),
+        |q AS (SELECT v, norm, bucket FROM n WHERE vec_id = 0),
+        |scored AS (SELECT n.vec_id, round(list_sum(list_transform(
+        |    generate_series(1, len(n.v)), i -> n.v[i]*q.v[i])) / (q.norm*n.norm), 6) AS cosine
+        |  FROM n CROSS JOIN q WHERE n.vec_id <> 0),
+        |truth AS (SELECT vec_id FROM (
+        |  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rnk
+        |  FROM scored) t WHERE rnk <= 10),
+        |cands AS (SELECT n.vec_id FROM n JOIN q
+        |  ON bit_count(xor(n.bucket, q.bucket)) <= 1 WHERE n.vec_id <> 0),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cands),
+        |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM truth
+        |      WHERE vec_id IN (SELECT vec_id FROM cands))
+        |SELECT 10 AS k, n_candidates, n_hits,
+        | round(CAST(n_hits AS DOUBLE) / 10.0, 6) AS recall
+        |FROM nc CROSS JOIN h""".stripMargin,
   )
 }

@@ -431,4 +431,67 @@ object Events {
           .otherwise(0.0)), 2).as("purchase_value"))
       .orderBy("user_id")
   }
+
+  /** Last-touch revenue attribution: every purchase is credited to the
+    * latest prior view/click by the same user (the standard marketing
+    * attribution model), then revenue rolls up per attributed channel.
+    * The latest-prior lookup is the custom AsofJoinExec — co-partitioned
+    * sort-merge, O(n+m) per partition, one buffered row — NOT a
+    * window over the full event stream. Purchases with no prior touch
+    * land in an explicit `unattributed` bucket (silently dropping them
+    * would overstate every channel's share). Output is |channels|+1
+    * rows; the share denominator is a broadcast one-row aggregate.
+    */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_s"), col("value"))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), col("ts_s").as("t_ts"),
+        col("event_id").as("t_event"), col("event_type").as("t_type"))
+    val attributed = graft.plans.AsofJoin(purchases, touches,
+        Seq("user_id"), Seq("t_user"),
+        Seq("ts_s", "event_id"), Seq("t_ts", "t_event"))
+      .withColumn("channel", coalesce(col("t_type"), lit("unattributed")))
+    val perChannel = attributed.groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("value"), 2).as("revenue"))
+    val total = attributed.agg(round(sum("value"), 2).as("tot"))
+    perChannel.crossJoin(broadcast(total))
+      .select(col("channel"), col("n_purchases"), col("revenue"),
+        round(col("revenue") / col("tot"), 6).as("rev_share"))
+      .orderBy("channel")
+  }
+
+  /** Session-size distribution: sessions re-derived with the same
+    * 30-minute-gap rule as [[eventsSessionize]], then bucketed by
+    * event count (1 / 2-4 / 5-9 / 10+) with per-bucket session counts,
+    * mean duration and mean size — the bounce-rate / engagement-depth
+    * report product analytics runs daily. The windows are user-
+    * partitioned (bounded state per key at any scale); the output is
+    * 4 rows regardless of volume.
+    */
+  def eventsSessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val sessions = e
+      .withColumn("new_session", when(
+        col("ts_s") - lag("ts_s", 1).over(byUser) > 1800L, 1).otherwise(0))
+      .withColumn("session_idx", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        (max("ts_s") - min("ts_s")).as("duration_s"))
+    sessions
+      .withColumn("bucket",
+        when(col("n_events") === 1, "1")
+          .when(col("n_events") <= 4, "2-4")
+          .when(col("n_events") <= 9, "5-9")
+          .otherwise("10+"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg("n_events"), 6).as("avg_events"),
+        round(avg("duration_s"), 6).as("avg_duration_s"))
+      .orderBy("bucket")
+  }
 }

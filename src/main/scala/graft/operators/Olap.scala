@@ -795,4 +795,30 @@ object Olap {
       .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
       .orderBy("c_mktsegment")
   }
+
+  /** Per-nation customer spend quartiles: ntile(4) over a PARTITIONED
+    * window (each nation sorts independently — bounded state per key,
+    * unlike a global ntile which single-partitions the world; the RFM
+    * query shows the broadcast-boundary alternative when even per-key
+    * sorts are too big). Tie-broken by customer key so bucket
+    * assignment is a total order both engines agree on. Output is
+    * |nations|·4 rows: customer count and spend mass per quartile —
+    * the whale-curve segmentation per market.
+    */
+  def ordersNtile(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("spend"))
+    val byNation = Window.partitionBy("c_nationkey")
+      .orderBy(col("spend").desc, col("c_custkey"))
+    spend.join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("quartile", ntile(4).over(byNation))
+      .groupBy("c_nationkey", "quartile")
+      .agg(count(lit(1)).as("n_cust"),
+        round(sum("spend"), 2).as("quartile_spend"))
+      .select(col("c_nationkey").cast("int").as("nationkey"),
+        col("quartile"), col("n_cust"), col("quartile_spend"))
+      .orderBy("nationkey", "quartile")
+  }
 }

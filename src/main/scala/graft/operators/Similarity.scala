@@ -230,4 +230,75 @@ object Similarity {
       .select("label", "n_vecs", "mean_norm", "centroid_norm")
       .orderBy("label")
   }
+
+  /** Symmetric per-dimension int8 scalar quantization of the embedding
+    * corpus — the storage/bandwidth step before ANN serving (4x smaller
+    * vectors, dot products in integer SIMD). Two passes: (1) per-dim
+    * scale = max |x| (order-independent exact aggregate — never
+    * rounded, the q2 lesson), (2) codes = floor(x·127/scale + 0.5)
+    * clamped by construction to [-127, 127], with the per-dim mean
+    * absolute reconstruction error reported alongside. The scale table
+    * is |dims| rows → broadcast back; both passes are
+    * map-side-combinable aggregations over the posexploded corpus, so
+    * the plan is two scans + two dim-keyed shuffles of |dims| rows —
+    * nothing grows with corpus size except the scans. floor(x + 0.5)
+    * instead of round(): identical IEEE semantics in every engine,
+    * no HALF_UP-vs-float-round boundary cases.
+    */
+  def embedQuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.embeddings(spark, dir).select(
+      posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .as(Seq("pos", "x")))
+      .select((col("pos") + 1).as("dim"), col("x"))
+    val scales = dims.groupBy("dim").agg(max(abs(col("x"))).as("scale"))
+      .filter(col("scale") > 0)
+    dims.join(broadcast(scales), "dim")
+      .withColumn("code", floor(col("x") * lit(127.0) / col("scale") + lit(0.5)).cast("long"))
+      .withColumn("err", abs(col("x") - col("code") * col("scale") / lit(127.0)))
+      .groupBy("dim")
+      .agg(
+        max("scale").as("scale"), // constant within the group
+        round(avg("err"), 6).as("avg_abs_err"),
+        max(abs(col("code"))).as("max_code"))
+      .select(col("dim").cast("int").as("dim"), col("scale"),
+        col("avg_abs_err"), col("max_code"))
+      .orderBy("dim")
+  }
+
+  /** ANN quality evaluation: recall@10 of the sign-LSH multi-probe
+    * candidate set against the brute-force cosine ground truth for the
+    * fixed query — the measure-your-index step every ANN deployment
+    * needs before swapping the exact path out. The truth set is k rows
+    * (TakeOrdered heaps), the candidate set is a map-side Hamming
+    * filter; the intersection is a k-row broadcast semi-join, so the
+    * eval costs one corpus scan more than the search itself. One
+    * summary row: candidate count, hits, recall.
+    */
+  def knnRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val bucketExpr = expr(
+      """aggregate(sequence(1, 8),
+        | CAST(0 AS BIGINT),
+        | (acc, i) -> acc + CASE WHEN element_at(v, i) >= 0.0
+        |   THEN CAST(pow(2, i - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+    val e = vecsWithNorm(spark, dir).withColumn("bucket", bucketExpr)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("norm").as("qn"), col("bucket").as("qbucket"))
+    val truth = graft.functions.TopK.globalWithRank(
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cosine", round(
+          graft.functions.VectorExprs.dot(col("v"), col("qv"))
+            / (col("norm") * col("qn")), 6))
+        .select(col("vec_id"), col("cosine")),
+      10, col("cosine").desc, col("vec_id"))
+    val cands = e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q.select("qbucket")), expr("bit_count(bucket ^ qbucket) <= 1"))
+      .select("vec_id")
+    val nCands = cands.agg(count(lit(1)).as("n_candidates"))
+    val hits = truth.join(cands, "vec_id", "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    nCands.crossJoin(hits)
+      .select(lit(10).as("k"), col("n_candidates"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(10.0), 6).as("recall"))
+  }
 }

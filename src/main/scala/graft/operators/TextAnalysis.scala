@@ -465,4 +465,28 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
       .orderBy("doc_id")
   }
+
+  /** One BPE-training merge round, distributed: the corpus collapses
+    * to a word-frequency dictionary first (the classic BPE trainer
+    * move — distinct words are orders of magnitude fewer than corpus
+    * tokens, and pair counts are identical when weighted by word
+    * frequency), then adjacent character-pair counts are summed over
+    * the dictionary and the top merge candidates selected. At 100 TB
+    * the word dictionary is the ONLY thing past the first shuffle —
+    * every later stage is corpus-size-independent, which is why real
+    * tokenizer training over web corpora is feasible at all. Top-20
+    * via TakeOrdered heaps, never a global sort.
+    */
+  def bpePairMerge(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(toks).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val pairs = words
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+    graft.functions.TopK.globalWithRank(pairs, 20,
+      col("cnt").desc, col("pair"))
+  }
 }
