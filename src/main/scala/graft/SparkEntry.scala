@@ -167,6 +167,7 @@ object SparkEntry {
     "events_session_stats" -> (Events.eventsSessionStats _),
     "orders_ntile" -> (Olap.ordersNtile _),
     "knn_recall_eval" -> (Similarity.knnRecallEval _),
+    "events_heatmap" -> (Events.eventsHeatmap _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -2196,5 +2197,13 @@ object SparkEntry {
         |SELECT 10 AS k, n_candidates, n_hits,
         | round(CAST(n_hits AS DOUBLE) / 10.0, 6) AS recall
         |FROM nc CROSS JOIN h""".stripMargin,
+
+    "events_heatmap" ->
+      """WITH e AS (SELECT *, epoch_ns(ts)//1000000000 AS ts_s FROM events)
+        |SELECT (ts_s // 86400 + 4) % 7 AS dow,
+        | (ts_s % 86400) // 3600 AS hour,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | round(sum(value), 2) AS value_sum
+        |FROM e GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin,
   )
 }

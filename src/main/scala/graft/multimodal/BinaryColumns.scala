@@ -162,4 +162,30 @@ object BinaryColumns {
         expr("aggregate(samples, CAST(0 AS BIGINT), (a, x) -> a + x * x)").as("energy"),
         substring(md5(col("frame")), 1, 16).as("frame_sig"))
       .orderBy("media_id", "frame_idx")
+
+  /** File-in multimodal ingestion: a directory of raw media files read
+    * through Spark's `binaryFile` source into the SAME (media_id,
+    * payload, mime, n_bytes, content_hash) schema [[asMedia]] produces
+    * from a table column — so every downstream stage (decode, frame
+    * sample, resize) is storage-agnostic. The source streams file
+    * bytes split-per-file (a 100 TB image corpus parallelizes by
+    * file count), prunes on metadata (path/length/modificationTime
+    * are ordinary pushable columns), and never materializes a file
+    * list on the driver. media_id is a content-independent hash of
+    * the file path — stable across re-ingestion runs.
+    */
+  def readMediaFiles(spark: SparkSession, pathGlob: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        col("content").as("payload"),
+        when(col("path").endsWith(".png"), "image/png")
+          .when(col("path").endsWith(".jpg"), "image/jpeg")
+          .when(col("path").endsWith(".wav"), "audio/wav")
+          .otherwise("application/octet-stream").as("mime"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_hash"))
+      .as[MediaRow]
+  }
 }

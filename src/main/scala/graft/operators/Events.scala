@@ -494,4 +494,21 @@ object Events {
         round(avg("duration_s"), 6).as("avg_duration_s"))
       .orderBy("bucket")
   }
+
+  /** Hour-of-week activity heatmap: event counts and value mass per
+    * (day-of-week, hour-of-day) cell — the traffic-shape report behind
+    * capacity planning and send-time optimization. Day/hour come from
+    * pure integer epoch arithmetic ((days+4) mod 7 pins 0=Sunday via
+    * 1970-01-01 being a Thursday) — no calendar functions, whose
+    * week-start conventions differ across engines. ONE
+    * map-side-combined aggregate; output is ≤ 168 cells at any scale.
+    */
+  def eventsHeatmap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("dow", expr("((ts_s div 86400) + 4) % 7"))
+      .withColumn("hour", expr("(ts_s % 86400) div 3600"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("value_sum"))
+      .orderBy("dow", "hour")
 }

@@ -336,4 +336,55 @@ object EventStreams {
           out.iterator
       }
   }
+
+  /** public: the state encoder's generated code must reach it. */
+  case class PendingView(viewTs: Long, viewId: Long)
+
+  case class Conversion(user_id: Long, view_event: Long,
+                        purchase_event: Long, latency_s: Long)
+
+  /** Streaming pattern detection (CEP): emit a conversion when a
+    * purchase follows the SAME user's most recent view within
+    * `windowS` seconds — the view→purchase funnel as an online
+    * detector instead of a batch rollup. State per user is ONE
+    * fixed-size (ts, id) pair: a new view replaces the pending one
+    * (last-touch semantics, matching the batch
+    * [[graft.operators.Events.eventsAttribution]]), a qualifying
+    * purchase consumes it (one conversion per view — a double
+    * purchase can't double-credit), a purchase outside the window
+    * clears it. State is O(users) with no growth in event volume;
+    * within a micro-batch events apply in (ts, event_id) order so
+    * replays are deterministic.
+    */
+  def conversionDetect(events: Dataset[Event], windowS: Long = 1800): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PendingView, Conversion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[PendingView]) =>
+          var pending = state.getOption
+          val out = Seq.newBuilder[Conversion]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime / 1000
+            e.event_type match {
+              case "view" => pending = Some(PendingView(t, e.event_id))
+              case "purchase" =>
+                pending match {
+                  case Some(p) if t >= p.viewTs && t - p.viewTs <= windowS =>
+                    out += Conversion(uid, p.viewId, e.event_id, t - p.viewTs)
+                    pending = None
+                  case Some(_) => pending = None // stale view: expire it
+                  case None => ()
+                }
+              case _ => ()
+            }
+          }
+          pending match {
+            case Some(p) => state.update(p)
+            case None    => state.remove()
+          }
+          out.result().iterator
+      }
+  }
 }

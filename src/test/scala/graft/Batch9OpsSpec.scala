@@ -80,4 +80,53 @@ class Batch9OpsSpec extends SparkSpec {
     assert(nh <= k && nh <= nc)
     assert(recall == nh.toDouble / k)
   }
+
+  test("events_heatmap: cells bounded by 168 and counts conserve the stream") {
+    val out = operators.Events.eventsHeatmap(spark, sf).cache()
+    assert(out.count() <= 168)
+    assert(out.filter(col("dow") < 0 || col("dow") > 6
+      || col("hour") < 0 || col("hour") > 23).count() == 0)
+    assert(out.agg(sum("n_events")).head.getLong(0)
+      == Tables.events(spark, sf).count())
+    out.unpersist()
+  }
+
+  test("readMediaFiles: binaryFile ingestion lands in the asMedia schema, hashes intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toFile
+    try {
+      val payloads = Map("a.png" -> "fake-png-bytes", "b.wav" -> "RIFFdata",
+        "c.bin" -> "opaque")
+      payloads.foreach { case (name, content) =>
+        java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+          content.getBytes("UTF-8"))
+      }
+      val got = multimodal.BinaryColumns
+        .readMediaFiles(spark, dir.getAbsolutePath).collect()
+      assert(got.length == 3)
+      assert(got.map(_.media_id).distinct.length == 3)
+      val byHash = got.map(r => new String(r.payload, "UTF-8")).toSet
+      assert(byHash == payloads.values.toSet)
+      got.foreach { r =>
+        assert(r.n_bytes == r.payload.length.toLong)
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.payload).map("%02x".format(_)).mkString
+        assert(r.content_hash == md)
+      }
+      // mime inferred from extension
+      val mimes = got.map(_.mime).sorted.toSeq
+      assert(mimes == Seq("application/octet-stream", "audio/wav", "image/png"))
+      // same downstream decode as the column-sourced path
+      import spark.implicits._
+      val feats = multimodal.BinaryColumns.readMediaFiles(spark, dir.getAbsolutePath)
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val (s, h, t) = multimodal.BinaryColumns.FakeDecoder.decode(r.payload)
+            (r.media_id, s, h, t)
+          }
+        }.collect()
+      assert(feats.length == 3 && feats.forall(_._2 > 0))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
 }

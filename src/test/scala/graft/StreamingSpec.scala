@@ -371,4 +371,34 @@ class StreamingSpec extends SparkSpec {
     val sums = batch.agg(org.apache.spark.sql.functions.sum("n_events")).head.getLong(0)
     assert(sums == Tables.events(spark, sf).count())
   }
+
+  test("conversionDetect: purchase within window converts, stale view expires, one credit per view") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.conversionDetect(input.toDS(), windowS = 1800)
+      .writeStream.format("memory").queryName("conversions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "view", 0.0),
+        Event(2, ts(10), 1, "purchase", 5.0),   // converts: 600s after view 1
+        Event(3, ts(15), 1, "purchase", 5.0),   // view consumed: NO second credit
+        Event(4, ts(0), 2, "view", 0.0),
+        Event(5, ts(60), 2, "purchase", 9.0),   // 3600s > window: stale, no credit
+        Event(6, ts(0), 3, "click", 0.0),
+        Event(7, ts(5), 3, "purchase", 1.0))    // no prior view at all
+      q.processAllAvailable()
+      // state carries ACROSS micro-batches: user 4 views now...
+      input.addData(Event(8, ts(100), 4, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(9, ts(110), 4, "purchase", 2.0)) // ...buys next batch
+      q.processAllAvailable()
+      val rows = spark.sql("select * from conversions")
+        .as[EventStreams.Conversion].collect().sortBy(_.user_id)
+      assert(rows.length == 2, s"got ${rows.toSeq}")
+      assert(rows(0) == EventStreams.Conversion(1, 1, 2, 600))
+      assert(rows(1) == EventStreams.Conversion(4, 8, 9, 600))
+    } finally q.stop()
+  }
 }
