@@ -124,8 +124,18 @@ object Graph {
     * (shared source; (n1, n2) against the canonical edge list) —
     * no cartesian anywhere. Each triangle is counted exactly once
     * (out-pairs ordered by id; closing edge canonical u < v).
+    *
+    * broadcastEdgesMaxBytes caps the estimated broadcast size of the
+    * closing-probe edge list (edges × ~48B hashed-relation footprint);
+    * above it the probe falls back to a shuffle equi-join on (n1, n2)
+    * — same result, and the orientation bound still caps the wedge
+    * volume. Exposed so tests can pin both regimes.
     */
-  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    graphTriangles(spark, dir, broadcastEdgesMaxBytes = 256L << 20)
+
+  def graphTriangles(spark: SparkSession, dir: String,
+                     broadcastEdgesMaxBytes: Long): DataFrame = {
     val op = graft.PlanCache.cached("affinity_op", spark, dir) {
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
@@ -165,10 +175,15 @@ object Graph {
     // while the edge list is O(m) narrow (two longs): BROADCAST the
     // edges so the probe is map-side and the wedge stream never
     // leaves its partitions — shuffling wedges costs more than the
-    // whole rest of the query. On a graph whose edge list outgrows a
-    // broadcast, drop the hint: the closing join shuffles on (n1,n2)
-    // and the orientation bound still caps the wedge volume.
-    val tri = wedges.join(broadcast(e), col("n1") === col("u") && col("n2") === col("v"))
+    // whole rest of the query. The hint is GATED on the measured edge
+    // count (e is already persisted, so the count materializes the
+    // cache the wedge join reuses — no extra pass): on a graph whose
+    // edge list outgrows a broadcast, forcing the hint would OOM the
+    // driver, so the closing join shuffles on (n1,n2) instead and the
+    // orientation bound still caps the wedge volume.
+    val edgeBytes = e.count() * 48L
+    val probeSide = if (edgeBytes <= broadcastEdgesMaxBytes) broadcast(e) else e
+    val tri = wedges.join(probeSide, col("n1") === col("u") && col("n2") === col("v"))
       .select("a", "n1", "n2")
     val perNode = tri
       .select(explode(array(col("a"), col("n1"), col("n2"))).as("p_partkey"))

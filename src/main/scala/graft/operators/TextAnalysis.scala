@@ -197,13 +197,21 @@ object TextAnalysis {
     val tf = graft.PlanCache.cached("ppl_tf", spark, dir) {
       tok.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
     }
-    val uni = tf.groupBy("w").agg(sum("cnt").as("cw"))
-    val total = uni.agg(sum("cw")).head.getLong(0)
+    // uni feeds BOTH the model join and the corpus-total scalar —
+    // cache the shared subtree so the second consumer reuses it
+    val uni = graft.PlanCache.cached("ppl_uni", spark, dir) {
+      tf.groupBy("w").agg(sum("cnt").as("cw"))
+    }
+    // corpus total as a broadcast one-row cross join (the codebase's
+    // scalar-subquery pattern, q22IdleBalance): no driver-side eager
+    // action mid-plan — the whole query stays one job
+    val totalRow = uni.agg(sum("cw").as("total"))
     val out = tf.join(uni, "w")
+      .crossJoin(broadcast(totalRow))
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_tokens"),
         sum(col("cnt").cast("double") *
-          log(lit(total.toDouble) / col("cw").cast("double"))).as("nll"))
+          log(col("total").cast("double") / col("cw").cast("double"))).as("nll"))
       .withColumn("avg_nll", round(col("nll") / col("n_tokens").cast("double"), 6))
       .select(col("doc_id"), col("n_tokens"), col("avg_nll"),
         round(exp(col("avg_nll")), 6).as("ppl"))

@@ -66,6 +66,19 @@ object Sinks {
     // rebuild the table from one batch and DROP the history
     val hPath = new org.apache.hadoop.fs.Path(tablePath)
     val hfs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
+    val trash = new org.apache.hadoop.fs.Path(tablePath + ".old")
+    // recovery: a crash between rename(live→trash) and rename(tmp→live)
+    // leaves the live path absent while tmp holds the complete merged
+    // table (tmp is only ever renamed after its write finished) and
+    // trash holds the pre-merge history. Promote tmp if present, else
+    // restore trash — BEFORE the existence probe, or this run would
+    // treat the incoming batch as the entire history and then delete
+    // the only surviving copies.
+    if (!hfs.exists(hPath)) {
+      if (hfs.exists(tmp)) hfs.rename(tmp, hPath)
+      else if (hfs.exists(trash)) hfs.rename(trash, hPath)
+    }
     val exists = hfs.exists(hPath) && hfs.listStatus(hPath).nonEmpty
     val merged =
       if (exists)
@@ -77,10 +90,11 @@ object Sinks {
     // also materializes the read of the OLD table before anything
     // touches it), then rename old→trash, tmp→live, drop trash.
     // A crash before the first rename leaves the old table live; a
-    // crash between the renames leaves the full result in tmp/trash
-    // — nothing is ever truncated in place.
-    val tmp = new org.apache.hadoop.fs.Path(tablePath + ".tmp")
-    val trash = new org.apache.hadoop.fs.Path(tablePath + ".old")
+    // crash between the renames leaves the full result in tmp/trash,
+    // which the recovery step above promotes on the next run —
+    // nothing is ever truncated in place. Deleting staging dirs here
+    // is safe only because a healthy live table now exists (or there
+    // was never any history).
     hfs.delete(tmp, true); hfs.delete(trash, true)
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (hfs.exists(hPath)) hfs.rename(hPath, trash)

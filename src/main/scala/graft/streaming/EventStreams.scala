@@ -351,40 +351,67 @@ object EventStreams {
     * (last-touch semantics, matching the batch
     * [[graft.operators.Events.eventsAttribution]]), a qualifying
     * purchase consumes it (one conversion per view — a double
-    * purchase can't double-credit), a purchase outside the window
-    * clears it. State is O(users) with no growth in event volume;
-    * within a micro-batch events apply in (ts, event_id) order so
-    * replays are deterministic.
+    * purchase can't double-credit), a purchase past the window
+    * deadline clears it, and a purchase that PREDATES the view
+    * (late/out-of-order delivery across micro-batches) leaves it
+    * intact — stale data must not cancel a still-valid view.
+    *
+    * State is bounded by EVENT-TIME TIMEOUT, not just by event flow:
+    * a pending view whose conversion deadline (viewTs + windowS)
+    * falls behind the watermark can never convert — any qualifying
+    * purchase would itself be late beyond the watermark and dropped
+    * — so the state is evicted. That keeps state O(recently active
+    * users), not O(all users ever seen), on an unbounded stream.
+    * `lateS` is the watermark delay (how long out-of-order events are
+    * accepted); within a micro-batch events apply in (ts, event_id)
+    * order so replays are deterministic.
     */
-  def conversionDetect(events: Dataset[Event], windowS: Long = 1800): Dataset[Conversion] = {
+  def conversionDetect(events: Dataset[Event], windowS: Long = 1800,
+                       lateS: Long = 1800): Dataset[Conversion] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", s"$lateS seconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[PendingView, Conversion](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[Event], state: GroupState[PendingView]) =>
-          var pending = state.getOption
-          val out = Seq.newBuilder[Conversion]
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime / 1000
-            e.event_type match {
-              case "view" => pending = Some(PendingView(t, e.event_id))
-              case "purchase" =>
-                pending match {
-                  case Some(p) if t >= p.viewTs && t - p.viewTs <= windowS =>
-                    out += Conversion(uid, p.viewId, e.event_id, t - p.viewTs)
-                    pending = None
-                  case Some(_) => pending = None // stale view: expire it
-                  case None => ()
-                }
-              case _ => ()
+          if (state.hasTimedOut) {
+            // watermark passed the pending view's conversion deadline:
+            // no on-time purchase can consume it — drop the state
+            state.remove()
+            Iterator.empty
+          } else {
+            var pending = state.getOption
+            val out = Seq.newBuilder[Conversion]
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val t = e.ts.getTime / 1000
+              e.event_type match {
+                case "view" => pending = Some(PendingView(t, e.event_id))
+                case "purchase" =>
+                  pending match {
+                    case Some(p) if t >= p.viewTs && t - p.viewTs <= windowS =>
+                      out += Conversion(uid, p.viewId, e.event_id, t - p.viewTs)
+                      pending = None
+                    case Some(p) if t - p.viewTs > windowS =>
+                      pending = None // aged past the window: expire it
+                    case _ => () // predates the view, or no view: no-op
+                  }
+                case _ => ()
+              }
             }
+            pending match {
+              case Some(p) =>
+                state.update(p)
+                // evict once the watermark passes the deadline; the
+                // timeout must sit strictly ahead of the current
+                // watermark or Spark rejects it
+                val deadlineMs = (p.viewTs + windowS) * 1000L + 1000L
+                state.setTimeoutTimestamp(
+                  math.max(deadlineMs, state.getCurrentWatermarkMs + 1))
+              case None => state.remove()
+            }
+            out.result().iterator
           }
-          pending match {
-            case Some(p) => state.update(p)
-            case None    => state.remove()
-          }
-          out.result().iterator
       }
   }
 }

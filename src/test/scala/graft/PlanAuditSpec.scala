@@ -79,6 +79,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("graph_triangles: closing probe broadcasts under the cap, shuffles above it") {
+    // disable auto-broadcast so the regime choice is attributable to
+    // the operator's own gate, not to Catalyst's statistics on the
+    // tiny test graph
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // default regime: edge list fits the cap → the hint forces a
+      // map-side broadcast probe; the wedge stream never shuffles
+      val pB = plan(operators.Graph.graphTriangles(spark, sf))
+      assert(pB.contains("BroadcastHashJoin"), "edge probe must broadcast under the cap")
+      assert(!pB.contains("CartesianProduct"))
+      // oversized regime: cap of 0 forces the fallback — the closing
+      // join shuffles on (n1,n2) instead of OOMing the driver with a
+      // forced broadcast of an edge list that no longer fits
+      val pS = plan(operators.Graph.graphTriangles(spark, sf, broadcastEdgesMaxBytes = 0L))
+      assert(!pS.contains("BroadcastHashJoin"),
+        "above the cap the closing probe must not force a broadcast")
+      assert(pS.contains("SortMergeJoin") || pS.contains("ShuffledHashJoin"),
+        s"above the cap the closing probe must shuffle:\n${pS.take(2000)}")
+      assert(!pS.contains("CartesianProduct"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("kmeans: centroids broadcast, assignment is an aggregate not a window") {
     val p = plan(operators.Similarity.clusterKmeans(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin"), "k centroids ride a broadcast")

@@ -153,6 +153,38 @@ class SinksSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("incrementalAggregate: recovers live table after mid-swap crash") {
+    val dir = tmp() + "/agg_crash"
+    val o = Tables.orders(spark, sf)
+    val b1 = o.filter(col("o_orderkey") % 2 === 0)
+    val b2 = o.filter(col("o_orderkey") % 2 === 1)
+    Sinks.incrementalAggregate(spark, dir, b1, Seq("o_orderstatus"), "o_totalprice")
+    // simulate a crash between rename(live→trash) and rename(tmp→live):
+    // live is gone, tmp holds the (completed) merged table, trash the
+    // pre-merge history — exactly the window the recovery step covers
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val hfs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.rename(hPath, new org.apache.hadoop.fs.Path(dir + ".tmp"))
+    graft.PlanCache.invalidate(dir)
+    // the next fold must promote tmp back to live, NOT treat b2 as
+    // the entire history (the pre-fix behavior lost every prior batch)
+    val last = Sinks.incrementalAggregate(spark, dir, b2,
+      Seq("o_orderstatus"), "o_totalprice")
+    val full = o.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), sum("o_totalprice").as("sum_val"))
+    val got = last.orderBy("o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100)))
+    val want = full.orderBy("o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100)))
+    assert(got.toSeq == want.toSeq,
+      "recovery must restore history before folding the new batch")
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(dir + ".tmp"))
+      && !hfs.exists(new org.apache.hadoop.fs.Path(dir + ".old")),
+      "staging dirs cleaned up after a healthy swap")
+  }
+
   test("jdbc source: partition-parallel read with remote filter pushdown") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graftjdbcsrc;create=true"

@@ -401,4 +401,102 @@ class StreamingSpec extends SparkSpec {
       assert(rows(1) == EventStreams.Conversion(4, 8, 9, 600))
     } finally q.stop()
   }
+
+  test("conversionDetect: pending view of an inactive user is evicted by event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.conversionDetect(input.toDS(), windowS = 1800, lateS = 1800)
+      .writeStream.format("memory").queryName("evict")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 10 views and then goes silent forever; user 11 keeps the
+      // stream (and the watermark) moving
+      input.addData(Event(1, ts(0), 10, "view", 0.0),
+                    Event(2, ts(0), 11, "view", 0.0))
+      q.processAllAvailable()
+      // watermark advances far past user 10's conversion deadline
+      // (viewTs + windowS = base + 30min; watermark = 120min - 30min)
+      input.addData(Event(3, ts(120), 11, "purchase", 1.0))
+      q.processAllAvailable()
+      // one more trigger so the timeout fires
+      input.addData(Event(4, ts(121), 12, "view", 0.0))
+      q.processAllAvailable()
+      val conv = spark.sql("select * from evict").as[EventStreams.Conversion].collect()
+      assert(conv.isEmpty, s"nothing converts here: ${conv.toSeq}")
+      val stateRows = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .last.stateOperators(0).numRowsTotal
+      // user 10 evicted by timeout, user 11 cleared by the stale
+      // purchase — only user 12's fresh view remains
+      assert(stateRows == 1,
+        s"state must be O(active users), got $stateRows rows")
+    } finally q.stop()
+  }
+
+  test("conversionDetect: out-of-order purchase that predates the view cannot cancel it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.conversionDetect(input.toDS(), windowS = 1800, lateS = 1800)
+      .writeStream.format("memory").queryName("late_purchase")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(100), 20, "view", 0.0))
+      q.processAllAvailable()
+      // a late purchase from BEFORE the view arrives in the next
+      // micro-batch (within the watermark delay, so it is processed);
+      // it must not consume the still-valid pending view
+      input.addData(Event(2, ts(90), 20, "purchase", 1.0),
+                    Event(3, ts(101), 20, "purchase", 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from late_purchase")
+        .as[EventStreams.Conversion].collect()
+      assert(rows.toSeq == Seq(EventStreams.Conversion(20, 1, 3, 60)),
+        s"the in-window purchase keeps its credit: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("conversionDetect replay matches a plain-Scala fold of the same machine on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val windowS = 1800L
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "ts_s", "user_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    // reference: per-user fold of the documented semantics
+    val expected = evs.groupBy(_._3).toSeq.flatMap { case (uid, rows) =>
+      var pending: Option[(Long, Long)] = None // (viewTs, viewId)
+      rows.toSeq.sortBy(e => (e._2, e._1)).flatMap { e =>
+        e._4 match {
+          case "view" => pending = Some((e._2, e._1)); None
+          case "purchase" => pending match {
+            case Some((vt, vid)) if e._2 >= vt && e._2 - vt <= windowS =>
+              pending = None
+              Some(EventStreams.Conversion(uid, vid, e._1, e._2 - vt))
+            case Some((vt, _)) if e._2 - vt > windowS =>
+              pending = None; None
+            case _ => None
+          }
+          case _ => None
+        }
+      }
+    }.toSet
+    val input = MemoryStream[Event]
+    val q = EventStreams.conversionDetect(input.toDS(), windowS = windowS)
+      .writeStream.format("memory").queryName("replay_parity")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // one batch: the initial watermark is 0, so nothing is late and
+      // the full history replays through the state machine
+      input.addData(evs.map(e =>
+        Event(e._1, new Timestamp(e._2 * 1000L), e._3, e._4, e._5)): _*)
+      q.processAllAvailable()
+      val got = spark.sql("select * from replay_parity")
+        .as[EventStreams.Conversion].collect().toSet
+      assert(got == expected,
+        s"streaming/batch parity: ${got.size} streamed vs ${expected.size} folded; " +
+          s"diff=${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
+    } finally q.stop()
+  }
 }
