@@ -82,6 +82,7 @@ object SparkEntry {
     "knn_brute" -> (Similarity.knnBrute _),
     "knn_signlsh" -> (Similarity.knnSignLsh _),
     "knn_ivf" -> (Similarity.knnIvf _),
+    "knn_ivf_indexed" -> (Similarity.knnIvfIndexed _),
     "knn_batch" -> (Similarity.knnBatch _),
     "cluster_kmeans" -> (Similarity.clusterKmeans _),
     // sketches + range join
@@ -215,8 +216,14 @@ object SparkEntry {
 
   /** DuckDB-dialect oracle for each query (driver runs these on the
     * same parquet tables and hash-compares).
+    *
+    * knn_ivf_indexed probes a stored copy of the same index knn_ivf
+    * computes inline, so one oracle covers both.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    ("knn_ivf_indexed" -> oracleSqlBase("knn_ivf"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -48,14 +48,27 @@ object Similarity {
     */
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = vecsWithNorm(spark, dir)
-    // element-wise mean per label via posexplode + regroup
-    val centroids = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"), col("norm").as("qn"))
+    ivfProbe(e, ivfCentroids(e), q)
+  }
+
+  /** The IVF coarse quantizer: element-wise mean per label via
+    * posexplode + regroup — a (label, dim)-keyed aggregation, |labels|
+    * output rows.
+    */
+  private def ivfCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("label", "pos").agg(avg("x").as("cx"))
       .groupBy("label")
       .agg(expr("transform(sort_array(collect_list(struct(pos, cx))), s -> s.cx)").as("cv"))
-    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"), col("norm").as("qn"))
-    // nprobe nearest centroids by rounded cosine (tie → smallest
-    // label); a bounded TakeOrdered over the ≤nlist centroid rows
+
+  /** The IVF probe, shared by the in-memory and the persisted-index
+    * paths so their results match exactly: route the query to its
+    * nprobe=2 nearest centroids (a bounded TakeOrdered over ≤nlist
+    * centroid rows by rounded cosine, tie → smallest label), then
+    * score only the probed inverted lists.
+    */
+  private def ivfProbe(lists: DataFrame, centroids: DataFrame, q: DataFrame): DataFrame = {
     val best = centroids.crossJoin(broadcast(q))
       .withColumn("cnorm", graft.functions.Vectors.normHof("cv"))
       .withColumn("csim", round(
@@ -64,8 +77,7 @@ object Similarity {
       .orderBy(col("csim").desc, col("label"))
       .limit(2)
       .select(col("label").as("target_label"))
-    // search only the probed inverted lists
-    val scored = e.as("e").join(broadcast(best), col("e.label") === col("target_label"))
+    val scored = lists.as("e").join(broadcast(best), col("e.label") === col("target_label"))
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q.as("q")))
       .withColumn("cosine", round(
@@ -74,6 +86,58 @@ object Similarity {
       .select(col("e.vec_id").as("vec_id"), col("e.label").as("label"), col("cosine"))
     graft.functions.TopK.globalWithRank(scored, 5,
       col("cosine").desc, col("vec_id"))
+  }
+
+  /** Build the IVF index ONCE and persist it: the centroid table plus
+    * the corpus (with precomputed norms) written PARTITIONED BY coarse
+    * cell. A stored probe then reads just the nprobe matching
+    * partitions — the partition layout IS the inverted-list structure,
+    * so index build cost is paid once, not per query (the data-lake
+    * analog of the reference loader's build-once CREATE INDEX step,
+    * loadingcsv_topostgre_optimized.py optimize_table).
+    */
+  def buildIvfIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    val e = vecsWithNorm(spark, dir)
+    ivfCentroids(e).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexPath/centroids")
+    e.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("label")
+      .parquet(s"$indexPath/lists")
+  }
+
+  /** Probe a stored IVF index built by [[buildIvfIndex]]. Nothing is
+    * recomputed: centroids and inverted lists come off disk, and the
+    * probe join against the 2-row broadcast cell set triggers DYNAMIC
+    * PARTITION PRUNING on the list layout — the scan touches only the
+    * probed cells' files, which is what makes a stored index cheaper
+    * than a corpus scan at 100× (nprobe/nlist of the bytes).
+    * Identical output to [[knnIvf]] (same probe plan over the same
+    * data — IndexSpec pins the round-trip).
+    */
+  def knnIvfPersisted(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val lists = spark.read.parquet(s"$indexPath/lists")
+      // partition-column inference may narrow the label type; restore
+      // the centroid table's (original) type so output schemas match
+      .withColumn("label", col("label").cast(cents.schema("label").dataType))
+    val q = vecsWithNorm(spark, dir).filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("norm").as("qn"))
+    ivfProbe(lists, cents, q)
+  }
+
+  /** [[knnIvfPersisted]] with the index lifecycle handled: build into
+    * a per-corpus staging dir on first use, probe the stored index on
+    * every later call (bench reps, repeated queries).
+    */
+  def knnIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val idx = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivf_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+    if (!new java.io.File(s"$idx/centroids/_SUCCESS").exists() ||
+        !new java.io.File(s"$idx/lists/_SUCCESS").exists())
+      buildIvfIndex(spark, dir, idx)
+    knnIvfPersisted(spark, dir, idx)
   }
 
   /** Batch ANN: top-3 cosine neighbors for EACH query vector

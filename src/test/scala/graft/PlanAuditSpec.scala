@@ -103,6 +103,22 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("Unordered strips the trailing oracle sort and nothing else") {
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    def globalSorts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case s: Sort if s.global => s }.size
+    val ordered = operators.Events.eventsUserProfile(spark, sf)
+    assert(globalSorts(ordered) >= 1, "the registered query ends with an oracle sort")
+    val unordered = graft.functions.Unordered(ordered)
+    assert(globalSorts(unordered) == 0,
+      "the production variant must not pay a global range-exchange for presentation order")
+    // same rows, order aside
+    assert(unordered.collect().toSet == ordered.collect().toSet)
+    // no trailing sort → no-op, not an exception
+    assert(graft.functions.Unordered(unordered).collect().length ==
+      ordered.collect().length)
+  }
+
   test("kmeans: centroids broadcast, assignment is an aggregate not a window") {
     val p = plan(operators.Similarity.clusterKmeans(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin"), "k centroids ride a broadcast")
