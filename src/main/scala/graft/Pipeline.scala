@@ -13,21 +13,70 @@ import graft.sources.Sinks
   */
 object Pipeline {
 
-  case class StageResult(name: String, rows: Long, seconds: Double)
+  case class StageResult(name: String, rows: Long, seconds: Double,
+                         attempts: Int = 1)
+
+  /** Orchestration policy — the retry/alert semantics an Airflow DAG
+    * carries in its operator config (the reference's per-task
+    * logger.error + raise, dags/etl_pipeline.py:85-88), expressed as
+    * a policy VALUE so it composes with plain function composition.
+    * A failed stage is retried up to `retries` times after
+    * `retryDelayMs`; each attempt re-evaluates the stage's DataFrame
+    * thunk from its (already-materialized) inputs, so a retry redoes
+    * one stage, not the pipeline. Exhausting retries fires
+    * `onFailure` and rethrows — downstream stages never run on a
+    * missing input. `onSuccess` is the per-stage log/metrics hook.
+    */
+  case class StagePolicy(
+      retries: Int = 1,
+      retryDelayMs: Long = 0L,
+      onFailure: (String, Throwable) => Unit = (_, _) => (),
+      onSuccess: StageResult => Unit = _ => ())
+
+  private def runStage(spark: SparkSession, outDir: String, policy: StagePolicy)(
+      name: String, df: => DataFrame, partitionCols: Seq[String] = Nil): StageResult = {
+    val t0 = System.nanoTime()
+    var attempt = 0
+    var result: Option[StageResult] = None
+    while (result.isEmpty) {
+      attempt += 1
+      try {
+        val out = df
+        if (partitionCols.nonEmpty) Sinks.writePartitioned(out, s"$outDir/$name", partitionCols)
+        else out.write.mode("overwrite").parquet(s"$outDir/$name")
+        val rows = spark.read.parquet(s"$outDir/$name").count()
+        result = Some(StageResult(name, rows, (System.nanoTime() - t0) / 1e9, attempt))
+      } catch {
+        case e: Exception if attempt <= policy.retries =>
+          System.err.println(s"[pipeline] stage $name attempt $attempt failed, retrying: $e")
+          if (policy.retryDelayMs > 0) Thread.sleep(policy.retryDelayMs)
+        case e: Exception =>
+          policy.onFailure(name, e)
+          throw e
+      }
+    }
+    policy.onSuccess(result.get)
+    result.get
+  }
+
+  /** Test seam for the stage runner (retry/alert behavior is pinned
+    * directly, without paying for a full pipeline run per case).
+    */
+  private[graft] def runStageForTest(spark: SparkSession, outDir: String,
+      policy: StagePolicy)(name: String, df: => DataFrame): StageResult =
+    runStage(spark, outDir, policy)(name, df)
 
   /** Run clean → match → quality over a testdata dir, writing each
     * stage's output as partitioned parquet under outDir. Returns
     * per-stage row counts and timings (the DAG's per-stage logs).
     */
-  def run(spark: SparkSession, dir: String, outDir: String): Seq[StageResult] = {
-    def stage(name: String, df: => DataFrame, partitionCols: Seq[String] = Nil): StageResult = {
-      val t0 = System.nanoTime()
-      val out = df
-      if (partitionCols.nonEmpty) Sinks.writePartitioned(out, s"$outDir/$name", partitionCols)
-      else out.write.mode("overwrite").parquet(s"$outDir/$name")
-      val rows = spark.read.parquet(s"$outDir/$name").count()
-      StageResult(name, rows, (System.nanoTime() - t0) / 1e9)
-    }
+  def run(spark: SparkSession, dir: String, outDir: String,
+          policy: StagePolicy = StagePolicy()): Seq[StageResult] = {
+    // a local forwarder, NOT eta-expansion — eta-expanding a by-name
+    // parameter evaluates it eagerly, which would run the stage once
+    // outside the retry loop
+    def stage(name: String, df: => DataFrame, partitionCols: Seq[String] = Nil): StageResult =
+      runStage(spark, outDir, policy)(name, df, partitionCols)
     Seq(
       stage("abr_cleaned", Cleaning.cleanAbr(spark, dir)),
       stage("cc_cleaned", Cleaning.cleanCc(spark, dir)),
@@ -44,16 +93,11 @@ object Pipeline {
     * restarts from its input, not the source (the reference DAG's
     * retry-per-task property, without the driver orchestration).
     */
-  def runCuration(spark: SparkSession, dir: String, outDir: String): Seq[StageResult] = {
+  def runCuration(spark: SparkSession, dir: String, outDir: String,
+                  policy: StagePolicy = StagePolicy()): Seq[StageResult] = {
     import org.apache.spark.sql.functions.col
-    def stage(name: String, df: => DataFrame, partitionCols: Seq[String] = Nil): StageResult = {
-      val t0 = System.nanoTime()
-      val out = df
-      if (partitionCols.nonEmpty) Sinks.writePartitioned(out, s"$outDir/$name", partitionCols)
-      else out.write.mode("overwrite").parquet(s"$outDir/$name")
-      val rows = spark.read.parquet(s"$outDir/$name").count()
-      StageResult(name, rows, (System.nanoTime() - t0) / 1e9)
-    }
+    def stage(name: String, df: => DataFrame, partitionCols: Seq[String] = Nil): StageResult =
+      runStage(spark, outDir, policy)(name, df, partitionCols)
     val quality = stage("doc_quality", TextAnalysis.textQuality(spark, dir))
     val comps = stage("dup_components", Dedup.dedupComponents(spark, dir))
     // the per-doc end-product table (dup/repetition/quality/

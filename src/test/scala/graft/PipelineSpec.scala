@@ -48,4 +48,33 @@ class PipelineSpec extends SparkSpec {
     assert(export.filter(
       col("text").rlike(operators.TextAnalysis.piiEmailRe)).count() == 0)
   }
+
+  test("stage policy: a transient failure is retried, a persistent one alerts and aborts") {
+    import org.apache.spark.sql.functions.lit
+    val out = java.nio.file.Files.createTempDirectory("graft-retry").toString
+    // transient: first evaluation throws, the retry succeeds — the
+    // stage thunk must be re-evaluated per attempt (by-name, not eager)
+    var calls = 0
+    val flaky = Pipeline.StagePolicy(retries = 1)
+    val r = Pipeline.runStageForTest(spark, out, flaky)("flaky_stage", {
+      calls += 1
+      if (calls == 1) sys.error("transient stage failure")
+      Tables.nation(spark, sf).withColumn("marker", lit(1))
+    })
+    assert(r.attempts == 2 && r.rows > 0, r.toString)
+    assert(spark.read.parquet(s"$out/flaky_stage").count() == r.rows)
+    // persistent: retries exhaust, the failure hook fires with the
+    // stage name, and the error propagates so downstream stages
+    // never run against a missing input
+    var alerted: Option[(String, String)] = None
+    val alertPolicy = Pipeline.StagePolicy(retries = 1,
+      onFailure = (n, e) => alerted = Some((n, e.getMessage)))
+    val ex = intercept[RuntimeException] {
+      Pipeline.runStageForTest(spark, out, alertPolicy)("doomed_stage", {
+        sys.error("persistent stage failure")
+      })
+    }
+    assert(ex.getMessage == "persistent stage failure")
+    assert(alerted.contains(("doomed_stage", "persistent stage failure")))
+  }
 }
