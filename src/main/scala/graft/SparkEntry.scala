@@ -66,6 +66,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_embed_nn" -> (Dedup.dedupEmbedNn _),
     "dedup_components" -> (Dedup.dedupComponents _),
+    "dedup_keep_best" -> (Dedup.dedupKeepBest _),
     "dedup_substring" -> (Dedup.dedupSubstring _),
     "contamination_ngram" -> (Dedup.contaminationNgram _),
     // text analysis
@@ -77,6 +78,7 @@ object SparkEntry {
     "text_tokens_bpe" -> (TextAnalysis.textTokensBpe _),
     "text_rolling_hash" -> (TextAnalysis.textRollingHash _),
     "text_perplexity" -> (TextAnalysis.textPerplexity _),
+    "text_dsir" -> (TextAnalysis.textDsir _),
     "text_repetition" -> (TextAnalysis.textRepetition _),
     // similarity search
     "knn_brute" -> (Similarity.knnBrute _),
@@ -91,6 +93,7 @@ object SparkEntry {
     "events_histogram" -> (Events.eventsHistogram _),
     "events_zscore" -> (Events.eventsZscore _),
     "sample_stratified" -> (Sampling.sampleStratified _),
+    "sample_token_budget" -> (Sampling.sampleTokenBudget(_, _)),
     "sample_per_group" -> (Sampling.samplePerGroup _),
     "sample_weighted_mix" -> (Sampling.sampleWeightedMix _),
     "text_pmi_bigrams" -> (TextAnalysis.textPmiBigrams _),
@@ -361,6 +364,54 @@ object SparkEntry {
         | round(avg(value) OVER (PARTITION BY user_id ORDER BY ts_s
         |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS avg_1h
         |FROM e ORDER BY event_id""".stripMargin,
+
+    "dedup_keep_best" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    string_split_regex(text,'\s+'))), ' ')) AS fp,
+        |  CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |fam AS (SELECT *, count(*) OVER (PARTITION BY fp) AS n,
+        |  min(doc_id) OVER (PARTITION BY fp) AS component,
+        |  row_number() OVER (PARTITION BY fp
+        |    ORDER BY n_tokens DESC, doc_id) AS rn FROM fp)
+        |SELECT doc_id, component, CAST(n AS BIGINT) AS n_members, n_tokens,
+        |  CASE WHEN rn = 1 THEN 1 ELSE 0 END AS is_keeper
+        |FROM fam WHERE n > 1 ORDER BY doc_id""".stripMargin,
+
+    "text_dsir" ->
+      """WITH tok AS (SELECT doc_id,
+        |   unnest(string_split_regex(text,'\s+')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY 1, 2),
+        |src AS (SELECT w, sum(cnt) AS sw FROM tf GROUP BY w),
+        |tgt AS (SELECT w, sum(cnt) AS tw FROM tf
+        |  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+        |  GROUP BY w),
+        |tots AS (SELECT (SELECT sum(sw) FROM src) AS s_total,
+        |  (SELECT count(*) FROM src) AS vocab,
+        |  (SELECT coalesce(sum(tw), 0) FROM tgt) AS t_total)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  round(sum(cnt * (ln((coalesce(tw, 0) + 1.0) / (t_total + vocab))
+        |    - ln((sw + 1.0) / (s_total + vocab)))) / sum(cnt), 6) AS avg_log_ratio
+        |FROM tf JOIN src USING(w) LEFT JOIN tgt USING(w) CROSS JOIN tots
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sample_token_budget" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split_regex(text,'\s+'),
+        |    x -> x IN ('the','a','or','and'))) AS BIGINT) AS n_stop
+        | FROM documents),
+        |s AS (SELECT doc_id, n_tokens,
+        |  1.0 - CAST(n_stop AS DOUBLE) / n_tokens AS score FROM m),
+        |tot AS (SELECT 0.25 * sum(n_tokens) AS budget FROM s),
+        |r AS (SELECT doc_id, n_tokens, score,
+        |  coalesce(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        | FROM s)
+        |SELECT doc_id, n_tokens, round(score, 6) AS score
+        |FROM r CROSS JOIN tot WHERE pre < budget ORDER BY doc_id""".stripMargin,
 
     "dedup_components" ->
       """WITH fp AS (SELECT doc_id,

@@ -257,6 +257,41 @@ object Dedup {
     * Label propagation halves eccentricity per round (log-diameter
     * rounds); each round is one join + aggregate.
     */
+  /** Canonical-member election over near-dup families: for every
+    * duplicate family (same normalized-token fingerprint as
+    * [[dedupComponents]]), elect the LONGEST member as the keeper
+    * (tie → smallest doc_id) — the curation policy that keeps the
+    * most complete copy of boilerplate-wrapped content instead of
+    * whichever id sorts first. One row per family member with the
+    * family id, its size, and the keep/drop verdict.
+    *
+    * Scale shape: one fingerprint groupBy (the election is a single
+    * max(struct) aggregate — no per-family window over the corpus),
+    * then one equi-join back on the fingerprint. Families are the
+    * join key, so a degenerate family (millions of identical docs)
+    * skews one key — the same salting tools as every other family
+    * join apply; the aggregate itself is map-side combinable.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir)
+      .withColumn("t", split(col("text"), "\\s+"))
+      .withColumn("fp", md5(array_join(array_sort(array_distinct(col("t"))), " ")))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .select("doc_id", "fp", "n_tokens")
+    // keeper via max(struct(n_tokens, -doc_id)): max tokens, then the
+    // SMALLEST id among equals (negation flips min into the max)
+    val fam = fp.groupBy("fp")
+      .agg(count(lit(1)).as("n_members"), min("doc_id").as("component"),
+        max(struct(col("n_tokens"), (-col("doc_id")).as("neg"))).as("k"))
+      .filter(col("n_members") > 1)
+      .select(col("fp"), col("component"), col("n_members"),
+        (-col("k.neg")).as("keeper"))
+    fp.join(fam, "fp")
+      .select(col("doc_id"), col("component"), col("n_members"), col("n_tokens"),
+        when(col("doc_id") === col("keeper"), 1).otherwise(0).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val fp = Tables.documents(spark, dir)
       .withColumn("fp", md5(array_join(array_sort(array_distinct(

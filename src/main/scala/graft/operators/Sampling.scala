@@ -23,6 +23,59 @@ object Sampling {
     * with its hash, so downstream stages can re-threshold WITHOUT
     * rescanning: any rate r' < r is a filter on `u`.
     */
+  /** Quality-ranked selection under a token budget: keep the
+    * best-scoring documents (score = 1 − stopword ratio, tie →
+    * smallest doc_id) while the running token total BEFORE each doc
+    * is still under `frac` of the corpus — "fill 25% of the budget
+    * with the best data", the greedy selection step of
+    * quality-filtered pretraining mixes.
+    *
+    * Scale shape: the naive formulation is a GLOBAL cumulative-sum
+    * window (one partition holding the whole corpus — the #1
+    * scale-killer). Instead the score axis is bucketed into ≤65
+    * fixed-width bins: per-bin token totals aggregate map-side, the
+    * bin-level prefix sum is a ≤65×65 broadcast self-join, and only
+    * the WITHIN-bin running sum needs a window — PARTITIONED by bin,
+    * so its state is one bin's docs, not the corpus. Every doc's
+    * global prefix = its bin's prefix + its within-bin prefix, which
+    * equals the single-window answer exactly (bins are monotone in
+    * score, and within-bin order extends the global (score, doc_id)
+    * order).
+    */
+  def sampleTokenBudget(spark: SparkSession, dir: String,
+                        frac: Double = 0.25): DataFrame = {
+    val stop = Seq("the", "a", "or", "and")
+    val scored = graft.PlanCache.cached("budget_scored", spark, dir) {
+      Tables.documents(spark, dir)
+        .withColumn("t", split(col("text"), "\\s+"))
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .withColumn("n_stop", expr(
+          s"size(filter(t, x -> x IN (${stop.map("'" + _ + "'").mkString(",")})))").cast("long"))
+        // score stays UNROUNDED: the ordering key must be the same
+        // exact double in every engine; rounding is presentation
+        .withColumn("score",
+          lit(1.0) - col("n_stop").cast("double") / col("n_tokens").cast("double"))
+        .select(col("doc_id"), col("n_tokens"), col("score"),
+          floor(col("score") * 64).cast("int").as("bin"))
+    }
+    val budgetRow = scored.agg((lit(frac) * sum("n_tokens")).as("budget"))
+    val binTotals = scored.groupBy("bin").agg(sum("n_tokens").as("bin_tokens"))
+    val higher = binTotals.select(col("bin").as("hbin"), col("bin_tokens").as("htok"))
+    // tokens in all strictly-better bins — a bounded (≤65 rows/side)
+    // non-equi broadcast join, NOT a global window
+    val binBefore = binTotals.join(broadcast(higher), col("hbin") > col("bin"), "left")
+      .groupBy("bin").agg(coalesce(sum("htok"), lit(0L)).as("bin_before"))
+    val withinW = Window.partitionBy("bin")
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    scored.join(broadcast(binBefore), "bin")
+      .withColumn("within", coalesce(sum("n_tokens").over(withinW), lit(0L)))
+      .crossJoin(broadcast(budgetRow))
+      .filter(col("bin_before") + col("within") < col("budget"))
+      .select(col("doc_id"), col("n_tokens"), round(col("score"), 6).as("score"))
+      .orderBy("doc_id")
+  }
+
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
     // native codegen'd hex-prefix hash (graft_hex_long) — the
     // interpreted aggregate-lambda formulation costs ~10x per row

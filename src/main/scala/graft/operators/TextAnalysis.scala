@@ -189,14 +189,20 @@ object TextAnalysis {
     * broadcast but the join stays a plain hash join), then one
     * aggregation per doc. No driver-side model state.
     */
-  def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks).as("w"))
-    // per-doc term frequency first: the model join then moves one row
-    // per DISTINCT (doc, token) instead of one per token occurrence
-    val tf = graft.PlanCache.cached("ppl_tf", spark, dir) {
-      tok.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+  /** Per-doc term frequency — the shared input of every unigram-LM
+    * operator ([[textPerplexity]], [[textDsir]]): one row per DISTINCT
+    * (doc, token), so model joins move |distinct| rows instead of one
+    * per token occurrence. PlanCache'd across consumers.
+    */
+  private def docTf(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("ppl_tf", spark, dir) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(toks).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
     }
+
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docTf(spark, dir)
     // uni feeds BOTH the model join and the corpus-total scalar —
     // cache the shared subtree so the second consumer reuses it
     val uni = graft.PlanCache.cached("ppl_uni", spark, dir) {
@@ -217,6 +223,47 @@ object TextAnalysis {
         round(exp(col("avg_nll")), 6).as("ppl"))
       .orderBy("doc_id")
     out
+  }
+
+  /** DSIR-style importance weights: score each document by how much
+    * more likely its tokens are under a TARGET-domain unigram LM
+    * (here: the English subset) than under the whole-corpus LM —
+    * the data-selection signal behind importance resampling of web
+    * data toward a desired domain (per-token mean of
+    * log p_target(w) − log p_source(w), add-1 smoothed over the
+    * source vocabulary so unseen-in-target tokens penalize instead of
+    * zeroing).
+    *
+    * Scale shape: both LMs are token-count aggregations off the
+    * shared cached (doc, token, cnt) relation; scoring is one hash
+    * join per LM (the model tables shuffle on the token — at web
+    * scale they outgrow a broadcast but stay plain equi-joins) and
+    * the corpus totals ride a broadcast one-row cross join. Nothing
+    * driver-side, nothing quadratic.
+    */
+  def textDsir(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docTf(spark, dir)
+    val src = graft.PlanCache.cached("dsir_src", spark, dir) {
+      tf.groupBy("w").agg(sum("cnt").as("sw"))
+    }
+    val tgtDocs = Tables.documents(spark, dir)
+      .filter(col("lang") === "en").select("doc_id")
+    val tgt = tf.join(tgtDocs, "doc_id").groupBy("w").agg(sum("cnt").as("tw"))
+    val totals = src.agg(sum("sw").as("s_total"), count(lit(1)).as("vocab"))
+      .crossJoin(tgt.agg(coalesce(sum("tw"), lit(0L)).as("t_total")))
+    tf.join(src, "w")
+      .join(tgt, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_tokens"),
+        sum(col("cnt").cast("double") * (
+          log((coalesce(col("tw"), lit(0L)) + lit(1)).cast("double")
+            / (col("t_total") + col("vocab")).cast("double"))
+          - log((col("sw") + lit(1)).cast("double")
+            / (col("s_total") + col("vocab")).cast("double")))).as("lr"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lr") / col("n_tokens").cast("double"), 6).as("avg_log_ratio"))
+      .orderBy("doc_id")
   }
 
   /** Repetition metrics (the Gopher repetition filters): duplicate

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-5 curation operators: canonical dup-family election,
+  * DSIR importance weights, quality-ranked token-budget selection.
+  */
+class Round5OpsSpec extends SparkSpec {
+
+  test("dedup_keep_best: one keeper per family, always a longest member") {
+    val out = operators.Dedup.dedupKeepBest(spark, sf).cache()
+    assert(out.count() > 0, "test corpus has duplicate families")
+    // exactly one keeper per family
+    val perFam = out.groupBy("component")
+      .agg(sum("is_keeper").as("k"), count(lit(1)).as("n"),
+        max("n_tokens").as("max_t"))
+    assert(perFam.filter(col("k") =!= 1).count() == 0, "one keeper per family")
+    assert(perFam.filter(col("n") < 2).count() == 0, "families have >= 2 members")
+    // the keeper is a longest member of its family
+    val keepers = out.filter(col("is_keeper") === 1)
+      .select(col("component"), col("n_tokens").as("kept_t"))
+    assert(keepers.join(perFam, "component")
+      .filter(col("kept_t") =!= col("max_t")).count() == 0,
+      "keeper must have the family's max token count")
+    out.unpersist()
+  }
+
+  test("text_dsir: English docs score higher under the English-target LM") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val scored = operators.TextAnalysis.textDsir(spark, sf).join(docs, "doc_id")
+    val byLang = scored.groupBy(col("lang") === "en")
+      .agg(avg("avg_log_ratio").as("m"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
+    assert(byLang(true) > byLang(false),
+      s"importance weights must favor the target domain: $byLang")
+  }
+
+  test("sample_token_budget: binned two-phase selection equals the global-window rule") {
+    val got = operators.Sampling.sampleTokenBudget(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // naive reference: one global cumulative window (fine at sf0.001)
+    val stop = Seq("the", "a", "or", "and")
+    val s = Tables.documents(spark, sf)
+      .withColumn("t", split(col("text"), "\\s+"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("n_stop", expr(
+        s"size(filter(t, x -> x IN (${stop.map("'" + _ + "'").mkString(",")})))").cast("long"))
+      .withColumn("score",
+        lit(1.0) - col("n_stop").cast("double") / col("n_tokens").cast("double"))
+    val budget = s.agg(sum("n_tokens")).head.getLong(0) * 0.25
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = s.withColumn("pre", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("pre") < budget)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      s"two-phase must equal the single-window rule: ${(got diff want).take(5)} / ${(want diff got).take(5)}")
+    assert(got.nonEmpty && got.size < Tables.documents(spark, sf).count(),
+      "selection is a strict, non-empty subset")
+  }
+}
