@@ -67,6 +67,7 @@ object SparkEntry {
     "dedup_embed_nn" -> (Dedup.dedupEmbedNn _),
     "dedup_components" -> (Dedup.dedupComponents _),
     "dedup_keep_best" -> (Dedup.dedupKeepBest _),
+    "contamination_minhash" -> (Dedup.contaminationMinhash _),
     "dedup_substring" -> (Dedup.dedupSubstring _),
     "contamination_ngram" -> (Dedup.contaminationNgram _),
     // text analysis
@@ -733,6 +734,45 @@ object SparkEntry {
          |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bands a
          |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
          |   AND a.doc_id < b.doc_id),
+         |v AS (SELECT i, j,
+         |   CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
+         |   len(sa.s) AS la, len(sb.s) AS lb
+         |  FROM cand JOIN mh sa ON cand.i = sa.doc_id
+         |            JOIN mh sb ON cand.j = sb.doc_id)
+         |SELECT i, j, round(inter/(la+lb-inter),6) AS jaccard FROM v
+         |WHERE round(inter/(la+lb-inter),6) >= 0.8 ORDER BY i, j""".stripMargin
+    },
+
+    "contamination_minhash" -> {
+      val hs = (1 to 8).map { j =>
+        val src = if (j <= 4) 1 else 2
+        val off = ((j - 1) % 4) * 8 + 1
+        s"list_min(list_transform(s, x -> substr(md5('$src'||'|'||x),$off,8))) AS h$j"
+      }.mkString(",\n  ")
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(text,'\\s+') AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(
+         |   generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))) AS s
+         |  FROM toks WHERE len(t) >= 3),
+         |mh AS (SELECT doc_id, s,
+         |  $hs
+         | FROM sh),
+         |bands AS (
+         |  SELECT doc_id, 1 AS band_idx, h1||h2 AS band_val FROM mh
+         |  UNION ALL SELECT doc_id, 2, h3||h4 FROM mh
+         |  UNION ALL SELECT doc_id, 3, h5||h6 FROM mh
+         |  UNION ALL SELECT doc_id, 4, h7||h8 FROM mh),
+         |u AS (SELECT doc_id,
+         |  list_sum(list_transform(generate_series(1, 8),
+         |    i -> (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1) * pow(16, 8-i)))
+         |  / 4294967296.0 AS u
+         | FROM documents),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+         | FROM u),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bands a
+         |  JOIN sp st ON a.doc_id = st.doc_id AND st.split = 'test'
+         |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |  JOIN sp sr ON b.doc_id = sr.doc_id AND sr.split = 'train'),
          |v AS (SELECT i, j,
          |   CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
          |   len(sa.s) AS la, len(sb.s) AS lb

@@ -36,41 +36,60 @@ object Dedup {
     * bands of 2 → band-bucket equi-join → candidates → exact jaccard
     * ≥ 0.8 verify. Band width bounds bucket sizes at any corpus size.
     */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    // persist: the shingle arrays feed minhash computation and both
-    // sides of the candidate verify
-    val sh = graft.PlanCache.cached("minhash_shingles", spark, dir) {
+  /** Shingle arrays under the PlanCache: they feed minhash
+    * computation and both sides of every candidate verify.
+    */
+  private def minhashShingles(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("minhash_shingles", spark, dir) {
       Tables.documents(spark, dir)
         .withColumn("toks", tokensCol)
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), shinglesCol.as("s"))
     }
-    // minhashes via explode + min-agg: md5 runs codegen'd per shingle
-    // row instead of interpreted inside an array-transform lambda.
-    // Only TWO digests per shingle: each md5 is split into 4
-    // independent 8-hex-char (32-bit) pieces — digest cost is the
-    // minhash bottleneck and 32 bits per hash is plenty for min-of-set.
-    val exsh = sh.select(col("doc_id"), explode(col("s")).as("x"))
-    val minAggs = (1 to 8).map { j =>
-      val src = if (j <= 4) 1 else 2
-      val off = ((j - 1) % 4) * 8 + 1
-      min(substring(md5(concat(lit(s"$src|"), col("x"))), off, 8)).as(s"h$j")
+
+  /** LSH bands per doc — shared by within-corpus dedup and the
+    * cross-split contamination gate. Minhashes via explode + min-agg:
+    * md5 runs codegen'd per shingle row instead of interpreted inside
+    * an array-transform lambda. Only TWO digests per shingle: each
+    * md5 is split into 4 independent 8-hex-char (32-bit) pieces —
+    * digest cost is the minhash bottleneck and 32 bits per hash is
+    * plenty for min-of-set.
+    */
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("minhash_bands", spark, dir) {
+      val exsh = minhashShingles(spark, dir)
+        .select(col("doc_id"), explode(col("s")).as("x"))
+      val minAggs = (1 to 8).map { j =>
+        val src = if (j <= 4) 1 else 2
+        val off = ((j - 1) % 4) * 8 + 1
+        min(substring(md5(concat(lit(s"$src|"), col("x"))), off, 8)).as(s"h$j")
+      }
+      val withH = exsh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      withH.select(col("doc_id"),
+          explode(map(
+            lit(1), concat(col("h1"), col("h2")),
+            lit(2), concat(col("h3"), col("h4")),
+            lit(3), concat(col("h5"), col("h6")),
+            lit(4), concat(col("h7"), col("h8"))))
+            .as(Seq("band_idx", "band_val")))
     }
-    val withH = exsh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-    val withBands = withH.select(col("doc_id"),
-      concat(col("h1"), col("h2")).as("b1"),
-      concat(col("h3"), col("h4")).as("b2"),
-      concat(col("h5"), col("h6")).as("b3"),
-      concat(col("h7"), col("h8")).as("b4"))
-    val bands = withBands.select(col("doc_id"),
-      explode(map(lit(1), col("b1"), lit(2), col("b2"), lit(3), col("b3"), lit(4), col("b4")))
-        .as(Seq("band_idx", "band_val")))
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = minhashShingles(spark, dir)
+    val bands = minhashBands(spark, dir)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
+    verifyJaccard(sh, cand)
+  }
+
+  /** Exact-Jaccard verify of an (i, j) candidate set against the
+    * shingle arrays — runs only on candidates, never on all pairs.
+    */
+  private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
     val sa = sh.select(col("doc_id").as("i"), col("s").as("si"))
     val sb = sh.select(col("doc_id").as("j"), col("s").as("sj"))
     cand.join(sa, "i").join(sb, "j")
@@ -80,6 +99,33 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
       .select("i", "j", "jaccard")
       .orderBy("i", "j")
+  }
+
+  /** Cross-split eval-leakage gate: TEST-split documents whose
+    * shingle set is a near-duplicate (Jaccard ≥ 0.8) of some
+    * TRAIN-split document — the decontamination check run before an
+    * eval set is trusted. Exact duplicates never cross a
+    * content-hash split (identical text → identical split), so what
+    * this catches is precisely the NEAR-dup leakage a hash split
+    * cannot prevent.
+    *
+    * Scale shape: the same banded LSH as [[dedupMinhashLsh]] (bands
+    * are PlanCache-shared between the two), but the candidate join is
+    * BIPARTITE — test bands against train bands — so its output is
+    * bounded by cross-split band collisions, far fewer than
+    * within-corpus duplicates; verify runs only on candidates. i is
+    * the leaked test doc, j its train-side source.
+    */
+  def contaminationMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val split = Sampling.sampleHashSplit(spark, dir).select("doc_id", "split")
+    val bands = minhashBands(spark, dir)
+    val testB = bands.join(split.filter(col("split") === "test"), "doc_id")
+      .select(col("doc_id").as("i"), col("band_idx"), col("band_val"))
+    val trainB = bands.join(split.filter(col("split") === "train"), "doc_id")
+      .select(col("doc_id").as("j"), col("band_idx"), col("band_val"))
+    val cand = testB.join(trainB, Seq("band_idx", "band_val"))
+      .select("i", "j").distinct()
+    verifyJaccard(minhashShingles(spark, dir), cand)
   }
 
   /** 16-bit portable SimHash (md5-nibble bits, engine-agnostic

@@ -59,4 +59,25 @@ class Round5OpsSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < Tables.documents(spark, sf).count(),
       "selection is a strict, non-empty subset")
   }
+
+  test("contamination_minhash: exactly the near-dup pairs that cross the test/train split") {
+    val split = operators.Sampling.sampleHashSplit(spark, sf)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = operators.Dedup.contaminationMinhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every reported pair is test-side i, train-side j
+    assert(got.forall { case (i, j) =>
+      split(i) == "test" && split(j) == "train" }, got.take(5).toString)
+    // and the gate finds ALL within-corpus near-dup pairs that cross
+    // the split (in either orientation), no more, no fewer
+    val all = operators.Dedup.dedupMinhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = all.flatMap { case (a, b) =>
+      if (split(a) == "test" && split(b) == "train") Some((a, b))
+      else if (split(b) == "test" && split(a) == "train") Some((b, a))
+      else None
+    }
+    assert(got == want, s"diff=${(got diff want).take(3)} / ${(want diff got).take(3)}")
+  }
 }
