@@ -55,6 +55,7 @@ object SparkEntry {
     "match_combined" -> (Matching.matchCombined _),
     "match_llm_stub" -> (Matching.matchLlmStub _),
     "match_bm25_topk" -> (Matching.matchBm25Topk _),
+    "retrieve_chunks_bm25" -> (Matching.retrieveChunksBm25 _),
     "match_phonetic" -> (Matching.matchPhonetic _),
     "clean_abr_rejects" -> (Cleaning.cleanAbrRejects _),
     "entity_enriched" -> (Matching.entityEnriched _),
@@ -173,6 +174,7 @@ object SparkEntry {
     "orders_ntile" -> (Olap.ordersNtile _),
     "knn_recall_eval" -> (Similarity.knnRecallEval _),
     "events_heatmap" -> (Events.eventsHeatmap _),
+    "events_key_skew" -> (Events.eventsKeySkew _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -976,6 +978,35 @@ object SparkEntry {
         | SELECT *, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
         | FROM p) t
         |WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    "retrieve_chunks_bm25" ->
+      """WITH q AS (SELECT doc_id AS i,
+        |   unnest(list_distinct(string_split_regex(text,'\s+'))) AS token
+        |  FROM documents WHERE doc_id < 3),
+        |d AS (SELECT doc_id, string_split_regex(text,'\s+') AS ts
+        |  FROM documents WHERE doc_id >= 3),
+        |st AS (SELECT doc_id, ts, unnest(generate_series(0, len(ts)-1, 48)) AS s
+        |  FROM d),
+        |ch AS (SELECT doc_id, CAST(s // 48 AS INT) AS chunk_id,
+        |   ts[s+1 : s+64] AS ct FROM st),
+        |ctf AS (SELECT doc_id, chunk_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, chunk_id, unnest(ct) AS token FROM ch) t
+        |  GROUP BY 1, 2, 3),
+        |clen AS (SELECT doc_id, chunk_id, sum(tf) AS len FROM ctf GROUP BY 1, 2),
+        |stats AS (SELECT count(*) AS n, sum(len) * 1.0 / count(*) AS a FROM clen),
+        |dfreq AS (SELECT token, count(*) AS df FROM ctf GROUP BY token),
+        |pruned AS (SELECT token, df FROM dfreq, stats WHERE df < 0.95 * n),
+        |pw AS (SELECT ctf.token, ctf.doc_id, ctf.chunk_id,
+        |   (ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+        |    (tf + 1.2 * (0.25 + 0.75 * len / a))) AS c
+        |  FROM ctf JOIN clen USING(doc_id, chunk_id)
+        |  JOIN pruned USING(token) CROSS JOIN stats),
+        |scored AS (SELECT i, doc_id, chunk_id, round(sum(c), 6) AS bm25
+        |  FROM q JOIN pw USING(token) GROUP BY 1, 2, 3),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY i
+        |   ORDER BY bm25 DESC, doc_id, chunk_id) AS INT) AS rank FROM scored)
+        |SELECT i, doc_id, chunk_id, bm25, rank FROM r
+        |WHERE rank <= 3 ORDER BY i, rank""".stripMargin,
 
     "match_bm25_topk" ->
       """WITH tokens AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS token
@@ -2303,5 +2334,22 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_events,
         | round(sum(value), 2) AS value_sum
         |FROM e GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin,
+
+    "events_key_skew" ->
+      """WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_keys FROM k),
+        |top AS (SELECT CAST(sum(c) AS BIGINT) AS top10 FROM (
+        |  SELECT c FROM k ORDER BY c DESC, user_id LIMIT 10)),
+        |mx AS (SELECT max(c) AS mc FROM k),
+        |h AS (SELECT -sum(p * ln(p)) AS ent FROM (
+        |  SELECT c * 1.0 / (SELECT n_rows FROM t) AS p FROM k))
+        |SELECT n_keys, n_rows,
+        | round(mc * 1.0 / n_rows, 6) AS max_share,
+        | round(top10 * 1.0 / n_rows, 6) AS top10_share,
+        | round(ent, 6) AS entropy,
+        | round(mc * 1.0 * n_keys / n_rows, 6) AS skew_ratio
+        |FROM t CROSS JOIN mx CROSS JOIN top CROSS JOIN h""".stripMargin,
   )
 }

@@ -511,4 +511,38 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         round(sum("value"), 2).as("value_sum"))
       .orderBy("dow", "hour")
+
+  /** Key-distribution skew report over the event stream's natural
+    * shuffle key (user_id): key count, hottest-key share, top-10
+    * share, Shannon entropy, and the hot/avg skew ratio — the
+    * numbers that decide whether a groupBy/join on this key needs
+    * salting ([[graft.functions.Skew]]) or AQE skew splitting before
+    * it ships. Run it BEFORE the expensive job, not after the one
+    * straggler task reveals the answer.
+    *
+    * Scale shape: one map-combinable groupBy produces the per-key
+    * counts (cached — four summary branches read it); everything
+    * downstream is a constant-size aggregate, a TakeOrdered top-10,
+    * or a broadcast one-row cross join. Output is ONE row regardless
+    * of volume.
+    */
+  def eventsKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val k = graft.PlanCache.cached("key_skew_counts", spark, dir) {
+      Tables.events(spark, dir).groupBy("user_id").agg(count(lit(1)).as("c"))
+    }
+    val tot = k.agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"))
+    val top10 = k.orderBy(col("c").desc, col("user_id")).limit(10)
+      .agg(sum("c").as("top10"))
+    val mx = k.agg(max("c").as("mc"))
+    val ent = k.crossJoin(broadcast(tot))
+      .select((col("c").cast("double") / col("n_rows").cast("double")).as("p"))
+      .agg((-sum(col("p") * log(col("p")))).as("ent"))
+    tot.crossJoin(broadcast(mx)).crossJoin(broadcast(top10)).crossJoin(broadcast(ent))
+      .select(col("n_keys"), col("n_rows"),
+        round(col("mc").cast("double") / col("n_rows").cast("double"), 6).as("max_share"),
+        round(col("top10").cast("double") / col("n_rows").cast("double"), 6).as("top10_share"),
+        round(col("ent"), 6).as("entropy"),
+        round(col("mc").cast("double") * col("n_keys").cast("double")
+          / col("n_rows").cast("double"), 6).as("skew_ratio"))
+  }
 }

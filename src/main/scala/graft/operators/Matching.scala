@@ -408,6 +408,70 @@ object Matching {
       .orderBy("i")
   }
 
+  /** RAG retrieval prep: BM25 top-3 PASSAGES (overlapping 64-token
+    * chunks, stride 48 — the [[TextAnalysis.chunkOverlap]] layout)
+    * per query document — the chunk-then-retrieve shape every
+    * retrieval-augmented pipeline runs at ingestion, with the scoring
+    * unit being the chunk (what gets stuffed into a context window),
+    * not the whole document.
+    *
+    * Scale shape: same inverted-index discipline as
+    * [[matchBm25Topk]] — max_df-pruned postings with the full BM25
+    * weight precomputed posting-side — but ALL plan constants (chunk
+    * count, average chunk length) ride broadcast one-row cross joins
+    * instead of driver-side eager actions: the whole query is one
+    * job. Top-3 per query via the TopKPerGroup exec (bounded
+    * per-partition heaps), not a window over the full score stream.
+    */
+  def retrieveChunksBm25(spark: SparkSession, dir: String): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val docs = Tables.documents(spark, dir)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("i"),
+        explode(split(col("text"), "\\s+")).as("token"))
+      .distinct()
+    val chunks = docs.filter(col("doc_id") >= 3)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("ts"))
+      .withColumn("start",
+        explode(sequence(lit(0), size(col("ts")) - 1, lit(48))))
+      .select(col("doc_id"), (col("start") / 48).cast("int").as("chunk_id"),
+        explode(slice(col("ts"), col("start") + 1, lit(64))).as("token"))
+    val ctf = graft.PlanCache.cached("rag_chunk_tf", spark, dir) {
+      chunks.groupBy("doc_id", "chunk_id", "token").agg(count(lit(1)).as("tf"))
+    }
+    val clen = ctf.groupBy("doc_id", "chunk_id").agg(sum("tf").as("len"))
+    // chunk count and average length as ONE broadcast row — exact-int
+    // sum / count (avg() accumulates in double; drift desyncs the
+    // oracle), no eager .head mid-plan
+    val stats = clen.agg(count(lit(1)).as("n"),
+      (sum("len").cast("double") / count(lit(1))).as("a"))
+    // ctf is one row per (chunk, token), so chunk-frequency is a
+    // plain count; max_df pruning needs n → broadcast cross join
+    val dfreq = ctf.groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .filter(col("df") < lit(0.95) * col("n"))
+      .select("token", "df")
+    val postingW = ctf
+      .join(clen, Seq("doc_id", "chunk_id"))
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(
+        (col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .select(col("token"), col("doc_id"), col("chunk_id"),
+        (col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("a")))).as("c"))
+    val scored = queries.join(postingW, "token")
+      .groupBy("i", "doc_id", "chunk_id")
+      .agg(round(sum("c"), 6).as("bm25"))
+    val top = graft.plans.TopKPerGroup(scored, Seq("i"),
+      Seq(("bm25", true), ("doc_id", false), ("chunk_id", false)), 3)
+    top.withColumn("rank", row_number().over(
+        Window.partitionBy("i")
+          .orderBy(col("bm25").desc, col("doc_id"), col("chunk_id"))))
+      .select("i", "doc_id", "chunk_id", "bm25", "rank")
+      .orderBy("i", "rank")
+  }
+
   /** Union of methods + pair dedup with exact winning over fuzzy —
     * the reference's concat + drop_duplicates combine step
     * (entity_matching.py:62-66).

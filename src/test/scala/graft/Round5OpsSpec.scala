@@ -80,4 +80,33 @@ class Round5OpsSpec extends SparkSpec {
     }
     assert(got == want, s"diff=${(got diff want).take(3)} / ${(want diff got).take(3)}")
   }
+
+  test("events_key_skew: one-row report with consistent distribution stats") {
+    val r = operators.Events.eventsKeySkew(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nKeys, nRows) = (row.getLong(0), row.getLong(1))
+    val (maxShare, top10Share, entropy, skewRatio) =
+      (row.getDouble(2), row.getDouble(3), row.getDouble(4), row.getDouble(5))
+    assert(nKeys > 0 && nRows >= nKeys)
+    assert(maxShare > 0 && maxShare <= top10Share && top10Share <= 1.0)
+    // uniform distribution maximizes entropy at ln(n_keys)
+    assert(entropy > 0 && entropy <= math.log(nKeys.toDouble) + 1e-6)
+    assert(skewRatio >= 1.0 - 1e-6, "hottest key is at least average")
+  }
+
+  test("retrieve_chunks_bm25: top-3 corpus chunks per query, ranked") {
+    val out = operators.Matching.retrieveChunksBm25(spark, sf).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.nonEmpty && byQuery.keySet.subsetOf(Set(0L, 1L, 2L)))
+    for ((_, rows) <- byQuery) {
+      assert(rows.length <= 3)
+      assert(rows.map(_.getInt(4)).sorted.toSeq == (1 to rows.length))
+      // retrieved passages come from the corpus half, never a query doc
+      assert(rows.forall(_.getLong(1) >= 3))
+      // ranks follow descending score
+      val scores = rows.sortBy(_.getInt(4)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
