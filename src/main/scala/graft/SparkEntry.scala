@@ -175,6 +175,7 @@ object SparkEntry {
     "knn_recall_eval" -> (Similarity.knnRecallEval _),
     "events_heatmap" -> (Events.eventsHeatmap _),
     "events_key_skew" -> (Events.eventsKeySkew _),
+    "events_decayed_score" -> (Events.eventsDecayedScore _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -2334,6 +2335,16 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_events,
         | round(sum(value), 2) AS value_sum
         |FROM e GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin,
+
+    "events_decayed_score" ->
+      """WITH e AS (SELECT *, epoch_ns(ts)//1000000000 AS ts_s FROM events),
+        |h AS (SELECT max(ts_s) AS h FROM e),
+        |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value * exp((ts_s - h) / 604800.0)), 6) AS decayed_score
+        | FROM e CROSS JOIN h GROUP BY user_id)
+        |SELECT user_id, n_events, decayed_score,
+        | CAST(row_number() OVER (ORDER BY decayed_score DESC, user_id) AS INT) AS rank
+        |FROM s ORDER BY rank LIMIT 20""".stripMargin,
 
     "events_key_skew" ->
       """WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c

@@ -32,48 +32,58 @@ object Dedup {
   private def shinglesCol = array_distinct(expr(
     "transform(sequence(1, size(toks)-2), i -> array_join(slice(toks, i, 3), ' '))"))
 
-  /** MinHash + LSH: 8 md5-derived minhashes per doc (map-side), 4
-    * bands of 2 → band-bucket equi-join → candidates → exact jaccard
-    * ≥ 0.8 verify. Band width bounds bucket sizes at any corpus size.
+  /** Distinct 3-word shingle arrays for an arbitrary (doc_id, text)
+    * relation — the unit every minhash consumer verifies against.
     */
-  /** Shingle arrays under the PlanCache: they feed minhash
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", tokensCol)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), shinglesCol.as("s"))
+
+  /** LSH bands for a shingle relation. Minhashes via explode +
+    * min-agg: md5 runs codegen'd per shingle row instead of
+    * interpreted inside an array-transform lambda. Only TWO digests
+    * per shingle: each md5 is split into 4 independent 8-hex-char
+    * (32-bit) pieces — digest cost is the minhash bottleneck and 32
+    * bits per hash is plenty for min-of-set.
+    */
+  private[graft] def bandsOf(sh: DataFrame): DataFrame = {
+    val exsh = sh.select(col("doc_id"), explode(col("s")).as("x"))
+    val minAggs = (1 to 8).map { j =>
+      val src = if (j <= 4) 1 else 2
+      val off = ((j - 1) % 4) * 8 + 1
+      min(substring(md5(concat(lit(s"$src|"), col("x"))), off, 8)).as(s"h$j")
+    }
+    val withH = exsh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    withH.select(col("doc_id"),
+        explode(map(
+          lit(1), concat(col("h1"), col("h2")),
+          lit(2), concat(col("h3"), col("h4")),
+          lit(3), concat(col("h5"), col("h6")),
+          lit(4), concat(col("h7"), col("h8"))))
+          .as(Seq("band_idx", "band_val")))
+  }
+
+  /** Corpus shingles under the PlanCache: they feed minhash
     * computation and both sides of every candidate verify.
     */
   private def minhashShingles(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache.cached("minhash_shingles", spark, dir) {
-      Tables.documents(spark, dir)
-        .withColumn("toks", tokensCol)
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), shinglesCol.as("s"))
+      shinglesOf(Tables.documents(spark, dir))
     }
 
-  /** LSH bands per doc — shared by within-corpus dedup and the
-    * cross-split contamination gate. Minhashes via explode + min-agg:
-    * md5 runs codegen'd per shingle row instead of interpreted inside
-    * an array-transform lambda. Only TWO digests per shingle: each
-    * md5 is split into 4 independent 8-hex-char (32-bit) pieces —
-    * digest cost is the minhash bottleneck and 32 bits per hash is
-    * plenty for min-of-set.
+  /** Corpus LSH bands — shared by within-corpus dedup and the
+    * cross-split contamination gate.
     */
   private def minhashBands(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache.cached("minhash_bands", spark, dir) {
-      val exsh = minhashShingles(spark, dir)
-        .select(col("doc_id"), explode(col("s")).as("x"))
-      val minAggs = (1 to 8).map { j =>
-        val src = if (j <= 4) 1 else 2
-        val off = ((j - 1) % 4) * 8 + 1
-        min(substring(md5(concat(lit(s"$src|"), col("x"))), off, 8)).as(s"h$j")
-      }
-      val withH = exsh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-      withH.select(col("doc_id"),
-          explode(map(
-            lit(1), concat(col("h1"), col("h2")),
-            lit(2), concat(col("h3"), col("h4")),
-            lit(3), concat(col("h5"), col("h6")),
-            lit(4), concat(col("h7"), col("h8"))))
-            .as(Seq("band_idx", "band_val")))
+      bandsOf(minhashShingles(spark, dir))
     }
 
+  /** MinHash + LSH: 8 md5-derived minhashes per doc (map-side), 4
+    * bands of 2 → band-bucket equi-join → candidates → exact jaccard
+    * ≥ 0.8 verify. Band width bounds bucket sizes at any corpus size.
+    */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = minhashShingles(spark, dir)
     val bands = minhashBands(spark, dir)
@@ -88,10 +98,13 @@ object Dedup {
 
   /** Exact-Jaccard verify of an (i, j) candidate set against the
     * shingle arrays — runs only on candidates, never on all pairs.
+    * `shI`/`shJ` may be different relations (batch vs stored corpus).
     */
-  private def verifyJaccard(sh: DataFrame, cand: DataFrame): DataFrame = {
-    val sa = sh.select(col("doc_id").as("i"), col("s").as("si"))
-    val sb = sh.select(col("doc_id").as("j"), col("s").as("sj"))
+  private def verifyJaccard(shI: DataFrame, cand: DataFrame,
+                            shJ: DataFrame = null): DataFrame = {
+    val sa = shI.select(col("doc_id").as("i"), col("s").as("si"))
+    val sb = (if (shJ == null) shI else shJ)
+      .select(col("doc_id").as("j"), col("s").as("sj"))
     cand.join(sa, "i").join(sb, "j")
       .withColumn("inter", size(array_intersect(col("si"), col("sj"))).cast("double"))
       .withColumn("jaccard", round(
@@ -99,6 +112,43 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
       .select("i", "j", "jaccard")
       .orderBy("i", "j")
+  }
+
+  /** Build and persist the corpus MinHash index — bands sorted by
+    * (band_idx, band_val) so probe scans row-group-prune on the band
+    * value, plus the shingle arrays the verify step needs. The dedup
+    * twin of [[Similarity.buildIvfIndex]]: the corpus side of
+    * near-dup detection is paid ONCE, not on every incoming batch.
+    */
+  def buildDedupIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    graft.sources.Sinks.writeSortedForPruning(
+      minhashBands(spark, dir), s"$indexPath/bands", Seq("band_idx", "band_val"))
+    minhashShingles(spark, dir).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexPath/shingles")
+  }
+
+  /** Incremental dedup: near-dup pairs (batch doc i, corpus doc j,
+    * jaccard ≥ 0.8) of a NEW batch against a stored corpus index —
+    * bands and shingles are computed only for the batch (O(batch)),
+    * the corpus side comes off the index built by
+    * [[buildDedupIndex]]. This is how dedup runs in production: the
+    * corpus is the accumulated history, each ingestion batch probes
+    * it, and accepted docs' bands are appended — never recompute the
+    * history. Candidates are the same banded equi-join as
+    * [[dedupMinhashLsh]], so batch-vs-corpus results match a
+    * monolithic run on the union restricted to crossing pairs.
+    */
+  def dedupAgainstIndex(spark: SparkSession, indexPath: String,
+                        batch: DataFrame): DataFrame = {
+    val shB = shinglesOf(batch)
+    val bandsB = bandsOf(shB)
+      .select(col("doc_id").as("i"), col("band_idx"), col("band_val"))
+    val bandsC = spark.read.parquet(s"$indexPath/bands")
+      .select(col("doc_id").as("j"), col("band_idx"), col("band_val"))
+    val cand = bandsB.join(bandsC, Seq("band_idx", "band_val"))
+      .select("i", "j").distinct()
+    verifyJaccard(shB, cand, spark.read.parquet(s"$indexPath/shingles"))
   }
 
   /** Cross-split eval-leakage gate: TEST-split documents whose

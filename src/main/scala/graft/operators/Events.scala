@@ -512,6 +512,33 @@ object Events {
         round(sum("value"), 2).as("value_sum"))
       .orderBy("dow", "hour")
 
+  /** Exponentially time-decayed engagement score per user: each
+    * event contributes value · exp(−Δt/τ) with Δt measured back from
+    * the corpus horizon (max event time) and τ = 7 days — the
+    * recency-weighted activity feature behind churn models and
+    * ranking freshness, where yesterday's purchase outweighs last
+    * month's. Top-20 users by decayed score.
+    *
+    * Scale shape: the horizon is ONE broadcast row (max is
+    * order-independent — no rounding needed before use); the decay
+    * weight is then pure map-side math folded into a single user
+    * aggregation, and top-20 is TakeOrdered heaps. One shuffle total,
+    * nothing grows with history except the scan.
+    */
+  def eventsDecayedScore(spark: SparkSession, dir: String): DataFrame = {
+    val tau = 7.0 * 86400
+    val e = Tables.events(spark, dir)
+    val horizon = e.agg(max("ts_s").as("h"))
+    val scored = e.crossJoin(broadcast(horizon))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value") *
+          exp((col("ts_s") - col("h")).cast("double") / tau)), 6)
+          .as("decayed_score"))
+    graft.functions.TopK.globalWithRank(scored, 20,
+      col("decayed_score").desc, col("user_id"))
+  }
+
   /** Key-distribution skew report over the event stream's natural
     * shuffle key (user_id): key count, hottest-key share, top-10
     * share, Shannon entropy, and the hot/avg skew ratio — the

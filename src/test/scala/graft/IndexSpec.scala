@@ -34,6 +34,51 @@ class IndexSpec extends SparkSpec {
       s"expected dynamic partition pruning on the lists scan:\n${p.take(3000)}")
   }
 
+  test("dedup index: a new batch probed against the stored corpus matches a monolithic run") {
+    val idx = Files.createTempDirectory("graft-dedup-idx").toString
+    operators.Dedup.buildDedupIndex(spark, sf, idx)
+    // "new" batch: a slice of the corpus re-labeled with fresh ids —
+    // guaranteed near-dups (jaccard 1.0 with their originals) plus
+    // whatever real near-dups exist
+    val batch = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val got = operators.Dedup.dedupAgainstIndex(spark, idx, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // every batch doc is a verbatim copy of its source → its (batch,
+    // original) self-pair must be reported at jaccard 1.0 (docs with
+    // < 3 tokens have no shingles and are out of scope by design)
+    val expectedSelf = operators.Dedup
+      .shinglesOf(Tables.documents(spark, sf).filter(col("doc_id") % 7 === 0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val selfPairs = got.filter { case (i, j, _) => i == j + 1000000L }
+    assert(selfPairs.map(_._2) == expectedSelf,
+      s"each copied doc must match its original: ${expectedSelf.size} expected, ${selfPairs.size} got")
+    assert(selfPairs.forall(_._3 == 1.0))
+    // and the full result equals a monolithic union-run restricted to
+    // batch-vs-corpus crossings: same bands, same verify
+    val union = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionByName(batch)
+    val sh = operators.Dedup.shinglesOf(union)
+    val bands = operators.Dedup.bandsOf(sh)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") >= 1000000L && col("b.doc_id") < 1000000L)
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    val sa = sh.select(col("doc_id").as("i"), col("s").as("si"))
+    val sb = sh.select(col("doc_id").as("j"), col("s").as("sj"))
+    val want = cand.join(sa, "i").join(sb, "j")
+      .withColumn("inter", size(array_intersect(col("si"), col("sj"))).cast("double"))
+      .withColumn("jaccard", round(
+        col("inter") / (size(col("si")) + size(col("sj")) - col("inter")), 6))
+      .filter(col("jaccard") >= 0.8)
+      .select("i", "j", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"diff=${(got diff want).take(3)} / ${(want diff got).take(3)}")
+  }
+
   test("knnIvfIndexed builds on first use and reuses the stored index after") {
     val out1 = operators.Similarity.knnIvfIndexed(spark, sf).collect().toSeq
     // second call must hit the already-written index (same result)
