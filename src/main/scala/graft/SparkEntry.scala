@@ -89,6 +89,7 @@ object SparkEntry {
     "knn_ivf_indexed" -> (Similarity.knnIvfIndexed _),
     "knn_batch" -> (Similarity.knnBatch _),
     "cluster_kmeans" -> (Similarity.clusterKmeans _),
+    "embed_top_pc" -> (Similarity.embedTopPc _),
     // sketches + range join
     "approx_distinct_kmv" -> (Sketches.approxDistinctKmv _),
     "events_range_join" -> (Events.eventsRangeJoin _),
@@ -952,6 +953,37 @@ object SparkEntry {
         | SELECT *, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
         | FROM p) t
         |WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    "embed_top_pc" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |px AS (SELECT unnest(list_transform(generate_series(1, len(v)),
+        |   i -> {'pos': i, 'x': v[i]}), recursive := true) FROM e),
+        |mx AS (SELECT pos, avg(x) AS m FROM px GROUP BY pos),
+        |mv AS (SELECT list(m ORDER BY pos) AS m FROM mx),
+        |c AS (SELECT vec_id, list_transform(generate_series(1, len(v)),
+        |   i -> v[i] - m[i]) AS c FROM e CROSS JOIN mv),
+        |ps AS (SELECT unnest(generate_series(1, 64)) AS pos),
+        |z1 AS (SELECT pos, sum(c[pos] * c[1]) AS z FROM c CROSS JOIN ps GROUP BY pos),
+        |v1 AS (SELECT list(round(z / sqrt((SELECT sum(z*z) FROM z1)), 6)
+        |   ORDER BY pos) AS pc FROM z1),
+        |y2 AS (SELECT c, list_sum(list_transform(generate_series(1, 64),
+        |   i -> c[i] * pc[i])) AS y FROM c CROSS JOIN v1),
+        |z2 AS (SELECT pos, sum(c[pos] * y) AS z FROM y2 CROSS JOIN ps GROUP BY pos),
+        |v2 AS (SELECT list(round(z / sqrt((SELECT sum(z*z) FROM z2)), 6)
+        |   ORDER BY pos) AS pc FROM z2),
+        |y3 AS (SELECT c, list_sum(list_transform(generate_series(1, 64),
+        |   i -> c[i] * pc[i])) AS y FROM c CROSS JOIN v2),
+        |z3 AS (SELECT pos, sum(c[pos] * y) AS z FROM y3 CROSS JOIN ps GROUP BY pos),
+        |v3 AS (SELECT list(round(z / sqrt((SELECT sum(z*z) FROM z3)), 6)
+        |   ORDER BY pos) AS pc FROM z3),
+        |sh AS (SELECT round(sum(y*y) / sum(cn), 6) AS var_share FROM (
+        |   SELECT list_sum(list_transform(generate_series(1, 64),
+        |     i -> c[i] * pc[i])) AS y,
+        |    list_sum(list_transform(c, x -> x*x)) AS cn
+        |   FROM c CROSS JOIN v3) t)
+        |SELECT CAST(pos AS INT) AS dim, pc[pos] AS loading, var_share
+        |FROM ps CROSS JOIN v3 CROSS JOIN sh ORDER BY dim""".stripMargin,
 
     "knn_ivf" ->
       """WITH e AS (SELECT vec_id, label,

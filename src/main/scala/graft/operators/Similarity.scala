@@ -329,6 +329,55 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Top principal component of the (centered) embedding corpus via
+    * THREE fixed power-iteration rounds — the dimensionality
+    * diagnostic behind embedding whitening, anisotropy correction,
+    * and "is this space collapsed onto one axis" checks. Output: the
+    * 64 loadings of the dominant direction plus the variance share it
+    * explains.
+    *
+    * Scale shape: one round is y = X·v (a map-side native dot against
+    * the broadcast one-row direction) then z = Xᵀ·y (posexplode +
+    * dim-keyed sum — |dims| output rows), so each round is one corpus
+    * pass with nothing driver-side and no d×d Gram matrix
+    * materialized (Xᵀ X would be d² per row). Determinism: the seed
+    * direction is e₁ and every iterate's loadings are rounded to 6
+    * before the next round, so both engines run each round from
+    * identical inputs.
+    */
+  def embedTopPc(spark: SparkSession, dir: String): DataFrame = {
+    val e = kmeansVecs(spark, dir)
+    val mean = e.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(avg("x").as("mx"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, mx))), s -> s.mx)").as("m"))
+    val cent = graft.PlanCache.cached("pc_centered", spark, dir) {
+      e.crossJoin(broadcast(mean))
+        .select(col("vec_id"), expr("zip_with(v, m, (a, b) -> a - b)").as("c"))
+    }
+    val v0 = spark.range(1).select(expr(
+      "transform(sequence(1, 64), i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)")
+      .as("pc"))
+    val vFinal = (1 to 3).foldLeft(v0) { (v, _) =>
+      cent.crossJoin(broadcast(v))
+        .select(posexplode(col("c")).as(Seq("pos", "x")),
+          graft.functions.VectorExprs.dot(col("c"), col("pc")).as("y"))
+        .select(col("pos"), (col("x") * col("y")).as("zy"))
+        .groupBy("pos").agg(sum("zy").as("z"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, z))), s -> s.z)").as("zv"))
+        .select(expr(
+          "transform(zv, x -> round(x / sqrt(aggregate(zv, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t * t)), 6))")
+          .as("pc"))
+    }
+    val share = cent.crossJoin(broadcast(vFinal))
+      .select(graft.functions.VectorExprs.dot(col("c"), col("pc")).as("y"),
+        graft.functions.VectorExprs.dot(col("c"), col("c")).as("cn"))
+      .agg(round(sum(col("y") * col("y")) / sum("cn"), 6).as("var_share"))
+    vFinal.select(posexplode(col("pc")).as(Seq("pos", "loading")))
+      .crossJoin(broadcast(share))
+      .select((col("pos") + 1).cast("int").as("dim"), col("loading"), col("var_share"))
+      .orderBy("dim")
+  }
+
   /** ANN quality evaluation: recall@10 of the sign-LSH multi-probe
     * candidate set against the brute-force cosine ground truth for the
     * fixed query — the measure-your-index step every ANN deployment

@@ -81,6 +81,19 @@ class Round5OpsSpec extends SparkSpec {
     assert(got == want, s"diff=${(got diff want).take(3)} / ${(want diff got).take(3)}")
   }
 
+  test("embed_top_pc: unit-norm dominant direction explaining more than an average axis") {
+    val rows = operators.Similarity.embedTopPc(spark, sf).collect()
+    assert(rows.length == 64)
+    val loadings = rows.map(_.getDouble(1))
+    val norm = math.sqrt(loadings.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"loadings are unit-norm, got $norm")
+    val share = rows.head.getDouble(2)
+    assert(rows.forall(_.getDouble(2) == share), "variance share is one corpus scalar")
+    assert(share > 0 && share <= 1.0)
+    assert(share > 1.0 / 64,
+      s"the TOP component must explain more than an average axis: $share")
+  }
+
   test("events_key_skew: one-row report with consistent distribution stats") {
     val r = operators.Events.eventsKeySkew(spark, sf).collect()
     assert(r.length == 1)
