@@ -338,6 +338,45 @@ object EventStreams {
   }
 
   /** public: the state encoder's generated code must reach it. */
+  case class HitterEstimate(shard: Int, user_id: Long, est: Long)
+
+  /** Sharded Misra-Gries streaming heavy hitters: per shard
+    * (user_id mod `shards`), state is AT MOST `m` (user, counter)
+    * entries regardless of stream length — the frequent-items
+    * guarantee (any user with true count > n_shard/(m+1) is present,
+    * and est ≤ true ≤ est + total decrements) survives sharding
+    * because each user lives in exactly one shard. Each trigger emits
+    * the shard's current summary; a batch consumer unions the shard
+    * summaries for the global view — the sketch is mergeable, which
+    * is what makes this scale: no single task ever sees the whole
+    * stream, unlike a naive "groupBy the constant" top-k.
+    * Within a micro-batch events apply in (ts, event_id) order, and
+    * counters decrement in deterministic key order, so replays agree.
+    */
+  def heavyHittersStream(events: Dataset[Event], m: Int = 16,
+                         shards: Int = 8): Dataset[HitterEstimate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (math.floorMod(e.user_id, shards.toLong)).toInt)
+      .flatMapGroupsWithState[Map[Long, Long], HitterEstimate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[Event], state: GroupState[Map[Long, Long]]) =>
+          var ctr = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val u = e.user_id
+            if (ctr.contains(u)) ctr = ctr.updated(u, ctr(u) + 1L)
+            else if (ctr.size < m) ctr = ctr.updated(u, 1L)
+            else ctr = ctr.iterator
+              .map { case (k, c) => (k, c - 1L) }
+              .filter(_._2 > 0L).toMap
+          }
+          state.update(ctr)
+          ctr.toSeq.sortBy(_._1)
+            .map { case (u, c) => HitterEstimate(shard, u, c) }.iterator
+      }
+  }
+
+  /** public: the state encoder's generated code must reach it. */
   case class PendingView(viewTs: Long, viewId: Long)
 
   case class Conversion(user_id: Long, view_event: Long,

@@ -402,6 +402,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHittersStream: Misra-Gries guarantees hold against exact counts on replayed events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val m = 16
+    val shards = 8
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "ts_s", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Event(r.getLong(0), new Timestamp(r.getLong(1) * 1000L),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val input = MemoryStream[Event]
+    val q = EventStreams.heavyHittersStream(input.toDS(), m = m, shards = shards)
+      .writeStream.format("memory").queryName("hitters")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(evs: _*) // one batch: output = final shard summaries
+      q.processAllAvailable()
+      val est = spark.sql("select * from hitters")
+        .as[EventStreams.HitterEstimate].collect()
+      assert(est.nonEmpty)
+      // state bound: at most m entries per shard
+      est.groupBy(_.shard).foreach { case (s, rows) =>
+        assert(rows.length <= m, s"shard $s holds ${rows.length} > $m entries")
+      }
+      val exact = evs.groupBy(_.user_id).map { case (u, es) => u -> es.length.toLong }
+      val perShardN = evs.groupBy(e => math.floorMod(e.user_id, shards.toLong).toInt)
+        .map { case (s, es) => s -> es.length.toLong }
+      val estMap = est.map(h => h.user_id -> h.est).toMap
+      // frequent-items guarantee: every user above the shard threshold
+      // n_shard/(m+1) is present, and no estimate overshoots the truth
+      for ((u, c) <- exact) {
+        val s = math.floorMod(u, shards.toLong).toInt
+        if (c > perShardN(s).toDouble / (m + 1))
+          assert(estMap.contains(u), s"hitter $u (count $c) missing from shard $s")
+      }
+      for ((u, e) <- estMap) assert(e <= exact(u), s"estimate for $u overshoots")
+    } finally q.stop()
+  }
+
   test("conversionDetect: pending view of an inactive user is evicted by event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
