@@ -97,6 +97,8 @@ object SparkEntry {
     "events_zscore" -> (Events.eventsZscore _),
     "sample_stratified" -> (Sampling.sampleStratified _),
     "sample_token_budget" -> (Sampling.sampleTokenBudget(_, _)),
+    "sample_priority" -> (Sampling.samplePriority(_, _)),
+    "table_profile" -> (Quality.tableProfile _),
     "sample_per_group" -> (Sampling.samplePerGroup _),
     "sample_weighted_mix" -> (Sampling.sampleWeightedMix _),
     "text_pmi_bigrams" -> (TextAnalysis.textPmiBigrams _),
@@ -401,6 +403,34 @@ object SparkEntry {
         |    - ln((sw + 1.0) / (s_total + vocab)))) / sum(cnt), 6) AS avg_log_ratio
         |FROM tf JOIN src USING(w) LEFT JOIN tgt USING(w) CROSS JOIN tots
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sample_priority" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |  list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1) * pow(16, 8-i)))
+        |  / 4294967296.0 AS u
+        | FROM documents),
+        |p AS (SELECT doc_id, n_chars,
+        |  round(pow(u, 1.0 / n_chars), 6) AS priority FROM d)
+        |SELECT doc_id, n_chars, priority,
+        | CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS INT) AS rank
+        |FROM p ORDER BY rank LIMIT 100""".stripMargin,
+
+    "table_profile" ->
+      (Seq(
+        ("o_orderkey", Some("CAST(o_orderkey AS DOUBLE)")),
+        ("o_custkey", Some("CAST(o_custkey AS DOUBLE)")),
+        ("o_totalprice", Some("o_totalprice")),
+        ("o_orderdate", Some("CAST(epoch_ns(o_orderdate)//1000000000 AS DOUBLE)")),
+        ("o_orderstatus", None),
+        ("o_orderpriority", None)).map { case (name, num) =>
+        val mn = num.map(n => s"round(min($n), 6)").getOrElse("CAST(NULL AS DOUBLE)")
+        val mx = num.map(n => s"round(max($n), 6)").getOrElse("CAST(NULL AS DOUBLE)")
+        s"""SELECT '$name' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           | CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           | CAST(count(DISTINCT $name) AS BIGINT) AS n_distinct,
+           | $mn AS min_val, $mx AS max_val FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")),
 
     "sample_token_budget" ->
       """WITH m AS (SELECT doc_id,

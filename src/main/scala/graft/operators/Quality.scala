@@ -140,4 +140,42 @@ object Quality {
       .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
     (instrumented, obs)
   }
+
+  /** ANALYZE-style table profile of the orders table: per column, row
+    * count, null count, exact distinct count, and numeric min/max —
+    * the statistics a warehouse gathers to drive join planning and
+    * that a data engineer reads before trusting a new feed.
+    *
+    * Scale shape: one aggregation PER COLUMN, unioned — each branch's
+    * parquet scan prunes to that single column (total bytes read ≈
+    * the table once, spread over narrow scans), each distinct is the
+    * plain two-phase aggregate (no multi-distinct Expand), and every
+    * branch's output is one row. Timestamps profile as epoch seconds
+    * so min/max stay engine-portable numerics.
+    */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def prof(name: String, c: org.apache.spark.sql.Column,
+             numeric: Option[org.apache.spark.sql.Column]): DataFrame =
+      o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(c).as("n_distinct"),
+        numeric.map(n => round(min(n), 6)).getOrElse(lit(null).cast("double")).as("min_val"),
+        numeric.map(n => round(max(n), 6)).getOrElse(lit(null).cast("double")).as("max_val"))
+        .select(lit(name).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    Seq(
+      prof("o_orderkey", col("o_orderkey"), Some(col("o_orderkey").cast("double"))),
+      prof("o_custkey", col("o_custkey"), Some(col("o_custkey").cast("double"))),
+      prof("o_totalprice", col("o_totalprice"), Some(col("o_totalprice"))),
+      // NTZ timestamps refuse a direct long cast (the Tables.events
+      // lesson) — go through to_unix_timestamp
+      prof("o_orderdate", col("o_orderdate"),
+        Some(expr("to_unix_timestamp(o_orderdate)").cast("double"))),
+      prof("o_orderstatus", col("o_orderstatus"), None),
+      prof("o_orderpriority", col("o_orderpriority"), None))
+      .reduce(_.unionByName(_))
+      .orderBy("column_name")
+  }
 }

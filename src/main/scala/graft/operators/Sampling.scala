@@ -23,6 +23,25 @@ object Sampling {
     * with its hash, so downstream stages can re-threshold WITHOUT
     * rescanning: any rate r' < r is a filter on `u`.
     */
+  /** Weighted sampling WITHOUT replacement, deterministically: the
+    * Efraimidis–Spirakis priority trick (priority = u^(1/w), keep the
+    * top-k) with u the content-hash uniform — inclusion probability
+    * proportional to weight (here n_chars: longer docs carry more
+    * training signal), yet the sample is a pure function of the data.
+    * This is the one-pass, shuffle-light way to draw a weighted
+    * sample at any scale: priorities are map-side, selection is
+    * TakeOrdered heaps — no sequential reservoir, no rand().
+    */
+  def samplePriority(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("u", graft.functions.HexExprs.uniformHash(col("text")))
+      .withColumn("priority",
+        round(pow(col("u"), lit(1.0) / col("n_chars").cast("double")), 6))
+      .select("doc_id", "n_chars", "priority")
+    graft.functions.TopK.globalWithRank(d, k,
+      col("priority").desc, col("doc_id"))
+  }
+
   /** Quality-ranked selection under a token budget: keep the
     * best-scoring documents (score = 1 − stopword ratio, tie →
     * smallest doc_id) while the running token total BEFORE each doc

@@ -81,6 +81,37 @@ class Round5OpsSpec extends SparkSpec {
     assert(got == want, s"diff=${(got diff want).take(3)} / ${(want diff got).take(3)}")
   }
 
+  test("sample_priority: weighted without-replacement sample favors heavier docs") {
+    val n = Tables.documents(spark, sf).count()
+    val k = 100
+    val out = operators.Sampling.samplePriority(spark, sf, k).collect()
+    assert(out.length == math.min(k, n).toInt)
+    assert(out.map(_.getLong(0)).distinct.length == out.length, "without replacement")
+    // ES-sampling property: the sampled mean weight exceeds the corpus
+    // mean (heavier docs are proportionally more likely)
+    val sampledMean = out.map(_.getLong(1)).sum.toDouble / out.length
+    val corpusMean = Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).head.getDouble(0)
+    assert(sampledMean > corpusMean,
+      s"weighted sample mean $sampledMean must exceed corpus mean $corpusMean")
+  }
+
+  test("table_profile: per-column stats agree with direct aggregates") {
+    val o = Tables.orders(spark, sf)
+    val rows = operators.Quality.tableProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("o_orderkey", "o_custkey", "o_totalprice",
+      "o_orderdate", "o_orderstatus", "o_orderpriority"))
+    val n = o.count()
+    assert(rows.values.forall(_.getLong(1) == n))
+    assert(rows("o_orderkey").getLong(3) == n, "order keys are unique")
+    assert(rows("o_orderstatus").getLong(3) ==
+      o.select("o_orderstatus").distinct().count())
+    assert(rows("o_orderstatus").isNullAt(4) && rows("o_orderstatus").isNullAt(5),
+      "string columns carry no numeric min/max")
+    assert(rows("o_totalprice").getDouble(4) <= rows("o_totalprice").getDouble(5))
+  }
+
   test("embed_top_pc: unit-norm dominant direction explaining more than an average axis") {
     val rows = operators.Similarity.embedTopPc(spark, sf).collect()
     assert(rows.length == 64)
