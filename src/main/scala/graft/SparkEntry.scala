@@ -230,10 +230,15 @@ object SparkEntry {
     * knn_ivf_indexed probes a stored copy of the same index knn_ivf
     * computes inline, so one oracle covers both.
     */
-  def oracleSql: Map[String, String] = oracleSqlBase +
-    ("knn_ivf_indexed" -> oracleSqlBase("knn_ivf"))
+  def oracleSql: Map[String, String] = oracleSqlAll
 
-  private def oracleSqlBase: Map[String, String] = Map(
+  // built once per JVM — the base map is thousands of lines of SQL
+  // text; rebuilding it on every access (twice, for the indexed-probe
+  // alias) is pure waste
+  private lazy val oracleSqlAll: Map[String, String] =
+    oracleSqlBase + ("knn_ivf_indexed" -> oracleSqlBase("knn_ivf"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
@@ -411,9 +416,10 @@ object SparkEntry {
         |  / 4294967296.0 AS u
         | FROM documents),
         |p AS (SELECT doc_id, n_chars,
+        |  round(ln(u) / n_chars, 12) AS key,
         |  round(pow(u, 1.0 / n_chars), 6) AS priority FROM d)
         |SELECT doc_id, n_chars, priority,
-        | CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS INT) AS rank
+        | CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT) AS rank
         |FROM p ORDER BY rank LIMIT 100""".stripMargin,
 
     "table_profile" ->

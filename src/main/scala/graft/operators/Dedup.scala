@@ -141,7 +141,13 @@ object Dedup {
     */
   def dedupAgainstIndex(spark: SparkSession, indexPath: String,
                         batch: DataFrame): DataFrame = {
-    val shB = shinglesOf(batch)
+    // bare persist (not PlanCache): the batch is a caller-supplied
+    // relation with no stable (dir)-style cache key, and shB feeds
+    // BOTH the band computation and the verify side — unpersisted,
+    // the whole batch tokenizes twice. The blocks are scoped to one
+    // ingestion probe; callers running many probes in one session
+    // should unpersist via spark.catalog.clearCache() between them.
+    val shB = shinglesOf(batch).persist()
     val bandsB = bandsOf(shB)
       .select(col("doc_id").as("i"), col("band_idx"), col("band_val"))
     val bandsC = spark.read.parquet(s"$indexPath/bands")

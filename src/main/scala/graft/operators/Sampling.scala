@@ -33,13 +33,22 @@ object Sampling {
     * TakeOrdered heaps — no sequential reservoir, no rand().
     */
   def samplePriority(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    // RANK on ln(u)/w (same order as u^(1/w), monotone in it), not on
+    // the rounded priority: u^(1/w) collapses toward 1.0 as w grows
+    // (at w = 1e5 a 6-decimal round leaves ~46 distinct values), so
+    // rounding THAT key would degrade selection among heavy docs to
+    // doc_id order. ln(u)/w keeps full dynamic range; its round-12 is
+    // presentation-grade for the ordering while pinning both engines.
     val d = Tables.documents(spark, dir)
       .withColumn("u", graft.functions.HexExprs.uniformHash(col("text")))
+      .withColumn("key",
+        round(log(col("u")) / col("n_chars").cast("double"), 12))
       .withColumn("priority",
         round(pow(col("u"), lit(1.0) / col("n_chars").cast("double")), 6))
-      .select("doc_id", "n_chars", "priority")
+      .select("doc_id", "n_chars", "priority", "key")
     graft.functions.TopK.globalWithRank(d, k,
-      col("priority").desc, col("doc_id"))
+        col("key").desc, col("doc_id"))
+      .drop("key")
   }
 
   /** Quality-ranked selection under a token budget: keep the

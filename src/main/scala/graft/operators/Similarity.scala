@@ -129,11 +129,23 @@ object Similarity {
 
   /** [[knnIvfPersisted]] with the index lifecycle handled: build into
     * a per-corpus staging dir on first use, probe the stored index on
-    * every later call (bench reps, repeated queries).
+    * every later call (bench reps, repeated queries). The staging dir
+    * is keyed by an md5 FINGERPRINT of the source file paths, sizes,
+    * and mtimes — regenerating the corpus in place changes the
+    * fingerprint and forces a rebuild (a path-hash key would silently
+    * serve neighbors from the OLD data), and full md5 makes path
+    * aliasing across corpora practically impossible.
     */
   def knnIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(dir, "embeddings.parquet")
+    val files =
+      if (src.isDirectory) src.listFiles().sortBy(_.getName).toSeq else Seq(src)
+    val fingerprint = java.security.MessageDigest.getInstance("MD5")
+      .digest(files.map(f => s"${f.getAbsolutePath}:${f.length}:${f.lastModified}")
+        .mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val idx = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_ivf_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      s"graft_ivf_$fingerprint").getAbsolutePath
     if (!new java.io.File(s"$idx/centroids/_SUCCESS").exists() ||
         !new java.io.File(s"$idx/lists/_SUCCESS").exists())
       buildIvfIndex(spark, dir, idx)

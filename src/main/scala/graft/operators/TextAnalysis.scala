@@ -201,13 +201,19 @@ object TextAnalysis {
         .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
     }
 
+  /** Corpus unigram counts (w, cw) — the "model table" shared by
+    * every unigram-LM consumer: textPerplexity reads it twice (model
+    * join + corpus-total scalar) and textDsir's source LM is the
+    * SAME relation, so one PlanCache entry serves all of them.
+    */
+  private def uniCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("ppl_uni", spark, dir) {
+      docTf(spark, dir).groupBy("w").agg(sum("cnt").as("cw"))
+    }
+
   def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val tf = docTf(spark, dir)
-    // uni feeds BOTH the model join and the corpus-total scalar —
-    // cache the shared subtree so the second consumer reuses it
-    val uni = graft.PlanCache.cached("ppl_uni", spark, dir) {
-      tf.groupBy("w").agg(sum("cnt").as("cw"))
-    }
+    val uni = uniCounts(spark, dir)
     // corpus total as a broadcast one-row cross join (the codebase's
     // scalar-subquery pattern, q22IdleBalance): no driver-side eager
     // action mid-plan — the whole query stays one job
@@ -243,9 +249,9 @@ object TextAnalysis {
     */
   def textDsir(spark: SparkSession, dir: String): DataFrame = {
     val tf = docTf(spark, dir)
-    val src = graft.PlanCache.cached("dsir_src", spark, dir) {
-      tf.groupBy("w").agg(sum("cnt").as("sw"))
-    }
+    // the source LM is textPerplexity's unigram table under a rename
+    // — one cached relation, not a byte-identical twin cache entry
+    val src = uniCounts(spark, dir).withColumnRenamed("cw", "sw")
     val tgtDocs = Tables.documents(spark, dir)
       .filter(col("lang") === "en").select("doc_id")
     val tgt = tf.join(tgtDocs, "doc_id").groupBy("w").agg(sum("cnt").as("tw"))

@@ -70,13 +70,16 @@ object Sinks {
     val trash = new org.apache.hadoop.fs.Path(tablePath + ".old")
     // recovery: a crash between rename(live→trash) and rename(tmp→live)
     // leaves the live path absent while tmp holds the complete merged
-    // table (tmp is only ever renamed after its write finished) and
-    // trash holds the pre-merge history. Promote tmp if present, else
-    // restore trash — BEFORE the existence probe, or this run would
-    // treat the incoming batch as the entire history and then delete
-    // the only surviving copies.
+    // table and trash holds the pre-merge history. Promote tmp ONLY
+    // when its write provably finished (_SUCCESS present — a crash
+    // mid-write leaves a partial dir that must never become the live
+    // table), else restore trash. This runs BEFORE the existence
+    // probe, or this run would treat the incoming batch as the entire
+    // history and then delete the only surviving copies.
     if (!hfs.exists(hPath)) {
-      if (hfs.exists(tmp)) hfs.rename(tmp, hPath)
+      val tmpComplete = hfs.exists(
+        new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+      if (tmpComplete) hfs.rename(tmp, hPath)
       else if (hfs.exists(trash)) hfs.rename(trash, hPath)
     }
     val exists = hfs.exists(hPath) && hfs.listStatus(hPath).nonEmpty

@@ -185,6 +185,33 @@ class SinksSpec extends SparkSpec {
       "staging dirs cleaned up after a healthy swap")
   }
 
+  test("incrementalAggregate: a partial tmp write is never promoted; trash restores instead") {
+    val dir = tmp() + "/agg_partial"
+    val o = Tables.orders(spark, sf)
+    val b1 = o.filter(col("o_orderkey") % 2 === 0)
+    val b2 = o.filter(col("o_orderkey") % 2 === 1)
+    Sinks.incrementalAggregate(spark, dir, b1, Seq("o_orderstatus"), "o_totalprice")
+    // simulate a crash DURING the tmp write after live→trash: live
+    // gone, trash = history, tmp = garbage with NO _SUCCESS marker
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val hfs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.rename(hPath, new org.apache.hadoop.fs.Path(dir + ".old"))
+    val junk = new org.apache.hadoop.fs.Path(dir + ".tmp/part-garbage")
+    val out = hfs.create(junk); out.write("not parquet".getBytes); out.close()
+    graft.PlanCache.invalidate(dir)
+    val last = Sinks.incrementalAggregate(spark, dir, b2,
+      Seq("o_orderstatus"), "o_totalprice")
+    val want = o.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), sum("o_totalprice").as("sum_val"))
+      .orderBy("o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100))).toSeq
+    val got = last.orderBy("o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100))).toSeq
+    assert(got == want, "trash (the real history) must be restored, not the partial tmp")
+  }
+
   test("jdbc source: partition-parallel read with remote filter pushdown") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graftjdbcsrc;create=true"
