@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: a full Verify/Bench run persists one PlanCache
+  // relation per operator family (140+ queries) — at 8g the block
+  // manager starts evicting mid-run and late heavy queries (triangle
+  // counting) pay recompute/disk-read instead of cache hits
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

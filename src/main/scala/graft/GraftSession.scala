@@ -30,7 +30,7 @@ object GraftSession {
       // the correct guard at cluster scale (tests lower them to pin
       // the injection on local data).
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "24g"))
 
   def local(cpus: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
     val s = builder(s"local[$cpus]", math.max(cpus, 4)).getOrCreate()
