@@ -99,6 +99,7 @@ object SparkEntry {
     "sample_token_budget" -> (Sampling.sampleTokenBudget(_, _)),
     "sample_priority" -> (Sampling.samplePriority(_, _)),
     "table_profile" -> (Quality.tableProfile _),
+    "table_diff" -> (Quality.tableDiff _),
     "sample_per_group" -> (Sampling.samplePerGroup _),
     "sample_weighted_mix" -> (Sampling.sampleWeightedMix _),
     "text_pmi_bigrams" -> (TextAnalysis.textPmiBigrams _),
@@ -421,6 +422,27 @@ object SparkEntry {
         |SELECT doc_id, n_chars, priority,
         | CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT) AS rank
         |FROM p ORDER BY rank LIMIT 100""".stripMargin,
+
+    "table_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |n AS (SELECT o_orderkey,
+        |   CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1.0
+        |        ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice
+        |  FROM o WHERE o_orderkey % 101 = 0),
+        |d AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |   o.o_totalprice AS old_val, n.o_totalprice AS new_val
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey,
+        | CASE WHEN new_val IS NULL THEN 'delete'
+        |      WHEN old_val IS NULL THEN 'insert'
+        |      ELSE 'update' END AS change_type,
+        | old_val, new_val
+        |FROM d
+        |WHERE new_val IS NULL OR old_val IS NULL OR old_val <> new_val
+        |ORDER BY o_orderkey""".stripMargin,
 
     "table_profile" ->
       (Seq(

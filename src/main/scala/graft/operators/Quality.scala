@@ -153,6 +153,25 @@ object Quality {
     * branch's output is one row. Timestamps profile as epoch seconds
     * so min/max stay engine-portable numerics.
     */
+  /** CDC snapshot diff demonstrated on the orders table: the "next"
+    * snapshot is derived deterministically (every 97th key deleted,
+    * every 100th repriced +1, every 101st cloned as a new key), and
+    * [[graft.sources.Sinks.snapshotDiff]] classifies the changes —
+    * one full outer key join, output O(changes) not O(table).
+    */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_totalprice")
+    val next = o.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 100 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+      .unionByName(o.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_totalprice")))
+    graft.sources.Sinks.snapshotDiff(o, next, Seq("o_orderkey"), "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   def tableProfile(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     def prof(name: String, c: org.apache.spark.sql.Column,

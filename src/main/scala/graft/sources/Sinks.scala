@@ -25,6 +25,33 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** CDC-style snapshot diff: classify every key as insert / delete
+    * / update between two table versions — the change feed a
+    * downstream consumer applies instead of re-reading the full
+    * table (the batch analog of a Postgres logical-replication
+    * stream, and the audit view behind "what did last night's load
+    * change?"). Unchanged keys are dropped, so the output is
+    * O(changes), not O(table).
+    *
+    * Scale shape: ONE full outer shuffle join on the key — both
+    * snapshots arrive key-partitioned, classification is map-side
+    * math after the join, and nothing else touches the table.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String], valueCol: String): DataFrame = {
+    val o = oldDf.select(keyCols.map(col) :+ col(valueCol).as("old_val"): _*)
+    val n = newDf.select(keyCols.map(col) :+ col(valueCol).as("new_val"): _*)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("new_val").isNull, "delete")
+          .when(col("old_val").isNull, "insert")
+          .when(col("old_val") =!= col("new_val"), "update")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(keyCols.map(col) :+ col("change_type") :+
+        col("old_val") :+ col("new_val"): _*)
+  }
+
   /** Latest-wins keyed merge: rows from `updates` replace rows in
     * `base` with the same key when their version orders higher —
     * the distributed form of the reference's

@@ -112,6 +112,21 @@ class Round5OpsSpec extends SparkSpec {
     assert(rows("o_totalprice").getDouble(4) <= rows("o_totalprice").getDouble(5))
   }
 
+  test("table_diff: classifies exactly the synthetic deletes, updates, and inserts") {
+    val o = Tables.orders(spark, sf).select("o_orderkey")
+    val keys = o.collect().map(_.getLong(0)).toSet
+    val out = operators.Quality.tableDiff(spark, sf).collect()
+      .groupBy(_.getString(1)).map { case (t, rs) => t -> rs.map(_.getLong(0)).toSet }
+    assert(out("delete") == keys.filter(_ % 97 == 0))
+    // keys divisible by both 100 and 97 are deletes, not updates
+    assert(out("update") == keys.filter(k => k % 100 == 0 && k % 97 != 0))
+    assert(out("insert") == keys.filter(_ % 101 == 0).map(_ + 10000000L))
+    // payload sanity: deletes carry no new value, inserts no old one
+    val rows = operators.Quality.tableDiff(spark, sf).collect()
+    assert(rows.filter(_.getString(1) == "delete").forall(_.isNullAt(3)))
+    assert(rows.filter(_.getString(1) == "insert").forall(_.isNullAt(2)))
+  }
+
   test("embed_top_pc: unit-norm dominant direction explaining more than an average axis") {
     val rows = operators.Similarity.embedTopPc(spark, sf).collect()
     assert(rows.length == 64)
