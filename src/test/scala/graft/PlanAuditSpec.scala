@@ -212,46 +212,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("no registered query plans an unbounded single-partition window sort") {
-    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.window.WindowExec
-    // An unpartitioned WindowExec pulls its ENTIRE input into one
-    // partition. That is only acceptable when a limit already bounded
-    // the input to a constant k (the TopK.globalWithRank shape) —
-    // anywhere else it is the #1 scale-killer at 100 TB.
-    def expand(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case o => o.children
-      }
-      p +: kids.flatMap(expand)
-    }
-    def boundedBelow(w: SparkPlan): Boolean = expand(w).tail.exists {
-      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
-           _: CollectLimitExec | _: LocalLimitExec => true
-      case _ => false
-    }
+  test("PlanLint passes every registered query and catches planted offenders") {
+    // The three scale-killers (cartesian product, Scala UDF,
+    // unpartitioned unbounded window) are machine-checked by the
+    // LIBRARY lint — the same check users run on their own plans —
+    // swept across all registered queries.
     for ((name, fn) <- SparkEntry.queries) {
-      val offenders = expand(fn(spark, sf).queryExecution.executedPlan).collect {
-        case w: WindowExec if w.partitionSpec.isEmpty && !boundedBelow(w) => w
-      }
-      assert(offenders.isEmpty,
-        s"$name plans a global-window sort with unbounded input:\n${offenders.mkString("\n")}")
+      val findings = graft.plans.PlanLint.audit(fn(spark, sf))
+      assert(findings.isEmpty, s"$name: ${findings.mkString("; ")}")
     }
-  }
-
-  test("no registered query plans a cartesian product or a Scala UDF") {
-    // A CartesianProduct is |L|x|R| rows with no pruning — on two
-    // fact-sized inputs at 100 TB that is never the intended plan
-    // (broadcast cross joins plan as BroadcastNestedLoopJoin and are
-    // allowed: one side is bounded by the broadcast threshold).
-    // ScalaUDFs break whole-stage codegen in the hot path; every
-    // scalar extension here is a native Expression instead.
-    for ((name, fn) <- SparkEntry.queries) {
-      val p = fn(spark, sf).queryExecution.executedPlan.toString
-      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
-      assert(!p.toLowerCase.contains("scalaudf"), s"$name plans a Scala UDF")
-    }
+    // and the lint actually detects what it claims to detect
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val a = spark.range(100).toDF("x")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // non-equi join, broadcast disabled → CartesianProductExec
+      val cart = a.as("l").join(spark.range(100).toDF("y"),
+        expr("x + y > 1000000"))
+      assert(graft.plans.PlanLint.audit(cart)
+        .exists(_.startsWith("cartesian-product")),
+        "a keyless non-broadcast join must be flagged")
+      val gw = a.withColumn("r", row_number().over(Window.orderBy("x")))
+      assert(graft.plans.PlanLint.audit(gw).exists(_.startsWith("global-window")),
+        "unpartitioned window over unbounded input must be flagged")
+      val udf = org.apache.spark.sql.functions.udf((i: Long) => i + 1)
+      val withUdf = a.select(udf(col("x")).as("u"))
+      assert(graft.plans.PlanLint.audit(withUdf).exists(_.startsWith("scala-udf")),
+        "interpreted UDFs must be flagged")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
