@@ -81,6 +81,7 @@ object SparkEntry {
     "text_rolling_hash" -> (TextAnalysis.textRollingHash _),
     "text_perplexity" -> (TextAnalysis.textPerplexity _),
     "text_dsir" -> (TextAnalysis.textDsir _),
+    "text_perplexity_bigram" -> (TextAnalysis.textPerplexityBigram _),
     "text_repetition" -> (TextAnalysis.textRepetition _),
     // similarity search
     "knn_brute" -> (Similarity.knnBrute _),
@@ -1257,6 +1258,27 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, round(nll/n_tokens, 6) AS avg_nll,
         | round(exp(round(nll/n_tokens, 6)), 6) AS ppl
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "text_perplexity_bigram" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS w
+        |  FROM documents),
+        |uni AS (SELECT w AS w1, CAST(count(*) AS BIGINT) AS cw1
+        |  FROM tok GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uni),
+        |d AS (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM (
+        |   SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        |   FROM d WHERE len(t) >= 2) s),
+        |dbg AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM bg GROUP BY 1, 2, 3),
+        |m AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS cbg FROM dbg GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |   sum(cnt * ln((cw1 + vocab) * 1.0 / (cbg + 1))) AS nll
+        |  FROM dbg JOIN m USING(w1, w2) JOIN uni USING(w1) CROSS JOIN v
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, round(nll/n_bigrams, 6) AS avg_nll,
+        | round(exp(round(nll/n_bigrams, 6)), 6) AS ppl
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH d AS (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents),

@@ -231,6 +231,48 @@ object TextAnalysis {
     out
   }
 
+  /** Bigram-LM perplexity — one Markov order closer to the
+    * KenLM/CCNet filter than [[textPerplexity]]'s unigram proxy:
+    * p(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁) + V), add-1 smoothed over the
+    * unigram vocabulary, scored as the per-doc mean negative
+    * log-likelihood over its bigrams (docs need ≥ 2 tokens).
+    *
+    * Scale shape: the model is two count aggregations (bigrams;
+    * unigrams shared via the PlanCache'd [[uniCounts]] table);
+    * scoring joins the per-doc bigram frequencies against both model
+    * tables on their keys — plain hash joins that survive any corpus
+    * size — and V rides a broadcast one-row cross join. No
+    * driver-side model state.
+    */
+  def textPerplexityBigram(spark: SparkSession, dir: String): DataFrame = {
+    val withT = Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .filter(size(col("t")) >= 2)
+    val docBg = graft.PlanCache.cached("ppl_bg_tf", spark, dir) {
+      withT.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t)-1), i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"))
+        .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+    }
+    val bgModel = docBg.groupBy("w1", "w2").agg(sum("cnt").as("cbg"))
+    val uniModel = uniCounts(spark, dir)
+      .select(col("w").as("w1"), col("cw").as("cw1"))
+    val vocabRow = uniCounts(spark, dir).agg(count(lit(1)).as("vocab"))
+    docBg.join(bgModel, Seq("w1", "w2"))
+      .join(uniModel, "w1")
+      .crossJoin(broadcast(vocabRow))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_bigrams"),
+        sum(col("cnt").cast("double") *
+          log((col("cw1") + col("vocab")).cast("double")
+            / (col("cbg") + lit(1)).cast("double"))).as("nll"))
+      .withColumn("avg_nll", round(col("nll") / col("n_bigrams").cast("double"), 6))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+        round(exp(col("avg_nll")), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** DSIR-style importance weights: score each document by how much
     * more likely its tokens are under a TARGET-domain unigram LM
     * (here: the English subset) than under the whole-corpus LM —

@@ -112,6 +112,18 @@ class Round5OpsSpec extends SparkSpec {
     assert(rows("o_totalprice").getDouble(4) <= rows("o_totalprice").getDouble(5))
   }
 
+  test("text_perplexity_bigram: one score per multi-token doc, bigram counts exact") {
+    val out = operators.TextAnalysis.textPerplexityBigram(spark, sf).collect()
+    val lens = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "size(split(text, '\\\\s+')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val eligible = lens.filter(_._2 >= 2).keySet
+    assert(out.map(_.getLong(0)).toSet == eligible, "docs with >= 2 tokens score")
+    // a doc's bigram total is exactly n_tokens - 1
+    assert(out.forall(r => r.getLong(1) == lens(r.getLong(0)) - 1L))
+    assert(out.forall(_.getDouble(3) > 0), "perplexity is positive")
+  }
+
   test("table_diff: classifies exactly the synthetic deletes, updates, and inserts") {
     val o = Tables.orders(spark, sf).select("o_orderkey")
     val keys = o.collect().map(_.getLong(0)).toSet
