@@ -52,6 +52,23 @@ object Sinks {
         col("old_val") :+ col("new_val"): _*)
   }
 
+  /** The consumer side of [[snapshotDiff]]: apply a change feed to
+    * the old snapshot and reconstruct the new one — deletes drop
+    * their keys, updates replace the value, inserts append. The
+    * round-trip law `applyDiff(old, snapshotDiff(old, new)) == new`
+    * is pinned in SinksSpec; together the pair is incremental table
+    * replication (ship O(changes), apply O(old + changes)) instead
+    * of re-shipping the table.
+    */
+  def applyDiff(oldDf: DataFrame, changes: DataFrame,
+                keyCols: Seq[String], valueCol: String): DataFrame = {
+    val touched = changes.select(keyCols.map(col): _*)
+    val kept = oldDf.join(touched, keyCols, "left_anti")
+    val applied = changes.filter(col("change_type") =!= "delete")
+      .select(keyCols.map(col) :+ col("new_val").as(valueCol): _*)
+    kept.select(keyCols.map(col) :+ col(valueCol): _*).unionByName(applied)
+  }
+
   /** Latest-wins keyed merge: rows from `updates` replace rows in
     * `base` with the same key when their version orders higher —
     * the distributed form of the reference's

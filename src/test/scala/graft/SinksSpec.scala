@@ -212,6 +212,25 @@ class SinksSpec extends SparkSpec {
     assert(got == want, "trash (the real history) must be restored, not the partial tmp")
   }
 
+  test("snapshotDiff/applyDiff round-trip: old + change feed reconstructs new") {
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    // a synthetic next version with all three change kinds
+    val next = o.filter(col("o_orderkey") % 11 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+      .unionByName(o.filter(col("o_orderkey") % 17 === 0)
+        .select((col("o_orderkey") + 5000000L).as("o_orderkey"), col("o_totalprice")))
+    val feed = Sinks.snapshotDiff(o, next, Seq("o_orderkey"), "o_totalprice")
+    val rebuilt = Sinks.applyDiff(o, feed, Seq("o_orderkey"), "o_totalprice")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(asSet(rebuilt) == asSet(next),
+      "applying the change feed must reconstruct the new snapshot exactly")
+    // and the feed is O(changes): far smaller than the table
+    assert(feed.count() < o.count() / 2)
+  }
+
   test("jdbc source: partition-parallel read with remote filter pushdown") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graftjdbcsrc;create=true"
