@@ -117,6 +117,9 @@ class PlanAuditSpec extends SparkSpec {
     // no trailing sort → no-op, not an exception
     assert(graft.functions.Unordered(unordered).collect().length ==
       ordered.collect().length)
+    // semantic orderings survive: a top-k's plan keeps its TakeOrdered
+    assert(plan(graft.functions.Unordered(operators.Olap.q3Shipping(spark, sf)))
+      .contains("TakeOrdered"), "Unordered must never strip a top-k's ordering")
   }
 
   test("kmeans: centroids broadcast, assignment is an aggregate not a window") {
@@ -243,4 +246,5 @@ class PlanAuditSpec extends SparkSpec {
         "interpreted UDFs must be flagged")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
 }
