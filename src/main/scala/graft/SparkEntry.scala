@@ -180,6 +180,7 @@ object SparkEntry {
     "knn_recall_eval" -> (Similarity.knnRecallEval _),
     "events_heatmap" -> (Events.eventsHeatmap _),
     "events_key_skew" -> (Events.eventsKeySkew _),
+    "events_conversions" -> ((s, d) => Events.eventsConversions(s, d)),
     "events_decayed_score" -> (Events.eventsDecayedScore _),
   )
 
@@ -2474,5 +2475,29 @@ object SparkEntry {
         | round(ent, 6) AS entropy,
         | round(mc * 1.0 * n_keys / n_rows, 6) AS skew_ratio
         |FROM t CROSS JOIN mx CROSS JOIN top CROSS JOIN h""".stripMargin,
+
+    "events_conversions" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  epoch_ns(ts)//1000000000 AS ts_s
+        | FROM events WHERE event_type IN ('view', 'purchase')),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN event_type = 'view' THEN ts_s END IGNORE NULLS)
+        |    OVER win AS pv_ts,
+        |  last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |    OVER win AS pv_id,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN ts_s END IGNORE NULLS)
+        |    OVER win AS pp_ts,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+        |    OVER win AS pp_id
+        | FROM e
+        | WINDOW win AS (PARTITION BY user_id ORDER BY ts_s, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, pv_id AS view_event, event_id AS purchase_event,
+        | ts_s - pv_ts AS latency_s
+        |FROM w
+        |WHERE event_type = 'purchase' AND pv_ts IS NOT NULL
+        | AND (pp_ts IS NULL OR (pp_ts, pp_id) < (pv_ts, pv_id))
+        | AND ts_s - pv_ts <= 1800
+        |ORDER BY purchase_event""".stripMargin,
   )
 }

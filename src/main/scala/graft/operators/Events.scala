@@ -572,4 +572,45 @@ object Events {
         round(col("mc").cast("double") * col("n_keys").cast("double")
           / col("n_rows").cast("double"), 6).as("skew_ratio"))
   }
+
+  /** Batch twin of the streaming CEP detector
+    * [[graft.streaming.EventStreams.conversionDetect]]: a purchase
+    * converts the SAME user's most recent prior view within `windowS`
+    * seconds, one credit per view. The sequential state machine
+    * (view replaces pending; a qualifying purchase consumes it; any
+    * later purchase finds it gone) has a closed form over the
+    * user-ordered event sequence — purchase p converts with view v iff
+    * v is the latest view before p AND no purchase sits between v and
+    * p AND p.ts - v.ts ≤ windowS — so the whole detector is two
+    * IGNORE-NULLS running `last` windows (prior view, prior purchase)
+    * over one user-partitioned sort, no self-join, no state. Bounded
+    * per-key window state at any scale; StreamingSpec pins this equal
+    * to the streaming detector replayed over the same events.
+    */
+  def eventsConversions(spark: SparkSession, dir: String): DataFrame =
+    eventsConversions(spark, dir, windowS = 1800L)
+
+  def eventsConversions(spark: SparkSession, dir: String, windowS: Long): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_s"))
+    // strictly-prior frame: the current row must not see itself (a
+    // purchase is its own worst predecessor)
+    val prior = Window.partitionBy("user_id")
+      .orderBy(col("ts_s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val w = e
+      .withColumn("pv_ts", last(when(col("event_type") === "view", col("ts_s")), ignoreNulls = true).over(prior))
+      .withColumn("pv_id", last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(prior))
+      .withColumn("pp_ts", last(when(col("event_type") === "purchase", col("ts_s")), ignoreNulls = true).over(prior))
+      .withColumn("pp_id", last(when(col("event_type") === "purchase", col("event_id")), ignoreNulls = true).over(prior))
+    w.filter(col("event_type") === "purchase" && col("pv_ts").isNotNull &&
+        (col("pp_ts").isNull ||
+          struct(col("pp_ts"), col("pp_id")) < struct(col("pv_ts"), col("pv_id"))) &&
+        col("ts_s") - col("pv_ts") <= windowS)
+      .select(col("user_id"), col("pv_id").as("view_event"),
+        col("event_id").as("purchase_event"),
+        (col("ts_s") - col("pv_ts")).as("latency_s"))
+      .orderBy("purchase_event")
+  }
 }

@@ -537,5 +537,13 @@ class StreamingSpec extends SparkSpec {
         s"streaming/batch parity: ${got.size} streamed vs ${expected.size} folded; " +
           s"diff=${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
     } finally q.stop()
+    // three-way pin: the declarative batch twin (two IGNORE-NULLS
+    // running-last windows, no state machine) agrees with the same
+    // fold — so streaming CEP == batch operator on identical data
+    val batch = operators.Events.eventsConversions(spark, sf)
+      .as[EventStreams.Conversion].collect().toSet
+    assert(batch == expected,
+      s"batch operator parity: ${batch.size} vs ${expected.size}; " +
+        s"diff=${(batch diff expected).take(3)} / ${(expected diff batch).take(3)}")
   }
 }
