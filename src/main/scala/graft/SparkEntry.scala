@@ -48,6 +48,7 @@ object SparkEntry {
     "clean_dedup_exact" -> (Cleaning.cleanDedupExact _),
     "quality_metrics" -> (Quality.qualityMetrics _),
     "curation_decisions" -> (Quality.curationDecisions _),
+    "corpus_mixture_report" -> (Quality.corpusMixtureReport _),
     // entity matching
     "match_exact" -> (Matching.matchExact _),
     "match_fuzzy_blocked" -> (Matching.matchFuzzyBlocked _),
@@ -1335,6 +1336,19 @@ object SparkEntry {
         |FROM train JOIN bench USING (h)
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    "corpus_mixture_report" ->
+      """WITH d AS (SELECT source, lang,
+        |  CAST(len(string_split_regex(text,'\s+')) AS BIGINT) AS n_tokens, n_chars
+        | FROM documents),
+        |c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+        | FROM d GROUP BY source, lang),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM c)
+        |SELECT source, lang, n_docs, n_tokens,
+        | round(CAST(n_tokens AS DOUBLE)/tot, 6) AS token_share, avg_chars
+        |FROM c CROSS JOIN t ORDER BY source, lang""".stripMargin,
 
     "curation_decisions" ->
       """WITH d0 AS (SELECT doc_id, text, string_split_regex(text,'\s+') AS t FROM documents),

@@ -197,4 +197,30 @@ object Quality {
       .reduce(_.unionByName(_))
       .orderBy("column_name")
   }
+
+  /** Corpus mixture report — the "data card" every training corpus
+    * ships with: per (source, lang) cell, document and token counts,
+    * the cell's share of the corpus token budget, and mean document
+    * length. This is the table a mixture-weighting step (DSIR,
+    * temperature sampling) consumes as its sampling frame, and the
+    * first thing audited when a trained model's language balance is
+    * questioned. One map-side token count per doc, one grouped
+    * aggregation, a broadcast one-row total — output is
+    * |sources|×|langs| rows regardless of corpus size.
+    */
+  def corpusMixtureReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), "\\s+")).cast("long"))
+    val cells = d.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        round(avg(col("n_chars").cast("double")), 6).as("avg_chars"))
+    val total = cells.agg(sum("n_tokens").as("tot"))
+    cells.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot").cast("double"), 6)
+          .as("token_share"),
+        col("avg_chars"))
+      .orderBy("source", "lang")
+  }
 }

@@ -453,4 +453,54 @@ object EventStreams {
           }
       }
   }
+
+  case class RateAlert(user_id: Long, minute_ts: Long, n_events: Long)
+
+  /** Per-user rate-limit detector on the Spark 4 `transformWithState`
+    * API (the arbitrary-state successor to flatMapGroupsWithState):
+    * one alert the moment a user's event count inside an event-time
+    * minute first exceeds `limit`. State is a typed
+    * `MapState[minute, count]` per user with a built-in TTL — the
+    * state STORE evicts idle entries (RocksDB column-family TTL, no
+    * timer bookkeeping in user code), which is the API's win over the
+    * GroupState operators above: typed composite state + declarative
+    * expiry instead of hand-rolled timeout plumbing. Requires the
+    * RocksDB state store provider. Exactly one alert per (user,
+    * minute) regardless of how far past the limit the burst runs, and
+    * within a micro-batch events apply in (ts, event_id) order so
+    * replays agree.
+    */
+  class RateLimitProcessor(limit: Long, ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, RateAlert] {
+    @transient private var counts
+      : org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[Long, Long]("minute_counts",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[RateAlert] = {
+      val out = Seq.newBuilder[RateAlert]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val b = e.ts.getTime / 60000L
+        val n = (if (counts.containsKey(b)) counts.getValue(b) else 0L) + 1L
+        counts.updateValue(b, n)
+        if (n == limit + 1) out += RateAlert(uid, b * 60L, n)
+      }
+      out.result().iterator
+    }
+  }
+
+  def rateAlerts(events: Dataset[Event], limit: Long = 5,
+                 ttl: java.time.Duration =
+                   java.time.Duration.ofMinutes(30)): Dataset[RateAlert] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RateLimitProcessor(limit, ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
 }

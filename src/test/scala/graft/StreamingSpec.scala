@@ -546,4 +546,66 @@ class StreamingSpec extends SparkSpec {
       s"batch operator parity: ${batch.size} vs ${expected.size}; " +
         s"diff=${(batch diff expected).take(3)} / ${(expected diff batch).take(3)}")
   }
+
+  test("rateAlerts (transformWithState): one alert per user-minute crossing the limit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // transformWithState requires the RocksDB state store. Keep the
+    // test query to TWO state-store instances and changelog (delta)
+    // checkpointing: each RocksDB instance checkpoints through
+    // Hadoop's RawLocalFileSystem, which shells out a subprocess per
+    // file stat — at 32 partitions × full snapshots that is minutes
+    // of fork() for a 12-row stream.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    // ProcessingTime TimeMode (the only mode that allows state TTL)
+    // makes shouldRunAnotherBatch always-true so processing-time
+    // timers can fire; with no-data micro-batches enabled the query
+    // busy-loops empty batches and processAllAvailable never sees
+    // noNewData. Timers aren't used here — only TTL — so data-driven
+    // batches are sufficient.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val input = MemoryStream[Event]
+    val q = EventStreams.rateAlerts(input.toDS(), limit = 3)
+      .writeStream.format("memory").queryName("rate_alerts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: 4 events inside minute 0 → one alert; user 2: 3 events → none
+      input.addData(
+        Event(1, ts(0), 1, "click", 0.0), Event(2, ts(0), 1, "click", 0.0),
+        Event(3, ts(0), 1, "click", 0.0), Event(4, ts(0), 1, "click", 0.0),
+        Event(5, ts(0), 2, "click", 0.0), Event(6, ts(0), 2, "click", 0.0),
+        Event(7, ts(0), 2, "click", 0.0))
+      q.processAllAvailable()
+      // user 1 keeps bursting in the SAME minute across a later
+      // micro-batch: the MapState count carries over, but the alert
+      // already fired — no duplicate. A burst in a NEW minute alerts
+      // again.
+      input.addData(
+        Event(8, ts(0), 1, "click", 0.0),
+        Event(9, ts(1), 1, "click", 0.0), Event(10, ts(1), 1, "click", 0.0),
+        Event(11, ts(1), 1, "click", 0.0), Event(12, ts(1), 1, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from rate_alerts")
+        .as[EventStreams.RateAlert].collect().toSet
+      val m0 = base / 1000L
+      assert(rows == Set(
+        EventStreams.RateAlert(1, m0, 4),
+        EventStreams.RateAlert(1, m0 + 60, 4)),
+        s"got $rows")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
