@@ -426,4 +426,79 @@ object Similarity {
       .select(lit(10).as("k"), col("n_candidates"), col("n_hits"),
         round(col("n_hits").cast("double") / lit(10.0), 6).as("recall"))
   }
+
+  /** Per-subspace PQ relation: each 64-dim vector split into M=16
+    * 4-dim subvectors with their squared norms — the input of
+    * codebook training, encoding, and the ADC lookup table. Built
+    * once per (session, dir) under the PlanCache.
+    */
+  private def pqSubs(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("pq_subs", spark, dir) {
+      kmeansVecs(spark, dir)
+        .select(col("vec_id"), posexplode(expr(
+          "transform(sequence(0, 15), m -> slice(v, m * 4 + 1, 4))"))
+          .as(Seq("m", "sv")))
+        .withColumn("s2", graft.functions.VectorExprs.dot(col("sv"), col("sv")))
+    }
+
+  /** One per-subspace assignment round against a broadcast codebook —
+    * the subspace form of [[assignToCentroids]]: d² via the norm
+    * identity, rounded to 6 before the min(struct) argmin (tie →
+    * smaller code id) so both engines agree bit-for-bit.
+    */
+  private def pqAssign(subs: DataFrame, codebook: DataFrame): DataFrame =
+    subs.join(broadcast(codebook.withColumn("c2",
+        graft.functions.VectorExprs.dot(col("c"), col("c")))), "m")
+      .withColumn("d2", round(
+        col("s2") - lit(2.0) * graft.functions.VectorExprs.dot(col("sv"), col("c"))
+          + col("c2"), 6))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cid"))).as("mm"))
+      .select(col("vec_id"), col("m"), col("mm.cid").as("code"))
+
+  /** Product-quantization ANN — the compression layer of the
+    * IVF+PQ design every billion-vector serving stack runs: each
+    * vector is stored as M=16 one-byte codes (64 doubles → 16 bytes,
+    * 32× smaller), and a query is answered by ADC (asymmetric
+    * distance computation) — one M×K (16×64) lookup table of exact
+    * query-to-centroid distances, then each candidate's distance is
+    * the SUM of M table lookups, never touching the original vectors.
+    *
+    * Codebooks are trained per subspace exactly like
+    * [[clusterKmeans]]: seed centroids = the first K=64 vectors'
+    * subvectors, one Lloyd refinement with centroids rounded to 6 —
+    * deterministic, so the DuckDB oracle replays training
+    * digit-for-digit. Scale shape: training/encoding are corpus ×
+    * (M·K)-broadcast passes (map-side, no shuffle of the corpus
+    * beyond the per-vec code agg); serving moves only the codes table
+    * and broadcasts the M×K lookup table; top-k is
+    * TakeOrderedAndProject. At 100 TB the codes table is what makes
+    * exhaustive re-ranking feasible — it fits in memory where the
+    * vectors do not.
+    */
+  def knnPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val subs = pqSubs(spark, dir)
+    val seeds = subs.filter(col("vec_id") < 64)
+      .select(col("m"), col("vec_id").cast("int").as("cid"), col("sv").as("c"))
+    val a1 = pqAssign(subs, seeds)
+    val cb1 = graft.PlanCache.cached("pq_codebook", spark, dir) {
+      a1.join(subs, Seq("vec_id", "m"))
+        .select(col("m"), col("code").as("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy("m", "cid", "dim").agg(round(avg("x"), 6).as("cx"))
+        .groupBy("m", "cid")
+        .agg(expr("transform(sort_array(collect_list(struct(dim, cx))), s -> s.cx)").as("c"))
+    }
+    val codes = pqAssign(subs, cb1)
+    val qsub = subs.filter(col("vec_id") === 0)
+      .select(col("m"), col("sv").as("qv"), col("s2").as("q2"))
+    val lut = cb1.join(qsub, "m")
+      .withColumn("c2", graft.functions.VectorExprs.dot(col("c"), col("c")))
+      .select(col("m"), col("cid").as("code"),
+        round(col("q2") - lit(2.0) * graft.functions.VectorExprs.dot(col("qv"), col("c"))
+          + col("c2"), 6).as("qd2"))
+    val adc = codes.filter(col("vec_id") =!= 0)
+      .join(broadcast(lut), Seq("m", "code"))
+      .groupBy("vec_id").agg(round(sum("qd2"), 6).as("adc_d2"))
+    graft.functions.TopK.globalWithRank(adc, 10, col("adc_d2").asc, col("vec_id"))
+  }
 }
