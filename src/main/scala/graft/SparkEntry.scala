@@ -74,6 +74,7 @@ object SparkEntry {
     "contamination_ngram" -> (Dedup.contaminationNgram _),
     // text analysis
     "text_langid" -> (TextAnalysis.textLangid _),
+    "langid_confusion" -> (TextAnalysis.langidConfusion _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_tokens" -> (TextAnalysis.textTokens _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
@@ -183,6 +184,7 @@ object SparkEntry {
     "events_heatmap" -> (Events.eventsHeatmap _),
     "events_key_skew" -> (Events.eventsKeySkew _),
     "events_conversions" -> ((s, d) => Events.eventsConversions(s, d)),
+    "events_seasonal" -> (Events.eventsSeasonal _),
     "events_decayed_score" -> (Events.eventsDecayedScore _),
   )
 
@@ -921,6 +923,24 @@ object SparkEntry {
          | coalesce(score, 0) AS score
          |FROM documents d LEFT JOIN pred ON d.doc_id = pred.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "langid_confusion" ->
+      s"""WITH m(token, cand_lang) AS (VALUES ${operators.TextAnalysis.markers
+            .map { case (l, t) => s"('$t','$l')" }.mkString(", ")}),
+         |hits AS (SELECT doc_id, cand_lang, CAST(count(*) AS BIGINT) AS score
+         |  FROM (SELECT doc_id, unnest(string_split_regex(text,'\\s+')) AS token
+         |        FROM documents) t
+         |  JOIN m USING (token) GROUP BY 1, 2),
+         |pred AS (SELECT doc_id, cand_lang AS pred_lang, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, cand_lang) AS rn FROM hits) x WHERE rn = 1),
+         |p2 AS (SELECT d.doc_id, d.lang, coalesce(pred_lang, 'und') AS pred_lang
+         |  FROM documents d LEFT JOIN pred ON d.doc_id = pred.doc_id),
+         |c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM p2 GROUP BY 1, 2)
+         |SELECT lang, pred_lang, n_docs,
+         | round(CAST(n_docs AS DOUBLE)/sum(n_docs) OVER (PARTITION BY lang), 6) AS share
+         |FROM c ORDER BY lang, pred_lang""".stripMargin,
 
     "text_quality" ->
       """WITH d AS (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents),
@@ -2531,6 +2551,22 @@ object SparkEntry {
         | round(ent, 6) AS entropy,
         | round(mc * 1.0 * n_keys / n_rows, 6) AS skew_ratio
         |FROM t CROSS JOIN mx CROSS JOIN top CROSS JOIN h""".stripMargin,
+
+    "events_seasonal" ->
+      """WITH e AS (SELECT epoch_ns(ts)//1000000000 AS ts_s FROM events),
+        |h AS (SELECT (ts_s // 3600) * 3600 AS hour_ts,
+        |   CAST(count(*) AS BIGINT) AS n_events FROM e GROUP BY 1),
+        |h2 AS (SELECT *, (hour_ts % 604800) // 3600 AS slot FROM h),
+        |b AS (SELECT slot, round(avg(CAST(n_events AS DOUBLE)), 6) AS slot_mean,
+        |   round(stddev_samp(CAST(n_events AS DOUBLE)), 6) AS slot_std
+        |  FROM h2 GROUP BY 1),
+        |s AS (SELECT hour_ts, slot, n_events, slot_mean,
+        |   round((CAST(n_events AS DOUBLE) - slot_mean)/slot_std, 6) AS z
+        |  FROM h2 JOIN b USING (slot) WHERE slot_std > 0)
+        |SELECT hour_ts, slot, n_events, slot_mean, z, rank FROM (
+        | SELECT *, CAST(row_number() OVER (ORDER BY abs(z) DESC, hour_ts) AS INT) AS rank
+        | FROM s) t
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "events_conversions" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

@@ -512,6 +512,35 @@ object Events {
         round(sum("value"), 2).as("value_sum"))
       .orderBy("dow", "hour")
 
+  /** Seasonal volume anomalies: each absolute hour's event count is
+    * z-scored against the BASELINE for its hour-of-week slot (mean /
+    * sample-std of the same slot across all weeks) — the
+    * seasonality-aware twin of [[eventsZscore]]: a quiet Sunday 3am
+    * hour is not an anomaly just because Monday noon is busy, and a
+    * Monday-noon outage is one even when its raw count beats the
+    * weekly average. Two bounded aggregations (per-hour counts, then
+    * ≤168 slot baselines joined back broadcast-size) and a top-20 by
+    * |z| — no window over the event stream itself.
+    */
+  def eventsSeasonal(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .withColumn("hour_ts", expr("(ts_s div 3600) * 3600"))
+      .groupBy("hour_ts")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("slot", expr("(hour_ts % 604800) div 3600"))
+    val base = hourly.groupBy("slot")
+      .agg(round(avg(col("n_events").cast("double")), 6).as("slot_mean"),
+        round(stddev_samp(col("n_events").cast("double")), 6).as("slot_std"))
+    val scored = hourly.join(broadcast(base), "slot")
+      .filter(col("slot_std") > 0.0)
+      .withColumn("z", round(
+        (col("n_events").cast("double") - col("slot_mean")) / col("slot_std"), 6))
+      .select(col("hour_ts"), col("slot"), col("n_events"),
+        col("slot_mean"), col("z"))
+    graft.functions.TopK.globalWithRank(scored, 20,
+      abs(col("z")).desc, col("hour_ts"))
+  }
+
   /** Exponentially time-decayed engagement score per user: each
     * event contributes value · exp(−Δt/τ) with Δt measured back from
     * the corpus horizon (max event time) and τ = 7 days — the

@@ -32,24 +32,50 @@ object TextAnalysis {
     * language, argmax with lang-asc tiebreak; docs with no hits
     * classify as 'und'.
     */
-  def textLangid(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val m = markers.toDF("cand_lang", "token")
-    val hits = docs.select(col("doc_id"), explode(toks).as("token"))
-      .join(broadcast(m), "token")
-      .groupBy("doc_id", "cand_lang")
-      .agg(count(lit(1)).as("score"))
-    val best = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("cand_lang"))
-    val pred = hits.withColumn("rn", row_number().over(best))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score"))
-    docs.select("doc_id").join(pred, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
-        coalesce(col("score"), lit(0L)).as("score"))
-      .orderBy("doc_id")
+  /** Per-doc language prediction — shared by [[textLangid]] and the
+    * [[langidConfusion]] eval matrix under the PlanCache.
+    */
+  private def langidPred(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("langid_pred", spark, dir) {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val m = markers.toDF("cand_lang", "token")
+      val hits = docs.select(col("doc_id"), explode(toks).as("token"))
+        .join(broadcast(m), "token")
+        .groupBy("doc_id", "cand_lang")
+        .agg(count(lit(1)).as("score"))
+      val best = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cand_lang"))
+      val pred = hits.withColumn("rn", row_number().over(best))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score"))
+      docs.select("doc_id").join(pred, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+          coalesce(col("score"), lit(0L)).as("score"))
+    }
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    langidPred(spark, dir).orderBy("doc_id")
+
+  /** Language-ID confusion matrix: detected language against the
+    * labeled `lang` column, with each cell's share of its labeled
+    * row — the accuracy report a language classifier ships with
+    * (the off-diagonal mass is what a lang-filtered training mix
+    * silently loses). Reuses the cached per-doc prediction; the
+    * matrix is |langs|² rows, so the row-share window runs on an
+    * already-aggregated relation, never the corpus.
+    */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("doc_id", "lang")
+    val cells = d.join(langidPred(spark, dir), "doc_id")
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    cells
+      .withColumn("share", round(
+        col("n_docs").cast("double")
+          / sum("n_docs").over(Window.partitionBy("lang")).cast("double"), 6))
+      .orderBy("lang", "pred_lang")
   }
 
   /** Quality scoring: token counts, mean token length, stopword
