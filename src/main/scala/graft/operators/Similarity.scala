@@ -476,29 +476,81 @@ object Similarity {
     * exhaustive re-ranking feasible — it fits in memory where the
     * vectors do not.
     */
-  def knnPqAdc(spark: SparkSession, dir: String): DataFrame = {
-    val subs = pqSubs(spark, dir)
-    val seeds = subs.filter(col("vec_id") < 64)
-      .select(col("m"), col("vec_id").cast("int").as("cid"), col("sv").as("c"))
-    val a1 = pqAssign(subs, seeds)
-    val cb1 = graft.PlanCache.cached("pq_codebook", spark, dir) {
-      a1.join(subs, Seq("vec_id", "m"))
+  /** Refined PQ codebook (seed = first 64 vectors' subvectors, one
+    * Lloyd round, centroids rounded to 6) — shared by the flat ADC
+    * search and the IVF+PQ composition under the PlanCache.
+    */
+  private def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("pq_codebook", spark, dir) {
+      val subs = pqSubs(spark, dir)
+      val seeds = subs.filter(col("vec_id") < 64)
+        .select(col("m"), col("vec_id").cast("int").as("cid"), col("sv").as("c"))
+      pqAssign(subs, seeds).join(subs, Seq("vec_id", "m"))
         .select(col("m"), col("code").as("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy("m", "cid", "dim").agg(round(avg("x"), 6).as("cx"))
         .groupBy("m", "cid")
         .agg(expr("transform(sort_array(collect_list(struct(dim, cx))), s -> s.cx)").as("c"))
     }
-    val codes = pqAssign(subs, cb1)
-    val qsub = subs.filter(col("vec_id") === 0)
+
+  /** The encoded corpus — every vector as M=16 codebook codes. At
+    * scale this table (not the vectors) is what a PQ search scans.
+    */
+  private def pqCodes(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("pq_codes", spark, dir) {
+      pqAssign(pqSubs(spark, dir), pqCodebook(spark, dir))
+    }
+
+  /** The query's ADC lookup table: exact distance from each query
+    * subvector to each codebook centroid — M×K rows, broadcast.
+    */
+  private def pqLut(spark: SparkSession, dir: String): DataFrame = {
+    val qsub = pqSubs(spark, dir).filter(col("vec_id") === 0)
       .select(col("m"), col("sv").as("qv"), col("s2").as("q2"))
-    val lut = cb1.join(qsub, "m")
+    pqCodebook(spark, dir).join(qsub, "m")
       .withColumn("c2", graft.functions.VectorExprs.dot(col("c"), col("c")))
       .select(col("m"), col("cid").as("code"),
         round(col("q2") - lit(2.0) * graft.functions.VectorExprs.dot(col("qv"), col("c"))
           + col("c2"), 6).as("qd2"))
-    val adc = codes.filter(col("vec_id") =!= 0)
-      .join(broadcast(lut), Seq("m", "code"))
+  }
+
+  def knnPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val adc = pqCodes(spark, dir).filter(col("vec_id") =!= 0)
+      .join(broadcast(pqLut(spark, dir)), Seq("m", "code"))
       .groupBy("vec_id").agg(round(sum("qd2"), 6).as("adc_d2"))
     graft.functions.TopK.globalWithRank(adc, 10, col("adc_d2").asc, col("vec_id"))
+  }
+
+  /** IVF+PQ — the two-stage design every billion-vector serving
+    * stack runs (coarse cells prune the corpus, PQ codes compress
+    * what's left): the query routes to its nprobe=2 nearest coarse
+    * cells exactly like [[knnIvf]], then ONLY the probed cells'
+    * PQ codes are scored by ADC lookup — the scan touches
+    * nprobe/nlist of the codes table and never a raw vector. Both
+    * stages reuse the cached building blocks ([[ivfCentroids]],
+    * [[pqCodebook]], [[pqCodes]]), so the composition adds no new
+    * training pass. At 100 TB the codes live partitioned BY cell
+    * (the [[buildIvfIndex]] layout), making a query nprobe partition
+    * reads of 16-byte rows.
+    */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecsWithNorm(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("norm").as("qn"))
+    val best = ivfCentroids(e).crossJoin(broadcast(q))
+      .withColumn("cnorm", graft.functions.Vectors.normHof("cv"))
+      .withColumn("csim", round(
+        graft.functions.VectorExprs.dot(col("cv"), col("qv"))
+          / (col("cnorm") * col("qn")), 6))
+      .orderBy(col("csim").desc, col("label"))
+      .limit(2)
+      .select(col("label").as("target_label"))
+    val probed = pqCodes(spark, dir)
+      .join(e.select("vec_id", "label"), "vec_id")
+      .join(broadcast(best), col("label") === col("target_label"))
+      .filter(col("vec_id") =!= 0)
+    val adc = probed
+      .join(broadcast(pqLut(spark, dir)), Seq("m", "code"))
+      .groupBy("vec_id", "label").agg(round(sum("qd2"), 6).as("adc_d2"))
+    graft.functions.TopK.globalWithRank(adc, 5, col("adc_d2").asc, col("vec_id"))
   }
 }
