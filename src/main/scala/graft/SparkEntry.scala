@@ -66,6 +66,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
+    "dedup_threshold_sweep" -> (Dedup.dedupThresholdSweep _),
     "dedup_embed_nn" -> (Dedup.dedupEmbedNn _),
     "dedup_components" -> (Dedup.dedupComponents _),
     "dedup_keep_best" -> (Dedup.dedupKeepBest _),
@@ -895,6 +896,41 @@ object SparkEntry {
         |  FROM dense a JOIN dense b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |SELECT i, j, round(inter/(la+lb-inter),6) AS jaccard FROM p
         |WHERE round(inter/(la+lb-inter),6) >= 0.8 ORDER BY i, j""".stripMargin,
+
+    "dedup_threshold_sweep" ->
+      """WITH g AS (SELECT doc_id, lang,
+        |   list_distinct(list_transform(generate_series(1, length(text)-2),
+        |     i -> substr(text, i, 3))) AS g
+        | FROM documents WHERE length(text) >= 3),
+        |ex AS (SELECT doc_id, lang,
+        |   ((strpos('0123456789abcdef', substr(md5(ng),1,1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substr(md5(ng),2,1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substr(md5(ng),3,1)) - 1)) % 4096 AS r
+        |  FROM (SELECT doc_id, lang, unnest(g) AS ng FROM g) t),
+        |bits AS (SELECT doc_id, lang, r//32 AS wi,
+        |   CAST(bit_or(CAST(1 AS BIGINT) << (r % 32)) AS BIGINT) AS wrd
+        |  FROM ex GROUP BY 1, 2, 3),
+        |grid AS (SELECT doc_id, lang,
+        |   unnest(generate_series(0, 127)) AS wi FROM g),
+        |dense AS (SELECT doc_id, lang, list(wrd ORDER BY wi) AS v,
+        |   CAST(sum(bit_count(wrd)) AS BIGINT) AS n FROM (
+        |  SELECT grid.doc_id, grid.lang, grid.wi, coalesce(bits.wrd, 0) AS wrd
+        |  FROM grid LEFT JOIN bits ON grid.doc_id = bits.doc_id AND grid.wi = bits.wi) t
+        | GROUP BY 1, 2),
+        |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+        |   CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+        |     k -> bit_count(a.v[k] & b.v[k]))) AS DOUBLE) AS inter,
+        |   a.n AS la, b.n AS lb
+        |  FROM dense a JOIN dense b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+        |sc AS (SELECT round(inter/(la+lb-inter),6) AS jaccard FROM p
+        |  WHERE round(inter/(la+lb-inter),6) >= 0.5),
+        |bins AS (SELECT CAST(round(jaccard*1000000) AS BIGINT)//100000 AS bin_x10,
+        |   CAST(count(*) AS BIGINT) AS n_pairs FROM sc GROUP BY 1),
+        |cum AS (SELECT a.bin_x10,
+        |   CAST(sum(b.n_pairs) AS BIGINT) AS n_pairs_at_or_above
+        |  FROM bins a JOIN bins b ON b.bin_x10 >= a.bin_x10 GROUP BY 1)
+        |SELECT bin_x10, n_pairs, n_pairs_at_or_above
+        |FROM bins JOIN cum USING (bin_x10) ORDER BY bin_x10 DESC""".stripMargin,
 
     "dedup_embed_nn" ->
       """WITH e AS (SELECT vec_id, label,

@@ -281,6 +281,29 @@ object Dedup {
       .select("i", "j", "jaccard")
   }
 
+  /** Threshold-calibration sweep: the in-block candidate pairs binned
+    * by jaccard decile (≥0.5), with the cumulative pair count at or
+    * above each bin — the curve a dedup operator reads to CHOOSE its
+    * threshold (how many pairs does 0.8 vs 0.9 actually flag?)
+    * instead of inheriting 0.8 as folklore. Bins are computed in
+    * integer arithmetic on the 6-decimal-rounded score (a float
+    * ×10+floor would bin 0.7-epsilon differently per engine); the
+    * cumulative count is the triangular self-join over ≤6 bin rows,
+    * never a global window. Shares the scored-pairs subtree with
+    * [[dedupNgramJaccard]] under the PlanCache.
+    */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val bins = ngramJaccardScores(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .withColumn("bin_x10", expr(
+        "CAST(round(jaccard * 1000000) AS BIGINT) div 100000"))
+      .groupBy("bin_x10").agg(count(lit(1)).as("n_pairs"))
+    val cum = bins.as("a").join(bins.as("b"), col("b.bin_x10") >= col("a.bin_x10"))
+      .groupBy(col("a.bin_x10").as("bin_x10"))
+      .agg(sum(col("b.n_pairs")).as("n_pairs_at_or_above"))
+    bins.join(cum, "bin_x10").orderBy(col("bin_x10").desc)
+  }
+
   /** Substring-level duplication: docs sharing verbatim 64-char
     * blocks. Overlapping chunks (stride 32) are hashed map-side; docs
     * are candidate pairs when they share a chunk hash (equi-join on

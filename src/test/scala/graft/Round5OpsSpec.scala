@@ -206,4 +206,25 @@ class Round5OpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"PQ recall@10 = $recall, exact=$exact got=$got")
     out.unpersist()
   }
+
+  test("dedup_threshold_sweep: cumulative curve is consistent with the 0.8 dedup gate") {
+    val sweep = operators.Dedup.dedupThresholdSweep(spark, sf).cache()
+    val rows = sweep.collect()
+    assert(rows.nonEmpty, "sf test corpus has near-dup pairs above 0.5")
+    // cumulative count is nonincreasing as the threshold bin rises
+    val byBin = rows.sortBy(_.getAs[Long]("bin_x10"))
+      .map(r => (r.getAs[Long]("bin_x10"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_pairs_at_or_above")))
+    assert(byBin.zip(byBin.tail).forall { case ((_, _, c1), (_, _, c2)) => c1 >= c2 },
+      s"cumulative must shrink with threshold: ${byBin.mkString(",")}")
+    // per-bin counts sum to the >= 0.5 cumulative (lowest bin present)
+    assert(byBin.map(_._2).sum == byBin.head._3,
+      "sum of bins equals the cumulative at the lowest bin")
+    // the curve's >= 0.8 point IS what dedup_ngram_jaccard flags
+    val at08 = byBin.filter(_._1 >= 8L).map(_._2).sum
+    val flagged = operators.Dedup.dedupNgramJaccard(spark, sf).count()
+    assert(at08 == flagged,
+      s"sweep at 0.8 ($at08) must equal the ngram-jaccard gate count ($flagged)")
+    sweep.unpersist()
+  }
 }
