@@ -226,10 +226,22 @@ object Dedup {
     * approximation, identical across engines.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardScores(spark, dir)
+    ngramScoresGe05(spark, dir)
       .filter(col("jaccard") >= 0.8)
       .select("i", "j", "jaccard")
       .orderBy("i", "j")
+
+  /** Scored pairs at jaccard ≥ 0.5 — the shared output of the one
+    * expensive job in this family (the all-pairs bitset scoring).
+    * Cached because [[dedupNgramJaccard]] (≥ 0.8 ⊂ ≥ 0.5) and both
+    * consumers inside [[dedupThresholdSweep]] read it; the survivors
+    * are a tiny fraction of the candidate pairs, so the pinned
+    * relation is near-dup-sized, not corpus-squared-sized.
+    */
+  private def ngramScoresGe05(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("ngram_scores_ge05", spark, dir) {
+      ngramJaccardScores(spark, dir).filter(col("jaccard") >= 0.5)
+    }
 
   /** All in-block pair scores, pre-threshold — exposed so tests can
     * bound the feature-hashing drift against exact gram-set jaccard.
@@ -293,8 +305,10 @@ object Dedup {
     * [[dedupNgramJaccard]] under the PlanCache.
     */
   def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
-    val bins = ngramJaccardScores(spark, dir)
-      .filter(col("jaccard") >= 0.5)
+    // bins sit on the cached ≥0.5 scores, so the per-bin column and
+    // the cumulative self-join each re-scan a near-dup-sized pinned
+    // relation — NOT the O(pairs) scoring subtree
+    val bins = ngramScoresGe05(spark, dir)
       .withColumn("bin_x10", expr(
         "CAST(round(jaccard * 1000000) AS BIGINT) div 100000"))
       .groupBy("bin_x10").agg(count(lit(1)).as("n_pairs"))
