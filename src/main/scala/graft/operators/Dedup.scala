@@ -312,7 +312,8 @@ object Dedup {
       .withColumn("bin_x10", expr(
         "CAST(round(jaccard * 1000000) AS BIGINT) div 100000"))
       .groupBy("bin_x10").agg(count(lit(1)).as("n_pairs"))
-    val cum = bins.as("a").join(bins.as("b"), col("b.bin_x10") >= col("a.bin_x10"))
+    val cum = bins.as("a")
+      .join(broadcast(bins.as("b")), col("b.bin_x10") >= col("a.bin_x10"))
       .groupBy(col("a.bin_x10").as("bin_x10"))
       .agg(sum(col("b.n_pairs")).as("n_pairs_at_or_above"))
     bins.join(cum, "bin_x10").orderBy(col("bin_x10").desc)

@@ -366,17 +366,20 @@ object Matching {
         .agg(count(lit(1)).as("tf"))
     }
     val docLen = corpusTf.groupBy("j").agg(sum("tf").as("len"))
-    val nDocs = docLen.count()
-    // explicit exact-int sum / count (avg() accumulates in double —
-    // summation drift there would desync the oracle)
-    val avgLen = docLen
-      .agg((sum("len").cast("double") / count(lit(1))).as("a")).head().getDouble(0)
+    // corpus scalars (N, avgdl) as ONE broadcast one-row relation —
+    // no driver-side count/head mid-plan. Explicit exact-int sum /
+    // count (avg() accumulates in double — summation drift there
+    // would desync the oracle).
+    val stats = docLen.agg(
+      count(lit(1)).cast("double").as("nd"),
+      (sum("len").cast("double") / count(lit(1))).as("avgdl"))
     // max_df prune BEFORE the inverted-index join: stopword-grade
     // tokens sit in ~every posting list, so they dominate |Q|·|C|
     // join volume while BM25's idf already weights them ≈ 0 —
     // unpruned, this query is 10x slower for identical top-1s.
     val dfreq = corpusTf.groupBy("token").agg(countDistinct("j").as("df"))
-      .filter(col("df") < lit(0.95 * nDocs))
+      .crossJoin(broadcast(stats))
+      .filter(col("df") < lit(0.95) * col("nd"))
     val queries = tokens.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id").as("i"), col("token")).distinct()
     // With qtf saturated to 1, the whole BM25 term weight is
@@ -387,10 +390,10 @@ object Matching {
       .join(docLen, "j")
       .join(broadcast(dfreq), "token")
       .withColumn("idf", log(
-        (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        (col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .select(col("token"), col("j"),
         (col("idf") * (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / avgLen))).as("c"))
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avgdl")))).as("c"))
     // NOTE on the dense-regime question: unlike [[matchTfidfTopk]],
     // BM25 does NOT win from densify-and-scan here — measured at
     // sf0.1 the dense broadcast-NLJ variant was 2.4s warm vs 2.1s for

@@ -181,7 +181,6 @@ object TextAnalysis {
       d.select(explode(toks).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cw"))
     }
-    val n1 = uni.agg(sum("cw")).head().getLong(0)
     val bi = d.withColumn("t", toks).filter(size(col("t")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(t)-1), i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"))
@@ -190,14 +189,19 @@ object TextAnalysis {
     val cbi = graft.PlanCache.cached("pmi_cbi", spark, dir) {
       bi.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
     }
-    val n2 = cbi.agg(sum("cxy")).head().getLong(0)
+    // corpus totals as ONE broadcast one-row cross join (the
+    // codebase's scalar-subquery pattern) — no driver-side eager
+    // action mid-plan; both totals ride the same one-row relation
+    val totals = uni.agg(sum("cw").cast("double").as("n1"))
+      .crossJoin(cbi.agg(sum("cxy").cast("double").as("n2")))
     val scored = cbi.filter(col("cxy") >= 5)
       .join(uni.select(col("w").as("w1"), col("cw").as("cx")), "w1")
       .join(uni.select(col("w").as("w2"), col("cw").as("cy")), "w2")
+      .crossJoin(broadcast(totals))
       .withColumn("pmi", round(log(
-        (col("cxy").cast("double") / lit(n2.toDouble)) /
-          ((col("cx").cast("double") / lit(n1.toDouble))
-            * (col("cy").cast("double") / lit(n1.toDouble)))), 6))
+        (col("cxy").cast("double") / col("n2")) /
+          ((col("cx").cast("double") / col("n1"))
+            * (col("cy").cast("double") / col("n1")))), 6))
       .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
         col("cxy"), col("pmi"))
     graft.functions.TopK.globalWithRank(scored, 20, col("pmi").desc, col("bigram"))
