@@ -48,6 +48,8 @@ object SparkEntry {
     "clean_dedup_exact" -> (Cleaning.cleanDedupExact _),
     "quality_metrics" -> (Quality.qualityMetrics _),
     "curation_decisions" -> (Quality.curationDecisions _),
+    "dq_expectations" -> (Governance.dqExpectations _),
+    "privacy_kanon" -> ((s: SparkSession, d: String) => Governance.privacyKanon(s, d)),
     "corpus_mixture_report" -> (Quality.corpusMixtureReport _),
     // entity matching
     "match_exact" -> (Matching.matchExact _),
@@ -1407,6 +1409,48 @@ object SparkEntry {
         |SELECT source, lang, n_docs, n_tokens,
         | round(CAST(n_tokens AS DOUBLE)/tot, 6) AS token_share, avg_chars
         |FROM c CROSS JOIN t ORDER BY source, lang""".stripMargin,
+
+    "dq_expectations" ->
+      """WITH lagg AS (SELECT CAST(count(*) AS BIGINT) n,
+        |  CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT) v_rf,
+        |  CAST(sum(CASE WHEN l_linestatus IN ('O','F') THEN 0 ELSE 1 END) AS BIGINT) v_ls,
+        |  CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0 ELSE 1 END) AS BIGINT) v_disc,
+        |  CAST(sum(CASE WHEN l_quantity BETWEEN 1.0 AND 50.0 THEN 0 ELSE 1 END) AS BIGINT) v_qty,
+        |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) v_uniq
+        | FROM lineitem),
+        |oagg AS (SELECT CAST(count(*) AS BIGINT) n FROM orders),
+        |checks AS (
+        | SELECT 'accepted_values_l_returnflag' check_name, n n_rows, v_rf v FROM lagg
+        | UNION ALL SELECT 'accepted_values_l_linestatus', n, v_ls FROM lagg
+        | UNION ALL SELECT 'range_l_discount_0_0.1', n, v_disc FROM lagg
+        | UNION ALL SELECT 'range_l_quantity_1_50', n, v_qty FROM lagg
+        | UNION ALL SELECT 'unique_lineitem_orderkey_linenumber', n, v_uniq FROM lagg
+        | UNION ALL SELECT 'fk_lineitem_orderkey_orders', n,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l LEFT JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) FROM lagg
+        | UNION ALL SELECT 'fk_lineitem_partkey_part', n,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l LEFT JOIN part p
+        |    ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL) FROM lagg
+        | UNION ALL SELECT 'fk_lineitem_suppkey_supplier', n,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM lineitem l LEFT JOIN supplier s
+        |    ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL) FROM lagg
+        | UNION ALL SELECT 'fk_orders_custkey_customer', n,
+        |   (SELECT CAST(count(*) AS BIGINT) FROM orders o LEFT JOIN customer c
+        |    ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) FROM oagg
+        | UNION ALL SELECT 'consistency_shipdate_after_orderdate', n,
+        |   (SELECT CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT)
+        |    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) FROM lagg)
+        |SELECT check_name, n_rows, v AS n_violations,
+        | round(CAST(v AS DOUBLE) / n_rows, 6) AS violation_rate,
+        | CASE WHEN v = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM checks ORDER BY check_name""".stripMargin,
+
+    "privacy_kanon" ->
+      """SELECT c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+        |FROM customer GROUP BY 1, 2 ORDER BY c_mktsegment, bal_bucket""".stripMargin,
 
     "curation_decisions" ->
       """WITH d0 AS (SELECT doc_id, text, string_split_regex(text,'\s+') AS t FROM documents),

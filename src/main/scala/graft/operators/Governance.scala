@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-governance operators: the cross-table expectation suite a
+  * warehouse runs before publishing a snapshot (the layer above
+  * [[Quality.qualityMetrics]]' single-column dbt tests — the
+  * reference's firmable_dbt quality models stop at unique/not_null,
+  * e.g. models/abr_companies_quality.yml), and a
+  * k-anonymity re-identification risk report over quasi-identifiers.
+  */
+object Governance {
+
+  /** Expectation suite over the order pipeline: referential
+    * integrity, composite-key uniqueness, accepted values, value
+    * ranges, and a cross-table consistency rule — one row per check
+    * with its violation count and pass/fail status.
+    *
+    * Scale shape: all single-table checks fold into ONE conditional
+    * aggregation pass per table (no per-check rescans). Each FK check
+    * reduces the fact side to (key, cnt) with map-side combine FIRST,
+    * anti-joins that key-count relation against the dimension's keys,
+    * and sums the counts — the fact table crosses the shuffle once
+    * per FK as distinct keys, never as rows, and the violating-row
+    * count still comes out exact. The consistency rule is the one
+    * genuine fact-to-fact join, co-partitioned on the order key.
+    */
+  def dqExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+
+    // one pass over lineitem for every in-row check; cached because
+    // five report rows read it (the union inlines one branch each)
+    val lAgg = graft.PlanCache.cached("dq_lagg", spark, dir)(l.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_returnflag").isin("A", "N", "R"), 0L).otherwise(1L)).as("v_rf"),
+      sum(when(col("l_linestatus").isin("O", "F"), 0L).otherwise(1L)).as("v_ls"),
+      sum(when(col("l_discount").between(0.0, 0.1), 0L).otherwise(1L)).as("v_disc"),
+      sum(when(col("l_quantity").between(1.0, 50.0), 0L).otherwise(1L)).as("v_qty"),
+      (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v_uniq")))
+    val oAgg = graft.PlanCache.cached("dq_oagg", spark, dir)(
+      o.agg(count(lit(1)).as("n")))
+
+    // FK violations counted without a second fact scan: group the
+    // fact key (map-side combine), anti-join the dimension keys,
+    // sum the surviving counts
+    def fkViol(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String): DataFrame =
+      fact.groupBy(col(factKey).as("k")).agg(count(lit(1)).as("cnt"))
+        .join(dim.select(col(dimKey).as("k")), Seq("k"), "left_anti")
+        .agg(coalesce(sum("cnt"), lit(0L)).as("v"))
+
+    val shipViol = l.select(col("l_orderkey"), col("l_shipdate"))
+      .join(o.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)).as("v"))
+
+    def row(name: String, nAgg: DataFrame, viol: Column): DataFrame =
+      nAgg.select(lit(name).as("check_name"), col("n").as("n_rows"),
+        viol.cast("long").as("n_violations"))
+    def rowJ(name: String, nAgg: DataFrame, violDf: DataFrame): DataFrame =
+      nAgg.crossJoin(broadcast(violDf))
+        .select(lit(name).as("check_name"), col("n").as("n_rows"),
+          col("v").cast("long").as("n_violations"))
+
+    val rows = Seq(
+      row("accepted_values_l_returnflag", lAgg, col("v_rf")),
+      row("accepted_values_l_linestatus", lAgg, col("v_ls")),
+      row("range_l_discount_0_0.1", lAgg, col("v_disc")),
+      row("range_l_quantity_1_50", lAgg, col("v_qty")),
+      row("unique_lineitem_orderkey_linenumber", lAgg, col("v_uniq")),
+      rowJ("fk_lineitem_orderkey_orders", lAgg,
+        fkViol(l, "l_orderkey", o, "o_orderkey")),
+      rowJ("fk_lineitem_partkey_part", lAgg,
+        fkViol(l, "l_partkey", Tables.part(spark, dir), "p_partkey")),
+      rowJ("fk_lineitem_suppkey_supplier", lAgg,
+        fkViol(l, "l_suppkey", Tables.supplier(spark, dir), "s_suppkey")),
+      rowJ("fk_orders_custkey_customer", oAgg,
+        fkViol(o, "o_custkey", Tables.customer(spark, dir), "c_custkey")),
+      rowJ("consistency_shipdate_after_orderdate", lAgg, shipViol))
+    rows.reduce(_ unionAll _)
+      .withColumn("violation_rate",
+        round(col("n_violations").cast("double") / col("n_rows"), 6))
+      .withColumn("status",
+        when(col("n_violations") === 0, "pass").otherwise("fail"))
+      .orderBy("check_name")
+  }
+
+  /** k-anonymity report over customer quasi-identifiers (market
+    * segment × account-balance thousand-bucket): every QID cell with
+    * its population and an at-risk flag (n < k ⇒ an attacker who
+    * knows the quasi-identifiers pins a customer to under k
+    * candidates). One groupBy — the shuffle carries only QID keys
+    * with map-side combine; flagging is a projection on the
+    * aggregate, never a second pass.
+    */
+  def privacyKanon(spark: SparkSession, dir: String): DataFrame =
+    privacyKanon(spark, dir, k = 5)
+
+  def privacyKanon(spark: SparkSession, dir: String, k: Int): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", when(col("n") < k, 1L).otherwise(0L))
+      .orderBy("c_mktsegment", "bal_bucket")
+}
