@@ -264,6 +264,31 @@ object Sinks {
       .drop("_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Bucketed table write: hash-cluster rows into a fixed number of
+    * buckets on the join key at WRITE time, so every later join or
+    * aggregation on that key is exchange-free — the shuffle the join
+    * would pay per query is paid once at load. This is the
+    * co-location contract big fact-to-fact joins need at 100 TB: two
+    * tables bucketed the same way (same key, same count) sort-merge
+    * join with zero Exchange on either side.
+    *
+    * The pre-repartition matches Spark's bucket-id hash (Murmur3 pmod
+    * numBuckets), so each task owns exactly its buckets and the write
+    * emits one file per bucket instead of numBuckets files per task —
+    * the classic bucketed-write small-file explosion. Bucket metadata
+    * lives in the session catalog (a metastore on a real cluster),
+    * which is what lets the planner PROVE co-partitioning and drop
+    * the exchanges.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.repartition(numBuckets, col(bucketCol))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ceil(rows / rowsPerFile) files. Streaming upserts and
     * per-partition writers accrete small files, and at scale scan

@@ -212,6 +212,46 @@ class SinksSpec extends SparkSpec {
     assert(got == want, "trash (the real history) must be restored, not the partial tmp")
   }
 
+  test("bucketed tables: co-bucketed fact join plans with zero Exchange") {
+    val l = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val o = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Sinks.writeBucketed(l, "bkt_lineitem", "l_orderkey", 8,
+      sortCols = Seq("l_orderkey"))
+    Sinks.writeBucketed(o, "bkt_orders", "o_orderkey", 8,
+      sortCols = Seq("o_orderkey"))
+    try {
+      // one parquet file per bucket, not numBuckets files per task
+      val files = spark.table("bkt_lineitem").inputFiles
+      assert(files.length == 8, s"expected 8 bucket files, got ${files.length}")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("bkt_lineitem")
+          .join(spark.table("bkt_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(sum("l_quantity").as("q"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan.take(2000))
+        // co-bucketing must eliminate BOTH join exchanges; the only
+        // allowed Exchange is the final group-by's (custkey != bucket
+        // key). Count them.
+        val exchanges = "Exchange".r.findAllIn(plan).length -
+          "ReusedExchange".r.findAllIn(plan).length
+        assert(exchanges <= 1, s"join must be exchange-free:\n${plan.take(3000)}")
+        // values match the unbucketed join
+        val expect = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_custkey").agg(sum("l_quantity").as("q"))
+        assert(joined.except(expect).isEmpty && expect.except(joined).isEmpty)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    }
+  }
+
   test("snapshotDiff/applyDiff round-trip: old + change feed reconstructs new") {
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
     // a synthetic next version with all three change kinds
