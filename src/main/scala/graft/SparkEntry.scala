@@ -188,6 +188,8 @@ object SparkEntry {
     "events_heatmap" -> (Events.eventsHeatmap _),
     "events_key_skew" -> (Events.eventsKeySkew _),
     "events_conversions" -> ((s, d) => Events.eventsConversions(s, d)),
+    "events_bot_detect" -> (Events.eventsBotDetect _),
+    "events_ab_test" -> (Events.eventsAbTest _),
     "events_seasonal" -> (Events.eventsSeasonal _),
     "events_decayed_score" -> (Events.eventsDecayedScore _),
   )
@@ -2730,5 +2732,58 @@ object SparkEntry {
         | AND (pp_ts IS NULL OR (pp_ts, pp_id) < (pv_ts, pv_id))
         | AND ts_s - pv_ts <= 1800
         |ORDER BY purchase_event""".stripMargin,
+
+    "events_bot_detect" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  epoch_ns(ts)//1000000000 AS ts_s FROM events),
+        |g AS (SELECT user_id,
+        |  CAST(ts_s - lag(ts_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts_s, event_id) AS DOUBLE) AS gap FROM e),
+        |gg AS (SELECT user_id,
+        |  sum(gap)/count(*) AS mean_gap,
+        |  sqrt(sum(gap*gap)/count(*)
+        |    - (sum(gap)/count(*)) * (sum(gap)/count(*))) AS sd_gap
+        | FROM g WHERE gap IS NOT NULL GROUP BY 1),
+        |mb AS (SELECT user_id, CAST(max(c) AS BIGINT) AS max_burst_min FROM (
+        |  SELECT user_id, ts_s//60 AS m, count(*) AS c FROM e GROUP BY 1, 2) t
+        | GROUP BY 1),
+        |b AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT ts_s//60) AS BIGINT) AS active_minutes FROM e GROUP BY 1)
+        |SELECT b.user_id, n_events, active_minutes,
+        | round(CAST(n_events AS DOUBLE)/active_minutes, 6) AS events_per_active_min,
+        | round(mean_gap, 6) AS mean_gap_s,
+        | round(sd_gap/mean_gap, 6) AS gap_cv,
+        | max_burst_min,
+        | CAST(CASE WHEN round(sd_gap/mean_gap, 6) <= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+        |FROM b JOIN gg ON b.user_id = gg.user_id
+        |JOIN mb ON b.user_id = mb.user_id
+        |ORDER BY b.user_id""".stripMargin,
+
+    "events_ab_test" ->
+      """WITH pu AS (SELECT user_id,
+        |  coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0.0) AS rev
+        | FROM events GROUP BY 1),
+        |v AS (SELECT rev,
+        |  CASE WHEN list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1) * pow(16, 8-i)))
+        |    / 4294967296.0 < 0.5 THEN 'A' ELSE 'B' END AS variant FROM pu),
+        |s AS (SELECT
+        |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  sum(CASE WHEN variant = 'A' THEN rev END) AS s_a,
+        |  sum(CASE WHEN variant = 'B' THEN rev END) AS s_b,
+        |  sum(CASE WHEN variant = 'A' THEN rev*rev END) AS ss_a,
+        |  sum(CASE WHEN variant = 'B' THEN rev*rev END) AS ss_b
+        | FROM v),
+        |m AS (SELECT n_a, n_b, s_a/n_a AS mean_a, s_b/n_b AS mean_b,
+        |  ss_a/n_a - (s_a/n_a)*(s_a/n_a) AS var_a,
+        |  ss_b/n_b - (s_b/n_b)*(s_b/n_b) AS var_b FROM s)
+        |SELECT n_a, n_b,
+        | round(mean_a, 6) AS rev_mean_a,
+        | round(mean_b, 6) AS rev_mean_b,
+        | round(mean_b/mean_a - 1.0, 6) AS lift,
+        | round((mean_b - mean_a)/sqrt(var_a/n_a + var_b/n_b), 6) AS z
+        |FROM m""".stripMargin,
   )
 }

@@ -642,4 +642,93 @@ object Events {
         (col("ts_s") - col("pv_ts")).as("latency_s"))
       .orderBy("purchase_event")
   }
+
+  /** Bot / automated-traffic detector: per-user behavioral features —
+    * event volume, events per ACTIVE minute, single-minute burst
+    * ceiling, and inter-event-gap regularity (coefficient of
+    * variation) — with a flag on suspiciously REGULAR cadence
+    * (cv ≤ 0.8 on the rounded value; organic arrivals are
+    * exponential-ish, cv ≈ 1, schedulers and scrapers are clocked).
+    * The filter every crawl-sourced training corpus runs before
+    * trusting engagement signals.
+    *
+    * Scale shape: gaps come from a per-USER partitioned lag window
+    * (bounded state, shuffles once on user_id); the burst ceiling is
+    * a (user, minute) pre-aggregate rolled up to its max — key-only
+    * shuffles with map-side combine, and every later join is
+    * per-user against relations already partitioned by user_id.
+    */
+  def eventsBotDetect(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_s"))
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+    val gaps = e
+      .withColumn("gap", (col("ts_s") - lag(col("ts_s"), 1).over(byUser)).cast("double"))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        (sum("gap") / count(lit(1))).as("mean_gap"),
+        sqrt((sum(col("gap") * col("gap")) / count(lit(1))) -
+          (sum("gap") / count(lit(1))) * (sum("gap") / count(lit(1)))).as("sd_gap"))
+    val burst = e.groupBy(col("user_id"), (col("ts_s") / 60).cast("long").as("m"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id").agg(max("c").as("max_burst_min"))
+    val base = e.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      countDistinct((col("ts_s") / 60).cast("long")).as("active_minutes"))
+    base.join(gaps, "user_id").join(burst, "user_id")
+      .select(
+        col("user_id"), col("n_events"), col("active_minutes"),
+        round(col("n_events").cast("double") / col("active_minutes"), 6)
+          .as("events_per_active_min"),
+        round(col("mean_gap"), 6).as("mean_gap_s"),
+        round(col("sd_gap") / col("mean_gap"), 6).as("gap_cv"),
+        col("max_burst_min"))
+      .withColumn("is_bot",
+        when(col("gap_cv") <= 0.8, 1L).otherwise(0L))
+      .orderBy("user_id")
+  }
+
+  /** A/B experiment read-out: users deterministically hash-split into
+    * two variants (the same content-hash assignment discipline as
+    * [[Sampling.sampleHashSplit]] — stable across runs, engines, and
+    * partitionings), metric = revenue per user (sum of purchase
+    * values, 0 for non-buyers); one summary row with per-variant
+    * populations, mean revenue, relative lift, and the Welch z
+    * statistic (unequal-variance two-sample test — the null-split
+    * read-out every experimentation platform renders).
+    *
+    * Scale shape: one per-user aggregate (shuffle on user_id with
+    * map-side combine), then ONE conditional aggregation to the
+    * 1-row summary — variant never re-partitions anything, and no
+    * user-level data leaves the first aggregate.
+    */
+  def eventsAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(coalesce(sum(when(col("event_type") === "purchase", col("value"))),
+        lit(0.0)).as("rev"))
+      .withColumn("variant",
+        when(graft.functions.HexExprs.uniformHash(col("user_id").cast("string")) < 0.5,
+          "A").otherwise("B"))
+    def side(v: String, c: org.apache.spark.sql.Column) = when(col("variant") === v, c)
+    perUser.agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(side("A", col("rev"))).as("s_a"),
+        sum(side("B", col("rev"))).as("s_b"),
+        sum(side("A", col("rev") * col("rev"))).as("ss_a"),
+        sum(side("B", col("rev") * col("rev"))).as("ss_b"))
+      .withColumn("mean_a", col("s_a") / col("n_a"))
+      .withColumn("mean_b", col("s_b") / col("n_b"))
+      .withColumn("var_a", col("ss_a") / col("n_a") - col("mean_a") * col("mean_a"))
+      .withColumn("var_b", col("ss_b") / col("n_b") - col("mean_b") * col("mean_b"))
+      .select(
+        col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("rev_mean_a"),
+        round(col("mean_b"), 6).as("rev_mean_b"),
+        round(col("mean_b") / col("mean_a") - 1.0, 6).as("lift"),
+        round((col("mean_b") - col("mean_a")) /
+          sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6).as("z"))
+  }
 }

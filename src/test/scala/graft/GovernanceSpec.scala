@@ -33,6 +33,42 @@ class GovernanceSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("events_bot_detect: one row per user, flag tracks the rounded cv threshold") {
+    val out = operators.Events.eventsBotDetect(spark, sf).cache()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(out.count() == users, "every (multi-event) user gets a feature row")
+    assert(out.filter((col("gap_cv") <= 0.8) =!= (col("is_bot") === 1L)).count() == 0)
+    // features are internally consistent
+    assert(out.filter(col("n_events") < col("active_minutes")).count() == 0)
+    assert(out.filter(col("max_burst_min") < 1 ||
+      col("events_per_active_min") < 1.0).count() == 0)
+    out.unpersist()
+  }
+
+  test("events_ab_test: arms partition users; z agrees with a local Welch computation") {
+    val row = operators.Events.eventsAbTest(spark, sf).head()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(row.getAs[Long]("n_a") + row.getAs[Long]("n_b") == users)
+    assert(row.getAs[Long]("n_a") > 0 && row.getAs[Long]("n_b") > 0)
+    // recompute Welch z locally from per-user revenues
+    val rev = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(coalesce(sum(when(col("event_type") === "purchase", col("value"))),
+        lit(0.0)).as("rev"))
+      .withColumn("a",
+        graft.functions.HexExprs.uniformHash(col("user_id").cast("string")) < 0.5)
+      .collect().map(r => (r.getBoolean(2), r.getDouble(1)))
+    def stats(xs: Array[Double]) = {
+      val n = xs.length; val m = xs.sum / n
+      (n, m, xs.map(x => x * x).sum / n - m * m)
+    }
+    val (na, ma, va) = stats(rev.filter(_._1).map(_._2))
+    val (nb, mb, vb) = stats(rev.filterNot(_._1).map(_._2))
+    val z = (mb - ma) / math.sqrt(va / na + vb / nb)
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-5,
+      s"welch z ${row.getAs[Double]("z")} vs local $z")
+  }
+
   test("privacy_kanon: cells partition the table, at_risk flags exactly n < k") {
     val out = operators.Governance.privacyKanon(spark, sf, k = 5).cache()
     val c = Tables.customer(spark, sf)
