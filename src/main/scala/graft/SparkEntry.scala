@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_threshold_sweep" -> (Dedup.dedupThresholdSweep _),
+    "dedup_method_agreement" -> (Dedup.dedupMethodAgreement _),
     "dedup_embed_nn" -> (Dedup.dedupEmbedNn _),
     "dedup_components" -> (Dedup.dedupComponents _),
     "dedup_keep_best" -> (Dedup.dedupKeepBest _),
@@ -236,6 +237,86 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (PARTITION BY c_custkey
       |    ORDER BY score DESC, s_suppkey) AS rn
       |  FROM scored WHERE score >= 0.5) t WHERE rn = 1)""".stripMargin
+
+  /** Full pair-producing SQL for each near-dup method — each is BOTH
+    * its own oracle entry and a subquery of dedup_method_agreement
+    * (one source of truth; the agreement oracle can never drift from
+    * the per-method oracles).
+    */
+  private val dedupMinhashLshSql: String = {
+    val hs = (1 to 8).map { j =>
+      val src = if (j <= 4) 1 else 2
+      val off = ((j - 1) % 4) * 8 + 1
+      s"list_min(list_transform(s, x -> substr(md5('$src'||'|'||x),$off,8))) AS h$j"
+    }.mkString(",\n  ")
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(text,'\\s+') AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |   generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |mh AS (SELECT doc_id, s,
+       |  $hs
+       | FROM sh),
+       |bands AS (
+       |  SELECT doc_id, 1 AS band_idx, h1||h2 AS band_val FROM mh
+       |  UNION ALL SELECT doc_id, 2, h3||h4 FROM mh
+       |  UNION ALL SELECT doc_id, 3, h5||h6 FROM mh
+       |  UNION ALL SELECT doc_id, 4, h7||h8 FROM mh),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bands a
+       |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id),
+       |v AS (SELECT i, j,
+       |   CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
+       |   len(sa.s) AS la, len(sb.s) AS lb
+       |  FROM cand JOIN mh sa ON cand.i = sa.doc_id
+       |            JOIN mh sb ON cand.j = sb.doc_id)
+       |SELECT i, j, round(inter/(la+lb-inter),6) AS jaccard FROM v
+       |WHERE round(inter/(la+lb-inter),6) >= 0.8 ORDER BY i, j""".stripMargin
+  }
+
+  private val dedupSimhashSql: String =
+    """WITH tok AS (SELECT doc_id,
+      |   unnest(list_distinct(string_split_regex(text,'\s+'))) AS tk FROM documents),
+      |bits AS (SELECT doc_id, tk, b,
+      |   (strpos('0123456789abcdef', substr(md5(tk), (b//4)+1, 1)) - 1) AS nib,
+      |   CASE b%4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS mask
+      | FROM tok CROSS JOIN (SELECT unnest(generate_series(0,15)) AS b) bs),
+      |sv AS (SELECT doc_id, b,
+      |   sum(CASE WHEN (nib//mask)%2 = 1 THEN 1 ELSE -1 END) AS sv
+      | FROM bits GROUP BY 1, 2),
+      |sim AS (SELECT doc_id, CAST(sum(
+      |   (CASE WHEN sv > 0 THEN 1 ELSE 0 END) * CAST(pow(2,b) AS BIGINT)) AS BIGINT) AS simhash
+      | FROM sv GROUP BY doc_id)
+      |SELECT a.doc_id AS i, b.doc_id AS j, a.simhash AS simhash
+      |FROM sim a JOIN sim b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+      |ORDER BY i, j""".stripMargin
+
+  private val dedupNgramJaccardSql: String =
+    """WITH g AS (SELECT doc_id, lang,
+      |   list_distinct(list_transform(generate_series(1, length(text)-2),
+      |     i -> substr(text, i, 3))) AS g
+      | FROM documents WHERE length(text) >= 3),
+      |ex AS (SELECT doc_id, lang,
+      |   ((strpos('0123456789abcdef', substr(md5(ng),1,1)) - 1) * 256
+      |    + (strpos('0123456789abcdef', substr(md5(ng),2,1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(md5(ng),3,1)) - 1)) % 4096 AS r
+      |  FROM (SELECT doc_id, lang, unnest(g) AS ng FROM g) t),
+      |bits AS (SELECT doc_id, lang, r//32 AS wi,
+      |   CAST(bit_or(CAST(1 AS BIGINT) << (r % 32)) AS BIGINT) AS wrd
+      |  FROM ex GROUP BY 1, 2, 3),
+      |grid AS (SELECT doc_id, lang,
+      |   unnest(generate_series(0, 127)) AS wi FROM g),
+      |dense AS (SELECT doc_id, lang, list(wrd ORDER BY wi) AS v,
+      |   CAST(sum(bit_count(wrd)) AS BIGINT) AS n FROM (
+      |  SELECT grid.doc_id, grid.lang, grid.wi, coalesce(bits.wrd, 0) AS wrd
+      |  FROM grid LEFT JOIN bits ON grid.doc_id = bits.doc_id AND grid.wi = bits.wi) t
+      | GROUP BY 1, 2),
+      |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+      |   CAST(list_sum(list_transform(generate_series(1, len(a.v)),
+      |     k -> bit_count(a.v[k] & b.v[k]))) AS DOUBLE) AS inter,
+      |   a.n AS la, b.n AS lb
+      |  FROM dense a JOIN dense b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |SELECT i, j, round(inter/(la+lb-inter),6) AS jaccard FROM p
+      |WHERE round(inter/(la+lb-inter),6) >= 0.8 ORDER BY i, j""".stripMargin
 
   /** DuckDB-dialect oracle for each query (driver runs these on the
     * same parquet tables and hash-compares).
@@ -787,35 +868,7 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
 
-    "dedup_minhash_lsh" -> {
-      val hs = (1 to 8).map { j =>
-        val src = if (j <= 4) 1 else 2
-        val off = ((j - 1) % 4) * 8 + 1
-        s"list_min(list_transform(s, x -> substr(md5('$src'||'|'||x),$off,8))) AS h$j"
-      }.mkString(",\n  ")
-      s"""WITH toks AS (SELECT doc_id, string_split_regex(text,'\\s+') AS t FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(list_transform(
-         |   generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))) AS s
-         |  FROM toks WHERE len(t) >= 3),
-         |mh AS (SELECT doc_id, s,
-         |  $hs
-         | FROM sh),
-         |bands AS (
-         |  SELECT doc_id, 1 AS band_idx, h1||h2 AS band_val FROM mh
-         |  UNION ALL SELECT doc_id, 2, h3||h4 FROM mh
-         |  UNION ALL SELECT doc_id, 3, h5||h6 FROM mh
-         |  UNION ALL SELECT doc_id, 4, h7||h8 FROM mh),
-         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bands a
-         |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         |   AND a.doc_id < b.doc_id),
-         |v AS (SELECT i, j,
-         |   CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
-         |   len(sa.s) AS la, len(sb.s) AS lb
-         |  FROM cand JOIN mh sa ON cand.i = sa.doc_id
-         |            JOIN mh sb ON cand.j = sb.doc_id)
-         |SELECT i, j, round(inter/(la+lb-inter),6) AS jaccard FROM v
-         |WHERE round(inter/(la+lb-inter),6) >= 0.8 ORDER BY i, j""".stripMargin
-    },
+    "dedup_minhash_lsh" -> dedupMinhashLshSql,
 
     "contamination_minhash" -> {
       val hs = (1 to 8).map { j =>
@@ -856,50 +909,29 @@ object SparkEntry {
          |WHERE round(inter/(la+lb-inter),6) >= 0.8 ORDER BY i, j""".stripMargin
     },
 
-    "dedup_simhash" ->
-      """WITH tok AS (SELECT doc_id,
-        |   unnest(list_distinct(string_split_regex(text,'\s+'))) AS tk FROM documents),
-        |bits AS (SELECT doc_id, tk, b,
-        |   (strpos('0123456789abcdef', substr(md5(tk), (b//4)+1, 1)) - 1) AS nib,
-        |   CASE b%4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS mask
-        | FROM tok CROSS JOIN (SELECT unnest(generate_series(0,15)) AS b) bs),
-        |sv AS (SELECT doc_id, b,
-        |   sum(CASE WHEN (nib//mask)%2 = 1 THEN 1 ELSE -1 END) AS sv
-        | FROM bits GROUP BY 1, 2),
-        |sim AS (SELECT doc_id, CAST(sum(
-        |   (CASE WHEN sv > 0 THEN 1 ELSE 0 END) * CAST(pow(2,b) AS BIGINT)) AS BIGINT) AS simhash
-        | FROM sv GROUP BY doc_id)
-        |SELECT a.doc_id AS i, b.doc_id AS j, a.simhash AS simhash
-        |FROM sim a JOIN sim b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
-        |ORDER BY i, j""".stripMargin,
+    "dedup_simhash" -> dedupSimhashSql,
 
-    "dedup_ngram_jaccard" ->
-      """WITH g AS (SELECT doc_id, lang,
-        |   list_distinct(list_transform(generate_series(1, length(text)-2),
-        |     i -> substr(text, i, 3))) AS g
-        | FROM documents WHERE length(text) >= 3),
-        |ex AS (SELECT doc_id, lang,
-        |   ((strpos('0123456789abcdef', substr(md5(ng),1,1)) - 1) * 256
-        |    + (strpos('0123456789abcdef', substr(md5(ng),2,1)) - 1) * 16
-        |    + (strpos('0123456789abcdef', substr(md5(ng),3,1)) - 1)) % 4096 AS r
-        |  FROM (SELECT doc_id, lang, unnest(g) AS ng FROM g) t),
-        |bits AS (SELECT doc_id, lang, r//32 AS wi,
-        |   CAST(bit_or(CAST(1 AS BIGINT) << (r % 32)) AS BIGINT) AS wrd
-        |  FROM ex GROUP BY 1, 2, 3),
-        |grid AS (SELECT doc_id, lang,
-        |   unnest(generate_series(0, 127)) AS wi FROM g),
-        |dense AS (SELECT doc_id, lang, list(wrd ORDER BY wi) AS v,
-        |   CAST(sum(bit_count(wrd)) AS BIGINT) AS n FROM (
-        |  SELECT grid.doc_id, grid.lang, grid.wi, coalesce(bits.wrd, 0) AS wrd
-        |  FROM grid LEFT JOIN bits ON grid.doc_id = bits.doc_id AND grid.wi = bits.wi) t
-        | GROUP BY 1, 2),
-        |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
-        |   CAST(list_sum(list_transform(generate_series(1, len(a.v)),
-        |     k -> bit_count(a.v[k] & b.v[k]))) AS DOUBLE) AS inter,
-        |   a.n AS la, b.n AS lb
-        |  FROM dense a JOIN dense b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-        |SELECT i, j, round(inter/(la+lb-inter),6) AS jaccard FROM p
-        |WHERE round(inter/(la+lb-inter),6) >= 0.8 ORDER BY i, j""".stripMargin,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+
+    "dedup_method_agreement" ->
+      s"""WITH exp AS (SELECT a.doc_id AS i, b.doc_id AS j FROM documents a
+         |  JOIN documents b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+         |mhp AS (SELECT i, j FROM ($dedupMinhashLshSql) t1),
+         |ngp AS (SELECT i, j FROM ($dedupNgramJaccardSql) t2),
+         |shp AS (SELECT i, j FROM ($dedupSimhashSql) t3),
+         |u AS (SELECT i, j, max(f_exact) AS f_exact, max(f_minhash) AS f_minhash,
+         |   max(f_ngram) AS f_ngram, max(f_simhash) AS f_simhash FROM (
+         |  SELECT i, j, 1 AS f_exact, 0 AS f_minhash, 0 AS f_ngram, 0 AS f_simhash FROM exp
+         |  UNION ALL SELECT i, j, 0, 1, 0, 0 FROM mhp
+         |  UNION ALL SELECT i, j, 0, 0, 1, 0 FROM ngp
+         |  UNION ALL SELECT i, j, 0, 0, 0, 1 FROM shp) z GROUP BY 1, 2)
+         |SELECT CAST(f_exact AS BIGINT) AS f_exact,
+         |  CAST(f_minhash AS BIGINT) AS f_minhash,
+         |  CAST(f_ngram AS BIGINT) AS f_ngram,
+         |  CAST(f_simhash AS BIGINT) AS f_simhash,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM u GROUP BY 1, 2, 3, 4
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
 
     "dedup_threshold_sweep" ->
       """WITH g AS (SELECT doc_id, lang,

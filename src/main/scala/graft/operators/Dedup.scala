@@ -319,6 +319,49 @@ object Dedup {
     bins.join(cum, "bin_x10").orderBy(col("bin_x10").desc)
   }
 
+  /** Cross-method agreement matrix for the near-dup detectors: every
+    * pair flagged by exact-hash, MinHash-LSH, hashed-ngram-jaccard,
+    * or SimHash-bucket dedup, counted per method COMBINATION — the
+    * calibration table that tells a pipeline owner which methods
+    * subsume which (exact ⊂ minhash in theory; disagreements are
+    * threshold artifacts worth reading before picking one detector
+    * at 100 TB).
+    *
+    * Scale shape: each method's pair relation is already bounded
+    * (near-dup-sized, not corpus²); the union shuffles once on
+    * (i, j) with map-side max-combine, and the final rollup is a
+    * 16-row aggregate. The ngram side rides the SAME cached ≥0.5
+    * scored pairs as the rest of its family; the trailing per-method
+    * oracle sorts are stripped ([[graft.functions.Unordered]]) so no
+    * global sort survives below the aggregation.
+    */
+  def dedupMethodAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val ex = d.as("a").join(d.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    def pairs(df: DataFrame): DataFrame =
+      graft.functions.Unordered(df).select("i", "j")
+    val sets = Seq(
+      "f_exact" -> ex,
+      "f_minhash" -> pairs(dedupMinhashLsh(spark, dir)),
+      "f_ngram" -> pairs(dedupNgramJaccard(spark, dir)),
+      "f_simhash" -> pairs(dedupSimhash(spark, dir)))
+    val names = sets.map(_._1)
+    val flagged = sets.map { case (n, df) =>
+      names.foldLeft(df) { (acc, m) =>
+        acc.withColumn(m, lit(if (m == n) 1L else 0L))
+      }
+    }.reduce(_ unionAll _)
+    flagged.groupBy("i", "j")
+      .agg(max(names.head).as(names.head),
+        names.tail.map(m => max(m).as(m)): _*)
+      .groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(names.map(col): _*)
+  }
+
   /** Substring-level duplication: docs sharing verbatim 64-char
     * blocks. Overlapping chunks (stride 32) are hashed map-side; docs
     * are candidate pairs when they share a chunk hash (equi-join on

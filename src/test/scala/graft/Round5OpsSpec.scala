@@ -207,6 +207,25 @@ class Round5OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("dedup_method_agreement: combination counts reconcile with the per-method totals") {
+    val out = operators.Dedup.dedupMethodAgreement(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    def methodTotal(flag: String): Long =
+      rows.filter(_.getAs[Long](flag) == 1L).map(_.getAs[Long]("n_pairs")).sum
+    // each method's marginal equals its own pair count
+    assert(methodTotal("f_minhash") ==
+      operators.Dedup.dedupMinhashLsh(spark, sf).count())
+    assert(methodTotal("f_ngram") ==
+      operators.Dedup.dedupNgramJaccard(spark, sf).count())
+    assert(methodTotal("f_simhash") ==
+      operators.Dedup.dedupSimhash(spark, sf).count())
+    // no all-zero combination can exist (every pair came from a method)
+    assert(rows.forall(r => Seq("f_exact", "f_minhash", "f_ngram", "f_simhash")
+      .map(r.getAs[Long](_)).sum >= 1L))
+    out.unpersist()
+  }
+
   test("dedup_threshold_sweep: cumulative curve is consistent with the 0.8 dedup gate") {
     val sweep = operators.Dedup.dedupThresholdSweep(spark, sf).cache()
     val rows = sweep.collect()
