@@ -97,6 +97,9 @@ object SparkEntry {
     "knn_pq_adc" -> (Similarity.knnPqAdc _),
     "knn_ivfpq" -> (Similarity.knnIvfPq _),
     "knn_batch" -> (Similarity.knnBatch _),
+    "knn_filtered" -> (Similarity.knnFiltered _),
+    "knn_batch_ivf" -> (Similarity.knnBatchIvf _),
+    "embed_whitening" -> (Similarity.embedWhitening _),
     "cluster_kmeans" -> (Similarity.clusterKmeans _),
     "embed_top_pc" -> (Similarity.embedTopPc _),
     // sketches + range join
@@ -1573,6 +1576,64 @@ object SparkEntry {
         | SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
         | FROM p) t
         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "knn_filtered" ->
+      """WITH e AS (SELECT vec_id, label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |q AS (SELECT v, norm FROM n WHERE vec_id = 0),
+        |p AS (SELECT n.vec_id, n.label, round(list_sum(list_transform(
+        |     generate_series(1, len(n.v)), i -> n.v[i]*q.v[i]))
+        |   / (n.norm * q.norm), 6) AS cosine
+        |  FROM n CROSS JOIN q WHERE n.label = 3 AND n.vec_id <> 0)
+        |SELECT vec_id, label, cosine, rank FROM (
+        | SELECT *, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+        | FROM p) t
+        |WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
+    "knn_batch_ivf" ->
+      """WITH e AS (SELECT vec_id, label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |px AS (SELECT label, unnest(list_transform(generate_series(1, len(v)),
+        |   i -> {'pos': i, 'x': v[i]}), recursive := true) FROM n),
+        |cent AS (SELECT label, list(cx ORDER BY pos) AS cv FROM (
+        |   SELECT label, pos, avg(x) AS cx FROM px GROUP BY label, pos) g
+        | GROUP BY label),
+        |q AS (SELECT vec_id AS q_id, v AS qv, norm AS qn FROM n WHERE vec_id < 8),
+        |routes AS (SELECT q.q_id, c.label, round(list_sum(list_transform(
+        |     generate_series(1, len(c.cv)), i -> c.cv[i]*q.qv[i]))
+        |   / (sqrt(list_sum(list_transform(c.cv, x -> x*x))) * q.qn), 6) AS csim
+        |  FROM cent c CROSS JOIN q),
+        |best AS (SELECT q_id, label AS target_label FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY q_id
+        |     ORDER BY csim DESC, label) AS rn FROM routes) t WHERE rn <= 2),
+        |p AS (SELECT b.q_id, n.vec_id, n.label, round(list_sum(list_transform(
+        |     generate_series(1, len(n.v)), i -> n.v[i]*q.qv[i]))
+        |   / (n.norm * q.qn), 6) AS cosine
+        |  FROM n JOIN best b ON n.label = b.target_label
+        |  JOIN q ON q.q_id = b.q_id
+        |  WHERE n.vec_id >= 8)
+        |SELECT q_id, vec_id, label, cosine, rank FROM (
+        | SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |   ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM p) t
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "embed_whitening" ->
+      """WITH px AS (SELECT vec_id,
+        |   unnest(list_transform(generate_series(1, len(v)),
+        |     i -> {'pos': i, 'x': v[i]}), recursive := true)
+        |  FROM (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings) e),
+        |stats AS (SELECT pos, sum(x)/count(*) AS mu,
+        |   sqrt(sum(x*x)/count(*) - (sum(x)/count(*)) * (sum(x)/count(*))) AS sd
+        |  FROM px GROUP BY pos)
+        |SELECT vec_id, CAST(px.pos - 1 AS INT) AS pos, round(x, 6) AS x,
+        | round((x - mu)/sd, 6) AS white
+        |FROM px JOIN stats ON px.pos = stats.pos
+        |WHERE vec_id < 10 ORDER BY vec_id, pos""".stripMargin,
 
     "approx_distinct_kmv" ->
       """WITH tok0 AS (SELECT lang, unnest(string_split_regex(text,'\s+')) AS token

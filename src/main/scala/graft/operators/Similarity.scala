@@ -553,4 +553,95 @@ object Similarity {
       .groupBy("vec_id", "label").agg(round(sum("qd2"), 6).as("adc_d2"))
     graft.functions.TopK.globalWithRank(adc, 5, col("adc_d2").asc, col("vec_id"))
   }
+
+  /** FILTERED vector search: top-5 cosine neighbors of the query
+    * among vectors satisfying a metadata predicate (label = 3) — the
+    * filter+ANN composition every vector store serves (RAG retrieval
+    * scoped to a tenant / language / license class). Strategy is
+    * PRE-filter: the predicate is applied before any scoring, so it
+    * reaches the parquet scan as a pushed filter, and on the
+    * [[buildIvfIndex]] layout (partitioned by label) it becomes
+    * partition PRUNING — the search never reads, let alone scores, a
+    * non-matching cell. Post-filtering an unfiltered top-k would
+    * return < k rows whenever the filter is selective; pre-filter
+    * keeps top-k semantics exact.
+    */
+  def knnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecsWithNorm(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+    val scored = e.as("e")
+      .filter(col("e.label") === 3 && col("vec_id") =!= 0)
+      .crossJoin(broadcast(q.as("q")))
+      .withColumn("cosine", cosine)
+      .select(col("e.vec_id").as("vec_id"), col("e.label").as("label"), col("cosine"))
+    graft.functions.TopK.globalWithRank(scored, 5,
+      col("cosine").desc, col("vec_id"))
+  }
+
+  /** Batch ANN through the IVF index: every query in the batch
+    * (vec_id < 8) is routed to its own nprobe=2 coarse cells, and
+    * only those cells' lists are scored for that query — the
+    * production serving shape at 100 TB, where a batch of N queries
+    * costs N·(nprobe/nlist) of the corpus instead of N corpus scans
+    * ([[knnBatch]] is the exact all-cells baseline).
+    *
+    * Scale shape: routing is |batch|×|cells| rows (tiny, broadcast
+    * both ways); the candidate join replicates each corpus row once
+    * per QUERY THAT PROBES ITS CELL (not per query), and per-query
+    * top-3 runs through the TopKPerGroup bounded heaps — no window
+    * over the score stream.
+    */
+  def knnBatchIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecsWithNorm(spark, dir)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"))
+    val routes = ivfCentroids(e).crossJoin(broadcast(q))
+      .withColumn("cnorm", graft.functions.Vectors.normHof("cv"))
+      .withColumn("csim", round(
+        graft.functions.VectorExprs.dot(col("cv"), col("qv"))
+          / (col("cnorm") * col("qn")), 6))
+    val best = graft.plans.TopKPerGroup(
+      routes.select(col("q_id"), col("label"), col("csim")),
+      Seq("q_id"), Seq(("csim", true), ("label", false)), 2)
+      .select(col("q_id").as("r_qid"), col("label").as("target_label"))
+    val scored = e.as("e").filter(col("vec_id") >= 8)
+      .join(broadcast(best), col("e.label") === col("target_label"))
+      .join(broadcast(q), col("q_id") === col("r_qid"))
+      .withColumn("cosine", round(
+        graft.functions.VectorExprs.dot(col("e.v"), col("qv"))
+          / (col("e.norm") * col("qn")), 6))
+      .select(col("q_id"), col("vec_id"), col("label"), col("cosine"))
+    val top = graft.plans.TopKPerGroup(scored, Seq("q_id"),
+      Seq(("cosine", true), ("vec_id", false)), 3)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Diagonal whitening (per-dimension standardization): corpus
+    * per-dim mean/std from ONE (dim)-keyed aggregation pass
+    * (E[x²]−E[x]² — no second scan), then w = (x−μ)/σ map-side.
+    * Emitted EXPLODED for the first 10 vectors (vec_id, pos, x,
+    * white) — the embedding preprocessing step before PQ/IVF
+    * training when dimensions have wildly different scales.
+    */
+  def embedWhitening(spark: SparkSession, dir: String): DataFrame = {
+    val px = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as(Seq("pos", "x")))
+    val stats = graft.PlanCache.cached("whiten_stats", spark, dir) {
+      px.groupBy("pos").agg(
+        (sum("x") / count(lit(1))).as("mu"),
+        sqrt((sum(col("x") * col("x")) / count(lit(1))) -
+          (sum("x") / count(lit(1))) * (sum("x") / count(lit(1)))).as("sd"))
+    }
+    px.filter(col("vec_id") < 10)
+      .join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("pos"),
+        round(col("x"), 6).as("x"),
+        round((col("x") - col("mu")) / col("sd"), 6).as("white"))
+      .orderBy("vec_id", "pos")
+  }
 }

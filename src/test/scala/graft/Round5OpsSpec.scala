@@ -207,6 +207,68 @@ class Round5OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("knn_filtered: pre-filter keeps exact top-k semantics under the predicate") {
+    val out = operators.Similarity.knnFiltered(spark, sf).collect()
+    assert(out.length == 5)
+    assert(out.forall(r => r.getAs[Number]("label").longValue == 3L),
+      "every hit satisfies the filter")
+    // equals a local exact filtered top-5
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val q = e.find(_._1 == 0L).get._3
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    def cos(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      BigDecimal(v.zip(q).map { case (a, b) => a * b }.sum / (n * qn))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = e.filter(p => p._2 == 3L && p._1 != 0L)
+      .map(p => (cos(p._3), p._1)).sortBy(p => (-p._1, p._2)).take(5).map(_._2)
+    assert(out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+      == expect.toSeq)
+  }
+
+  test("knn_batch_ivf: per-query hits come only from that query's probed cells") {
+    val out = operators.Similarity.knnBatchIvf(spark, sf).cache()
+    val qs = out.select("q_id").distinct().count()
+    assert(qs == 8, "every batch query answers")
+    assert(out.groupBy("q_id").count().filter(col("count") =!= 3).count() == 0)
+    // each query's results sit in at most 2 labels (its nprobe cells)
+    assert(out.groupBy("q_id").agg(countDistinct("label").as("c"))
+      .filter(col("c") > 2).count() == 0)
+    out.unpersist()
+  }
+
+  test("embed_whitening: whitened dims have ~zero mean and ~unit variance corpus-wide") {
+    // recompute the whitening over ALL vectors (the emitted slice is
+    // the first 10 ids; stats are corpus-wide so verify against corpus)
+    val px = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as(Seq("pos", "x")))
+    val stats = px.groupBy("pos").agg(
+      (sum("x") / count(lit(1))).as("mu"),
+      sqrt((sum(col("x") * col("x")) / count(lit(1))) -
+        (sum("x") / count(lit(1))) * (sum("x") / count(lit(1)))).as("sd"))
+    val white = px.join(stats, "pos")
+      .select(col("pos"), ((col("x") - col("mu")) / col("sd")).as("w"))
+      .groupBy("pos").agg(
+        abs(sum("w") / count(lit(1))).as("m"),
+        abs(sum(col("w") * col("w")) / count(lit(1)) - 1.0).as("v1"))
+    assert(white.filter(col("m") > 1e-9 || col("v1") > 1e-9).count() == 0)
+    // emitted slice agrees with the closed form on a spot row
+    val row = operators.Similarity.embedWhitening(spark, sf)
+      .filter(col("vec_id") === 1 && col("pos") === 0).head()
+    val st = stats.filter(col("pos") === 0).head()
+    val x = Tables.embeddings(spark, sf).filter(col("vec_id") === 1)
+      .select(expr("CAST(embedding[0] AS DOUBLE)")).head().getDouble(0)
+    val expect = BigDecimal((x - st.getAs[Double]("mu")) / st.getAs[Double]("sd"))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getAs[Double]("white") - expect) < 1e-9)
+  }
+
   test("dedup_method_agreement: combination counts reconcile with the per-method totals") {
     val out = operators.Dedup.dedupMethodAgreement(spark, sf).cache()
     val rows = out.collect()
