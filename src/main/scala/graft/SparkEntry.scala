@@ -122,6 +122,7 @@ object SparkEntry {
     "extract_warc_records" -> (sources.Extraction.extractWarcRecords _),
     // multimodal
     "mm_binary_features" -> (multimodal.BinaryColumns.binaryFeatures _),
+    "mm_pair_builder" -> (multimodal.BinaryColumns.pairBuilder _),
     "mm_fake_decode" -> (multimodal.BinaryColumns.fakeDecodeFeatures _),
     "mm_resize" -> (multimodal.BinaryColumns.resizePlan _),
     // round 4: privacy, diversity, sketches, crosstabs, paths, URLs, splits
@@ -1761,6 +1762,25 @@ object SparkEntry {
         | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         | min(md5(text)) AS min_hash, max(md5(text)) AS max_hash
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "mm_pair_builder" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes, length(text) AS n_chars
+        | FROM documents),
+        |e AS (SELECT vec_id AS doc_id,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS emb_norm
+        | FROM embeddings WHERE vec_id % 11 <> 0)
+        |SELECT d.doc_id, lang, n_bytes, emb_norm,
+        | CAST(CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS BIGINT) AS text_ok,
+        | CAST(CASE WHEN n_bytes <= 384 THEN 1 ELSE 0 END AS BIGINT) AS media_ok,
+        | CAST(CASE WHEN emb_norm IS NOT NULL AND emb_norm > 0
+        |   THEN 1 ELSE 0 END AS BIGINT) AS embed_ok,
+        | CAST(CASE WHEN n_chars >= 250 AND n_bytes <= 384
+        |   AND emb_norm IS NOT NULL AND emb_norm > 0
+        |   THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM d LEFT JOIN e ON d.doc_id = e.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_pii_scrub" ->
       """WITH withpii AS (SELECT doc_id,

@@ -174,6 +174,46 @@ object BinaryColumns {
     * list on the driver. media_id is a content-independent hash of
     * the file path — stable across re-ingestion runs.
     */
+  /** Training-pair curation (the LAION-style text↔media↔embedding
+    * gate): every document joined to its media payload (the text
+    * bytes stand in for the decoded asset, as across this module)
+    * and its embedding row, with one keep/drop verdict per modality —
+    * caption long enough (≥ 250 chars), asset small enough to train
+    * on (≤ 384 bytes), embedding present (simulated 1-in-11 coverage
+    * gap — modality coverage is never 100% in a real crawl) with
+    * positive norm — and the conjunction that decides whether the
+    * pair enters the training set.
+    *
+    * Scale shape: one equi-join on the pair id (both sides shuffle
+    * once, LEFT join so coverage gaps surface as embed_ok = 0 rather
+    * than silently dropping rows), all gates map-side arithmetic; the
+    * downstream consumer filters keep = 1 and the filter prunes at
+    * the scan of THIS materialized table.
+    */
+  def pairBuilder(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        length(col("text")).as("n_chars"))
+    val emb = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 11 =!= 0)
+      .select(col("vec_id").as("doc_id"),
+        round(sqrt(expr(
+          "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), " +
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")), 6).as("emb_norm"))
+    docs.join(emb, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("lang"), col("n_bytes"), col("emb_norm"),
+        when(col("n_chars") >= 250, 1L).otherwise(0L).as("text_ok"),
+        when(col("n_bytes") <= 384, 1L).otherwise(0L).as("media_ok"),
+        when(col("emb_norm").isNotNull && col("emb_norm") > 0, 1L)
+          .otherwise(0L).as("embed_ok"))
+      .withColumn("keep",
+        (col("text_ok") === 1 && col("media_ok") === 1 && col("embed_ok") === 1)
+          .cast("long"))
+      .orderBy("doc_id")
+  }
+
   def readMediaFiles(spark: SparkSession, pathGlob: String): Dataset[MediaRow] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(pathGlob)

@@ -37,6 +37,32 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming A/B experiment monitor: purchases split into variants
+    * by the SAME deterministic content-hash assignment as the batch
+    * [[graft.operators.Events.eventsAbTest]], with per-variant
+    * running revenue moments (n, Σv, Σv²) maintained incrementally —
+    * the live dashboard row an experimentation platform refreshes per
+    * micro-batch while the batch read-out is the end-of-day truth.
+    * Purchase-EVENT moments (not per-user): a streaming two-level
+    * aggregate (user rollup → variant rollup) would need chained
+    * stateful aggregations; the event-level moments are the standard
+    * online proxy and are exactly reconcilable against batch on the
+    * same data (StreamingSpec pins it).
+    *
+    * State is two rows (one per variant) — constant regardless of
+    * stream length; the aggregation is map-side-combined per batch.
+    */
+  def abMonitor(events: Dataset[Event]): DataFrame =
+    events.toDF()
+      .filter(col("event_type") === "purchase")
+      .withColumn("variant",
+        when(graft.functions.HexExprs.uniformHash(col("user_id").cast("string")) < 0.5,
+          "A").otherwise("B"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("value"), 6).as("revenue"),
+        round(sum(col("value") * col("value")), 6).as("revenue_sq"))
+
   /** Streaming exact dedup by event id: state bounded by the
     * watermark horizon (duplicates arriving later than 1 hour are
     * outside the contract and pass through).

@@ -372,6 +372,48 @@ class StreamingSpec extends SparkSpec {
     assert(sums == Tables.events(spark, sf).count())
   }
 
+  test("abMonitor: per-variant revenue moments reconcile with batch on replayed events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum, when}
+    val real = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts_s"), col("user_id"),
+        col("event_type"), col("value"))
+      .collect().map(r => Event(r.getLong(0),
+        new Timestamp(r.getLong(1) * 1000L), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val input = MemoryStream[Event]
+    val q = EventStreams.abMonitor(input.toDS())
+      .writeStream.format("memory").queryName("abmon")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // replay in two batches — the monitor must accumulate across them
+      val (b1, b2) = real.splitAt(real.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.sql("select * from abmon").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      // batch truth: same event-level moments per variant
+      val expect = Tables.events(spark, sf)
+        .filter(col("event_type") === "purchase")
+        .withColumn("variant", when(
+          graft.functions.HexExprs.uniformHash(col("user_id").cast("string")) < 0.5,
+          "A").otherwise("B"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("s"),
+          round(sum(col("value") * col("value")), 6).as("ss"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(got.keySet == expect.keySet && got.keySet.nonEmpty)
+      got.keySet.foreach { v =>
+        assert(got(v)._1 == expect(v)._1, s"$v count")
+        assert(math.abs(got(v)._2 - expect(v)._2) < 1e-6, s"$v revenue")
+        assert(math.abs(got(v)._3 - expect(v)._3) < 1e-6, s"$v revenue_sq")
+      }
+    } finally q.stop()
+  }
+
   test("conversionDetect: purchase within window converts, stale view expires, one credit per view") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
