@@ -50,6 +50,8 @@ object SparkEntry {
     "curation_decisions" -> (Quality.curationDecisions _),
     "dq_expectations" -> (Governance.dqExpectations _),
     "privacy_kanon" -> ((s: SparkSession, d: String) => Governance.privacyKanon(s, d)),
+    "privacy_l_diversity" -> ((s: SparkSession, d: String) => Governance.privacyLDiversity(s, d)),
+    "quality_pr_curve" -> (Governance.qualityPrCurve _),
     "corpus_mixture_report" -> (Quality.corpusMixtureReport _),
     // entity matching
     "match_exact" -> (Matching.matchExact _),
@@ -114,6 +116,7 @@ object SparkEntry {
     "table_diff" -> (Quality.tableDiff _),
     "sample_per_group" -> (Sampling.samplePerGroup _),
     "sample_weighted_mix" -> (Sampling.sampleWeightedMix _),
+    "sample_mixture_epochs" -> (Sampling.sampleMixtureEpochs _),
     "text_pmi_bigrams" -> (TextAnalysis.textPmiBigrams _),
     "mm_frame_sample" -> ((s, d) => multimodal.BinaryColumns.frameSample(s, d)),
     // extraction
@@ -241,6 +244,44 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (PARTITION BY c_custkey
       |    ORDER BY score DESC, s_suppkey) AS rn
       |  FROM scored WHERE score >= 0.5) t WHERE rn = 1)""".stripMargin
+
+  private val qualityClassifierSql: String =
+    """WITH f AS (SELECT doc_id, text,
+      |   string_split_regex(text, '\s+') AS t FROM documents),
+      |g AS (SELECT doc_id,
+      |   CAST(len(t) AS BIGINT) AS n_tokens,
+      |   CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) AS sum_len,
+      |   CAST(len(list_filter(t, x -> x IN ('the','a','or','and'))) AS BIGINT) AS n_stop,
+      |   length(text) AS n_chars,
+      |   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      |  FROM f),
+      |h AS (SELECT doc_id, n_tokens,
+      |   round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+      |   round(CAST(n_digit AS DOUBLE) / n_chars, 6) AS digit_ratio,
+      |   round(abs(sum_len / n_tokens - 5.0), 6) AS len_dev
+      |  FROM g),
+      |i AS (SELECT *, round(-1.0 + 0.35 * ln(1.0 + n_tokens)
+      |   + 2.0 * stop_ratio - 4.0 * digit_ratio - 0.15 * len_dev, 6) AS logit
+      |  FROM h)
+      |SELECT doc_id, n_tokens, stop_ratio, digit_ratio,
+      | round(1.0 / (1.0 + exp(-logit)), 6) AS score,
+      | CASE WHEN round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5
+      |      THEN 'keep' ELSE 'drop' END AS verdict
+      |FROM i ORDER BY doc_id""".stripMargin
+
+  private val textQualitySql: String =
+    """WITH d AS (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents),
+      |s AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len,
+      |  CAST(len(list_filter(t, x -> x IN ('the','a','or','and'))) AS BIGINT) AS n_stop
+      | FROM d)
+      |SELECT doc_id, n_tokens,
+      | round(CAST(sum_len AS DOUBLE)/n_tokens, 6) AS avg_token_len,
+      | round(CAST(n_stop AS DOUBLE)/n_tokens, 6) AS stop_ratio,
+      | CASE WHEN n_tokens < 20 THEN 'too_short'
+      |      WHEN CAST(n_stop AS DOUBLE)/n_tokens > 0.3 THEN 'boilerplate'
+      |      ELSE 'ok' END AS quality_bucket
+      |FROM s ORDER BY doc_id""".stripMargin
 
   /** Full pair-producing SQL for each near-dup method — each is BOTH
     * its own oracle entry and a subquery of dedup_method_agreement
@@ -1019,19 +1060,7 @@ object SparkEntry {
          | round(CAST(n_docs AS DOUBLE)/sum(n_docs) OVER (PARTITION BY lang), 6) AS share
          |FROM c ORDER BY lang, pred_lang""".stripMargin,
 
-    "text_quality" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents),
-        |s AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-        |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len,
-        |  CAST(len(list_filter(t, x -> x IN ('the','a','or','and'))) AS BIGINT) AS n_stop
-        | FROM d)
-        |SELECT doc_id, n_tokens,
-        | round(CAST(sum_len AS DOUBLE)/n_tokens, 6) AS avg_token_len,
-        | round(CAST(n_stop AS DOUBLE)/n_tokens, 6) AS stop_ratio,
-        | CASE WHEN n_tokens < 20 THEN 'too_short'
-        |      WHEN CAST(n_stop AS DOUBLE)/n_tokens > 0.3 THEN 'boilerplate'
-        |      ELSE 'ok' END AS quality_bucket
-        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_quality" -> textQualitySql,
 
     "text_tokens" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS token
@@ -1489,6 +1518,47 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
         |FROM customer GROUP BY 1, 2 ORDER BY c_mktsegment, bal_bucket""".stripMargin,
+
+    "privacy_l_diversity" ->
+      """SELECT c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_sensitive,
+        |  CAST(CASE WHEN count(DISTINCT c_nationkey) < 3 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+        |FROM customer GROUP BY 1, 2 ORDER BY c_mktsegment, bal_bucket""".stripMargin,
+
+    "quality_pr_curve" ->
+      s"""WITH sc AS (SELECT doc_id, score FROM ($qualityClassifierSql) c),
+         |tr AS (SELECT doc_id,
+         |  CAST(CASE WHEN quality_bucket = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS pos
+         | FROM ($textQualitySql) q),
+         |th AS (SELECT unnest(generate_series(1, 9)) AS t10),
+         |j AS (SELECT sc.score, tr.pos, th.t10,
+         |   CAST(CASE WHEN sc.score >= th.t10 / 10.0 THEN 1 ELSE 0 END AS BIGINT) AS hit
+         |  FROM sc JOIN tr ON sc.doc_id = tr.doc_id CROSS JOIN th),
+         |m AS (SELECT t10,
+         |   CAST(sum(hit * pos) AS BIGINT) AS tp,
+         |   CAST(sum(hit * (1 - pos)) AS BIGINT) AS fp,
+         |   CAST(sum((1 - hit) * pos) AS BIGINT) AS fn
+         |  FROM j GROUP BY 1)
+         |SELECT t10, tp, fp, fn,
+         | round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision,
+         | round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall
+         |FROM m ORDER BY t10""".stripMargin,
+
+    "sample_mixture_epochs" ->
+      """WITH bs AS (SELECT source,
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY 1),
+        |t AS (SELECT max(n_tokens) AS t FROM bs),
+        |we AS (SELECT source, n_tokens,
+        |  CAST(least(4, (t.t + n_tokens - 1) // n_tokens) AS BIGINT) AS epochs,
+        |  CAST(n_tokens * least(4, (t.t + n_tokens - 1) // n_tokens) AS BIGINT) AS effective_tokens
+        | FROM bs CROSS JOIN t),
+        |tot AS (SELECT CAST(sum(effective_tokens) AS BIGINT) AS tot FROM we)
+        |SELECT source, n_tokens, epochs, effective_tokens,
+        | round(CAST(effective_tokens AS DOUBLE) / tot, 6) AS share
+        |FROM we CROSS JOIN tot ORDER BY source""".stripMargin,
 
     "curation_decisions" ->
       """WITH d0 AS (SELECT doc_id, text, string_split_regex(text,'\s+') AS t FROM documents),
@@ -2426,29 +2496,7 @@ object SparkEntry {
         |FROM a1 LEFT JOIN hits ON a1.vec_id = hits.i
         |ORDER BY a1.vec_id""".stripMargin,
 
-    "quality_classifier" ->
-      """WITH f AS (SELECT doc_id, text,
-        |   string_split_regex(text, '\s+') AS t FROM documents),
-        |g AS (SELECT doc_id,
-        |   CAST(len(t) AS BIGINT) AS n_tokens,
-        |   CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) AS sum_len,
-        |   CAST(len(list_filter(t, x -> x IN ('the','a','or','and'))) AS BIGINT) AS n_stop,
-        |   length(text) AS n_chars,
-        |   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
-        |  FROM f),
-        |h AS (SELECT doc_id, n_tokens,
-        |   round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
-        |   round(CAST(n_digit AS DOUBLE) / n_chars, 6) AS digit_ratio,
-        |   round(abs(sum_len / n_tokens - 5.0), 6) AS len_dev
-        |  FROM g),
-        |i AS (SELECT *, round(-1.0 + 0.35 * ln(1.0 + n_tokens)
-        |   + 2.0 * stop_ratio - 4.0 * digit_ratio - 0.15 * len_dev, 6) AS logit
-        |  FROM h)
-        |SELECT doc_id, n_tokens, stop_ratio, digit_ratio,
-        | round(1.0 / (1.0 + exp(-logit)), 6) AS score,
-        | CASE WHEN round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5
-        |      THEN 'keep' ELSE 'drop' END AS verdict
-        |FROM i ORDER BY doc_id""".stripMargin,
+    "quality_classifier" -> qualityClassifierSql,
 
     "tokenizer_oov" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token

@@ -105,4 +105,59 @@ object Governance {
       .agg(count(lit(1)).as("n"))
       .withColumn("at_risk", when(col("n") < k, 1L).otherwise(0L))
       .orderBy("c_mktsegment", "bal_bucket")
+
+  /** l-diversity over the same QID cells as [[privacyKanon]]: a cell
+    * is at risk when its SENSITIVE attribute (nation) takes fewer
+    * than l distinct values — k-anonymity's complement (a cell of 50
+    * people is still disclosive if they all share one nation). One
+    * groupBy with an exact two-phase distinct; flagging is a
+    * projection on the aggregate.
+    */
+  def privacyLDiversity(spark: SparkSession, dir: String): DataFrame =
+    privacyLDiversity(spark, dir, l = 3)
+
+  def privacyLDiversity(spark: SparkSession, dir: String, l: Int): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("c_nationkey")).as("n_sensitive"))
+      .withColumn("at_risk", when(col("n_sensitive") < l, 1L).otherwise(0L))
+      .orderBy("c_mktsegment", "bal_bucket")
+
+  /** Threshold calibration for the model-based quality filter:
+    * [[TextAnalysis.qualityClassifier]]'s score evaluated against
+    * [[TextAnalysis.textQuality]]'s heuristic bucket as weak truth
+    * (pos = 'ok'), swept over nine decision thresholds — tp/fp/fn
+    * with precision and recall per threshold, the curve that picks
+    * the filter's operating point before a 100 TB run commits to it.
+    *
+    * Scale shape: one per-doc equi-join of two already-per-doc
+    * relations, then a broadcast 9-row threshold cross join into ONE
+    * conditional aggregation — the score stream is read once for all
+    * nine thresholds, not once per threshold.
+    */
+  def qualityPrCurve(spark: SparkSession, dir: String): DataFrame = {
+    val sc = graft.functions.Unordered(
+      TextAnalysis.qualityClassifier(spark, dir)).select("doc_id", "score")
+    val tr = graft.functions.Unordered(
+      TextAnalysis.textQuality(spark, dir))
+      .select(col("doc_id"),
+        when(col("quality_bucket") === "ok", 1L).otherwise(0L).as("pos"))
+    val th = spark.range(1, 10).select(col("id").as("t10"))
+    sc.join(tr, "doc_id")
+      .crossJoin(broadcast(th))
+      .withColumn("hit", (col("score") >= col("t10") / 10.0).cast("long"))
+      .groupBy("t10")
+      .agg(
+        sum(col("hit") * col("pos")).as("tp"),
+        sum(col("hit") * (lit(1L) - col("pos"))).as("fp"),
+        sum((lit(1L) - col("hit")) * col("pos")).as("fn"))
+      .select(col("t10"), col("tp"), col("fp"), col("fn"),
+        round(col("tp").cast("double") /
+          nullif(col("tp") + col("fp"), lit(0L)), 6).as("precision"),
+        round(col("tp").cast("double") /
+          nullif(col("tp") + col("fn"), lit(0L)), 6).as("recall"))
+      .orderBy("t10")
+  }
 }

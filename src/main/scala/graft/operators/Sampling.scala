@@ -128,15 +128,44 @@ object Sampling {
     val d = Tables.documents(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), "\\s+")).cast("long"))
     val bySource = d.groupBy("source").agg(sum("n_tokens").as("tok_s"))
-    val budget = bySource.agg(min("tok_s")).head.getLong(0)
-    val rates = bySource.select(col("source"),
-      round(least(lit(1.0), lit(budget.toDouble) / col("tok_s").cast("double")), 6).as("rate"))
+    // budget as a broadcast one-row cross join (scalar-subquery
+    // pattern) — no driver-side eager action mid-plan
+    val budget = bySource.agg(min("tok_s").as("budget"))
+    val rates = bySource.crossJoin(broadcast(budget)).select(col("source"),
+      round(least(lit(1.0),
+        col("budget").cast("double") / col("tok_s").cast("double")), 6).as("rate"))
     d.join(broadcast(rates), "source")
       .withColumn("u", graft.functions.HexExprs.uniformHash(col("text")))
       .filter(col("u") < col("rate"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("rate"),
         round(col("u"), 6).as("u"))
       .orderBy("doc_id")
+  }
+
+  /** Epoch-repeat mixture weights (the data-constrained scaling
+    * recipe): every source is repeated toward the LARGEST source's
+    * token budget, capped at 4 epochs (returns on repeated data decay
+    * fast past ~4 — the public data-constrained-LM result), so small
+    * high-value sources up-weight without unbounded duplication.
+    * epochs = min(4, ceil(T/n)) in EXACT integer arithmetic
+    * ((T + n − 1) div n — float ceil would tie-break differently per
+    * engine); one grouped pass, two broadcast one-row scalars.
+    */
+  def sampleMixtureEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), "\\s+")).cast("long"))
+      .groupBy("source").agg(sum("n_tokens").as("n_tokens"))
+    val target = bySource.agg(max("n_tokens").as("t"))
+    val withEpochs = bySource.crossJoin(broadcast(target))
+      .withColumn("epochs",
+        least(lit(4L), expr("(t + n_tokens - 1) div n_tokens")))
+      .withColumn("effective_tokens", col("n_tokens") * col("epochs"))
+    val total = withEpochs.agg(sum("effective_tokens").as("tot"))
+    withEpochs.crossJoin(broadcast(total))
+      .select(col("source"), col("n_tokens"), col("epochs"),
+        col("effective_tokens"),
+        round(col("effective_tokens").cast("double") / col("tot"), 6).as("share"))
+      .orderBy("source")
   }
 
   /** Exactly-k-per-group sample: the k docs with the smallest content

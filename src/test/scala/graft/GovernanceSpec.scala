@@ -69,6 +69,33 @@ class GovernanceSpec extends SparkSpec {
       s"welch z ${row.getAs[Double]("z")} vs local $z")
   }
 
+  test("privacy_l_diversity: sensitive diversity bounded by cell size, flag matches l") {
+    val out = operators.Governance.privacyLDiversity(spark, sf, l = 3).cache()
+    assert(out.filter(col("n_sensitive") > col("n")).count() == 0,
+      "distinct sensitive values cannot exceed the cell population")
+    assert(out.filter((col("n_sensitive") < 3) =!= (col("at_risk") === 1)).count() == 0)
+    // same QID cells as the k-anonymity report
+    val kan = operators.Governance.privacyKanon(spark, sf, k = 5)
+      .select("c_mktsegment", "bal_bucket", "n")
+    assert(out.select("c_mktsegment", "bal_bucket", "n").except(kan).isEmpty)
+    out.unpersist()
+  }
+
+  test("quality_pr_curve: monotone in the threshold, reconciles at t=0.5 with verdicts") {
+    val rows = operators.Governance.qualityPrCurve(spark, sf).collect()
+      .sortBy(_.getAs[Long]("t10"))
+    assert(rows.length == 9)
+    // recall never increases as the threshold rises; tp+fn is constant
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fn")).distinct.length == 1)
+    // t=0.5 bin agrees with the classifier's own keep verdicts
+    val t5 = rows.find(_.getAs[Long]("t10") == 5L).get
+    val keeps = operators.TextAnalysis.qualityClassifier(spark, sf)
+      .filter(col("verdict") === "keep").count()
+    assert(t5.getAs[Long]("tp") + t5.getAs[Long]("fp") == keeps)
+  }
+
   test("privacy_kanon: cells partition the table, at_risk flags exactly n < k") {
     val out = operators.Governance.privacyKanon(spark, sf, k = 5).cache()
     val c = Tables.customer(spark, sf)

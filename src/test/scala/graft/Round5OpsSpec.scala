@@ -207,6 +207,21 @@ class Round5OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("sample_mixture_epochs: epochs bounded, largest source stays at 1 epoch") {
+    val rows = operators.Sampling.sampleMixtureEpochs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("epochs") >= 1L
+      && r.getAs[Long]("epochs") <= 4L))
+    val biggest = rows.maxBy(_.getAs[Long]("n_tokens"))
+    assert(biggest.getAs[Long]("epochs") == 1L, "the target source never repeats")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("effective_tokens") ==
+        r.getAs[Long]("n_tokens") * r.getAs[Long]("epochs"))
+    }
+    val shares = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-3, s"shares sum to $shares")
+  }
+
   test("knn_filtered: pre-filter keeps exact top-k semantics under the predicate") {
     val out = operators.Similarity.knnFiltered(spark, sf).collect()
     assert(out.length == 5)
