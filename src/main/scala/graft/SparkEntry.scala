@@ -101,6 +101,7 @@ object SparkEntry {
     "knn_batch" -> (Similarity.knnBatch _),
     "knn_filtered" -> (Similarity.knnFiltered _),
     "knn_batch_ivf" -> (Similarity.knnBatchIvf _),
+    "knn_recall_vs_nprobe" -> (Similarity.knnRecallVsNprobe _),
     "embed_whitening" -> (Similarity.embedWhitening _),
     "cluster_kmeans" -> (Similarity.clusterKmeans _),
     "embed_top_pc" -> (Similarity.embedTopPc _),
@@ -122,6 +123,8 @@ object SparkEntry {
     // extraction
     "extract_xml_entities" -> (sources.Extraction.extractXmlEntities _),
     "extract_html_names" -> (sources.Extraction.extractHtmlNames _),
+    "clean_html_boilerplate" -> (sources.Extraction.cleanHtmlBoilerplate _),
+    "extract_cdx_filter" -> (sources.Extraction.extractCdxFilter _),
     "extract_warc_records" -> (sources.Extraction.extractWarcRecords _),
     // multimodal
     "mm_binary_features" -> (multimodal.BinaryColumns.binaryFeatures _),
@@ -1692,6 +1695,41 @@ object SparkEntry {
         |   ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM p) t
         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
+    "knn_recall_vs_nprobe" ->
+      """WITH e AS (SELECT vec_id, label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |q AS (SELECT v, norm FROM n WHERE vec_id = 0),
+        |truth AS (SELECT vec_id FROM (
+        |   SELECT n.vec_id, round(list_sum(list_transform(
+        |       generate_series(1, len(n.v)), i -> n.v[i]*q.v[i]))
+        |     / (n.norm * q.norm), 6) AS cosine
+        |   FROM n CROSS JOIN q WHERE n.vec_id <> 0) t
+        | ORDER BY cosine DESC, vec_id LIMIT 10),
+        |px AS (SELECT label, unnest(list_transform(generate_series(1, len(v)),
+        |   i -> {'pos': i, 'x': v[i]}), recursive := true) FROM n),
+        |cent AS (SELECT label, list(cx ORDER BY pos) AS cv FROM (
+        |   SELECT label, pos, avg(x) AS cx FROM px GROUP BY label, pos) g
+        | GROUP BY label),
+        |ranked AS (SELECT label, row_number() OVER (ORDER BY csim DESC, label) AS rnk
+        |  FROM (SELECT c.label, round(list_sum(list_transform(
+        |      generate_series(1, len(c.cv)), i -> c.cv[i]*q.v[i]))
+        |    / (sqrt(list_sum(list_transform(c.cv, x -> x*x))) * q.norm), 6) AS csim
+        |   FROM cent c CROSS JOIN q) t),
+        |np AS (SELECT unnest(generate_series(1, 3)) AS nprobe),
+        |cells AS (SELECT np.nprobe, ranked.label FROM np JOIN ranked
+        |  ON ranked.rnk <= np.nprobe),
+        |cands AS (SELECT cells.nprobe, n.vec_id FROM n
+        |  JOIN cells ON n.label = cells.label WHERE n.vec_id <> 0)
+        |SELECT cands.nprobe,
+        | CAST(count(*) AS BIGINT) AS n_candidates,
+        | CAST(sum(CASE WHEN truth.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        | round(CAST(sum(CASE WHEN truth.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / 10.0, 6) AS recall
+        |FROM cands LEFT JOIN truth ON cands.vec_id = truth.vec_id
+        |GROUP BY cands.nprobe ORDER BY cands.nprobe""".stripMargin,
+
     "embed_whitening" ->
       """WITH px AS (SELECT vec_id,
         |   unnest(list_transform(generate_series(1, len(v)),
@@ -1785,6 +1823,59 @@ object SparkEntry {
         |   THEN regexp_extract(xml, '<BusinessAddress><AddressDetails><State>[^<]*</State><Postcode>([0-9]+)', 1)
         |   ELSE regexp_extract(xml, '<MainBusinessPhysicalAddress><AddressDetails><State>[^<]*</State><Postcode>([0-9]+)', 1) END AS postcode
         |FROM x ORDER BY abn""".stripMargin,
+
+    "clean_html_boilerplate" ->
+      """WITH h AS (SELECT p_partkey,
+        |  '<html><head><title>' || p_name || '</title><script>var t=track('''
+        |  || p_brand || ''');</script></head><body><nav>Home About Contact Pricing</nav>'
+        |  || '<p>' || p_type || ' from ' || p_name || '.</p>'
+        |  || CASE WHEN p_partkey % 2 = 0
+        |       THEN '<p>Extra detail on ' || p_brand || '.</p>' ELSE '' END
+        |  || '<footer>Copyright ' || p_name || '</footer></body></html>' AS html
+        | FROM part),
+        |c AS (SELECT p_partkey, html,
+        |  trim(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(html,
+        |      '<script>.*?</script>', '', 'g'),
+        |      '<nav>.*?</nav>', '', 'g'),
+        |      '<footer>.*?</footer>', '', 'g'),
+        |    '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text
+        | FROM h)
+        |SELECT p_partkey, clean_text,
+        | CAST(length(html) AS INT) AS n_chars_raw,
+        | CAST(length(clean_text) AS INT) AS n_chars_clean,
+        | round(CAST(length(clean_text) AS DOUBLE) / length(html), 6) AS content_ratio
+        |FROM c ORDER BY p_partkey""".stripMargin,
+
+    "extract_cdx_filter" ->
+      """WITH lines AS (SELECT unnest([
+        |   '{"urlkey": "com,example)/p' || p_partkey
+        |   || '", "timestamp": "2024' || printf('%010d', p_partkey % 1000000 + 0)
+        |   || '", "status": "' || CASE WHEN p_partkey % 5 = 3 THEN '404'
+        |        WHEN p_partkey % 5 = 4 THEN '301' ELSE '200' END
+        |   || '", "mime": "' || CASE WHEN p_partkey % 7 = 0
+        |        THEN 'application/pdf' ELSE 'text/html' END
+        |   || '", "digest": "' || substr(md5(p_name || '0'), 1, 16) || '"}',
+        |   '{"urlkey": "com,example)/p' || p_partkey
+        |   || '", "timestamp": "2024' || printf('%010d', p_partkey % 1000000 + 5000)
+        |   || '", "status": "' || CASE WHEN p_partkey % 5 = 3 THEN '404'
+        |        WHEN p_partkey % 5 = 4 THEN '301' ELSE '200' END
+        |   || '", "mime": "' || CASE WHEN p_partkey % 7 = 0
+        |        THEN 'application/pdf' ELSE 'text/html' END
+        |   || '", "digest": "' || substr(md5(p_name || '5000'), 1, 16) || '"}'
+        |  ]) AS line FROM part),
+        |f AS (SELECT
+        |  regexp_extract(line, '"urlkey": "([^"]*)"', 1) AS urlkey,
+        |  regexp_extract(line, '"timestamp": "([^"]*)"', 1) AS ts,
+        |  regexp_extract(line, '"status": "([^"]*)"', 1) AS status,
+        |  regexp_extract(line, '"mime": "([^"]*)"', 1) AS mime,
+        |  regexp_extract(line, '"digest": "([^"]*)"', 1) AS digest
+        | FROM lines)
+        |SELECT urlkey, ts AS timestamp, digest FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY urlkey
+        |    ORDER BY ts DESC, digest DESC) AS rn
+        |  FROM f WHERE status = '200' AND mime = 'text/html') t
+        |WHERE rn = 1 ORDER BY urlkey""".stripMargin,
 
     "extract_html_names" ->
       """WITH h AS (SELECT p_partkey,

@@ -619,6 +619,56 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** The ANN tuning curve: recall@10 of the IVF candidate set as
+    * nprobe sweeps 1..3 — measured against the brute-force cosine
+    * truth, the "measure, don't guess" table that picks nprobe before
+    * a 100 TB index commits to it (more probed cells = more recall =
+    * proportionally more bytes read per query; the curve shows where
+    * it saturates).
+    *
+    * Scale shape: truth is one TakeOrdered top-10; ranked cells are a
+    * ≤nlist-row relation crossed with 3 nprobe values (broadcast both
+    * ways); candidates join the corpus ONCE against the broadcast
+    * (nprobe, cell) table, so sweeping nprobe re-reads nothing.
+    */
+  def knnRecallVsNprobe(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecsWithNorm(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("norm").as("qn"))
+    val truth = graft.functions.TopK.globalWithRank(
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cosine", round(
+          graft.functions.VectorExprs.dot(col("v"), col("qv"))
+            / (col("norm") * col("qn")), 6))
+        .select(col("vec_id"), col("cosine")),
+      10, col("cosine").desc, col("vec_id"))
+    val rankedCells = graft.functions.TopK.globalWithRank(
+      ivfCentroids(e).crossJoin(broadcast(q))
+        .withColumn("cnorm", graft.functions.Vectors.normHof("cv"))
+        .withColumn("csim", round(
+          graft.functions.VectorExprs.dot(col("cv"), col("qv"))
+            / (col("cnorm") * col("qn")), 6))
+        .select(col("label"), col("csim")),
+      3, col("csim").desc, col("label"))
+    val nps = spark.range(1, 4).select(col("id").as("nprobe"))
+    val cells = rankedCells.crossJoin(broadcast(nps))
+      .filter(col("rank") <= col("nprobe"))
+      .select(col("nprobe"), col("label").as("cell"))
+    val cands = e.filter(col("vec_id") =!= 0)
+      .join(broadcast(cells), col("label") === col("cell"))
+      .select("nprobe", "vec_id")
+    val counts = cands.groupBy("nprobe").agg(count(lit(1)).as("n_candidates"))
+    val hits = cands
+      .join(broadcast(truth.select("vec_id")), Seq("vec_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+    counts.join(hits, Seq("nprobe"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("nprobe"), col("n_candidates"), col("n_hits"),
+        round(col("n_hits").cast("double") / 10.0, 6).as("recall"))
+      .orderBy("nprobe")
+  }
+
   /** Diagonal whitening (per-dimension standardization): corpus
     * per-dim mean/std from ONE (dim)-keyed aggregation pass
     * (E[x²]−E[x]² — no second scan), then w = (x−μ)/σ map-side.

@@ -175,6 +175,76 @@ object Extraction {
     * (extract_common_crawl.py extract_company_info steps 1-3), with
     * the method that won recorded per row.
     */
+  /** Boilerplate-stripped main-content extraction (the
+    * trafilatura-style step between extract_common_crawl.py's raw
+    * HTML fetch and any text quality scoring): script / nav / footer
+    * blocks removed, remaining tags stripped, whitespace collapsed —
+    * plus the content ratio (clean/raw chars), the signal readability
+    * extractors threshold on. Pure chained codegen regexes, zero
+    * shuffles, linear in corpus bytes.
+    */
+  def cleanHtmlBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("<html><head><title>"), col("p_name"),
+      lit("</title><script>var t=track('"), col("p_brand"),
+      lit("');</script></head><body><nav>Home About Contact Pricing</nav>"),
+      lit("<p>"), col("p_type"), lit(" from "), col("p_name"), lit(".</p>"),
+      when(col("p_partkey") % 2 === 0,
+        concat(lit("<p>Extra detail on "), col("p_brand"), lit(".</p>")))
+        .otherwise(lit("")),
+      lit("<footer>Copyright "), col("p_name"), lit("</footer></body></html>"))
+    val raw = Tables.part(spark, dir).select(col("p_partkey"), page.as("html"))
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(col("html"),
+      "<script>.*?</script>", ""),
+      "<nav>.*?</nav>", ""),
+      "<footer>.*?</footer>", "")
+    raw
+      .withColumn("clean_text", trim(regexp_replace(
+        regexp_replace(noBlocks, "<[^>]*>", " "), "\\s+", " ")))
+      .select(col("p_partkey"), col("clean_text"),
+        length(col("html")).as("n_chars_raw"),
+        length(col("clean_text")).as("n_chars_clean"))
+      .withColumn("content_ratio", round(
+        col("n_chars_clean").cast("double") / col("n_chars_raw"), 6))
+      .orderBy("p_partkey")
+  }
+
+  /** CDX index-record filtering — the FIRST step of the reference's
+    * Common Crawl path (extract_common_crawl.py queries the CDX API
+    * before any WARC fetch): parse the JSON index lines, keep
+    * fetchable captures (status 200, mime text/html), and collapse
+    * re-crawls to the LATEST capture per urlkey (argmax by timestamp
+    * as one max(struct) aggregate — no per-key window). Two synthetic
+    * captures per URL exercise the collapse; field extraction is the
+    * regexp idiom (portable), all map-side until the one argmax
+    * shuffle on urlkey.
+    */
+  def extractCdxFilter(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val mkLine = (tsOff: Int) => concat(
+      lit("{\"urlkey\": \"com,example)/p"), col("p_partkey"),
+      lit("\", \"timestamp\": \"2024"), format_string("%010d", col("p_partkey") % 1000000 + lit(tsOff)),
+      lit("\", \"status\": \""),
+      when(col("p_partkey") % 5 === 3, "404")
+        .when(col("p_partkey") % 5 === 4, "301").otherwise("200"),
+      lit("\", \"mime\": \""),
+      when(col("p_partkey") % 7 === 0, "application/pdf").otherwise("text/html"),
+      lit("\", \"digest\": \""), substring(md5(concat(col("p_name"), lit(tsOff))), 1, 16),
+      lit("\"}"))
+    val lines = p.select(explode(array(mkLine(0), mkLine(5000))).as("line"))
+    lines.select(
+        regexp_extract(col("line"), "\"urlkey\": \"([^\"]*)\"", 1).as("urlkey"),
+        regexp_extract(col("line"), "\"timestamp\": \"([^\"]*)\"", 1).as("ts"),
+        regexp_extract(col("line"), "\"status\": \"([^\"]*)\"", 1).as("status"),
+        regexp_extract(col("line"), "\"mime\": \"([^\"]*)\"", 1).as("mime"),
+        regexp_extract(col("line"), "\"digest\": \"([^\"]*)\"", 1).as("digest"))
+      .filter(col("status") === "200" && col("mime") === "text/html")
+      .groupBy("urlkey")
+      .agg(max(struct(col("ts"), col("digest"))).as("m"))
+      .select(col("urlkey"), col("m.ts").as("timestamp"), col("m.digest").as("digest"))
+      .orderBy("urlkey")
+  }
+
   def extractHtmlNames(spark: SparkSession, dir: String): DataFrame = {
     val html = Tables.part(spark, dir)
       .select(col("p_partkey"), synthHtml.as("html"))
