@@ -192,6 +192,7 @@ object SparkEntry {
     // session depth, market quartiles, ANN quality eval
     "embed_quantize_int8" -> (Similarity.embedQuantizeInt8 _),
     "bpe_pair_merge" -> (TextAnalysis.bpePairMerge _),
+    "bpe_train_rounds" -> (TextAnalysis.bpeTrainRounds _),
     "events_attribution" -> (Events.eventsAttribution _),
     "events_session_stats" -> (Events.eventsSessionStats _),
     "orders_ntile" -> (Olap.ordersNtile _),
@@ -365,6 +366,39 @@ object SparkEntry {
       |  FROM dense a JOIN dense b ON a.lang = b.lang AND a.doc_id < b.doc_id)
       |SELECT i, j, round(inter/(la+lb-inter),6) AS jaccard FROM p
       |WHERE round(inter/(la+lb-inter),6) >= 0.8 ORDER BY i, j""".stripMargin
+
+  /** Unrolled 3-round merge-training oracle (mirrors
+    * TextAnalysis.bpeTrainRounds round for round).
+    */
+  private val bpeTrainRoundsSql: String = {
+    def pairCte(r: Int) =
+      s"""p$r AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> {'w1': t[i], 'w2': t[i + 1]}), recursive := true)
+         |  FROM d${r - 1}) x
+         | WHERE w1 <> w2 GROUP BY 1, 2)""".stripMargin
+    def topCte(r: Int) =
+      s"""top$r AS (SELECT w1, w2, cnt FROM p$r
+         | ORDER BY cnt DESC, w1, w2 LIMIT 1)""".stripMargin
+    def mergeCte(r: Int) =
+      s"""d$r AS (SELECT list_transform(
+         |   list_filter(generate_series(1, len(t)), i ->
+         |     NOT (i > 1 AND t[i - 1] = w1 AND t[i] = w2)),
+         |   i -> CASE WHEN t[i] = w1 AND i < len(t) AND t[i + 1] = w2
+         |        THEN w1 || '@@' || w2 ELSE t[i] END) AS t
+         |  FROM d${r - 1} CROSS JOIN top$r)""".stripMargin
+    def reportSel(r: Int) =
+      s"""SELECT CAST($r AS BIGINT) AS round, w1 || ' ' || w2 AS merged_pair,
+         | cnt AS pair_count,
+         | (SELECT CAST(sum(len(t)) AS BIGINT) FROM d$r) AS corpus_symbols
+         |FROM top$r""".stripMargin
+    val ctes = (1 to 3).flatMap(r => Seq(pairCte(r), topCte(r), mergeCte(r)))
+    s"""WITH d0 AS (SELECT string_split_regex(text, '\\s+') AS t FROM documents
+       |  WHERE len(string_split_regex(text, '\\s+')) >= 2),
+       |${ctes.mkString(",\n")}
+       |${(1 to 3).map(reportSel).mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+  }
 
   /** DuckDB-dialect oracle for each query (driver runs these on the
     * same parquet tables and hash-compares).
@@ -2723,6 +2757,8 @@ object SparkEntry {
         | round(avg(abs(x - code * scale / 127.0)), 6) AS avg_abs_err,
         | CAST(max(abs(code)) AS BIGINT) AS max_code
         |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "bpe_train_rounds" -> bpeTrainRoundsSql,
 
     "bpe_pair_merge" ->
       """WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS w

@@ -622,4 +622,65 @@ object TextAnalysis {
     graft.functions.TopK.globalWithRank(pairs, 20,
       col("cnt").desc, col("pair"))
   }
+
+  /** Iterative merge TRAINING, 3 fixed rounds (the agglomerative loop
+    * of BPE/WordPiece training, run here over word symbols): each
+    * round counts adjacent symbol pairs corpus-wide, elects the most
+    * frequent pair (count desc, then lexicographic — restricted to
+    * w1 ≠ w2, which makes greedy leftmost merging POSITION-INDEPENDENT:
+    * matches can't overlap, so the merge is a pure per-position
+    * rewrite, exact in one declarative pass in both engines), rewrites
+    * every document, and re-counts on the merged corpus. One report
+    * row per round: the elected rule, its count, and the corpus
+    * symbol count after applying it.
+    *
+    * Scale shape: per round, ONE pair-count aggregation (map-side
+    * combined, key = the pair) and one broadcast 1-row rule joined
+    * back onto the corpus for a lambda rewrite — no shuffle of the
+    * corpus itself, and rounds are FIXED so the whole training run is
+    * one plan per round with the merged relation PlanCache-pinned
+    * (each round's output feeds both the next election and the next
+    * rewrite).
+    */
+  def bpeTrainRounds(spark: SparkSession, dir: String): DataFrame = {
+    val rounds = 3
+    var cur = Tables.documents(spark, dir).select(toks.as("t"))
+      .filter(size(col("t")) >= 2)
+    val reports = (1 to rounds).map { r =>
+      val pinned = graft.PlanCache.cached(s"bpe_sym_$r", spark, dir)(cur)
+      val top = graft.functions.TopK.globalWithRank(
+        pinned
+          .select(explode(expr(
+            "transform(sequence(1, size(t) - 1), " +
+              "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+            .as("p"))
+          .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+          .filter(col("w1") =!= col("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("cnt")),
+        1, col("cnt").desc, col("w1"), col("w2")).drop("rank")
+      val merged = graft.PlanCache.cached(s"bpe_merged_$r", spark, dir) {
+        pinned.crossJoin(broadcast(top))
+          .select(expr(
+            // try_element_at: AND doesn't short-circuit in Spark SQL,
+            // so guarded element_at(t, 0) / element_at(t, n+1) would
+            // still throw under ANSI
+            """transform(
+              |  filter(sequence(1, size(t)), i ->
+              |    NOT (i > 1 AND try_element_at(t, i - 1) = w1
+              |         AND element_at(t, i) = w2)),
+              |  i -> IF(element_at(t, i) = w1 AND i < size(t)
+              |          AND try_element_at(t, i + 1) = w2,
+              |        concat(w1, '@@', w2), element_at(t, i)))""".stripMargin)
+            .as("t"))
+      }
+      val after = merged.agg(sum(size(col("t"))).cast("long").as("corpus_symbols"))
+      val report = top.crossJoin(broadcast(after))
+        .select(lit(r.toLong).as("round"),
+          concat(col("w1"), lit(" "), col("w2")).as("merged_pair"),
+          col("cnt").as("pair_count"), col("corpus_symbols"))
+      cur = merged
+      report
+    }
+    reports.reduce(_ unionAll _).orderBy("round")
+  }
 }

@@ -207,6 +207,28 @@ class Round5OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("bpe_train_rounds: symbol count shrinks by exactly the merged-pair count each round") {
+    val rows = operators.TextAnalysis.bpeTrainRounds(spark, sf).collect()
+      .sortBy(_.getAs[Long]("round"))
+    assert(rows.length == 3)
+    val startSymbols = Tables.documents(spark, sf)
+      .select(size(split(col("text"), "\\s+")).as("n")).filter(col("n") >= 2)
+      .agg(sum("n")).head().getLong(0)
+    // every merge of a non-overlapping (a≠b) pair removes one symbol
+    // per occurrence — the count column IS the shrink
+    var before = startSymbols
+    rows.foreach { r =>
+      assert(r.getAs[Long]("corpus_symbols") == before - r.getAs[Long]("pair_count"),
+        s"round ${r.getAs[Long]("round")}: $before - ${r.getAs[Long]("pair_count")}")
+      before = r.getAs[Long]("corpus_symbols")
+    }
+    // elected counts never increase round over round (the best pair
+    // was already the max; merging can only reduce adjacency counts
+    // of OTHER pairs or create new '@@' symbols with fresh counts)
+    val pairs = rows.map(_.getAs[String]("merged_pair"))
+    assert(pairs.distinct.length == 3, s"rules must differ: ${pairs.toSeq}")
+  }
+
   test("sample_mixture_epochs: epochs bounded, largest source stays at 1 epoch") {
     val rows = operators.Sampling.sampleMixtureEpochs(spark, sf).collect()
     assert(rows.nonEmpty)
