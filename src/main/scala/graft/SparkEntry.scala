@@ -102,6 +102,7 @@ object SparkEntry {
     "knn_filtered" -> (Similarity.knnFiltered _),
     "knn_batch_ivf" -> (Similarity.knnBatchIvf _),
     "knn_recall_vs_nprobe" -> (Similarity.knnRecallVsNprobe _),
+    "embed_outliers" -> (Similarity.embedOutliers _),
     "embed_whitening" -> (Similarity.embedWhitening _),
     "cluster_kmeans" -> (Similarity.clusterKmeans _),
     "embed_top_pc" -> (Similarity.embedTopPc _),
@@ -1763,6 +1764,30 @@ object SparkEntry {
         |   / 10.0, 6) AS recall
         |FROM cands LEFT JOIN truth ON cands.vec_id = truth.vec_id
         |GROUP BY cands.nprobe ORDER BY cands.nprobe""".stripMargin,
+
+    "embed_outliers" ->
+      """WITH e AS (SELECT vec_id, label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |px AS (SELECT label, unnest(list_transform(generate_series(1, len(v)),
+        |   i -> {'pos': i, 'x': v[i]}), recursive := true) FROM e),
+        |cent AS (SELECT label, list(cx ORDER BY pos) AS cv FROM (
+        |   SELECT label, pos, avg(x) AS cx FROM px GROUP BY label, pos) g
+        | GROUP BY label),
+        |d AS (SELECT vec_id, e.label,
+        |   sqrt(list_sum(list_transform(generate_series(1, len(v)),
+        |     i -> (v[i] - cv[i]) * (v[i] - cv[i])))) AS dist
+        |  FROM e JOIN cent ON e.label = cent.label),
+        |st AS (SELECT label, sum(dist)/count(*) AS mu,
+        |   sqrt(sum(dist*dist)/count(*)
+        |     - (sum(dist)/count(*)) * (sum(dist)/count(*))) AS sd
+        |  FROM d GROUP BY label),
+        |z AS (SELECT vec_id, d.label, round(dist, 6) AS dist,
+        |   round((dist - mu)/sd, 6) AS z
+        |  FROM d JOIN st ON d.label = st.label)
+        |SELECT vec_id, label, dist, z, rank FROM (
+        | SELECT *, CAST(row_number() OVER (ORDER BY abs(z) DESC, vec_id) AS INT) AS rank
+        | FROM z) t
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "embed_whitening" ->
       """WITH px AS (SELECT vec_id,

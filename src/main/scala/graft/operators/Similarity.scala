@@ -619,6 +619,35 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Embedding-space outlier report (prototypicality pruning — the
+    * SemDeDup-family signal that drops vectors far from their
+    * cluster's center as likely mislabeled/noise): every vector's L2
+    * distance to its LABEL centroid, z-scored within the label, top-20
+    * by |z| (rounded, id tiebreak). Distances and moments come from
+    * two label-keyed aggregation passes over the same cached vectors;
+    * centroids and stats are broadcast back — the corpus is scanned,
+    * never shuffled on anything but the label key.
+    */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecsWithNorm(spark, dir)
+    val cents = ivfCentroids(e)
+    val dists = e.join(broadcast(cents), "label")
+      .withColumn("d2", expr(
+        """aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)),
+          | CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin))
+      .select(col("vec_id"), col("label"), sqrt(col("d2")).as("dist"))
+    val stats = dists.groupBy("label").agg(
+      (sum("dist") / count(lit(1))).as("mu"),
+      sqrt((sum(col("dist") * col("dist")) / count(lit(1))) -
+        (sum("dist") / count(lit(1))) * (sum("dist") / count(lit(1)))).as("sd"))
+    val scored = dists.join(broadcast(stats), "label")
+      .select(col("vec_id"), col("label"),
+        round(col("dist"), 6).as("dist"),
+        round((col("dist") - col("mu")) / col("sd"), 6).as("z"))
+    graft.functions.TopK.globalWithRank(scored, 20,
+      abs(col("z")).desc, col("vec_id"))
+  }
+
   /** The ANN tuning curve: recall@10 of the IVF candidate set as
     * nprobe sweeps 1..3 — measured against the brute-force cosine
     * truth, the "measure, don't guess" table that picks nprobe before

@@ -207,6 +207,34 @@ class Round5OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("embed_outliers: ranked by |z| with a correct per-label z on a spot row") {
+    val out = operators.Similarity.embedOutliers(spark, sf).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(out.length == 20)
+    val zs = out.map(r => math.abs(r.getAs[Double]("z")))
+    assert(zs.zip(zs.tail).forall { case (a, b) => a >= b }, "ranked by |z| desc")
+    // spot-check one row against a local recomputation
+    val top = out.head
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val lbl = top.getAs[Number]("label").longValue
+    val members = e.filter(_._2 == lbl)
+    val dims = members.head._3.length
+    val cent = (0 until dims).map(i => members.map(_._3(i)).sum / members.length)
+    def dist(v: Array[Double]) =
+      math.sqrt(v.zip(cent).map { case (a, c) => (a - c) * (a - c) }.sum)
+    val ds = members.map(m => dist(m._3))
+    val mu = ds.sum / ds.length
+    val sd = math.sqrt(ds.map(d => d * d).sum / ds.length - mu * mu)
+    val dTop = dist(members.find(_._1 == top.getAs[Long]("vec_id")).get._3)
+    val zExpect = BigDecimal((dTop - mu) / sd)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(top.getAs[Double]("z") - zExpect) < 1e-6,
+      s"${top.getAs[Double]("z")} vs $zExpect")
+  }
+
   test("bpe_train_rounds: symbol count shrinks by exactly the merged-pair count each round") {
     val rows = operators.TextAnalysis.bpeTrainRounds(spark, sf).collect()
       .sortBy(_.getAs[Long]("round"))
