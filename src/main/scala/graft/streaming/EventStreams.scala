@@ -257,6 +257,35 @@ object EventStreams {
         graft.operators.TextAnalysis.piiRedact(col("text")).as("text")) ++
         graft.operators.TextAnalysis.piiCounts(col("text")): _*)
 
+  /** The streaming CURATION pipeline — the end-to-end ingest gate a
+    * training-data lake runs on every arriving document, composed
+    * from this module's stages so each is individually
+    * batch-reconciled: (1) PII redaction ON INGEST
+    * ([[piiScrubStream]] — raw identifiers never reach the lake),
+    * (2) a stateless quality gate (the batch textQuality rules:
+    * ≥ 20 tokens, stopword ratio ≤ 0.3 — pure map-side arithmetic),
+    * (3) streaming exact CONTENT dedup
+    * (`dropDuplicatesWithinWatermark` on md5 of the redacted text —
+    * state bounded by the watermark horizon; re-crawled boilerplate
+    * collapses to its first arrival). Append-mode throughout: the
+    * only state is the dedup hash set inside the watermark window.
+    */
+  def curationStream(docs: DataFrame): DataFrame = {
+    val scrubbed = piiScrubStream(docs)
+    val stop = Seq("the", "a", "or", "and")
+    scrubbed
+      .withColumn("t", split(col("text"), "\\s+"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("stop_ratio",
+        round(expr(s"size(filter(t, x -> x IN (${stop.map("'" + _ + "'").mkString(",")})))")
+          .cast("double") / col("n_tokens"), 6))
+      .filter(col("n_tokens") >= 20 && col("stop_ratio") <= 0.3)
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("text_hash")
+      .select("doc_id", "ts", "text", "text_hash", "n_tokens", "stop_ratio")
+  }
+
   /** Streaming Count-Min sketch: the running d=4 × w=256 bucket-sum
     * table over the token stream — the streaming face of
     * [[graft.operators.Sketches.heavyHittersCms]], with the SAME

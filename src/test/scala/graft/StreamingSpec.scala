@@ -240,6 +240,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curationStream: scrub -> quality gate -> content dedup, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val longDoc = ("the quick brown fox jumps over lazy dogs near riverbank " * 3).trim
+    val dupDoc = "some other sufficiently long document body " +
+      "with many plain words inside it repeated across crawls " +
+      "carrying enough distinct tokens that quality gates keep it end"
+    val boiler = ("the a or and " * 8).trim // stop_ratio 1.0 -> dropped
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.curationStream(input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, ts(0), longDoc + " contact jo@x.example.com"),
+        (2L, ts(1), "too short to keep"),
+        (3L, ts(2), dupDoc),
+        (4L, ts(3), boiler))
+      q.processAllAvailable()
+      input.addData((5L, ts(4), dupDoc)) // exact re-crawl in a LATER batch
+      q.processAllAvailable()
+      val rows = spark.sql("select * from curated order by doc_id").collect()
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L),
+        s"got ${rows.map(_.getLong(0)).toSeq}")
+      // PII never reaches the curated table
+      assert(rows.forall(r => !r.getString(2).contains("jo@x")))
+      assert(rows.find(_.getLong(0) == 1L).get.getString(2).contains("<EMAIL>"))
+      // quality fields agree with the batch rules
+      assert(rows.forall(r => r.getAs[Long]("n_tokens") >= 20
+        && r.getAs[Double]("stop_ratio") <= 0.3))
+    } finally q.stop()
+  }
+
   test("cmsSketchStream bucket sums equal the batch sketch on the same tokens") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
