@@ -69,6 +69,54 @@ object Sinks {
     kept.select(keyCols.map(col) :+ col(valueCol): _*).unionByName(applied)
   }
 
+  /** Versioned-table storage over [[snapshotDiff]]/[[applyDiff]]: a
+    * base snapshot (version 0) plus one O(changes) diff file per
+    * commit, with `readVersion` reconstructing ANY historical version
+    * by folding the diff chain — time travel without storing V full
+    * copies (the lakehouse versioned-table idea reduced to its
+    * algebra). Writing version v+1 costs one snapshotDiff against
+    * the CURRENT reconstruction; reading version v costs
+    * O(base + Σ changes ≤ v), each fold one key-partitioned join —
+    * at 100 TB the diffs are the cheap part and periodic re-basing
+    * (write a fresh base, drop the chain) bounds read cost exactly
+    * like checkpointing bounds a streaming changelog.
+    */
+  def commitVersion(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                    newDf: DataFrame, keyCols: Seq[String], valueCol: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$tableDir/base"))) {
+      newDf.write.mode(SaveMode.Overwrite).parquet(s"$tableDir/base")
+      0
+    } else {
+      val versions = listVersions(spark, tableDir)
+      val next = versions.lastOption.getOrElse(0) + 1
+      val current = readVersion(spark, tableDir, versions.lastOption.getOrElse(0),
+        keyCols, valueCol)
+      snapshotDiff(current, newDf, keyCols, valueCol)
+        .write.mode(SaveMode.ErrorIfExists).parquet(f"$tableDir/diff_$next%05d")
+      next
+    }
+  }
+
+  def listVersions(spark: org.apache.spark.sql.SparkSession,
+                   tableDir: String): Seq[Int] = {
+    val dir = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq
+      .filter(_.startsWith("diff_")).map(_.stripPrefix("diff_").toInt).sorted
+  }
+
+  def readVersion(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+                  version: Int, keyCols: Seq[String], valueCol: String): DataFrame = {
+    val base = spark.read.parquet(s"$tableDir/base")
+      .select(keyCols.map(col) :+ col(valueCol): _*)
+    listVersions(spark, tableDir).filter(_ <= version).foldLeft(base) { (acc, v) =>
+      applyDiff(acc, spark.read.parquet(f"$tableDir/diff_$v%05d"), keyCols, valueCol)
+    }
+  }
+
   /** Latest-wins keyed merge: rows from `updates` replace rows in
     * `base` with the same key when their version orders higher —
     * the distributed form of the reference's

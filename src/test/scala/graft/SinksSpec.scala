@@ -252,6 +252,26 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("versioned table: time travel reconstructs every committed version exactly") {
+    import spark.implicits._
+    val dir = tmp() + "/vt"
+    val v0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val v1 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v") // upd 2, del 3, ins 4
+    val v2 = Seq((1L, "A"), (2L, "B"), (4L, "d"), (5L, "e")).toDF("k", "v")
+    assert(Sinks.commitVersion(spark, dir, v0, Seq("k"), "v") == 0)
+    assert(Sinks.commitVersion(spark, dir, v1, Seq("k"), "v") == 1)
+    assert(Sinks.commitVersion(spark, dir, v2, Seq("k"), "v") == 2)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(asSet(Sinks.readVersion(spark, dir, 0, Seq("k"), "v")) == asSet(v0))
+    assert(asSet(Sinks.readVersion(spark, dir, 1, Seq("k"), "v")) == asSet(v1))
+    assert(asSet(Sinks.readVersion(spark, dir, 2, Seq("k"), "v")) == asSet(v2))
+    // diffs stay O(changes): version 2's diff holds exactly 2 changed keys
+    val d2 = spark.read.parquet(f"$dir/diff_${2}%05d")
+    assert(d2.count() == 2, "only (1 -> A) update and (5) insert")
+    assert(Sinks.listVersions(spark, dir) == Seq(1, 2))
+  }
+
   test("snapshotDiff/applyDiff round-trip: old + change feed reconstructs new") {
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
     // a synthetic next version with all three change kinds
