@@ -257,6 +257,33 @@ object EventStreams {
         graft.operators.TextAnalysis.piiRedact(col("text")).as("text")) ++
         graft.operators.TextAnalysis.piiCounts(col("text")): _*)
 
+  case class StreamHealth(batches: Long, inputRows: Long,
+                          droppedByWatermark: Long, stateRows: Long,
+                          maxBatchDurationMs: Long)
+
+  /** Operational health summary of a running streaming query, read
+    * from the engine's own progress telemetry: batches processed,
+    * input rows, rows DROPPED BY THE WATERMARK (the silent data-loss
+    * channel every watermarked pipeline must monitor — a growing
+    * count means the lateness bound is wrong for the source),
+    * current state-store rows (the bounded-state invariant, observed
+    * rather than assumed), and worst batch duration (backpressure
+    * signal). Pure driver-side accounting over `recentProgress` —
+    * nothing touches the stream itself.
+    */
+  def streamHealth(q: org.apache.spark.sql.streaming.StreamingQuery): StreamHealth = {
+    val ps = q.recentProgress
+    val stateOps = ps.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+    StreamHealth(
+      batches = ps.length,
+      inputRows = ps.map(_.numInputRows).sum,
+      droppedByWatermark = stateOps.map(_.numRowsDroppedByWatermark).sum,
+      stateRows = ps.lastOption
+        .map(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal).sum)
+        .getOrElse(0L),
+      maxBatchDurationMs = ps.map(_.batchDuration).foldLeft(0L)(math.max))
+  }
+
   /** The streaming CURATION pipeline — the end-to-end ingest gate a
     * training-data lake runs on every arriving document, composed
     * from this module's stages so each is individually

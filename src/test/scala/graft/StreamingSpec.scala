@@ -240,6 +240,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamHealth: a beyond-watermark late row is observed as dropped, state is bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = EventStreams.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("health_src")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(0), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past hour 0 (10-minute bound)
+      input.addData(Event(2, ts(600), 1, "click", 1.0))
+      q.processAllAvailable()
+      // now a row 600 minutes late — the watermark must discard it
+      input.addData(Event(3, ts(1), 1, "click", 99.0))
+      q.processAllAvailable()
+      val h = EventStreams.streamHealth(q)
+      assert(h.batches >= 3 && h.inputRows == 3, h)
+      assert(h.droppedByWatermark >= 1, s"late row must be counted as dropped: $h")
+      assert(h.stateRows >= 1, s"open windows hold state: $h")
+      assert(h.maxBatchDurationMs > 0)
+    } finally q.stop()
+  }
+
   test("curationStream: scrub -> quality gate -> content dedup, across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
