@@ -202,6 +202,7 @@ object SparkEntry {
     "events_key_skew" -> (Events.eventsKeySkew _),
     "events_conversions" -> ((s, d) => Events.eventsConversions(s, d)),
     "events_bot_detect" -> (Events.eventsBotDetect _),
+    "events_attribution_linear" -> (Events.eventsAttributionLinear _),
     "events_ab_test" -> (Events.eventsAbTest _),
     "events_seasonal" -> (Events.eventsSeasonal _),
     "events_decayed_score" -> (Events.eventsDecayedScore _),
@@ -3045,6 +3046,22 @@ object SparkEntry {
         | AND (pp_ts IS NULL OR (pp_ts, pp_id) < (pv_ts, pv_id))
         | AND ts_s - pv_ts <= 1800
         |ORDER BY purchase_event""".stripMargin,
+
+    "events_attribution_linear" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |  epoch_ns(ts)//1000000000 AS ts_s FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts_s, value FROM e
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_type AS channel, ts_s AS t_ts FROM e
+        |  WHERE event_type IN ('view', 'click')),
+        |pairs AS (SELECT p.p_id, p.value, t.channel
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |  WHERE t.t_ts >= p.ts_s - 1800 AND t.t_ts < p.ts_s),
+        |c AS (SELECT *, value / count(*) OVER (PARTITION BY p_id) AS credit
+        |  FROM pairs)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        | round(sum(credit), 6) AS credited_revenue
+        |FROM c GROUP BY channel ORDER BY channel""".stripMargin,
 
     "events_bot_detect" ->
       """WITH e AS (SELECT user_id, event_id,

@@ -285,6 +285,44 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** LINEAR multi-touch attribution — the credit-splitting complement
+    * of [[eventsAttribution]]'s last-touch rule: every view/click in
+    * the 30 minutes before a purchase shares that purchase's value
+    * equally, rolled up per channel (touch type). Marketing teams run
+    * last-touch and linear side by side; the delta IS the headline.
+    *
+    * Scale shape: the purchase×touch pairing is the binned band join
+    * ([[eventsRangeJoin]]'s layout — (user, time-bin) equi-join, two
+    * bins probed per purchase, never an inequality nested loop);
+    * per-purchase touch counts come from a purchase-PARTITIONED
+    * window over the already-joined pairs (bounded by touches per
+    * purchase window), and the channel rollup is one key-only
+    * aggregation.
+    */
+  def eventsAttributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    val windowS = 1800L
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts_s"), col("value"))
+      .withColumn("bin", explode(array(
+        expr(s"ts_s div $windowS"), expr(s"ts_s div $windowS - 1"))))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), col("event_type").as("channel"),
+        col("ts_s").as("t_ts"))
+      .withColumn("tbin", expr(s"t_ts div $windowS"))
+    val pairs = purchases.join(touches,
+        col("user_id") === col("t_user") && col("bin") === col("tbin"))
+      .filter(col("t_ts") >= col("ts_s") - windowS && col("t_ts") < col("ts_s"))
+      .select(col("p_id"), col("value"), col("channel"))
+    val perPurchase = Window.partitionBy("p_id")
+    pairs
+      .withColumn("credit", col("value") / count(lit(1)).over(perPurchase))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum("credit"), 6).as("credited_revenue"))
+      .orderBy("channel")
+  }
+
   /** Top-10 users by purchase value (deterministic key tiebreak on the
     * rounded measure), planned as TakeOrderedAndProject — at web scale
     * the user dimension is huge, so a global-window rank would funnel

@@ -96,6 +96,23 @@ class GovernanceSpec extends SparkSpec {
     assert(t5.getAs[Long]("tp") + t5.getAs[Long]("fp") == keeps)
   }
 
+  test("events_attribution_linear: credit conserves attributed purchase value") {
+    val out = operators.Events.eventsAttributionLinear(spark, sf).collect()
+    assert(out.nonEmpty)
+    val credited = out.map(_.getAs[Double]("credited_revenue")).sum
+    // total credit equals the value of purchases that HAVE >= 1 touch
+    // in the window (purchases with no touches receive no credit)
+    val e = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts_s", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    val touches = e.filter(x => x._3 == "view" || x._3 == "click")
+    val attributedValue = e.filter(_._3 == "purchase").filter { p =>
+      touches.exists(t => t._2 == p._2 && t._4 >= p._4 - 1800 && t._4 < p._4)
+    }.map(_._5).sum
+    assert(math.abs(credited - attributedValue) < 1e-3,
+      s"credit $credited vs attributed purchase value $attributedValue")
+  }
+
   test("privacy_kanon: cells partition the table, at_risk flags exactly n < k") {
     val out = operators.Governance.privacyKanon(spark, sf, k = 5).cache()
     val c = Tables.customer(spark, sf)
