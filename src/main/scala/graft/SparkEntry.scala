@@ -68,6 +68,7 @@ object SparkEntry {
     // dedup
     "dedup_exact_text" -> (Dedup.dedupExactText _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
+    "dedup_minhash_est_eval" -> (Dedup.dedupMinhashEstEval _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_ngram_jaccard" -> (Dedup.dedupNgramJaccard _),
     "dedup_threshold_sweep" -> (Dedup.dedupThresholdSweep _),
@@ -294,7 +295,7 @@ object SparkEntry {
     * (one source of truth; the agreement oracle can never drift from
     * the per-method oracles).
     */
-  private val dedupMinhashLshSql: String = {
+  private val minhashCandCtes: String = {
     val hs = (1 to 8).map { j =>
       val src = if (j <= 4) 1 else 2
       val off = ((j - 1) % 4) * 8 + 1
@@ -319,9 +320,28 @@ object SparkEntry {
        |   CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
        |   len(sa.s) AS la, len(sb.s) AS lb
        |  FROM cand JOIN mh sa ON cand.i = sa.doc_id
-       |            JOIN mh sb ON cand.j = sb.doc_id)
+       |            JOIN mh sb ON cand.j = sb.doc_id)""".stripMargin
+  }
+
+  private val dedupMinhashLshSql: String =
+    s"""$minhashCandCtes
        |SELECT i, j, round(inter/(la+lb-inter),6) AS jaccard FROM v
        |WHERE round(inter/(la+lb-inter),6) >= 0.8 ORDER BY i, j""".stripMargin
+
+  private val dedupMinhashEstEvalSql: String = {
+    val eqs = (1 to 8).map(k => s"(CASE WHEN sa.h$k = sb.h$k THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""$minhashCandCtes,
+       |eq AS (SELECT cand.i, cand.j, CAST($eqs AS BIGINT) AS n_eq
+       |  FROM cand JOIN mh sa ON cand.i = sa.doc_id
+       |            JOIN mh sb ON cand.j = sb.doc_id)
+       |SELECT v.i, v.j,
+       | round(CAST(n_eq AS DOUBLE) / 8.0, 6) AS est_jaccard,
+       | round(inter/(la+lb-inter), 6) AS exact_jaccard,
+       | round(abs(round(CAST(n_eq AS DOUBLE) / 8.0, 6)
+       |   - round(inter/(la+lb-inter), 6)), 6) AS abs_err
+       |FROM v JOIN eq ON v.i = eq.i AND v.j = eq.j
+       |ORDER BY v.i, v.j""".stripMargin
   }
 
   private val dedupSimhashSql: String =
@@ -953,6 +973,8 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
 
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
+
+    "dedup_minhash_est_eval" -> dedupMinhashEstEvalSql,
 
     "contamination_minhash" -> {
       val hs = (1 to 8).map { j =>

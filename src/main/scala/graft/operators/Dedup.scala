@@ -47,14 +47,21 @@ object Dedup {
     * (32-bit) pieces — digest cost is the minhash bottleneck and 32
     * bits per hash is plenty for min-of-set.
     */
-  private[graft] def bandsOf(sh: DataFrame): DataFrame = {
+  /** Per-doc 8-slot minhash signature (h1..h8) — the relation bands
+    * are cut from, and what the estimate-accuracy eval reads.
+    */
+  private[graft] def sigsOf(sh: DataFrame): DataFrame = {
     val exsh = sh.select(col("doc_id"), explode(col("s")).as("x"))
     val minAggs = (1 to 8).map { j =>
       val src = if (j <= 4) 1 else 2
       val off = ((j - 1) % 4) * 8 + 1
       min(substring(md5(concat(lit(s"$src|"), col("x"))), off, 8)).as(s"h$j")
     }
-    val withH = exsh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    exsh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  private[graft] def bandsOf(sh: DataFrame): DataFrame = {
+    val withH = sigsOf(sh)
     withH.select(col("doc_id"),
         explode(map(
           lit(1), concat(col("h1"), col("h2")),
@@ -84,16 +91,54 @@ object Dedup {
     * bands of 2 → band-bucket equi-join → candidates → exact jaccard
     * ≥ 0.8 verify. Band width bounds bucket sizes at any corpus size.
     */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = minhashShingles(spark, dir)
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    verifyJaccard(minhashShingles(spark, dir), minhashCandidates(spark, dir))
+
+  /** LSH candidate pairs (banded equi-join, deduped) — shared by the
+    * ≥ 0.8 verify and the estimate-accuracy eval.
+    */
+  private def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     val bands = minhashBands(spark, dir)
-    val cand = bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .distinct()
-    verifyJaccard(sh, cand)
+  }
+
+  /** Sketch-vs-truth accuracy of the minhash jaccard ESTIMATE on the
+    * LSH candidate pairs: the 8-slot signature agreement fraction
+    * (the estimator an index would use to SKIP the exact verify)
+    * against the exact shingle jaccard, with the absolute error —
+    * the table that says whether 8 hashes are enough before a 100 TB
+    * run drops the verify step. Signatures and shingles both come
+    * off the family's cached relations; the eval costs two
+    * candidate-sized hash joins beyond the LSH search itself.
+    */
+  def dedupMinhashEstEval(spark: SparkSession, dir: String): DataFrame = {
+    val sh = minhashShingles(spark, dir)
+    val sigs = graft.PlanCache.cached("minhash_sigs", spark, dir) {
+      sigsOf(sh)
+    }
+    val sa = sigs.select(col("doc_id").as("i") +:
+      (1 to 8).map(k => col(s"h$k").as(s"a$k")): _*)
+    val sb = sigs.select(col("doc_id").as("j") +:
+      (1 to 8).map(k => col(s"h$k").as(s"b$k")): _*)
+    minhashCandidates(spark, dir)
+      .join(sa, "i").join(sb, "j")
+      .withColumn("n_eq", (1 to 8)
+        .map(k => when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
+        .reduce(_ + _))
+      .join(sh.select(col("doc_id").as("i"), col("s").as("si")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("s").as("sj")), "j")
+      .withColumn("inter", size(array_intersect(col("si"), col("sj"))).cast("double"))
+      .withColumn("est_jaccard", round(col("n_eq").cast("double") / 8.0, 6))
+      .withColumn("exact_jaccard", round(
+        col("inter") / (size(col("si")) + size(col("sj")) - col("inter")), 6))
+      .select(col("i"), col("j"), col("est_jaccard"), col("exact_jaccard"),
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 6).as("abs_err"))
+      .orderBy("i", "j")
   }
 
   /** Exact-Jaccard verify of an (i, j) candidate set against the

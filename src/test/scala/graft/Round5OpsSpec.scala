@@ -207,6 +207,21 @@ class Round5OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("dedup_minhash_est_eval: estimator covers the verify set and errors are bounded") {
+    val out = operators.Dedup.dedupMinhashEstEval(spark, sf).cache()
+    val verified = operators.Dedup.dedupMinhashLsh(spark, sf).count()
+    assert(out.count() >= verified,
+      "eval covers every candidate pair, verify only the >= 0.8 subset")
+    // est is k/8-quantized; exact in [0,1]; |err| bounded by 1
+    assert(out.filter(col("est_jaccard") * 8 =!=
+      round(col("est_jaccard") * 8, 0)).count() == 0)
+    assert(out.filter(col("exact_jaccard") < 0 || col("exact_jaccard") > 1).count() == 0)
+    // the estimator is USEFUL on this corpus: mean abs error under 0.25
+    val mae = out.agg(avg("abs_err")).head().getDouble(0)
+    assert(mae < 0.25, s"mean abs error $mae")
+    out.unpersist()
+  }
+
   test("embed_outliers: ranked by |z| with a correct per-label z on a spot row") {
     val out = operators.Similarity.embedOutliers(spark, sf).collect()
       .sortBy(_.getAs[Int]("rank"))
