@@ -56,6 +56,7 @@ object SparkEntry {
     // entity matching
     "match_exact" -> (Matching.matchExact _),
     "match_fuzzy_blocked" -> (Matching.matchFuzzyBlocked _),
+    "match_blocking_eval" -> (Matching.matchBlockingEval _),
     "match_tfidf_topk" -> (Matching.matchTfidfTopk _),
     "match_combined" -> (Matching.matchCombined _),
     "match_llm_stub" -> (Matching.matchLlmStub _),
@@ -889,6 +890,27 @@ object SparkEntry {
          |SELECT abr.abn, entity_name, s_name AS matched_name,
          | 'exact' AS method, CAST(1.0 AS DOUBLE) AS score
          |FROM abr JOIN cc USING (abn) ORDER BY abn""".stripMargin,
+
+    "match_blocking_eval" ->
+      """WITH cn AS (SELECT c_custkey, c_nationkey,
+        |  array_to_string(list_sort(string_split_regex(lower(trim(c_name)),'\\s+')),' ') AS c_norm
+        | FROM customer),
+        |sn AS (SELECT s_suppkey, s_nationkey,
+        |  array_to_string(list_sort(string_split_regex(lower(trim(s_name)),'\\s+')),' ') AS s_norm
+        | FROM supplier),
+        |truth AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n_true_pairs,
+        |  CAST(sum(CASE WHEN c_nationkey = s_nationkey THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_true_in_block
+        | FROM cn CROSS JOIN sn
+        | WHERE round(CAST(1.0 AS DOUBLE) - CAST(levenshtein(c_norm, s_norm) AS DOUBLE)
+        |   / CAST(greatest(length(c_norm), length(s_norm)) AS DOUBLE), 6) >= 0.5),
+        |vol AS (SELECT CAST(coalesce(sum(nc * ns), 0) AS BIGINT) AS n_blocked_candidates
+        | FROM (SELECT c_nationkey AS k, count(*) AS nc FROM cn GROUP BY 1) a
+        | JOIN (SELECT s_nationkey AS k, count(*) AS ns FROM sn GROUP BY 1) b USING (k))
+        |SELECT n_true_pairs, n_blocked_candidates, n_true_in_block,
+        | round(CAST(n_true_in_block AS DOUBLE) / n_true_pairs, 6) AS recall
+        |FROM truth CROSS JOIN vol""".stripMargin,
 
     "match_fuzzy_blocked" ->
       s"""WITH $fuzzyBestCte

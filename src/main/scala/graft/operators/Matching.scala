@@ -554,4 +554,41 @@ object Matching {
         col("component").as("entity_id"))
       .orderBy("node_type", "key")
   }
+
+  /** Blocking-quality eval for the fuzzy matcher: pairs completeness
+    * (blocking recall) of the nation block — what fraction of TRUE
+    * fuzzy matches (score ≥ 0.5 over ALL cross pairs, no block) the
+    * `c_nationkey = s_nationkey` block admits, next to the candidate
+    * volume the block pays. THE record-linkage pre-flight: a block
+    * that saves 99% of comparisons but drops 20% of true matches is
+    * not a win, and nobody can know without this table.
+    *
+    * Scale note: the unblocked truth is a broadcast nested-loop over
+    * the (small) supplier side with the banded early-abandon
+    * similarity — at production scale this eval runs on a sample of
+    * the big side (the estimate needs pair coverage, not the full
+    * corpus); the BLOCKED candidate volume is computed as
+    * Σ|block_c|·|block_s| from two per-key counts, never by
+    * materializing candidates.
+    */
+  def matchBlockingEval(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), normName(col("c_name")).as("c_norm"))
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"), normName(col("s_name")).as("s_norm"))
+    val truth = c.crossJoin(broadcast(s))
+      .withColumn("score", round(
+        graft.functions.BoundedLev.sim(col("c_norm"), col("s_norm"), 0.5), 6))
+      .filter(col("score") >= 0.5)
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(when(col("c_nationkey") === col("s_nationkey"), 1L).otherwise(0L))
+          .as("n_true_in_block"))
+    val volume = c.groupBy(col("c_nationkey").as("k")).agg(count(lit(1)).as("nc"))
+      .join(s.groupBy(col("s_nationkey").as("k")).agg(count(lit(1)).as("ns")), "k")
+      .agg(coalesce(sum(col("nc") * col("ns")), lit(0L)).as("n_blocked_candidates"))
+    truth.crossJoin(broadcast(volume))
+      .select(col("n_true_pairs"), col("n_blocked_candidates"), col("n_true_in_block"),
+        round(col("n_true_in_block").cast("double") / col("n_true_pairs"), 6)
+          .as("recall"))
+  }
 }

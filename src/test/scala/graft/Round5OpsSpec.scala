@@ -207,6 +207,23 @@ class Round5OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("match_blocking_eval: recall consistent with the blocked matcher's candidates") {
+    val row = operators.Matching.matchBlockingEval(spark, sf).head()
+    val nTrue = row.getAs[Long]("n_true_pairs")
+    val inBlock = row.getAs[Long]("n_true_in_block")
+    assert(nTrue > 0 && inBlock <= nTrue)
+    assert(row.getAs[Double]("recall") ==
+      BigDecimal(inBlock.toDouble / nTrue)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the blocked candidate volume equals sum over nations of |c|x|s|
+    val c = Tables.customer(spark, sf).groupBy("c_nationkey").count()
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    val s = Tables.supplier(spark, sf).groupBy("s_nationkey").count()
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    val vol = c.keySet.intersect(s.keySet).toSeq.map(k => c(k) * s(k)).sum
+    assert(row.getAs[Long]("n_blocked_candidates") == vol)
+  }
+
   test("dedup_minhash_est_eval: estimator covers the verify set and errors are bounded") {
     val out = operators.Dedup.dedupMinhashEstEval(spark, sf).cache()
     val verified = operators.Dedup.dedupMinhashLsh(spark, sf).count()
