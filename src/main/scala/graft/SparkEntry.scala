@@ -108,6 +108,7 @@ object SparkEntry {
     "embed_whitening" -> (Similarity.embedWhitening _),
     "cluster_kmeans" -> (Similarity.clusterKmeans _),
     "embed_top_pc" -> (Similarity.embedTopPc _),
+    "embed_top2_pc" -> (Similarity.embedTop2Pc _),
     // sketches + range join
     "approx_distinct_kmv" -> (Sketches.approxDistinctKmv _),
     "events_range_join" -> (Events.eventsRangeJoin _),
@@ -1255,6 +1256,64 @@ object SparkEntry {
         |   FROM c CROSS JOIN v3) t)
         |SELECT CAST(pos AS INT) AS dim, pc[pos] AS loading, var_share
         |FROM ps CROSS JOIN v3 CROSS JOIN sh ORDER BY dim""".stripMargin,
+
+    "embed_top2_pc" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |px AS MATERIALIZED (SELECT unnest(list_transform(generate_series(1, len(v)),
+        |   i -> {'pos': i, 'x': v[i]}), recursive := true) FROM e),
+        |mx AS MATERIALIZED (SELECT pos, avg(x) AS m FROM px GROUP BY pos),
+        |mv AS MATERIALIZED (SELECT list(m ORDER BY pos) AS m FROM mx),
+        |c AS MATERIALIZED (SELECT vec_id, list_transform(generate_series(1, len(v)),
+        |   i -> v[i] - m[i]) AS c FROM e CROSS JOIN mv),
+        |ps AS MATERIALIZED (SELECT unnest(generate_series(1, 64)) AS pos),
+        |z1 AS MATERIALIZED (SELECT pos, sum(c[pos] * c[1]) AS z FROM c CROSS JOIN ps GROUP BY pos),
+        |v1 AS MATERIALIZED (SELECT list(round(z / sqrt((SELECT sum(z*z) FROM z1)), 6)
+        |   ORDER BY pos) AS pc FROM z1),
+        |y2 AS MATERIALIZED (SELECT c, list_sum(list_transform(generate_series(1, 64),
+        |   i -> c[i] * pc[i])) AS y FROM c CROSS JOIN v1),
+        |z2 AS MATERIALIZED (SELECT pos, sum(c[pos] * y) AS z FROM y2 CROSS JOIN ps GROUP BY pos),
+        |v2 AS MATERIALIZED (SELECT list(round(z / sqrt((SELECT sum(z*z) FROM z2)), 6)
+        |   ORDER BY pos) AS pc FROM z2),
+        |y3 AS MATERIALIZED (SELECT c, list_sum(list_transform(generate_series(1, 64),
+        |   i -> c[i] * pc[i])) AS y FROM c CROSS JOIN v2),
+        |z3 AS MATERIALIZED (SELECT pos, sum(c[pos] * y) AS z FROM y3 CROSS JOIN ps GROUP BY pos),
+        |v3 AS MATERIALIZED (SELECT list(round(z / sqrt((SELECT sum(z*z) FROM z3)), 6)
+        |   ORDER BY pos) AS pc FROM z3),
+        |d AS MATERIALIZED (SELECT vec_id, list_transform(generate_series(1, 64),
+        |   i -> c[i] - y * pc[i]) AS c2 FROM (
+        |  SELECT vec_id, c, list_sum(list_transform(generate_series(1, 64),
+        |    i -> c[i] * pc[i])) AS y, pc FROM c CROSS JOIN v3) t),
+        |w1 AS MATERIALIZED (SELECT pos, sum(c2[pos] * c2[2]) AS z FROM d CROSS JOIN ps GROUP BY pos),
+        |u1 AS MATERIALIZED (SELECT list(round(z / sqrt((SELECT sum(z*z) FROM w1)), 6)
+        |   ORDER BY pos) AS pc FROM w1),
+        |x2 AS MATERIALIZED (SELECT c2, list_sum(list_transform(generate_series(1, 64),
+        |   i -> c2[i] * pc[i])) AS y FROM d CROSS JOIN u1),
+        |w2 AS MATERIALIZED (SELECT pos, sum(c2[pos] * y) AS z FROM x2 CROSS JOIN ps GROUP BY pos),
+        |u2 AS MATERIALIZED (SELECT list(round(z / sqrt((SELECT sum(z*z) FROM w2)), 6)
+        |   ORDER BY pos) AS pc FROM w2),
+        |x3 AS MATERIALIZED (SELECT c2, list_sum(list_transform(generate_series(1, 64),
+        |   i -> c2[i] * pc[i])) AS y FROM d CROSS JOIN u2),
+        |w3 AS MATERIALIZED (SELECT pos, sum(c2[pos] * y) AS z FROM x3 CROSS JOIN ps GROUP BY pos),
+        |u3 AS MATERIALIZED (SELECT list(round(z / sqrt((SELECT sum(z*z) FROM w3)), 6)
+        |   ORDER BY pos) AS pc FROM w3),
+        |sh1 AS MATERIALIZED (SELECT round(sum(y*y) / sum(cn), 6) AS var_share FROM (
+        |   SELECT list_sum(list_transform(generate_series(1, 64),
+        |     i -> c[i] * pc[i])) AS y,
+        |    list_sum(list_transform(c, x -> x*x)) AS cn
+        |   FROM c CROSS JOIN v3) t),
+        |sh2 AS MATERIALIZED (SELECT round(sum(y*y) / sum(cn), 6) AS var_share FROM (
+        |   SELECT list_sum(list_transform(generate_series(1, 64),
+        |     i -> c[i] * pc[i])) AS y,
+        |    list_sum(list_transform(c, x -> x*x)) AS cn
+        |   FROM c CROSS JOIN u3) t)
+        |SELECT CAST(1 AS BIGINT) AS component, CAST(pos AS INT) AS dim,
+        |  pc[pos] AS loading, var_share
+        | FROM ps CROSS JOIN v3 CROSS JOIN sh1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(pos AS INT), pc[pos], var_share
+        | FROM ps CROSS JOIN u3 CROSS JOIN sh2
+        |ORDER BY component, dim""".stripMargin,
 
     "knn_ivf" ->
       """WITH e AS (SELECT vec_id, label,

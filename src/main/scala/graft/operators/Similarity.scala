@@ -357,22 +357,33 @@ object Similarity {
     * before the next round, so both engines run each round from
     * identical inputs.
     */
-  def embedTopPc(spark: SparkSession, dir: String): DataFrame = {
+  /** Mean-centered corpus (vec_id, c) — shared by [[embedTopPc]] and
+    * [[embedTop2Pc]] under the PlanCache.
+    */
+  private def pcCentered(spark: SparkSession, dir: String): DataFrame = {
     val e = kmeansVecs(spark, dir)
     val mean = e.select(posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("pos").agg(avg("x").as("mx"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, mx))), s -> s.mx)").as("m"))
-    val cent = graft.PlanCache.cached("pc_centered", spark, dir) {
+    graft.PlanCache.cached("pc_centered", spark, dir) {
       e.crossJoin(broadcast(mean))
         .select(col("vec_id"), expr("zip_with(v, m, (a, b) -> a - b)").as("c"))
     }
+  }
+
+  /** 3 fixed power-iteration rounds over `src(vecCol)` from the
+    * startAxis basis vector; per-round round-6 pins both engines.
+    * Returns the one-row unit direction (column `pc`).
+    */
+  private def powerIterate(spark: SparkSession, src: DataFrame,
+                           vecCol: String, startAxis: Int): DataFrame = {
     val v0 = spark.range(1).select(expr(
-      "transform(sequence(1, 64), i -> CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)")
+      s"transform(sequence(1, 64), i -> CASE WHEN i = $startAxis THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)")
       .as("pc"))
-    val vFinal = (1 to 3).foldLeft(v0) { (v, _) =>
-      cent.crossJoin(broadcast(v))
-        .select(posexplode(col("c")).as(Seq("pos", "x")),
-          graft.functions.VectorExprs.dot(col("c"), col("pc")).as("y"))
+    (1 to 3).foldLeft(v0) { (v, _) =>
+      src.crossJoin(broadcast(v))
+        .select(posexplode(col(vecCol)).as(Seq("pos", "x")),
+          graft.functions.VectorExprs.dot(col(vecCol), col("pc")).as("y"))
         .select(col("pos"), (col("x") * col("y")).as("zy"))
         .groupBy("pos").agg(sum("zy").as("z"))
         .agg(expr("transform(sort_array(collect_list(struct(pos, z))), s -> s.z)").as("zv"))
@@ -380,14 +391,52 @@ object Similarity {
           "transform(zv, x -> round(x / sqrt(aggregate(zv, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t * t)), 6))")
           .as("pc"))
     }
-    val share = cent.crossJoin(broadcast(vFinal))
+  }
+
+  /** Explained-variance share of direction `pc` on the ORIGINAL
+    * centered corpus.
+    */
+  private def pcShare(cent: DataFrame, direction: DataFrame): DataFrame =
+    cent.crossJoin(broadcast(direction))
       .select(graft.functions.VectorExprs.dot(col("c"), col("pc")).as("y"),
         graft.functions.VectorExprs.dot(col("c"), col("c")).as("cn"))
       .agg(round(sum(col("y") * col("y")) / sum("cn"), 6).as("var_share"))
+
+  def embedTopPc(spark: SparkSession, dir: String): DataFrame = {
+    val cent = pcCentered(spark, dir)
+    val vFinal = powerIterate(spark, cent, "c", startAxis = 1)
     vFinal.select(posexplode(col("pc")).as(Seq("pos", "loading")))
-      .crossJoin(broadcast(share))
+      .crossJoin(broadcast(pcShare(cent, vFinal)))
       .select((col("pos") + 1).cast("int").as("dim"), col("loading"), col("var_share"))
       .orderBy("dim")
+  }
+
+  /** Top TWO principal components by DEFLATION: after the dominant
+    * direction v1 converges, project it out of every centered vector
+    * (c₂ = c − (c·v1)v1 — one map-side zip_with against the broadcast
+    * direction, no d×d Gram matrix ever materializes) and run the
+    * same fixed power iteration on the residual corpus from the e2
+    * axis. Both components' explained-variance shares are measured
+    * against the ORIGINAL centered corpus, so they are comparable and
+    * (for an exact v1) additive. One corpus pass per round per
+    * component — the deflation pattern extends to top-k unchanged.
+    */
+  def embedTop2Pc(spark: SparkSession, dir: String): DataFrame = {
+    val cent = pcCentered(spark, dir)
+    val v1 = powerIterate(spark, cent, "c", startAxis = 1)
+    val deflated = graft.PlanCache.cached("pc2_deflated", spark, dir) {
+      cent.crossJoin(broadcast(v1))
+        .withColumn("y", graft.functions.VectorExprs.dot(col("c"), col("pc")))
+        .select(col("vec_id"),
+          expr("zip_with(c, pc, (a, b) -> a - y * b)").as("c2"))
+    }
+    val v2 = powerIterate(spark, deflated, "c2", startAxis = 2)
+    def component(k: Int, v: DataFrame): DataFrame =
+      v.select(posexplode(col("pc")).as(Seq("pos", "loading")))
+        .crossJoin(broadcast(pcShare(cent, v)))
+        .select(lit(k.toLong).as("component"),
+          (col("pos") + 1).cast("int").as("dim"), col("loading"), col("var_share"))
+    component(1, v1).unionAll(component(2, v2)).orderBy("component", "dim")
   }
 
   /** ANN quality evaluation: recall@10 of the sign-LSH multi-probe

@@ -207,6 +207,28 @@ class Round5OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("embed_top2_pc: near-orthogonal components, pc1 matches embed_top_pc") {
+    val out = operators.Similarity.embedTop2Pc(spark, sf).collect()
+    assert(out.length == 128)
+    def comp(k: Long): Array[Double] = out.filter(_.getAs[Long]("component") == k)
+      .sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("loading"))
+    val (p1, p2) = (comp(1), comp(2))
+    // both unit-ish (round-6 loadings)
+    def n2(v: Array[Double]) = v.map(x => x * x).sum
+    assert(math.abs(n2(p1) - 1.0) < 1e-3 && math.abs(n2(p2) - 1.0) < 1e-3)
+    // deflation makes the second direction near-orthogonal to the first
+    val dot = p1.zip(p2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 0.05, s"|pc1 . pc2| = ${math.abs(dot)}")
+    // component 1 is exactly the single-component operator's output
+    val single = operators.Similarity.embedTopPc(spark, sf).collect()
+      .sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("loading"))
+    assert(p1.sameElements(single))
+    // explained variance: pc1's share >= pc2's share
+    def share(k: Long) = out.find(_.getAs[Long]("component") == k).get
+      .getAs[Double]("var_share")
+    assert(share(1) >= share(2) && share(2) > 0)
+  }
+
   test("match_blocking_eval: recall consistent with the blocked matcher's candidates") {
     val row = operators.Matching.matchBlockingEval(spark, sf).head()
     val nTrue = row.getAs[Long]("n_true_pairs")
