@@ -98,6 +98,7 @@ object SparkEntry {
     "knn_signlsh" -> (Similarity.knnSignLsh _),
     "knn_ivf" -> (Similarity.knnIvf _),
     "knn_ivf_indexed" -> (Similarity.knnIvfIndexed _),
+    "knn_ivfpq_indexed" -> (Similarity.knnIvfPqIndexed _),
     "knn_pq_adc" -> (Similarity.knnPqAdc _),
     "knn_ivfpq" -> (Similarity.knnIvfPq _),
     "knn_batch" -> (Similarity.knnBatch _),
@@ -436,7 +437,8 @@ object SparkEntry {
   // text; rebuilding it on every access (twice, for the indexed-probe
   // alias) is pure waste
   private lazy val oracleSqlAll: Map[String, String] =
-    oracleSqlBase + ("knn_ivf_indexed" -> oracleSqlBase("knn_ivf"))
+    oracleSqlBase + ("knn_ivf_indexed" -> oracleSqlBase("knn_ivf")) +
+      ("knn_ivfpq_indexed" -> oracleSqlBase("knn_ivfpq"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->

@@ -603,6 +603,85 @@ object Similarity {
     graft.functions.TopK.globalWithRank(adc, 5, col("adc_d2").asc, col("vec_id"))
   }
 
+  /** Persist the full IVF+PQ index: coarse centroids, the trained
+    * per-subspace codebook, and the encoded corpus (16 bytes/vector)
+    * written PARTITIONED BY coarse cell — the complete billion-vector
+    * serving layout on disk. Build cost is paid once; a probe reads
+    * the 2 small tables plus nprobe partitions of 16-byte code rows.
+    */
+  def buildIvfPqIndex(spark: SparkSession, dir: String, indexPath: String): Unit = {
+    val e = vecsWithNorm(spark, dir)
+    ivfCentroids(e).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexPath/centroids")
+    pqCodebook(spark, dir).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexPath/codebook")
+    pqCodes(spark, dir).join(e.select("vec_id", "label"), "vec_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("label")
+      .parquet(s"$indexPath/codes")
+  }
+
+  /** Probe a stored IVF+PQ index: centroids, codebook, and codes all
+    * come off disk; only the query's own subvectors are computed
+    * in-memory. The cell join against the 2-row broadcast routing
+    * set partition-prunes the codes layout, and the ADC sum never
+    * touches a raw corpus vector — identical output to [[knnIvfPq]]
+    * (IndexSpec pins the round-trip).
+    */
+  def knnIvfPqPersisted(spark: SparkSession, dir: String,
+                        indexPath: String): DataFrame = {
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val codes = spark.read.parquet(s"$indexPath/codes")
+      .withColumn("label", col("label").cast(cents.schema("label").dataType))
+    val cb = spark.read.parquet(s"$indexPath/codebook")
+    val q = vecsWithNorm(spark, dir).filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("norm").as("qn"))
+    val best = cents.crossJoin(broadcast(q))
+      .withColumn("cnorm", graft.functions.Vectors.normHof("cv"))
+      .withColumn("csim", round(
+        graft.functions.VectorExprs.dot(col("cv"), col("qv"))
+          / (col("cnorm") * col("qn")), 6))
+      .orderBy(col("csim").desc, col("label"))
+      .limit(2)
+      .select(col("label").as("target_label"))
+    val qsub = pqSubs(spark, dir).filter(col("vec_id") === 0)
+      .select(col("m"), col("sv").as("qsv"), col("s2").as("q2"))
+    val lut = cb.join(broadcast(qsub), "m")
+      .withColumn("c2", graft.functions.VectorExprs.dot(col("c"), col("c")))
+      .select(col("m"), col("cid").as("code"),
+        round(col("q2") - lit(2.0) * graft.functions.VectorExprs.dot(col("qsv"), col("c"))
+          + col("c2"), 6).as("qd2"))
+    val probed = codes
+      .join(broadcast(best), col("label") === col("target_label"))
+      .filter(col("vec_id") =!= 0)
+    val adc = probed.join(broadcast(lut), Seq("m", "code"))
+      .groupBy("vec_id", "label").agg(round(sum("qd2"), 6).as("adc_d2"))
+    graft.functions.TopK.globalWithRank(adc, 5, col("adc_d2").asc, col("vec_id"))
+  }
+
+  /** [[knnIvfPqPersisted]] with the [[knnIvfIndexed]] lifecycle:
+    * build into a corpus-fingerprint staging dir on first use, serve
+    * every later query from the stored index.
+    */
+  def knnIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val src = new java.io.File(dir, "embeddings.parquet")
+    val files =
+      if (src.isDirectory) src.listFiles().sortBy(_.getName).toSeq else Seq(src)
+    val fingerprint = java.security.MessageDigest.getInstance("MD5")
+      .digest(files.map(f => s"${f.getAbsolutePath}:${f.length}:${f.lastModified}")
+        .mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val idx = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivfpq_$fingerprint").getAbsolutePath
+    if (!new java.io.File(s"$idx/centroids/_SUCCESS").exists() ||
+        !new java.io.File(s"$idx/codebook/_SUCCESS").exists() ||
+        !new java.io.File(s"$idx/codes/_SUCCESS").exists())
+      buildIvfPqIndex(spark, dir, idx)
+    knnIvfPqPersisted(spark, dir, idx)
+  }
+
   /** FILTERED vector search: top-5 cosine neighbors of the query
     * among vectors satisfying a metadata predicate (label = 3) — the
     * filter+ANN composition every vector store serves (RAG retrieval

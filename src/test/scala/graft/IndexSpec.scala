@@ -79,6 +79,19 @@ class IndexSpec extends SparkSpec {
       s"diff=${(got diff want).take(3)} / ${(want diff got).take(3)}")
   }
 
+  test("IVF+PQ index round-trip: stored probe equals the in-memory composition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    operators.Similarity.buildIvfPqIndex(spark, sf, dir)
+    val stored = operators.Similarity.knnIvfPqPersisted(spark, sf, dir).collect()
+    val mem = operators.Similarity.knnIvfPq(spark, sf).collect()
+    assert(stored.map(_.toSeq).toSeq == mem.map(_.toSeq).toSeq,
+      s"stored ${stored.toSeq} vs in-memory ${mem.toSeq}")
+    // the codes layout is partitioned by coarse cell
+    val cells = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.getName.startsWith("label="))
+    assert(cells.nonEmpty, "codes must be laid out one directory per cell")
+  }
+
   test("knnIvfIndexed builds on first use and reuses the stored index after") {
     val out1 = operators.Similarity.knnIvfIndexed(spark, sf).collect().toSeq
     // second call must hit the already-written index (same result)
