@@ -123,6 +123,7 @@ object SparkEntry {
     "sample_per_group" -> (Sampling.samplePerGroup _),
     "sample_weighted_mix" -> (Sampling.sampleWeightedMix _),
     "sample_mixture_epochs" -> (Sampling.sampleMixtureEpochs _),
+    "sample_epoch_expand" -> (Sampling.sampleEpochExpand _),
     "text_pmi_bigrams" -> (TextAnalysis.textPmiBigrams _),
     "mm_frame_sample" -> ((s, d) => multimodal.BinaryColumns.frameSample(s, d)),
     // extraction
@@ -207,6 +208,7 @@ object SparkEntry {
     "events_conversions" -> ((s, d) => Events.eventsConversions(s, d)),
     "events_bot_detect" -> (Events.eventsBotDetect _),
     "events_attribution_linear" -> (Events.eventsAttributionLinear _),
+    "events_new_vs_returning" -> (Events.eventsNewVsReturning _),
     "events_ab_test" -> (Events.eventsAbTest _),
     "events_seasonal" -> (Events.eventsSeasonal _),
     "events_decayed_score" -> (Events.eventsDecayedScore _),
@@ -1694,6 +1696,19 @@ object SparkEntry {
          | round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall
          |FROM m ORDER BY t10""".stripMargin,
 
+    "sample_epoch_expand" ->
+      """WITH bs AS (SELECT source,
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY 1),
+        |t AS (SELECT max(n_tokens) AS t FROM bs),
+        |we AS (SELECT source,
+        |  CAST(least(4, (t.t + n_tokens - 1) // n_tokens) AS BIGINT) AS epochs
+        | FROM bs CROSS JOIN t)
+        |SELECT doc_id, source, CAST(epoch_idx AS BIGINT) AS epoch_idx FROM (
+        | SELECT doc_id, d.source, unnest(generate_series(1, epochs)) AS epoch_idx
+        | FROM documents d JOIN we ON d.source = we.source) x
+        |ORDER BY doc_id, epoch_idx""".stripMargin,
+
     "sample_mixture_epochs" ->
       """WITH bs AS (SELECT source,
         |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_tokens
@@ -3155,6 +3170,17 @@ object SparkEntry {
         | AND (pp_ts IS NULL OR (pp_ts, pp_id) < (pv_ts, pv_id))
         | AND ts_s - pv_ts <= 1800
         |ORDER BY purchase_event""".stripMargin,
+
+    "events_new_vs_returning" ->
+      """WITH p AS (SELECT DISTINCT user_id,
+        |  epoch_ns(ts)//1000000000//86400 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM p GROUP BY 1)
+        |SELECT day,
+        | CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        | CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users,
+        | CAST(count(*) AS BIGINT) AS dau
+        |FROM p JOIN f USING (user_id)
+        |GROUP BY day ORDER BY day""".stripMargin,
 
     "events_attribution_linear" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,

@@ -285,6 +285,30 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Growth accounting: per day, active users split into NEW (first
+    * day ever) vs RETURNING — the DAU decomposition every growth
+    * dashboard leads with. First-day per user is one min-aggregate
+    * (map-side combinable, no window); the daily rollup joins the
+    * (user, day) presence pairs against the broadcast-size first-day
+    * relation on user_id — both relations already partitioned by
+    * user after their aggregates.
+    */
+  def eventsNewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val presence = graft.PlanCache.cached("nvr_presence", spark, dir) {
+      Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts_s div 86400").as("day"))
+        .distinct()
+    }
+    val firstDay = presence.groupBy("user_id").agg(min("day").as("first_day"))
+    presence.join(firstDay, "user_id")
+      .groupBy("day")
+      .agg(
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L)).as("returning_users"))
+      .withColumn("dau", col("new_users") + col("returning_users"))
+      .orderBy("day")
+  }
+
   /** LINEAR multi-touch attribution — the credit-splitting complement
     * of [[eventsAttribution]]'s last-touch rule: every view/click in
     * the 30 minutes before a purchase shares that purchase's value

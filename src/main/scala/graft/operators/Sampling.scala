@@ -168,6 +168,24 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Materialization of [[sampleMixtureEpochs]]' plan: every document
+    * emitted once per epoch its source earned, with the epoch index —
+    * the actual repeated-data table a trainer shuffles into batches.
+    * One broadcast join of the tiny per-source plan + a bounded
+    * sequence explode (≤ 4 rows per doc); row count equals
+    * Σ n_docs(source) · epochs(source) exactly.
+    */
+  def sampleEpochExpand(spark: SparkSession, dir: String): DataFrame = {
+    val plan = sampleMixtureEpochs(spark, dir)
+      .select(col("source"), col("epochs"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(graft.functions.Unordered(plan)), "source")
+      .withColumn("epoch_idx", explode(expr("sequence(1, epochs)")))
+      .select(col("doc_id"), col("source"), col("epoch_idx").cast("long").as("epoch_idx"))
+      .orderBy("doc_id", "epoch_idx")
+  }
+
   /** Exactly-k-per-group sample: the k docs with the smallest content
     * hash per language — a deterministic distributed reservoir
     * (hash order IS a uniform random order, but reproducible). Runs

@@ -207,6 +207,35 @@ class Round5OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("sample_epoch_expand: row count is exactly sum of docs x epochs") {
+    val out = operators.Sampling.sampleEpochExpand(spark, sf).cache()
+    val plan = operators.Sampling.sampleMixtureEpochs(spark, sf)
+      .select("source", "epochs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docsPerSource = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = docsPerSource.map { case (src, n) => n * plan(src) }.sum
+    assert(out.count() == expect)
+    // per-doc epoch indexes are dense 1..epochs
+    assert(out.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), max("epoch_idx").as("mx"))
+      .filter(col("n") =!= col("mx")).count() == 0)
+    out.unpersist()
+  }
+
+  test("events_new_vs_returning: day-0 is all-new and totals reconcile with DAU") {
+    val rows = operators.Events.eventsNewVsReturning(spark, sf).collect()
+      .sortBy(_.getAs[Long]("day"))
+    assert(rows.nonEmpty)
+    assert(rows.head.getAs[Long]("returning_users") == 0,
+      "the first day has no returning users")
+    assert(rows.forall(r => r.getAs[Long]("dau") ==
+      r.getAs[Long]("new_users") + r.getAs[Long]("returning_users")))
+    // every user is new exactly once
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("new_users")).sum == users)
+  }
+
   test("embed_top2_pc: near-orthogonal components, pc1 matches embed_top_pc") {
     val out = operators.Similarity.embedTop2Pc(spark, sf).collect()
     assert(out.length == 128)
