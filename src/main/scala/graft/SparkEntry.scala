@@ -898,10 +898,10 @@ object SparkEntry {
 
     "match_blocking_eval" ->
       """WITH cn AS (SELECT c_custkey, c_nationkey,
-        |  array_to_string(list_sort(string_split_regex(lower(trim(c_name)),'\\s+')),' ') AS c_norm
+        |  array_to_string(list_sort(string_split_regex(lower(trim(c_name)),'\s+')),' ') AS c_norm
         | FROM customer),
         |sn AS (SELECT s_suppkey, s_nationkey,
-        |  array_to_string(list_sort(string_split_regex(lower(trim(s_name)),'\\s+')),' ') AS s_norm
+        |  array_to_string(list_sort(string_split_regex(lower(trim(s_name)),'\s+')),' ') AS s_norm
         | FROM supplier),
         |cs AS (SELECT * FROM cn
         | WHERE list_sum(list_transform(generate_series(1, 8),
@@ -3217,10 +3217,12 @@ object SparkEntry {
         |SELECT b.user_id, n_events, active_minutes,
         | round(CAST(n_events AS DOUBLE)/active_minutes, 6) AS events_per_active_min,
         | round(mean_gap, 6) AS mean_gap_s,
-        | round(sd_gap/mean_gap, 6) AS gap_cv,
+        | CASE WHEN mean_gap > 0 THEN round(sd_gap/mean_gap, 6) END AS gap_cv,
         | max_burst_min,
-        | CAST(CASE WHEN round(sd_gap/mean_gap, 6) <= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS is_bot
-        |FROM b JOIN gg ON b.user_id = gg.user_id
+        | CAST(CASE WHEN sd_gap IS NOT NULL AND (round(sd_gap, 6) = 0
+        |   OR (mean_gap > 0 AND round(sd_gap/mean_gap, 6) <= 0.8))
+        |   THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+        |FROM b LEFT JOIN gg ON b.user_id = gg.user_id
         |JOIN mb ON b.user_id = mb.user_id
         |ORDER BY b.user_id""".stripMargin,
 

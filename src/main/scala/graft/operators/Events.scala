@@ -738,16 +738,26 @@ object Events {
     val base = e.groupBy("user_id").agg(
       count(lit(1)).as("n_events"),
       countDistinct((col("ts_s") / 60).cast("long")).as("active_minutes"))
-    base.join(gaps, "user_id").join(burst, "user_id")
+    // LEFT join the gap stats: single-event users have no gaps but
+    // must still appear in the report (null cadence features), and a
+    // user whose burst is entirely within one second has mean_gap=0 —
+    // the cv ratio is undefined there, yet that is the MOST clocked
+    // cadence of all, so sd_gap=0 flags directly. cv is emitted only
+    // when mean_gap>0 (explicit, engine-portable null instead of NaN).
+    base.join(gaps, Seq("user_id"), "left").join(burst, "user_id")
       .select(
         col("user_id"), col("n_events"), col("active_minutes"),
         round(col("n_events").cast("double") / col("active_minutes"), 6)
           .as("events_per_active_min"),
         round(col("mean_gap"), 6).as("mean_gap_s"),
-        round(col("sd_gap") / col("mean_gap"), 6).as("gap_cv"),
-        col("max_burst_min"))
-      .withColumn("is_bot",
-        when(col("gap_cv") <= 0.8, 1L).otherwise(0L))
+        when(col("mean_gap") > 0, round(col("sd_gap") / col("mean_gap"), 6))
+          .as("gap_cv"),
+        col("max_burst_min"),
+        when(col("sd_gap").isNotNull &&
+            (round(col("sd_gap"), 6) === 0.0 ||
+             (col("mean_gap") > 0 &&
+              round(col("sd_gap") / col("mean_gap"), 6) <= 0.8)), 1L)
+          .otherwise(0L).as("is_bot"))
       .orderBy("user_id")
   }
 

@@ -137,19 +137,75 @@ object Similarity {
     * aliasing across corpora practically impossible.
     */
   def knnIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ensureIndex(dir, "graft_ivf", Seq("centroids", "lists"),
+      stage => buildIvfIndex(spark, dir, stage))
+    knnIvfPersisted(spark, dir, idx)
+  }
+
+  /** Corpus content fingerprint for index staging-dir keys: md5 over
+    * the source file paths, sizes, and mtimes — regenerating the
+    * corpus in place changes the fingerprint and forces a rebuild (a
+    * path-hash key would silently serve neighbors from OLD data).
+    */
+  private def corpusFingerprint(dir: String): String = {
     val src = new java.io.File(dir, "embeddings.parquet")
     val files =
       if (src.isDirectory) src.listFiles().sortBy(_.getName).toSeq else Seq(src)
-    val fingerprint = java.security.MessageDigest.getInstance("MD5")
+    java.security.MessageDigest.getInstance("MD5")
       .digest(files.map(f => s"${f.getAbsolutePath}:${f.length}:${f.lastModified}")
         .mkString("|").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    val idx = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivf_$fingerprint").getAbsolutePath
-    if (!new java.io.File(s"$idx/centroids/_SUCCESS").exists() ||
-        !new java.io.File(s"$idx/lists/_SUCCESS").exists())
-      buildIvfIndex(spark, dir, idx)
-    knnIvfPersisted(spark, dir, idx)
+  }
+
+  /** Index lifecycle with a SAFE publish protocol: build into a
+    * process-unique staging dir, then atomically rename it onto the
+    * fingerprint path. Two concurrent sessions indexing the same
+    * corpus each build privately; the first rename wins and the loser
+    * discards its staging dir — no session ever probes a dir another
+    * session is mid-Overwrite on (the race the old check-then-build
+    * had). Stale fingerprint dirs for the SAME corpus path (old
+    * mtimes/sizes) are evicted via a `_corpus` marker file, so
+    * regenerated corpora don't leak dead indexes into tmpdir forever.
+    */
+  private def ensureIndex(dir: String, prefix: String, parts: Seq[String],
+                          build: String => Unit): String = {
+    val corpus = new java.io.File(dir, "embeddings.parquet").getAbsolutePath
+    val fp = corpusFingerprint(dir)
+    val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
+    val target = new java.io.File(tmpRoot, s"${prefix}_$fp")
+    def complete(d: java.io.File): Boolean =
+      parts.forall(p => new java.io.File(d, s"$p/_SUCCESS").exists())
+    if (!complete(target)) {
+      val stage = new java.io.File(tmpRoot,
+        s"${prefix}_stage_${fp}_${java.lang.ProcessHandle.current.pid}_${System.nanoTime}")
+      build(stage.getAbsolutePath)
+      val marker = new java.io.File(stage, "_corpus")
+      java.nio.file.Files.write(marker.toPath, corpus.getBytes("UTF-8"))
+      // rename is atomic on a local filesystem; if a concurrent
+      // session published first, keep theirs and drop ours
+      if (!stage.renameTo(target) || !complete(target)) {
+        if (complete(target)) deleteRecursively(stage)
+        else throw new IllegalStateException(
+          s"index publish failed for $target")
+      }
+    }
+    // evict stale fingerprints of the same corpus path
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.getName.startsWith(s"${prefix}_") &&
+        !d.getName.startsWith(s"${prefix}_stage_") &&
+        d.getName != target.getName)
+      .foreach { d =>
+        val m = new java.io.File(d, "_corpus")
+        if (m.exists() &&
+            new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8") == corpus)
+          deleteRecursively(d)
+      }
+    target.getAbsolutePath
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
   }
 
   /** Batch ANN: top-3 cosine neighbors for EACH query vector
@@ -666,19 +722,9 @@ object Similarity {
     * every later query from the stored index.
     */
   def knnIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val src = new java.io.File(dir, "embeddings.parquet")
-    val files =
-      if (src.isDirectory) src.listFiles().sortBy(_.getName).toSeq else Seq(src)
-    val fingerprint = java.security.MessageDigest.getInstance("MD5")
-      .digest(files.map(f => s"${f.getAbsolutePath}:${f.length}:${f.lastModified}")
-        .mkString("|").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val idx = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivfpq_$fingerprint").getAbsolutePath
-    if (!new java.io.File(s"$idx/centroids/_SUCCESS").exists() ||
-        !new java.io.File(s"$idx/codebook/_SUCCESS").exists() ||
-        !new java.io.File(s"$idx/codes/_SUCCESS").exists())
-      buildIvfPqIndex(spark, dir, idx)
+    val idx = ensureIndex(dir, "graft_ivfpq",
+      Seq("centroids", "codebook", "codes"),
+      stage => buildIvfPqIndex(spark, dir, stage))
     knnIvfPqPersisted(spark, dir, idx)
   }
 

@@ -162,17 +162,22 @@ object Sinks {
     val trash = new org.apache.hadoop.fs.Path(tablePath + ".old")
     // recovery: a crash between rename(live→trash) and rename(tmp→live)
     // leaves the live path absent while tmp holds the complete merged
-    // table and trash holds the pre-merge history. Promote tmp ONLY
-    // when its write provably finished (_SUCCESS present — a crash
-    // mid-write leaves a partial dir that must never become the live
-    // table), else restore trash. This runs BEFORE the existence
-    // probe, or this run would treat the incoming batch as the entire
-    // history and then delete the only surviving copies.
+    // table and trash holds the pre-merge history. Restore TRASH when
+    // it exists — the caller's at-least-once contract (see
+    // Pipeline.StagePolicy) re-runs the failed batch, and promoting
+    // tmp (which already folded that batch in) would double-count it
+    // on the re-run. Promote tmp only when trash is absent AND its
+    // write provably finished (_SUCCESS present — a crash mid-write
+    // leaves a partial dir that must never become the live table);
+    // after a tmp promotion the batch IS merged, so callers must not
+    // re-submit it. This runs BEFORE the existence probe, or this run
+    // would treat the incoming batch as the entire history and then
+    // delete the only surviving copies.
     if (!hfs.exists(hPath)) {
       val tmpComplete = hfs.exists(
         new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
-      if (tmpComplete) hfs.rename(tmp, hPath)
-      else if (hfs.exists(trash)) hfs.rename(trash, hPath)
+      if (hfs.exists(trash)) hfs.rename(trash, hPath)
+      else if (tmpComplete) hfs.rename(tmp, hPath)
     }
     val exists = hfs.exists(hPath) && hfs.listStatus(hPath).nonEmpty
     val merged =

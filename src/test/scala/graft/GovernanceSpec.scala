@@ -36,8 +36,20 @@ class GovernanceSpec extends SparkSpec {
   test("events_bot_detect: one row per user, flag tracks the rounded cv threshold") {
     val out = operators.Events.eventsBotDetect(spark, sf).cache()
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
-    assert(out.count() == users, "every (multi-event) user gets a feature row")
-    assert(out.filter((col("gap_cv") <= 0.8) =!= (col("is_bot") === 1L)).count() == 0)
+    assert(out.count() == users,
+      "EVERY user gets a feature row — single-event users included (left join)")
+    // single-event users: null cadence features, never flagged
+    assert(out.filter(col("n_events") === 1 &&
+      (col("mean_gap_s").isNotNull || col("gap_cv").isNotNull ||
+       col("is_bot") =!= 0L)).count() == 0)
+    // cv path of the flag (sd_gap>0): flag iff rounded cv ≤ 0.8
+    assert(out.filter(col("gap_cv") > 0 &&
+      ((col("gap_cv") <= 0.8) =!= (col("is_bot") === 1L))).count() == 0)
+    // perfectly clocked cadence (sd=0) is flagged even when the burst
+    // sits inside one second (mean_gap=0, cv undefined → null)
+    assert(out.filter(col("gap_cv") === 0.0 && col("is_bot") =!= 1L).count() == 0)
+    assert(out.filter(col("gap_cv").isNull && col("mean_gap_s") === 0.0 &&
+      col("is_bot") =!= 1L).count() == 0)
     // features are internally consistent
     assert(out.filter(col("n_events") < col("active_minutes")).count() == 0)
     assert(out.filter(col("max_burst_min") < 1 ||

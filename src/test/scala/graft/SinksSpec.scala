@@ -212,6 +212,39 @@ class SinksSpec extends SparkSpec {
     assert(got == want, "trash (the real history) must be restored, not the partial tmp")
   }
 
+  test("incrementalAggregate: batch re-run after a mid-swap crash stays exactly-once") {
+    val dir = tmp() + "/agg_rerun"
+    val o = Tables.orders(spark, sf)
+    val b1 = o.filter(col("o_orderkey") % 2 === 0)
+    val b2 = o.filter(col("o_orderkey") % 2 === 1)
+    Sinks.incrementalAggregate(spark, dir, b1, Seq("o_orderstatus"), "o_totalprice")
+    // crash window where BOTH staging dirs survive: live renamed to
+    // trash, tmp fully written (with _SUCCESS) but never promoted.
+    // The orchestrator's at-least-once contract re-runs the failed
+    // batch — recovery must restore TRASH (pre-merge history), not
+    // promote tmp, or the re-run folds b2 twice and double-counts.
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val hfs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpP = new org.apache.hadoop.fs.Path(dir + ".tmp")
+    Sinks.incrementalAggregate(spark, dir + "_scratch", b2,
+      Seq("o_orderstatus"), "o_totalprice") // a completed (_SUCCESS) tmp image
+    hfs.rename(new org.apache.hadoop.fs.Path(dir + "_scratch"), tmpP)
+    hfs.rename(hPath, new org.apache.hadoop.fs.Path(dir + ".old"))
+    graft.PlanCache.invalidate(dir)
+    val last = Sinks.incrementalAggregate(spark, dir, b2,
+      Seq("o_orderstatus"), "o_totalprice")
+    val want = o.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), sum("o_totalprice").as("sum_val"))
+      .orderBy("o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100))).toSeq
+    val got = last.orderBy("o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        math.round(r.getDouble(2) * 100))).toSeq
+    assert(got == want,
+      "restoring .old keeps the batch re-run exactly-once (no double fold)")
+  }
+
   test("bucketed tables: co-bucketed fact join plans with zero Exchange") {
     val l = Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_quantity", "l_extendedprice")
