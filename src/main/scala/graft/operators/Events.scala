@@ -101,14 +101,24 @@ object Events {
       .orderBy("event_id")
   }
 
-  /** Exact percentiles of event value per type (interpolated). */
+  /** Exact percentiles of event value per type (interpolated), via
+    * the bounded-state broadcast-bin plan ([[ExactQuantiles]]) — a
+    * native `percentile()` here would buffer corpus/|types| doubles
+    * in one aggregation buffer, the lone aggregate shape that dies at
+    * a 100× scale-up.
+    */
   def eventsPercentiles(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-    e.groupBy("event_type")
-      .agg(
-        round(expr("percentile(value, 0.5)"), 6).as("p50"),
-        round(expr("percentile(value, 0.9)"), 6).as("p90"),
-        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+    // the quantile passes re-read their input; cache the 2-column
+    // projection once (shared with events_anomaly_mad's median pass)
+    val tv = graft.PlanCache.cached("events_type_value", spark, dir) {
+      Tables.events(spark, dir).select(col("event_type"), col("value"))
+    }
+    val q = ExactQuantiles.percentiles(tv,
+      Seq("event_type"), "value", Seq(0.5, 0.9, 0.99))
+    q.groupBy("event_type").agg(
+        round(max(when(col("p") === 0.5, col("q"))), 6).as("p50"),
+        round(max(when(col("p") === 0.9, col("q"))), 6).as("p90"),
+        round(max(when(col("p") === 0.99, col("q"))), 6).as("p99"))
       .orderBy("event_type")
   }
 
@@ -125,13 +135,19 @@ object Events {
       .groupBy("user_id").agg(min("ts_s").as("t0"))
     val pu = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_s"))
-    su.join(pu, "user_id")
-      .filter(col("ts_s") >= col("t0"))
-      .groupBy("user_id").agg(min(col("ts_s") - col("t0")).as("delta_s"))
-      .agg(count(lit(1)).as("n_converters"),
-        round(expr("percentile(delta_s, 0.5)"), 6).as("p50_s"),
-        round(expr("percentile(delta_s, 0.9)"), 6).as("p90_s"),
-        max("delta_s").as("max_s"))
+    // the per-user delta reduction feeds the summary aggregate AND the
+    // bounded-state quantile passes — cache it so it runs once
+    val d = graft.PlanCache.cached("funnel_time_delta", spark, dir) {
+      su.join(pu, "user_id")
+        .filter(col("ts_s") >= col("t0"))
+        .groupBy("user_id").agg(min(col("ts_s") - col("t0")).as("delta_s"))
+    }
+    val qs = ExactQuantiles.percentiles(d, Seq.empty, "delta_s", Seq(0.5, 0.9))
+      .agg(round(max(when(col("p") === 0.5, col("q"))), 6).as("p50_s"),
+        round(max(when(col("p") === 0.9, col("q"))), 6).as("p90_s"))
+    d.agg(count(lit(1)).as("n_converters"), max("delta_s").as("max_s"))
+      .crossJoin(broadcast(qs))
+      .select("n_converters", "p50_s", "p90_s", "max_s")
   }
 
   /** Funnel: users progressing signup → view → purchase in timestamp
@@ -186,19 +202,32 @@ object Events {
     * type, median and MAD of the value, then every event whose
     * |value − median| exceeds k·MAD — the robust companion of the
     * 3σ z-score scan ([[eventsZscore]]), immune to the outliers it
-    * hunts inflating the threshold. Two exact interpolated medians
-    * per type (tiny per-type tables broadcast back onto the stream);
-    * the scan itself is a map-side filter.
+    * hunts inflating the threshold. Both medians are exact
+    * interpolated quantiles through the bounded-state broadcast-bin
+    * plan ([[ExactQuantiles]] — no per-type value buffering); the
+    * scan itself is a map-side filter against the broadcast 5-row
+    * (median, MAD) table.
     */
   def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    val med = e.groupBy("event_type")
-      .agg(expr("percentile(value, 0.5)").as("med"))
-    val mad = e.join(broadcast(med), "event_type")
-      .withColumn("absdev", abs(col("value") - col("med")))
-      .groupBy("event_type")
-      .agg(round(expr("percentile(absdev, 0.5)"), 6).as("mad"),
-        round(first("med"), 6).as("med"))
+    val tv = graft.PlanCache.cached("events_type_value", spark, dir) {
+      e.select(col("event_type"), col("value"))
+    }
+    val med = ExactQuantiles.percentiles(tv,
+      Seq("event_type"), "value", Seq(0.5))
+      .select(col("event_type"), col("q").as("med_raw"))
+    // absdev embeds the full median pass — cache it so the MAD
+    // quantile's own multi-pass plan computes the medians once
+    val dev = graft.PlanCache.cached("anomaly_mad_absdev", spark, dir) {
+      tv.join(broadcast(med), "event_type")
+        .withColumn("absdev", abs(col("value") - col("med_raw")))
+    }
+    val mad = ExactQuantiles.percentiles(
+      dev.select(col("event_type"), col("absdev")),
+      Seq("event_type"), "absdev", Seq(0.5))
+      .select(col("event_type"), round(col("q"), 6).as("mad"))
+      .join(med.select(col("event_type"), round(col("med_raw"), 6).as("med")),
+        "event_type")
     e.join(broadcast(mad), "event_type")
       .withColumn("dev", round(abs(col("value") - col("med")), 6))
       .filter(col("dev") > lit(8.0) * col("mad"))

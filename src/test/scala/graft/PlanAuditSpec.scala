@@ -215,6 +215,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("exact quantiles above the measured cap never buffer raw values") {
+    // Spark's exact percentile() holds EVERY value of a group in one
+    // aggregation buffer — corpus/|groups| doubles in a single task at
+    // scale. ExactQuantiles gates on a MEASURED max group size (the
+    // graph_triangles discipline): under the cap the one-stage native
+    // aggregate is provably bounded by the measurement; above it the
+    // broadcast-bin plan must hold — no value-buffering aggregate of
+    // any kind (percentile / collect_list / sort_array), no cartesian,
+    // no unpartitioned window (PlanLint), even for GLOBAL quantiles.
+    import org.apache.spark.sql.functions.col
+    val byGroup = Tables.events(spark, sf).select(col("event_type"), col("value"))
+    val global = byGroup.select(col("value"))
+    for ((name, q) <- Seq(
+      "grouped" -> operators.ExactQuantiles.percentiles(byGroup,
+        Seq("event_type"), "value", Seq(0.5, 0.9), maxNativeGroupValues = 0L),
+      "global" -> operators.ExactQuantiles.percentiles(global,
+        Seq.empty, "value", Seq(0.5, 0.9), maxNativeGroupValues = 0L))) {
+      val p = q.queryExecution.executedPlan.toString.toLowerCase
+      assert(!p.contains("percentile("), s"$name buffers raw values: percentile()")
+      assert(!p.contains("collect_list"), s"$name buffers raw values: collect_list")
+      assert(!p.contains("sort_array"), s"$name buffers raw values: sort_array")
+      val findings = graft.plans.PlanLint.audit(q)
+      assert(findings.isEmpty, s"$name: ${findings.mkString("; ")}")
+    }
+  }
+
   test("PlanLint passes every registered query and catches planted offenders") {
     // The three scale-killers (cartesian product, Scala UDF,
     // unpartitioned unbounded window) are machine-checked by the
