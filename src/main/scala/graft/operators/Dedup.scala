@@ -285,39 +285,33 @@ object Dedup {
     */
   private def ngramScoresGe05(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache.cached("ngram_scores_ge05", spark, dir) {
-      ngramJaccardScores(spark, dir).filter(col("jaccard") >= 0.5)
+      ngramJaccardScores(spark, dir, minJaccard = 0.5)
+        .filter(col("jaccard") >= 0.5)
     }
 
   /** All in-block pair scores, pre-threshold — exposed so tests can
     * bound the feature-hashing drift against exact gram-set jaccard.
+    *
+    * `minJaccard` enables the LOSSLESS size-ratio prune for consumers
+    * that will floor the score anyway: jaccard ≥ t forces
+    * |A∩B| ≥ t/(1+t)·(|A|+|B|), and since |A∩B| ≤ min(|A|,|B|), any
+    * pair with max(|A|,|B|) > min(|A|,|B|)/t can be skipped BEFORE
+    * the 128-word bitset intersection — two scalar compares versus
+    * the native popcount loop, on every candidate pair of the block
+    * self-join (the one O(block²) hot loop in this family).
     */
-  def ngramJaccardScores(spark: SparkSession, dir: String): DataFrame = {
-    val words = 128 // 4096 bits / 32 bits per word
-    val g = Tables.documents(spark, dir)
-      .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), col("lang"), array_distinct(expr(
-        "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("g"))
-    // gram → bit index: first 3 md5 nibbles (12 bits = 4096), via
-    // the native graft_hex_long (oracle mirrors it with instr nibble
-    // math, digit-for-digit)
-    val ex = g.select(col("doc_id"), col("lang"), explode(col("g")).as("ng"))
-      .withColumn("r",
-        (graft.functions.HexExprs.hexPrefixLong(md5(col("ng")), 3) % 4096).cast("int"))
-    // bit_or (not sum): distinct grams may collide on a bit
-    val bits = ex
-      .groupBy(col("doc_id"), col("lang"), expr("CAST(r div 32 AS INT)").as("wi"))
-      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(r % 32 AS INT)))").as("wrd"))
-    // one row per doc: packed words as a dense array (missing words
-    // zero-filled), gram-set size recovered from popcounts.
+  def ngramJaccardScores(spark: SparkSession, dir: String,
+                         minJaccard: Double = 0.0): DataFrame = {
+    // one row per doc: packed bitset words + popcount, built map-side
+    // in ONE native pass per document (graft_ngram_bitset) — no gram
+    // explode, no shuffle; NgramBitsetSpec pins it bit-identical to
+    // the explode+groupBy SQL formulation the oracle mirrors
     val dense = graft.PlanCache.cached("ngram_bitsets", spark, dir) {
-      bits
-        .groupBy("doc_id", "lang")
-        .agg(
-          map_from_entries(collect_list(struct(col("wi"), col("wrd")))).as("m"),
-          sum(expr("bit_count(wrd)")).as("n"))
-        .withColumn("v", expr(
-          s"transform(sequence(0, ${words - 1}), wi -> coalesce(m[wi], CAST(0 AS BIGINT)))"))
-        .select("doc_id", "lang", "n", "v")
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) >= 3)
+        .withColumn("bs", graft.functions.NgramBitset.ngramBitset(col("text")))
+        .select(col("doc_id"), col("lang"),
+          col("bs.n").cast("long").as("n"), col("bs.v").as("v"))
     }
     val inter = graft.functions.Vectors.bitsetInter("va", "vb")
     // the block key (lang) has cardinality ~5 → a plain equi-join
@@ -330,8 +324,19 @@ object Dedup {
     val b = dense.select(col("doc_id").as("j"), col("lang"),
         col("n").as("lb"), col("v").as("vb"))
       .withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
-    a.join(b, Seq("lang", "salt"))
+    // SHUFFLE_HASH, build=a: Catalyst would otherwise broadcast the
+    // 32×-replicated b side (its one-doc-per-row stats look small but
+    // each row carries a 1 KB bitset — a 100+ MB driver-built hashed
+    // relation); the salted join exists precisely to run this as 32
+    // parallel hash probes
+    val paired = a.hint("shuffle_hash").join(b, Seq("lang", "salt"))
       .filter(col("i") < col("j"))
+    val pruned =
+      if (minJaccard > 0)
+        paired.filter(lit(minJaccard) * col("la") <= col("lb") &&
+          lit(minJaccard) * col("lb") <= col("la"))
+      else paired
+    pruned
       .withColumn("inter", inter.cast("double"))
       .withColumn("jaccard", round(
         col("inter") / (col("la") + col("lb") - col("inter")), 6))

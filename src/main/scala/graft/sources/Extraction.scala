@@ -95,14 +95,26 @@ object Extraction {
   def extractXmlEntities(spark: SparkSession, dir: String): DataFrame =
     parseXmlEntities(Tables.customer(spark, dir).select(synthXml.as("xml")))
 
-  /** File-in ingestion: one XML document per file, read wholetext —
-    * files partition across executors (the distributed analog of the
-    * reference's per-file iterparse loop, extract_abr_xml.py:120-160)
-    * and feed the same columnar parser.
+  /** File-in ingestion, SPLITTABLE: records are delimited on the
+    * closing tag via the text source's `lineSep`, so ONE multi-GB
+    * dump file fans out across `spark.sql.files.maxPartitionBytes`
+    * splits (the reader stitches records spanning a split boundary) —
+    * the distributed answer to the reference streaming a single huge
+    * ABR dump through iterparse (extract_abr_xml.py:120-160) instead
+    * of DOM-loading it. A wholetext read would make one file = one
+    * task = one String: parallel across files, serial (and OOM-bound)
+    * within one. Each emitted row is one `<tag …>…</tag>` record with
+    * any inter-record bytes stripped; the columnar parser downstream
+    * is unchanged. Caveat (shared with any delimiter-framed reader):
+    * the closing tag must not occur inside CDATA/payload text.
     */
-  def readXmlFiles(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("wholetext", "true").text(path)
-      .withColumnRenamed("value", "xml")
+  def readXmlFiles(spark: SparkSession, path: String,
+                   recordTag: String = "ABR"): DataFrame =
+    spark.read.option("lineSep", s"</$recordTag>").text(path)
+      .filter(col("value").contains(s"<$recordTag"))
+      .select(concat(
+        expr(s"substring(value, locate('<$recordTag', value))"),
+        lit(s"</$recordTag>")).as("xml"))
 
   def extractXmlFromFiles(spark: SparkSession, path: String): DataFrame =
     parseXmlEntities(readXmlFiles(spark, path))
@@ -157,16 +169,21 @@ object Extraction {
   def extractWarcRecords(spark: SparkSession, dir: String): DataFrame =
     parseWarcRecords(Tables.supplier(spark, dir).select(synthWarc.as("rec")))
 
-  /** File-in ingestion for WARC: a .warc file concatenates records;
-    * read wholetext (files partition across executors — at CommonCrawl
-    * scale each ~1 GB segment is one task, exactly how warcio walks
-    * them in extract_common_crawl.py), split on record boundaries,
-    * explode to one row per record, feed the same parser.
+  /** File-in ingestion for WARC, SPLITTABLE: records are framed on
+    * the `WARC/1.0` version line via `lineSep`, so one ~1 GB segment
+    * file spreads across many tasks instead of being one wholetext
+    * String per task (extract_common_crawl.py walks segments serially
+    * with warcio; this is the columnar, intra-file-parallel form).
+    * The stripped delimiter is re-attached so each row is a complete
+    * record for [[parseWarcRecords]]. Caveat: payloads containing a
+    * literal `WARC/1.0\n` line would split early — real WARC uses
+    * Content-Length framing; this reader targets the uncompressed
+    * concatenated-record shape the reference synthesizes.
     */
   def readWarcFiles(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("wholetext", "true").text(path)
-      .select(explode(split(col("value"), "(?=WARC/1\\.0\\n)")).as("rec"))
-      .filter(col("rec").startsWith("WARC/1.0"))
+    spark.read.option("lineSep", "WARC/1.0\n").text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(concat(lit("WARC/1.0\n"), col("value")).as("rec"))
 
   def extractWarcFromFiles(spark: SparkSession, path: String): DataFrame =
     parseWarcRecords(readWarcFiles(spark, path))

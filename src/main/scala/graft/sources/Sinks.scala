@@ -77,12 +77,20 @@ object Sinks {
     * algebra). Writing version v+1 costs one snapshotDiff against
     * the CURRENT reconstruction; reading version v costs
     * O(base + Σ changes ≤ v), each fold one key-partitioned join —
-    * at 100 TB the diffs are the cheap part and periodic re-basing
-    * (write a fresh base, drop the chain) bounds read cost exactly
-    * like checkpointing bounds a streaming changelog.
+    * at 100 TB the diffs are the cheap part, and CHECKPOINTS bound
+    * read cost: every `checkpointEvery` commits the full snapshot —
+    * which the committer already holds in hand as `newDf` — is also
+    * materialized as `ckpt_N`, and `readVersion` folds from the
+    * nearest checkpoint at or below the target. Any read (and any
+    * commit's own current-state reconstruction) therefore plans at
+    * most `checkpointEvery` chained joins no matter how long the
+    * history grows — the streaming-changelog checkpoint discipline
+    * applied to table time travel. SinksSpec pins both the plan
+    * bound and exact reconstruction across checkpoint boundaries.
     */
   def commitVersion(spark: org.apache.spark.sql.SparkSession, tableDir: String,
-                    newDf: DataFrame, keyCols: Seq[String], valueCol: String): Int = {
+                    newDf: DataFrame, keyCols: Seq[String], valueCol: String,
+                    checkpointEvery: Int = 8): Int = {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$tableDir/base"))) {
@@ -95,26 +103,50 @@ object Sinks {
         keyCols, valueCol)
       snapshotDiff(current, newDf, keyCols, valueCol)
         .write.mode(SaveMode.ErrorIfExists).parquet(f"$tableDir/diff_$next%05d")
+      // the diff is durable first, the checkpoint after: a crash
+      // between the writes costs only a missed checkpoint (reads fall
+      // back to the previous one), never a version
+      if (checkpointEvery > 0 && next % checkpointEvery == 0)
+        newDf.select(keyCols.map(col) :+ col(valueCol): _*)
+          .write.mode(SaveMode.Overwrite).parquet(f"$tableDir/ckpt_$next%05d")
       next
     }
   }
 
-  def listVersions(spark: org.apache.spark.sql.SparkSession,
-                   tableDir: String): Seq[Int] = {
+  private def listNumbered(spark: org.apache.spark.sql.SparkSession,
+                           tableDir: String, prefix: String): Seq[Int] = {
     val dir = new org.apache.hadoop.fs.Path(tableDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).map(_.getPath.getName).toSeq
-      .filter(_.startsWith("diff_")).map(_.stripPrefix("diff_").toInt).sorted
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toInt).sorted
   }
+
+  def listVersions(spark: org.apache.spark.sql.SparkSession,
+                   tableDir: String): Seq[Int] =
+    listNumbered(spark, tableDir, "diff_")
+
+  def listCheckpoints(spark: org.apache.spark.sql.SparkSession,
+                      tableDir: String): Seq[Int] =
+    listNumbered(spark, tableDir, "ckpt_")
 
   def readVersion(spark: org.apache.spark.sql.SparkSession, tableDir: String,
                   version: Int, keyCols: Seq[String], valueCol: String): DataFrame = {
-    val base = spark.read.parquet(s"$tableDir/base")
-      .select(keyCols.map(col) :+ col(valueCol): _*)
-    listVersions(spark, tableDir).filter(_ <= version).foldLeft(base) { (acc, v) =>
-      applyDiff(acc, spark.read.parquet(f"$tableDir/diff_$v%05d"), keyCols, valueCol)
+    // fold from the nearest checkpoint at or below the target — the
+    // plan depth is bounded by the checkpoint interval, not by how
+    // many commits the table has ever seen
+    val from = listCheckpoints(spark, tableDir).filter(_ <= version).lastOption
+    val start = from match {
+      case Some(c) => spark.read.parquet(f"$tableDir/ckpt_$c%05d")
+        .select(keyCols.map(col) :+ col(valueCol): _*)
+      case None => spark.read.parquet(s"$tableDir/base")
+        .select(keyCols.map(col) :+ col(valueCol): _*)
     }
+    listVersions(spark, tableDir)
+      .filter(v => v <= version && v > from.getOrElse(0))
+      .foldLeft(start) { (acc, v) =>
+        applyDiff(acc, spark.read.parquet(f"$tableDir/diff_$v%05d"), keyCols, valueCol)
+      }
   }
 
   /** Latest-wins keyed merge: rows from `updates` replace rows in

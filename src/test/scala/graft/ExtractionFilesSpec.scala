@@ -101,4 +101,64 @@ class ExtractionFilesSpec extends SparkSpec {
       ("https://www.acme.example.com/", "rec-1", "Acme"),
       ("https://www.zorg.example.com/", "rec-2", "Zorg")))
   }
+
+  test("ONE multi-record XML file parallelizes across splits with identical rows") {
+    // the 100TB shape: a single multi-GB dump file must fan out
+    // across tasks (lineSep record framing), not become one wholetext
+    // String — records spanning a split boundary must stitch cleanly
+    val dir = Files.createTempDirectory("graft-xml-big")
+    def rec(i: Int): String =
+      s"""<ABR><ABN status="ACT" ABNStatusFromDate="20200115">${"%011d".format(i.toLong)}</ABN>""" +
+        s"<EntityType><EntityTypeText>PRV</EntityTypeText></EntityType>" +
+        s"<MainEntity><NonIndividualName><NonIndividualNameText>Org $i" +
+        "</NonIndividualNameText></NonIndividualName></MainEntity>" +
+        s"<BusinessAddress><AddressDetails><State>NSW</State><Postcode>2000" +
+        "</Postcode></AddressDetails></BusinessAddress></ABR>"
+    val n = 2000
+    write(dir, "dump.xml", (1 to n).map(rec).mkString("\n"))
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val df = Extraction.readXmlFiles(spark, dir.toString)
+      assert(df.rdd.getNumPartitions > 1,
+        s"one file must split into many tasks, got ${df.rdd.getNumPartitions}")
+      val parsed = Extraction.parseXmlEntities(df)
+      assert(parsed.count() == n, "every record survives split stitching")
+      val abns = parsed.select("abn").collect().map(_.getString(0)).sorted
+      assert(abns.toSeq == (1 to n).map(i => "%011d".format(i.toLong)).sorted,
+        "split-boundary records must parse identically")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevCost)
+    }
+  }
+
+  test("ONE multi-record WARC file parallelizes across splits with identical rows") {
+    val dir = Files.createTempDirectory("graft-warc-big")
+    def rec(i: Int): String =
+      s"WARC/1.0\nWARC-Type: response\n" +
+        s"WARC-Target-URI: https://www.site$i.example.com/\n" +
+        s"WARC-Record-ID: rec-$i\nContent-Length: 52\n\n" +
+        s"<html><head><title>Site$i | Site</title></head><body>x</body></html>\n"
+    val n = 1500
+    write(dir, "seg.warc", (1 to n).map(rec).mkString(""))
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val df = Extraction.readWarcFiles(spark, dir.toString)
+      assert(df.rdd.getNumPartitions > 1,
+        s"one segment must split into many tasks, got ${df.rdd.getNumPartitions}")
+      val parsed = Extraction.parseWarcRecords(df)
+      assert(parsed.count() == n)
+      val ids = parsed.select("record_id").collect().map(_.getString(0)).toSet
+      assert(ids == (1 to n).map(i => s"rec-$i").toSet)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevCost)
+    }
+  }
 }

@@ -305,6 +305,40 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.listVersions(spark, dir) == Seq(1, 2))
   }
 
+  test("versioned table: checkpoints bound read plans to K joins over any history") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val dir = tmp() + "/vt_ckpt"
+    val K = 3
+    // 3K commits: version v holds keys 1..5 with value "v<v>" on key
+    // (v mod 5)+1 flipped each commit — every diff is tiny, history long
+    def snap(v: Int) = (1 to 5).map(k =>
+      (k.toLong, if (k == (v % 5) + 1) s"v$v" else s"s$k")).toDF("k", "v")
+    (0 to 3 * K).foreach { v =>
+      assert(Sinks.commitVersion(spark, dir, snap(v), Seq("k"), "v",
+        checkpointEvery = K) == v)
+    }
+    assert(Sinks.listCheckpoints(spark, dir) == Seq(K, 2 * K, 3 * K),
+      "a checkpoint lands every K commits")
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case j: Join => j }.size
+    // a read at the far end of the chain folds from ckpt_3K: zero
+    // diff joins; one step past a checkpoint folds exactly one diff
+    // (applyDiff = anti-join + union → 1 Join node per fold)
+    assert(joins(Sinks.readVersion(spark, dir, 3 * K, Seq("k"), "v")) == 0,
+      "checkpointed version reads the snapshot directly")
+    val mid = 2 * K + 1
+    assert(joins(Sinks.readVersion(spark, dir, mid, Seq("k"), "v")) <= K,
+      s"read at $mid must fold from ckpt_${2 * K}, not from base")
+    // and far more joins would be needed folding the whole chain:
+    // every version still reconstructs exactly, across boundaries
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    for (v <- Seq(0, K - 1, K, K + 1, mid, 3 * K))
+      assert(asSet(Sinks.readVersion(spark, dir, v, Seq("k"), "v")) == asSet(snap(v)),
+        s"version $v must reconstruct exactly")
+  }
+
   test("snapshotDiff/applyDiff round-trip: old + change feed reconstructs new") {
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
     // a synthetic next version with all three change kinds
