@@ -129,4 +129,35 @@ class Batch9OpsSpec extends SparkSpec {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
   }
+
+  test("decodeImageReal: a real PNG round-trips through the partition-parallel decode") {
+    import spark.implicits._
+    // generate genuine PNGs in-memory: solid red 32x16 and solid
+    // green-ish 8x8, encoded by the same JDK codec that decodes them
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      multimodal.BinaryColumns.MediaRow(1L, png(32, 16, 0xff0000), "image/png",
+        0L, ""),
+      multimodal.BinaryColumns.MediaRow(2L, png(8, 8, 0x00c800), "image/png",
+        0L, ""))
+    val ds = spark.createDataset(rows)
+    val feats = multimodal.BinaryColumns.realDecodeImageFeatures(ds)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(f => (f.media_id, f.width, f.height)).toSeq ==
+      Seq((1L, 32, 16), (2L, 8, 8)))
+    val red = feats(0)
+    assert(math.abs(red.mean_r - 1.0f) < 1e-3 && red.mean_g < 1e-3 &&
+      red.mean_b < 1e-3, s"solid red must decode to (1,0,0): $red")
+    val green = feats(1)
+    assert(math.abs(green.mean_g - 200f / 255f) < 1e-3 && green.mean_r < 1e-3,
+      s"green channel must survive the codec round-trip: $green")
+    // zero ??? remain in the tree: the stub contract is now real code
+  }
 }
