@@ -99,4 +99,92 @@ class IndexSpec extends SparkSpec {
     val mem = operators.Similarity.knnIvf(spark, sf).collect().toSeq
     assert(out1 == mem && out2 == mem)
   }
+
+  private def vecs = Tables.embeddings(spark, sf).select(col("vec_id"),
+      col("label"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    .withColumn("norm", functions.Vectors.normHof("v"))
+
+  test("IVF append: probe after an in-place append equals a rebuild from scratch") {
+    val idx = Files.createTempDirectory("graft-ivf-app").toString
+    val a = vecs.filter(col("vec_id") < 400)
+    val b = vecs.filter(col("vec_id") >= 400)
+    operators.Similarity.buildIvfIndexFrom(a, idx)
+    // these synthetic embeddings have noise-dominated cell means, so
+    // even an honest batch moves centroid DIRECTION noticeably — pass
+    // an explicit gate, as a deployment tuned to its data would
+    val report = operators.Similarity.appendIvfIndex(spark, idx, b,
+      rebuildAtDrift = 0.5)
+    assert(!report.rebuilt,
+      s"same-distribution batch must append in place (drift=${report.drift})")
+    assert(report.drift >= 0.0 && report.drift < 0.5)
+    val appended = operators.Similarity.knnIvfPersisted(spark, sf, idx).collect().toSeq
+    // union == the full corpus, so the appended index must answer
+    // exactly like a from-scratch build (and the in-memory knnIvf)
+    val rebuilt = Files.createTempDirectory("graft-ivf-reb").toString
+    operators.Similarity.buildIvfIndexFrom(vecs, rebuilt)
+    assert(appended == operators.Similarity.knnIvfPersisted(spark, sf, rebuilt)
+      .collect().toSeq, "append-maintained probe must equal rebuild-from-scratch")
+    assert(appended == operators.Similarity.knnIvf(spark, sf).collect().toSeq)
+    // refreshed stats carry the union counts exactly
+    val n = spark.read.parquet(s"$idx/stats")
+      .agg(sum("n")).head().getLong(0)
+    assert(n == vecs.count())
+  }
+
+  test("IVF append: excessive centroid drift triggers the re-quantize path") {
+    val idx = Files.createTempDirectory("graft-ivf-drift").toString
+    val a = vecs.filter(col("vec_id") < 400)
+    operators.Similarity.buildIvfIndexFrom(a, idx)
+    // adversarial batch: many strongly-negated vectors per cell flip
+    // the refreshed centroids — the index no longer represents the data
+    val hostile = vecs.filter(col("vec_id") >= 400)
+      .withColumn("v", expr("transform(v, x -> -10.0 * x)"))
+      .select(col("vec_id") + 100000L as "vec_id", col("label"), col("v"))
+    val report = operators.Similarity.appendIvfIndex(spark, idx, hostile)
+    assert(report.rebuilt, s"drift ${report.drift} must exceed the 0.2 gate")
+    assert(report.drift > 0.2)
+    // the rebuilt index holds the union and still probes cleanly
+    val n = spark.read.parquet(s"$idx/stats").agg(sum("n")).head().getLong(0)
+    assert(n == a.count() + hostile.count())
+    assert(operators.Similarity.knnIvfPersisted(spark, sf, idx).count() == 5)
+  }
+
+  test("IVF+PQ append: fixed-codebook encode equals a union build with that codebook") {
+    val idx = Files.createTempDirectory("graft-ivfpq-app").toString
+    val a = vecs.filter(col("vec_id") < 400)
+    val b = vecs.filter(col("vec_id") >= 400)
+    operators.Similarity.buildIvfPqIndexFrom(a, idx)
+    val report = operators.Similarity.appendIvfPqIndex(spark, idx, b,
+      rebuildAtDrift = 0.5)
+    assert(!report.rebuilt && report.drift < 0.5)
+    val appended = operators.Similarity.knnIvfPqPersisted(spark, sf, idx)
+      .collect().toSeq
+    // reference: encode the UNION with the SAME stored codebook — the
+    // contract of a fixed-codebook append (a retrain is exactly what
+    // the drift gate exists to decide)
+    val ref = Files.createTempDirectory("graft-ivfpq-ref").toString
+    operators.Similarity.buildIvfPqIndexFrom(vecs, ref,
+      reuseCodebook = Some(spark.read.parquet(s"$idx/codebook")))
+    assert(appended == operators.Similarity.knnIvfPqPersisted(spark, sf, ref)
+      .collect().toSeq)
+  }
+
+  test("IVF+PQ append: drift without a corpus fails loudly; with one, retrains") {
+    val idx = Files.createTempDirectory("graft-ivfpq-drift").toString
+    val a = vecs.filter(col("vec_id") < 400)
+    operators.Similarity.buildIvfPqIndexFrom(a, idx)
+    val hostile = vecs.filter(col("vec_id") >= 400)
+      .withColumn("v", expr("transform(v, x -> -10.0 * x)"))
+      .select(col("vec_id") + 100000L as "vec_id", col("label"), col("v"))
+    // PQ codes are lossy: a silent rebuild is impossible
+    intercept[IllegalStateException] {
+      operators.Similarity.appendIvfPqIndex(spark, idx, hostile)
+    }
+    val union = a.unionByName(hostile.withColumn("norm",
+      functions.Vectors.normHof("v")))
+    val report = operators.Similarity.appendIvfPqIndex(spark, idx, hostile,
+      corpusForRebuild = Some(union))
+    assert(report.rebuilt && report.drift > 0.2)
+    assert(operators.Similarity.knnIvfPqPersisted(spark, sf, idx).count() == 5)
+  }
 }
