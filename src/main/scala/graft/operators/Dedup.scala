@@ -315,21 +315,20 @@ object Dedup {
     }
     val inter = graft.functions.Vectors.bitsetInter("va", "vb")
     // the block key (lang) has cardinality ~5 → a plain equi-join
-    // runs on ~5 tasks. Salt the left side and replicate the right
-    // across salts: same pairs, 32x the parallelism.
-    val salts = 32
+    // runs on ~5 tasks. Skew.saltedJoin salts the left side and
+    // replicates the right across salts: same pairs, 32× the
+    // parallelism (ScaleToolsSpec pins the task histogram under a
+    // planted hot key). SHUFFLE_HASH, build=left: Catalyst would
+    // otherwise broadcast the 32×-replicated right side (its
+    // one-doc-per-row stats look small but each row carries a 1 KB
+    // bitset — a 100+ MB driver-built hashed relation); the salted
+    // join exists precisely to run this as 32 parallel hash probes.
     val a = dense.select(col("doc_id").as("i"), col("lang"),
-      col("n").as("la"), col("v").as("va"),
-      (col("doc_id") % salts).cast("int").as("salt"))
+      col("n").as("la"), col("v").as("va"))
     val b = dense.select(col("doc_id").as("j"), col("lang"),
-        col("n").as("lb"), col("v").as("vb"))
-      .withColumn("salt", explode(expr(s"sequence(0, ${salts - 1})")))
-    // SHUFFLE_HASH, build=a: Catalyst would otherwise broadcast the
-    // 32×-replicated b side (its one-doc-per-row stats look small but
-    // each row carries a 1 KB bitset — a 100+ MB driver-built hashed
-    // relation); the salted join exists precisely to run this as 32
-    // parallel hash probes
-    val paired = a.hint("shuffle_hash").join(b, Seq("lang", "salt"))
+      col("n").as("lb"), col("v").as("vb"))
+    val paired = graft.functions.Skew.saltedJoin(
+        a.hint("shuffle_hash"), b, Seq("lang"), col("i"), salts = 32)
       .filter(col("i") < col("j"))
     val pruned =
       if (minJaccard > 0)
