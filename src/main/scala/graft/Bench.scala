@@ -18,7 +18,14 @@ object Bench {
     // mirrors Verify's 3rd arg; the driver never sets it)
     val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // composite evals re-read their family's cached relations
+    // (minhash signatures/candidates, ngram scored pairs): run them
+    // AFTER the members, so their timing measures the eval itself
+    // rather than absorbing the whole family's cold build
+    val runLast = Set("dedup_method_agreement", "dedup_minhash_est_eval",
+      "dedup_threshold_sweep")
+    val results = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) => (runLast(name), name) }
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       val dt = (1 to reps).map { _ =>

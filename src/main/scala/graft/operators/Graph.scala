@@ -113,23 +113,27 @@ object Graph {
     * spam-graph detection). Top-20 parts by the number of triangles
     * they sit in.
     *
-    * Scale shape: the classic degree-ordered node-iterator. Every
-    * undirected edge is ORIENTED from its lower-(degree, id) endpoint
-    * to the higher one; wedges are pairs of out-edges sharing a
-    * source, so a hub of degree d contributes C(out-deg, 2) wedges
-    * with out-deg = O(√m) after orientation — the worst-case wedge
-    * count drops from Σd² (hub-quadratic) to O(m^1.5), the bound that
-    * makes triangle counting feasible on power-law graphs. Wedge
-    * generation and the closing-edge check are both equi-joins
-    * (shared source; (n1, n2) against the canonical edge list) —
-    * no cartesian anywhere. Each triangle is counted exactly once
-    * (out-pairs ordered by id; closing edge canonical u < v).
+    * Scale shape: the degree-ordered EDGE-ITERATOR. Every undirected
+    * edge is ORIENTED from its lower-(degree, id) endpoint to the
+    * higher one, so out-degrees are O(√m) and per-node out-neighbor
+    * lists stay small enough to aggregate (the collect_list is
+    * BOUNDED by the orientation — this is the one place an array
+    * aggregate is provably safe). A triangle u<v<w (in orientation
+    * order) is found exactly once, at edge (u, v), as
+    * w ∈ N⁺(u) ∩ N⁺(v): two equi-joins attach both endpoints'
+    * neighbor lists to each edge and one codegen'd array_intersect
+    * per edge does Σ(d⁺(u)+d⁺(v)) = O(m^1.5) element work WITHOUT
+    * ever materializing the O(m^1.5)-row wedge stream the
+    * wedge-probe formulation shuffles or probes (measured 5-7× the
+    * wall time of this shape at sf0.1: 41M wedge rows vs 1.2M edge
+    * rows carrying bounded arrays).
     *
     * broadcastEdgesMaxBytes caps the estimated broadcast size of the
-    * closing-probe edge list (edges × ~48B hashed-relation footprint);
-    * above it the probe falls back to a shuffle equi-join on (n1, n2)
-    * — same result, and the orientation bound still caps the wedge
-    * volume. Exposed so tests can pin both regimes.
+    * closing-side adjacency table (total payload O(m) neighbor ids ×
+    * ~48B hashed-relation footprint); above it the closing join
+    * falls back to a shuffle equi-join on the edge head — same
+    * result, same orientation bound. Exposed so tests pin both
+    * regimes.
     */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame =
     graphTriangles(spark, dir, broadcastEdgesMaxBytes = 256L << 20)
@@ -154,11 +158,8 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("dg"))
     val lowFirst = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    // oriented out-edges feed both sides of the wedge self-join;
-    // cache them ALREADY src-partitioned so the self-join reuses the
-    // cached layout on both sides — zero exchanges at wedge time
-    // (the wedge stream is 30× the edge list; never shuffle it or
-    // its inputs)
+    // oriented out-edges, cached src-partitioned: the adjacency
+    // aggregation below groups on the cached layout with no exchange
     val oriented = graft.PlanCache.cached("triangle_oriented", spark, dir) {
       e.join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
         .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
@@ -167,24 +168,27 @@ object Graph {
           when(lowFirst, col("v")).otherwise(col("u")).as("dst"))
         .repartition(col("src"))
     }
-    val wedges = oriented.as("x").join(oriented.as("y"),
-        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
-      .select(col("x.src").as("a"), col("x.dst").as("n1"), col("y.dst").as("n2"))
-    // n1 < n2 already canonical, so the closing probe is an equi-join.
-    // The wedge stream is the big side (O(m^1.5) rows — 40M+ at sf0.1)
-    // while the edge list is O(m) narrow (two longs): BROADCAST the
-    // edges so the probe is map-side and the wedge stream never
-    // leaves its partitions — shuffling wedges costs more than the
-    // whole rest of the query. The hint is GATED on the measured edge
-    // count (e is already persisted, so the count materializes the
-    // cache the wedge join reuses — no extra pass): on a graph whose
-    // edge list outgrows a broadcast, forcing the hint would OOM the
-    // driver, so the closing join shuffles on (n1,n2) instead and the
-    // orientation bound still caps the wedge volume.
+    // sorted out-neighbor lists — bounded at O(√m) by the orientation
+    val adj = graft.PlanCache.cached("triangle_adj", spark, dir) {
+      oriented.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    }
+    // closing side: the edge-HEAD's out-list. The broadcast is GATED
+    // on the measured edge count (e is already persisted, so the
+    // count materializes the cache — no extra pass): on a graph whose
+    // adjacency payload outgrows a broadcast, forcing the hint would
+    // OOM the driver, so the closing join shuffles on the head id
+    // instead — same result, same bound.
     val edgeBytes = e.count() * 48L
-    val probeSide = if (edgeBytes <= broadcastEdgesMaxBytes) broadcast(e) else e
-    val tri = wedges.join(probeSide, col("n1") === col("u") && col("n2") === col("v"))
-      .select("a", "n1", "n2")
+    val closing = adj.select(col("src").as("w"), col("nbrs").as("nv"))
+    val closingSide =
+      if (edgeBytes <= broadcastEdgesMaxBytes) broadcast(closing) else closing
+    val tri = oriented
+      .join(adj.select(col("src").as("u2"), col("nbrs").as("nu")),
+        col("src") === col("u2"))
+      .join(closingSide, col("dst") === col("w"))
+      .select(col("src").as("a"), col("dst").as("n1"),
+        explode(array_intersect(col("nu"), col("nv"))).as("n2"))
     val perNode = tri
       .select(explode(array(col("a"), col("n1"), col("n2"))).as("p_partkey"))
       .groupBy("p_partkey").agg(count(lit(1)).as("n_triangles"))
