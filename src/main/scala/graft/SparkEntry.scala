@@ -146,6 +146,8 @@ object SparkEntry {
     "events_path_transitions" -> (Events.eventsPathTransitions _),
     "clean_url_canon" -> (Cleaning.cleanUrlCanon _),
     "sample_hash_split" -> (Sampling.sampleHashSplit _),
+    "sample_shard_shuffle" -> ((s: org.apache.spark.sql.SparkSession, d: String) =>
+      Sampling.sampleShardShuffle(s, d)),
     // round 4, batch 2: OLAP plan shapes + pipeline analytics
     "q10_returned" -> (Olap.q10Returned _),
     "q14_promo_share" -> (Olap.q14PromoShare _),
@@ -2247,6 +2249,19 @@ object SparkEntry {
         | CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
         | round(u, 6) AS u
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "sample_shard_shuffle" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef', substr(md5(text || '#shuffle'), i, 1)) - 1)
+        |      * pow(16, 8-i)))
+        |  / 4294967296.0 AS u
+        | FROM documents),
+        |s AS (SELECT doc_id, CAST(floor(u * 8) AS INT) AS shard, u FROM d)
+        |SELECT doc_id, shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) AS INT) AS pos,
+        | round(u, 6) AS u
+        |FROM s ORDER BY shard, pos""".stripMargin,
 
     "q10_returned" ->
       """SELECT c_custkey, c_name, n_name,

@@ -280,4 +280,33 @@ object Sampling {
           .otherwise(lit("test")))
       .select(col("doc_id"), col("split"), round(col("u"), 6).as("u"))
       .orderBy("doc_id")
+
+  /** Deterministic global shuffle into training shards — the step
+    * between curation and the trainer: every doc draws a
+    * content-keyed pseudo-random position (md5 with a shuffle salt,
+    * DECORRELATED from [[sampleHashSplit]]'s split hash so shard
+    * order never leaks split structure), shard = ⌊u·S⌋ balances by
+    * construction, and within-shard order is the (u, doc_id) sort —
+    * byte-identical shards across runs, engines, and partitionings,
+    * with no rand() and no global coordination.
+    *
+    * Scale shape: the only window is PARTITIONED BY SHARD, and the
+    * shard count is the scale knob (S ≈ corpus_bytes / target shard
+    * size at 100 TB — thousands of shards, each one bounded task of
+    * window state); assignment itself is a map-side projection.
+    * u = k/2³² with k < 2³² exactly representable, so ⌊u·S⌋ and the
+    * sort order are bit-identical in any IEEE engine.
+    */
+  def sampleShardShuffle(spark: SparkSession, dir: String,
+                         shards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("u"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("u", graft.functions.HexExprs.uniformHash(
+        concat(col("text"), lit("#shuffle"))))
+      .withColumn("shard", floor(col("u") * shards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"),
+        round(col("u"), 6).as("u"))
+      .orderBy("shard", "pos")
+  }
 }

@@ -324,4 +324,34 @@ class Round4OpsSpec extends SparkSpec {
     assert(bys("train").toDouble / docs > 0.7 && bys("train").toDouble / docs < 0.9)
     out.unpersist()
   }
+
+  test("sample_shard_shuffle: deterministic shards, contiguous positions, decorrelated from split") {
+    val docs = Tables.documents(spark, sf).count()
+    val out = operators.Sampling.sampleShardShuffle(spark, sf).cache()
+    assert(out.count() == docs, "every doc lands in exactly one shard slot")
+    // positions are 1..|shard| with no gaps (a trainer can seek by offset)
+    val shardStats = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"))
+      .collect()
+    assert(shardStats.forall(r =>
+      r.getAs[Int]("lo") == 1 && r.getAs[Long]("n") == r.getAs[Int]("hi").toLong),
+      "within-shard positions must be a contiguous 1..n ranking")
+    // md5-uniform shard balance: no shard dominates (wide tolerance at 500 docs)
+    assert(shardStats.map(_.getAs[Long]("n")).max < docs / 2)
+    assert(out.select("shard").distinct().count() == 8)
+    // re-running reproduces byte-identical shard assignments (no rand())
+    val again = operators.Sampling.sampleShardShuffle(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(again == out.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet)
+    // the shuffle hash is salted: shard order must not mirror the
+    // split hash's ordering (decorrelation pin — same u would make
+    // per-shard order expose the train/val/test boundary structure)
+    val joined = out.select(col("doc_id"), col("u").as("u_shuffle"))
+      .join(operators.Sampling.sampleHashSplit(spark, sf)
+        .select(col("doc_id"), col("u").as("u_split")), "doc_id")
+    assert(joined.filter(col("u_shuffle") === col("u_split")).count() == 0,
+      "shuffle and split hashes must differ (salted)")
+    out.unpersist()
+  }
 }
