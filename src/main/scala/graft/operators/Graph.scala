@@ -30,15 +30,36 @@ object Graph {
     * so there are no dangling nodes and in-set == out-set (the rank
     * mass that matters stays on the node set across iterations).
     */
-  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = graft.PlanCache.cached("pagerank_edges", spark, dir) {
-      val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
-      l.as("a").join(l.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+  /** Distinct co-order part pairs (u < v) with their order-count
+    * multiplicity — the ONE expensive self-join of the whole graph
+    * family, shared under the PlanCache: [[partAffinity]] reads the
+    * counts, [[graphTriangles]] the keys (its canonical edge list),
+    * [[graphPagerank]] the symmetric closure of the keys. One build,
+    * three consumers.
+    */
+  private def coPairCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("co_pair_counts", spark, dir) {
+      val op = affinityOp(spark, dir)
+      op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("n_ab"))
+    }
+
+  private def affinityOp(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("affinity_op", spark, dir) {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
     }
+
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    // symmetric closure of the shared undirected pair set — raw
+    // lineitem (o, p) duplicates don't matter under distinct, so this
+    // equals the directed != self-join it replaces
+    val pairs = coPairCounts(spark, dir)
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
     val deg = graft.PlanCache.cached("pagerank_deg", spark, dir) {
       edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     }
@@ -83,17 +104,11 @@ object Graph {
     * pairs are counted once (a < b).
     */
   def partAffinity(spark: SparkSession, dir: String): DataFrame = {
-    val op = graft.PlanCache.cached("affinity_op", spark, dir) {
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-    }
+    val op = affinityOp(spark, dir)
     val n = op.agg(countDistinct("o").as("nn"))
     val pc = op.groupBy("p").agg(count(lit(1)).as("np"))
-    val pairs = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
-      .agg(count(lit(1)).as("n_ab"))
+    val pairs = coPairCounts(spark, dir)
+      .select(col("u").as("part_a"), col("v").as("part_b"), col("n_ab"))
       .filter(col("n_ab") >= 5)
     val scored = pairs
       .crossJoin(broadcast(n))
@@ -140,19 +155,9 @@ object Graph {
 
   def graphTriangles(spark: SparkSession, dir: String,
                      broadcastEdgesMaxBytes: Long): DataFrame = {
-    val op = graft.PlanCache.cached("affinity_op", spark, dir) {
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-    }
-    // canonical undirected edges (u < v); used by orientation AND the
-    // closing-edge probe → PlanCache'd
-    val e = graft.PlanCache.cached("triangle_edges", spark, dir) {
-      op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
-        .distinct()
-    }
+    // canonical undirected edges (u < v): the keys of the shared
+    // co-order pair relation — the family's one self-join, reused
+    val e = coPairCounts(spark, dir).select("u", "v")
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("dg"))
