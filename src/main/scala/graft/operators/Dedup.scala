@@ -539,7 +539,11 @@ object Dedup {
     val edges = fp.join(hub, "fp")
       .filter(col("doc_id") =!= col("hub"))
       .select(col("hub").as("src"), col("doc_id").as("dst"))
-    labelPropagate(edges).orderBy("id")
+    // cache the converged fixpoint (bounded: one row per duplicated
+    // doc) — repeated reads must not re-run the propagation rounds
+    graft.PlanCache.cached("dedup_components_labels", spark, dir) {
+      labelPropagate(edges)
+    }.orderBy("id")
   }
 
   /** Min-label propagation to a fixpoint over an undirected edge list

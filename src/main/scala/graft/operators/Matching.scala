@@ -547,7 +547,12 @@ object Matching {
     val edges = matchFuzzyBlocked(spark, dir)
       .select((col("c_custkey") * 2).as("src"),
         (col("s_suppkey") * 2 + 1).as("dst"))
-    Dedup.labelPropagate(edges)
+    // the fixpoint is a bounded per-matched-node relation and each
+    // propagation round is several jobs — cache the converged labels,
+    // not just the inputs, so repeated reads don't re-iterate
+    graft.PlanCache.cached("entity_canonical_labels", spark, dir) {
+      Dedup.labelPropagate(edges)
+    }
       .select(
         when(col("id") % 2 === 0, "customer").otherwise("supplier").as("node_type"),
         expr("id div 2").as("key"),
