@@ -85,6 +85,7 @@ object SparkEntry {
     "langid_confusion" -> (TextAnalysis.langidConfusion _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_tokens" -> (TextAnalysis.textTokens _),
+    "doc_length_histogram" -> (TextAnalysis.docLengthHistogram _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_bigrams" -> (TextAnalysis.textBigrams _),
     "text_tokens_bpe" -> (TextAnalysis.textTokensBpe _),
@@ -1165,6 +1166,21 @@ object SparkEntry {
         | SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank
         | FROM agg) t
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "doc_length_histogram" ->
+      """WITH d AS (SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+        |   AS n_tokens FROM documents),
+        |b AS (SELECT n_tokens,
+        |   CAST(floor(log2(greatest(n_tokens, 1))) AS INT) AS bucket FROM d),
+        |h AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+        |   CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM h)
+        |SELECT bucket, CAST(pow(2, bucket) AS BIGINT) AS min_tokens,
+        | n_docs, n_tokens,
+        | round(CAST(n_docs AS DOUBLE) / tot_docs, 6) AS doc_share,
+        | round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS token_share
+        |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT fp, keeper, n_docs FROM (

@@ -683,4 +683,32 @@ object TextAnalysis {
     }
     reports.reduce(_ unionAll _).orderBy("round")
   }
+
+  /** Sequence-length planning table: documents bucketed by power-of-2
+    * whitespace-token count, with per-bucket doc and token mass and
+    * their corpus shares — the histogram a training pipeline reads
+    * before choosing max_seq_len / packing budgets (how much token
+    * mass do 4k-token docs carry? what fraction truncates at 1k?).
+    * One map-side projection into ≤ ~20 bucket keys + a bounded
+    * 20-row aggregate with broadcast totals — shuffle-free at any
+    * corpus size beyond the map-side combine.
+    */
+  def docLengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(size(toks).cast("long").as("n_tokens"))
+      // floor(log2(n)) buckets; n=0 can't occur (split of non-empty
+      // text yields >=1 token) but guard the log anyway
+      .withColumn("bucket",
+        floor(log(2.0, greatest(col("n_tokens"), lit(1L)))).cast("int"))
+    val hist = perDoc.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val tot = hist.agg(sum("n_docs").as("tot_docs"), sum("n_tokens").as("tot_tokens"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        pow(lit(2.0), col("bucket")).cast("long").as("min_tokens"),
+        col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("tot_docs"), 6).as("doc_share"),
+        round(col("n_tokens").cast("double") / col("tot_tokens"), 6).as("token_share"))
+      .orderBy("bucket")
+  }
 }

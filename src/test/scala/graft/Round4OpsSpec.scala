@@ -325,6 +325,25 @@ class Round4OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("doc_length_histogram: exhaustive power-of-2 buckets, shares sum to 1") {
+    val docs = Tables.documents(spark, sf).count()
+    val out = operators.TextAnalysis.docLengthHistogram(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs, "every doc in one bucket")
+    assert(math.abs(out.map(_.getAs[Double]("doc_share")).sum - 1.0) < 1e-4)
+    assert(math.abs(out.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-4)
+    // bucket floor is the power of two, and buckets are distinct+sorted
+    assert(out.forall(r =>
+      r.getAs[Long]("min_tokens") == (1L << r.getAs[Int]("bucket"))))
+    val buckets = out.map(_.getAs[Int]("bucket"))
+    assert(buckets.toSeq == buckets.sorted.toSeq && buckets.distinct.length == buckets.length)
+    // token mass per bucket is consistent with its doc population bounds
+    assert(out.forall { r =>
+      val lo = r.getAs[Long]("min_tokens"); val n = r.getAs[Long]("n_docs")
+      val t = r.getAs[Long]("n_tokens")
+      t >= lo * n && t < lo * 2 * n
+    })
+  }
+
   test("sample_shard_shuffle: deterministic shards, contiguous positions, decorrelated from split") {
     val docs = Tables.documents(spark, sf).count()
     val out = operators.Sampling.sampleShardShuffle(spark, sf).cache()
