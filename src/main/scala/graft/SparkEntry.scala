@@ -910,11 +910,15 @@ object SparkEntry {
         | WHERE list_sum(list_transform(generate_series(1, 8),
         |    i -> (strpos('0123456789abcdef', substr(md5(c_norm), i, 1)) - 1) * pow(16, 8-i)))
         |   / 4294967296.0 < 0.2),
+        |ss AS (SELECT * FROM sn
+        | WHERE list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef', substr(md5(s_norm), i, 1)) - 1) * pow(16, 8-i)))
+        |   / 4294967296.0 < 0.5),
         |truth AS (SELECT
         |  CAST(count(*) AS BIGINT) AS n_true_pairs,
         |  CAST(sum(CASE WHEN c_nationkey = s_nationkey THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_true_in_block
-        | FROM cs CROSS JOIN sn
+        | FROM cs CROSS JOIN ss
         | WHERE round(CAST(1.0 AS DOUBLE) - CAST(levenshtein(c_norm, s_norm) AS DOUBLE)
         |   / CAST(greatest(length(c_norm), length(s_norm)) AS DOUBLE), 6) >= 0.7),
         |vol AS (SELECT CAST(coalesce(sum(nc * ns), 0) AS BIGINT) AS n_blocked_candidates

@@ -53,7 +53,23 @@ object Graph {
         .distinct()
     }
 
-  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
+    graphPagerank(spark, dir, broadcastRankMaxBytes = 256L << 20)
+
+  /** broadcastRankMaxBytes caps the estimated broadcast size of the
+    * per-iteration rank vector (|V| rows × ~64B hashed-relation
+    * footprint: node id, rank, node count, hash-table overhead).
+    * Under the cap each message-passing round broadcasts the rank
+    * onto the dst-partitioned edge cache — no edge shuffle per round.
+    * Above it the rank join shuffles on src instead: a forced
+    * `broadcast()` hint does NOT degrade gracefully — it builds the
+    * hashed relation on the driver and OOMs — so the regime switch
+    * must happen HERE, on a measured size, exactly like
+    * [[graphTriangles]]' closing-side gate. Exposed so tests pin
+    * both regimes.
+    */
+  def graphPagerank(spark: SparkSession, dir: String,
+                    broadcastRankMaxBytes: Long): DataFrame = {
     // symmetric closure of the shared undirected pair set — raw
     // lineitem (o, p) duplicates don't matter under distinct, so this
     // equals the directed != self-join it replaces
@@ -65,24 +81,27 @@ object Graph {
     }
     // The per-iteration state is the |V|-row rank vector; the edge
     // list is the big side. Fold the degree into a per-edge message
-    // weight ONCE and pre-partition the cached edges by dst: each
-    // iteration then broadcasts the (small) rank vector onto the
+    // weight ONCE and pre-partition the cached edges by dst: under
+    // the gate each iteration broadcasts the rank vector onto the
     // edges and the sum-by-dst reuses the cached partitioning — no
-    // edge-list shuffle per round. (On a cluster where the rank
-    // vector outgrows a broadcast, the join falls back to shuffling
-    // on src — the partitioning hint is still the right layout for
-    // the aggregate.)
+    // edge-list shuffle per round.
     val ew = graft.PlanCache.cached("pagerank_ew", spark, dir) {
       edges.join(deg, "src")
         .select(col("src"), col("dst"), (lit(1.0) / col("outdeg")).as("w"))
         .repartition(col("dst"))
     }
+    // Gate on the MEASURED node count (deg is PlanCache'd, so the
+    // count materializes the cache both regimes reuse — no extra
+    // pass). The rank vector's row count is |V| in EVERY iteration,
+    // so one measurement decides all three rounds.
+    val rankFits = deg.count() * 64L <= broadcastRankMaxBytes
     val n = deg.agg(count(lit(1)).as("nn"))
     val r0 = deg.crossJoin(broadcast(n))
       .select(col("src").as("node"), (lit(1.0) / col("nn")).as("r"), col("nn"))
     def step(rank: DataFrame): DataFrame =
       ew
-        .join(broadcast(rank), ew("src") === rank("node"))
+        .join(if (rankFits) broadcast(rank) else rank,
+          ew("src") === rank("node"))
         .select(col("dst"), (col("r") * col("w")).as("m"), col("nn"))
         .groupBy("dst", "nn")
         .agg(sum("m").as("mass"))

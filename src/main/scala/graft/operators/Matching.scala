@@ -571,27 +571,41 @@ object Matching {
     * that saves 99% of comparisons but drops 20% of true matches is
     * not a win, and nobody can know without this table.
     *
-    * Scale note: the unblocked truth is a broadcast nested-loop over
-    * the (small) supplier side with the banded early-abandon
-    * similarity — at production scale this eval runs on a sample of
-    * the big side (the estimate needs pair coverage, not the full
-    * corpus); the BLOCKED candidate volume is computed as
-    * Σ|block_c|·|block_s| from two per-key counts, never by
-    * materializing candidates.
+    * Scale note: the unblocked truth stream is the one quadratic in
+    * this library, so BOTH sides are deterministically
+    * content-hash-sampled (20% of customers × 50% of suppliers — the
+    * pairs-completeness estimate is symmetric in the two relations,
+    * so sampling either side scales the numerator and denominator
+    * together and the recall ratio stays unbiased); the BLOCKED
+    * candidate volume is computed as Σ|block_c|·|block_s| from two
+    * per-key counts over the FULL relations, never by materializing
+    * candidates. The sampled supplier side is broadcast only under a
+    * measured-count gate: a forced `broadcast()` hint does not
+    * degrade — it builds the hashed relation on the driver and OOMs
+    * — so above the cap the truth join runs as a partitioned
+    * cartesian over the two samples instead (O(0.2·N × 0.5·M) verify
+    * work, executor-side).
     */
-  def matchBlockingEval(spark: SparkSession, dir: String): DataFrame = {
+  def matchBlockingEval(spark: SparkSession, dir: String): DataFrame =
+    matchBlockingEval(spark, dir, broadcastSuppliersMaxBytes = 64L << 20)
+
+  def matchBlockingEval(spark: SparkSession, dir: String,
+                        broadcastSuppliersMaxBytes: Long): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"), normName(col("c_name")).as("c_norm"))
     val s = Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_nationkey"), normName(col("s_name")).as("s_norm"))
-    // recall is estimated on a DETERMINISTIC 20% content-hash sample
-    // of the big side (the pairs-completeness estimate needs pair
-    // coverage, not the full corpus — the unblocked truth stream is
-    // the one quadratic in this library and the sample caps it);
-    // the candidate-volume side stays exact (it is two aggregates)
     val cSample = c.filter(
       graft.functions.HexExprs.uniformHash(col("c_norm")) < 0.2)
-    val truth = cSample.crossJoin(broadcast(s))
+    val sSample = graft.PlanCache.cached("blocking_eval_ssample", spark, dir) {
+      s.filter(graft.functions.HexExprs.uniformHash(col("s_norm")) < 0.5)
+    }
+    // gate on the measured sampled-supplier count (sSample is
+    // PlanCache'd, so the count materializes the cache the join
+    // rereads — no extra pass); ~128B covers the two keys + the
+    // normalized name in a hashed relation
+    val sFits = sSample.count() * 128L <= broadcastSuppliersMaxBytes
+    val truth = cSample.crossJoin(if (sFits) broadcast(sSample) else sSample)
       .withColumn("score", round(
         graft.functions.BoundedLev.sim(col("c_norm"), col("s_norm"), 0.7), 6))
       .filter(col("score") >= 0.7)

@@ -103,6 +103,57 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("graph_pagerank: rank joins broadcast under the cap, shuffle above it") {
+    // same discipline as graph_triangles: attribute the regime choice
+    // to the operator's own measured gate, not Catalyst statistics
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // default regime: the |V|-row rank vector fits the cap → each
+      // of the three message-passing rounds broadcasts it onto the
+      // dst-partitioned edge cache
+      val pB = plan(operators.Graph.graphPagerank(spark, sf))
+      assert(pB.contains("BroadcastHashJoin"),
+        "under the cap the rank join must broadcast")
+      assert(!pB.contains("CartesianProduct"))
+      // oversized regime: cap of 0 forces the fallback — the rank
+      // join shuffles on src instead of OOMing the driver with a
+      // forced broadcast of a rank vector that no longer fits
+      val pS = plan(operators.Graph.graphPagerank(spark, sf, broadcastRankMaxBytes = 0L))
+      assert(!pS.contains("BroadcastHashJoin"),
+        "above the cap the rank join must not force a broadcast")
+      assert(pS.contains("SortMergeJoin") || pS.contains("ShuffledHashJoin"),
+        s"above the cap the rank join must shuffle:\n${pS.take(2000)}")
+      assert(!pS.contains("CartesianProduct"))
+      // both regimes compute the same ranks
+      assert(operators.Graph.graphPagerank(spark, sf, 0L).collect().toSeq ==
+        operators.Graph.graphPagerank(spark, sf).collect().toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("match_blocking_eval: sampled supplier side broadcasts under the cap only") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // default regime: the sampled supplier side fits → the truth
+      // cross join rides a broadcast nested loop
+      val pB = plan(operators.Matching.matchBlockingEval(spark, sf))
+      assert(pB.contains("BroadcastNestedLoopJoin"),
+        "under the cap the truth join must broadcast the sampled suppliers")
+      assert(!pB.contains("CartesianProduct"),
+        "under the cap nothing should fall through to a cartesian")
+      // oversized regime: cap of 0 → partitioned cartesian over the
+      // two samples, nothing forced through the driver
+      val pS = plan(operators.Matching.matchBlockingEval(spark, sf,
+        broadcastSuppliersMaxBytes = 0L))
+      assert(pS.contains("CartesianProduct"),
+        s"above the cap the truth join must run as a partitioned cartesian:\n${pS.take(2000)}")
+      // both regimes agree
+      assert(operators.Matching.matchBlockingEval(spark, sf, 0L).collect().toSeq ==
+        operators.Matching.matchBlockingEval(spark, sf).collect().toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("Unordered strips the trailing oracle sort and nothing else") {
     import org.apache.spark.sql.catalyst.plans.logical.Sort
     def globalSorts(df: org.apache.spark.sql.DataFrame): Int =
