@@ -159,6 +159,8 @@ object Similarity {
 
   private def refreshStats(spark: SparkSession, indexPath: String,
                            b: DataFrame): StatsRefresh = {
+    recoverSwap(spark, indexPath, "stats")
+    recoverSwap(spark, indexPath, "centroids")
     val oldStats = spark.read.parquet(s"$indexPath/stats")
     val bStats = ivfStats(b)
     val merged = oldStats.select(col("label"), col("sv").as("osv"), col("n").as("on"))
@@ -182,13 +184,39 @@ object Similarity {
       bStats.join(oldStats, Seq("label"), "left_anti").count())
   }
 
+  /** Crash-safe stage→live publish: rename(live→.old),
+    * rename(stage→live), delete(.old) — the
+    * [[graft.sources.Sinks.incrementalAggregate]] discipline. At no
+    * point is the index without a recoverable copy: a crash before
+    * the second rename leaves the pre-append table in `.old`, which
+    * [[recoverSwap]] restores before the next read (the append's
+    * at-least-once contract then re-folds the batch — the same
+    * reasoning as incrementalAggregate's trash-first recovery).
+    */
   private def swapIn(spark: SparkSession, indexPath: String,
                      stage: String, live: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/$live"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$indexPath/$stage"),
-      new org.apache.hadoop.fs.Path(s"$indexPath/$live"))
+    val liveP = new org.apache.hadoop.fs.Path(s"$indexPath/$live")
+    val oldP = new org.apache.hadoop.fs.Path(s"$indexPath/$live.old")
+    fs.delete(oldP, true)
+    if (fs.exists(liveP)) fs.rename(liveP, oldP)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$indexPath/$stage"), liveP)
+    fs.delete(oldP, true)
+    ()
+  }
+
+  /** Restore `live` from its `.old` twin if a crash landed between
+    * [[swapIn]]'s two renames. Runs before every live read of a
+    * swapped part; a healthy index makes this one existence probe.
+    */
+  private def recoverSwap(spark: SparkSession, indexPath: String,
+                          live: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveP = new org.apache.hadoop.fs.Path(s"$indexPath/$live")
+    val oldP = new org.apache.hadoop.fs.Path(s"$indexPath/$live.old")
+    if (!fs.exists(liveP) && fs.exists(oldP)) fs.rename(oldP, liveP)
     ()
   }
 
@@ -237,6 +265,7 @@ object Similarity {
     * data — IndexSpec pins the round-trip).
     */
   def knnIvfPersisted(spark: SparkSession, dir: String, indexPath: String): DataFrame = {
+    recoverSwap(spark, indexPath, "centroids")
     val cents = spark.read.parquet(s"$indexPath/centroids")
     val lists = spark.read.parquet(s"$indexPath/lists")
       // partition-column inference may narrow the label type; restore
@@ -287,8 +316,8 @@ object Similarity {
     * mtimes/sizes) are evicted via a `_corpus` marker file, so
     * regenerated corpora don't leak dead indexes into tmpdir forever.
     */
-  private def ensureIndex(dir: String, prefix: String, parts: Seq[String],
-                          build: String => Unit): String = {
+  private[graft] def ensureIndex(dir: String, prefix: String, parts: Seq[String],
+                                 build: String => Unit): String = {
     val corpus = new java.io.File(dir, "embeddings.parquet").getAbsolutePath
     val fp = corpusFingerprint(dir)
     val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
@@ -301,6 +330,14 @@ object Similarity {
       build(stage.getAbsolutePath)
       val marker = new java.io.File(stage, "_corpus")
       java.nio.file.Files.write(marker.toPath, corpus.getBytes("UTF-8"))
+      // self-heal: an existing-but-INCOMPLETE target (a publisher
+      // crashed mid-rename, or debris from the old build-in-place
+      // code) would block renameTo forever — every later call would
+      // rebuild and then throw here. Delete the husk before
+      // publishing; if a concurrent session completes the target in
+      // the window, the rename fails, complete() sees theirs, and
+      // ours is discarded as before.
+      if (target.exists() && !complete(target)) deleteRecursively(target)
       // rename is atomic on a local filesystem; if a concurrent
       // session published first, keep theirs and drop ours
       if (!stage.renameTo(target) || !complete(target)) {
@@ -320,6 +357,13 @@ object Similarity {
             new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8") == corpus)
           deleteRecursively(d)
       }
+    // sweep staging dirs orphaned by crashed builders: a LIVE builder's
+    // stage dir is at most minutes old, so an hour-old one is debris
+    // (the age gate is what keeps this from racing a concurrent build)
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.getName.startsWith(s"${prefix}_stage_") &&
+        System.currentTimeMillis - d.lastModified > 3600L * 1000)
+      .foreach(deleteRecursively)
     target.getAbsolutePath
   }
 
@@ -884,6 +928,7 @@ object Similarity {
     */
   def knnIvfPqPersisted(spark: SparkSession, dir: String,
                         indexPath: String): DataFrame = {
+    recoverSwap(spark, indexPath, "centroids")
     val cents = spark.read.parquet(s"$indexPath/centroids")
     val codes = spark.read.parquet(s"$indexPath/codes")
       .withColumn("label", col("label").cast(cents.schema("label").dataType))

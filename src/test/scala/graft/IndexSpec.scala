@@ -187,4 +187,69 @@ class IndexSpec extends SparkSpec {
     assert(report.rebuilt && report.drift > 0.2)
     assert(operators.Similarity.knnIvfPqPersisted(spark, sf, idx).count() == 5)
   }
+
+  test("swap crash recovery: probes and appends restore a part from its .old twin") {
+    val idx = Files.createTempDirectory("graft-ivf-crash").toString
+    operators.Similarity.buildIvfIndexFrom(vecs, idx)
+    val expected = operators.Similarity.knnIvfPersisted(spark, sf, idx)
+      .collect().toSeq
+    // simulate a crash between swapIn's two renames: the live copy is
+    // gone, the .old twin holds the pre-swap table — the next probe
+    // must self-restore instead of failing hard
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def crash(part: String): Unit = {
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idx/$part"),
+        new org.apache.hadoop.fs.Path(s"$idx/$part.old")))
+      ()
+    }
+    crash("centroids")
+    assert(operators.Similarity.knnIvfPersisted(spark, sf, idx)
+      .collect().toSeq == expected)
+    // the append path (refreshStats reads stats AND centroids) recovers too
+    crash("stats"); crash("centroids")
+    val report = operators.Similarity.appendIvfIndex(spark, idx,
+      vecs.filter(col("vec_id") >= 99000), rebuildAtDrift = 1.0)
+    assert(!report.rebuilt)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/stats")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$idx/centroids")))
+  }
+
+  test("ensureIndex self-heals an incomplete target and sweeps orphan stages") {
+    val prefix = s"graft_testidx${System.nanoTime}"
+    var builds = 0
+    def build(stage: String): Unit = {
+      builds += 1
+      spark.range(3).write.parquet(s"$stage/part")
+    }
+    val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
+    try {
+      val p1 = operators.Similarity.ensureIndex(sf, prefix, Seq("part"), build)
+      assert(builds == 1)
+      // cached: a second call must not rebuild
+      assert(operators.Similarity.ensureIndex(sf, prefix, Seq("part"), build) == p1)
+      assert(builds == 1)
+      // an existing-but-incomplete target (crashed publisher debris)
+      // must be replaced, not block every later publish forever
+      assert(new java.io.File(s"$p1/part/_SUCCESS").delete())
+      val orphan = new java.io.File(tmpRoot, s"${prefix}_stage_orphan")
+      assert(orphan.mkdir())
+      assert(orphan.setLastModified(System.currentTimeMillis - 2 * 3600L * 1000))
+      val p2 = operators.Similarity.ensureIndex(sf, prefix, Seq("part"), build)
+      assert(builds == 2 && p2 == p1)
+      assert(new java.io.File(s"$p2/part/_SUCCESS").exists())
+      assert(spark.read.parquet(s"$p2/part").count() == 3)
+      // the hour-old orphaned staging dir was swept; the fresh target stayed
+      assert(!orphan.exists())
+    } finally {
+      Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(prefix))
+        .foreach { d =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+          }
+          rm(d)
+        }
+    }
+  }
 }
