@@ -3254,7 +3254,8 @@ object SparkEntry {
         | round(mean_gap, 6) AS mean_gap_s,
         | CASE WHEN mean_gap > 0 THEN round(sd_gap/mean_gap, 6) END AS gap_cv,
         | max_burst_min,
-        | CAST(CASE WHEN sd_gap IS NOT NULL AND (round(sd_gap, 6) = 0
+        | CAST(CASE WHEN sd_gap IS NOT NULL
+        |   AND ((n_events >= 3 AND round(sd_gap, 6) = 0)
         |   OR (mean_gap > 0 AND round(sd_gap/mean_gap, 6) <= 0.8))
         |   THEN 1 ELSE 0 END AS BIGINT) AS is_bot
         |FROM b LEFT JOIN gg ON b.user_id = gg.user_id

@@ -773,6 +773,10 @@ object Events {
     // the cv ratio is undefined there, yet that is the MOST clocked
     // cadence of all, so sd_gap=0 flags directly. cv is emitted only
     // when mean_gap>0 (explicit, engine-portable null instead of NaN).
+    // The sd_gap=0 clause requires ≥2 gaps (n_events ≥ 3): a 2-event
+    // user has ONE gap, whose population sd is identically 0 whatever
+    // the spacing — "perfectly regular" is meaningless for a single
+    // interval, and flagging it marked every 2-event user a bot.
     base.join(gaps, Seq("user_id"), "left").join(burst, "user_id")
       .select(
         col("user_id"), col("n_events"), col("active_minutes"),
@@ -783,7 +787,7 @@ object Events {
           .as("gap_cv"),
         col("max_burst_min"),
         when(col("sd_gap").isNotNull &&
-            (round(col("sd_gap"), 6) === 0.0 ||
+            ((col("n_events") >= 3 && round(col("sd_gap"), 6) === 0.0) ||
              (col("mean_gap") > 0 &&
               round(col("sd_gap") / col("mean_gap"), 6) <= 0.8)), 1L)
           .otherwise(0L).as("is_bot"))

@@ -107,14 +107,27 @@ object Extraction {
     * any inter-record bytes stripped; the columnar parser downstream
     * is unchanged. Caveat (shared with any delimiter-framed reader):
     * the closing tag must not occur inside CDATA/payload text.
+    *
+    * `</tag>` is an exact delimiter (closing tags carry no
+    * attributes), but the OPEN tag is matched as `<tag` followed by
+    * whitespace or `>` — a bare contains/locate(`<tag`) would accept,
+    * and mis-position the strip on, sibling tags sharing the prefix
+    * (`<ABRN>`). A file truncated mid-record leaves a final segment
+    * with no closing delimiter; every properly-framed segment ends
+    * exactly where `</tag>` began — at an inner element's `>` — so a
+    * tail not ending in `>` is a cut record and is DROPPED rather
+    * than sealed with a synthetic close into a malformed row.
     */
   def readXmlFiles(spark: SparkSession, path: String,
-                   recordTag: String = "ABR"): DataFrame =
+                   recordTag: String = "ABR"): DataFrame = {
+    val open = lit(s"<$recordTag[\\s>]")
+    val pos = regexp_instr(col("value"), open)
     spark.read.option("lineSep", s"</$recordTag>").text(path)
-      .filter(col("value").contains(s"<$recordTag"))
-      .select(concat(
-        expr(s"substring(value, locate('<$recordTag', value))"),
-        lit(s"</$recordTag>")).as("xml"))
+      .filter(regexp_instr(col("value"), open) > 0)
+      .select(col("value").substr(pos, length(col("value"))).as("body"))
+      .filter(rtrim(col("body")).endsWith(">"))
+      .select(concat(col("body"), lit(s"</$recordTag>")).as("xml"))
+  }
 
   def extractXmlFromFiles(spark: SparkSession, path: String): DataFrame =
     parseXmlEntities(readXmlFiles(spark, path))

@@ -102,6 +102,34 @@ class ExtractionFilesSpec extends SparkSpec {
       ("https://www.zorg.example.com/", "rec-2", "Zorg")))
   }
 
+  test("XML framing: prefix-sharing sibling tags and truncated tails are handled") {
+    val dir = Files.createTempDirectory("graft-xml-frame")
+    // leading junk includes <ABRN> — a tag SHARING the record tag's
+    // prefix: the open-tag match must skip it (a bare locate('<ABR')
+    // anchors the strip there, leaving '<ABRN>noise</ABRN>' glued to
+    // the record head)
+    write(dir, "a.xml",
+      "<ABRN>noise</ABRN>" +
+        """<ABR><ABN status="ACT" ABNStatusFromDate="20200115">00000000001</ABN>""" +
+        "<EntityType><EntityTypeText>PRV</EntityTypeText></EntityType>" +
+        "<MainEntity><NonIndividualName><NonIndividualNameText>Acme Pty" +
+        "</NonIndividualNameText></NonIndividualName></MainEntity>" +
+        "<BusinessAddress><AddressDetails><State>NSW</State><Postcode>2000" +
+        "</Postcode></AddressDetails></BusinessAddress></ABR>\n" +
+        // a record the dump was truncated in the middle of: no closing
+        // delimiter, tail cut mid-text — must be dropped, not sealed
+        // into a malformed accepted row
+        """<ABR><ABN status="ACT" ABNStatusFromDate="20210101">000000""")
+    val xml = Extraction.readXmlFiles(spark, dir.toString).collect().map(_.getString(0))
+    assert(xml.length == 1, s"exactly the complete record survives, got ${xml.toSeq}")
+    assert(xml.head.startsWith("<ABR>"),
+      "the strip must anchor at the real open tag, not the <ABRN> prefix sibling")
+    val out = Extraction.parseXmlEntities(
+      Extraction.readXmlFiles(spark, dir.toString))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("00000000001", "Acme Pty")))
+  }
+
   test("ONE multi-record XML file parallelizes across splits with identical rows") {
     // the 100TB shape: a single multi-GB dump file must fan out
     // across tasks (lineSep record framing), not become one wholetext

@@ -46,15 +46,41 @@ class GovernanceSpec extends SparkSpec {
     assert(out.filter(col("gap_cv") > 0 &&
       ((col("gap_cv") <= 0.8) =!= (col("is_bot") === 1L))).count() == 0)
     // perfectly clocked cadence (sd=0) is flagged even when the burst
-    // sits inside one second (mean_gap=0, cv undefined → null)
+    // sits inside one second (mean_gap=0, cv undefined → null) — but
+    // ONLY with ≥2 gaps: one interval is always "regular", so 2-event
+    // users never ride the sd_gap=0 clause whatever their spacing
     assert(out.filter(col("gap_cv") === 0.0 && col("is_bot") =!= 1L).count() == 0)
     assert(out.filter(col("gap_cv").isNull && col("mean_gap_s") === 0.0 &&
-      col("is_bot") =!= 1L).count() == 0)
+      col("n_events") >= 3 && col("is_bot") =!= 1L).count() == 0)
+    assert(out.filter(col("n_events") === 2 && col("gap_cv").isNull &&
+      col("is_bot") === 1L).count() == 0,
+      "a single gap must not flag through the sd_gap=0 clause")
     // features are internally consistent
     assert(out.filter(col("n_events") < col("active_minutes")).count() == 0)
     assert(out.filter(col("max_burst_min") < 1 ||
       col("events_per_active_min") < 1.0).count() == 0)
     out.unpersist()
+  }
+
+  test("events_funnel_time: zero converters still yields the one summary row") {
+    // converter-free corpus: views only — the quantile pass has no
+    // input, but the report contract is ONE row (n_converters=0, null
+    // latency stats), not an empty table a dashboard reads as "no data"
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel-empty").toString
+    spark.range(20).selectExpr(
+      "id AS event_id",
+      "timestamp_seconds(1700000000 + id * 60) AS ts",
+      "id % 5 AS user_id",
+      "'view' AS event_type",
+      "CAST(id AS DOUBLE) AS value",
+      "'{}' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = operators.Events.eventsFunnelTime(spark, dir).collect()
+    assert(rows.length == 1, s"expected the n_converters=0 row, got ${rows.length} rows")
+    val r = rows.head
+    assert(r.getAs[Long]("n_converters") == 0L)
+    assert(r.isNullAt(r.fieldIndex("p50_s")) && r.isNullAt(r.fieldIndex("p90_s")) &&
+      r.isNullAt(r.fieldIndex("max_s")))
   }
 
   test("events_ab_test: arms partition users; z agrees with a local Welch computation") {
