@@ -68,6 +68,7 @@ object SparkEntry {
     "cc_domains" -> (Cleaning.ccDomains _),
     // dedup
     "dedup_exact_text" -> (Dedup.dedupExactText _),
+    "dedup_index_probe" -> (Dedup.dedupIndexProbe _),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh _),
     "dedup_minhash_est_eval" -> (Dedup.dedupMinhashEstEval _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
@@ -303,7 +304,11 @@ object SparkEntry {
     * (one source of truth; the agreement oracle can never drift from
     * the per-method oracles).
     */
-  private val minhashCandCtes: String = {
+  /** Shingle → minhash → band → candidate → exact-jaccard CTE chain;
+    * `candCond` picks the pair population (within-corpus i<j for the
+    * LSH dedup, bipartite batch×corpus for the stored-index probe).
+    */
+  private def minhashCtes(candCond: String): String = {
     val hs = (1 to 8).map { j =>
       val src = if (j <= 4) 1 else 2
       val off = ((j - 1) % 4) * 8 + 1
@@ -323,13 +328,15 @@ object SparkEntry {
        |  UNION ALL SELECT doc_id, 4, h7||h8 FROM mh),
        |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j FROM bands a
        |  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-       |   AND a.doc_id < b.doc_id),
+       |   AND ($candCond)),
        |v AS (SELECT i, j,
        |   CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
        |   len(sa.s) AS la, len(sb.s) AS lb
        |  FROM cand JOIN mh sa ON cand.i = sa.doc_id
        |            JOIN mh sb ON cand.j = sb.doc_id)""".stripMargin
   }
+
+  private val minhashCandCtes: String = minhashCtes("a.doc_id < b.doc_id")
 
   private val dedupMinhashLshSql: String =
     s"""$minhashCandCtes
@@ -1010,6 +1017,10 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
 
+    "dedup_index_probe" ->
+      s"""${minhashCtes("a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0")}
+         |SELECT i, j, round(inter/(la+lb-inter),6) AS jaccard FROM v
+         |WHERE round(inter/(la+lb-inter),6) >= 0.8 ORDER BY i, j""".stripMargin,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
 
     "dedup_minhash_est_eval" -> dedupMinhashEstEvalSql,

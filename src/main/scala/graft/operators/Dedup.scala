@@ -173,6 +173,23 @@ object Dedup {
       .parquet(s"$indexPath/shingles")
   }
 
+  /** Build the index from an arbitrary (doc_id, text) relation — the
+    * form a pipeline uses when the accumulated history is not the
+    * whole `documents` table. The shingles persist for the duration
+    * of the build so the band cut and the shingle write share one
+    * tokenization pass.
+    */
+  def buildDedupIndex(spark: SparkSession, indexPath: String,
+                      corpus: DataFrame): Unit = {
+    val sh = shinglesOf(corpus).persist()
+    try {
+      graft.sources.Sinks.writeSortedForPruning(
+        bandsOf(sh), s"$indexPath/bands", Seq("band_idx", "band_val"))
+      sh.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$indexPath/shingles")
+    } finally { sh.unpersist(); () }
+  }
+
   /** Incremental dedup: near-dup pairs (batch doc i, corpus doc j,
     * jaccard ≥ 0.8) of a NEW batch against a stored corpus index —
     * bands and shingles are computed only for the batch (O(batch)),
@@ -200,6 +217,26 @@ object Dedup {
     val cand = bandsB.join(bandsC, Seq("band_idx", "band_val"))
       .select("i", "j").distinct()
     verifyJaccard(shB, cand, spark.read.parquet(s"$indexPath/shingles"))
+  }
+
+  /** The persisted-index lifecycle as a REGISTERED query: the corpus
+    * slice (doc_id % 10 ≠ 0) is indexed ONCE into a fingerprinted
+    * tmp location (the [[Similarity.ensureIndex]] staging-rename
+    * protocol, keyed to documents.parquet so a regenerated corpus
+    * forces a rebuild), and the batch slice (doc_id % 10 = 0) probes
+    * the STORED bands/shingles through [[dedupAgainstIndex]] — so
+    * the driver's oracle gate exercises the actual on-disk index
+    * path, not an in-memory shortcut. The oracle is the monolithic
+    * run restricted to crossing pairs, which IndexSpec already pins
+    * equal to this composition.
+    */
+  def dedupIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val idx = Similarity.ensureIndex(dir, "graft_mhidx", Seq("bands", "shingles"),
+      stage => buildDedupIndex(spark, stage,
+        docs.filter(col("doc_id") % 10 =!= 0)),
+      srcFile = "documents.parquet")
+    dedupAgainstIndex(spark, idx, docs.filter(col("doc_id") % 10 === 0))
   }
 
   /** Cross-split eval-leakage gate: TEST-split documents whose

@@ -296,8 +296,8 @@ object Similarity {
     * corpus in place changes the fingerprint and forces a rebuild (a
     * path-hash key would silently serve neighbors from OLD data).
     */
-  private def corpusFingerprint(dir: String): String = {
-    val src = new java.io.File(dir, "embeddings.parquet")
+  private def corpusFingerprint(dir: String, srcFile: String): String = {
+    val src = new java.io.File(dir, srcFile)
     val files =
       if (src.isDirectory) src.listFiles().sortBy(_.getName).toSeq else Seq(src)
     java.security.MessageDigest.getInstance("MD5")
@@ -317,9 +317,10 @@ object Similarity {
     * regenerated corpora don't leak dead indexes into tmpdir forever.
     */
   private[graft] def ensureIndex(dir: String, prefix: String, parts: Seq[String],
-                                 build: String => Unit): String = {
-    val corpus = new java.io.File(dir, "embeddings.parquet").getAbsolutePath
-    val fp = corpusFingerprint(dir)
+                                 build: String => Unit,
+                                 srcFile: String = "embeddings.parquet"): String = {
+    val corpus = new java.io.File(dir, srcFile).getAbsolutePath
+    val fp = corpusFingerprint(dir, srcFile)
     val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
     val target = new java.io.File(tmpRoot, s"${prefix}_$fp")
     def complete(d: java.io.File): Boolean =
