@@ -86,6 +86,158 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // independent Jaro-Winkler over UTF-8 bytes (collect-matched-
+  // sequences formulation — the expression under test walks flag
+  // arrays instead)
+  private def refJaroWinkler(a: String, b: String): Double = {
+    val s = a.getBytes("UTF-8")
+    val t = b.getBytes("UTF-8")
+    if (s.isEmpty || t.isEmpty) return 0.0
+    val win = math.max(0, math.max(s.length, t.length) / 2 - 1)
+    val used = new Array[Boolean](t.length)
+    val ms = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    for (i <- s.indices) {
+      var j = math.max(0, i - win)
+      val hi = math.min(t.length - 1, i + win)
+      var done = false
+      while (j <= hi && !done) {
+        if (!used(j) && s(i) == t(j)) { used(j) = true; ms += s(i); done = true }
+        j += 1
+      }
+    }
+    if (ms.isEmpty) return 0.0
+    val mt = t.indices.filter(used).map(t(_))
+    val m = ms.length.toDouble
+    val trans = ms.zip(mt).count { case (x, y) => x != y } / 2.0
+    val jaro = (m / s.length + m / t.length + (m - trans) / m) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      val l = s.zip(t).take(4).takeWhile { case (x, y) => x == y }.size
+      jaro + l * 0.1 * (1.0 - jaro)
+    }
+  }
+
+  test("JaroWinkler: equals the reference formulation; symmetric; bounded") {
+    import spark.implicits._
+    // small alphabet + shared prefixes force matches, transpositions,
+    // and the Winkler boost region; include multi-byte chars (the
+    // expression compares UTF-8 BYTES — DuckDB's unit)
+    val word = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd', 'é')).map(_.mkString))
+    val prefixed = for {
+      p <- word; x <- word; y <- word
+    } yield (p + x, p + y)
+    val pairs = sample(Gen.oneOf(Gen.zip(word, word), prefixed), 500, 97L)
+    val out = pairs.toDF("a", "b")
+      .withColumn("ab", graft.functions.JaroWinkler.sim(col("a"), col("b")))
+      .withColumn("ba", graft.functions.JaroWinkler.sim(col("b"), col("a")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    out.foreach { case (a, b, ab, ba) =>
+      val ref = refJaroWinkler(a, b)
+      assert(ab == ref, s"'$a' vs '$b': $ab != ref $ref")
+      assert(ab == ba, s"'$a' vs '$b': asymmetric ($ab vs $ba)")
+      assert(ab >= 0.0 && ab <= 1.0)
+      if (a == b && a.nonEmpty) assert(ab == 1.0)
+    }
+  }
+
+  // independent trigram bitset: codepoint-sliced grams, md5 via
+  // MessageDigest, bits in a java.util.BitSet — none of the
+  // expression's byte-offset walk or reused-buffer machinery
+  private def refNgramBits(s: String): java.util.BitSet = {
+    val bits = new java.util.BitSet(4096)
+    val cps = s.codePoints().toArray
+    for (i <- 0 to cps.length - 3) {
+      val gram = new String(cps, i, 3)
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8"))
+      bits.set(((d(0) & 0xff) << 4) | ((d(1) >> 4) & 0xf))
+    }
+    bits
+  }
+
+  test("NgramBitset: word layout and popcount equal an independent BitSet build") {
+    import spark.implicits._
+    val txt = Gen.choose(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.alphaLowerChar, Gen.const(' '),
+        Gen.oneOf('é', 'ß', '中'))).map(_.mkString))
+    val docs = sample(txt, 300, 61L)
+    val out = docs.toDF("t")
+      .withColumn("bs", graft.functions.NgramBitset.ngramBitset(col("t")))
+      .select(col("t"), col("bs.v"), col("bs.n"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1), r.getInt(2)))
+    out.foreach { case (t, words, n) =>
+      val ref = refNgramBits(t)
+      assert(words.length == 128)
+      val got = new java.util.BitSet(4096)
+      for (w <- 0 until 128; b <- 0 until 32)
+        if ((words(w) & (1L << b)) != 0) got.set(w * 32 + b)
+      assert(words.forall(w => (w >>> 32) == 0L),
+        s"'$t': only the low 32 bits of each word may be used")
+      assert(got == ref, s"'$t': bitset mismatch")
+      assert(n == ref.cardinality(), s"'$t': popcount $n != ${ref.cardinality()}")
+    }
+  }
+
+  // ---- KmvSketchAgg: merge algebra, driven directly on buffers ----
+
+  private def kmvAgg(k: Int) = graft.functions.KmvSketchAgg(
+    org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, org.apache.spark.sql.types.LongType, nullable = true), k)
+
+  private def kmvBuf(agg: graft.functions.KmvSketchAgg,
+                     vs: Seq[Long]): java.util.TreeSet[java.lang.Long] = {
+    val buf = agg.createAggregationBuffer()
+    vs.foreach { v =>
+      agg.update(buf, new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](v)))
+    }
+    buf
+  }
+
+  private def clone2(b: java.util.TreeSet[java.lang.Long]) =
+    new java.util.TreeSet[java.lang.Long](b)
+
+  test("KmvSketchAgg: merge is commutative, associative, and partition-invariant") {
+    val k = 16
+    val agg = kmvAgg(k)
+    // duplicates + clustered values exercise the k-boundary rejects
+    val vals = Gen.oneOf(Gen.choose(0L, (1L << 32) - 1), Gen.choose(0L, 200L))
+    val runs = sample(Gen.listOfN(120, vals), 30, 83L)
+    runs.foreach { vs =>
+      val thirds = vs.grouped(40).toSeq
+      val bufs = thirds.map(kmvBuf(agg, _))
+      // commutativity
+      val ab = agg.merge(clone2(bufs(0)), bufs(1))
+      val ba = agg.merge(clone2(bufs(1)), bufs(0))
+      assert(ab == ba, "merge must be order-independent")
+      // associativity
+      val abc1 = agg.merge(agg.merge(clone2(bufs(0)), bufs(1)), bufs(2))
+      val abc2 = agg.merge(clone2(bufs(0)), agg.merge(clone2(bufs(1)), bufs(2)))
+      assert(abc1 == abc2, "merge must be associative")
+      // any partitioning == one sequential build == the k-smallest
+      // distinct values (the sketch's defining invariant)
+      val whole = kmvBuf(agg, vs)
+      assert(abc1 == whole, "merged partials must equal the sequential build")
+      val expect = vs.distinct.sorted.take(k).map(java.lang.Long.valueOf)
+      assert(abc1.toArray.toSeq == expect)
+      // estimate matches the closed form on the reference state
+      val est = agg.eval(whole).asInstanceOf[Double]
+      val distinct = vs.distinct.size
+      if (distinct < k) assert(est == distinct.toDouble)
+      else {
+        val uk = expect.last.toDouble / math.pow(16.0, 8)
+        val ref = BigDecimal((k - 1).toDouble / uk)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(est == ref)
+      }
+      // serialize/deserialize round-trips the exact state
+      assert(agg.deserialize(agg.serialize(whole)) == whole)
+    }
+  }
+
   test("SimHash64: deterministic and token-order invariant") {
     import spark.implicits._
     val tokens = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n,
