@@ -28,12 +28,16 @@ object Bench {
       .sortBy { case (name, _) => (runLast(name), name) }
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-      val dt = (1 to reps).map { _ =>
+      val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }.min
-      System.err.println(f"[bench] $name%-24s $dt%8.2f s")
+      }
+      val dt = ts.min
+      // per-rep times expose cold-vs-warm attribution (a big rep-1 is
+      // a cache build landing on its family's first consumer)
+      System.err.println(f"[bench] $name%-24s $dt%8.2f s  " +
+        ts.map(t => f"$t%.2f").mkString("[", " ", "]"))
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -365,6 +365,36 @@ object Sinks {
     * which is what lets the planner PROVE co-partitioning and drop
     * the exchanges.
     */
+  /** The pre-write layout of [[writeShards]], exposed so its plan can
+    * be pinned: ONE hash exchange on the shard id (each shard lands
+    * whole in one task, so each shard directory gets ONE file) and a
+    * WITHIN-partition sort — no range exchange, no global sort
+    * anywhere. The registered `sample_shard_shuffle` query ends in a
+    * global orderBy purely so the DuckDB oracle sees a total order;
+    * a trainer handoff must not pay that, because within-shard order
+    * is all a shard reader consumes and (shard, u, doc_id) sorts
+    * each task's rows into exactly that order locally.
+    */
+  private[graft] def shardLayout(docs: DataFrame, shards: Int): DataFrame =
+    graft.operators.Sampling.shardAssign(docs, shards)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("u"), col("doc_id"))
+
+  /** Production twin of the `sample_shard_shuffle` query: write the
+    * deterministically shuffled corpus as `shard=K/` parquet
+    * directories whose row order IS the query's within-shard
+    * (u, doc_id) order — byte-identical shards across runs, engines,
+    * and input partitionings, with no rand() and no global sort. The
+    * shard count is the scale knob (corpus_bytes / target shard size;
+    * thousands of bounded shards at 100 TB), and each shard is one
+    * task's bounded sort, spill-safe.
+    */
+  def writeShards(docs: DataFrame, path: String, shards: Int = 8): Unit =
+    shardLayout(docs, shards)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(path)
+
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     val w = df.repartition(numBuckets, col(bucketCol))

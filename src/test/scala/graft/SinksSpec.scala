@@ -9,6 +9,46 @@ class SinksSpec extends SparkSpec {
   private def tmp(): String =
     Files.createTempDirectory("graft-sink").toString
 
+  test("writeShards: per-shard files reproduce the query's order with no global sort") {
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    val dir = tmp()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val shards = 4
+    Sinks.writeShards(docs, dir, shards)
+    // one file per shard (the hash exchange lands each shard whole in
+    // one task), named shard=K by the partitioned write
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == (0 until shards).map(i => s"shard=$i"))
+    dirs.foreach { d =>
+      assert(new java.io.File(s"$dir/$d").listFiles()
+        .count(_.getName.endsWith(".parquet")) == 1, s"$d must hold ONE file")
+    }
+    // row order INSIDE each shard file == the registered query's
+    // within-shard (u, doc_id) order — the byte-identical handoff
+    val expect = operators.Sampling.sampleShardShuffle(spark, sf, shards)
+      .collect()
+      .groupBy(_.getAs[Int]("shard"))
+      .map { case (s, rows) =>
+        s -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("doc_id")).toSeq
+      }
+    (0 until shards).foreach { s =>
+      val got = spark.read.parquet(s"$dir/shard=$s")
+        .collect().map(_.getAs[Long]("doc_id")).toSeq
+      assert(got == expect(s), s"shard $s row order must match the query")
+    }
+    // plan pin: the writer's layout has NO global sort and NO range
+    // exchange — its only exchange is the shard-id hash
+    val layout = Sinks.shardLayout(docs, shards)
+    assert(layout.queryExecution.optimizedPlan.collect {
+      case so: Sort if so.global => so }.isEmpty,
+      "the shard writer must never pay a global sort")
+    val plan = layout.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"no range exchange in the shard layout:\n${plan.take(1500)}")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"the one exchange is the shard-id hash:\n${plan.take(1500)}")
+  }
+
   test("writePartitioned lays out one directory per key value") {
     val dir = tmp()
     val df = Tables.orders(spark, sf).limit(500)
