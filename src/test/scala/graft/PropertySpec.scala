@@ -238,6 +238,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("vector exprs: dot, bitset-intersect, dense-scatter equal JVM references") {
+    import spark.implicits._
+    // dot: index-order sequential fold — must be BIT-identical to the
+    // same-order JVM fold (the oracle's list_sum sees these doubles);
+    // mismatched lengths truncate to the shorter side
+    val dv = Gen.choose(-4.0, 4.0)
+    val vecPair = for {
+      n <- Gen.choose(0, 24); m <- Gen.choose(0, 24)
+      a <- Gen.listOfN(n, dv); b <- Gen.listOfN(m, dv)
+    } yield (a, b)
+    val vps = sample(vecPair, 200, 31L)
+    vps.toDF("a", "b")
+      .withColumn("d", graft.functions.VectorExprs.dot(col("a"), col("b")))
+      .collect()
+      .foreach { r =>
+        val (a, b) = (r.getSeq[Double](0), r.getSeq[Double](1))
+        val ref = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+        assert(r.getDouble(2) == ref, s"dot($a, $b)")
+      }
+    // bitset intersect: popcount of the pairwise AND
+    val words = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Long.MinValue, Long.MaxValue)))
+    val wps = sample(Gen.zip(words, words), 200, 37L)
+    wps.toDF("a", "b")
+      .withColumn("c", graft.functions.VectorExprs.bitsetInter(col("a"), col("b")))
+      .collect()
+      .foreach { r =>
+        val (a, b) = (r.getSeq[Long](0), r.getSeq[Long](1))
+        val ref = a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x & y) }.sum
+        assert(r.getInt(2) == ref, s"bitsetInter($a, $b)")
+      }
+    // dense scatter: 1-based indices land values; out-of-range
+    // indices are dropped; duplicate indices keep the LAST write
+    val n = 16
+    val entries = Gen.choose(0, 12).flatMap(k => Gen.listOfN(k,
+      Gen.zip(Gen.choose(-2, n + 2), dv)))
+    val es = sample(entries, 200, 41L)
+    es.map(e => (e.map(_._1), e.map(_._2))).toDF("idx", "vs")
+      .withColumn("v", graft.functions.VectorExprs.denseScatter(
+        col("idx"), col("vs"), n))
+      .collect()
+      .foreach { r =>
+        val idx = r.getSeq[Int](0)
+        val vs = r.getSeq[Double](1)
+        val ref = new Array[Double](n)
+        idx.zip(vs).foreach { case (i, v) =>
+          if (i >= 1 && i <= n) ref(i - 1) = v
+        }
+        assert(r.getSeq[Double](2) == ref.toSeq, s"scatter($idx, $vs)")
+      }
+  }
+
   test("SimHash64: deterministic and token-order invariant") {
     import spark.implicits._
     val tokens = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n,
