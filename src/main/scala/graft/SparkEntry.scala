@@ -34,6 +34,7 @@ object SparkEntry {
     "events_sessionize" -> (Events.eventsSessionize _),
     "events_topusers" -> (Events.eventsTopUsers _),
     "events_asof_join" -> (Events.eventsAsofJoin _),
+    "events_asof_forward" -> (Events.eventsAsofForward _),
     "events_lag_delta" -> (Events.eventsLagDelta _),
     "events_percentiles" -> (Events.eventsPercentiles _),
     "events_funnel" -> (Events.eventsFunnel _),
@@ -526,6 +527,21 @@ object SparkEntry {
         |          ROWS UNBOUNDED PRECEDING) AS signup_ts
         | FROM e)
         |SELECT event_id, user_id, signup_event, ts_s - signup_ts AS gap_s
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "events_asof_forward" ->
+      """WITH e AS (SELECT *, epoch_ns(ts)//1000000000 AS ts_s FROM events),
+        |w AS (SELECT *,
+        |  first_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_view_event,
+        |  first_value(CASE WHEN event_type = 'view' THEN ts_s END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_view_ts
+        | FROM e)
+        |SELECT event_id, user_id,
+        | CASE WHEN next_view_ts - ts_s <= 3600 THEN next_view_event END AS view_event,
+        | CASE WHEN next_view_ts - ts_s <= 3600 THEN next_view_ts - ts_s END AS lead_s
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "events_lag_delta" ->

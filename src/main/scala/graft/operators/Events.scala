@@ -88,6 +88,33 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** FORWARD as-of join: for each purchase, the same user's earliest
+    * view at-or-after it, within a 1-hour tolerance — the
+    * post-purchase re-engagement signal (did the buyer come back to
+    * look?), and the forward direction of the same one-pass
+    * co-partitioned merge as [[eventsAsofJoin]] (pandas
+    * merge_asof(direction='forward', tolerance=...) semantics: an
+    * out-of-tolerance match null-extends, it never falls back to a
+    * farther row). Composite (ts_s, event_id) time keeps tie order
+    * deterministic; tolerance gates on the ts_s delta.
+    */
+  def eventsAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_s")
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts_s").as("v_ts"),
+        col("event_id").as("v_event"))
+    graft.plans.AsofJoin(purchases, views,
+        Seq("user_id"), Seq("v_user"),
+        Seq("ts_s", "event_id"), Seq("v_ts", "v_event"),
+        direction = "forward", tolerance = 3600L)
+      .select(col("event_id"), col("user_id"),
+        col("v_event").as("view_event"),
+        (col("v_ts") - col("ts_s")).as("lead_s"))
+      .orderBy("event_id")
+  }
+
   /** Per-user inter-event gaps + running value total (lag + running
     * sum over one shuffle).
     */
