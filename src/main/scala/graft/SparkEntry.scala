@@ -87,6 +87,7 @@ object SparkEntry {
     "langid_confusion" -> (TextAnalysis.langidConfusion _),
     "text_quality" -> (TextAnalysis.textQuality _),
     "text_tokens" -> (TextAnalysis.textTokens _),
+    "text_zipf_fit" -> (TextAnalysis.textZipfFit _),
     "doc_length_histogram" -> (TextAnalysis.docLengthHistogram _),
     "text_fingerprint" -> (TextAnalysis.textFingerprint _),
     "text_bigrams" -> (TextAnalysis.textBigrams _),
@@ -1197,6 +1198,21 @@ object SparkEntry {
         | SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank
         | FROM agg) t
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "text_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(text,'\s+')) AS w FROM documents),
+        |c AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM tok GROUP BY 1),
+        |top AS (SELECT cw, CAST(row_number() OVER (ORDER BY cw DESC, w) AS INT) AS rank
+        |  FROM c ORDER BY cw DESC, w LIMIT 100),
+        |p AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cw AS DOUBLE)) AS y FROM top),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM p)
+        |SELECT n AS n_terms,
+        | round((n*sxy - sx*sy)/(n*sxx - sx*sx), 6) AS slope,
+        | round((sy - (n*sxy - sx*sy)/(n*sxx - sx*sx)*sx)/n, 6) AS intercept,
+        | round(pow(n*sxy - sx*sy, 2)
+        |   /((n*sxx - sx*sx)*(n*syy - sy*sy)), 6) AS r2
+        |FROM s""".stripMargin,
 
     "doc_length_histogram" ->
       """WITH d AS (SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT)

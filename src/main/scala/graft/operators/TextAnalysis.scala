@@ -114,6 +114,42 @@ object TextAnalysis {
     graft.functions.TopK.globalWithRank(agg, 20, col("cnt").desc, col("token"))
   }
 
+  /** Zipf's-law fit of the corpus token-frequency distribution:
+    * least-squares slope of ln(freq) on ln(rank) over the top-100
+    * terms, with intercept and r² — the "does this crawl look like
+    * natural language" diagnostic (natural text fits slope ≈ −1;
+    * template/boilerplate-heavy or synthetic corpora flatten or
+    * kink the curve). One row out.
+    *
+    * Scale shape: the corpus unigram counts are the PlanCache-shared
+    * LM model table ([[uniCounts]] — free when any unigram-LM query
+    * already ran), the top-100 is a TakeOrdered (bounded heaps, no
+    * global window over data), and the regression is ONE constant
+    * -size aggregate over 100 (x, y) points. The rank window runs
+    * over the already-limited 100 rows only.
+    */
+  def textZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val top = graft.functions.TopK.globalWithRank(
+      uniCounts(spark, dir), 100, col("cw").desc, col("w"))
+    val p = top.select(
+      log(col("rank").cast("double")).as("x"),
+      log(col("cw").cast("double")).as("y"))
+    val s = p.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    // slope re-expanded (not the rounded output) inside intercept/r²
+    // so both engines run the identical float expression tree
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    s.select(
+      col("n").as("n_terms"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"),
+      round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+        ((col("n") * col("sxx") - col("sx") * col("sx")) *
+         (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
   /** Sorted-distinct-token fingerprint: docs with identical token
     * sets share a fingerprint → near-dup families (token-order /
     * repetition invariant).

@@ -456,4 +456,28 @@ class Round5OpsSpec extends SparkSpec {
       s"sweep at 0.8 ($at08) must equal the ngram-jaccard gate count ($flagged)")
     sweep.unpersist()
   }
+
+  test("text_zipf_fit: agrees with a local least-squares over the top-100 counts") {
+    val row = operators.TextAnalysis.textZipfFit(spark, sf).head()
+    // independent local fit from raw token counts
+    val counts = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val top = counts.sortBy { case (w, c) => (-c, w) }.take(100)
+    val pts = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(row.getAs[Long]("n_terms") == top.length.toLong)
+    assert(math.abs(row.getAs[Double]("slope") - slope) < 1e-4,
+      s"slope ${row.getAs[Double]("slope")} vs local $slope")
+    // natural-language shape: frequencies decay with rank, fit is real
+    assert(row.getAs[Double]("slope") < 0)
+    val r2 = row.getAs[Double]("r2")
+    assert(r2 > 0 && r2 <= 1.0, s"r2 $r2")
+  }
 }
