@@ -105,6 +105,7 @@ object SparkEntry {
     "knn_ivfpq_indexed" -> (Similarity.knnIvfPqIndexed _),
     "knn_pq_adc" -> (Similarity.knnPqAdc _),
     "knn_ivfpq" -> (Similarity.knnIvfPq _),
+    "knn_recall_pq" -> (Similarity.knnRecallPq _),
     "knn_batch" -> (Similarity.knnBatch _),
     "knn_filtered" -> (Similarity.knnFiltered _),
     "knn_batch_ivf" -> (Similarity.knnBatchIvf _),
@@ -445,6 +446,77 @@ object SparkEntry {
     * knn_ivf_indexed probes a stored copy of the same index knn_ivf
     * computes inline, so one oracle covers both.
     */
+  private val knnBruteSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |q AS (SELECT v, norm FROM n WHERE vec_id = 0),
+        |p AS (SELECT n.vec_id, round(list_sum(list_transform(
+        |    generate_series(1, len(n.v)), i -> n.v[i]*q.v[i])) / (q.norm*n.norm), 6) AS cosine
+        |  FROM n CROSS JOIN q WHERE n.vec_id <> 0)
+        |SELECT vec_id, cosine, rank FROM (
+        | SELECT *, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+        | FROM p) t
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  private val knnIvfPqSql: String =
+    """WITH e AS (SELECT vec_id, label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |px AS (SELECT label, unnest(list_transform(generate_series(1, len(v)),
+        |   i -> {'pos': i, 'x': v[i]}), recursive := true) FROM n),
+        |cent AS (SELECT label, list(cx ORDER BY pos) AS cv FROM (
+        |   SELECT label, pos, avg(x) AS cx FROM px GROUP BY label, pos) g
+        | GROUP BY label),
+        |q AS (SELECT v, norm FROM n WHERE vec_id = 0),
+        |best AS (SELECT label AS target_label FROM (
+        |   SELECT c.label, round(list_sum(list_transform(
+        |       generate_series(1, len(c.cv)), i -> c.cv[i]*q.v[i]))
+        |     / (sqrt(list_sum(list_transform(c.cv, x -> x*x))) * q.norm), 6) AS csim
+        |   FROM cent c CROSS JOIN q) t
+        | ORDER BY csim DESC, label LIMIT 2),
+        |su AS (SELECT vec_id, m, list_slice(v, m*4 + 1, (m+1)*4) AS sv
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS m) ms),
+        |s2 AS (SELECT vec_id, m, sv,
+        |   list_sum(list_transform(sv, x -> x*x)) AS s2 FROM su),
+        |c0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sv AS c,
+        |   list_sum(list_transform(sv, x -> x*x)) AS c2 FROM s2 WHERE vec_id < 64),
+        |p1 AS (SELECT s.vec_id, s.m, c0.cid, round(s.s2
+        |   - 2*list_sum(list_transform(generate_series(1, 4), i -> s.sv[i]*c0.c[i]))
+        |   + c0.c2, 6) AS d2
+        |  FROM s2 s JOIN c0 ON s.m = c0.m),
+        |a1 AS (SELECT vec_id, m, cid AS code FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+        |   FROM p1) t WHERE rn = 1),
+        |mx AS (SELECT a1.m, a1.code AS cid, unnest(generate_series(1, 4)) AS dim,
+        |   unnest(s.sv) AS x
+        |  FROM a1 JOIN s2 s USING (vec_id, m)),
+        |m1 AS (SELECT m, cid, dim, round(avg(x), 6) AS cx FROM mx GROUP BY 1, 2, 3),
+        |c1 AS (SELECT m, cid, list(cx ORDER BY dim) AS c FROM m1 GROUP BY 1, 2),
+        |c1b AS (SELECT m, cid, c, list_sum(list_transform(c, x -> x*x)) AS c2 FROM c1),
+        |p2 AS (SELECT s.vec_id, s.m, c1b.cid, round(s.s2
+        |   - 2*list_sum(list_transform(generate_series(1, 4), i -> s.sv[i]*c1b.c[i]))
+        |   + c1b.c2, 6) AS d2
+        |  FROM s2 s JOIN c1b ON s.m = c1b.m),
+        |codes AS (SELECT vec_id, m, cid AS code FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+        |   FROM p2) t WHERE rn = 1),
+        |qs AS (SELECT m, sv AS qv, s2 AS q2 FROM s2 WHERE vec_id = 0),
+        |lut AS (SELECT c1b.m, c1b.cid AS code, round(qs.q2
+        |   - 2*list_sum(list_transform(generate_series(1, 4), i -> qs.qv[i]*c1b.c[i]))
+        |   + c1b.c2, 6) AS qd2
+        |  FROM c1b JOIN qs ON c1b.m = qs.m),
+        |adc AS (SELECT s.vec_id, e2.label, round(sum(qd2), 6) AS adc_d2
+        |  FROM codes s JOIN lut USING (m, code)
+        |  JOIN e e2 ON s.vec_id = e2.vec_id
+        |  JOIN best ON e2.label = best.target_label
+        |  WHERE s.vec_id <> 0 GROUP BY 1, 2)
+        |SELECT vec_id, label, adc_d2, rank FROM (
+        | SELECT *, CAST(row_number() OVER (ORDER BY adc_d2, vec_id) AS INT) AS rank
+        | FROM adc) t
+        |WHERE rank <= 5 ORDER BY rank""".stripMargin
+
   def oracleSql: Map[String, String] = oracleSqlAll
 
   // built once per JVM — the base map is thousands of lines of SQL
@@ -1268,18 +1340,7 @@ object SparkEntry {
         | CAST(ceil(length(text) / 100.0) AS INT) AS n_chunks
         |FROM documents WHERE length(text) >= 1 ORDER BY doc_id""".stripMargin,
 
-    "knn_brute" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
-        |q AS (SELECT v, norm FROM n WHERE vec_id = 0),
-        |p AS (SELECT n.vec_id, round(list_sum(list_transform(
-        |    generate_series(1, len(n.v)), i -> n.v[i]*q.v[i])) / (q.norm*n.norm), 6) AS cosine
-        |  FROM n CROSS JOIN q WHERE n.vec_id <> 0)
-        |SELECT vec_id, cosine, rank FROM (
-        | SELECT *, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
-        | FROM p) t
-        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "knn_brute" -> knnBruteSql,
 
     "knn_signlsh" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3092,63 +3153,13 @@ object SparkEntry {
         | FROM adc) t
         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
-    "knn_ivfpq" ->
-      """WITH e AS (SELECT vec_id, label,
-        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |n AS (SELECT vec_id, label, v,
-        |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
-        |px AS (SELECT label, unnest(list_transform(generate_series(1, len(v)),
-        |   i -> {'pos': i, 'x': v[i]}), recursive := true) FROM n),
-        |cent AS (SELECT label, list(cx ORDER BY pos) AS cv FROM (
-        |   SELECT label, pos, avg(x) AS cx FROM px GROUP BY label, pos) g
-        | GROUP BY label),
-        |q AS (SELECT v, norm FROM n WHERE vec_id = 0),
-        |best AS (SELECT label AS target_label FROM (
-        |   SELECT c.label, round(list_sum(list_transform(
-        |       generate_series(1, len(c.cv)), i -> c.cv[i]*q.v[i]))
-        |     / (sqrt(list_sum(list_transform(c.cv, x -> x*x))) * q.norm), 6) AS csim
-        |   FROM cent c CROSS JOIN q) t
-        | ORDER BY csim DESC, label LIMIT 2),
-        |su AS (SELECT vec_id, m, list_slice(v, m*4 + 1, (m+1)*4) AS sv
-        |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS m) ms),
-        |s2 AS (SELECT vec_id, m, sv,
-        |   list_sum(list_transform(sv, x -> x*x)) AS s2 FROM su),
-        |c0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sv AS c,
-        |   list_sum(list_transform(sv, x -> x*x)) AS c2 FROM s2 WHERE vec_id < 64),
-        |p1 AS (SELECT s.vec_id, s.m, c0.cid, round(s.s2
-        |   - 2*list_sum(list_transform(generate_series(1, 4), i -> s.sv[i]*c0.c[i]))
-        |   + c0.c2, 6) AS d2
-        |  FROM s2 s JOIN c0 ON s.m = c0.m),
-        |a1 AS (SELECT vec_id, m, cid AS code FROM (
-        |   SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
-        |   FROM p1) t WHERE rn = 1),
-        |mx AS (SELECT a1.m, a1.code AS cid, unnest(generate_series(1, 4)) AS dim,
-        |   unnest(s.sv) AS x
-        |  FROM a1 JOIN s2 s USING (vec_id, m)),
-        |m1 AS (SELECT m, cid, dim, round(avg(x), 6) AS cx FROM mx GROUP BY 1, 2, 3),
-        |c1 AS (SELECT m, cid, list(cx ORDER BY dim) AS c FROM m1 GROUP BY 1, 2),
-        |c1b AS (SELECT m, cid, c, list_sum(list_transform(c, x -> x*x)) AS c2 FROM c1),
-        |p2 AS (SELECT s.vec_id, s.m, c1b.cid, round(s.s2
-        |   - 2*list_sum(list_transform(generate_series(1, 4), i -> s.sv[i]*c1b.c[i]))
-        |   + c1b.c2, 6) AS d2
-        |  FROM s2 s JOIN c1b ON s.m = c1b.m),
-        |codes AS (SELECT vec_id, m, cid AS code FROM (
-        |   SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
-        |   FROM p2) t WHERE rn = 1),
-        |qs AS (SELECT m, sv AS qv, s2 AS q2 FROM s2 WHERE vec_id = 0),
-        |lut AS (SELECT c1b.m, c1b.cid AS code, round(qs.q2
-        |   - 2*list_sum(list_transform(generate_series(1, 4), i -> qs.qv[i]*c1b.c[i]))
-        |   + c1b.c2, 6) AS qd2
-        |  FROM c1b JOIN qs ON c1b.m = qs.m),
-        |adc AS (SELECT s.vec_id, e2.label, round(sum(qd2), 6) AS adc_d2
-        |  FROM codes s JOIN lut USING (m, code)
-        |  JOIN e e2 ON s.vec_id = e2.vec_id
-        |  JOIN best ON e2.label = best.target_label
-        |  WHERE s.vec_id <> 0 GROUP BY 1, 2)
-        |SELECT vec_id, label, adc_d2, rank FROM (
-        | SELECT *, CAST(row_number() OVER (ORDER BY adc_d2, vec_id) AS INT) AS rank
-        | FROM adc) t
-        |WHERE rank <= 5 ORDER BY rank""".stripMargin,
+    "knn_ivfpq" -> knnIvfPqSql,
+    "knn_recall_pq" ->
+      s"""WITH truth AS (SELECT vec_id FROM ($knnBruteSql) b WHERE rank <= 5),
+         |got AS (SELECT vec_id FROM ($knnIvfPqSql) g)
+         |SELECT CAST(5 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_hits,
+         | round(CAST(count(*) AS BIGINT)/5.0, 6) AS recall
+         |FROM got JOIN truth USING (vec_id)""".stripMargin,
 
     "knn_recall_eval" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

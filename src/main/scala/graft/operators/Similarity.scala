@@ -838,6 +838,29 @@ object Similarity {
     graft.functions.TopK.globalWithRank(adc, 5, col("adc_d2").asc, col("vec_id"))
   }
 
+  /** End-to-end quality gate for the lossy serving stack: recall@5
+    * of the two-stage IVF+PQ answer ([[knnIvfPq]] — coarse routing +
+    * ADC over 16-byte codes) against the exact cosine top-5
+    * ([[knnBrute]] truth) — the number that decides whether 32×
+    * compression plus nprobe=2 routing is ACCEPTABLE before a corpus
+    * commits to the index layout. Complements [[knnRecallEval]]
+    * (sign-LSH candidate recall) and [[knnRecallVsNprobe]] (routing
+    * sweep); this one measures the full pipeline including
+    * quantization distortion. Both member queries are PlanCache
+    * -shared compositions, so the eval costs two top-5 joins beyond
+    * work already done; its oracle embeds the members' oracles as
+    * subqueries (the dedup_method_agreement convention — it can
+    * never drift from them).
+    */
+  def knnRecallPq(spark: SparkSession, dir: String): DataFrame = {
+    val truth = knnBrute(spark, dir).filter(col("rank") <= 5).select("vec_id")
+    val got = knnIvfPq(spark, dir).select("vec_id")
+    got.join(truth, "vec_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(5L).as("k"), col("n_hits"),
+        round(col("n_hits") / 5.0, 6).as("recall"))
+  }
+
   /** Persist the full IVF+PQ index: coarse centroids, the trained
     * per-subspace codebook, and the encoded corpus (16 bytes/vector)
     * written PARTITIONED BY coarse cell — the complete billion-vector

@@ -34,4 +34,19 @@ class AnnRecallSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == expected)
   }
+
+  test("knn_recall_pq: one summary row, recall = |ivfpq∩truth|/5 recomputed locally") {
+    val row = operators.Similarity.knnRecallPq(spark, sf).head()
+    val truth = operators.Similarity.knnBrute(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("rank") <= 5)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val got = operators.Similarity.knnIvfPq(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val hits = (truth intersect got).size
+    assert(row.getAs[Long]("k") == 5L)
+    assert(row.getAs[Long]("n_hits") == hits.toLong)
+    assert(row.getAs[Double]("recall") ==
+      BigDecimal(hits / 5.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(hits > 0, "the lossy stack must find at least one true neighbor here")
+  }
 }
