@@ -96,6 +96,7 @@ object SparkEntry {
     "text_perplexity" -> (TextAnalysis.textPerplexity _),
     "text_dsir" -> (TextAnalysis.textDsir _),
     "text_perplexity_bigram" -> (TextAnalysis.textPerplexityBigram _),
+    "text_perplexity_kn" -> (TextAnalysis.textPerplexityKn _),
     "text_repetition" -> (TextAnalysis.textRepetition _),
     // similarity search
     "knn_brute" -> (Similarity.knnBrute _),
@@ -1270,6 +1271,30 @@ object SparkEntry {
         | SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank
         | FROM agg) t
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "text_perplexity_kn" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents),
+        |bgr AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM (
+        |   SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+        |   FROM d WHERE len(t) >= 2) s),
+        |dbg AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM bgr GROUP BY 1, 2, 3),
+        |bg AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS cbg FROM dbg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(cbg) AS BIGINT) AS c1,
+        |   CAST(count(*) AS BIGINT) AS n1f FROM bg GROUP BY 1),
+        |back AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM bg GROUP BY 1),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM bg),
+        |sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |   sum(CAST(cnt AS DOUBLE) * -ln(
+        |     (CAST(cbg AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+        |     + 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
+        |       * (CAST(n1b AS DOUBLE) / CAST(t_types AS DOUBLE)))) AS nll
+        |  FROM dbg JOIN bg USING(w1, w2) JOIN ctx USING(w1) JOIN back USING(w2)
+        |  CROSS JOIN tt
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, round(nll/n_bigrams, 6) AS avg_nll,
+        | round(exp(round(nll/n_bigrams, 6)), 6) AS ppl
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "text_zipf_fit" ->
       """WITH tok AS (SELECT unnest(string_split_regex(text,'\s+')) AS w FROM documents),

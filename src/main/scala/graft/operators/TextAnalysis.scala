@@ -310,17 +310,23 @@ object TextAnalysis {
     * size — and V rides a broadcast one-row cross join. No
     * driver-side model state.
     */
-  def textPerplexityBigram(spark: SparkSession, dir: String): DataFrame = {
-    val withT = Tables.documents(spark, dir)
-      .withColumn("t", toks)
-      .filter(size(col("t")) >= 2)
-    val docBg = graft.PlanCache.cached("ppl_bg_tf", spark, dir) {
-      withT.select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t)-1), i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"))
-        .as("bg"))
+  /** Per-doc bigram frequencies (doc_id, w1, w2, cnt) — the shared
+    * input of both bigram LMs; docs need ≥ 2 tokens.
+    */
+  private def docBigrams(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("ppl_bg_tf", spark, dir) {
+      Tables.documents(spark, dir)
+        .withColumn("t", toks)
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t)-1), i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"))
+          .as("bg"))
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
     }
+
+  def textPerplexityBigram(spark: SparkSession, dir: String): DataFrame = {
+    val docBg = docBigrams(spark, dir)
     val bgModel = docBg.groupBy("w1", "w2").agg(sum("cnt").as("cbg"))
     val uniModel = uniCounts(spark, dir)
       .select(col("w").as("w1"), col("cw").as("cw1"))
@@ -333,6 +339,49 @@ object TextAnalysis {
         sum(col("cnt").cast("double") *
           log((col("cw1") + col("vocab")).cast("double")
             / (col("cbg") + lit(1)).cast("double"))).as("nll"))
+      .withColumn("avg_nll", round(col("nll") / col("n_bigrams").cast("double"), 6))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+        round(exp(col("avg_nll")), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  /** Interpolated Kneser-Ney bigram perplexity — the smoothing the
+    * KenLM-class quality filters actually train with, one step past
+    * [[textPerplexityBigram]]'s add-1: with absolute discount
+    * D = 0.75,
+    * p(w₂|w₁) = (c(w₁w₂) − D)/c(w₁)
+    *            + D·N₁₊(w₁·)/c(w₁) · N₁₊(·w₂)/N₁₊(··),
+    * where the continuation probability N₁₊(·w₂)/N₁₊(··) asks "in
+    * how many distinct contexts does w₂ appear" — the correction
+    * that stops high-count-but-single-context tokens (the "San
+    * Francisco" effect) from looking probable everywhere. Scored on
+    * the training corpus every bigram is seen, so the discounted
+    * term is always positive and no backoff branch is needed.
+    *
+    * Scale shape: all four model tables are count aggregations off
+    * the PlanCache-shared (doc, w₁, w₂, cnt) relation — context
+    * totals and distinct-continuation counts come from ONE pass over
+    * the bigram-type table (one row per type, so count(*) IS the
+    * distinct count: no count(DISTINCT), no Expand) — and scoring is
+    * three hash joins plus the broadcast one-row type total.
+    */
+  def textPerplexityKn(spark: SparkSession, dir: String): DataFrame = {
+    val docBg = docBigrams(spark, dir)
+    val bgModel = docBg.groupBy("w1", "w2").agg(sum("cnt").as("cbg"))
+    val ctx = bgModel.groupBy("w1")
+      .agg(sum("cbg").as("c1"), count(lit(1)).as("n1f"))
+    val back = bgModel.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val tt = bgModel.agg(count(lit(1)).as("t_types"))
+    val p = (col("cbg").cast("double") - lit(0.75)) / col("c1").cast("double") +
+      lit(0.75) * col("n1f").cast("double") / col("c1").cast("double") *
+        (col("n1b").cast("double") / col("t_types").cast("double"))
+    docBg.join(bgModel, Seq("w1", "w2"))
+      .join(ctx, "w1")
+      .join(back, "w2")
+      .crossJoin(broadcast(tt))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_bigrams"),
+        sum(col("cnt").cast("double") * -log(p)).as("nll"))
       .withColumn("avg_nll", round(col("nll") / col("n_bigrams").cast("double"), 6))
       .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
         round(exp(col("avg_nll")), 6).as("ppl"))

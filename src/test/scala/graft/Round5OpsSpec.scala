@@ -457,6 +457,40 @@ class Round5OpsSpec extends SparkSpec {
     sweep.unpersist()
   }
 
+  test("text_perplexity_kn: the smoothed model is a proper conditional distribution") {
+    val out = operators.TextAnalysis.textPerplexityKn(spark, sf).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("ppl") <= 0 || col("avg_nll") < 0).count() == 0,
+      "perplexity positive, mean NLL non-negative (p <= 1 everywhere)")
+    // rebuild the model locally and check Σ_w2 p(w2|w1) = 1 over the
+    // full continuation vocabulary — the defining property absolute
+    // discounting + continuation mass must preserve
+    val bg = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-1), i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"))
+        .as("b"))
+      .groupBy("b.w1", "b.w2").agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val c1 = bg.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val n1f = bg.groupBy(_._1._1).map { case (w1, m) => w1 -> m.size }
+    val n1b = bg.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size }
+    val tTypes = bg.size.toDouble
+    val vocab = n1b.keys.toSeq
+    val d = 0.75
+    c1.keys.take(20).foreach { w1 =>
+      val total = vocab.map { w2 =>
+        val disc = bg.get((w1, w2))
+          .map(c => (c - d) / c1(w1)).getOrElse(0.0)
+        disc + d * n1f(w1) / c1(w1) * (n1b(w2) / tTypes)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-9,
+        s"Σ p(w2|'$w1') = $total must be 1")
+    }
+    out.unpersist()
+  }
+
   test("text_zipf_fit: agrees with a local least-squares over the top-100 counts") {
     val row = operators.TextAnalysis.textZipfFit(spark, sf).head()
     // independent local fit from raw token counts
