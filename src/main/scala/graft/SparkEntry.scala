@@ -38,6 +38,7 @@ object SparkEntry {
     "events_lag_delta" -> (Events.eventsLagDelta _),
     "events_percentiles" -> (Events.eventsPercentiles _),
     "events_funnel" -> (Events.eventsFunnel _),
+    "events_funnel_windowed" -> (Events.eventsFunnelWindowed _),
     "events_retention" -> (Events.eventsRetention _),
     "events_moving_avg" -> (Events.eventsMovingAvg _),
     "events_dau_wau" -> (Events.eventsDauWau _),
@@ -602,6 +603,26 @@ object SparkEntry {
         | FROM e)
         |SELECT event_id, user_id, signup_event, ts_s - signup_ts AS gap_s
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "events_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  epoch_ns(ts)//1000000000 AS ts_s FROM events),
+        |su AS (SELECT user_id, min(ts_s) AS t_signup FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |vw AS (SELECT e.user_id, min(ts_s) AS t_view
+        |  FROM e JOIN su ON e.user_id = su.user_id
+        |  WHERE event_type = 'view' AND ts_s >= t_signup
+        |    AND ts_s <= t_signup + 604800 GROUP BY 1),
+        |pu AS (SELECT e.user_id, min(ts_s) AS t_purchase
+        |  FROM e JOIN vw ON e.user_id = vw.user_id
+        |  WHERE event_type = 'purchase' AND ts_s >= t_view
+        |    AND ts_s <= t_view + 604800 GROUP BY 1)
+        |SELECT su.user_id, t_signup, t_view, t_purchase,
+        | t_view IS NOT NULL AS reached_view,
+        | t_purchase IS NOT NULL AS reached_purchase
+        |FROM su LEFT JOIN vw ON su.user_id = vw.user_id
+        | LEFT JOIN pu ON su.user_id = pu.user_id
+        |ORDER BY su.user_id""".stripMargin,
 
     "events_asof_forward" ->
       """WITH e AS (SELECT *, epoch_ns(ts)//1000000000 AS ts_s FROM events),

@@ -198,6 +198,45 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** WINDOWED funnel with per-step timeouts (the ClickHouse
+    * `windowFunnel` / Amplitude conversion-window semantic):
+    * signup → first view within 7 days OF THE SIGNUP → first
+    * purchase within 7 days OF THAT VIEW. Unlike [[eventsFunnel]]
+    * (order-only), a user who converts months later does NOT count —
+    * the funnel measures activation, not eventual behavior. Output:
+    * one row per signed-up user with the qualifying stage times and
+    * reach flags.
+    *
+    * Scale shape: three stage aggregations chained by per-user
+    * equi-joins — each stage is a conditional min against the
+    * PREVIOUS stage's anchor time (no windows at all, no event
+    * self-join; every join and aggregate shuffles on user_id, and
+    * AQE reuses that partitioning across the chain).
+    */
+  def eventsFunnelWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val week = 7L * 86400L
+    val e = graft.PlanCache.cached("funnel_w_events", spark, dir) {
+      Tables.events(spark, dir).select("user_id", "event_type", "ts_s")
+    }
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_s").as("t_signup"))
+    val vw = e.filter(col("event_type") === "view").join(su, "user_id")
+      .filter(col("ts_s") >= col("t_signup") &&
+        col("ts_s") <= col("t_signup") + week)
+      .groupBy("user_id").agg(min("ts_s").as("t_view"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .join(vw, "user_id")
+      .filter(col("ts_s") >= col("t_view") &&
+        col("ts_s") <= col("t_view") + week)
+      .groupBy("user_id").agg(min("ts_s").as("t_purchase"))
+    su.join(vw, Seq("user_id"), "left")
+      .join(pu, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_view"), col("t_purchase"),
+        col("t_view").isNotNull.as("reached_view"),
+        col("t_purchase").isNotNull.as("reached_purchase"))
+      .orderBy("user_id")
+  }
+
   /** Day-N retention: cohort = first-seen day per user; for each
     * (cohort_day, day_offset) the count of distinct active users.
     */

@@ -83,6 +83,46 @@ class GovernanceSpec extends SparkSpec {
       r.isNullAt(r.fieldIndex("max_s")))
   }
 
+  test("events_funnel_windowed: equals an exact local recomputation; timeouts bite") {
+    val w = operators.Events.eventsFunnelWindowed(spark, sf).cache()
+    // one row per signed-up user; stage 3 requires stage 2; window
+    // arithmetic holds on every qualifying row
+    val week = 7L * 86400L
+    assert(w.filter(col("reached_purchase") && !col("reached_view")).count() == 0)
+    assert(w.filter(col("reached_view") &&
+      (col("t_view") < col("t_signup") ||
+       col("t_view") > col("t_signup") + week)).count() == 0)
+    assert(w.filter(col("reached_purchase") &&
+      (col("t_purchase") < col("t_view") ||
+       col("t_purchase") > col("t_view") + week)).count() == 0)
+    // exact local recomputation from raw events
+    val evs = Tables.events(spark, sf).select("user_id", "event_type", "ts_s")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = evs.groupBy(_._1)
+    val expected = byUser.flatMap { case (u, es) =>
+      val signups = es.filter(_._2 == "signup").map(_._3)
+      if (signups.isEmpty) None else {
+        val ts = signups.min
+        val tv = es.filter(e => e._2 == "view" && e._3 >= ts && e._3 <= ts + week)
+          .map(_._3).minOption
+        val tp = tv.flatMap(v => es.filter(e =>
+          e._2 == "purchase" && e._3 >= v && e._3 <= v + week)
+          .map(_._3).minOption)
+        Some((u, ts, tv, tp))
+      }
+    }.toSeq.sortBy(_._1)
+    val got = w.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got == expected)
+    // both funnel outcomes occur (the sf0.001 corpus is too small to
+    // guarantee the timeout itself bites — the sf0.01/0.1 oracle
+    // gates cover that; here the exact recomputation is the pin)
+    assert(w.filter(col("reached_view")).count() > 0)
+    assert(w.filter(!col("reached_purchase")).count() > 0)
+    w.unpersist()
+  }
+
   test("events_ab_test: arms partition users; z agrees with a local Welch computation") {
     val row = operators.Events.eventsAbTest(spark, sf).head()
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
