@@ -39,6 +39,7 @@ object SparkEntry {
     "events_percentiles" -> (Events.eventsPercentiles _),
     "events_funnel" -> (Events.eventsFunnel _),
     "events_funnel_windowed" -> (Events.eventsFunnelWindowed _),
+    "events_survival" -> (Events.eventsSurvival _),
     "events_retention" -> (Events.eventsRetention _),
     "events_moving_avg" -> (Events.eventsMovingAvg _),
     "events_dau_wau" -> (Events.eventsDauWau _),
@@ -603,6 +604,42 @@ object SparkEntry {
         | FROM e)
         |SELECT event_id, user_id, signup_event, ts_s - signup_ts AS gap_s
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "events_survival" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  epoch_ns(ts)//1000000000 AS ts_s FROM events),
+        |mx AS (SELECT max(ts_s) AS max_ts FROM e),
+        |su AS (SELECT user_id, min(ts_s) AS t0 FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT e.user_id, min(ts_s) AS tp
+        |  FROM e JOIN su ON e.user_id = su.user_id
+        |  WHERE event_type = 'purchase' AND ts_s >= t0 GROUP BY 1),
+        |durs AS (SELECT
+        |  CASE WHEN tp IS NOT NULL THEN (tp - t0)//86400
+        |       ELSE (max_ts - t0)//86400 END AS dur,
+        |  CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        | FROM su LEFT JOIN pu ON su.user_id = pu.user_id CROSS JOIN mx),
+        |dc AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+        |  CAST(count(*) AS BIGINT) AS c FROM durs GROUP BY 1),
+        |grid AS (SELECT unnest(generate_series(0, 30)) AS t),
+        |byt AS (SELECT t,
+        |  CAST(coalesce(sum(CASE WHEN dur = t THEN d END), 0) AS BIGINT) AS n_events,
+        |  CAST(coalesce(sum(c), 0) AS BIGINT) AS n_risk
+        | FROM grid LEFT JOIN dc ON dur >= t GROUP BY t),
+        |wh AS (SELECT t, n_risk, n_events,
+        |  CASE WHEN n_risk > 0
+        |    THEN CAST(n_events AS DOUBLE)/CAST(n_risk AS DOUBLE) END AS h
+        | FROM byt),
+        |acc AS (SELECT a.t, a.n_risk, a.n_events, a.h,
+        |  sum(CASE WHEN b.h < 1.0 THEN ln(1.0 - b.h) END) AS lnS,
+        |  max(CASE WHEN b.h = 1.0 THEN 1 ELSE 0 END) AS dead
+        | FROM wh a JOIN wh b ON b.t <= a.t
+        | GROUP BY a.t, a.n_risk, a.n_events, a.h)
+        |SELECT CAST(t AS BIGINT) AS t, n_risk, n_events,
+        | round(h, 6) AS hazard,
+        | round(CASE WHEN dead = 1 THEN 0.0
+        |   ELSE exp(coalesce(lnS, 0.0)) END, 6) AS survival
+        |FROM acc ORDER BY t""".stripMargin,
 
     "events_funnel_windowed" ->
       """WITH e AS (SELECT user_id, event_type,

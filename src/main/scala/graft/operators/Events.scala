@@ -198,6 +198,68 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Kaplan-Meier time-to-conversion survival curve: for day offsets
+    * t = 0..30 after signup, the fraction of signed-up users still
+    * unconverted — WITH right-censoring (a user whose observation
+    * window [signup, corpus end] is shorter than t leaves the
+    * at-risk set instead of counting as a survivor — the estimator
+    * that stays unbiased when cohorts have unequal follow-up).
+    * Per offset: n_risk, n_events, hazard d/n, and
+    * S(t) = Π_{s≤t}(1 − h_s) via exp(Σ ln(1−h)) — the identical
+    * float expression in both engines.
+    *
+    * Scale shape: per-user duration/event flags are two aggregations
+    * and a join on user_id with the corpus horizon on a broadcast
+    * one-row cross join; everything after operates on the BOUNDED
+    * per-day-offset count table (≤ observation-span rows): at-risk
+    * suffix sums and the cumulative-hazard product are broadcast
+    * triangle joins over ≤31-row relations (the customer_pareto
+    * discipline — no unpartitioned window anywhere, no per-user data
+    * past the first aggregate).
+    */
+  def eventsSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val horizon = 30
+    val e = Tables.events(spark, dir).select("user_id", "event_type", "ts_s")
+    val maxTs = e.agg(max("ts_s").as("max_ts"))
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_s").as("t0"))
+    val pu = e.filter(col("event_type") === "purchase").join(su, "user_id")
+      .filter(col("ts_s") >= col("t0"))
+      .groupBy("user_id").agg(min("ts_s").as("tp"))
+    val durs = su.join(pu, Seq("user_id"), "left")
+      .crossJoin(broadcast(maxTs))
+      .select(
+        when(col("tp").isNotNull, expr("(tp - t0) div 86400"))
+          .otherwise(expr("(max_ts - t0) div 86400")).as("dur"),
+        when(col("tp").isNotNull, lit(1L)).otherwise(lit(0L)).as("ev"))
+    // bounded per-day-offset table: one row per distinct duration
+    val dc = durs.groupBy("dur")
+      .agg(sum("ev").as("d"), count(lit(1)).as("c"))
+    val grid = spark.range(0, horizon + 1).select(col("id").as("t"))
+    // d_t exact-match; n_t = suffix sum (dur >= t) — triangle join
+    // over the broadcast bounded count table
+    val byT = grid.join(broadcast(dc), col("dur") >= col("t"), "left")
+      .groupBy("t")
+      .agg(coalesce(sum(when(col("dur") === col("t"), col("d"))), lit(0L)).as("n_events"),
+        coalesce(sum("c"), lit(0L)).as("n_risk"))
+    val withH = byT.select(col("t"), col("n_risk"), col("n_events"),
+      when(col("n_risk") > 0,
+        col("n_events").cast("double") / col("n_risk").cast("double")).as("h"))
+    val hs = withH.select(col("t").as("s"), col("h").as("hs"))
+    // h = 1 (everyone at risk converts that day) kills the curve to
+    // exactly 0 via an explicit flag — ln(0) is NULL in Spark but
+    // -inf in DuckDB, so the log-sum identity must never see it
+    withH.join(broadcast(hs), col("s") <= col("t"))
+      .groupBy("t", "n_risk", "n_events", "h")
+      .agg(sum(when(col("hs") < 1.0, log(lit(1.0) - col("hs")))).as("lnS"),
+        max(when(col("hs") === 1.0, 1L).otherwise(0L)).as("dead"))
+      .select(col("t"), col("n_risk"), col("n_events"),
+        round(col("h"), 6).as("hazard"),
+        round(when(col("dead") === 1L, lit(0.0))
+          .otherwise(exp(coalesce(col("lnS"), lit(0.0)))), 6).as("survival"))
+      .orderBy("t")
+  }
+
   /** WINDOWED funnel with per-step timeouts (the ClickHouse
     * `windowFunnel` / Amplitude conversion-window semantic):
     * signup → first view within 7 days OF THE SIGNUP → first

@@ -123,6 +123,50 @@ class GovernanceSpec extends SparkSpec {
     w.unpersist()
   }
 
+  test("events_survival: Kaplan-Meier invariants and exact local recomputation") {
+    val out = operators.Events.eventsSurvival(spark, sf).collect().sortBy(_.getLong(0))
+    assert(out.length == 31)
+    // survival and at-risk are non-increasing; hazard in [0,1]
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Double]("survival") <= a.getAs[Double]("survival") + 1e-12)
+      assert(b.getAs[Long]("n_risk") <= a.getAs[Long]("n_risk"))
+    }
+    // exact recomputation from raw events
+    val evs = Tables.events(spark, sf).select("user_id", "event_type", "ts_s")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val maxTs = evs.map(_._3).max
+    // .toSeq BEFORE flatMap: a Map#flatMap over pair results would
+    // rebuild a Map keyed by dur and silently collapse users
+    val durs = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val s = es.filter(_._2 == "signup").map(_._3)
+      if (s.isEmpty) None else {
+        val t0 = s.min
+        val tp = es.filter(e => e._2 == "purchase" && e._3 >= t0).map(_._3).minOption
+        Some((tp.map(p => (p - t0) / 86400).getOrElse((maxTs - t0) / 86400),
+          tp.isDefined))
+      }
+    }
+    (0 to 30).foreach { t =>
+      val r = out(t)
+      val nRisk = durs.count(_._1 >= t)
+      val nEv = durs.count(d => d._1 == t && d._2)
+      assert(r.getAs[Long]("n_risk") == nRisk && r.getAs[Long]("n_events") == nEv,
+        s"t=$t risk/events")
+      val hs = (0 to t).map { s =>
+        val n = durs.count(_._1 >= s).toDouble
+        if (n > 0) durs.count(d => d._1 == s && d._2) / n else 0.0
+      }
+      val surv = hs.map(1.0 - _).product
+      assert(math.abs(r.getAs[Double]("survival") - surv) < 1e-4,
+        s"t=$t survival ${r.getAs[Double]("survival")} vs local $surv")
+    }
+    // the curve does real work on this corpus (every sf0.001 signup
+    // converts, so censoring itself is exercised by the sf0.01/0.1
+    // oracle gates; the exact recomputation above is the pin)
+    assert(out.head.getAs[Double]("survival") < 1.0)
+    assert(durs.exists(_._2), "corpus must contain conversions")
+  }
+
   test("events_ab_test: arms partition users; z agrees with a local Welch computation") {
     val row = operators.Events.eventsAbTest(spark, sf).head()
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
