@@ -55,6 +55,7 @@ object SparkEntry {
     "privacy_kanon" -> ((s: SparkSession, d: String) => Governance.privacyKanon(s, d)),
     "privacy_l_diversity" -> ((s: SparkSession, d: String) => Governance.privacyLDiversity(s, d)),
     "quality_pr_curve" -> (Governance.qualityPrCurve _),
+    "quality_reliability" -> (Governance.qualityReliability _),
     "corpus_mixture_report" -> (Quality.corpusMixtureReport _),
     // entity matching
     "match_exact" -> (Matching.matchExact _),
@@ -1885,6 +1886,25 @@ object SparkEntry {
         |  CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_sensitive,
         |  CAST(CASE WHEN count(DISTINCT c_nationkey) < 3 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
         |FROM customer GROUP BY 1, 2 ORDER BY c_mktsegment, bal_bucket""".stripMargin,
+
+    "quality_reliability" ->
+      s"""WITH sc AS (SELECT doc_id, score FROM ($qualityClassifierSql) c),
+         |tr AS (SELECT doc_id,
+         |  CAST(CASE WHEN quality_bucket = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS pos
+         | FROM ($textQualitySql) q),
+         |b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin, score, pos
+         |  FROM sc JOIN tr ON sc.doc_id = tr.doc_id),
+         |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, avg(score) AS ms,
+         |   CAST(sum(pos) AS BIGINT) AS n_pos FROM b GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM bins)
+         |SELECT bin, n, n_pos,
+         | round(CAST(n AS DOUBLE)/nn, 6) AS share,
+         | round(ms, 6) AS mean_score,
+         | round(CAST(n_pos AS DOUBLE)/n, 6) AS pos_rate,
+         | round(abs(ms - CAST(n_pos AS DOUBLE)/n), 6) AS gap,
+         | round(CAST(n AS DOUBLE)/nn * abs(ms - CAST(n_pos AS DOUBLE)/n), 6)
+         |   AS ece_contrib
+         |FROM bins CROSS JOIN tot ORDER BY bin""".stripMargin,
 
     "quality_pr_curve" ->
       s"""WITH sc AS (SELECT doc_id, score FROM ($qualityClassifierSql) c),

@@ -137,6 +137,45 @@ object Governance {
     * conditional aggregation — the score stream is read once for all
     * nine thresholds, not once per threshold.
     */
+  /** Reliability diagram of the model-based quality filter: scores
+    * bucketed into 10 probability bins, each bin's MEAN SCORE
+    * against its EMPIRICAL positive rate (weak truth = the heuristic
+    * bucket, as in [[qualityPrCurve]]) — a calibrated model sits on
+    * the diagonal; `gap` is the bin's calibration error and
+    * `ece_contrib` its population-weighted share (summing the column
+    * gives the Expected Calibration Error). The PR curve picks the
+    * operating point; this table says whether the SCORES themselves
+    * can be trusted as probabilities (e.g. for temperature-scaled
+    * sampling by quality).
+    *
+    * Scale shape: one per-doc equi-join, one 10-key groupBy with
+    * map-side combine, and the corpus total on a broadcast one-row
+    * cross join — nothing beyond the [[qualityPrCurve]] pattern.
+    */
+  def qualityReliability(spark: SparkSession, dir: String): DataFrame = {
+    val sc = graft.functions.Unordered(
+      TextAnalysis.qualityClassifier(spark, dir)).select("doc_id", "score")
+    val tr = graft.functions.Unordered(
+      TextAnalysis.textQuality(spark, dir))
+      .select(col("doc_id"),
+        when(col("quality_bucket") === "ok", 1L).otherwise(0L).as("pos"))
+    val binned = sc.join(tr, "doc_id")
+      .withColumn("bin", least(floor(col("score") * 10).cast("long"), lit(9L)))
+    val bins = binned.groupBy("bin").agg(
+      count(lit(1)).as("n"), avg("score").as("ms"), sum("pos").as("n_pos"))
+    val total = bins.agg(sum("n").as("nn"))
+    bins.crossJoin(broadcast(total))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n").cast("double") / col("nn"), 6).as("share"),
+        round(col("ms"), 6).as("mean_score"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"),
+        round(abs(col("ms") - col("n_pos").cast("double") / col("n")), 6).as("gap"),
+        round(col("n").cast("double") / col("nn")
+          * abs(col("ms") - col("n_pos").cast("double") / col("n")), 6)
+          .as("ece_contrib"))
+      .orderBy("bin")
+  }
+
   def qualityPrCurve(spark: SparkSession, dir: String): DataFrame = {
     val sc = graft.functions.Unordered(
       TextAnalysis.qualityClassifier(spark, dir)).select("doc_id", "score")

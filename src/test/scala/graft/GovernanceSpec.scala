@@ -123,6 +123,23 @@ class GovernanceSpec extends SparkSpec {
     w.unpersist()
   }
 
+  test("quality_reliability: bins partition the corpus; gaps and ECE are consistent") {
+    val rows = operators.Governance.qualityReliability(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == docs, "bins partition the corpus")
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val ms = r.getAs[Double]("mean_score")
+      assert(ms >= bin / 10.0 - 1e-9 && ms <= (bin + 1) / 10.0 + 1e-9,
+        s"bin $bin mean score $ms outside its bounds")
+      assert(r.getAs[Double]("pos_rate") >= 0 && r.getAs[Double]("pos_rate") <= 1)
+      // contribution = share × gap, up to the independent rounding of each
+      assert(math.abs(r.getAs[Double]("ece_contrib") -
+        r.getAs[Double]("share") * r.getAs[Double]("gap")) < 1e-5)
+    }
+  }
+
   test("events_survival: Kaplan-Meier invariants and exact local recomputation") {
     val out = operators.Events.eventsSurvival(spark, sf).collect().sortBy(_.getLong(0))
     assert(out.length == 31)
