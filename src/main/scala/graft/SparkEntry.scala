@@ -40,6 +40,7 @@ object SparkEntry {
     "events_funnel" -> (Events.eventsFunnel _),
     "events_funnel_windowed" -> (Events.eventsFunnelWindowed _),
     "events_survival" -> (Events.eventsSurvival _),
+    "events_cuped" -> (Events.eventsCuped _),
     "events_retention" -> (Events.eventsRetention _),
     "events_moving_avg" -> (Events.eventsMovingAvg _),
     "events_dau_wau" -> (Events.eventsDauWau _),
@@ -605,6 +606,72 @@ object SparkEntry {
         | FROM e)
         |SELECT event_id, user_id, signup_event, ts_s - signup_ts AS gap_s
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "events_cuped" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |  epoch_ns(ts)//1000000000 AS ts_s FROM events),
+        |mid AS (SELECT (min(ts_s) + max(ts_s)) / 2 AS mid_ts FROM e),
+        |pu AS (SELECT user_id,
+        |  coalesce(sum(CASE WHEN event_type = 'purchase' AND ts_s < mid_ts
+        |    THEN value END), 0.0) AS x,
+        |  coalesce(sum(CASE WHEN event_type = 'purchase' AND ts_s >= mid_ts
+        |    THEN value END), 0.0) AS y
+        | FROM e CROSS JOIN mid GROUP BY 1),
+        |pv AS (SELECT x, y, CASE WHEN list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+        |      * pow(16, 8-i))) / 4294967296.0 < 0.5
+        |  THEN 'A' ELSE 'B' END AS variant FROM pu),
+        |s AS (SELECT
+        |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  sum(CASE WHEN variant = 'A' THEN x END) AS sx_a,
+        |  sum(CASE WHEN variant = 'B' THEN x END) AS sx_b,
+        |  sum(CASE WHEN variant = 'A' THEN y END) AS sy_a,
+        |  sum(CASE WHEN variant = 'B' THEN y END) AS sy_b,
+        |  sum(CASE WHEN variant = 'A' THEN x*x END) AS sxx_a,
+        |  sum(CASE WHEN variant = 'B' THEN x*x END) AS sxx_b,
+        |  sum(CASE WHEN variant = 'A' THEN y*y END) AS syy_a,
+        |  sum(CASE WHEN variant = 'B' THEN y*y END) AS syy_b,
+        |  sum(CASE WHEN variant = 'A' THEN x*y END) AS sxy_a,
+        |  sum(CASE WHEN variant = 'B' THEN x*y END) AS sxy_b
+        | FROM pv),
+        |d AS (SELECT *,
+        |  CAST(n_a + n_b AS DOUBLE) AS n,
+        |  (sx_a + sx_b) / CAST(n_a + n_b AS DOUBLE) AS mx,
+        |  (sy_a + sy_b) / CAST(n_a + n_b AS DOUBLE) AS my
+        | FROM s),
+        |t AS (SELECT *,
+        |  ((sxy_a + sxy_b) / n - mx * my)
+        |    / ((sxx_a + sxx_b) / n - mx * mx) AS theta,
+        |  syy_a / CAST(n_a AS DOUBLE)
+        |    - (sy_a / CAST(n_a AS DOUBLE)) * (sy_a / CAST(n_a AS DOUBLE)) AS vy_a,
+        |  syy_b / CAST(n_b AS DOUBLE)
+        |    - (sy_b / CAST(n_b AS DOUBLE)) * (sy_b / CAST(n_b AS DOUBLE)) AS vy_b
+        | FROM d),
+        |u AS (SELECT *,
+        |  sy_a / CAST(n_a AS DOUBLE) - theta * (sx_a / CAST(n_a AS DOUBLE) - mx) AS adj_a,
+        |  sy_b / CAST(n_b AS DOUBLE) - theta * (sx_b / CAST(n_b AS DOUBLE) - mx) AS adj_b,
+        |  vy_a - 2.0 * theta * (sxy_a / CAST(n_a AS DOUBLE)
+        |      - (sx_a / CAST(n_a AS DOUBLE)) * (sy_a / CAST(n_a AS DOUBLE)))
+        |    + theta * theta * (sxx_a / CAST(n_a AS DOUBLE)
+        |      - (sx_a / CAST(n_a AS DOUBLE)) * (sx_a / CAST(n_a AS DOUBLE))) AS va_adj,
+        |  vy_b - 2.0 * theta * (sxy_b / CAST(n_b AS DOUBLE)
+        |      - (sx_b / CAST(n_b AS DOUBLE)) * (sy_b / CAST(n_b AS DOUBLE)))
+        |    + theta * theta * (sxx_b / CAST(n_b AS DOUBLE)
+        |      - (sx_b / CAST(n_b AS DOUBLE)) * (sx_b / CAST(n_b AS DOUBLE))) AS vb_adj
+        | FROM t)
+        |SELECT n_a, n_b,
+        | round(sy_a / CAST(n_a AS DOUBLE), 6) AS rev_mean_a,
+        | round(sy_b / CAST(n_b AS DOUBLE), 6) AS rev_mean_b,
+        | round(theta, 6) AS theta,
+        | round(adj_a, 6) AS adj_mean_a,
+        | round(adj_b, 6) AS adj_mean_b,
+        | round(1.0 - (va_adj * n_a + vb_adj * n_b) / (vy_a * n_a + vy_b * n_b), 6)
+        |   AS var_reduction,
+        | round((sy_b / CAST(n_b AS DOUBLE) - sy_a / CAST(n_a AS DOUBLE))
+        |   / sqrt(vy_a / n_a + vy_b / n_b), 6) AS z_raw,
+        | round((adj_b - adj_a) / sqrt(va_adj / n_a + vb_adj / n_b), 6) AS z_adj
+        |FROM u""".stripMargin,
 
     "events_survival" ->
       """WITH e AS (SELECT user_id, event_type,

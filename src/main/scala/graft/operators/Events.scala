@@ -964,4 +964,92 @@ object Events {
         round((col("mean_b") - col("mean_a")) /
           sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6).as("z"))
   }
+
+  /** CUPED variance reduction for the A/B read-out: each user's
+    * post-period revenue is adjusted by their PRE-period revenue
+    * (timeline midpoint split), y_adj = y − θ(x − x̄) with
+    * θ = cov(x,y)/var(x) pooled — the standard experimentation
+    * technique that removes the between-user variance the pre-period
+    * already explains, shrinking confidence intervals at the same
+    * sample size. One row out: per-variant populations and raw vs
+    * adjusted means, θ, the pooled variance-reduction fraction
+    * (≈ corr²), and the Welch z before/after — the read-out that
+    * shows how much experiment runtime CUPED buys back.
+    *
+    * Scale shape: one per-user aggregate, then ONE conditional
+    * aggregation to per-variant sufficient statistics; θ and every
+    * adjusted moment expand algebraically from those sums
+    * (var(y_adj) = var(y) − 2θ·cov + θ²·var(x)), so no second pass
+    * over users is ever needed and no user-level data leaves the
+    * first shuffle.
+    */
+  def eventsCuped(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val mid = e.agg(((min("ts_s") + max("ts_s")) / lit(2L)).as("mid_ts"))
+    val perUser = e.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(
+        coalesce(sum(when(col("event_type") === "purchase" &&
+          col("ts_s") < col("mid_ts"), col("value"))), lit(0.0)).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase" &&
+          col("ts_s") >= col("mid_ts"), col("value"))), lit(0.0)).as("y"))
+      .withColumn("variant",
+        when(graft.functions.HexExprs.uniformHash(col("user_id").cast("string")) < 0.5,
+          "A").otherwise("B"))
+    def side(v: String, c: org.apache.spark.sql.Column) = when(col("variant") === v, c)
+    val s = perUser.agg(
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(side("A", col("x"))).as("sx_a"), sum(side("B", col("x"))).as("sx_b"),
+      sum(side("A", col("y"))).as("sy_a"), sum(side("B", col("y"))).as("sy_b"),
+      sum(side("A", col("x") * col("x"))).as("sxx_a"),
+      sum(side("B", col("x") * col("x"))).as("sxx_b"),
+      sum(side("A", col("y") * col("y"))).as("syy_a"),
+      sum(side("B", col("y") * col("y"))).as("syy_b"),
+      sum(side("A", col("x") * col("y"))).as("sxy_a"),
+      sum(side("B", col("x") * col("y"))).as("sxy_b"))
+    val n = (col("n_a") + col("n_b")).cast("double")
+    val mx = (col("sx_a") + col("sx_b")) / n
+    val my = (col("sy_a") + col("sy_b")) / n
+    val varX = (col("sxx_a") + col("sxx_b")) / n - mx * mx
+    val covXY = (col("sxy_a") + col("sxy_b")) / n - mx * my
+    val theta = covXY / varX
+    def meanAdj(suffix: String) = {
+      val nv = col(s"n_$suffix").cast("double")
+      col(s"sy_$suffix") / nv - theta * (col(s"sx_$suffix") / nv - mx)
+    }
+    // per-variant adjusted variance from the same sufficient stats:
+    // var_v(y_adj) = var_v(y) − 2θ·cov_v(x,y) + θ²·var_v(x)
+    def varAdj(suffix: String) = {
+      val nv = col(s"n_$suffix").cast("double")
+      val mxv = col(s"sx_$suffix") / nv
+      val myv = col(s"sy_$suffix") / nv
+      val vY = col(s"syy_$suffix") / nv - myv * myv
+      val vX = col(s"sxx_$suffix") / nv - mxv * mxv
+      val cV = col(s"sxy_$suffix") / nv - mxv * myv
+      vY - lit(2.0) * theta * cV + theta * theta * vX
+    }
+    def vYv(suffix: String) = {
+      val nv = col(s"n_$suffix").cast("double")
+      val myv = col(s"sy_$suffix") / nv
+      col(s"syy_$suffix") / nv - myv * myv
+    }
+    val zRaw =
+      (col("sy_b") / col("n_b").cast("double") -
+        col("sy_a") / col("n_a").cast("double")) /
+        sqrt(vYv("a") / col("n_a") + vYv("b") / col("n_b"))
+    s.select(
+      col("n_a"), col("n_b"),
+      round(col("sy_a") / col("n_a").cast("double"), 6).as("rev_mean_a"),
+      round(col("sy_b") / col("n_b").cast("double"), 6).as("rev_mean_b"),
+      round(theta, 6).as("theta"),
+      round(meanAdj("a"), 6).as("adj_mean_a"),
+      round(meanAdj("b"), 6).as("adj_mean_b"),
+      // within-variant pooled, like for like: adjusted vs raw
+      round(lit(1.0) - (varAdj("a") * col("n_a") + varAdj("b") * col("n_b")) /
+        (vYv("a") * col("n_a") + vYv("b") * col("n_b")), 6).as("var_reduction"),
+      round(zRaw, 6).as("z_raw"),
+      round((meanAdj("b") - meanAdj("a")) /
+        sqrt(varAdj("a") / col("n_a") + varAdj("b") / col("n_b")), 6).as("z_adj"))
+  }
 }
