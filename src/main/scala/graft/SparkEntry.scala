@@ -86,6 +86,7 @@ object SparkEntry {
     "contamination_minhash" -> (Dedup.contaminationMinhash _),
     "dedup_substring" -> (Dedup.dedupSubstring _),
     "contamination_ngram" -> (Dedup.contaminationNgram _),
+    "text_ngram_novelty" -> (Dedup.textNgramNovelty _),
     // text analysis
     "text_langid" -> (TextAnalysis.textLangid _),
     "langid_confusion" -> (TextAnalysis.langidConfusion _),
@@ -1890,6 +1891,21 @@ object SparkEntry {
         |FROM train JOIN bench USING (h)
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY doc_id, bench_id""".stripMargin,
+
+    "text_ngram_novelty" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text,'\s+') AS t FROM documents),
+        |g AS (SELECT doc_id, md5(g5) AS h FROM (
+        |   SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t)-4),
+        |      i -> array_to_string(t[i:i+4], ' ')))) AS g5
+        |   FROM d WHERE len(t) >= 5) x),
+        |f AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        | round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 6) AS novelty,
+        | round(CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 6) AS common_frac
+        |FROM g JOIN f USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "corpus_mixture_report" ->
       """WITH d AS (SELECT source, lang,

@@ -514,14 +514,22 @@ object Dedup {
     * when it isn't; the hint belongs only on a table whose size is
     * known-bounded by construction.
     */
+  /** Distinct word-5-gram hashes per doc — shared by the
+    * decontamination gate and the novelty profile.
+    */
+  private def fiveGrams(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("word5_grams", spark, dir) {
+      Tables.documents(spark, dir)
+        .withColumn("t", tokensCol)
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(t)-4), i -> array_join(slice(t, i, 5), ' '))")))
+          .as("g5"))
+        .select(col("doc_id"), md5(col("g5")).as("h"))
+    }
+
   def contaminationNgram(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
-      .withColumn("t", tokensCol)
-      .filter(size(col("t")) >= 5)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(1, size(t)-4), i -> array_join(slice(t, i, 5), ' '))")))
-        .as("g5"))
-      .select(col("doc_id"), md5(col("g5")).as("h"))
+    val grams = fiveGrams(spark, dir)
     val bench = grams.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("bench_id"), col("h"))
     val train = grams.filter(col("doc_id") % 10 =!= 0)
@@ -529,6 +537,33 @@ object Dedup {
       .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)
       .orderBy("doc_id", "bench_id")
+  }
+
+  /** Per-doc n-gram NOVELTY profile: what fraction of a document's
+    * distinct word-5-grams appear in no other document (df = 1) vs
+    * in ≥ 5 documents — the original-content-vs-boilerplate
+    * decomposition that complements pairwise dedup: a doc can have
+    * NO near-duplicate yet be 90% template, and this is the signal
+    * that catches it (the substring-dedup chunk-df idea at the
+    * curation-score grain).
+    *
+    * Scale shape: the shared distinct-gram relation, one gram-keyed
+    * df aggregate (map-side combine), one hash join back, one
+    * doc-keyed conditional aggregation — every shuffle is on a
+    * well-distributed hash key.
+    */
+  def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = fiveGrams(spark, dir)
+    val dfreq = grams.groupBy("h").agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"),
+        sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_common"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"),
+        round(col("n_common").cast("double") / col("n_grams"), 6).as("common_frac"))
+      .orderBy("doc_id")
   }
 
   /** Connected components over the near-duplicate graph (edges =

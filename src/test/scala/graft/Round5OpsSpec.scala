@@ -491,6 +491,32 @@ class Round5OpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("text_ngram_novelty: agrees with a local df computation") {
+    val out = operators.Dedup.textNgramNovelty(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val gramSets = docs.map { case (id, text) =>
+      val t = text.split("\\s+")
+      id -> (if (t.length < 5) Set.empty[String]
+        else (0 to t.length - 5).map(i => t.slice(i, i + 5).mkString(" ")).toSet)
+    }.filter(_._2.nonEmpty)
+    val df = gramSets.flatMap(_._2).groupBy(identity).map { case (g, v) => g -> v.size }
+    assert(out.keySet == gramSets.map(_._1).toSet,
+      "every >=5-token doc gets a profile row")
+    gramSets.foreach { case (id, gs) =>
+      val (n, nov, com) = out(id)
+      assert(n == gs.size.toLong)
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(nov == r6(gs.count(df(_) == 1).toDouble / gs.size), s"doc $id novelty")
+      assert(com == r6(gs.count(df(_) >= 3).toDouble / gs.size), s"doc $id common")
+    }
+    // the corpus exercises both ends of the signal (df>=5 grams only
+    // appear at the bigger SFs — the sf0.01/0.1 oracle gates cover
+    // common_frac > 0; here: high-novelty docs AND shared grams)
+    assert(out.values.exists(_._2 > 0.5) && out.values.exists(_._2 < 1.0))
+  }
+
   test("text_zipf_fit: agrees with a local least-squares over the top-100 counts") {
     val row = operators.TextAnalysis.textZipfFit(spark, sf).head()
     // independent local fit from raw token counts
