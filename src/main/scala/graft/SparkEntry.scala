@@ -119,6 +119,7 @@ object SparkEntry {
     "embed_outliers" -> (Similarity.embedOutliers _),
     "embed_whitening" -> (Similarity.embedWhitening _),
     "cluster_kmeans" -> (Similarity.clusterKmeans _),
+    "embed_cluster_margin" -> (Similarity.embedClusterMargin _),
     "embed_top_pc" -> (Similarity.embedTopPc _),
     "embed_top2_pc" -> (Similarity.embedTop2Pc _),
     // sketches + range join
@@ -522,6 +523,35 @@ object SparkEntry {
         | SELECT *, CAST(row_number() OVER (ORDER BY adc_d2, vec_id) AS INT) AS rank
         | FROM adc) t
         |WHERE rank <= 5 ORDER BY rank""".stripMargin
+
+  /** Shared seed→round-1-centroid→distance CTE chain (through p2 =
+    * every (vec, centroid) rounded distance) — consumed by the
+    * cluster_kmeans assignment and the margin diagnostic.
+    */
+  private val kmeansCtes: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM e),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c,
+        |   list_sum(list_transform(v, x -> x*x)) AS c2 FROM e WHERE vec_id < 8),
+        |p1 AS (SELECT vec_id, cid, round(n2
+        |   - 2*list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*c[i]))
+        |   + c2, 6) AS d2
+        |  FROM n CROSS JOIN c0),
+        |a1 AS (SELECT vec_id, cid AS cluster FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |   FROM p1) t WHERE rn = 1),
+        |mx AS (SELECT cluster, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x
+        |  FROM a1 JOIN n USING (vec_id)),
+        |m1 AS (SELECT cluster AS cid, dim, round(avg(x), 6) AS cx
+        |  FROM mx GROUP BY 1, 2),
+        |c1 AS (SELECT cid, list(cx ORDER BY dim) AS c FROM m1 GROUP BY 1),
+        |c1b AS (SELECT cid, c, list_sum(list_transform(c, x -> x*x)) AS c2 FROM c1),
+        |p2 AS (SELECT vec_id, cid, round(n2
+        |   - 2*list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*c[i]))
+        |   + c2, 6) AS d2
+        |  FROM n CROSS JOIN c1b)"""
+    .stripMargin
 
   def oracleSql: Map[String, String] = oracleSqlAll
 
@@ -2084,31 +2114,21 @@ object SparkEntry {
         |ORDER BY dup.doc_id""".stripMargin,
 
     "cluster_kmeans" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS n2 FROM e),
-        |c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS c,
-        |   list_sum(list_transform(v, x -> x*x)) AS c2 FROM e WHERE vec_id < 8),
-        |p1 AS (SELECT vec_id, cid, round(n2
-        |   - 2*list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*c[i]))
-        |   + c2, 6) AS d2
-        |  FROM n CROSS JOIN c0),
-        |a1 AS (SELECT vec_id, cid AS cluster FROM (
-        |   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        |   FROM p1) t WHERE rn = 1),
-        |mx AS (SELECT cluster, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x
-        |  FROM a1 JOIN n USING (vec_id)),
-        |m1 AS (SELECT cluster AS cid, dim, round(avg(x), 6) AS cx
-        |  FROM mx GROUP BY 1, 2),
-        |c1 AS (SELECT cid, list(cx ORDER BY dim) AS c FROM m1 GROUP BY 1),
-        |c1b AS (SELECT cid, c, list_sum(list_transform(c, x -> x*x)) AS c2 FROM c1),
-        |p2 AS (SELECT vec_id, cid, round(n2
-        |   - 2*list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*c[i]))
-        |   + c2, 6) AS d2
-        |  FROM n CROSS JOIN c1b)
-        |SELECT vec_id, cid AS cluster, d2 AS dist2 FROM (
-        | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        | FROM p2) t WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+      s"""$kmeansCtes
+         |SELECT vec_id, cid AS cluster, d2 AS dist2 FROM (
+         | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         | FROM p2) t WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "embed_cluster_margin" ->
+      s"""$kmeansCtes,
+         |r AS (SELECT vec_id, cid, d2,
+         |   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM p2),
+         |mm AS (SELECT a.vec_id, a.cid AS cluster, a.d2 AS dist2,
+         |   round((b.d2 - a.d2) / b.d2, 6) AS margin
+         |  FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2)
+         |SELECT vec_id, cluster, dist2, margin, rank FROM (
+         | SELECT *, CAST(row_number() OVER (ORDER BY margin, vec_id) AS INT) AS rank
+         | FROM mm) t WHERE rank <= 25 ORDER BY rank""".stripMargin,
 
     "knn_batch" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

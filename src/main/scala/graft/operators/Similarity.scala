@@ -492,17 +492,54 @@ object Similarity {
           .select(col("vec_id").cast("int").as("cid"), col("v").as("c")))
     }
 
-  def clusterKmeans(spark: SparkSession, dir: String): DataFrame = {
+  /** Round-1 Lloyd centroids (means of the seed assignment) —
+    * PlanCache-shared by [[clusterKmeans]] and the margin diagnostic.
+    */
+  private def kmeansCentroids(spark: SparkSession, dir: String, k: Int): DataFrame =
+    graft.PlanCache.cached(s"kmeans_cents_$k", spark, dir) {
+      seedAssignment(spark, dir, k).join(kmeansVecs(spark, dir), "vec_id")
+        .select(col("cluster").as("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim").agg(round(avg("x"), 6).as("cx"))
+        .groupBy("cid")
+        .agg(expr("transform(sort_array(collect_list(struct(dim, cx))), s -> s.cx)").as("c"))
+    }
+
+  def clusterKmeans(spark: SparkSession, dir: String): DataFrame =
+    assignToCentroids(kmeansVecs(spark, dir), kmeansCentroids(spark, dir, 8))
+      .orderBy("vec_id")
+
+  /** Cluster-assignment CONFIDENCE: per vector, the distance to its
+    * nearest and second-nearest round-1 centroid and the relative
+    * margin (d₂−d₁)/d₂ — ≈0 means the vector sits on a cluster
+    * boundary (ambiguous under SemDeDup-style semantic partitioning,
+    * the re-embed/relabel candidates), →1 means core membership. The
+    * 25 most ambiguous vectors, rank-ordered.
+    *
+    * Scale shape: the corpus × broadcast-k distance scan of
+    * [[assignToCentroids]], but keeping the TWO smallest via one
+    * bounded sort_array(collect_list) per vector — the array is
+    * exactly k entries (k = 8 here; at production k the top-2 would
+    * come from two min(struct) passes instead) — then a TakeOrdered
+    * top-25. No shuffle carries more than |corpus| bounded rows.
+    */
+  def embedClusterMargin(spark: SparkSession, dir: String): DataFrame = {
     val k = 8
     val e = kmeansVecs(spark, dir)
-    def assign(cents: DataFrame): DataFrame = assignToCentroids(e, cents)
-    val a1 = seedAssignment(spark, dir, k)
-    val c1 = a1.join(e, "vec_id")
-      .select(col("cluster").as("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy("cid", "dim").agg(round(avg("x"), 6).as("cx"))
-      .groupBy("cid")
-      .agg(expr("transform(sort_array(collect_list(struct(dim, cx))), s -> s.cx)").as("c"))
-    assign(c1).orderBy("vec_id")
+    val cents = kmeansCentroids(spark, dir, k)
+      .withColumn("c2", graft.functions.VectorExprs.dot(col("c"), col("c")))
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("d2", round(
+        col("n2") - lit(2.0) * graft.functions.VectorExprs.dot(col("v"), col("c"))
+          + col("c2"), 6))
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(col("d2"), col("cid")))).as("ds"))
+      .select(col("vec_id"),
+        col("ds")(0).getField("cid").as("cluster"),
+        col("ds")(0).getField("d2").as("dist2"),
+        round((col("ds")(1).getField("d2") - col("ds")(0).getField("d2"))
+          / col("ds")(1).getField("d2"), 6).as("margin"))
+    graft.functions.TopK.globalWithRank(scored, 25,
+      col("margin").asc, col("vec_id"))
   }
 
   /** Per-label embedding population stats: count, mean vector norm,

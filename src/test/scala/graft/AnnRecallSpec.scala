@@ -35,6 +35,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("embed_cluster_margin: agrees with the kmeans assignment; margins ordered in [0,1]") {
+    val rows = operators.Similarity.embedClusterMargin(spark, sf).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(rows.length == 25)
+    val margins = rows.map(_.getAs[Double]("margin"))
+    assert(margins.zip(margins.tail).forall { case (a, b) => a <= b },
+      "rank order is ascending ambiguity")
+    assert(margins.forall(m => m >= 0.0 && m <= 1.0))
+    // nearest cluster and distance must equal the kmeans assignment
+    val assign = operators.Similarity.clusterKmeans(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (c, d) = assign(r.getAs[Long]("vec_id"))
+      assert(r.getAs[Int]("cluster") == c && r.getAs[Double]("dist2") == d,
+        s"vec ${r.getAs[Long]("vec_id")} must mirror its kmeans row")
+    }
+  }
+
   test("knn_recall_pq: one summary row, recall = |ivfpq∩truth|/5 recomputed locally") {
     val row = operators.Similarity.knnRecallPq(spark, sf).head()
     val truth = operators.Similarity.knnBrute(spark, sf)
