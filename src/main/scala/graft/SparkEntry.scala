@@ -41,6 +41,7 @@ object SparkEntry {
     "events_funnel_windowed" -> (Events.eventsFunnelWindowed _),
     "events_survival" -> (Events.eventsSurvival _),
     "events_cuped" -> (Events.eventsCuped _),
+    "events_did" -> (Events.eventsDid _),
     "events_retention" -> (Events.eventsRetention _),
     "events_moving_avg" -> (Events.eventsMovingAvg _),
     "events_dau_wau" -> (Events.eventsDauWau _),
@@ -637,6 +638,49 @@ object SparkEntry {
         | FROM e)
         |SELECT event_id, user_id, signup_event, ts_s - signup_ts AS gap_s
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "events_did" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |  epoch_ns(ts)//1000000000 AS ts_s FROM events),
+        |mid AS (SELECT (min(ts_s) + max(ts_s)) / 2 AS mid_ts FROM e),
+        |pu AS (SELECT user_id,
+        |  coalesce(sum(CASE WHEN event_type = 'purchase' AND ts_s < mid_ts
+        |    THEN value END), 0.0) AS x,
+        |  coalesce(sum(CASE WHEN event_type = 'purchase' AND ts_s >= mid_ts
+        |    THEN value END), 0.0) AS y
+        | FROM e CROSS JOIN mid GROUP BY 1),
+        |pv AS (SELECT x, y, y - x AS d,
+        |  CASE WHEN list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+        |      * pow(16, 8-i))) / 4294967296.0 < 0.5
+        |  THEN 'A' ELSE 'B' END AS variant FROM pu),
+        |s AS (SELECT
+        |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  sum(CASE WHEN variant = 'A' THEN x END) AS sx_a,
+        |  sum(CASE WHEN variant = 'B' THEN x END) AS sx_b,
+        |  sum(CASE WHEN variant = 'A' THEN y END) AS sy_a,
+        |  sum(CASE WHEN variant = 'B' THEN y END) AS sy_b,
+        |  sum(CASE WHEN variant = 'A' THEN d END) AS sd_a,
+        |  sum(CASE WHEN variant = 'B' THEN d END) AS sd_b,
+        |  sum(CASE WHEN variant = 'A' THEN d*d END) AS sdd_a,
+        |  sum(CASE WHEN variant = 'B' THEN d*d END) AS sdd_b
+        | FROM pv),
+        |t AS (SELECT *,
+        |  sd_b / CAST(n_b AS DOUBLE) - sd_a / CAST(n_a AS DOUBLE) AS did,
+        |  sdd_a / CAST(n_a AS DOUBLE)
+        |    - (sd_a / CAST(n_a AS DOUBLE)) * (sd_a / CAST(n_a AS DOUBLE)) AS vd_a,
+        |  sdd_b / CAST(n_b AS DOUBLE)
+        |    - (sd_b / CAST(n_b AS DOUBLE)) * (sd_b / CAST(n_b AS DOUBLE)) AS vd_b
+        | FROM s)
+        |SELECT n_a, n_b,
+        | round(sx_a / CAST(n_a AS DOUBLE), 6) AS pre_mean_a,
+        | round(sx_b / CAST(n_b AS DOUBLE), 6) AS pre_mean_b,
+        | round(sy_a / CAST(n_a AS DOUBLE), 6) AS post_mean_a,
+        | round(sy_b / CAST(n_b AS DOUBLE), 6) AS post_mean_b,
+        | round(did, 6) AS did,
+        | round(did / sqrt(vd_a / n_a + vd_b / n_b), 6) AS z
+        |FROM t""".stripMargin,
 
     "events_cuped" ->
       """WITH e AS (SELECT user_id, event_type, value,

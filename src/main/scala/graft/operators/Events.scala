@@ -965,6 +965,54 @@ object Events {
           sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6).as("z"))
   }
 
+  /** Difference-in-differences read-out over the same pre/post ×
+    * variant split as [[eventsCuped]]: per user d = y − x (post minus
+    * pre revenue), DiD = mean_d_B − mean_d_A — the estimator that
+    * removes any PRE-EXISTING level difference between the arms
+    * (which a raw post-period comparison absorbs as fake lift) —
+    * with per-arm pre/post means and a Welch z on the per-user
+    * deltas. One per-user pass, one conditional 1-row aggregate; no
+    * user-level data leaves the first shuffle.
+    */
+  def eventsDid(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val mid = e.agg(((min("ts_s") + max("ts_s")) / lit(2L)).as("mid_ts"))
+    val perUser = e.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(
+        coalesce(sum(when(col("event_type") === "purchase" &&
+          col("ts_s") < col("mid_ts"), col("value"))), lit(0.0)).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase" &&
+          col("ts_s") >= col("mid_ts"), col("value"))), lit(0.0)).as("y"))
+      .withColumn("d", col("y") - col("x"))
+      .withColumn("variant",
+        when(graft.functions.HexExprs.uniformHash(col("user_id").cast("string")) < 0.5,
+          "A").otherwise("B"))
+    def side(v: String, c: org.apache.spark.sql.Column) = when(col("variant") === v, c)
+    val s = perUser.agg(
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(side("A", col("x"))).as("sx_a"), sum(side("B", col("x"))).as("sx_b"),
+      sum(side("A", col("y"))).as("sy_a"), sum(side("B", col("y"))).as("sy_b"),
+      sum(side("A", col("d"))).as("sd_a"), sum(side("B", col("d"))).as("sd_b"),
+      sum(side("A", col("d") * col("d"))).as("sdd_a"),
+      sum(side("B", col("d") * col("d"))).as("sdd_b"))
+    def m(sumCol: String, nCol: String) = col(sumCol) / col(nCol).cast("double")
+    def vD(suffix: String) = {
+      val mv = m(s"sd_$suffix", s"n_$suffix")
+      col(s"sdd_$suffix") / col(s"n_$suffix").cast("double") - mv * mv
+    }
+    val did = m("sd_b", "n_b") - m("sd_a", "n_a")
+    s.select(
+      col("n_a"), col("n_b"),
+      round(m("sx_a", "n_a"), 6).as("pre_mean_a"),
+      round(m("sx_b", "n_b"), 6).as("pre_mean_b"),
+      round(m("sy_a", "n_a"), 6).as("post_mean_a"),
+      round(m("sy_b", "n_b"), 6).as("post_mean_b"),
+      round(did, 6).as("did"),
+      round(did / sqrt(vD("a") / col("n_a") + vD("b") / col("n_b")), 6).as("z"))
+  }
+
   /** CUPED variance reduction for the A/B read-out: each user's
     * post-period revenue is adjusted by their PRE-period revenue
     * (timeline midpoint split), y_adj = y − θ(x − x̄) with

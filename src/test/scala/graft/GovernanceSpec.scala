@@ -180,6 +180,22 @@ class GovernanceSpec extends SparkSpec {
     assert(vr <= 1.0)
   }
 
+  test("events_did: identity did = (post_b - pre_b) - (post_a - pre_a); consistent with cuped population") {
+    val r = operators.Events.eventsDid(spark, sf).head()
+    def g(c: String) = r.getAs[Double](c)
+    // the defining DiD identity over the reported arm means (each
+    // rounded to 6, so allow their combination tolerance)
+    val expect = (g("post_mean_b") - g("pre_mean_b")) - (g("post_mean_a") - g("pre_mean_a"))
+    assert(math.abs(g("did") - expect) < 5e-6, s"did ${g("did")} vs identity $expect")
+    // same split and population as events_cuped
+    val c = operators.Events.eventsCuped(spark, sf).head()
+    assert(r.getAs[Long]("n_a") == c.getAs[Long]("n_a") &&
+      r.getAs[Long]("n_b") == c.getAs[Long]("n_b"))
+    assert(math.abs(g("post_mean_a") - c.getAs[Double]("rev_mean_a")) < 1e-9 &&
+      math.abs(g("post_mean_b") - c.getAs[Double]("rev_mean_b")) < 1e-9,
+      "post-period means must match the CUPED read-out")
+  }
+
   test("quality_reliability: bins partition the corpus; gaps and ECE are consistent") {
     val rows = operators.Governance.qualityReliability(spark, sf).collect()
     val docs = Tables.documents(spark, sf).count()
