@@ -42,6 +42,7 @@ object SparkEntry {
     "events_survival" -> (Events.eventsSurvival _),
     "events_cuped" -> (Events.eventsCuped _),
     "events_did" -> (Events.eventsDid _),
+    "events_forecast_baseline" -> (Events.eventsForecastBaseline _),
     "events_retention" -> (Events.eventsRetention _),
     "events_moving_avg" -> (Events.eventsMovingAvg _),
     "events_dau_wau" -> (Events.eventsDauWau _),
@@ -638,6 +639,22 @@ object SparkEntry {
         | FROM e)
         |SELECT event_id, user_id, signup_event, ts_s - signup_ts AS gap_s
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "events_forecast_baseline" ->
+      """WITH e AS (SELECT event_type,
+        |  (epoch_ns(ts)//1000000000)//3600 AS h FROM events),
+        |hourly AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        |mx AS (SELECT max(h) AS mh FROM hourly),
+        |actual AS (SELECT event_type, h, c FROM hourly CROSS JOIN mx
+        |  WHERE h > mh - 168),
+        |pred AS (SELECT event_type, h + 168 AS h, c AS p FROM hourly)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        | round(avg(abs(c - coalesce(p, 0))), 6) AS mae,
+        | round(CAST(sum(abs(c - coalesce(p, 0))) AS DOUBLE)
+        |   / CAST(sum(c) AS DOUBLE), 6) AS wape
+        |FROM actual LEFT JOIN pred USING (event_type, h)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_did" ->
       """WITH e AS (SELECT user_id, event_type, value,

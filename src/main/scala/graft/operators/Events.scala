@@ -965,6 +965,41 @@ object Events {
           sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6).as("z"))
   }
 
+  /** Seasonal-naive forecast backtest: predict each of the last 168
+    * observed hours' event volume as the SAME HOUR ONE WEEK EARLIER
+    * (the baseline every forecasting system must beat before it
+    * earns its complexity), scored per event type with MAE and WAPE
+    * (Σ|err|/Σactual — the scale-free accuracy number that doesn't
+    * blow up on near-zero hours the way MAPE does). Hours with no
+    * events have no row and are skipped on both sides — the eval
+    * covers observed hours; a missing week-ago hour predicts 0.
+    *
+    * Scale shape: one hourly pre-aggregation (map-side combine),
+    * one (type, hour) equi-join against its own +168h shift, one
+    * per-type rollup; the eval horizon rides a broadcast one-row
+    * max. Integer counts keep every error exact.
+    */
+  def eventsForecastBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = graft.PlanCache.cached("forecast_hourly", spark, dir) {
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"), expr("ts_s div 3600").as("h"))
+        .agg(count(lit(1)).as("c"))
+    }
+    val mx = hourly.agg(max("h").as("mh"))
+    val actual = hourly.crossJoin(broadcast(mx))
+      .filter(col("h") > col("mh") - 168)
+    val pred = hourly.select(col("event_type"), (col("h") + 168).as("h"),
+      col("c").as("p"))
+    actual.join(pred, Seq("event_type", "h"), "left")
+      .withColumn("p", coalesce(col("p"), lit(0L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        round(avg(abs(col("c") - col("p"))), 6).as("mae"),
+        round(sum(abs(col("c") - col("p"))).cast("double")
+          / sum(col("c")).cast("double"), 6).as("wape"))
+      .orderBy("event_type")
+  }
+
   /** Difference-in-differences read-out over the same pre/post ×
     * variant split as [[eventsCuped]]: per user d = y − x (post minus
     * pre revenue), DiD = mean_d_B − mean_d_A — the estimator that

@@ -213,6 +213,31 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  test("events_forecast_baseline: equals a local seasonal-naive backtest") {
+    val rows = operators.Events.eventsForecastBaseline(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val hourly = Tables.events(spark, sf)
+      .selectExpr("event_type", "ts_s div 3600 AS h")
+      .groupBy("event_type", "h").agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val mh = hourly.keys.map(_._2).max
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    hourly.keys.map(_._1).toSeq.distinct.foreach { t =>
+      // .toSeq before mapping to pairs — Map#map over pair results
+      // would re-key by the first element and collapse rows
+      val window = hourly.filter { case ((tt, h), _) => tt == t && h > mh - 168 }.toSeq
+      val errs = window.map { case ((_, h), c) =>
+        (math.abs(c - hourly.getOrElse((t, h - 168), 0L)), c) }
+      val (n, mae, wape) = rows(t)
+      assert(n == window.size.toLong, s"$t horizon")
+      assert(mae == r6(errs.map(_._1).sum.toDouble / errs.size), s"$t mae")
+      assert(wape == r6(errs.map(_._1).sum.toDouble / errs.map(_._2).sum), s"$t wape")
+      assert(wape >= 0.0)
+    }
+    assert(rows.nonEmpty && rows.values.exists(_._3 > 0.0),
+      "the backtest must register real error somewhere")
+  }
+
   test("events_survival: Kaplan-Meier invariants and exact local recomputation") {
     val out = operators.Events.eventsSurvival(spark, sf).collect().sortBy(_.getLong(0))
     assert(out.length == 31)
