@@ -38,19 +38,28 @@ object Bench {
       // a cache build landing on its family's first consumer)
       System.err.println(f"[bench] $name%-24s $dt%8.2f s  " +
         ts.map(t => f"$t%.2f").mkString("[", " ", "]"))
-      name -> dt
+      (name, dt, ts)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the stdout line gets tail-truncated by log capture once the
-    // query map outgrows ~2000 chars — also land the full per-query
-    // JSON in a file so every timing stays machine-diffable
+    // query map outgrows ~2000 chars — also land the full artifact in
+    // a file so every timing stays machine-diffable. The file carries
+    // what the stdout contract line cannot: the PER-REP arrays that
+    // separate cold builds (big rep-1) and container noise from real
+    // plan regressions — the r7 adjudication hinged on exactly this.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val repsJson = results.map { case (k, _, ts) =>
+      s"\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""cpus":$cpus,"n_queries":${results.length},"reps":$reps,""" +
+      s""""queries":$qs,"reps_per_query":$repsJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] write $out: $e") }
     PlanCache.clear()
     spark.stop()

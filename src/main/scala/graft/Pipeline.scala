@@ -42,8 +42,31 @@ object Pipeline {
       attempt += 1
       try {
         val out = df
-        if (partitionCols.nonEmpty) Sinks.writePartitioned(out, s"$outDir/$name", partitionCols)
-        else out.write.mode("overwrite").parquet(s"$outDir/$name")
+        // ATOMIC publish (the incrementalAggregate rename discipline):
+        // every attempt writes to a staging dir and only a COMPLETE
+        // write (_SUCCESS present) is renamed over the live path — a
+        // crash mid-write leaves the previous successful artifact
+        // untouched, so an orchestrator's at-least-once re-run of the
+        // stage is exactly-once on the published output. A direct
+        // mode("overwrite") to the live path would truncate it first
+        // and a mid-write crash would destroy the prior artifact.
+        val live = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+        val stg = new org.apache.hadoop.fs.Path(s"$outDir/_stg_$name")
+        val old = new org.apache.hadoop.fs.Path(s"$outDir/_old_$name")
+        val hfs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // recovery from a crash BETWEEN the publish renames (live
+        // absent, prior artifact parked at _old_): restore the prior
+        // artifact first so the "old or new, never neither" invariant
+        // holds across the re-run too
+        if (!hfs.exists(live) && hfs.exists(old)) hfs.rename(old, live)
+        hfs.delete(stg, true); hfs.delete(old, true)
+        if (partitionCols.nonEmpty) Sinks.writePartitioned(out, stg.toString, partitionCols)
+        else out.write.mode("overwrite").parquet(stg.toString)
+        require(hfs.exists(new org.apache.hadoop.fs.Path(stg, "_SUCCESS")),
+          s"stage $name: staging write incomplete (no _SUCCESS)")
+        if (hfs.exists(live)) hfs.rename(live, old)
+        hfs.rename(stg, live)
+        hfs.delete(old, true)
         val rows = spark.read.parquet(s"$outDir/$name").count()
         result = Some(StageResult(name, rows, (System.nanoTime() - t0) / 1e9, attempt))
       } catch {

@@ -55,6 +55,7 @@ object SparkEntry {
     "quality_metrics" -> (Quality.qualityMetrics _),
     "curation_decisions" -> (Quality.curationDecisions _),
     "dq_expectations" -> (Governance.dqExpectations _),
+    "dq_expectations_config" -> (Governance.dqExpectationsConfig _),
     "privacy_kanon" -> ((s: SparkSession, d: String) => Governance.privacyKanon(s, d)),
     "privacy_l_diversity" -> ((s: SparkSession, d: String) => Governance.privacyLDiversity(s, d)),
     "quality_pr_curve" -> (Governance.qualityPrCurve _),
@@ -233,7 +234,7 @@ object SparkEntry {
   /** Queries intentionally without a SQL oracle (driver falls back to
     * the weaker rows-only check); kept in sync with OperatorsSpec.
     */
-  val noOracle: Set[String] = Set("match_llm_stub", "mm_fake_decode")
+  val noOracle: Set[String] = Set("mm_fake_decode")
 
   /** clean_abr's shaped+filtered relation, shared by several oracles. */
   private val abrCleanedCte: String =
@@ -1247,6 +1248,20 @@ object SparkEntry {
       s"""WITH $fuzzyBestCte
          |SELECT * FROM fuzzy_best ORDER BY c_custkey""".stripMargin,
 
+    // the default (heuristic) pair classifier is deterministic —
+    // pinned digit-for-digit to HeuristicPairClassifier — so the LLM
+    // CONTRACT query is fully oracle-expressible; only the remote
+    // BatchedPairClassifier seam stays spec-only
+    "match_llm_stub" ->
+      s"""WITH $fuzzyBestCte
+         |SELECT c_custkey, s_suppkey,
+         |  score >= 0.8 AS "match",
+         |  round(least(CAST(1.0 AS DOUBLE), score * 1.1), 6) AS confidence,
+         |  concat('token-sort similarity ', CAST(score AS VARCHAR),
+         |    CASE WHEN score >= 0.8 THEN ' >= 0.8: same entity'
+         |         ELSE ' < 0.8: different entity' END) AS reason
+         |FROM fuzzy_best ORDER BY c_custkey""".stripMargin,
+
     "match_tfidf_topk" ->
       """WITH tokens AS (
         |  SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS token
@@ -2041,6 +2056,36 @@ object SparkEntry {
         | UNION ALL SELECT 'consistency_shipdate_after_orderdate', n,
         |   (SELECT CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT)
         |    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) FROM lagg)
+        |SELECT check_name, n_rows, v AS n_violations,
+        | round(CAST(v AS DOUBLE) / n_rows, 6) AS violation_rate,
+        | CASE WHEN v = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM checks ORDER BY check_name""".stripMargin,
+
+    "dq_expectations_config" ->
+      """WITH oagg AS (SELECT CAST(count(*) AS BIGINT) n,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) v_nn,
+        |  CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) v_uq,
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL
+        |    OR o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT) v_av,
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL
+        |    OR o_totalprice BETWEEN 0 AND 400000 THEN 0 ELSE 1 END) AS BIGINT) v_rng
+        | FROM orders),
+        |cagg AS (SELECT CAST(count(*) AS BIGINT) n,
+        |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) v_nn,
+        |  CAST(count(c_custkey) - count(DISTINCT c_custkey) AS BIGINT) v_uq,
+        |  CAST(sum(CASE WHEN c_name IS NULL
+        |    OR regexp_matches(c_name, '^Customer#[0-9]+$') THEN 0 ELSE 1 END) AS BIGINT) v_re,
+        |  CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) v_nn2
+        | FROM customer),
+        |checks AS (
+        | SELECT 'not_null_orders_o_orderkey' check_name, n n_rows, v_nn v FROM oagg
+        | UNION ALL SELECT 'unique_orders_o_orderkey', n, v_uq FROM oagg
+        | UNION ALL SELECT 'accepted_values_orders_o_orderstatus', n, v_av FROM oagg
+        | UNION ALL SELECT 'range_orders_o_totalprice', n, v_rng FROM oagg
+        | UNION ALL SELECT 'not_null_customer_c_custkey', n, v_nn FROM cagg
+        | UNION ALL SELECT 'unique_customer_c_custkey', n, v_uq FROM cagg
+        | UNION ALL SELECT 'regex_customer_c_name', n, v_re FROM cagg
+        | UNION ALL SELECT 'not_null_customer_c_mktsegment', n, v_nn2 FROM cagg)
         |SELECT check_name, n_rows, v AS n_violations,
         | round(CAST(v AS DOUBLE) / n_rows, 6) AS violation_rate,
         | CASE WHEN v = 0 THEN 'pass' ELSE 'fail' END AS status

@@ -87,6 +87,105 @@ object Governance {
       .orderBy("check_name")
   }
 
+  /** One declarative expectation — the dbt schema.yml column-test
+    * unit (scripts/dbtpipeline/models/example/schema.yml drives its
+    * tests from YAML config): `test` ∈ {not_null, unique,
+    * accepted_values, range, regex}, `params` carrying the accepted
+    * values / [lo, hi] / pattern.
+    */
+  case class Expectation(table: String, column: String, test: String,
+                         params: Seq[String] = Nil)
+
+  /** Parse a declarative expectation table — (table_name, column_name,
+    * test, params CSV) rows, e.g. read from a config CSV/parquet —
+    * into rules for [[dqExpectationsFrom]]. Config tables are tiny by
+    * definition; collecting them on the driver is the correct plan.
+    */
+  def parseRules(config: DataFrame): Seq[Expectation] =
+    config.select("table_name", "column_name", "test", "params")
+      .collect().toSeq.map { r =>
+      Expectation(r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)).filter(_.nonEmpty)
+          .map(_.split(",").toSeq.map(_.trim)).getOrElse(Nil))
+    }
+
+  /** Config-DRIVEN expectation suite — the dbt schema.yml parity
+    * feature: the checks come from data, not code, so a new column
+    * test is a config row, not a deploy. Emits the same report shape
+    * as [[dqExpectations]] (check_name, n_rows, n_violations,
+    * violation_rate, status).
+    *
+    * Scale shape: ALL of a table's rules fold into ONE conditional
+    * aggregation pass over that table (n rules ≠ n scans); a `unique`
+    * rule is the only aggregate carrying distinct state (each extra
+    * unique rule on the same table widens the two-phase distinct —
+    * keep one per table or pay the Expand). Nulls only violate
+    * not_null: accepted_values/range/regex skip them, as in dbt.
+    */
+  def dqExpectationsFrom(tables: Map[String, DataFrame],
+                         rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "dqExpectationsFrom: empty rule set")
+    val unknown = rules.map(_.table).distinct.filterNot(tables.contains)
+    require(unknown.isEmpty, s"rules reference unknown tables: $unknown")
+    def violations(r: Expectation): Column = {
+      val c = col(r.column)
+      r.test match {
+        case "not_null" => sum(when(c.isNull, 1L).otherwise(0L))
+        case "unique"   => count(c) - countDistinct(c)
+        case "accepted_values" =>
+          sum(when(c.isNull || c.isin(r.params: _*), 0L).otherwise(1L))
+        case "range" =>
+          sum(when(c.isNull ||
+            c.between(r.params(0).toDouble, r.params(1).toDouble), 0L)
+            .otherwise(1L))
+        case "regex" =>
+          sum(when(c.isNull || c.rlike(r.params.head), 0L).otherwise(1L))
+        case other => throw new IllegalArgumentException(
+          s"unknown expectation test '$other' on ${r.table}.${r.column}")
+      }
+    }
+    // one aggregation ROW per table, unpivoted by exploding an array
+    // of check structs — a union of per-rule selects would re-derive
+    // the aggregation (and rescan the table) once per rule
+    val perTable = rules.groupBy(_.table).toSeq.map { case (t, rs) =>
+      tables(t).agg(count(lit(1)).as("n"),
+          rs.zipWithIndex.map { case (r, i) =>
+            violations(r).cast("long").as(s"v_$i") }: _*)
+        .select(col("n"), explode(array(rs.zipWithIndex.map { case (r, i) =>
+          struct(lit(s"${r.test}_${r.table}_${r.column}").as("check_name"),
+            col(s"v_$i").as("n_violations")) }: _*)).as("c"))
+        .select(col("c.check_name"), col("n").as("n_rows"),
+          col("c.n_violations"))
+    }
+    perTable.reduce(_ unionAll _)
+      .withColumn("violation_rate",
+        round(col("n_violations").cast("double") / col("n_rows"), 6))
+      .withColumn("status",
+        when(col("n_violations") === 0, "pass").otherwise("fail"))
+      .orderBy("check_name")
+  }
+
+  /** The registered config-suite query: a pinned default rule set
+    * (the reference schema.yml's unique/not_null plus the
+    * accepted-values/range/regex tests dbt ships) over orders +
+    * customer. The range check genuinely fails on this corpus
+    * (o_totalprice exceeds 400k) — a suite that can't fail proves
+    * nothing.
+    */
+  def dqExpectationsConfig(spark: SparkSession, dir: String): DataFrame =
+    dqExpectationsFrom(
+      Map("orders" -> Tables.orders(spark, dir),
+          "customer" -> Tables.customer(spark, dir)),
+      Seq(
+        Expectation("orders", "o_orderkey", "not_null"),
+        Expectation("orders", "o_orderkey", "unique"),
+        Expectation("orders", "o_orderstatus", "accepted_values", Seq("O", "F", "P")),
+        Expectation("orders", "o_totalprice", "range", Seq("0", "400000")),
+        Expectation("customer", "c_custkey", "not_null"),
+        Expectation("customer", "c_custkey", "unique"),
+        Expectation("customer", "c_name", "regex", Seq("^Customer#[0-9]+$")),
+        Expectation("customer", "c_mktsegment", "not_null")))
+
   /** k-anonymity report over customer quasi-identifiers (market
     * segment × account-balance thousand-bucket): every QID cell with
     * its population and an at-risk flag (n < k ⇒ an attacker who

@@ -515,8 +515,10 @@ object Matching {
   /** Deterministic stand-in for the LLM pair classifier
     * (LLM/llm_entity_matching_demo.py): same I/O contract —
     * {match, confidence, reason} per candidate pair — driven by
-    * transparent features instead of a model call. No oracle
-    * (rows-only check): the semantics are the contract, not SQL.
+    * transparent features instead of a model call. The default
+    * classifier is deterministic, so this IS oracle-expressible
+    * (hash-gated since r8); only the remote BatchedPairClassifier
+    * seam stays spec-only.
     */
   def matchLlmStub(spark: SparkSession, dir: String): DataFrame = {
     val pairs = matchFuzzyBlocked(spark, dir)

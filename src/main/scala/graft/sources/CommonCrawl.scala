@@ -49,13 +49,53 @@ class CommonCrawlFetcher(indexTransport: String => String,
 
   /** CDX query: one JSON object per line (the index API's
     * output=json shape); malformed lines are skipped like the
-    * reference's per-line guard, not fatal.
+    * reference's per-line guard, not fatal. `offset` is the index
+    * API's result-paging cursor (extract_common_crawl.py:21
+    * query_cdx(limit, offset)).
     */
   def queryCdx(indexUrl: String, urlPattern: String,
-               limit: Int = 100): Seq[CdxCapture] = {
+               limit: Int = 100, offset: Long = 0L): Seq[CdxCapture] = {
     val body = retry(indexTransport(
-      s"$indexUrl?url=$urlPattern&output=json&filter=mime:text/html&limit=$limit"))
+      s"$indexUrl?url=$urlPattern&output=json&filter=mime:text/html" +
+        s"&limit=$limit&offset=$offset"))
     body.linesIterator.filter(_.nonEmpty).flatMap(parseCdxLine).toSeq
+  }
+
+  /** Multi-page CDX iteration — the reference's crawl driver
+    * (extract_common_crawl.py:122 extract_all_australian_companies):
+    * `offset += batch_size` per page, stop at the first EMPTY page
+    * (a short non-empty page does not stop the loop — the next query
+    * discovers exhaustion, exactly like the reference), optionally
+    * capped at `maxBatches` pages. Runs on the driver by design: CDX
+    * pages are small index metadata; the heavy WARC range fetches
+    * stay partition-parallel in [[fetchRecords]].
+    */
+  def queryCdxAll(indexUrl: String, urlPattern: String,
+                  batchSize: Int = 10000,
+                  maxBatches: Option[Int] = None): Seq[CdxCapture] = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(maxBatches.forall(_ > 0), s"maxBatches must be positive: $maxBatches")
+    val pages = Iterator.from(0)
+      .map(b => queryCdx(indexUrl, urlPattern, limit = batchSize,
+        offset = b.toLong * batchSize))
+      .takeWhile(_.nonEmpty)
+    maxBatches.fold(pages)(pages.take).flatten.toSeq
+  }
+
+  /** The end-to-end live-ingestion composition at the reference's
+    * granularity: paginate the index, fan the captures out over
+    * `parallelism` partitions, range-fetch + gunzip + WARC-parse in
+    * the executors. One call replaces the reference's whole
+    * while-loop body, with the per-record work distributed.
+    */
+  def fetchAllParsed(spark: org.apache.spark.sql.SparkSession,
+                     indexUrl: String, urlPattern: String,
+                     batchSize: Int = 10000,
+                     maxBatches: Option[Int] = None,
+                     parallelism: Int = 32): DataFrame = {
+    import spark.implicits._
+    val caps = queryCdxAll(indexUrl, urlPattern, batchSize, maxBatches)
+    fetchAndParse(spark.createDataset(caps).repartition(parallelism))
   }
 
   private val field = """"(urlkey|timestamp|url|mime|status|filename|offset|length)":\s*"((?:[^"\\]|\\.)*)"""".r

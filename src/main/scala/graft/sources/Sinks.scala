@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -165,6 +165,37 @@ object Sinks {
     tagged.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_src")
+  }
+
+  /** PREDICATE-guarded keyed upsert — the exact semantics of the
+    * reference's conditional `ON CONFLICT ... DO UPDATE ... WHERE
+    * <predicate over old and EXCLUDED>` (loadingcsv_topostgre_fast
+    * .py:65 / the confidence-guarded variant in loadcsv_topostgres
+    * .py), which [[upsertLatestWins]] only covers for the
+    * version-orders-higher special case. `updateWhen` is an arbitrary
+    * boolean Column over the aliases `t` (the existing row) and `s`
+    * (the incoming row — Postgres's EXCLUDED), e.g.
+    * `col("t.confidence") < col("s.confidence")`.
+    *
+    * Semantics match ON CONFLICT: new keys always INSERT; existing
+    * keys UPDATE only when the predicate holds (a NULL predicate
+    * keeps the old row, like SQL's WHERE). `updates` must be
+    * key-unique. One equi-join shuffle on the key, no windows —
+    * at 100 TB this is a plain co-partitioned merge.
+    */
+  def upsertWhere(base: DataFrame, updates: DataFrame,
+                  keyCols: Seq[String], updateWhen: Column): DataFrame = {
+    val cols = base.columns.toSeq
+    val t = base.withColumn("_t_present", lit(1)).alias("t")
+    val s = updates.withColumn("_s_present", lit(1)).alias("s")
+    val onKeys = keyCols.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    // row only in updates -> insert; in both -> predicate decides;
+    // row only in base -> keep (the when() falls through to t)
+    val takeUpdate = col("t._t_present").isNull ||
+      (col("s._s_present").isNotNull && updateWhen)
+    t.join(s, onKeys, "full_outer")
+      .select(cols.map(c =>
+        when(takeUpdate, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
   }
 
   /** Incremental aggregate maintenance: fold ONE new batch of facts
@@ -468,10 +499,20 @@ object Sinks {
     * latest `versionCol` winning (ties go to the update, matching
     * [[upsertLatestWins]]). `updates` must be key-unique — run
     * [[upsertLatestWins]] over the micro-batch first if it is not.
+    *
+    * `updateWhen` generalizes the guard to the reference's arbitrary
+    * `DO UPDATE ... WHERE <old vs EXCLUDED>` predicate: an SQL
+    * boolean expression over aliases `t` (target row) and `s` (the
+    * staged incoming row — EXCLUDED), e.g.
+    * `Some("t.\"confidence\" < s.\"confidence\"")`. When absent the
+    * guard stays the latest-wins version comparison. The predicate
+    * only gates UPDATEs — unmatched keys always INSERT, as in
+    * Postgres.
     */
   def upsertJdbc(updates: DataFrame, url: String, table: String,
                  keyCols: Seq[String], versionCol: String,
-                 props: java.util.Properties, batchSize: Int = 10000): Unit = {
+                 props: java.util.Properties, batchSize: Int = 10000,
+                 updateWhen: Option[String] = None): Unit = {
     val cols = updates.columns.toSeq
     require(cols.exists(!keyCols.contains(_)),
       "upsertJdbc needs at least one non-key column to merge")
@@ -507,9 +548,10 @@ object Sinks {
     def q(id: String) = "\"" + id + "\""
     val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
     val set = cols.filterNot(keyCols.contains).map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+    val guard = updateWhen.getOrElse(s"s.${q(versionCol)} >= t.${q(versionCol)}")
     val merge =
       s"""MERGE INTO $table t USING $staging s ON $on
-         |WHEN MATCHED AND s.${q(versionCol)} >= t.${q(versionCol)} THEN UPDATE SET $set
+         |WHEN MATCHED AND $guard THEN UPDATE SET $set
          |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
          |  VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin
     val conn = java.sql.DriverManager.getConnection(url, props)

@@ -73,6 +73,52 @@ class CommonCrawlSpec extends SparkSpec {
       (s"seg/$i.warc.gz", i * 1000L, i * 1000L + 499L)).toSet)
   }
 
+  test("CDX pagination: offset advances by batchSize, stops on empty page, maxBatches caps") {
+    // 5 captures served 2 per page: offsets 0,2,4 -> pages of 2,2,1,
+    // then offset 6 -> empty -> stop (4 index requests total)
+    def pagedTransport(log: scala.collection.mutable.Buffer[Long]): String => String = { url =>
+      val off = "offset=(\\d+)".r.findFirstMatchIn(url).get.group(1).toLong
+      val lim = "limit=(\\d+)".r.findFirstMatchIn(url).get.group(1).toInt
+      log += off
+      (off until math.min(off + lim, 5L)).map { i =>
+        s"""{"urlkey":"k$i","timestamp":"t","url":"https://s$i.example/","mime":"text/html","status":"200","filename":"seg/$i.warc.gz","offset":"${i * 100}","length":"50"}"""
+      }.mkString("\n")
+    }
+    val offsets = scala.collection.mutable.Buffer.empty[Long]
+    val fetcher = new CommonCrawlFetcher(pagedTransport(offsets),
+      (_, _, _) => Array.emptyByteArray)
+    val all = fetcher.queryCdxAll("https://index.example/CC-index",
+      "*.example", batchSize = 2)
+    assert(all.map(_.urlkey) == (0 until 5).map(i => s"k$i"))
+    assert(offsets.toSeq == Seq(0L, 2L, 4L, 6L))
+
+    // maxBatches stops the loop after N pages and N index requests
+    val offsets2 = scala.collection.mutable.Buffer.empty[Long]
+    val capped = new CommonCrawlFetcher(pagedTransport(offsets2),
+      (_, _, _) => Array.emptyByteArray)
+    val two = capped.queryCdxAll("https://index.example/CC-index",
+      "*.example", batchSize = 2, maxBatches = Some(2))
+    assert(two.map(_.urlkey) == (0 until 4).map(i => s"k$i"))
+    assert(offsets2.toSeq == Seq(0L, 2L))
+  }
+
+  test("fetchAllParsed: paginated captures flow partition-parallel into the WARC parse") {
+    val fetcher = new CommonCrawlFetcher(
+      { url =>
+        val off = "offset=(\\d+)".r.findFirstMatchIn(url).get.group(1).toLong
+        (off until math.min(off + 3, 7L)).map { i =>
+          s"""{"urlkey":"k$i","timestamp":"t","url":"https://s$i.example/","mime":"text/html","status":"200","filename":"seg/$i.warc.gz","offset":"${i * 100}","length":"50"}"""
+        }.mkString("\n")
+      },
+      (file, _, _) => CommonCrawlSpecFakes.gzip(CommonCrawlSpecFakes.warcRec(
+        file.stripPrefix("seg/").stripSuffix(".warc.gz").toInt)))
+    val parsed = fetcher.fetchAllParsed(spark, "https://index.example/CC-index",
+      "*.example", batchSize = 3, parallelism = 4).collect()
+    assert(parsed.length == 7)
+    assert(parsed.map(_.getAs[String]("record_id")).toSet ==
+      (0 until 7).map(i => s"rec-$i").toSet)
+  }
+
   test("plain (pre-inflated) range bytes pass through without gunzip") {
     assert(CommonCrawlFetcher.gunzip("already text".getBytes("UTF-8"))
       == "already text")

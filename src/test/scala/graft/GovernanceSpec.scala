@@ -33,6 +33,67 @@ class GovernanceSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("config-driven expectations: rules parse from a config table and count violations exactly") {
+    import spark.implicits._
+    import operators.Governance
+    // declarative config, the dbt schema.yml shape
+    val config = Seq(
+      ("t", "id", "not_null", null.asInstanceOf[String]),
+      ("t", "id", "unique", ""),
+      ("t", "status", "accepted_values", "A, B"),
+      ("t", "score", "range", "0, 1"),
+      ("t", "code", "regex", "^[a-z]+$"))
+      .toDF("table_name", "column_name", "test", "params")
+    val rules = Governance.parseRules(config)
+    assert(rules == Seq(
+      Governance.Expectation("t", "id", "not_null"),
+      Governance.Expectation("t", "id", "unique"),
+      Governance.Expectation("t", "status", "accepted_values", Seq("A", "B")),
+      Governance.Expectation("t", "score", "range", Seq("0", "1")),
+      Governance.Expectation("t", "code", "regex", Seq("^[a-z]+$"))))
+    // planted violations: 1 null id, 1 dup id, 1 bad status,
+    // 1 out-of-range score, 2 bad codes; the all-null last row must
+    // only violate not_null (the dbt convention)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("status", StringType),
+      StructField("score", DoubleType), StructField("code", StringType)))
+    val data = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "A", 0.5, "ok"),
+      Row(1L, "B", 1.0, "dup"),    // dup id
+      Row(null, "A", 0.0, "nul"),  // null id (not a dup)
+      Row(3L, "X", 0.4, "BAD"),    // bad status + uppercase code
+      Row(4L, "A", 1.5, "rng9"),   // out of range + digit in code
+      Row(5L, null, null, null)), schema)
+    val report = Governance.dqExpectationsFrom(Map("t" -> data), rules)
+    val byName = report.collect()
+      .map(r => r.getAs[String]("check_name") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_violations"),
+          r.getAs[String]("status"))).toMap
+    assert(byName.size == 5)
+    assert(byName("not_null_t_id") == ((6L, 1L, "fail")))
+    assert(byName("unique_t_id") == ((6L, 1L, "fail")))
+    assert(byName("accepted_values_t_status") == ((6L, 1L, "fail")))
+    assert(byName("range_t_score") == ((6L, 1L, "fail")))
+    assert(byName("regex_t_code") == ((6L, 2L, "fail"))) // BAD + rng9; null skipped
+    // unknown test name and unknown table fail loudly
+    intercept[IllegalArgumentException] {
+      Governance.dqExpectationsFrom(Map("t" -> data),
+        Seq(Governance.Expectation("t", "id", "median"))).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Governance.dqExpectationsFrom(Map("t" -> data),
+        Seq(Governance.Expectation("missing", "id", "not_null")))
+    }
+    // the registered query keeps one scan per table: the physical plan
+    // must contain exactly 2 parquet scans (orders + customer)
+    val cfgPlan = Governance.dqExpectationsConfig(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nScans = "Scan parquet".r.findAllIn(cfgPlan).length
+    assert(nScans == 2, s"expected 2 scans, got $nScans")
+  }
+
   test("events_bot_detect: one row per user, flag tracks the rounded cv threshold") {
     val out = operators.Events.eventsBotDetect(spark, sf).cache()
     val users = Tables.events(spark, sf).select("user_id").distinct().count()

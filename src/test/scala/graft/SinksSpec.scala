@@ -170,6 +170,53 @@ class SinksSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("upsertWhere: predicate gates updates, inserts always land (ON CONFLICT WHERE parity)") {
+    import spark.implicits._
+    val base = Seq((1L, "keepme", 0.9), (2L, "stale", 0.3), (3L, "only_base", 0.5))
+      .toDF("k", "name", "confidence")
+    val updates = Seq(
+      (1L, "worse", 0.4),   // lower confidence -> must NOT overwrite
+      (2L, "better", 0.8),  // higher confidence -> overwrites
+      (4L, "fresh", 0.1))   // new key -> always inserts, predicate irrelevant
+      .toDF("k", "name", "confidence")
+    val out = Sinks.upsertWhere(base, updates, Seq("k"),
+        col("t.confidence") < col("s.confidence"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, "keepme", 0.9), (2L, "better", 0.8),
+      (3L, "only_base", 0.5), (4L, "fresh", 0.1)))
+    // version-guard predicate reproduces upsertLatestWins on key-unique updates
+    val b2 = Seq((1L, "a", 1L), (2L, "b", 5L)).toDF("k", "v", "ver")
+    val u2 = Seq((1L, "a2", 2L), (2L, "b2", 4L), (3L, "c", 1L)).toDF("k", "v", "ver")
+    val viaWhere = Sinks.upsertWhere(b2, u2, Seq("k"),
+        col("s.ver") >= col("t.ver"))
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    val viaLatest = Sinks.upsertLatestWins(b2, u2, Seq("k"), "ver")
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(viaWhere == viaLatest)
+  }
+
+  test("upsertJdbc with updateWhen: lower-confidence incoming row does not overwrite") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftjdbcguard;create=true"
+    val props = new java.util.Properties()
+    val base = Seq((1L, "keepme", 0.9), (2L, "stale", 0.3)).toDF("k", "name", "confidence")
+    val updates = Seq((1L, "worse", 0.4), (2L, "better", 0.8), (3L, "ins", 0.2))
+      .toDF("k", "name", "confidence")
+    Sinks.writeJdbc(base, url, "guarded", props, batchSize = 2)
+    Sinks.upsertJdbc(updates, url, "guarded", Seq("k"), "confidence", props,
+      batchSize = 2, updateWhen = Some("t.\"confidence\" < s.\"confidence\""))
+    val back = spark.read.jdbc(url, "guarded", props)
+      .toDF("k", "name", "confidence")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(back == Seq((1L, "keepme", 0.9), (2L, "better", 0.8), (3L, "ins", 0.2)))
+    // and the DataFrame twin agrees row-for-row
+    val twin = Sinks.upsertWhere(base, updates, Seq("k"),
+        col("t.confidence") < col("s.confidence"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(back == twin)
+  }
+
   test("incrementalAggregate: three batch folds equal one full recompute") {
     val dir = tmp() + "/agg_table"
     val o = Tables.orders(spark, sf)
