@@ -33,11 +33,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * parallelism is per-archive, parse parallelism is per-split, and
   * neither holds a whole file in memory.
   */
+/** @param transport url → stream. MUST be Serializable (a lambda
+  *   capturing only serializable state qualifies): [[fetchDumps]]
+  *   ships the whole fetcher — transport included — inside task
+  *   closures, and a non-serializable capture fails only at runtime
+  *   with an opaque Task-not-serializable error.
+  */
 class AbrDumpFetcher(transport: String => java.io.InputStream,
                      maxRetries: Int = 3,
                      backoffMs: Long = 10L) extends Serializable {
 
-  private def retry[A](f: => A): A = {
+  private def retry[A](what: String)(f: => A): A = {
     var attempt = 0
     while (true) {
       try return f
@@ -45,6 +51,12 @@ class AbrDumpFetcher(transport: String => java.io.InputStream,
         case e: Exception =>
           attempt += 1
           if (attempt > maxRetries) throw e
+          // runs INSIDE tasks in the parallel form — log each attempt
+          // so a long backoff on a blocked executor slot is visible,
+          // and keep the sleep bounded by the retry budget
+          System.err.println(
+            s"[abr-fetch] $what attempt $attempt/$maxRetries failed (${e.getMessage}); " +
+              s"backing off ${backoffMs << (attempt - 1)} ms")
           Thread.sleep(backoffMs << (attempt - 1))
       }
     }
@@ -59,20 +71,40 @@ class AbrDumpFetcher(transport: String => java.io.InputStream,
     * archive: members publish by tmp-file rename, so a half-written
     * member from the failed attempt is invisible and simply
     * re-extracted.
+    *
+    * Collision safety: two entries flattening to the same basename
+    * (subdirs like `a/part1.xml` + `b/part1.xml`) would silently
+    * overwrite — the second occurrence publishes under its SANITIZED
+    * full entry path instead, so no record is lost. The tmp staging
+    * name is per-call unique (UUID), so parallel extractions of
+    * different archives into one destDir never race on a shared
+    * staging path; cross-ARCHIVE basename collisions are
+    * disambiguated by [[fetchDumps]]' per-archive prefix.
     */
   private[sources] def extractOne(conf: Configuration, zipUrl: String,
-                                  destDir: String): Seq[String] = retry {
+                                  destDir: String,
+                                  namePrefix: String = ""): Seq[String] =
+    retry(zipUrl) {
     val dest = new Path(destDir)
     val fs = dest.getFileSystem(conf)
     fs.mkdirs(dest)
     val zin = new ZipInputStream(new BufferedInputStream(transport(zipUrl)))
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val seen = scala.collection.mutable.Set.empty[String]
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        val name = new java.io.File(e.getName).getName
-        if (!e.isDirectory && name.toLowerCase.endsWith(".xml")) {
-          val tmp = new Path(dest, s"_tmp_$name")
+        val base = new java.io.File(e.getName).getName
+        if (!e.isDirectory && base.toLowerCase.endsWith(".xml")) {
+          // first occurrence keeps the reference's flat basename;
+          // a within-archive collision falls back to the sanitized
+          // entry path (slashes → _, traversal segments neutralized)
+          val name = namePrefix + (
+            if (seen.add(base)) base
+            else e.getName.replaceAll("[^A-Za-z0-9._-]+", "_")
+              .replaceAll("\\.\\.", "_"))
+          val tmp = new Path(dest,
+            s"_tmp_${java.util.UUID.randomUUID().toString.take(8)}_$name")
           val fin = new Path(dest, name)
           val os = fs.create(tmp, true)
           try {
@@ -113,12 +145,19 @@ class AbrDumpFetcher(transport: String => java.io.InputStream,
     val entries = spark.sparkContext.hadoopConfiguration.asScala
       .map(e => (e.getKey, e.getValue)).toSeq
     val self = this
+    // archives sharing a member basename (the ABR publishes
+    // part-numbered members per ZIP, but nothing guarantees it) must
+    // not overwrite each other in the shared destDir: each archive's
+    // members publish under a stable per-archive prefix derived from
+    // its position in the request
+    val indexed = zipUrls.zipWithIndex
     spark.sparkContext
-      .parallelize(zipUrls, math.max(1, zipUrls.size))
+      .parallelize(indexed, math.max(1, indexed.size))
       .mapPartitions { urls =>
         val conf = new Configuration(false)
         entries.foreach { case (k, v) => conf.set(k, v) }
-        urls.flatMap(u => self.extractOne(conf, u, destDir))
+        urls.flatMap { case (u, i) =>
+          self.extractOne(conf, u, destDir, namePrefix = f"a$i%03d_") }
       }
       .collect().toSeq
   }

@@ -112,20 +112,34 @@ object Extraction {
     * attributes), but the OPEN tag is matched as `<tag` followed by
     * whitespace or `>` — a bare contains/locate(`<tag`) would accept,
     * and mis-position the strip on, sibling tags sharing the prefix
-    * (`<ABRN>`). A file truncated mid-record leaves a final segment
-    * with no closing delimiter; every properly-framed segment ends
-    * exactly where `</tag>` began — at an inner element's `>` — so a
-    * tail not ending in `>` is a cut record and is DROPPED rather
-    * than sealed with a synthetic close into a malformed row.
+    * (`<ABRN>`). The tag is regex-QUOTED into that pattern, so a
+    * recordTag carrying regex metacharacters frames literally instead
+    * of mis-matching or throwing.
+    *
+    * Truncation guard: a file cut mid-record leaves a final segment
+    * with no closing delimiter. A properly-framed segment ends where
+    * `</tag>` began — in record schemas like the ABR's that is an
+    * inner element's closing tag (`</Name>`) or a self-close (`/>`) —
+    * so a tail NOT ending in one is a cut record and is DROPPED
+    * rather than sealed with a synthetic close into a malformed row.
+    * Two residual edges are inherent to delimiter framing and are
+    * accepted explicitly: (a) a dump truncated EXACTLY at an inner
+    * closing-tag boundary is indistinguishable from a complete record
+    * and is sealed — its missing fields surface as nulls in
+    * [[parseXmlEntities]]'s fallback extraction and land in the
+    * clean_abr_rejects quarantine, which is the schema-aware
+    * validation layer; (b) a record whose LAST child is bare
+    * character data (`...text</tag>` with no inner close — not a
+    * shape the ABR dump produces) is dropped as if cut.
     */
   def readXmlFiles(spark: SparkSession, path: String,
                    recordTag: String = "ABR"): DataFrame = {
-    val open = lit(s"<$recordTag[\\s>]")
+    val open = lit(s"<${java.util.regex.Pattern.quote(recordTag)}[\\s>]")
     val pos = regexp_instr(col("value"), open)
     spark.read.option("lineSep", s"</$recordTag>").text(path)
       .filter(regexp_instr(col("value"), open) > 0)
       .select(col("value").substr(pos, length(col("value"))).as("body"))
-      .filter(rtrim(col("body")).endsWith(">"))
+      .filter(rtrim(col("body")).rlike("(</[^<>]+>|/>)$"))
       .select(concat(col("body"), lit(s"</$recordTag>")).as("xml"))
   }
 

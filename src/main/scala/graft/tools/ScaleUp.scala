@@ -1,0 +1,135 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up generator for SCALE-VALIDATION runs: writes
+  * an sf×`factor` copy of a testdata dir by unioning `factor` shifted
+  * copies of every table (explode over a copy index — one pass per
+  * table, no driver data).
+  *
+  * Design goals, in order:
+  *  - every key space stays CONSISTENT (copy i shifts custkey /
+  *    orderkey / partkey / suppkey / user_id / doc_id / vec_id by
+  *    i·(max+1), so all FK joins land exactly as in the source —
+  *    copies are disjoint subgraphs and join/aggregate outputs scale
+  *    linearly);
+  *  - copy 0 is the source VERBATIM;
+  *  - near-duplicate structure does NOT leak across copies: document
+  *    text gets a copy token spliced in every 5 words (breaks 3-word
+  *    shingles and 5-gram overlap), embeddings get a small per-copy
+  *    offset — so dedup/ANN workloads keep their per-copy candidate
+  *    density instead of degenerating into one giant dup family;
+  *  - entity names regenerate from the SHIFTED key (the generator's
+  *    name = f(key) relationship holds), keeping match semantics.
+  *
+  * Known honest non-linearity: blocked matching (customer×supplier on
+  * nationkey) grows quadratically in block density because BOTH sides
+  * of every nation block scale ×factor — that is what happens to a
+  * real register at 10× too, and it is exactly what the scale report
+  * should surface, not hide.
+  *
+  * Usage: ScaleUp <inDir> <outDir> [factor=10]. Writes one parquet
+  * dir per table under outDir.
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    val in = args(0)
+    val out = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = graft.GraftSession.local()
+    scale(spark, in, out, factor)
+    spark.stop()
+  }
+
+  private def copies(df: DataFrame, factor: Int): DataFrame =
+    df.withColumn("cp", explode(sequence(lit(0L), lit(factor - 1L))))
+
+  private def span(spark: SparkSession, df: DataFrame, key: String): Long = {
+    val m = df.agg(max(col(key))).head.getLong(0)
+    m + 1
+  }
+
+  def scale(spark: SparkSession, in: String, out: String, factor: Int): Unit = {
+    def rd(t: String) = spark.read.parquet(s"$in/$t.parquet")
+    def wr(df: DataFrame, t: String): Unit = {
+      df.drop("cp").write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scaleup] $t -> ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
+    }
+
+    val cSpan = span(spark, rd("customer"), "c_custkey")
+    val sSpan = span(spark, rd("supplier"), "s_suppkey")
+    val pSpan = span(spark, rd("part"), "p_partkey")
+    val oSpan = span(spark, rd("orders"), "o_orderkey")
+    val dSpan = span(spark, rd("documents"), "doc_id")
+    val vSpan = span(spark, rd("embeddings"), "vec_id")
+    val eSpan = span(spark, rd("events"), "event_id")
+    val uSpan = span(spark, rd("events"), "user_id")
+
+    // fixed dims pass through
+    wr(rd("region").withColumn("cp", lit(0L)), "region")
+    wr(rd("nation").withColumn("cp", lit(0L)), "nation")
+
+    wr(copies(rd("customer"), factor)
+      .withColumn("c_custkey", col("c_custkey") + col("cp") * cSpan)
+      .withColumn("c_name", format_string("Customer#%09d", col("c_custkey"))),
+      "customer")
+
+    wr(copies(rd("supplier"), factor)
+      .withColumn("s_suppkey", col("s_suppkey") + col("cp") * sSpan)
+      .withColumn("s_name", format_string("Supplier#%09d", col("s_suppkey"))),
+      "supplier")
+
+    wr(copies(rd("part"), factor)
+      .withColumn("p_partkey", col("p_partkey") + col("cp") * pSpan),
+      "part")
+
+    wr(copies(rd("orders"), factor)
+      .withColumn("o_orderkey", col("o_orderkey") + col("cp") * oSpan)
+      .withColumn("o_custkey", col("o_custkey") + col("cp") * cSpan),
+      "orders")
+
+    wr(copies(rd("lineitem"), factor)
+      .withColumn("l_orderkey", col("l_orderkey") + col("cp") * oSpan)
+      .withColumn("l_partkey", col("l_partkey") + col("cp") * pSpan)
+      .withColumn("l_suppkey", col("l_suppkey") + col("cp") * sSpan),
+      "lineitem")
+
+    // events: copies are disjoint user populations on the SAME
+    // timeline — 10x traffic density, the realistic growth axis.
+    // ts is TIMESTAMP(NANOS) in the source, which this session reads
+    // as long nanos; rewrite as µs-precision NTZ timestamps (all
+    // operators consume second granularity via ts_s).
+    val ev = copies(rd("events"), factor)
+      .withColumn("event_id", col("event_id") + col("cp") * eSpan)
+      .withColumn("user_id", col("user_id") + col("cp") * uSpan)
+    val evTs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => ev
+    }
+    wr(evTs, "events")
+
+    // documents: splice a copy token in every 5 words for copies > 0
+    // so cross-copy shingle/5-gram overlap dies while per-copy
+    // near-dup structure survives; n_chars tracks the mutated text
+    wr(copies(rd("documents"), factor)
+      .withColumn("doc_id", col("doc_id") + col("cp") * dSpan)
+      .withColumn("text",
+        when(col("cp") === 0, col("text")).otherwise(
+          regexp_replace(col("text"), lit("((?:\\S+\\s+){5})"),
+            concat(lit("$1zq"), col("cp"), lit(" ")))))
+      .withColumn("n_chars", length(col("text")).cast("long")),
+      "documents")
+
+    // embeddings: small deterministic per-copy offset breaks exact
+    // vector duplication without moving the distribution
+    wr(copies(rd("embeddings"), factor)
+      .withColumn("vec_id", col("vec_id") + col("cp") * vSpan)
+      .withColumn("embedding",
+        transform(col("embedding"),
+          x => (x + col("cp").cast("float") * lit(0.001f)).cast("float"))),
+      "embeddings")
+  }
+}

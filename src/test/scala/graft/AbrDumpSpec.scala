@@ -82,6 +82,30 @@ class AbrDumpSpec extends SparkSpec {
     intercept[java.io.IOException](dead.fetchDump(spark, "u", dest2))
   }
 
+  test("colliding member basenames publish under distinct names — no silent record loss") {
+    // within one archive: a/part.xml + b/part.xml flatten to the same
+    // basename; the second must disambiguate, both sets of records live
+    val zip = zipOf(
+      "a/part.xml" -> (1 to 5).map(rec).mkString("\n"),
+      "b/part.xml" -> (6 to 9).map(rec).mkString("\n"))
+    val fetcher = new AbrDumpFetcher(_ => new ByteArrayInputStream(zip))
+    val dest = java.nio.file.Files.createTempDirectory("graft-abr-coll").toString
+    val paths = fetcher.fetchDump(spark, "u", dest)
+    assert(paths.length == 2 && paths.distinct.length == 2, paths.toString)
+    assert(Extraction.extractXmlFromFiles(spark, dest).count() == 9)
+
+    // across archives extracted in parallel into ONE destDir: both
+    // ship "part1.xml"; the per-archive prefix keeps all records
+    val zips = Map(
+      "z1" -> zipOf("part1.xml" -> (1 to 7).map(rec).mkString("\n")),
+      "z2" -> zipOf("part1.xml" -> (8 to 20).map(rec).mkString("\n")))
+    val multi = new AbrDumpFetcher(url => new ByteArrayInputStream(zips(url)))
+    val dest2 = java.nio.file.Files.createTempDirectory("graft-abr-coll2").toString
+    val paths2 = multi.fetchDumps(spark, Seq("z1", "z2"), dest2)
+    assert(paths2.length == 2 && paths2.distinct.length == 2, paths2.toString)
+    assert(Extraction.extractXmlFromFiles(spark, dest2).count() == 20)
+  }
+
   test("multi-archive fetch fans out per task and composes into one parse") {
     val zips = Map(
       "z1" -> zipOf("p1.xml" -> (1 to 10).map(rec).mkString("\n")),
