@@ -92,7 +92,12 @@ object Dedup {
     * ≥ 0.8 verify. Band width bounds bucket sizes at any corpus size.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    verifyJaccard(minhashShingles(spark, dir), minhashCandidates(spark, dir))
+    // the verified pair list is the family's terminal shared relation
+    // (standalone query + method-agreement both consume it), so it
+    // lives under the PlanCache like the shingles/bands that feed it
+    graft.PlanCache.cached("minhash_pairs", spark, dir) {
+      verifyJaccard(minhashShingles(spark, dir), minhashCandidates(spark, dir))
+    }
 
   /** LSH candidate pairs (banded equi-join, deduped) — shared by the
     * ≥ 0.8 verify and the estimate-accuracy eval.
@@ -284,7 +289,8 @@ object Dedup {
     * graft.functions.SimHash64 for production use (tested in
     * ScalaTest; this query keeps the DuckDB-checkable form).
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+      graft.PlanCache.cached("simhash_pairs", spark, dir) {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(tokensCol)).as("tk"))
       .withColumn("h", md5(col("tk"))) // hash once, not once per bit
