@@ -229,6 +229,13 @@ object SparkEntry {
     "events_ab_test" -> (Events.eventsAbTest _),
     "events_seasonal" -> (Events.eventsSeasonal _),
     "events_decayed_score" -> (Events.eventsDecayedScore _),
+    "events_power_analysis" -> (Events.eventsPowerAnalysis _),
+    "match_fellegi_sunter" -> (Matching.matchFellegiSunter _),
+    "match_sorted_neighborhood" -> (Matching.matchSortedNeighborhood _),
+    "approx_set_overlap_kmv" -> (Sketches.approxSetOverlapKmv _),
+    "sample_soft_dedup" -> (Sampling.sampleSoftDedup _),
+    "quality_kappa" -> (Governance.qualityKappa _),
+    "text_source_divergence" -> (TextAnalysis.textSourceDivergence _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -3654,5 +3661,207 @@ object SparkEntry {
         | round(mean_b/mean_a - 1.0, 6) AS lift,
         | round((mean_b - mean_a)/sqrt(var_a/n_a + var_b/n_b), 6) AS z
         |FROM m""".stripMargin,
+
+    // z constants interpolated from the Scala side so both engines
+    // see bit-identical doubles (the ln(8)-threshold discipline of the
+    // survival curve's h=1 flag: make the edge explicit, don't let
+    // each engine re-derive it)
+    "events_power_analysis" ->
+      s"""WITH pu AS (SELECT user_id,
+         |  coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0.0) AS rev
+         | FROM events GROUP BY 1),
+         |v AS (SELECT rev,
+         |  CASE WHEN list_sum(list_transform(generate_series(1, 8),
+         |    i -> (strpos('0123456789abcdef',
+         |      substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1) * pow(16, 8-i)))
+         |    / 4294967296.0 < 0.5 THEN 'A' ELSE 'B' END AS variant FROM pu),
+         |s AS (SELECT
+         |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |  sum(CASE WHEN variant = 'A' THEN rev END) AS s_a,
+         |  sum(CASE WHEN variant = 'B' THEN rev END) AS s_b,
+         |  sum(CASE WHEN variant = 'A' THEN rev*rev END) AS ss_a,
+         |  sum(CASE WHEN variant = 'B' THEN rev*rev END) AS ss_b
+         | FROM v),
+         |m AS (SELECT n_a, n_b, s_a/n_a AS mean_a,
+         |  ss_a/n_a - (s_a/n_a)*(s_a/n_a) AS var_a,
+         |  ss_b/n_b - (s_b/n_b)*(s_b/n_b) AS var_b FROM s),
+         |grid AS (SELECT CAST(unnest([1, 2, 5, 10, 20]) AS BIGINT) AS lift_pct),
+         |g AS (SELECT m.*, lift_pct, mean_a * lift_pct / 100.0 AS delta
+         | FROM m CROSS JOIN grid),
+         |r AS (SELECT lift_pct, n_a, n_b, delta,
+         |  CAST(ceil(${(1.959964 + 0.841621) * (1.959964 + 0.841621)}
+         |    * (var_a + var_b) / (delta * delta)) AS BIGINT) AS n_required,
+         |  round(${1.959964 + 0.841621} * sqrt(var_a/n_a + var_b/n_b), 6)
+         |    AS mde_abs_at_n
+         | FROM g)
+         |SELECT lift_pct, n_a, n_b, round(delta, 6) AS delta_abs, n_required,
+         | least(n_a, n_b) >= n_required AS powered, mde_abs_at_n
+         |FROM r ORDER BY lift_pct""".stripMargin,
+
+    // field weights on the name γ and the ±ln(8) verdict thresholds
+    // are Scala-interpolated constants; the noise-field u's are
+    // runtime collision probabilities mirrored on both sides, and the
+    // complement terms keep the (1.0 - 0.12) form so Catalyst's
+    // constant fold and DuckDB produce the same double
+    "match_fellegi_sunter" ->
+      s"""WITH c AS (SELECT c_custkey, c_nationkey,
+         |  array_to_string(list_sort(string_split_regex(lower(trim(c_name)), '\\s+')), ' ') AS c_norm,
+         |  floor(c_acctbal / 1000.0) AS c_bkt, c_custkey % 10 AS c_dig
+         | FROM customer),
+         |s AS (SELECT s_suppkey, s_nationkey,
+         |  array_to_string(list_sort(string_split_regex(lower(trim(s_name)), '\\s+')), ' ') AS s_norm,
+         |  floor(s_acctbal / 1000.0) AS s_bkt, s_suppkey % 10 AS s_dig
+         | FROM supplier),
+         |ub AS (SELECT CAST(sum(nl * nr) AS DOUBLE)
+         |    / ((SELECT count(*) FROM c) * (SELECT count(*) FROM s)) AS u
+         |  FROM (SELECT c_bkt AS v, count(*) AS nl FROM c GROUP BY 1) a
+         |  JOIN (SELECT s_bkt AS v, count(*) AS nr FROM s GROUP BY 1) b USING (v)),
+         |ud AS (SELECT CAST(sum(nl * nr) AS DOUBLE)
+         |    / ((SELECT count(*) FROM c) * (SELECT count(*) FROM s)) AS u
+         |  FROM (SELECT c_dig AS v, count(*) AS nl FROM c GROUP BY 1) a
+         |  JOIN (SELECT s_dig AS v, count(*) AS nr FROM s GROUP BY 1) b USING (v)),
+         |pairs AS (SELECT
+         |  CASE WHEN 1.0 - CAST(levenshtein(c_norm, s_norm) AS DOUBLE)
+         |      / greatest(length(c_norm), length(s_norm)) >= 0.65 THEN 1 ELSE 0 END AS g_name,
+         |  CASE WHEN c_bkt = s_bkt THEN 1 ELSE 0 END AS g_bkt,
+         |  CASE WHEN c_dig = s_dig THEN 1 ELSE 0 END AS g_dig
+         | FROM c JOIN s ON c_nationkey = s_nationkey),
+         |pat AS (SELECT g_name, g_bkt, g_dig, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round((CASE WHEN g_name = 1 THEN ${math.log(0.9 / 0.01)}
+         |              ELSE ${math.log((1 - 0.9) / (1 - 0.01))} END)
+         |    + (CASE WHEN g_bkt = 1 THEN ln(0.12 / (SELECT u FROM ub))
+         |            ELSE ln((1.0 - 0.12) / (1.0 - (SELECT u FROM ub))) END)
+         |    + (CASE WHEN g_dig = 1 THEN ln(0.12 / (SELECT u FROM ud))
+         |            ELSE ln((1.0 - 0.12) / (1.0 - (SELECT u FROM ud))) END), 6) AS weight
+         | FROM pairs GROUP BY 1, 2, 3)
+         |SELECT g_name, g_bkt, g_dig, n_pairs, weight,
+         | CASE WHEN weight >= ${math.log(8.0)} THEN 'match'
+         |      WHEN weight <= ${-math.log(8.0)} THEN 'non_match'
+         |      ELSE 'possible' END AS verdict
+         |FROM pat ORDER BY g_name, g_bkt, g_dig""".stripMargin,
+
+    // the oracle states the sorted-neighborhood DEFINITION (rank-band
+    // inequality join); the Spark side's 2-bucket binned band join
+    // must reproduce it pair-for-pair
+    "match_sorted_neighborhood" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+        |   array_to_string(list_sort(string_split_regex(lower(trim(p_name)), '\s+')), ' ') AS norm
+        | FROM part),
+        |r AS (SELECT p_partkey, p_name, norm, substr(norm, 1, 1) AS pfx,
+        |   row_number() OVER (PARTITION BY substr(norm, 1, 1)
+        |     ORDER BY norm, p_partkey) AS rank
+        | FROM p),
+        |cand AS (SELECT l.p_partkey AS l_key, r2.p_partkey AS r_key,
+        |   r2.p_name AS r_name,
+        |   round(1.0 - CAST(levenshtein(l.norm, r2.norm) AS DOUBLE)
+        |     / greatest(length(l.norm), length(r2.norm)), 6) AS score
+        |  FROM r l JOIN r r2 ON l.pfx = r2.pfx
+        |    AND r2.rank - l.rank > 0 AND r2.rank - l.rank <= 4
+        |  WHERE l.p_partkey % 2 = 0 AND r2.p_partkey % 2 = 1)
+        |SELECT l_key, r_key, r_name, score FROM (
+        | SELECT *, row_number() OVER (PARTITION BY l_key ORDER BY score DESC, r_key) AS rn
+        | FROM cand WHERE score >= 0.5) t WHERE rn = 1 ORDER BY l_key""".stripMargin,
+
+    "approx_set_overlap_kmv" ->
+      """WITH toks AS (SELECT lang, string_split_regex(text, '\s+') AS t FROM documents),
+        |tu AS (SELECT DISTINCT lang AS t, array_to_string(tt[i:i+2], ' ') AS member
+        |  FROM (SELECT lang, t AS tt, unnest(generate_series(1, len(t)-2)) AS i
+        |        FROM toks WHERE len(t) >= 3) x),
+        |h AS (SELECT DISTINCT t,
+        |  list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(member), i, 1)) - 1) * pow(16, 8-i)))
+        |  / 4294967296.0 AS u
+        | FROM tu),
+        |sk AS (SELECT t, u FROM (
+        |  SELECT t, u, row_number() OVER (PARTITION BY t ORDER BY u) AS rn FROM h) x
+        | WHERE rn <= 64),
+        |types AS (SELECT DISTINCT t FROM sk),
+        |pairs AS (SELECT a.t AS t1, b.t AS t2 FROM types a JOIN types b ON a.t < b.t),
+        |pr AS (SELECT DISTINCT t1, t2, u
+        |  FROM pairs JOIN sk ON sk.t = t1 OR sk.t = t2),
+        |uk AS (SELECT t1, t2, u FROM (
+        |  SELECT t1, t2, u, row_number() OVER (PARTITION BY t1, t2 ORDER BY u) AS rn
+        |  FROM pr) x WHERE rn <= 64),
+        |est0 AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS m, max(uk.u) AS ukv,
+        |  CAST(sum(CASE WHEN a.u IS NOT NULL AND b.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        | FROM uk LEFT JOIN sk a ON a.t = uk.t1 AND a.u = uk.u
+        |         LEFT JOIN sk b ON b.t = uk.t2 AND b.u = uk.u
+        | GROUP BY 1, 2),
+        |est AS (SELECT t1, t2,
+        |  CASE WHEN m < 64 THEN CAST(m AS DOUBLE) ELSE round(63.0 / ukv, 6) END AS union_est,
+        |  round(CAST(hits AS DOUBLE) / m, 6) AS jaccard_est
+        | FROM est0),
+        |nt AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+        |ix AS (SELECT a.t AS t1, b.t AS t2, CAST(count(*) AS BIGINT) AS inter_exact
+        |  FROM tu a JOIN tu b ON a.member = b.member AND a.t < b.t GROUP BY 1, 2),
+        |fin AS (SELECT est.t1, est.t2,
+        |  na.n AS n_a_exact, nb.n AS n_b_exact,
+        |  coalesce(ix.inter_exact, 0) AS inter_exact,
+        |  union_est, jaccard_est
+        | FROM est JOIN nt na ON na.t = est.t1 JOIN nt nb ON nb.t = est.t2
+        |   LEFT JOIN ix ON ix.t1 = est.t1 AND ix.t2 = est.t2)
+        |SELECT t1, t2, n_a_exact, n_b_exact, inter_exact,
+        | round(CAST(inter_exact AS DOUBLE)
+        |   / (n_a_exact + n_b_exact - inter_exact), 6) AS jaccard_exact,
+        | union_est, round(jaccard_est * union_est, 6) AS inter_est, jaccard_est
+        |FROM fin ORDER BY t1, t2""".stripMargin,
+
+    "sample_soft_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |fam AS (SELECT h, CAST(count(*) AS BIGINT) AS n_family FROM d GROUP BY 1),
+        |j AS (SELECT doc_id, h, n_family,
+        |  list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(h || '#soft' || CAST(doc_id AS VARCHAR)), i, 1)) - 1) * pow(16, 8-i)))
+        |  / 4294967296.0 AS u
+        | FROM d JOIN fam USING (h))
+        |SELECT doc_id, h AS family, n_family, round(u, 6) AS u,
+        | u * n_family < 1.0 AS keep
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    "quality_kappa" ->
+      s"""WITH ra AS (SELECT doc_id,
+         |  CAST(CASE WHEN quality_bucket = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS a
+         | FROM ($textQualitySql) q),
+         |rb AS (SELECT doc_id,
+         |  CAST(CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END AS BIGINT) AS b
+         | FROM ($qualityClassifierSql) c),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(a * b) AS BIGINT) AS n11,
+         |  CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+         |  CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+         |  CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+         | FROM ra JOIN rb USING (doc_id)),
+         |k AS (SELECT n, n11, n10, n01, n00,
+         |  CAST(n11 + n00 AS DOUBLE) / n AS po,
+         |  (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+         |    + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+         |    / (CAST(n AS DOUBLE) * n) AS pe
+         | FROM m)
+         |SELECT n, n11, n10, n01, n00,
+         | round(po, 6) AS p_observed, round(pe, 6) AS p_chance,
+         | round((po - pe) / (1.0 - pe), 6) AS kappa FROM k""".stripMargin,
+
+    "text_source_divergence" ->
+      """WITH tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS w
+        |  FROM documents) t GROUP BY 1, 2),
+        |stf AS (SELECT source, w, CAST(sum(cnt) AS BIGINT) AS sc
+        |  FROM tf JOIN documents USING (doc_id) GROUP BY 1, 2),
+        |uni AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS cw FROM tf GROUP BY 1),
+        |tots AS (SELECT source, CAST(sum(sc) AS BIGINT) AS tot_s FROM stf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS total FROM uni),
+        |kl AS (SELECT source, max(tot_s) AS n_tokens, max(total) AS n_total,
+        |  sum((CAST(sc AS DOUBLE) / tot_s)
+        |    * ln((CAST(sc AS DOUBLE) / tot_s) / (CAST(cw AS DOUBLE) / total))) AS kl
+        | FROM stf JOIN uni USING (w) JOIN tots USING (source) CROSS JOIN tot
+        | GROUP BY 1)
+        |SELECT source, n_tokens,
+        | round(CAST(n_tokens AS DOUBLE) / n_total, 6) AS token_share,
+        | round(kl, 6) AS kl_vs_corpus,
+        | round(CAST(n_tokens AS DOUBLE) / n_total * kl, 6) AS jsd_contrib
+        |FROM kl ORDER BY source""".stripMargin,
   )
 }

@@ -1135,4 +1135,60 @@ object Events {
       round((meanAdj("b") - meanAdj("a")) /
         sqrt(varAdj("a") / col("n_a") + varAdj("b") / col("n_b")), 6).as("z_adj"))
   }
+
+  /** Experiment POWER analysis from the measured arm moments — the
+    * question that comes BEFORE [[eventsAbTest]]'s read-out: which
+    * lifts can this traffic actually detect? For a grid of target
+    * lifts (1/2/5/10/20% of the control mean), the required n per arm
+    * at α = 0.05 two-sided / 80% power under the normal approximation
+    * (n = (z_{α/2}+z_β)²·(σ_A²+σ_B²)/Δ²), next to the observed n and
+    * a sufficient flag; the minimum detectable effect at the CURRENT
+    * n rides every row. An experimentation platform runs exactly this
+    * table to refuse under-powered launches.
+    *
+    * Scale shape: one per-user aggregate (same shuffle as the A/B
+    * read-out), ONE 1-row moment aggregation, then a broadcast 5-row
+    * grid cross join — all post-shuffle work is constant-size.
+    */
+  def eventsPowerAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val zA = 1.959964 // z_{0.975}
+    val zB = 0.841621 // z_{0.80}
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(coalesce(sum(when(col("event_type") === "purchase", col("value"))),
+        lit(0.0)).as("rev"))
+      .withColumn("variant",
+        when(graft.functions.HexExprs.uniformHash(col("user_id").cast("string")) < 0.5,
+          "A").otherwise("B"))
+    def side(v: String, c: org.apache.spark.sql.Column) = when(col("variant") === v, c)
+    val s = perUser.agg(
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(side("A", col("rev"))).as("s_a"),
+      sum(side("B", col("rev"))).as("s_b"),
+      sum(side("A", col("rev") * col("rev"))).as("ss_a"),
+      sum(side("B", col("rev") * col("rev"))).as("ss_b"))
+      .withColumn("mean_a", col("s_a") / col("n_a"))
+      .withColumn("var_a", col("ss_a") / col("n_a") - col("mean_a") * col("mean_a"))
+      .withColumn("var_b", col("ss_b") / col("n_b")
+        - (col("s_b") / col("n_b")) * (col("s_b") / col("n_b")))
+    val grid = spark.range(0, 5).select(
+      element_at(array(lit(1L), lit(2L), lit(5L), lit(10L), lit(20L)),
+        (col("id") + 1).cast("int")).as("lift_pct"))
+    s.crossJoin(broadcast(grid))
+      .withColumn("delta", col("mean_a") * col("lift_pct") / 100.0)
+      .withColumn("n_required", ceil(
+        lit((zA + zB) * (zA + zB)) * (col("var_a") + col("var_b"))
+          / (col("delta") * col("delta"))).cast("long"))
+      .select(
+        col("lift_pct"), col("n_a"), col("n_b"),
+        round(col("delta"), 6).as("delta_abs"),
+        col("n_required"),
+        (least(col("n_a"), col("n_b")) >= col("n_required")).as("powered"),
+        // MDE at the observed per-arm sizes (constant across the grid)
+        round(lit(zA + zB) *
+          sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6)
+          .as("mde_abs_at_n"))
+      .orderBy("lift_pct")
+  }
 }

@@ -298,4 +298,50 @@ object Governance {
           nullif(col("tp") + col("fn"), lit(0L)), 6).as("recall"))
       .orderBy("t10")
   }
+
+  /** Inter-rater agreement between the two independent quality
+    * signals — the heuristic rule bucket ([[TextAnalysis.textQuality]],
+    * positive = 'ok') and the model-based filter
+    * ([[TextAnalysis.qualityClassifier]], positive = 'keep') — as
+    * Cohen's kappa: observed agreement corrected for the agreement
+    * two raters with these marginals would reach BY CHANCE
+    * (κ = (p_o − p_e)/(1 − p_e)). Raw agreement overstates
+    * reliability when both raters mostly say "keep"; κ is the number
+    * a curation pipeline should gate a classifier rollout on.
+    * Completes the calibration trio next to [[qualityPrCurve]]
+    * (operating point) and [[qualityReliability]] (probability
+    * trust).
+    *
+    * Scale shape: one per-doc equi-join of two map-side relations
+    * into ONE four-cell conditional aggregation — constant state, no
+    * second pass for the marginals (they expand from the same cells).
+    */
+  def qualityKappa(spark: SparkSession, dir: String): DataFrame = {
+    val heur = graft.functions.Unordered(
+      TextAnalysis.textQuality(spark, dir))
+      .select(col("doc_id"),
+        when(col("quality_bucket") === "ok", 1L).otherwise(0L).as("a"))
+    val model = graft.functions.Unordered(
+      TextAnalysis.qualityClassifier(spark, dir))
+      .select(col("doc_id"),
+        when(col("verdict") === "keep", 1L).otherwise(0L).as("b"))
+    heur.join(model, "doc_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+      .withColumn("po", (col("n11") + col("n00")).cast("double") / col("n"))
+      // marginal products in doubles: n² and cell-count products
+      // overflow BIGINT long before a 100 TB corpus does
+      .withColumn("pe",
+        ((col("n11") + col("n10")).cast("double") * (col("n11") + col("n01"))
+          + (col("n01") + col("n00")).cast("double") * (col("n10") + col("n00")))
+          / (col("n").cast("double") * col("n")))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round(col("po"), 6).as("p_observed"),
+        round(col("pe"), 6).as("p_chance"),
+        round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6).as("kappa"))
+  }
 }

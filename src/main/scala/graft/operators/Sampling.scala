@@ -318,4 +318,31 @@ object Sampling {
       .withColumn("u", graft.functions.HexExprs.uniformHash(
         concat(col("text"), lit("#shuffle"))))
       .withColumn("shard", floor(col("u") * shards).cast("int"))
+
+  /** SOFT deduplication: instead of electing one canonical member per
+    * exact-duplicate family (hard dedup, [[graft.operators.Dedup]]),
+    * keep each member independently with probability 1/|family| — the
+    * expected surviving mass per family is exactly one document, but
+    * naturally-frequent content keeps proportional representation in
+    * the sampling RANDOMNESS rather than always the same canonical
+    * row (the frequency-aware middle ground some pipelines prefer over
+    * hard dedup's distribution shift).
+    *
+    * Deterministic: membership u is the content hash salted with
+    * doc_id (so family members draw independently), the family size
+    * rides the hash groupBy back via one broadcast-eligible join.
+    * Map-side filter; re-thresholdable; no rand().
+    */
+  def sampleSoftDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("h", md5(col("text")))
+    val fam = d.groupBy("h").agg(count(lit(1)).as("n_family"))
+    d.join(fam, "h")
+      .withColumn("u", graft.functions.HexExprs.uniformHash(
+        concat(col("h"), lit("#soft"), col("doc_id"))))
+      .withColumn("keep", col("u") * col("n_family") < 1.0)
+      .select(col("doc_id"), col("h").as("family"), col("n_family"),
+        round(col("u"), 6).as("u"), col("keep"))
+      .orderBy("doc_id")
+  }
 }

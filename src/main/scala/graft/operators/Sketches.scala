@@ -144,4 +144,87 @@ object Sketches {
       .select("rank", "token", "n_exact", "cms_est")
       .orderBy("rank")
   }
+
+  /** KMV set ALGEBRA: coordinated k-minimum-value sketches support
+    * union / intersection / Jaccard estimates between sets, not just
+    * cardinalities — here the vocabulary-overlap matrix between every
+    * language pair's distinct 3-word-shingle sets (the corpus-level
+    * "how much do these slices share" number next to the per-doc
+    * minhash dedup, on the SAME shingle unit). Because all sketches
+    * share ONE hash, K(A∪B) is the k smallest of K(A) ∪ K(B), and
+    * membership of a union-sketch value in A is equivalent to
+    * membership in K(A):
+    * ĵ = |K(A∪B) ∩ K(A) ∩ K(B)| / |K(A∪B)|, |A∪B|^ = (k−1)/u_k, and
+    * |A∩B|^ = ĵ·|A∪B|^. The sketch path touches each (lang, shingle)
+    * row once and everything past the per-group k-min heaps is
+    * constant size (|langs|²·k); the exact columns ride along as the
+    * verification baseline, same contract as [[approxDistinctKmv]] —
+    * at corpus scale the exact member-join columns are the eval, the
+    * sketches are the product.
+    */
+  def approxSetOverlapKmv(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val tu = graft.PlanCache.cached("kmv_overlap_tu", spark, dir) {
+      Tables.documents(spark, dir)
+        .withColumn("toks", split(col("text"), "\\s+"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("lang").as("t"), explode(expr(
+          "transform(sequence(1, size(toks)-2), i -> array_join(slice(toks, i, 3), ' '))"))
+          .as("member"))
+        .distinct()
+    }
+    // k smallest DISTINCT hash values per group (distinct first: ties
+    // between colliding members would otherwise make the k-th value
+    // order-dependent); bounded per-group heaps, no window
+    val hashed = tu.withColumn("u",
+      graft.functions.HexExprs.uniformHash(col("member")))
+    val sk = graft.PlanCache.cached("kmv_overlap_sketch", spark, dir) {
+      graft.plans.TopKPerGroup(
+        hashed.select(col("t"), col("u")).distinct(), Seq("t"), Seq(("u", false)), k)
+    }
+    val types = sk.select("t").distinct()
+    val pairs = types.select(col("t").as("t1"))
+      .crossJoin(broadcast(types.select(col("t").as("t2"))))
+      .filter(col("t1") < col("t2"))
+    // union sketch per pair: k smallest of the two member sketches
+    // (shared hash ⇒ same user contributes one value; distinct dedups)
+    val pairRows = pairs.join(broadcast(sk),
+        sk("t") === col("t1") || sk("t") === col("t2"))
+      .select(col("t1"), col("t2"), col("u")).distinct()
+    val unionK = graft.plans.TopKPerGroup(
+      pairRows, Seq("t1", "t2"), Seq(("u", false)), k)
+    val skA = sk.select(col("t").as("t1"), col("u"), lit(1).as("in_a"))
+    val skB = sk.select(col("t").as("t2"), col("u"), lit(1).as("in_b"))
+    val est = unionK
+      .join(broadcast(skA), Seq("t1", "u"), "left")
+      .join(broadcast(skB), Seq("t2", "u"), "left")
+      .groupBy("t1", "t2")
+      .agg(count(lit(1)).as("m"), max("u").as("uk"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("hits"))
+      .withColumn("union_est",
+        when(col("m") < k, col("m").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) / col("uk"), 6)))
+      .withColumn("jaccard_est", round(col("hits").cast("double") / col("m"), 6))
+      .withColumn("inter_est", round(col("jaccard_est") * col("union_est"), 6))
+    // exact baseline: per-group distinct counts + pairwise
+    // intersection (one self-equi-join on the member — linear in the
+    // membership table)
+    val nT = tu.groupBy("t").agg(count(lit(1)).as("n"))
+    val inter = tu.select(col("t").as("t1"), col("member"))
+      .join(tu.select(col("t").as("t2"), col("member")), "member")
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2").agg(count(lit(1)).as("inter_exact"))
+    est
+      .join(broadcast(nT.select(col("t").as("t1"), col("n").as("n_a_exact"))), "t1")
+      .join(broadcast(nT.select(col("t").as("t2"), col("n").as("n_b_exact"))), "t2")
+      .join(inter, Seq("t1", "t2"), "left")
+      .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+      .withColumn("jaccard_exact", round(col("inter_exact").cast("double") /
+        (col("n_a_exact") + col("n_b_exact") - col("inter_exact")), 6))
+      .select(col("t1"), col("t2"), col("n_a_exact"), col("n_b_exact"),
+        col("inter_exact"), col("jaccard_exact"),
+        col("union_est"), col("inter_est"), col("jaccard_est"))
+      .orderBy("t1", "t2")
+  }
 }

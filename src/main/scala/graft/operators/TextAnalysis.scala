@@ -796,4 +796,44 @@ object TextAnalysis {
         round(col("n_tokens").cast("double") / col("tot_tokens"), 6).as("token_share"))
       .orderBy("bucket")
   }
+
+  /** Source-distribution drift: each source's unigram distribution
+    * scored against the corpus MIXTURE by KL(P_s ‖ C) — how far a
+    * source's language is from what the model will actually train on.
+    * The token-share-weighted column sums to the generalized
+    * Jensen-Shannon divergence of the mixture (= the mutual
+    * information I(source; token)) — the single number that says
+    * whether "source" is a meaningful axis for mixture weighting at
+    * all. Support is safe by construction (every source token is in
+    * the corpus), so no smoothing is needed.
+    *
+    * Scale shape: (source, token) counts reduce map-side off the
+    * shared per-doc tf relation; the corpus model table is the SAME
+    * PlanCache'd relation every unigram-LM consumer reads; one hash
+    * join on token + a |sources|-key aggregate; totals ride broadcast
+    * one-row cross joins.
+    */
+  def textSourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val stf = docTf(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .groupBy("source", "w").agg(sum("cnt").as("sc"))
+    val uni = uniCounts(spark, dir)
+    val totS = stf.groupBy("source").agg(sum("sc").as("tot_s"))
+    val totalRow = uni.agg(sum("cw").as("total"))
+    stf.join(uni, "w")
+      .join(broadcast(totS), "source")
+      .crossJoin(broadcast(totalRow))
+      .groupBy("source")
+      .agg(max("tot_s").as("n_tokens"), max("total").as("n_total"),
+        sum((col("sc").cast("double") / col("tot_s")) *
+          log((col("sc").cast("double") / col("tot_s")) /
+            (col("cw").cast("double") / col("total")))).as("kl"))
+      .select(col("source"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_total"), 6)
+          .as("token_share"),
+        round(col("kl"), 6).as("kl_vs_corpus"),
+        round(col("n_tokens").cast("double") / col("n_total") * col("kl"), 6)
+          .as("jsd_contrib"))
+      .orderBy("source")
+  }
 }

@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Round-8 operators: probabilistic record linkage, sorted-neighborhood
+  * blocking, KMV set algebra, soft dedup, rater agreement, power
+  * analysis, source divergence. Each test pins the operator against an
+  * independent local recomputation (the oracle gate checks DuckDB
+  * parity; these pin the SEMANTICS).
+  */
+class Round8OpsSpec extends SparkSpec {
+
+  test("match_fellegi_sunter: patterns partition the block pairs; weights ordered by evidence") {
+    val out = operators.Matching.matchFellegiSunter(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 8)
+    // patterns partition the candidate set: total = blocked pair count
+    val c = Tables.customer(spark, sf)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("nc"))
+    val s = Tables.supplier(spark, sf)
+      .groupBy("s_nationkey").agg(count(lit(1)).as("ns"))
+    val expectPairs = c.join(s, col("c_nationkey") === col("s_nationkey"))
+      .agg(sum(col("nc") * col("ns"))).head.getLong(0)
+    assert(out.map(_.getAs[Long]("n_pairs")).sum == expectPairs)
+    // more agreement never lowers the weight: flipping any γ from 0→1
+    // adds ln(m/u) − ln((1−m)/(1−u)) > 0 for every field here
+    val w = out.map(r => (r.getAs[Int]("g_name"), r.getAs[Int]("g_bkt"),
+      r.getAs[Int]("g_dig")) -> r.getAs[Double]("weight")).toMap
+    for (((gn, gb, gd), wt) <- w) {
+      if (gn == 0 && w.contains((1, gb, gd))) assert(w((1, gb, gd)) > wt)
+      if (gb == 0 && w.contains((gn, 1, gd))) assert(w((gn, 1, gd)) > wt)
+      if (gd == 0 && w.contains((gn, gb, 1))) assert(w((gn, gb, 1)) > wt)
+    }
+    // the name field dominates: any name-agree pattern outweighs any
+    // name-disagree pattern (the noise fields' weights are near zero)
+    val minAgree = w.collect { case ((1, _, _), v) => v }.min
+    val maxDisagree = w.collect { case ((0, _, _), v) => v }.max
+    assert(minAgree > maxDisagree + 3.0)
+    // verdict thresholds applied on the emitted weight
+    out.foreach { r =>
+      val v = r.getAs[String]("verdict"); val wt = r.getAs[Double]("weight")
+      if (wt >= math.log(8.0)) assert(v == "match")
+      else if (wt <= -math.log(8.0)) assert(v == "non_match")
+      else assert(v == "possible")
+    }
+  }
+
+  test("match_sorted_neighborhood: equals the definitional rank-band join") {
+    val out = operators.Matching.matchSortedNeighborhood(spark, sf)
+    // definitional recomputation: full inequality join on ranks
+    val p = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_name"),
+        operators.Matching.normName(col("p_name")).as("norm"))
+      .withColumn("pfx", substring(col("norm"), 1, 1))
+    val ranked = p.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("pfx").orderBy("norm", "p_partkey")).cast("long"))
+    val l = ranked.select(col("p_partkey").as("l_key"), col("norm").as("l_norm"),
+      col("pfx"), col("rank").as("l_rank"))
+    val r = ranked.select(col("p_partkey").as("r_key"), col("p_name").as("r_name"),
+      col("norm").as("r_norm"), col("pfx"), col("rank").as("r_rank"))
+    val ref = l.join(r, Seq("pfx"))
+      .filter(col("r_rank") - col("l_rank") > 0 && col("r_rank") - col("l_rank") <= 4)
+      .filter(col("l_key") % 2 === 0 && col("r_key") % 2 === 1)
+      .withColumn("score", round(
+        lit(1.0) - levenshtein(col("l_norm"), col("r_norm")).cast("double") /
+          greatest(length(col("l_norm")), length(col("r_norm"))), 6))
+      .filter(col("score") >= 0.5)
+      .groupBy("l_key")
+      .agg(max(struct(col("score"), (-col("r_key")).as("nk"), col("r_name"))).as("m"))
+      .select(col("l_key"), (-col("m.nk")).as("r_key"),
+        col("m.r_name").as("r_name"), col("m.score").as("score"))
+    assert(out.count() > 0)
+    assert(out.exceptAll(ref).count() == 0 && ref.exceptAll(out).count() == 0)
+  }
+
+  test("approx_set_overlap_kmv: estimator invariants and exact columns") {
+    val out = operators.Sketches.approxSetOverlapKmv(spark, sf).collect()
+    val langs = Tables.documents(spark, sf).select("lang").distinct().count()
+    assert(out.length == langs * (langs - 1) / 2)
+    // exact columns match an independent local shingle-set recompute
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sets = docs.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.flatMap { case (_, text) =>
+        val w = text.split("\\s+")
+        if (w.length < 3) Seq.empty
+        else (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" "))
+      }.toSet
+    }
+    out.foreach { r =>
+      val a = sets(r.getAs[String]("t1")); val b = sets(r.getAs[String]("t2"))
+      assert(r.getAs[Long]("n_a_exact") == a.size)
+      assert(r.getAs[Long]("n_b_exact") == b.size)
+      assert(r.getAs[Long]("inter_exact") == (a & b).size)
+      val jex = (a & b).size.toDouble / (a | b).size
+      assert(math.abs(r.getAs[Double]("jaccard_exact") - jex) < 1e-6)
+      // k=64 sketch: s.e. of ĵ ≈ sqrt(j(1−j)/64) ≤ 0.063 — allow 4σ
+      val j = r.getAs[Double]("jaccard_est")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(math.abs(j - jex) < 0.25, s"jaccard_est $j vs exact $jex")
+      // union estimate within 50% of truth at k=64 (s.e. ≈ 12.5%)
+      val uex = (a | b).size.toDouble
+      val ue = r.getAs[Double]("union_est")
+      assert(ue > 0.5 * uex && ue < 1.5 * uex, s"union_est $ue vs $uex")
+    }
+  }
+
+  test("sample_soft_dedup: per-family expected mass is one; singletons always kept") {
+    val out = operators.Sampling.sampleSoftDedup(spark, sf).cache()
+    val n = Tables.documents(spark, sf).count()
+    assert(out.count() == n) // one verdict per document
+    // singleton families: u < 1 always (u in [0,1)), so always kept
+    assert(out.filter(col("n_family") === 1 && !col("keep")).count() == 0)
+    // keep rule is exactly u·n < 1 on the emitted columns (rounded u
+    // can disagree at the boundary only in the 7th decimal; recheck
+    // against the unrounded rule via the family join)
+    val agree = out.filter(
+      (col("u") * col("n_family") < 1.0) =!= col("keep"))
+    assert(agree.filter(abs(col("u") * col("n_family") - 1.0) > 1e-5).count() == 0)
+    // expected survivors ≈ families (each family keeps Binomial(n,1/n),
+    // mean 1); loose 3σ-style band
+    val fams = out.select("family").distinct().count()
+    val kept = out.filter(col("keep")).count()
+    assert(math.abs(kept - fams) <= math.max(4L, fams / 2),
+      s"kept $kept vs families $fams")
+    out.unpersist()
+  }
+
+  test("quality_kappa: cells partition the corpus; kappa matches a local recomputation") {
+    val Row(n: Long, n11: Long, n10: Long, n01: Long, n00: Long,
+      po: Double, pe: Double, kappa: Double) =
+      operators.Governance.qualityKappa(spark, sf).head
+    assert(n == Tables.documents(spark, sf).count())
+    assert(n11 + n10 + n01 + n00 == n)
+    // independent local recomputation from the two signal queries
+    val h = operators.TextAnalysis.textQuality(spark, sf)
+      .select(col("doc_id"), (col("quality_bucket") === "ok").as("a")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val m = operators.TextAnalysis.qualityClassifier(spark, sf)
+      .select(col("doc_id"), (col("verdict") === "keep").as("b")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val cells = h.keys.toSeq.map(k => (h(k), m(k)))
+    val (e11, e10, e01, e00) = (
+      cells.count(c => c._1 && c._2), cells.count(c => c._1 && !c._2),
+      cells.count(c => !c._1 && c._2), cells.count(c => !c._1 && !c._2))
+    assert((n11, n10, n01, n00) == (e11.toLong, e10.toLong, e01.toLong, e00.toLong))
+    val poE = (e11 + e00).toDouble / n
+    val peE = ((e11 + e10).toDouble * (e11 + e01) + (e01 + e00).toDouble * (e10 + e00)) / (n.toDouble * n)
+    assert(math.abs(po - poE) < 1e-6 && math.abs(pe - peE) < 1e-6)
+    assert(math.abs(kappa - (poE - peE) / (1 - peE)) < 1e-5)
+    assert(kappa <= 1.0)
+  }
+
+  test("events_power_analysis: n_required decreasing in lift; consistent with the A/B arms") {
+    val out = operators.Events.eventsPowerAnalysis(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("lift_pct")).toSeq == Seq(1L, 2L, 5L, 10L, 20L))
+    // arms match the A/B read-out
+    val ab = operators.Events.eventsAbTest(spark, sf).head
+    assert(out.head.getAs[Long]("n_a") == ab.getAs[Long]("n_a"))
+    assert(out.head.getAs[Long]("n_b") == ab.getAs[Long]("n_b"))
+    // a bigger detectable lift needs fewer users; delta scales linearly
+    val byLift = out.map(r => r.getAs[Long]("lift_pct") ->
+      (r.getAs[Double]("delta_abs"), r.getAs[Long]("n_required"))).toMap
+    assert(byLift(1L)._2 > byLift(2L)._2 && byLift(2L)._2 > byLift(5L)._2 &&
+      byLift(5L)._2 > byLift(10L)._2 && byLift(10L)._2 > byLift(20L)._2)
+    assert(math.abs(byLift(10L)._1 - 10 * byLift(1L)._1) < 1e-4)
+    // powered ⇔ observed arm sizes clear the requirement
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("powered") ==
+        (math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) >=
+          r.getAs[Long]("n_required")))
+    }
+    // mde constant across the grid and positive
+    assert(out.map(_.getAs[Double]("mde_abs_at_n")).distinct.length == 1)
+    assert(out.head.getAs[Double]("mde_abs_at_n") > 0)
+  }
+
+  test("text_source_divergence: KL ≥ 0 per source; contributions sum to the mixture JSD ≥ 0") {
+    val out = operators.TextAnalysis.textSourceDivergence(spark, sf).collect()
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(out.length == nSources)
+    out.foreach { r =>
+      assert(r.getAs[Double]("kl_vs_corpus") >= -1e-9,
+        s"KL(P_s||C) must be ≥ 0: $r")
+      val share = r.getAs[Double]("token_share")
+      assert(share > 0 && share < 1)
+    }
+    // shares sum to 1, contributions are share·kl
+    assert(math.abs(out.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-3)
+    val mi = out.map(_.getAs[Double]("jsd_contrib")).sum
+    assert(mi >= 0)
+    // exact local recomputation for ONE source
+    val tokens = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val corpus = tokens.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val total = tokens.length.toDouble
+    val s0 = out.head.getAs[String]("source")
+    val mine = tokens.filter(_._1 == s0).groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val totS = mine.values.sum
+    val klE = mine.map { case (w, c) =>
+      (c / totS) * math.log((c / totS) / (corpus(w) / total)) }.sum
+    assert(math.abs(out.head.getAs[Double]("kl_vs_corpus") - klE) < 1e-4,
+      s"kl ${out.head.getAs[Double]("kl_vs_corpus")} vs local $klE")
+  }
+}
