@@ -45,21 +45,41 @@ object Bench {
       .sortBy { case (name, _) => (runLast(name), name) }
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      // a failed rep must NOT masquerade as a fast one: the r8 sf1 run
+      // showed ~90 queries reporting 0.01s because the context had died
+      // and the old catch swallowed every exception — record failures
+      // as -1 and abort outright once the SparkContext is gone (every
+      // later timing would be garbage)
+      var err: Throwable = null
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable => if (err == null) err = e }
         (System.nanoTime() - t0) / 1e9
       }
-      val dt = ts.min
+      if (spark.sparkContext.isStopped) {
+        System.err.println(s"[bench] ABORT: SparkContext stopped during $name")
+        sys.exit(1)
+      }
+      val dt = if (err != null) -1.0 else ts.min
       // per-rep times expose cold-vs-warm attribution (a big rep-1 is
       // a cache build landing on its family's first consumer)
-      System.err.println(f"[bench] $name%-24s $dt%8.2f s  " +
-        ts.map(t => f"$t%.2f").mkString("[", " ", "]"))
+      if (err != null)
+        System.err.println(s"[bench] $name FAILED: ${err.getClass.getName}: " +
+          s"${err.getMessage}")
+      else
+        System.err.println(f"[bench] $name%-24s $dt%8.2f s  " +
+          ts.map(t => f"$t%.2f").mkString("[", " ", "]"))
       (name, dt, ts)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries carry -1 in the map; keep them out of the total so
+    // a failure can only make the headline number look WORSE (missing
+    // coverage), never better
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val nFailed = results.count(_._2 < 0)
+    if (nFailed > 0) System.err.println(s"[bench] $nFailed queries FAILED")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the stdout line gets tail-truncated by log capture once the

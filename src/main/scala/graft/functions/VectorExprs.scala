@@ -152,10 +152,84 @@ case class DenseScatterExpr(indices: Expression, values: Expression, n: Int)
     copy(indices = newLeft, values = newRight)
 }
 
+/** Sparse-probe × dense-build dot: Σ_k w[k] · v[idx[k]-1] (1-based
+  * indices, out-of-range entries skipped). For short documents over a
+  * shared vocabulary this does O(nnz) work per pair instead of the
+  * dense-dense O(vocab) — at sf1 the tfidf corpus averages ~126 grams
+  * against a ~1900-wide pruned vocabulary, a ~15x FLOP cut on the
+  * all-pairs scoring scan. Feed indices SORTED ascending and the
+  * result is bit-identical to [[DotProductExpr]] over the scattered
+  * dense pair: the dense scan accumulates in index order and its
+  * extra terms are exact +0.0 no-ops.
+  */
+case class SparseDenseDotExpr(indices: Expression, weights: Expression,
+    dense: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def first: Expression = indices
+  override def second: Expression = weights
+  override def third: Expression = dense
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (indices.dataType, weights.dataType, dense.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _),
+            ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<int>, array<double>, array<double>), got " +
+          s"${a.simpleString}, ${b.simpleString}, ${c.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sparse_dense_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val idx = a.asInstanceOf[ArrayData]
+    val ws = b.asInstanceOf[ArrayData]
+    val v = c.asInstanceOf[ArrayData]
+    val m = math.min(idx.numElements(), ws.numElements())
+    val n = v.numElements()
+    var s = 0.0
+    var k = 0
+    while (k < m) {
+      val i = idx.getInt(k) - 1
+      if (i >= 0 && i < n) s += ws.getDouble(k) * v.getDouble(i)
+      k += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      s"""
+         |int $m = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $c.numElements();
+         |double $s = 0.0;
+         |for (int $k = 0; $k < $m; $k++) {
+         |  int $i = $a.getInt($k) - 1;
+         |  if ($i >= 0 && $i < $n) $s += $b.getDouble($k) * $c.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(indices = newFirst, weights = newSecond, dense = newThird)
+}
+
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
     GraftShim.column(DotProductExpr(
       GraftShim.expression(a), GraftShim.expression(b)))
+
+  def sparseDenseDot(indices: Column, weights: Column, dense: Column): Column =
+    GraftShim.column(SparseDenseDotExpr(
+      GraftShim.expression(indices), GraftShim.expression(weights),
+      GraftShim.expression(dense)))
 
   def bitsetInter(a: Column, b: Column): Column =
     GraftShim.column(BitsetIntersectExpr(

@@ -105,10 +105,22 @@ object Matching {
     * 8B) above which the dense path is refused even for a narrow
     * vocabulary. All variants must produce identical rounded results
     * — the prefix bound is lossless and both regimes score exactly.
+    *
+    * Cap default (512 MB): sized from the r8 sf1 measurement. On this
+    * templated corpus the prefix filter admits ~76% of all pairs, so
+    * the sparse fallback is effectively the quadratic token join — at
+    * sf1 (50k docs) it admitted ~475M candidate pairs and measured
+    * 2354 s, while the dense half-corpus vector table is ~385 MB and
+    * scores the same pairs as one codegen'd dot scan in tens of
+    * seconds. 512 MB is comfortably executor-safe on any cluster this
+    * would run on; beyond it the sparse path is genuinely the right
+    * regime (wide vocabulary → rare terms → short posting lists), and
+    * at web scale exact all-pairs cosine is the wrong operator
+    * anyway — the knn / minhash-dedup family is the scale path.
     */
   def matchTfidfTopk(spark: SparkSession, dir: String, denseVocabMax: Int,
       prefixFilter: Boolean = true,
-      denseBroadcastMaxBytes: Long = 256L << 20): DataFrame = {
+      denseBroadcastMaxBytes: Long = 512L << 20): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // 1-2-gram vocabulary, mirroring TfidfVectorizer(ngram_range=(1,2))
     // in entity_matching_optimized.py:146-149 — bigram features let
@@ -224,27 +236,40 @@ object Matching {
         // large, the regime where the prefix filter actually prunes.
         val ranked = dfreq.withColumn("r",
           row_number().over(Window.orderBy("token")))
-        // scatter (rank, weight) into a primitive double[vocab] —
-        // native codegen; the transform(sequence(1,n), r -> m[r])
-        // formulation probes an O(entries) Spark map per slot,
-        // interpreted (n·nnz work per doc)
-        val vecs = graft.PlanCache.cached("tfidf_vecs", spark, dir) {
+        // one cached sparse form per doc, rank-SORTED so every
+        // accumulation below runs in ascending-index order; the dense
+        // side is scattered from it map-side (primitive double[vocab]
+        // per odd doc — native codegen; the transform(sequence(1,n),
+        // r -> m[r]) formulation probes an O(entries) Spark map per
+        // slot, interpreted, n·nnz work per doc)
+        val sparse = graft.PlanCache.cached("tfidf_sparse", spark, dir) {
           weights.join(broadcast(ranked.select("token", "r")), "token")
             .groupBy("doc_id")
-            .agg(collect_list(struct(col("r"), col("w"))).as("rw"),
+            .agg(sort_array(collect_list(struct(col("r"), col("w")))).as("rw"),
               sum(col("w") * col("w")).as("n2"))
             .select(col("doc_id"),
-              graft.functions.VectorExprs.denseScatter(
-                expr("transform(rw, x -> x.r)"), expr("transform(rw, x -> x.w)"),
-                vocab.toInt).as("v"),
+              expr("transform(rw, x -> x.r)").as("ri"),
+              expr("transform(rw, x -> x.w)").as("wi"),
               sqrt(col("n2")).as("norm"))
         }
-        val evens = vecs.filter(col("doc_id") % 2 === 0)
-          .select(col("doc_id").as("i"), col("v").as("vi"), col("norm").as("ni"))
-        val odds = vecs.filter(col("doc_id") % 2 === 1)
-          .select(col("doc_id").as("j"), col("v").as("vj"), col("norm").as("nj"))
+        // probe stays SPARSE: per-pair scoring is Σ w[k]·v[idx[k]]
+        // over the probe's nnz (~126 grams/doc at sf1) instead of a
+        // vocab-wide (~1900) dense-dense scan — a ~15x FLOP cut on
+        // the quadratic stage, bit-identical because the sparse walk
+        // visits the same indices ascending and the dense scan's
+        // extra terms are exact +0.0 no-ops (measured sf1: 130 s
+        // dense-dense → see BASELINE.md scaling table)
+        val evens = sparse.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("i"), col("ri"), col("wi"),
+            col("norm").as("ni"))
+        val odds = sparse.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id").as("j"),
+            graft.functions.VectorExprs.denseScatter(
+              col("ri"), col("wi"), vocab.toInt).as("vj"),
+            col("norm").as("nj"))
         evens.crossJoin(broadcast(odds))
-          .withColumn("dot", graft.functions.Vectors.dot("vi", "vj"))
+          .withColumn("dot", graft.functions.VectorExprs.sparseDenseDot(
+            col("ri"), col("wi"), col("vj")))
           .withColumn("cosine", round(col("dot") / (col("ni") * col("nj")), 6))
           .select("i", "j", "cosine")
       } else {
