@@ -88,6 +88,7 @@ object SparkEntry {
     "dedup_keep_best" -> (Dedup.dedupKeepBest _),
     "contamination_minhash" -> (Dedup.contaminationMinhash _),
     "dedup_substring" -> (Dedup.dedupSubstring _),
+    "dedup_paragraphs" -> (Dedup.dedupParagraphs _),
     "contamination_ngram" -> (Dedup.contaminationNgram _),
     "text_ngram_novelty" -> (Dedup.textNgramNovelty _),
     // text analysis
@@ -125,6 +126,7 @@ object SparkEntry {
     "embed_cluster_margin" -> (Similarity.embedClusterMargin _),
     "embed_top_pc" -> (Similarity.embedTopPc _),
     "embed_top2_pc" -> (Similarity.embedTop2Pc _),
+    "embed_pq_distortion" -> (Similarity.embedPqDistortion _),
     // sketches + range join
     "approx_distinct_kmv" -> (Sketches.approxDistinctKmv _),
     "events_range_join" -> (Events.eventsRangeJoin _),
@@ -1346,6 +1348,21 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper,
         | CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "dedup_paragraphs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |segs AS (SELECT doc_id,
+        |   unnest(list_transform(generate_series(1, len(toks) // 10),
+        |     i -> array_to_string(list_slice(toks, (i-1)*10+1, (i-1)*10+10), ' ')))
+        |   AS segment
+        |  FROM t WHERE len(toks) >= 10),
+        |per_doc AS (SELECT segment, doc_id, CAST(count(*) AS BIGINT) AS occ
+        |  FROM segs GROUP BY 1, 2)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(occ) AS BIGINT) AS n_occ
+        |FROM per_doc GROUP BY 1 HAVING count(*) >= 3
+        |ORDER BY n_docs DESC, segment""".stripMargin,
 
     "dedup_index_probe" ->
       s"""${minhashCtes("a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0")}
@@ -3473,6 +3490,46 @@ object SparkEntry {
         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     "knn_ivfpq" -> knnIvfPqSql,
+
+    "embed_pq_distortion" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |su AS (SELECT vec_id, m, list_slice(v, m*4 + 1, (m+1)*4) AS sv
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS m) ms),
+        |s2 AS (SELECT vec_id, m, sv,
+        |   list_sum(list_transform(sv, x -> x*x)) AS s2 FROM su),
+        |c0 AS (SELECT m, CAST(vec_id AS INT) AS cid, sv AS c,
+        |   list_sum(list_transform(sv, x -> x*x)) AS c2 FROM s2 WHERE vec_id < 64),
+        |p1 AS (SELECT s.vec_id, s.m, c0.cid, round(s.s2
+        |   - 2*list_sum(list_transform(generate_series(1, 4), i -> s.sv[i]*c0.c[i]))
+        |   + c0.c2, 6) AS d2
+        |  FROM s2 s JOIN c0 ON s.m = c0.m),
+        |a1 AS (SELECT vec_id, m, cid AS code FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+        |   FROM p1) t WHERE rn = 1),
+        |mx AS (SELECT a1.m, a1.code AS cid, unnest(generate_series(1, 4)) AS dim,
+        |   unnest(s.sv) AS x
+        |  FROM a1 JOIN s2 s USING (vec_id, m)),
+        |m1 AS (SELECT m, cid, dim, round(avg(x), 6) AS cx FROM mx GROUP BY 1, 2, 3),
+        |c1 AS (SELECT m, cid, list(cx ORDER BY dim) AS c FROM m1 GROUP BY 1, 2),
+        |c1b AS (SELECT m, cid, c, list_sum(list_transform(c, x -> x*x)) AS c2 FROM c1),
+        |p2 AS (SELECT s.vec_id, s.m, c1b.cid, round(s.s2
+        |   - 2*list_sum(list_transform(generate_series(1, 4), i -> s.sv[i]*c1b.c[i]))
+        |   + c1b.c2, 6) AS d2
+        |  FROM s2 s JOIN c1b ON s.m = c1b.m),
+        |codes AS (SELECT vec_id, m, cid AS code FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+        |   FROM p2) t WHERE rn = 1),
+        |dist AS (SELECT p2.m, p2.d2, s.s2
+        |  FROM p2 JOIN codes k ON p2.vec_id = k.vec_id AND p2.m = k.m
+        |    AND p2.cid = k.code
+        |  JOIN s2 s ON p2.vec_id = s.vec_id AND p2.m = s.m),
+        |agg AS (SELECT m, CAST(count(*) AS BIGINT) AS n_vecs,
+        |   round(avg(d2), 6) AS mse, round(avg(s2), 6) AS mean_energy
+        |  FROM dist GROUP BY m)
+        |SELECT m, n_vecs, mse, mean_energy,
+        |  round(mse / mean_energy, 6) AS err_share
+        |FROM agg ORDER BY m""".stripMargin,
     "knn_recall_pq" ->
       s"""WITH truth AS (SELECT vec_id FROM ($knnBruteSql) b WHERE rank <= 5),
          |got AS (SELECT vec_id FROM ($knnIvfPqSql) g)

@@ -784,5 +784,38 @@ object Dedup {
         col("m.cosine").as("cosine"))
       .orderBy("vec_id")
   }
+
+  /** Cross-document repeated-segment (boilerplate) detector: carve
+    * each document into consecutive non-overlapping 10-token segments
+    * and report every segment recurring in ≥ 3 DISTINCT documents —
+    * the pre-pass that surfaces template boilerplate (headers,
+    * footers, nav bars, license blocks) that document-granularity
+    * exact/near dedup cannot see. The reference strips boilerplate
+    * per page (clean_common_crawl.py:46, BeautifulSoup get_text); at
+    * corpus scale the repeated-segment table IS the boilerplate list
+    * a cleaning pass subtracts.
+    *
+    * Scale shape: the segment carve is one map-side explode, linear
+    * in corpus tokens; then the distinct-count-relation pattern —
+    * groupBy (segment, doc) with map-side combine collapses
+    * within-doc repeats BEFORE the per-segment count, so n_docs is a
+    * plain count with no count(DISTINCT) Expand, and the segment
+    * shuffle carries one row per (segment, doc), not per occurrence.
+    */
+  def dedupParagraphs(spark: SparkSession, dir: String): DataFrame = {
+    val segLen = 10
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
+      .filter(size(col("t")) >= segLen)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(t) div $segLen), " +
+          s"i -> array_join(slice(t, (i-1)*$segLen+1, $segLen), ' '))"))
+        .as("segment"))
+    segs.groupBy("segment", "doc_id").agg(count(lit(1)).as("occ"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"))
+      .filter(col("n_docs") >= 3)
+      .orderBy(col("n_docs").desc, col("segment"))
+  }
 }
 

@@ -875,6 +875,39 @@ object Similarity {
     graft.functions.TopK.globalWithRank(adc, 5, col("adc_d2").asc, col("vec_id"))
   }
 
+  /** PQ quantization-distortion report — the OTHER quality gate on
+    * the 32x compression: [[knnRecallPq]] asks "does the lossy stack
+    * still retrieve the right neighbors", this asks "how much of the
+    * signal does each subspace's codebook destroy". Per subspace m:
+    * reconstruction MSE (mean ||sv − c_code||², exactly the
+    * assignment-time d²), mean subvector energy ||sv||², and their
+    * ratio — the per-subspace quantization error rate. A subspace
+    * whose err_share is an outlier is where to spend codebook bits
+    * (or where a rotation/OPQ step would pay) BEFORE re-encoding a
+    * 100-TB corpus. Reuses the cached [[pqSubs]]/[[pqCodebook]]/
+    * [[pqCodes]] relations — no new training pass; one broadcast
+    * join + a 16-key aggregate over the per-(vec, subspace) stream.
+    * err_share divides the two ROUNDED aggregates so both engines
+    * compute the ratio from identical operands.
+    */
+  def embedPqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(spark, dir)
+      .select(col("m").as("cm"), col("cid"), col("c"))
+      .withColumn("c2", graft.functions.VectorExprs.dot(col("c"), col("c")))
+    pqCodes(spark, dir)
+      .join(pqSubs(spark, dir), Seq("vec_id", "m"))
+      .join(broadcast(cb), col("m") === col("cm") && col("code") === col("cid"))
+      .withColumn("d2", round(col("s2")
+        - lit(2.0) * graft.functions.VectorExprs.dot(col("sv"), col("c"))
+        + col("c2"), 6))
+      .groupBy(col("m").cast("bigint").as("m"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("d2"), 6).as("mse"),
+        round(avg("s2"), 6).as("mean_energy"))
+      .withColumn("err_share", round(col("mse") / col("mean_energy"), 6))
+      .orderBy("m")
+  }
+
   /** End-to-end quality gate for the lossy serving stack: recall@5
     * of the two-stage IVF+PQ answer ([[knnIvfPq]] — coarse routing +
     * ADC over 16-byte codes) against the exact cosine top-5

@@ -290,6 +290,51 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("sparseDenseDot: entry-order JVM fold; bit-identical to dense dot on sorted unique indices") {
+    import spark.implicits._
+    val n = 16
+    val dv = Gen.choose(-4.0, 4.0)
+    // arbitrary (possibly out-of-range, possibly duplicate) entries:
+    // must match the same-order JVM fold with out-of-range skipped
+    val entries = Gen.choose(0, 12).flatMap(k => Gen.zip(
+      Gen.listOfN(k, Gen.zip(Gen.choose(-2, n + 2), dv)),
+      Gen.listOfN(n, dv)))
+    sample(entries, 200, 43L)
+      .map { case (e, v) => (e.map(_._1), e.map(_._2), v) }
+      .toDF("idx", "w", "v")
+      .withColumn("d", graft.functions.VectorExprs.sparseDenseDot(
+        col("idx"), col("w"), col("v")))
+      .collect()
+      .foreach { r =>
+        val idx = r.getSeq[Int](0); val w = r.getSeq[Double](1)
+        val v = r.getSeq[Double](2)
+        val ref = idx.zip(w).foldLeft(0.0) { case (s, (i, x)) =>
+          if (i >= 1 && i <= n) s + x * v(i - 1) else s
+        }
+        assert(r.getDouble(3) == ref, s"sparseDenseDot($idx, $w, $v)")
+      }
+    // the tfidf-regime contract: on SORTED UNIQUE in-range indices the
+    // sparse walk must be BIT-identical to the dense-dense dot over
+    // the scattered vector (the dense scan's extra terms are +0.0)
+    val sortedEntries = Gen.choose(0, n).flatMap(k => Gen.zip(
+      Gen.pick(k, 1 to n).map(_.sorted.toList),
+      Gen.listOfN(k, dv), Gen.listOfN(n, dv)))
+    sample(sortedEntries, 200, 47L)
+      .map { case (i, w, v) => (i, w, v) }
+      .toDF("idx", "w", "v")
+      .withColumn("sparse", graft.functions.VectorExprs.sparseDenseDot(
+        col("idx"), col("w"), col("v")))
+      .withColumn("dense", graft.functions.VectorExprs.dot(
+        graft.functions.VectorExprs.denseScatter(col("idx"), col("w"), n),
+        col("v")))
+      .collect()
+      .foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(4)),
+          s"sparse=${r.getDouble(3)} dense=${r.getDouble(4)}")
+      }
+  }
+
   test("SimHash64: deterministic and token-order invariant") {
     import spark.implicits._
     val tokens = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n,

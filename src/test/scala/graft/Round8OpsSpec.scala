@@ -205,4 +205,43 @@ class Round8OpsSpec extends SparkSpec {
     assert(math.abs(out.head.getAs[Double]("kl_vs_corpus") - klE) < 1e-4,
       s"kl ${out.head.getAs[Double]("kl_vs_corpus")} vs local $klE")
   }
+
+  test("dedup_paragraphs: exact recount of the 10-token segment carve") {
+    val out = operators.Dedup.dedupParagraphs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // independent local recomputation: same carve, plain Scala maps
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val segs = docs.flatMap { case (id, text) =>
+      val t = text.split("\\s+")
+      t.grouped(10).filter(_.length == 10).map(s => (id, s.mkString(" ")))
+    }
+    val perDoc = segs.groupBy(identity).view.mapValues(_.length.toLong)
+    val bySeg = perDoc.toSeq.groupBy(_._1._2)
+    val expect = bySeg.collect {
+      case (seg, hits) if hits.length >= 3 =>
+        (seg, hits.length.toLong, hits.map(_._2).sum)
+    }.toSet
+    assert(out == expect, s"got ${out.size} segments, expected ${expect.size}")
+    assert(out.nonEmpty, "templated corpus must have cross-doc segments")
+  }
+
+  test("embed_pq_distortion: 16 subspaces; MSE bounded by energy; assigned code is the argmin") {
+    val out = operators.Similarity.embedPqDistortion(spark, sf).collect()
+    assert(out.length == 16)
+    assert(out.map(_.getAs[Long]("m")).toSeq == (0L until 16L))
+    val n = Tables.embeddings(spark, sf).count()
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == n)
+      val mse = r.getAs[Double]("mse")
+      val energy = r.getAs[Double]("mean_energy")
+      assert(mse >= 0.0 && energy > 0.0)
+      // centroids are (round-1 Lloyd) cluster means: quantizing to
+      // them can't be worse than quantizing to the zero vector
+      assert(mse <= energy + 1e-6, s"m=${r.getAs[Long]("m")}: $mse > $energy")
+      assert(math.abs(r.getAs[Double]("err_share") -
+        BigDecimal(mse / energy).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble) < 1e-9)
+    }
+  }
 }
