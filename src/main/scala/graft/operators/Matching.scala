@@ -294,10 +294,13 @@ object Matching {
     // which double-evaluates the dot — measured a wash against the
     // smaller aggregate input the early filter buys (2.6s vs 2.9s),
     // so the selective-filter-first form stays.
+    // graft_argmax (ObjectHashAggregate) instead of max(struct)
+    // (SortAggregate): no per-partition sort of the pair stream —
+    // the same sf1 lesson as [[matchBm25Topk]]
     cos.filter(col("cosine") >= 0.5)
       .groupBy("i")
-      .agg(max(struct(col("cosine"), (-col("j")).as("nj"))).as("m"))
-      .select(col("i"), (-col("m.nj")).as("j"), col("m.cosine").as("cosine"))
+      .agg(graft.functions.ArgMaxAgg.of(col("cosine"), -col("j")).as("m"))
+      .select(col("i"), (-col("m.k")).as("j"), col("m.s").as("cosine"))
       .orderBy("i")
   }
 
@@ -371,15 +374,38 @@ object Matching {
 
   /** BM25 top-1 match: even docs are queries, odd docs the corpus —
     * the probabilistic-IR upgrade of [[matchTfidfTopk]] (same
-    * inverted-index join plan, different weighting). k1=1.2, b=0.75;
+    * regime structure, different weighting). k1=1.2, b=0.75;
     * idf = ln((N-df+0.5)/(df+0.5) + 1) (Robertson/Sparck-Jones with
     * the +1 floor, as in Lucene). Query terms contribute once
     * (qtf-saturated); corpus statistics come from the corpus half
-    * only. Candidates are bounded by the shared-token equi-join —
-    * no all-pairs — and the per-(i,j) sum partial-aggregates
-    * map-side.
+    * only.
+    *
+    * Two physical regimes, one logical result (scores compared after
+    * round-6). On a SHARED small vocabulary (this corpus: a few
+    * hundred distinct unigrams across 25k+ docs at sf1) the
+    * inverted-index join degenerates to near-all-pairs: the
+    * (i, j)-pair-token stream is Σ_t |Q_t|·|C_t| ≈ billions of rows
+    * into a ~625M-group aggregation — at sf1 the bench squeaked
+    * through under count()'s column pruning (48s) but the
+    * materializing Verify path spilled >26 GB without finishing.
+    * Since the BM25 term weight is query-independent (qtf saturated),
+    * each corpus doc densifies to a weight vector over the pruned
+    * vocabulary and each query is its sparse token-rank set with unit
+    * weights: scoring is one sparse-probe × dense-build dot per pair
+    * (graft_sparse_dense_dot), no candidate shuffle, no pair agg. A
+    * pair with NO shared surviving term has dot exactly 0.0 (all
+    * weights are strictly positive — the idf +1 floor), so
+    * `dot > 0` reproduces the equi-join's candidate semantics
+    * exactly. Wide-vocabulary corpora (the real-web regime, where
+    * rare terms make posting lists short) keep the inverted-index
+    * join; the gate mirrors [[matchTfidfTopk]]: vocab width + the
+    * measured corpus-half vector-table bytes.
     */
-  def matchBm25Topk(spark: SparkSession, dir: String): DataFrame = {
+  def matchBm25Topk(spark: SparkSession, dir: String): DataFrame =
+    matchBm25Topk(spark, dir, denseVocabMax = 4096)
+
+  def matchBm25Topk(spark: SparkSession, dir: String, denseVocabMax: Int,
+      denseBroadcastMaxBytes: Long = 512L << 20): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val tokens = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
@@ -419,20 +445,52 @@ object Matching {
       .select(col("token"), col("j"),
         (col("idf") * (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avgdl")))).as("c"))
-    // NOTE on the dense-regime question: unlike [[matchTfidfTopk]],
-    // BM25 does NOT win from densify-and-scan here — measured at
-    // sf0.1 the dense broadcast-NLJ variant was 2.4s warm vs 2.1s for
-    // this sparse join (31-token vocabulary → trivial per-pair math,
-    // and the pair stream is narrow: (i, j, c) rows only, weights
-    // posting-side). The inverted-index join is also the only shape
-    // that scales past a broadcastable corpus half, so it stays the
-    // single path.
-    val scored = queries.join(postingW, "token")
-      .groupBy("i", "j")
-      .agg(round(sum("c"), 6).as("bm25"))
+    // Regime gate: measured corpus-half count × pruned vocab width.
+    // (The r3 note "dense does not win for BM25" was measured at
+    // sf0.1 where the sparse join was 2.1s — at sf1 the same join is
+    // the billions-of-rows degenerate case documented above; the
+    // constant-factor comparison flips exactly when it matters.)
+    val nd0 = docLen.count()
+    val vocab = dfreq.count()
+    val denseBytes = nd0 * (vocab * 8L + 64L)
+    val scored =
+      if (vocab <= denseVocabMax && denseBytes <= denseBroadcastMaxBytes) {
+        val ranked = dfreq.select("token").withColumn("r",
+          row_number().over(Window.orderBy("token")))
+        // corpus half → dense weight vectors (rank-sorted scatter);
+        // query half → sparse rank sets with unit weights. Scoring
+        // order is rank-ascending on both paths' oracle scale, and
+        // all weights are > 0, so dot==0 ⟺ no shared term.
+        val vecs = graft.PlanCache.cached("bm25_vecs", spark, dir) {
+          postingW.join(broadcast(ranked), "token")
+            .groupBy("j")
+            .agg(sort_array(collect_list(struct(col("r"), col("c")))).as("rw"))
+            .select(col("j"), graft.functions.VectorExprs.denseScatter(
+              expr("transform(rw, x -> x.r)"), expr("transform(rw, x -> x.c)"),
+              vocab.toInt).as("vj"))
+        }
+        queries.join(broadcast(ranked), "token")
+          .groupBy("i")
+          .agg(sort_array(collect_list(col("r"))).as("ri"))
+          .withColumn("wi", expr("transform(ri, x -> CAST(1.0 AS DOUBLE))"))
+          .crossJoin(broadcast(vecs))
+          .withColumn("dot", graft.functions.VectorExprs.sparseDenseDot(
+            col("ri"), col("wi"), col("vj")))
+          .filter(col("dot") > 0.0)
+          .select(col("i"), col("j"), round(col("dot"), 6).as("bm25"))
+      } else {
+        queries.join(postingW, "token")
+          .groupBy("i", "j")
+          .agg(round(sum("c"), 6).as("bm25"))
+      }
+    // graft_argmax, not max(struct): the struct-max plans as
+    // SortAggregate (struct buffers aren't hash-able) and sorts the
+    // full pair stream per partition — at sf1 that sort dominated
+    // the query; the typed-imperative argmax is ObjectHashAggregate
+    // with 17B state per group, no sort (see ArgMaxAgg)
     scored.groupBy("i")
-      .agg(max(struct(col("bm25"), (-col("j")).as("nj"))).as("m"))
-      .select(col("i"), (-col("m.nj")).as("j"), col("m.bm25").as("bm25"))
+      .agg(graft.functions.ArgMaxAgg.of(col("bm25"), -col("j")).as("m"))
+      .select(col("i"), (-col("m.k")).as("j"), col("m.s").as("bm25"))
       .orderBy("i")
   }
 

@@ -96,6 +96,19 @@ class OperatorsSpec extends SparkSpec {
     assert(guarded.nonEmpty)
   }
 
+  test("bm25 dense and sparse regimes agree exactly") {
+    // the dense sparse-probe × dense-build scan (r8 sf1 fix: the
+    // inverted-index join degenerates to ~all-pairs on the shared
+    // vocabulary) must reproduce the sparse join's rounded scores and
+    // its candidate semantics (dot==0 pairs excluded) row-for-row
+    val dense = operators.Matching.matchBm25Topk(spark, sf, denseVocabMax = 4096)
+      .collect().map(_.toSeq).toSet
+    val sparse = operators.Matching.matchBm25Topk(spark, sf, denseVocabMax = 0)
+      .collect().map(_.toSeq).toSet
+    assert(dense == sparse)
+    assert(dense.nonEmpty)
+  }
+
   test("tfidf prefix filter is lossless vs unfiltered candidates") {
     // the threshold-derived PPJoin prefix bound must reproduce the
     // brute-force (no candidate pruning) formulation exactly — zero

@@ -335,6 +335,29 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("ArgMaxAgg: equals max(struct) lexicographic semantics; plans hash-based") {
+    import spark.implicits._
+    // random (group, score, key) rows with deliberate score ties so
+    // the key tiebreak is exercised; scores rounded to force ties
+    val rows = sample(for {
+      g <- Gen.choose(0, 9); s <- Gen.choose(0, 4)
+      k <- Gen.choose(-50L, 50L)
+    } yield (g, s.toDouble, k), 400, 53L)
+    val df = rows.toDF("g", "s", "k")
+    val viaStruct = df.groupBy("g")
+      .agg(max(struct(col("s"), col("k"))).as("m"))
+      .select(col("g"), col("m.s"), col("m.k"))
+      .collect().map(_.toSeq).toSet
+    val q = df.groupBy("g")
+      .agg(graft.functions.ArgMaxAgg.of(col("s"), col("k")).as("m"))
+      .select(col("g"), col("m.s"), col("m.k"))
+    assert(q.collect().map(_.toSeq).toSet == viaStruct)
+    // the point of the expression: it must NOT plan as SortAggregate
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.linesIterator.take(4).mkString("\n"))
+    assert(!plan.contains("SortAggregate"))
+  }
+
   test("SimHash64: deterministic and token-order invariant") {
     import spark.implicits._
     val tokens = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n,
