@@ -234,7 +234,11 @@ object Matching {
         // broadcast the sparse path below is the plan — rare terms
         // bound its posting lists precisely when the vocabulary is
         // large, the regime where the prefix filter actually prunes.
-        val ranked = dfreq.withColumn("r",
+        // the regime gate above PROVED vocab <= denseVocabMax, but a
+        // static plan reader (PlanLint) cannot see a measured count —
+        // the no-op limit puts that bound IN the plan, so the global
+        // row_number is visibly over a constant-bounded input
+        val ranked = dfreq.limit(denseVocabMax).withColumn("r",
           row_number().over(Window.orderBy("token")))
         // one cached sparse form per doc, rank-SORTED so every
         // accumulation below runs in ascending-index order; the dense
@@ -455,8 +459,11 @@ object Matching {
     val denseBytes = nd0 * (vocab * 8L + 64L)
     val scored =
       if (vocab <= denseVocabMax && denseBytes <= denseBroadcastMaxBytes) {
-        val ranked = dfreq.select("token").withColumn("r",
-          row_number().over(Window.orderBy("token")))
+        // no-op limit (the gate proved vocab <= denseVocabMax) so the
+        // global row_number is plan-visibly bounded — see the tfidf
+        // twin and PlanLint's global-window rule
+        val ranked = dfreq.select("token").limit(denseVocabMax)
+          .withColumn("r", row_number().over(Window.orderBy("token")))
         // corpus half → dense weight vectors (rank-sorted scatter);
         // query half → sparse rank sets with unit weights. Scoring
         // order is rank-ascending on both paths' oracle scale, and
