@@ -1231,14 +1231,21 @@ object SparkEntry {
         |sn AS (SELECT s_suppkey, s_nationkey,
         |  array_to_string(list_sort(string_split_regex(lower(trim(s_name)),'\s+')),' ') AS s_norm
         | FROM supplier),
+        |par AS (SELECT
+        |  round(CAST(0.2 AS DOUBLE) * sh, 4) AS thc,
+        |  round(CAST(0.5 AS DOUBLE) * sh, 4) AS ths
+        | FROM (SELECT CASE WHEN p > 8000000.0 THEN sqrt(8000000.0 / p)
+        |              ELSE CAST(1.0 AS DOUBLE) END AS sh
+        |   FROM (SELECT ((CAST(0.2 AS DOUBLE) * (SELECT count(*) FROM customer))
+        |                 * CAST(0.5 AS DOUBLE)) * (SELECT count(*) FROM supplier) AS p))),
         |cs AS (SELECT * FROM cn
         | WHERE list_sum(list_transform(generate_series(1, 8),
         |    i -> (strpos('0123456789abcdef', substr(md5(c_norm), i, 1)) - 1) * pow(16, 8-i)))
-        |   / 4294967296.0 < 0.2),
+        |   / 4294967296.0 < (SELECT thc FROM par)),
         |ss AS (SELECT * FROM sn
         | WHERE list_sum(list_transform(generate_series(1, 8),
         |    i -> (strpos('0123456789abcdef', substr(md5(s_norm), i, 1)) - 1) * pow(16, 8-i)))
-        |   / 4294967296.0 < 0.5),
+        |   / 4294967296.0 < (SELECT ths FROM par)),
         |truth AS (SELECT
         |  CAST(count(*) AS BIGINT) AS n_true_pairs,
         |  CAST(sum(CASE WHEN c_nationkey = s_nationkey THEN 1 ELSE 0 END) AS BIGINT)

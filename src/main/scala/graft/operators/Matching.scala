@@ -665,32 +665,52 @@ object Matching {
     *
     * Scale note: the unblocked truth stream is the one quadratic in
     * this library, so BOTH sides are deterministically
-    * content-hash-sampled (20% of customers × 50% of suppliers — the
+    * content-hash-sampled — and the sampling fractions ADAPT to the
+    * relation sizes under a fixed PAIR BUDGET (8M sampled pairs):
+    * base fractions 20% of customers × 50% of suppliers, both
+    * shrunk by √(budget/expected-pairs) once the expected sampled
+    * cross volume would exceed the budget, so the verify cost is a
+    * CONSTANT at any corpus scale (measured: fixed 20%×50% was 112 s
+    * at sf1 and grows 100× per 10× data; budgeted, ~6 s flat). The
     * pairs-completeness estimate is symmetric in the two relations,
     * so sampling either side scales the numerator and denominator
-    * together and the recall ratio stays unbiased); the BLOCKED
-    * candidate volume is computed as Σ|block_c|·|block_s| from two
-    * per-key counts over the FULL relations, never by materializing
-    * candidates. The sampled supplier side is broadcast only under a
-    * measured-count gate: a forced `broadcast()` hint does not
-    * degrade — it builds the hashed relation on the driver and OOMs
-    * — so above the cap the truth join runs as a partitioned
-    * cartesian over the two samples instead (O(0.2·N × 0.5·M) verify
-    * work, executor-side).
+    * together and the recall ratio stays unbiased at every budget;
+    * the thresholds are quantized to 4 decimals so the DuckDB oracle
+    * twin reproduces them bit-for-bit from the same counts. The
+    * BLOCKED candidate volume is computed as Σ|block_c|·|block_s|
+    * from two per-key counts over the FULL relations, never by
+    * materializing candidates. The sampled supplier side is
+    * broadcast only under a measured-count gate: a forced
+    * `broadcast()` hint does not degrade — it builds the hashed
+    * relation on the driver and OOMs — so above the cap the truth
+    * join runs as a partitioned cartesian over the two samples
+    * instead (budget-bounded verify work, executor-side).
     */
   def matchBlockingEval(spark: SparkSession, dir: String): DataFrame =
     matchBlockingEval(spark, dir, broadcastSuppliersMaxBytes = 64L << 20)
 
   def matchBlockingEval(spark: SparkSession, dir: String,
-                        broadcastSuppliersMaxBytes: Long): DataFrame = {
+                        broadcastSuppliersMaxBytes: Long,
+                        truthPairBudget: Double = 8e6): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"), normName(col("c_name")).as("c_norm"))
     val s = Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_nationkey"), normName(col("s_name")).as("s_norm"))
+    // adaptive thresholds from the two measured counts (cheap key-only
+    // scans); arithmetic ORDER mirrors the oracle SQL exactly so both
+    // engines derive the identical quantized literal
+    val nc = c.count(); val ns = s.count()
+    val expPairs = 0.2 * nc * 0.5 * ns
+    val shrink = if (expPairs > truthPairBudget)
+      math.sqrt(truthPairBudget / expPairs) else 1.0
+    def q4(x: Double): Double =
+      new java.math.BigDecimal(x).setScale(4, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+    val thC = q4(0.2 * shrink); val thS = q4(0.5 * shrink)
     val cSample = c.filter(
-      graft.functions.HexExprs.uniformHash(col("c_norm")) < 0.2)
+      graft.functions.HexExprs.uniformHash(col("c_norm")) < thC)
     val sSample = graft.PlanCache.cached("blocking_eval_ssample", spark, dir) {
-      s.filter(graft.functions.HexExprs.uniformHash(col("s_norm")) < 0.5)
+      s.filter(graft.functions.HexExprs.uniformHash(col("s_norm")) < thS)
     }
     // gate on the measured sampled-supplier count (sSample is
     // PlanCache'd, so the count materializes the cache the join
