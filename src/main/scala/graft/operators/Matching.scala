@@ -318,6 +318,20 @@ object Matching {
     * first-letter bucket cartesian (a first-WORD key measured 17s at
     * sf0.1; this shape is ~100x more selective). Scoring/argmax as in
     * the fuzzy matcher.
+    *
+    * Scale shape — score DISTINCT NORMS, not rows: real registers
+    * repeat names (this corpus's 10x step replicates part names
+    * verbatim), and the edit distance is a function of the two norms
+    * alone, so row-level pairs re-score the same string pair
+    * |copies|² times. Both sides reduce to distinct norms first (the
+    * right side keeping its min-key representative — exactly the row
+    * the row-level argmax tie-break would pick), pairs are scored
+    * once per norm pair, and the per-key result re-expands by an
+    * equi-join. Measured at sf1 (10 copies of every name):
+    * 72.8s → 0.7s phonetic, 32.9s → 1.1s jaro, identical output —
+    * and the norm-level pair volume is now invariant to register
+    * duplication depth, the axis on which name registers actually
+    * grow.
     */
   def matchPhonetic(spark: SparkSession, dir: String): DataFrame = {
     def skeleton(c: Column): Column = concat(
@@ -327,17 +341,23 @@ object Matching {
       .select(col("p_partkey"), col("p_name"), normName(col("p_name")).as("norm"))
       .withColumn("blk", skeleton(col("norm")))
     val left = p.filter(col("p_partkey") % 2 === 0)
-      .select(col("p_partkey").as("l_key"), col("p_name").as("l_name"),
-        col("blk"), col("norm").as("l_norm"))
-    val right = p.filter(col("p_partkey") % 2 === 1)
-      .select(col("p_partkey").as("r_key"), col("p_name").as("r_name"),
-        col("blk"), col("norm").as("r_norm"))
-    left.join(right, "blk")
+      .select(col("p_partkey").as("l_key"), col("blk"), col("norm").as("l_norm"))
+    // one row per distinct right norm: min(struct) keeps the smallest
+    // key and ITS name — the row the row-level (score, -r_key)
+    // tie-break selects, since score is constant within a norm
+    val rgrp = p.filter(col("p_partkey") % 2 === 1)
+      .groupBy(col("blk"), col("norm").as("r_norm"))
+      .agg(min(struct(col("p_partkey"), col("p_name"))).as("rm"))
+      .select(col("blk"), col("r_norm"),
+        col("rm.p_partkey").as("r_key"), col("rm.p_name").as("r_name"))
+    val best = left.select("blk", "l_norm").distinct()
+      .join(rgrp, "blk")
       .withColumn("score", round(
         graft.functions.BoundedLev.sim(col("l_norm"), col("r_norm"), 0.5), 6))
       .filter(col("score") >= 0.5)
-      .groupBy("l_key")
+      .groupBy("l_norm")
       .agg(max(struct(col("score"), (-col("r_key")).as("nk"), col("r_name"))).as("m"))
+    left.join(best, "l_norm")
       .select(col("l_key"), (-col("m.nk")).as("r_key"),
         col("m.r_name").as("r_name"), col("m.score").as("score"))
       .orderBy("l_key")
@@ -350,7 +370,8 @@ object Matching {
     * semantics are pinned to DuckDB's jaro_winkler_similarity so the
     * oracle checks every pair exactly. Same scale shape as
     * [[matchPhonetic]]: selective consonant-skeleton block, per-pair
-    * native scoring, one argmax aggregation (map-side combined) — no
+    * native scoring over DISTINCT norm pairs (see the phonetic twin's
+    * scale note), one argmax aggregation (map-side combined) — no
     * window over the pair stream.
     */
   def matchJaro(spark: SparkSession, dir: String): DataFrame = {
@@ -362,15 +383,19 @@ object Matching {
       .withColumn("blk", skeleton(col("norm")))
     val left = p.filter(col("p_partkey") % 2 === 0)
       .select(col("p_partkey").as("l_key"), col("blk"), col("norm").as("l_norm"))
-    val right = p.filter(col("p_partkey") % 2 === 1)
-      .select(col("p_partkey").as("r_key"), col("p_name").as("r_name"),
-        col("blk"), col("norm").as("r_norm"))
-    left.join(right, "blk")
+    val rgrp = p.filter(col("p_partkey") % 2 === 1)
+      .groupBy(col("blk"), col("norm").as("r_norm"))
+      .agg(min(struct(col("p_partkey"), col("p_name"))).as("rm"))
+      .select(col("blk"), col("r_norm"),
+        col("rm.p_partkey").as("r_key"), col("rm.p_name").as("r_name"))
+    val best = left.select("blk", "l_norm").distinct()
+      .join(rgrp, "blk")
       .withColumn("score", round(
         graft.functions.JaroWinkler.sim(col("l_norm"), col("r_norm")), 6))
       .filter(col("score") >= 0.8)
-      .groupBy("l_key")
+      .groupBy("l_norm")
       .agg(max(struct(col("score"), (-col("r_key")).as("nk"), col("r_name"))).as("m"))
+    left.join(best, "l_norm")
       .select(col("l_key"), (-col("m.nk")).as("r_key"),
         col("m.r_name").as("r_name"), col("m.score").as("score"))
       .orderBy("l_key")
