@@ -238,6 +238,9 @@ object SparkEntry {
     "sample_soft_dedup" -> (Sampling.sampleSoftDedup _),
     "quality_kappa" -> (Governance.qualityKappa _),
     "text_source_divergence" -> (TextAnalysis.textSourceDivergence _),
+    "events_srm_check" -> (Events.eventsSrmCheck _),
+    "events_psi_drift" -> (Events.eventsPsiDrift _),
+    "events_ks_drift" -> (Events.eventsKsDrift _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -3927,5 +3930,85 @@ object SparkEntry {
         | round(kl, 6) AS kl_vs_corpus,
         | round(CAST(n_tokens AS DOUBLE) / n_total * kl, 6) AS jsd_contrib
         |FROM kl ORDER BY source""".stripMargin,
+
+    "events_srm_check" ->
+      """WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+        |v AS (SELECT user_id, event_type,
+        |  CASE WHEN list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1) * pow(16, 8-i)))
+        |    / 4294967296.0 < 0.5 THEN 'A' ELSE 'B' END AS variant FROM ue),
+        |bt AS (SELECT event_type AS segment,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        | FROM v GROUP BY 1),
+        |ov AS (SELECT '_all_' AS segment,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        | FROM (SELECT DISTINCT user_id, variant FROM v) d),
+        |u AS (SELECT * FROM bt UNION ALL SELECT * FROM ov),
+        |r AS (SELECT segment, n_a, n_b,
+        |  round(CAST(n_a AS DOUBLE) / (n_a + n_b), 6) AS ratio_a,
+        |  round((CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(n_a + n_b AS DOUBLE) / 4.0), 6) AS z
+        | FROM u)
+        |SELECT segment, n_a, n_b, ratio_a, z, abs(z) > 3.0 AS srm
+        |FROM r ORDER BY segment""".stripMargin,
+
+    "events_psi_drift" ->
+      """WITH pu AS (SELECT user_id,
+        |  coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0.0) AS rev
+        | FROM events GROUP BY 1),
+        |v AS (SELECT rev,
+        |  CASE WHEN list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1) * pow(16, 8-i)))
+        |    / 4294967296.0 < 0.5 THEN 'A' ELSE 'B' END AS variant FROM pu),
+        |b AS (SELECT least(CAST(floor(ln(1.0 + rev)) AS BIGINT), 8) AS bucket,
+        |  variant FROM v),
+        |c AS (SELECT bucket,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        | FROM b GROUP BY 1),
+        |g AS (SELECT CAST(unnest(generate_series(0, 8)) AS BIGINT) AS bucket),
+        |f AS (SELECT g.bucket, coalesce(ca, 0) AS n_a, coalesce(cb, 0) AS n_b
+        | FROM g LEFT JOIN c USING (bucket)),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+        | FROM f),
+        |terms AS (SELECT bucket, n_a, n_b,
+        |  (CAST(n_a AS DOUBLE) + 0.5) / (CAST(ta AS DOUBLE) + 4.5) AS share_a,
+        |  (CAST(n_b AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 4.5) AS share_b
+        | FROM f CROSS JOIN t),
+        |terms2 AS (SELECT *,
+        |  (share_a - share_b) * ln(share_a / share_b) AS psi_term FROM terms),
+        |tot AS (SELECT sum(psi_term) AS t FROM terms2)
+        |SELECT bucket, n_a, n_b, round(share_a, 6) AS share_a,
+        | round(share_b, 6) AS share_b, round(psi_term, 6) AS psi_term,
+        | round(t, 6) AS psi_total
+        |FROM terms2 CROSS JOIN tot ORDER BY bucket""".stripMargin,
+
+    "events_ks_drift" ->
+      """WITH p AS (SELECT round(value, 2) AS g,
+        |  ((epoch_ns(ts)//1000000000)//86400 + 4) % 7 BETWEEN 1 AND 5 AS wd
+        | FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT g,
+        |  CAST(sum(CASE WHEN wd THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |  CAST(sum(CASE WHEN NOT wd THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        | FROM p GROUP BY 1),
+        |e AS (SELECT g, sum(c1) OVER (ORDER BY g) AS cum1,
+        |  sum(c2) OVER (ORDER BY g) AS cum2 FROM c),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c2) AS BIGINT) AS t2
+        | FROM c),
+        |d AS (SELECT abs(CAST(cum1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+        |    - CAST(cum2 AS DOUBLE) / CAST(t2 AS DOUBLE)) AS d, t1, t2
+        | FROM e CROSS JOIN t),
+        |r AS (SELECT t1 AS n_weekday, t2 AS n_weekend,
+        |  round(max(d), 6) AS ks_stat,
+        |  round(1.627625 * sqrt(CAST(t1 + t2 AS DOUBLE)
+        |    / CAST(t1 * t2 AS DOUBLE)), 6) AS ks_crit_01
+        | FROM d GROUP BY t1, t2)
+        |SELECT n_weekday, n_weekend, ks_stat, ks_crit_01,
+        | ks_stat > ks_crit_01 AS drift
+        |FROM r""".stripMargin,
   )
 }

@@ -1191,4 +1191,147 @@ object Events {
           .as("mde_abs_at_n"))
       .orderBy("lift_pct")
   }
+
+  /** Sample-ratio-mismatch guardrail for the 50/50 hash assignment
+    * the whole experimentation family shares: per engagement segment
+    * (users who emitted each event type, plus the `_all_` population)
+    * the two variant user counts, the binomial z statistic against
+    * the designed 0.5 split, and the |z| > 3 SRM flag (the "stop
+    * trusting every other readout" alarm — a biased assignment
+    * invalidates ab_test/cuped/did downstream, and segment-level SRM
+    * catches exposure bugs a whole-population check averages away).
+    *
+    * Scale shape: one (user, type)-distinct pass (map-side partial
+    * distinct), then a |types|-key aggregate; the `_all_` row reuses
+    * the same relation (any event counts the user) rather than a
+    * second scan. No windows, no joins.
+    */
+  def eventsSrmCheck(spark: SparkSession, dir: String): DataFrame = {
+    val ue = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .withColumn("variant",
+        when(graft.functions.HexExprs.uniformHash(col("user_id").cast("string")) < 0.5,
+          "A").otherwise("B"))
+    val byType = ue.groupBy(col("event_type").as("segment"))
+      .agg(sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+    val overall = ue.select("user_id", "variant").distinct()
+      .agg(sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+      .select(lit("_all_").as("segment"), col("n_a"), col("n_b"))
+    byType.unionAll(overall)
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("z", round(
+        (col("n_a").cast("double") - col("n").cast("double") / 2.0)
+          / sqrt(col("n").cast("double") / 4.0), 6))
+      .select(col("segment"), col("n_a"), col("n_b"),
+        round(col("n_a").cast("double") / col("n"), 6).as("ratio_a"),
+        col("z"), (abs(col("z")) > 3.0).as("srm"))
+      .orderBy("segment")
+  }
+
+  /** Population-stability-index balance check between the two
+    * experiment arms over the per-user revenue distribution: nine
+    * FIXED log-revenue buckets (⌊ln(1+rev)⌋ capped at 8 — fixed grid,
+    * so the report shape never depends on the data), Laplace-smoothed
+    * shares on both sides (empty buckets contribute finitely), the
+    * per-bucket PSI term and the bucket-summed total on every row.
+    * PSI < 0.1 is the conventional "stable" line; a pre-experiment
+    * arm-vs-arm PSI materially above it means the assignment hash is
+    * correlated with the metric — the silent killer CUPED et al.
+    * cannot fix. The same shape monitors week-over-week score drift.
+    *
+    * Scale shape: per-user aggregate, one 9-key aggregate per arm on
+    * a broadcast fixed grid, totals on broadcast one-row cross joins.
+    */
+  def eventsPsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(coalesce(sum(when(col("event_type") === "purchase", col("value"))),
+        lit(0.0)).as("rev"))
+      .withColumn("variant",
+        when(graft.functions.HexExprs.uniformHash(col("user_id").cast("string")) < 0.5,
+          "A").otherwise("B"))
+      .withColumn("bucket",
+        least(floor(log(lit(1.0) + col("rev"))).cast("long"), lit(8L)))
+    val counts = perUser.groupBy("bucket")
+      .agg(sum(when(col("variant") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("cb"))
+    val grid = spark.range(0, 9).select(col("id").as("bucket"))
+    val filled = grid.join(counts, Seq("bucket"), "left_outer")
+      .select(col("bucket"),
+        coalesce(col("ca"), lit(0L)).as("n_a"),
+        coalesce(col("cb"), lit(0L)).as("n_b"))
+    val totals = filled.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+    val terms = filled.crossJoin(broadcast(totals))
+      .withColumn("share_a",
+        (col("n_a").cast("double") + 0.5) / (col("ta").cast("double") + 4.5))
+      .withColumn("share_b",
+        (col("n_b").cast("double") + 0.5) / (col("tb").cast("double") + 4.5))
+      .withColumn("psi_term",
+        (col("share_a") - col("share_b")) * log(col("share_a") / col("share_b")))
+    val total = terms.agg(sum("psi_term").as("t"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        round(col("share_a"), 6).as("share_a"),
+        round(col("share_b"), 6).as("share_b"),
+        round(col("psi_term"), 6).as("psi_term"),
+        round(col("t"), 6).as("psi_total"))
+      .orderBy("bucket")
+  }
+
+  /** Exact two-sample Kolmogorov-Smirnov drift test between weekday
+    * and weekend purchase-value distributions on the cent-quantized
+    * value grid (the sup of |F_wd − F_we| is attained at an observed
+    * grid point, so the grid ECDF computes the statistic exactly for
+    * the quantized data): one row — sample sizes, the KS statistic,
+    * the α=0.01 critical value c(α)·√((n₁+n₂)/(n₁·n₂)), and the
+    * drift verdict. THE distribution-shift monitor for a metric
+    * column between any two slices (here: calendar regime).
+    *
+    * Scale shape: the ECDF is NOT a global window (single partition —
+    * PlanLint rejects it): grid cells group into 32-unit value
+    * blocks, the cumulative count runs partitioned per block, and
+    * each block's offset is a bounded triangle join over the ~dozen
+    * block totals (the [[Olap.ordersConcurrency]] cumsum shape); the
+    * final max is a TakeOrdered-free one-row aggregate.
+    */
+  def eventsKsDrift(spark: SparkSession, dir: String): DataFrame = {
+    // day-of-week as pure epoch arithmetic ((day+4) % 7, 0=Sunday —
+    // epoch day 0 was a Thursday) so both engines agree without
+    // touching their differently-indexed dayofweek builtins
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value"), 2).as("g"),
+        expr("(ts_s div 86400 + 4) % 7").between(1, 5).as("wd"))
+    val counts = p.groupBy("g")
+      .agg(sum(when(col("wd"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("wd"), 1L).otherwise(0L)).as("c2"))
+      .withColumn("blk", floor(col("g") / 32.0).cast("long"))
+    val inBlk = counts
+      .withColumn("cum1", sum("c1").over(Window.partitionBy("blk").orderBy("g")))
+      .withColumn("cum2", sum("c2").over(Window.partitionBy("blk").orderBy("g")))
+    val blkTot = counts.groupBy("blk")
+      .agg(sum("c1").as("b1"), sum("c2").as("b2"))
+    val prefix = blkTot.as("a")
+      .join(blkTot.as("b"), col("b.blk") < col("a.blk"), "left_outer")
+      .groupBy(col("a.blk").as("blk"))
+      .agg(coalesce(sum(col("b.b1")), lit(0L)).as("p1"),
+        coalesce(sum(col("b.b2")), lit(0L)).as("p2"))
+    val totals = counts.agg(sum("c1").as("t1"), sum("c2").as("t2"))
+    inBlk.join(broadcast(prefix), "blk")
+      .crossJoin(broadcast(totals))
+      .select(abs(
+        (col("cum1") + col("p1")).cast("double") / col("t1").cast("double")
+          - (col("cum2") + col("p2")).cast("double") / col("t2").cast("double"))
+        .as("d"), col("t1"), col("t2"))
+      .groupBy("t1", "t2")
+      .agg(max(col("d")).as("ks"))
+      .select(col("t1").as("n_weekday"), col("t2").as("n_weekend"),
+        round(col("ks"), 6).as("ks_stat"),
+        round(lit(1.627625) * sqrt(
+          (col("t1") + col("t2")).cast("double")
+            / (col("t1") * col("t2")).cast("double")), 6).as("ks_crit_01"))
+      .withColumn("drift", col("ks_stat") > col("ks_crit_01"))
+  }
 }

@@ -244,4 +244,82 @@ class Round8OpsSpec extends SparkSpec {
           .toDouble) < 1e-9)
     }
   }
+
+  test("events_srm_check: segments partition their users; a fair hash shows no SRM") {
+    val out = operators.Events.eventsSrmCheck(spark, sf).collect()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(out.length == types + 1)
+    val all = out.find(_.getAs[String]("segment") == "_all_").get
+    val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(all.getAs[Long]("n_a") + all.getAs[Long]("n_b") == totalUsers)
+    out.foreach { r =>
+      val na = r.getAs[Long]("n_a"); val nb = r.getAs[Long]("n_b")
+      val z = (na.toDouble - (na + nb) / 2.0) / math.sqrt((na + nb) / 4.0)
+      assert(math.abs(r.getAs[Double]("z") -
+        BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(r.getAs[Boolean]("srm") == (math.abs(r.getAs[Double]("z")) > 3.0))
+      // md5-based assignment IS fair: a real SRM here would mean the
+      // hash itself is broken
+      assert(!r.getAs[Boolean]("srm"), s"${r.getAs[String]("segment")}: z=$z")
+    }
+  }
+
+  test("events_psi_drift: fixed 9-bucket grid; shares sum to 1; arm-vs-arm PSI is tiny") {
+    val out = operators.Events.eventsPsiDrift(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("bucket")).toSeq == (0L until 9L))
+    val sa = out.map(_.getAs[Double]("share_a")).sum
+    val sb = out.map(_.getAs[Double]("share_b")).sum
+    // smoothing makes the shares a proper distribution by construction
+    assert(math.abs(sa - 1.0) < 1e-4 && math.abs(sb - 1.0) < 1e-4)
+    val total = out.head.getAs[Double]("psi_total")
+    assert(out.forall(_.getAs[Double]("psi_total") == total))
+    assert(math.abs(out.map(_.getAs[Double]("psi_term")).sum - total) < 1e-4)
+    // each term is (p-q)ln(p/q) >= 0; for two iid samples of the same
+    // population PSI concentrates at O(K/n) (smoothed-share sampling
+    // noise, K = 9 buckets) — the bound scales with the arm size, so
+    // it stays meaningful at every SF while real drift (an O(1) PSI
+    // regardless of n) still fails it beyond toy sizes
+    out.foreach(r => assert(r.getAs[Double]("psi_term") >= -1e-9))
+    val na = out.map(_.getAs[Long]("n_a")).sum
+    val nb = out.map(_.getAs[Long]("n_b")).sum
+    val iidBound = 10.0 * 9.0 / math.min(na, nb)
+    assert(total >= 0.0 && total < iidBound, s"psi_total=$total bound=$iidBound")
+  }
+
+  test("events_ks_drift: statistic matches a plain-Scala ECDF recomputation") {
+    val out = operators.Events.eventsKsDrift(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("value"), expr("(ts_s div 86400 + 4) % 7").between(1, 5))
+      .collect()
+      .map(x => (BigDecimal(x.getDouble(0))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble, x.getBoolean(1)))
+    val n1 = rows.count(_._2).toLong; val n2 = rows.count(!_._2).toLong
+    assert(r.getAs[Long]("n_weekday") == n1 && r.getAs[Long]("n_weekend") == n2)
+    val grid = rows.map(_._1).distinct.sorted
+    var c1 = 0L; var c2 = 0L; var ks = 0.0
+    for (g <- grid) {
+      c1 += rows.count(x => x._1 == g && x._2)
+      c2 += rows.count(x => x._1 == g && !x._2)
+      ks = math.max(ks, math.abs(c1.toDouble / n1 - c2.toDouble / n2))
+    }
+    assert(math.abs(r.getAs[Double]("ks_stat") -
+      BigDecimal(ks).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    val crit = 1.627625 * math.sqrt((n1 + n2).toDouble / (n1 * n2).toDouble)
+    assert(math.abs(r.getAs[Double]("ks_crit_01") -
+      BigDecimal(crit).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(r.getAs[Boolean]("drift") ==
+      (r.getAs[Double]("ks_stat") > r.getAs[Double]("ks_crit_01")))
+  }
+
+  test("drift family: PlanLint clean (no global windows, no cartesians, no UDFs)") {
+    for (q <- Seq(operators.Events.eventsSrmCheck(spark, sf),
+      operators.Events.eventsPsiDrift(spark, sf),
+      operators.Events.eventsKsDrift(spark, sf))) {
+      val findings = plans.PlanLint.audit(q)
+      assert(findings.isEmpty, findings.mkString("; "))
+    }
+  }
 }
