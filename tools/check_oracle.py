@@ -20,6 +20,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # optional caps so the gate can coexist with a Spark bench run
+    # (the r8 sf1 gate OOM'd 59 queries when sbt test ran alongside)
+    import os
+    if os.environ.get("DUCKDB_MEMLIMIT"):
+        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMLIMIT']}'")
+    if os.environ.get("DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
     for t in TABLES:
         # driver testdata ships single-file tables; Spark-written SF
         # dirs (e.g. the local sf1) are directories of part files
