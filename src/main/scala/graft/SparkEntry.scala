@@ -241,6 +241,8 @@ object SparkEntry {
     "events_srm_check" -> (Events.eventsSrmCheck _),
     "events_psi_drift" -> (Events.eventsPsiDrift _),
     "events_ks_drift" -> (Events.eventsKsDrift _),
+    "events_changepoint_cusum" -> (Events.eventsChangepointCusum _),
+    "embed_dim_stats" -> (Similarity.embedDimStats _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -4010,5 +4012,39 @@ object SparkEntry {
         |SELECT n_weekday, n_weekend, ks_stat, ks_crit_01,
         | ks_stat > ks_crit_01 AS drift
         |FROM r""".stripMargin,
+
+    "events_changepoint_cusum" ->
+      """WITH h AS (SELECT (epoch_ns(ts)//1000000000)//3600 AS hr,
+        |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |s AS (SELECT hr, sum(x) OVER (ORDER BY hr) AS cum,
+        |  row_number() OVER (ORDER BY hr) AS t FROM h),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS tot, avg(x) AS mu,
+        |  sqrt(greatest(0.0, avg(x*x) - avg(x)*avg(x))) AS sd FROM h),
+        |c AS (SELECT hr, n, tot, sd,
+        |  abs(CAST(cum AS DOUBLE) - CAST(t AS DOUBLE) * mu) AS s_abs
+        | FROM s CROSS JOIN m),
+        |mx AS (SELECT max(s_abs) AS mxv FROM c),
+        |r AS (SELECT n, tot, sd, mxv, min(hr) AS cp_hour
+        | FROM c JOIN mx ON s_abs = mxv GROUP BY n, tot, sd, mxv)
+        |SELECT n AS n_hours, tot AS total_events, cp_hour,
+        | round(mxv, 6) AS cusum_max,
+        | CASE WHEN sd > 0
+        |   THEN round(mxv / (sd * sqrt(CAST(n AS DOUBLE))), 6) END AS stat,
+        | coalesce(CASE WHEN sd > 0
+        |   THEN round(mxv / (sd * sqrt(CAST(n AS DOUBLE))), 6) END > 1.358,
+        |  false) AS drift
+        |FROM r""".stripMargin,
+
+    "embed_dim_stats" ->
+      """WITH v AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        | FROM embeddings),
+        |d AS (SELECT unnest(ve) AS x,
+        |  unnest(generate_series(1, len(ve))) AS dim FROM v)
+        |SELECT CAST(dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
+        | round(avg(x), 6) AS mean_x,
+        | round(sqrt(greatest(0.0, avg(x*x) - avg(x)*avg(x))), 6) AS sd_x,
+        | round(min(x), 6) AS min_x, round(max(x), 6) AS max_x
+        |FROM d GROUP BY dim ORDER BY dim""".stripMargin,
   )
 }

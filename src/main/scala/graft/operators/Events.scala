@@ -1334,4 +1334,54 @@ object Events {
             / (col("t1") * col("t2")).cast("double")), 6).as("ks_crit_01"))
       .withColumn("drift", col("ks_stat") > col("ks_crit_01"))
   }
+
+  /** CUSUM changepoint detection on the hourly event-volume series:
+    * S_t = cum_t − t·μ over the sorted hourly counts, changepoint =
+    * the hour maximizing |S_t| (earliest among ties), normalized by
+    * σ·√n for a scale-free statistic (Pettitt/CUSUM shape; ~1.358 is
+    * the KS-style 5% line). Everything after the hourly rollup is a
+    * few-thousand-row series, but the cumulative sum still avoids a
+    * single-partition global window: 64-hour blocks get an in-block
+    * window, block prefixes come from a broadcast triangle join over
+    * the tiny block-total table (the ks_drift discipline), and the
+    * argmax is a broadcast scalar-max filter, never a global sort.
+    * μ, σ derive from integer sums (exact in doubles below 2^53), so
+    * both engines compute bit-identical statistics.
+    */
+  def eventsChangepointCusum(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(expr("ts_s div 3600").as("hr"))
+      .groupBy("hr").agg(count(lit(1)).as("x"))
+      .withColumn("blk", expr("hr div 64"))
+    val inBlk = hourly
+      .withColumn("cumx", sum("x").over(Window.partitionBy("blk").orderBy("hr")))
+      .withColumn("rn", count(lit(1)).over(Window.partitionBy("blk").orderBy("hr")))
+    val blkTot = hourly.groupBy("blk")
+      .agg(sum("x").as("bx"), count(lit(1)).as("bn"))
+    val prefix = blkTot.as("a")
+      .join(blkTot.as("b"), col("b.blk") < col("a.blk"), "left_outer")
+      .groupBy(col("a.blk").as("blk"))
+      .agg(coalesce(sum(col("b.bx")), lit(0L)).as("px"),
+        coalesce(sum(col("b.bn")), lit(0L)).as("pn"))
+    val moments = hourly.agg(
+      count(lit(1)).as("n"), sum("x").as("tot"),
+      avg("x").as("mu"),
+      sqrt(greatest(lit(0.0),
+        avg(col("x") * col("x")) - avg("x") * avg("x"))).as("sd"))
+    val s = inBlk.join(broadcast(prefix), "blk")
+      .crossJoin(broadcast(moments))
+      .select(col("hr"), col("n"), col("tot"), col("sd"),
+        abs((col("cumx") + col("px")).cast("double")
+          - (col("rn") + col("pn")).cast("double") * col("mu")).as("s_abs"))
+    val mx = s.agg(max("s_abs").as("m"))
+    s.join(broadcast(mx), col("s_abs") === col("m"))
+      .groupBy("n", "tot", "sd", "m")
+      .agg(min("hr").as("cp_hour"))
+      .select(col("n").as("n_hours"), col("tot").as("total_events"),
+        col("cp_hour"), round(col("m"), 6).as("cusum_max"),
+        when(col("sd") > 0,
+          round(col("m") / (col("sd") * sqrt(col("n").cast("double"))), 6))
+          .as("stat"))
+      .withColumn("drift", coalesce(col("stat") > 1.358, lit(false)))
+  }
 }

@@ -565,6 +565,31 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Per-dimension embedding health report: mean, population sd, and
+    * exact min/max for every coordinate — the first thing to read
+    * when a producer ships a broken encoder (dead dims, exploding
+    * scales, un-centered axes). One posexplode + one dim-keyed
+    * aggregation: partial aggregation happens map-side, so the
+    * shuffle carries |dims| rows per partition regardless of corpus
+    * size — the same two-scan shape as embed_quantize_int8. Dims are
+    * 1-indexed to line up with the oracle's generate_series. min/max
+    * are exact float→double casts (order-free); mean/sd round to 6
+    * like every embedding aggregate here.
+    */
+  def embedDimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE))")).as(Seq("dim0", "x")))
+      .select((col("dim0") + 1).as("dim"), col("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        round(avg("x"), 6).as("mean_x"),
+        round(sqrt(greatest(lit(0.0),
+          avg(col("x") * col("x")) - avg("x") * avg("x"))), 6).as("sd_x"),
+        round(min("x"), 6).as("min_x"),
+        round(max("x"), 6).as("max_x"))
+      .orderBy("dim")
+
   /** Symmetric per-dimension int8 scalar quantization of the embedding
     * corpus — the storage/bandwidth step before ANN serving (4x smaller
     * vectors, dot products in integer SIMD). Two passes: (1) per-dim

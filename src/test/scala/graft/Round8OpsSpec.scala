@@ -322,4 +322,72 @@ class Round8OpsSpec extends SparkSpec {
       assert(findings.isEmpty, findings.mkString("; "))
     }
   }
+
+  test("events_changepoint_cusum: matches a plain-Scala CUSUM recomputation") {
+    val out = operators.Events.eventsChangepointCusum(spark, sf).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val counts = Tables.events(spark, sf)
+      .select(expr("ts_s div 3600").as("hr"))
+      .groupBy("hr").count().collect()
+      .map(x => (x.getAs[Long]("hr"), x.getAs[Long]("count")))
+      .sortBy(_._1)
+    val n = counts.length.toLong
+    val tot = counts.map(_._2).sum
+    val mu = tot.toDouble / n
+    val sd = math.sqrt(math.max(0.0,
+      counts.map(c => c._2.toDouble * c._2).sum / n - mu * mu))
+    assert(r.getAs[Long]("n_hours") == n && r.getAs[Long]("total_events") == tot)
+    var cum = 0L; var best = -1.0; var cpHour = Long.MaxValue
+    for (((hr, x), i) <- counts.zipWithIndex) {
+      cum += x
+      val sAbs = math.abs(cum.toDouble - (i + 1).toDouble * mu)
+      // earliest hour among ties, like the operator's min(hr) argmax
+      if (sAbs > best + 1e-12) { best = sAbs; cpHour = hr }
+    }
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("cp_hour") == cpHour)
+    assert(math.abs(r.getAs[Double]("cusum_max") - r6(best)) < 1e-9)
+    val stat = best / (sd * math.sqrt(n.toDouble))
+    assert(math.abs(r.getAs[Double]("stat") - r6(stat)) < 1e-9)
+    assert(r.getAs[Boolean]("drift") == (r6(stat) > 1.358))
+    // a uniform-rate Poisson series should sit around the null band:
+    // the statistic must at least be finite and non-negative
+    assert(stat >= 0.0 && !stat.isNaN && !stat.isInfinite)
+  }
+
+  test("embed_dim_stats: per-dim moments match a local recomputation") {
+    val out = operators.Similarity.embedDimStats(spark, sf).collect()
+    val vecs = Tables.embeddings(spark, sf)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dims = vecs.head.length
+    assert(out.map(_.getAs[Int]("dim")).toSeq == (1 to dims))
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (r <- out) {
+      val d = r.getAs[Int]("dim") - 1
+      val xs = vecs.map(_(d))
+      assert(r.getAs[Long]("n") == vecs.length.toLong)
+      // min/max are order-free exact float comparisons
+      assert(r.getAs[Double]("min_x") == r6(xs.min))
+      assert(r.getAs[Double]("max_x") == r6(xs.max))
+      val mean = xs.sum / xs.length
+      assert(math.abs(r.getAs[Double]("mean_x") - mean) < 1e-4)
+      val sd = math.sqrt(math.max(0.0,
+        xs.map(x => x * x).sum / xs.length - mean * mean))
+      assert(math.abs(r.getAs[Double]("sd_x") - sd) < 1e-4)
+      assert(r.getAs[Double]("min_x") <= mean + 1e-6
+        && mean <= r.getAs[Double]("max_x") + 1e-6)
+    }
+  }
+
+  test("r8 additions: PlanLint clean") {
+    for (q <- Seq(operators.Events.eventsChangepointCusum(spark, sf),
+      operators.Similarity.embedDimStats(spark, sf))) {
+      val findings = plans.PlanLint.audit(q)
+      assert(findings.isEmpty, findings.mkString("; "))
+    }
+  }
 }
