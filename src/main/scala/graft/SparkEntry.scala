@@ -243,6 +243,8 @@ object SparkEntry {
     "events_ks_drift" -> (Events.eventsKsDrift _),
     "events_changepoint_cusum" -> (Events.eventsChangepointCusum _),
     "embed_dim_stats" -> (Similarity.embedDimStats _),
+    "events_uplift_segments" -> (Events.eventsUpliftSegments _),
+    "knn_graph_mutual" -> (Similarity.knnGraphMutual _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -4046,5 +4048,78 @@ object SparkEntry {
         | round(sqrt(greatest(0.0, avg(x*x) - avg(x)*avg(x))), 6) AS sd_x,
         | round(min(x), 6) AS min_x, round(max(x), 6) AS max_x
         |FROM d GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "events_uplift_segments" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |  epoch_ns(ts)//1000000000 AS ts_s FROM events),
+        |mid AS (SELECT (min(ts_s) + max(ts_s)) / 2 AS mid_ts FROM e),
+        |pu AS (SELECT user_id,
+        |  CAST(sum(CASE WHEN ts_s < mid_ts THEN 1 ELSE 0 END) AS BIGINT) AS c_pre,
+        |  coalesce(sum(CASE WHEN event_type = 'purchase' AND ts_s >= mid_ts
+        |    THEN value END), 0.0) AS y
+        | FROM e CROSS JOIN mid GROUP BY 1),
+        |pv AS (SELECT y,
+        |  CASE WHEN c_pre <= 24 THEN 0 WHEN c_pre <= 30 THEN 1
+        |    WHEN c_pre <= 36 THEN 2 WHEN c_pre <= 44 THEN 3 ELSE 4 END AS seg_id,
+        |  CASE WHEN list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+        |      * pow(16, 8-i))) / 4294967296.0 < 0.5
+        |  THEN 'A' ELSE 'B' END AS variant FROM pu),
+        |s AS (SELECT seg_id,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  sum(CASE WHEN variant = 'A' THEN y END) AS s_a,
+        |  sum(CASE WHEN variant = 'B' THEN y END) AS s_b,
+        |  sum(CASE WHEN variant = 'A' THEN y*y END) AS ss_a,
+        |  sum(CASE WHEN variant = 'B' THEN y*y END) AS ss_b
+        | FROM pv GROUP BY seg_id),
+        |m AS (SELECT seg_id, n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN s_a / n_a END AS mean_a,
+        |  CASE WHEN n_b > 0 THEN s_b / n_b END AS mean_b,
+        |  CASE WHEN n_a > 0 THEN ss_a / n_a - (s_a/n_a)*(s_a/n_a) END AS var_a,
+        |  CASE WHEN n_b > 0 THEN ss_b / n_b - (s_b/n_b)*(s_b/n_b) END AS var_b
+        | FROM s)
+        |SELECT seg_id,
+        | CASE seg_id WHEN 0 THEN '<=24' WHEN 1 THEN '25-30' WHEN 2 THEN '31-36'
+        |   WHEN 3 THEN '37-44' ELSE '45+' END AS segment,
+        | n_a, n_b,
+        | round(mean_a, 6) AS rev_mean_a, round(mean_b, 6) AS rev_mean_b,
+        | CASE WHEN mean_a <> 0.0 THEN round(mean_b / mean_a - 1.0, 6) END AS lift,
+        | CASE WHEN var_a / n_a + var_b / n_b > 0.0
+        |   THEN round((mean_b - mean_a) / sqrt(var_a / n_a + var_b / n_b), 6) END AS z
+        |FROM m ORDER BY seg_id""".stripMargin,
+
+    "knn_graph_mutual" ->
+      """WITH e AS (SELECT vec_id, label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |px AS (SELECT label, unnest(list_transform(generate_series(1, len(v)),
+        |   i -> {'pos': i, 'x': v[i]}), recursive := true) FROM n),
+        |cent AS (SELECT label, list(cx ORDER BY pos) AS cv FROM (
+        |   SELECT label, pos, avg(x) AS cx FROM px GROUP BY label, pos) g
+        | GROUP BY label),
+        |cn AS (SELECT label, cv,
+        |   sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnorm FROM cent),
+        |routes AS (SELECT s.vec_id AS src, s.v AS sv, s.norm AS sn, c.label,
+        |   round(list_sum(list_transform(generate_series(1, len(c.cv)),
+        |     i -> c.cv[i]*s.v[i])) / (c.cnorm * s.norm), 6) AS csim
+        |  FROM n s CROSS JOIN cn c),
+        |probes AS (SELECT src, sv, sn, label AS probe_label FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY src
+        |     ORDER BY csim DESC, label) AS rk FROM routes) t WHERE rk <= 2),
+        |scored AS (SELECT p.src, d.vec_id AS dst,
+        |   round(list_sum(list_transform(generate_series(1, len(d.v)),
+        |     i -> d.v[i]*p.sv[i])) / (p.sn * d.norm), 6) AS cosine
+        |  FROM probes p JOIN n d ON d.label = p.probe_label
+        |  WHERE p.src <> d.vec_id),
+        |edges AS (SELECT src, dst, cosine FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY src
+        |     ORDER BY cosine DESC, dst) AS rk FROM scored) t WHERE rk <= 5)
+        |SELECT a.src AS vec_id, CAST(count(*) AS BIGINT) AS deg,
+        | CAST(sum(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS mutual_deg,
+        | round(avg(a.cosine), 6) AS mean_sim, round(max(a.cosine), 6) AS max_sim
+        |FROM edges a LEFT JOIN edges b ON a.src = b.dst AND a.dst = b.src
+        |GROUP BY a.src ORDER BY vec_id""".stripMargin,
   )
 }

@@ -1335,6 +1335,67 @@ object Events {
       .withColumn("drift", col("ks_stat") > col("ks_crit_01"))
   }
 
+  /** Heterogeneous-treatment-effect read-out: the A/B revenue lift of
+    * `eventsAbTest`, split by PRE-period engagement segment. Users are
+    * bucketed on their event count BEFORE the timeline midpoint (the
+    * same pre/post split CUPED uses) into fixed bands (≤24, 25-30,
+    * 31-36, 37-44, 45+, sized to the generator's per-user activity
+    * law, which is SF-invariant) — pre-treatment segmentation, so the split can't be
+    * distorted by the treatment itself — and each segment gets its own
+    * post-period revenue means, lift, and Welch z. The table that
+    * answers "who is the lift coming from?" before a ship decision.
+    * One per-user pass then a 5-key conditional aggregate: user-level
+    * data never leaves the first shuffle, segments are fixed bands
+    * (no quantile pass), and the midpoint rides a broadcast one-row
+    * aggregate. z and lift are NULL-guarded for degenerate segments.
+    */
+  def eventsUpliftSegments(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val mid = e.agg(((min("ts_s") + max("ts_s")) / lit(2L)).as("mid_ts"))
+    val perUser = e.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("ts_s") < col("mid_ts"), 1L).otherwise(0L)).as("c_pre"),
+        coalesce(sum(when(col("event_type") === "purchase" &&
+          col("ts_s") >= col("mid_ts"), col("value"))), lit(0.0)).as("y"))
+      .withColumn("variant",
+        when(graft.functions.HexExprs.uniformHash(col("user_id").cast("string")) < 0.5,
+          "A").otherwise("B"))
+      .withColumn("seg_id",
+        when(col("c_pre") <= 24, 0).when(col("c_pre") <= 30, 1)
+          .when(col("c_pre") <= 36, 2).when(col("c_pre") <= 44, 3)
+          .otherwise(4))
+    def side(v: String, c: org.apache.spark.sql.Column) =
+      when(col("variant") === v, c)
+    perUser.groupBy("seg_id")
+      .agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(side("A", col("y"))).as("s_a"), sum(side("B", col("y"))).as("s_b"),
+        sum(side("A", col("y") * col("y"))).as("ss_a"),
+        sum(side("B", col("y") * col("y"))).as("ss_b"))
+      .withColumn("mean_a", when(col("n_a") > 0, col("s_a") / col("n_a")))
+      .withColumn("mean_b", when(col("n_b") > 0, col("s_b") / col("n_b")))
+      .withColumn("var_a",
+        when(col("n_a") > 0, col("ss_a") / col("n_a") - col("mean_a") * col("mean_a")))
+      .withColumn("var_b",
+        when(col("n_b") > 0, col("ss_b") / col("n_b") - col("mean_b") * col("mean_b")))
+      .withColumn("se2", col("var_a") / col("n_a") + col("var_b") / col("n_b"))
+      .select(
+        col("seg_id"),
+        when(col("seg_id") === 0, "<=24").when(col("seg_id") === 1, "25-30")
+          .when(col("seg_id") === 2, "31-36").when(col("seg_id") === 3, "37-44")
+          .otherwise("45+").as("segment"),
+        col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("rev_mean_a"),
+        round(col("mean_b"), 6).as("rev_mean_b"),
+        when(col("mean_a") =!= 0.0,
+          round(col("mean_b") / col("mean_a") - 1.0, 6)).as("lift"),
+        when(col("se2") > 0.0,
+          round((col("mean_b") - col("mean_a")) / sqrt(col("se2")), 6)).as("z"))
+      .orderBy("seg_id")
+  }
+
   /** CUSUM changepoint detection on the hourly event-volume series:
     * S_t = cum_t − t·μ over the sorted hourly counts, changepoint =
     * the hour maximizing |S_t| (earliest among ties), normalized by

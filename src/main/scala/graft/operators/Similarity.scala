@@ -590,6 +590,55 @@ object Similarity {
         round(max("x"), 6).as("max_x"))
       .orderBy("dim")
 
+  /** Mutual k-NN graph over the embedding corpus — the NN-descent /
+    * graph-clustering precursor: every vector's top-5 neighbors, then
+    * per-node degree, MUTUAL degree (i∈knn(j) ∧ j∈knn(i) — the edge
+    * set density-based methods actually trust), and similarity
+    * moments. Candidates come from deterministic IVF blocking, not an
+    * all-pairs join: each vector routes to its nprobe=2 nearest
+    * per-label centroids (rounded cosine, tie → smallest label) and
+    * scores only vectors HOMED in those cells — a label-equi-join
+    * whose per-source candidate count is ~nprobe/nlist of the corpus.
+    * At scale the inverted lists are the partition layout, so the
+    * routing broadcast is |labels| rows and the self-join shuffles
+    * each vector nprobe times, linear in the corpus. Top-5 via the
+    * heap-based TopKPerGroup (no per-group sort); mutuality is one
+    * (src,dst)-keyed self-equi-join of the bounded edge list.
+    */
+  def knnGraphMutual(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecsWithNorm(spark, dir)
+    val cent = ivfCentroids(e)
+      .withColumn("cnorm", graft.functions.Vectors.normHof("cv"))
+    val routes = e
+      .select(col("vec_id").as("src"), col("v").as("sv"), col("norm").as("sn"))
+      .crossJoin(broadcast(cent))
+      .withColumn("csim", round(
+        graft.functions.VectorExprs.dot(col("cv"), col("sv"))
+          / (col("cnorm") * col("sn")), 6))
+      .select(col("src"), col("sv"), col("sn"), col("label"), col("csim"))
+    val probes = graft.plans.TopKPerGroup(routes,
+      Seq("src"), Seq(("csim", true), ("label", false)), 2)
+      .select(col("src"), col("sv"), col("sn"), col("label").as("probe_label"))
+    val scored = probes.join(e.as("d"),
+        col("probe_label") === col("d.label") && col("src") =!= col("d.vec_id"))
+      .withColumn("cosine", round(
+        graft.functions.VectorExprs.dot(col("sv"), col("d.v"))
+          / (col("sn") * col("d.norm")), 6))
+      .select(col("src"), col("d.vec_id").as("dst"), col("cosine"))
+    val edges = graft.plans.TopKPerGroup(scored, Seq("src"),
+      Seq(("cosine", true), ("dst", false)), 5)
+    edges.as("a").join(edges.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"),
+        "left_outer")
+      .select(col("a.src").as("vec_id"), col("a.cosine"),
+        col("b.src").isNotNull.cast("long").as("is_mutual"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("deg"), sum("is_mutual").as("mutual_deg"),
+        round(avg("cosine"), 6).as("mean_sim"),
+        round(max("cosine"), 6).as("max_sim"))
+      .orderBy("vec_id")
+  }
+
   /** Symmetric per-dimension int8 scalar quantization of the embedding
     * corpus — the storage/bandwidth step before ANN serving (4x smaller
     * vectors, dot products in integer SIMD). Two passes: (1) per-dim

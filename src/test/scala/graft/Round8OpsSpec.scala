@@ -383,9 +383,49 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("events_uplift_segments: segments partition users; stats match the pooled read-out") {
+    val out = operators.Events.eventsUpliftSegments(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 5)
+    assert(out.map(_.getAs[Int]("seg_id")).toSeq ==
+      out.map(_.getAs[Int]("seg_id")).toSeq.sorted)
+    // segments partition the user population
+    val totalUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(out.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum == totalUsers)
+    // pooled arm counts agree with the unsegmented A/B read-out
+    val ab = operators.Events.eventsAbTest(spark, sf).head()
+    assert(out.map(_.getAs[Long]("n_a")).sum == ab.getAs[Long]("n_a"))
+    assert(out.map(_.getAs[Long]("n_b")).sum == ab.getAs[Long]("n_b"))
+    out.foreach { r =>
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      if (na > 0 && nb > 0 && r.getAs[Double]("rev_mean_a") != 0.0) {
+        // lift consistent with the per-arm means it was derived from
+        val lift = r.getAs[Double]("rev_mean_b") / r.getAs[Double]("rev_mean_a") - 1.0
+        assert(math.abs(r.getAs[Double]("lift") - lift) < 1e-4)
+      }
+    }
+  }
+
+  test("knn_graph_mutual: IVF-blocked edges; mutual_deg symmetric and bounded") {
+    val out = operators.Similarity.knnGraphMutual(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.length == n)
+    out.foreach { r =>
+      val deg = r.getAs[Long]("deg")
+      assert(deg >= 1 && deg <= 5)
+      val md = r.getAs[Long]("mutual_deg")
+      assert(md >= 0 && md <= deg)
+      assert(r.getAs[Double]("mean_sim") <= r.getAs[Double]("max_sim") + 1e-9)
+    }
+    // mutual edges are symmetric by definition: the total mutual degree
+    // over all nodes must be even (each mutual pair contributes 2)
+    assert(out.map(_.getAs[Long]("mutual_deg")).sum % 2 == 0)
+  }
+
   test("r8 additions: PlanLint clean") {
     for (q <- Seq(operators.Events.eventsChangepointCusum(spark, sf),
-      operators.Similarity.embedDimStats(spark, sf))) {
+      operators.Similarity.embedDimStats(spark, sf),
+      operators.Events.eventsUpliftSegments(spark, sf),
+      operators.Similarity.knnGraphMutual(spark, sf))) {
       val findings = plans.PlanLint.audit(q)
       assert(findings.isEmpty, findings.mkString("; "))
     }
