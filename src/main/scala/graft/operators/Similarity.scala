@@ -625,8 +625,12 @@ object Similarity {
         graft.functions.VectorExprs.dot(col("sv"), col("d.v"))
           / (col("sn") * col("d.norm")), 6))
       .select(col("src"), col("d.vec_id").as("dst"), col("cosine"))
-    val edges = graft.plans.TopKPerGroup(scored, Seq("src"),
-      Seq(("cosine", true), ("dst", false)), 5)
+    // both sides of the mutuality self-join read the edge list; cached
+    // it is n·k tiny rows, uncached each side re-scores every candidate
+    val edges = graft.PlanCache.cached("knn_graph_edges", spark, dir) {
+      graft.plans.TopKPerGroup(scored, Seq("src"),
+        Seq(("cosine", true), ("dst", false)), 5)
+    }
     edges.as("a").join(edges.as("b"),
         col("a.src") === col("b.dst") && col("a.dst") === col("b.src"),
         "left_outer")
