@@ -142,7 +142,7 @@ object Pipeline {
     // gate), a deterministic content-hash train/val/test split, and
     // the export laid out BY split so a trainer reads its split via
     // partition pruning, not a scan-and-filter
-    val export = stage("training_export", {
+    val exported = stage("training_export", {
       val curatedIds = spark.read.parquet(s"$outDir/curated_sample").select("doc_id")
       val split = Sampling.sampleHashSplit(spark, dir).select("doc_id", "split")
       Tables.documents(spark, dir)
@@ -152,6 +152,6 @@ object Pipeline {
           TextAnalysis.piiCounts(col("text")): _*)
         .join(split, Seq("doc_id"))
     }, Seq("split"))
-    Seq(quality, comps, decisions, curated, export)
+    Seq(quality, comps, decisions, curated, exported)
   }
 }

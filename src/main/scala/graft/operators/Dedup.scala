@@ -663,7 +663,7 @@ object Dedup {
     // corpus with no duplicate families): normalize to 0 so the first
     // round compares cleanly and the loop exits.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head
+      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head()
         .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var changed = true

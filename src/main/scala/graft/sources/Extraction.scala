@@ -66,7 +66,7 @@ object Extraction {
   def parseXmlEntities(xml: DataFrame): DataFrame = {
     val org = regexp_extract(col("xml"),
       "<NonIndividualNameText>([^<]*)</NonIndividualNameText>", 1)
-    val given = regexp_extract(col("xml"), "<GivenName>([^<]*)</GivenName>", 1)
+    val givenName = regexp_extract(col("xml"), "<GivenName>([^<]*)</GivenName>", 1)
     val family = regexp_extract(col("xml"), "<FamilyName>([^<]*)</FamilyName>", 1)
     val baState = regexp_extract(col("xml"),
       "<BusinessAddress><AddressDetails><State>([^<]*)</State>", 1)
@@ -78,7 +78,7 @@ object Extraction {
       "<MainBusinessPhysicalAddress><AddressDetails><State>[^<]*</State><Postcode>([0-9]+)", 1)
     xml.select(
       regexp_extract(col("xml"), "<ABN[^>]*>([0-9]+)</ABN>", 1).as("abn"),
-      when(org =!= "", org).otherwise(trim(concat(given, lit(" "), family)))
+      when(org =!= "", org).otherwise(trim(concat(givenName, lit(" "), family)))
         .as("entity_name"),
       regexp_extract(col("xml"), "<ABN status=\"([A-Z]+)\"", 1).as("entity_status"),
       regexp_extract(col("xml"), "ABNStatusFromDate=\"([0-9]+)\"", 1).as("start_date"),

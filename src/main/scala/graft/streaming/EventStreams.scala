@@ -528,7 +528,7 @@ object EventStreams {
                 // watermark or Spark rejects it
                 val deadlineMs = (p.viewTs + windowS) * 1000L + 1000L
                 state.setTimeoutTimestamp(
-                  math.max(deadlineMs, state.getCurrentWatermarkMs + 1))
+                  math.max(deadlineMs, state.getCurrentWatermarkMs() + 1))
               case None => state.remove()
             }
             out.result().iterator

@@ -47,7 +47,7 @@ object ScaleUp {
     df.withColumn("cp", explode(sequence(lit(0L), lit(factor - 1L))))
 
   private def span(spark: SparkSession, df: DataFrame, key: String): Long = {
-    val m = df.agg(max(col(key))).head.getLong(0)
+    val m = df.agg(max(col(key))).head().getLong(0)
     m + 1
   }
 
