@@ -245,6 +245,8 @@ object SparkEntry {
     "embed_dim_stats" -> (Similarity.embedDimStats _),
     "events_uplift_segments" -> (Events.eventsUpliftSegments _),
     "knn_graph_mutual" -> (Similarity.knnGraphMutual _),
+    "graph_label_prop" -> (Graph.graphLabelProp _),
+    "text_readability" -> (TextAnalysis.textReadability _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -4121,5 +4123,48 @@ object SparkEntry {
         | round(avg(a.cosine), 6) AS mean_sim, round(max(a.cosine), 6) AS max_sim
         |FROM edges a LEFT JOIN edges b ON a.src = b.dst AND a.dst = b.src
         |GROUP BY a.src ORDER BY vec_id""".stripMargin,
+
+    "graph_label_prop" ->
+      """WITH e AS (
+        | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        | FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+        |c1 AS (SELECT e.src, l0.lbl, count(*) AS c
+        |  FROM e JOIN l0 ON e.dst = l0.node GROUP BY 1, 2),
+        |l1 AS (SELECT src AS node, lbl FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY src
+        |    ORDER BY c DESC, lbl) AS rk FROM c1) t WHERE rk = 1),
+        |c2 AS (SELECT e.src, l1.lbl, count(*) AS c
+        |  FROM e JOIN l1 ON e.dst = l1.node GROUP BY 1, 2),
+        |l2 AS (SELECT src AS node, lbl FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY src
+        |    ORDER BY c DESC, lbl) AS rk FROM c2) t WHERE rk = 1),
+        |comm AS (SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+        |  min(node) AS min_node, max(node) AS max_node FROM l2 GROUP BY 1)
+        |SELECT community, n_members, min_node, max_node,
+        | CAST(row_number() OVER (ORDER BY n_members DESC, community) AS INT) AS rank
+        |FROM comm ORDER BY rank LIMIT 20""".stripMargin,
+
+    "text_readability" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  string_split_regex(text, '\s+') AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_words,
+        |  greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+        |    1) AS n_sents,
+        |  CAST(list_sum(list_transform(t, w -> greatest(
+        |    len(regexp_extract_all(lower(w), '[aeiouy]+')), 1))) AS BIGINT)
+        |   AS n_syll
+        | FROM d),
+        |f AS (SELECT doc_id, n_words, n_sents, n_syll,
+        |  round(206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sents
+        |    - 84.6 * CAST(n_syll AS DOUBLE) / n_words, 6) AS flesch
+        | FROM s)
+        |SELECT doc_id, n_words, n_sents, n_syll, flesch,
+        | CASE WHEN flesch >= 60.0 THEN 'easy'
+        |  WHEN flesch >= 30.0 THEN 'standard'
+        |  ELSE 'hard' END AS band
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 }

@@ -219,4 +219,44 @@ object Graph {
     graft.functions.TopK.globalWithRank(perNode, 20,
       col("n_triangles").desc, col("p_partkey"))
   }
+
+  /** Two-round synchronous label propagation over the part co-order
+    * graph — deterministic community detection: every node starts as
+    * its own label and each round adopts the most frequent label
+    * among its neighbors (tie → smallest label); emitted is the
+    * top-20 community size table. Deterministic by construction
+    * (fixed round count, total argmax ordering), so both engines
+    * agree bit-for-bit — the convergence-order nondeterminism of
+    * async LPA has no place in an oracle-gated operator. Scale
+    * shape: the symmetric edge list is cached src-partitioned once;
+    * each round is one neighbor-label equi-join + a (src,label)
+    * count + a heap-based per-src argmax (TopKPerGroup k=1, no
+    * per-group sort) — the same message-passing discipline as
+    * [[graphPagerank]], with |V|-row state per round.
+    */
+  def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coPairCounts(spark, dir)
+    val edges = graft.PlanCache.cached("lpa_edges", spark, dir) {
+      pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(col("src"))
+    }
+    def step(lbl: DataFrame): DataFrame = {
+      val cnt = edges.as("e").join(lbl.as("l"),
+          col("e.dst") === col("l.node"))
+        .groupBy(col("e.src").as("src"), col("l.lbl").as("lbl"))
+        .agg(count(lit(1)).as("c"))
+      graft.plans.TopKPerGroup(cnt, Seq("src"),
+        Seq(("c", true), ("lbl", false)), 1)
+        .select(col("src").as("node"), col("lbl"))
+    }
+    val l0 = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    val comm = step(step(l0))
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        min("node").as("min_node"), max("node").as("max_node"))
+    graft.functions.TopK.globalWithRank(comm, 20,
+      col("n_members").desc, col("community"))
+  }
 }

@@ -836,4 +836,35 @@ object TextAnalysis {
           .as("jsd_contrib"))
       .orderBy("source")
   }
+
+  /** Per-document Flesch reading-ease score from heuristic counts:
+    * words = whitespace tokens, sentences = [.!?]+ runs (min 1),
+    * syllables = vowel-group [aeiouy]+ runs per word (min 1 — the
+    * standard dictionary-free approximation). flesch = 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words), banded at the
+    * conventional 60/30 lines. The readability axis of the curation
+    * score: too-hard text is OCR noise or formulae, too-easy is
+    * boilerplate. Pure per-row projection — every count is a codegen'd
+    * higher-order function over the token array, no shuffle except
+    * the output ordering; linear in corpus bytes at any scale.
+    */
+  def textReadability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .withColumn("n_words", size(col("t")).cast("long"))
+      .withColumn("n_sents", greatest(
+        expr("size(regexp_extract_all(text, '[.!?]+', 0))").cast("long"), lit(1L)))
+      .withColumn("n_syll", expr(
+        "aggregate(t, CAST(0 AS BIGINT), (acc, w) -> acc + " +
+          "greatest(CAST(size(regexp_extract_all(lower(w), '[aeiouy]+', 0)) AS BIGINT), 1L))"))
+      .withColumn("flesch", round(
+        lit(206.835)
+          - lit(1.015) * col("n_words").cast("double") / col("n_sents")
+          - lit(84.6) * col("n_syll").cast("double") / col("n_words"), 6))
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+        col("flesch"),
+        when(col("flesch") >= 60.0, "easy")
+          .when(col("flesch") >= 30.0, "standard")
+          .otherwise("hard").as("band"))
+      .orderBy("doc_id")
 }

@@ -421,11 +421,66 @@ class Round8OpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("mutual_deg")).sum % 2 == 0)
   }
 
+  test("graph_label_prop: matches a plain-Scala 2-round synchronous LPA") {
+    val out = operators.Graph.graphLabelProp(spark, sf).collect()
+    val op = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = op.groupBy(_._1).values.toSeq.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val nbrs = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    var lbl: Map[Long, Long] = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 2) {
+      lbl = nbrs.map { case (n, ns) =>
+        val freq = ns.groupBy(lbl).map { case (l, xs) => (l, xs.size) }
+        // max count, tie -> smallest label
+        n -> freq.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    val comm = lbl.groupBy(_._2).map { case (c, m) =>
+      (c, m.size.toLong, m.keys.min, m.keys.max)
+    }.toSeq.sortBy { case (c, n, _, _) => (-n, c) }.take(20)
+    val got = out.map(r => (r.getAs[Long]("community"), r.getAs[Long]("n_members"),
+      r.getAs[Long]("min_node"), r.getAs[Long]("max_node"))).toSeq
+    assert(got == comm)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to out.length))
+  }
+
+  test("text_readability: counts and score match a local recomputation") {
+    val out = operators.TextAnalysis.textReadability(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    assert(out.length == docs.size)
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      val words = text.split("\\s+")
+      val nWords = words.length.toLong
+      val nSents = math.max("[.!?]+".r.findAllIn(text).size.toLong, 1L)
+      val nSyll = words.map(w =>
+        math.max("[aeiouy]+".r.findAllIn(w.toLowerCase).size.toLong, 1L)).sum
+      assert(r.getAs[Long]("n_words") == nWords)
+      assert(r.getAs[Long]("n_sents") == nSents)
+      assert(r.getAs[Long]("n_syll") == nSyll)
+      val flesch = 206.835 - 1.015 * nWords.toDouble / nSents -
+        84.6 * nSyll.toDouble / nWords
+      assert(math.abs(r.getAs[Double]("flesch") - r6(flesch)) < 1e-9)
+      val band = if (r6(flesch) >= 60.0) "easy"
+        else if (r6(flesch) >= 30.0) "standard" else "hard"
+      assert(r.getAs[String]("band") == band)
+    }
+  }
+
   test("r8 additions: PlanLint clean") {
     for (q <- Seq(operators.Events.eventsChangepointCusum(spark, sf),
       operators.Similarity.embedDimStats(spark, sf),
       operators.Events.eventsUpliftSegments(spark, sf),
-      operators.Similarity.knnGraphMutual(spark, sf))) {
+      operators.Similarity.knnGraphMutual(spark, sf),
+      operators.Graph.graphLabelProp(spark, sf),
+      operators.TextAnalysis.textReadability(spark, sf))) {
       val findings = plans.PlanLint.audit(q)
       assert(findings.isEmpty, findings.mkString("; "))
     }
