@@ -27,6 +27,11 @@ def main(sf_dir, out_dir):
         con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEMLIMIT']}'")
     if os.environ.get("DUCKDB_THREADS"):
         con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
+    if os.environ.get("DUCKDB_NO_ORDER"):
+        # big streaming pipelines (unnest-over-join) buffer entire
+        # intermediates when insertion order must be preserved; every
+        # oracle ends in an explicit ORDER BY, so order is free to drop
+        con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         # driver testdata ships single-file tables; Spark-written SF
         # dirs (e.g. the local sf1) are directories of part files
