@@ -247,6 +247,12 @@ object SparkEntry {
     "knn_graph_mutual" -> (Similarity.knnGraphMutual _),
     "graph_label_prop" -> (Graph.graphLabelProp _),
     "text_readability" -> (TextAnalysis.textReadability _),
+    // round 8, batch 6: HLL sketches, ranking eval, featurizer, CDC
+    "approx_distinct_hll" -> (Sketches.approxDistinctHll _),
+    "approx_distinct_hll_agg" -> (Sketches.approxDistinctHllAgg _),
+    "quality_auc" -> (Governance.qualityAuc _),
+    "text_feature_hashing" -> ((s, d) => TextAnalysis.textFeatureHashing(s, d)),
+    "cdc_apply_latest" -> (Olap.cdcApplyLatest _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -291,6 +297,19 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (PARTITION BY c_custkey
       |    ORDER BY score DESC, s_suppkey) AS rn
       |  FROM scored WHERE score >= 0.5) t WHERE rn = 1)""".stripMargin
+
+  /** HLL(p=8) register/rank derivation from the md5 nibble stream —
+    * reg = first 2 nibbles (top 8 of the 56-bit hash), v = nibbles
+    * 3..14 (the low 48 bits) — shared verbatim by both HLL oracles so
+    * they can't drift from [[graft.functions.Hll]]'s geometry.
+    */
+  private val hllRegV: String =
+    """   CAST(list_sum(list_transform(generate_series(1, 2),
+      |     i -> (strpos('0123456789abcdef', substr(md5(token), i, 1)) - 1)
+      |       * pow(16, 2-i))) AS BIGINT) AS reg,
+      |   CAST(list_sum(list_transform(generate_series(3, 14),
+      |     i -> (strpos('0123456789abcdef', substr(md5(token), i, 1)) - 1)
+      |       * pow(16, 14-i))) AS BIGINT) AS v""".stripMargin
 
   private val qualityClassifierSql: String =
     """WITH f AS (SELECT doc_id, text,
@@ -4166,5 +4185,120 @@ object SparkEntry {
         |  WHEN flesch >= 30.0 THEN 'standard'
         |  ELSE 'hard' END AS band
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "approx_distinct_hll" ->
+      s"""WITH tok0 AS (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS token
+         |  FROM documents),
+         |h AS (SELECT lang, token,
+         |$hllRegV
+         | FROM tok0),
+         |regs AS (SELECT lang, reg,
+         |   max(CASE WHEN v = 0 THEN 49 ELSE 49 - length(bin(v)) END) AS mj
+         |  FROM h GROUP BY 1, 2),
+         |folded AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_present,
+         |   sum(CAST(1 AS BIGINT) << (49 - mj)) AS isum_present
+         |  FROM regs GROUP BY 1),
+         |e2 AS (SELECT lang, n_present, 256 - n_present AS zeros,
+         |   0.7213/(1.0 + 1.079/256.0)*256.0*256.0*562949953421312.0
+         |     / CAST(isum_present + (256 - n_present) * 562949953421312 AS DOUBLE)
+         |    AS e_raw
+         |  FROM folded),
+         |ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM (SELECT DISTINCT lang, token FROM tok0) d GROUP BY lang)
+         |SELECT ex.lang AS lang, n_exact, n_present AS n_registers,
+         | round(CASE WHEN e_raw <= 640.0 AND zeros > 0
+         |   THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE)) ELSE e_raw END, 6)
+         |  AS hll_est
+         |FROM ex JOIN e2 ON ex.lang = e2.lang ORDER BY lang""".stripMargin,
+
+    "approx_distinct_hll_agg" ->
+      s"""WITH tok0 AS (SELECT lang, unnest(string_split_regex(text, '\\s+')) AS token
+         |  FROM documents),
+         |h AS (SELECT lang, token,
+         |$hllRegV
+         | FROM tok0),
+         |regs AS (SELECT lang, reg,
+         |   max(CASE WHEN v = 0 THEN 49 ELSE 49 - length(bin(v)) END) AS mj
+         |  FROM h GROUP BY 1, 2),
+         |folded AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_present,
+         |   sum(CAST(1 AS BIGINT) << (49 - mj)) AS isum_present
+         |  FROM regs GROUP BY 1),
+         |e2 AS (SELECT lang, n_present, 256 - n_present AS zeros,
+         |   0.7213/(1.0 + 1.079/256.0)*256.0*256.0*562949953421312.0
+         |     / CAST(isum_present + (256 - n_present) * 562949953421312 AS DOUBLE)
+         |    AS e_raw
+         |  FROM folded),
+         |ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM (SELECT DISTINCT lang, token FROM tok0) d GROUP BY lang)
+         |SELECT ex.lang AS lang,
+         | round(CASE WHEN e_raw <= 640.0 AND zeros > 0
+         |   THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE)) ELSE e_raw END, 6)
+         |  AS hll_est, n_exact
+         |FROM ex JOIN e2 ON ex.lang = e2.lang ORDER BY lang""".stripMargin,
+
+    "quality_auc" ->
+      s"""WITH sc AS (SELECT doc_id, score FROM ($qualityClassifierSql) c),
+         |tr AS (SELECT doc_id,
+         |  CAST(CASE WHEN quality_bucket = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS pos
+         | FROM ($textQualitySql) q),
+         |bys AS (SELECT score, CAST(count(*) AS BIGINT) AS c,
+         |   CAST(sum(pos) AS BIGINT) AS p
+         |  FROM sc JOIN tr USING (doc_id) GROUP BY score),
+         |cum AS (SELECT score, p, c - p AS neg,
+         |   CAST(sum(c - p) OVER (ORDER BY score
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |     - (c - p) AS below
+         |  FROM bys),
+         |agg AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+         |   CAST(sum(neg) AS BIGINT) AS n_neg,
+         |   CAST(sum(p * (2 * below + neg)) AS BIGINT) AS num2
+         |  FROM cum)
+         |SELECT n_pos, n_neg,
+         | round(CAST(num2 AS DOUBLE)
+         |   / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) AS auc,
+         | round(2.0 * round(CAST(num2 AS DOUBLE)
+         |   / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 6) - 1.0, 6)
+         |  AS gini
+         |FROM agg""".stripMargin,
+
+    "text_feature_hashing" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        |f AS (SELECT doc_id, token,
+        |   CAST(list_sum(list_transform(generate_series(1, 2),
+        |     i -> (strpos('0123456789abcdef', substr(md5(token), i, 1)) - 1)
+        |       * pow(16, 2-i))) AS BIGINT) % 64 AS dim,
+        |   CASE WHEN (strpos('0123456789abcdef', substr(md5(token), 3, 1)) - 1) % 2 = 0
+        |     THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS s
+        |  FROM tok),
+        |pdd AS (SELECT doc_id, dim, CAST(sum(s) AS BIGINT) AS w,
+        |   CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM f GROUP BY 1, 2),
+        |td AS (SELECT dim, CAST(count(DISTINCT token) AS BIGINT) AS n_distinct_tokens
+        |  FROM f GROUP BY 1)
+        |SELECT CAST(pdd.dim AS INT) AS dim, CAST(count(*) AS BIGINT) AS n_docs,
+        | max(n_distinct_tokens) AS n_distinct_tokens,
+        | CAST(sum(n_occ) AS BIGINT) AS n_occ,
+        | CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(w * w) AS BIGINT) AS ss_w
+        |FROM pdd JOIN td ON pdd.dim = td.dim
+        |GROUP BY 1 ORDER BY dim""".stripMargin,
+
+    "cdc_apply_latest" ->
+      """WITH ch AS (SELECT o_custkey, o_orderkey,
+        |   CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS seq_s,
+        |   CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |   round(o_totalprice, 2) AS payload
+        |  FROM orders),
+        |latest AS (SELECT o_custkey, o_orderkey, seq_s, op, payload,
+        |   CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_changes,
+        |   CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+        |     OVER (PARTITION BY o_custkey) AS BIGINT) AS n_deletes,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY seq_s DESC, o_orderkey DESC) AS rn
+        |  FROM ch)
+        |SELECT o_custkey, o_orderkey AS last_orderkey, seq_s AS last_seq_s,
+        | payload AS last_price, n_changes, n_deletes
+        |FROM latest WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_custkey""".stripMargin,
   )
 }

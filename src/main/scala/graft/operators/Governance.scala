@@ -316,6 +316,57 @@ object Governance {
     * into ONE four-cell conditional aggregation — constant state, no
     * second pass for the marginals (they expand from the same cells).
     */
+  /** ROC AUC of the model-based quality filter against the heuristic
+    * weak truth — the threshold-free ranking number that completes
+    * the eval suite next to [[qualityPrCurve]] (operating point),
+    * [[qualityReliability]] (calibration) and [[qualityKappa]]
+    * (agreement): AUC = P(score_pos > score_neg) + ½·P(tie), the
+    * tie-aware Mann-Whitney statistic, plus the Gini (2·AUC − 1).
+    *
+    * Scale shape: the pairwise definition collapses to counting, per
+    * DISTINCT score s, pos_s · (negatives strictly below s) +
+    * ½·pos_s·neg_s — so the data pass is ONE groupBy on the rounded
+    * score (map-side combine), and the prefix "negatives below" runs
+    * over the ≤10⁶-point score grid, NOT the corpus: scores block
+    * into 32 fixed bins, the cumulative negative count windows
+    * PARTITIONED per block, and block offsets come from the bounded
+    * triangle join over block totals (the [[Events.eventsKsDrift]]
+    * ECDF discipline — no single-partition global window anywhere).
+    * The numerator doubles through integers (2·below + ties) so
+    * summation is exact; only the final ratio is floating.
+    */
+  def qualityAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = graft.functions.Unordered(
+      TextAnalysis.qualityClassifier(spark, dir)).select("doc_id", "score")
+    val tr = graft.functions.Unordered(
+      TextAnalysis.textQuality(spark, dir))
+      .select(col("doc_id"),
+        when(col("quality_bucket") === "ok", 1L).otherwise(0L).as("pos"))
+    val byScore = sc.join(tr, "doc_id")
+      .groupBy("score")
+      .agg(count(lit(1)).as("c"), sum("pos").as("p"))
+      .withColumn("neg", col("c") - col("p"))
+      .withColumn("blk", floor(col("score") * 32.0).cast("long"))
+    val inBlk = byScore.withColumn("cumneg",
+      sum("neg").over(Window.partitionBy("blk").orderBy("score")))
+    val blkTot = byScore.groupBy("blk").agg(sum("neg").as("bneg"))
+    val prefix = blkTot.as("a")
+      .join(blkTot.as("b"), col("b.blk") < col("a.blk"), "left_outer")
+      .groupBy(col("a.blk").as("blk"))
+      .agg(coalesce(sum(col("b.bneg")), lit(0L)).as("pneg"))
+    inBlk.join(broadcast(prefix), "blk")
+      .withColumn("below", col("pneg") + col("cumneg") - col("neg"))
+      .agg(
+        sum("p").as("n_pos"), sum("neg").as("n_neg"),
+        sum(col("p") * (lit(2L) * col("below") + col("neg"))).as("num2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("num2").cast("double")
+          / (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")),
+          6).as("auc"))
+      .withColumn("gini", round(lit(2.0) * col("auc") - lit(1.0), 6))
+  }
+
   def qualityKappa(spark: SparkSession, dir: String): DataFrame = {
     val heur = graft.functions.Unordered(
       TextAnalysis.textQuality(spark, dir))

@@ -411,6 +411,46 @@ object Olap {
       .orderBy("o_custkey", "version")
   }
 
+  /** CDC merge-apply: collapse a keyed change stream to its final
+    * snapshot with delete-tombstone semantics — the Delta/Iceberg
+    * MERGE compaction shape, and the batch twin of
+    * [[graft.sources.Sinks.upsertLatestWins]] (reference
+    * loadingcsv_topostgre_fast.py ON CONFLICT upserts). Orders stand
+    * in as the change log: key = customer, change sequence =
+    * (order date, order key), op = D when the order is finalized
+    * ('F' status — the tombstone), else U carrying the price payload.
+    * A key whose LATEST change is a delete vanishes from the
+    * snapshot; everything else surfaces its last payload plus its
+    * change history counts.
+    *
+    * Scale shape: latest-change-per-key is max(struct(seq, key,
+    * op, payload)) — ONE hash aggregate with map-side partial
+    * combine, no window, no sort, the [[graft.operators.Dedup]]
+    * keep-best argmin shape — so a 100-TB change log compacts in a
+    * single shuffle on the merge key. The (seq_s, orderkey) prefix
+    * is a total order (orderkey unique), so the argmax is
+    * deterministic.
+    */
+  def cdcApplyLatest(spark: SparkSession, dir: String): DataFrame = {
+    val ch = Tables.orders(spark, dir).select(
+      col("o_custkey"),
+      col("o_orderkey"),
+      col("o_orderdate").cast("timestamp").cast("long").as("seq_s"),
+      when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"),
+      round(col("o_totalprice"), 2).as("payload"))
+    ch.groupBy("o_custkey")
+      .agg(
+        max(struct(col("seq_s"), col("o_orderkey"), col("op"), col("payload")))
+          .as("m"),
+        count(lit(1)).as("n_changes"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"))
+      .filter(col("m.op") =!= "D")
+      .select(col("o_custkey"), col("m.o_orderkey").as("last_orderkey"),
+        col("m.seq_s").as("last_seq_s"), col("m.payload").as("last_price"),
+        col("n_changes"), col("n_deletes"))
+      .orderBy("o_custkey")
+  }
+
   /** Priority counts over orders having at least one discounted line
     * — the TPC-H Q4 shape (EXISTS-correlated subquery) as a left-semi
     * join: the fact side streams once, the semi join never duplicates

@@ -67,6 +67,76 @@ object Sketches {
       .orderBy("lang")
   }
 
+  /** Per-language distinct-token count via HyperLogLog(p=8), the
+    * compositional formulation: register = top 8 bits of the 56-bit
+    * md5-nibble hash, rank = 49 − bitlength of the low 48 bits, then
+    * ONE (lang, register) max-aggregate followed by a per-lang fold —
+    * all codegen'd column arithmetic (`bin`/`length`/`shiftleft`), no
+    * UDF, no sketch library. The register table is ≤ 256 rows per
+    * group no matter the corpus, so the second aggregate is
+    * constant-size; the first is a map-side-combining groupBy on a
+    * (lang, reg) key space of |langs|·256. Estimator math lives in
+    * [[graft.functions.Hll]] (integer register sum — exact and
+    * order-free) and the DuckDB oracle replays it digit-for-digit.
+    * The exact countDistinct rides along as the verification
+    * baseline, same contract as [[approxDistinctKmv]].
+    */
+  def approxDistinctHll(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), "\\s+")).as("token"))
+    val h = toks
+      .withColumn("reg", graft.functions.HexExprs.hexPrefixLong(md5(col("token")), 2))
+      .withColumn("v", graft.functions.HexExprs.hexPrefixLong(
+        substring(md5(col("token")), 3, 12), 12))
+      .withColumn("rho", when(col("v") === 0L, lit(49))
+        .otherwise(lit(49) - length(bin(col("v")))).cast("int"))
+    val regs = h.groupBy("lang", "reg").agg(max("rho").as("mj"))
+    val folded = regs.groupBy("lang").agg(
+      count(lit(1)).as("n_present"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - mj)")).as("isum_present"))
+    val est = folded.select(col("lang"), col("n_present"),
+      (col("isum_present") +
+        (lit(256L) - col("n_present")) * lit(graft.functions.Hll.scale))
+        .as("isum"),
+      (lit(256L) - col("n_present")).as("zeros"))
+      .withColumn("e_raw",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(256.0) *
+          lit(256.0) * lit(562949953421312.0) / col("isum").cast("double"))
+      .withColumn("hll_est", round(
+        when(col("e_raw") <= 640.0 && col("zeros") > 0,
+          lit(256.0) * log(lit(256.0) / col("zeros").cast("double")))
+          .otherwise(col("e_raw")), 6))
+    val exact = toks.distinct().groupBy("lang").agg(count(lit(1)).as("n_exact"))
+    exact.join(est, "lang")
+      .select(col("lang"), col("n_exact"), col("n_present").as("n_registers"),
+        col("hll_est"))
+      .orderBy("lang")
+  }
+
+  /** The same per-language HLL estimate through the native
+    * [[graft.functions.HllSketchAgg]] aggregate — the production
+    * shape and the constant-state counterpart to
+    * [[approxDistinctKmvAgg]]: per-group state is exactly 256 BYTES
+    * (KMV carries k boxed longs), partials combine map-side with a
+    * bytewise max, and the shuffle moves one 256-byte sketch per
+    * (mapper, group). Same [[graft.functions.Hll]] estimator, same
+    * 56-bit md5-nibble hash, so the DuckDB oracle replays the
+    * estimate exactly; the exact distinct rides along.
+    */
+  def approxDistinctHllAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), "\\s+")).as("token"))
+    val h = graft.functions.HexExprs.hexPrefixLong(md5(col("token")), 14)
+    val hll = GraftShim.column(
+      graft.functions.HllSketchAgg(GraftShim.expression(h))
+        .toAggregateExpression())
+    toks.groupBy("lang")
+      .agg(hll.as("hll_est"), countDistinct("token").as("n_exact"))
+      .select("lang", "hll_est", "n_exact")
+      .orderBy("lang")
+  }
+
   /** Quantiles by deterministic hash sampling: exact percentiles on
     * a content-hash 10% sample vs the exact full-data percentiles,
     * with the absolute error alongside — the scalable-quantile

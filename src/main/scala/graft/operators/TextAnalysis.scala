@@ -162,6 +162,49 @@ object TextAnalysis {
       .filter(col("n_docs") >= 2)
       .orderBy("keeper")
 
+  /** The hashing trick (feature hashing): every token maps to one of
+    * 64 feature dimensions by hash, with a second hash bit giving the
+    * ±1 sign that keeps collision noise zero-mean (Weinberger et al.,
+    * "Feature Hashing for Large Scale Multitask Learning") — the
+    * fixed-width featurizer that makes bag-of-words linear models
+    * possible at 100 TB: NO vocabulary pass, no dictionary to build
+    * or broadcast, the feature space is constant by construction.
+    * Output is the per-dimension corpus profile — docs touching the
+    * dim, distinct tokens colliding into it, the signed weight sum
+    * (zero-mean when collisions cancel) and the exact Σw² energy —
+    * the table you check BEFORE committing a hash width.
+    *
+    * Scale shape: dim and sign are two md5-nibble parses in one
+    * codegen'd projection (map-side, rides the scan); the per-(doc,
+    * dim) weights aggregate with map-side combine onto a key space
+    * of |docs|·64, and the final per-dim rollup is 64 groups with a
+    * distinct-token count whose key space is |vocab|·64. Integer
+    * weights end-to-end — the profile is summation-order-exact.
+    */
+  def textFeatureHashing(spark: SparkSession, dir: String, dims: Int = 64): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("token"))
+    val feats = tok
+      .withColumn("dim",
+        graft.functions.HexExprs.hexPrefixLong(md5(col("token")), 2) % dims)
+      .withColumn("s", when(
+        graft.functions.HexExprs.hexPrefixLong(
+          substring(md5(col("token")), 3, 1), 1) % 2 === 0, 1L).otherwise(-1L))
+    val perDocDim = feats.groupBy("doc_id", "dim")
+      .agg(sum("s").as("w"), count(lit(1)).as("n_occ"))
+    val tokDim = feats.select("dim", "token").distinct()
+      .groupBy("dim").agg(count(lit(1)).as("n_distinct_tokens"))
+    perDocDim.groupBy("dim")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("w").as("sum_w"),
+        sum(col("w") * col("w")).as("ss_w"),
+        sum("n_occ").as("n_occ"))
+      .join(tokDim, "dim")
+      .select(col("dim").cast("int").as("dim"), col("n_docs"),
+        col("n_distinct_tokens"), col("n_occ"), col("sum_w"), col("ss_w"))
+      .orderBy("dim")
+  }
+
   /** Token counting under two tokenizers: whitespace and a BPE-ish
     * regex (letter runs / digit runs / single punctuation — the
     * GPT-2-style pre-tokenization shape).

@@ -21,7 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bitsetFn)
     ext.injectFunction(GraftExtensions.hexFn)
     ext.injectFunction(GraftExtensions.scatterFn)
+    ext.injectFunction(GraftExtensions.jaroFn)
     ext.injectFunction(GraftExtensions.kmvFn)
+    ext.injectFunction(GraftExtensions.hllFn)
     ext.injectOptimizerRule(_ => SelfDotToNormSquared)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectPlannerStrategy(_ => AsofStrategy)
@@ -36,7 +38,7 @@ object GraftExtensions {
     */
   def registerInto(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.graftshim.GraftShim
-    Seq(dotFn, bitsetFn, hexFn, scatterFn, jaroFn, kmvFn).foreach { case (id, i, b) =>
+    Seq(dotFn, bitsetFn, hexFn, scatterFn, jaroFn, kmvFn, hllFn).foreach { case (id, i, b) =>
       GraftShim.registerFunction(spark, id, i, b)
     }
     if (!spark.experimental.extraOptimizations.contains(SelfDotToNormSquared)) {
@@ -107,6 +109,12 @@ object GraftExtensions {
         s"graft_kmv_distinct k must be in (1, 65536], got $k")
       case other => sys.error(s"graft_kmv_distinct k must be an int literal, got $other")
     })
+
+  val hllFn: (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder) = (
+    FunctionIdentifier("graft_hll_distinct"),
+    info("graft_hll_distinct",
+      "graft_hll_distinct(hash) - HLL(p=8) approximate distinct count over 56-bit graft_hex_long(md5(x), 14) hashes (256-byte register state)"),
+    (args: Seq[Expression]) => graft.functions.HllSketchAgg(args(0)))
 
   /** Hard cap on the per-row dense array (4M doubles = 32 MB/row) —
     * anything wider is a mis-sized vocabulary, not a real vector.
