@@ -253,6 +253,12 @@ object SparkEntry {
     "quality_auc" -> (Governance.qualityAuc _),
     "text_feature_hashing" -> ((s, d) => TextAnalysis.textFeatureHashing(s, d)),
     "cdc_apply_latest" -> (Olap.cdcApplyLatest _),
+    // round 8, batch 7: retrieval eval, link prediction, grouped stats
+    "retrieval_ndcg" -> (Matching.retrievalNdcg _),
+    "graph_adamic_adar" -> (Graph.graphAdamicAdar _),
+    "part_weighted_median" -> (Olap.partWeightedMedian _),
+    "part_price_ols" -> (Olap.partPriceOls _),
+    "events_burstiness" -> (Events.eventsBurstiness _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -310,6 +316,39 @@ object SparkEntry {
       |   CAST(list_sum(list_transform(generate_series(3, 14),
       |     i -> (strpos('0123456789abcdef', substr(md5(token), i, 1)) - 1)
       |       * pow(16, 14-i))) AS BIGINT) AS v""".stripMargin
+
+  /** The chunk-then-retrieve BM25 top-3 oracle — shared verbatim by
+    * `retrieve_chunks_bm25` and the `retrieval_ndcg` eval built on
+    * its output, so retriever and eval can't drift.
+    */
+  private val ragTopkSql: String =
+    """WITH q AS (SELECT doc_id AS i,
+      |   unnest(list_distinct(string_split_regex(text,'\s+'))) AS token
+      |  FROM documents WHERE doc_id < 3),
+      |d AS (SELECT doc_id, string_split_regex(text,'\s+') AS ts
+      |  FROM documents WHERE doc_id >= 3),
+      |st AS (SELECT doc_id, ts, unnest(generate_series(0, len(ts)-1, 48)) AS s
+      |  FROM d),
+      |ch AS (SELECT doc_id, CAST(s // 48 AS INT) AS chunk_id,
+      |   ts[s+1 : s+64] AS ct FROM st),
+      |ctf AS (SELECT doc_id, chunk_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, chunk_id, unnest(ct) AS token FROM ch) t
+      |  GROUP BY 1, 2, 3),
+      |clen AS (SELECT doc_id, chunk_id, sum(tf) AS len FROM ctf GROUP BY 1, 2),
+      |stats AS (SELECT count(*) AS n, sum(len) * 1.0 / count(*) AS a FROM clen),
+      |dfreq AS (SELECT token, count(*) AS df FROM ctf GROUP BY token),
+      |pruned AS (SELECT token, df FROM dfreq, stats WHERE df < 0.95 * n),
+      |pw AS (SELECT ctf.token, ctf.doc_id, ctf.chunk_id,
+      |   (ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+      |    (tf + 1.2 * (0.25 + 0.75 * len / a))) AS c
+      |  FROM ctf JOIN clen USING(doc_id, chunk_id)
+      |  JOIN pruned USING(token) CROSS JOIN stats),
+      |scored AS (SELECT i, doc_id, chunk_id, round(sum(c), 6) AS bm25
+      |  FROM q JOIN pw USING(token) GROUP BY 1, 2, 3),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY i
+      |   ORDER BY bm25 DESC, doc_id, chunk_id) AS INT) AS rank FROM scored)
+      |SELECT i, doc_id, chunk_id, bm25, rank FROM r
+      |WHERE rank <= 3 ORDER BY i, rank""".stripMargin
 
   private val qualityClassifierSql: String =
     """WITH f AS (SELECT doc_id, text,
@@ -1793,34 +1832,7 @@ object SparkEntry {
         | FROM p) t
         |WHERE rank <= 5 ORDER BY rank""".stripMargin,
 
-    "retrieve_chunks_bm25" ->
-      """WITH q AS (SELECT doc_id AS i,
-        |   unnest(list_distinct(string_split_regex(text,'\s+'))) AS token
-        |  FROM documents WHERE doc_id < 3),
-        |d AS (SELECT doc_id, string_split_regex(text,'\s+') AS ts
-        |  FROM documents WHERE doc_id >= 3),
-        |st AS (SELECT doc_id, ts, unnest(generate_series(0, len(ts)-1, 48)) AS s
-        |  FROM d),
-        |ch AS (SELECT doc_id, CAST(s // 48 AS INT) AS chunk_id,
-        |   ts[s+1 : s+64] AS ct FROM st),
-        |ctf AS (SELECT doc_id, chunk_id, token, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, chunk_id, unnest(ct) AS token FROM ch) t
-        |  GROUP BY 1, 2, 3),
-        |clen AS (SELECT doc_id, chunk_id, sum(tf) AS len FROM ctf GROUP BY 1, 2),
-        |stats AS (SELECT count(*) AS n, sum(len) * 1.0 / count(*) AS a FROM clen),
-        |dfreq AS (SELECT token, count(*) AS df FROM ctf GROUP BY token),
-        |pruned AS (SELECT token, df FROM dfreq, stats WHERE df < 0.95 * n),
-        |pw AS (SELECT ctf.token, ctf.doc_id, ctf.chunk_id,
-        |   (ln((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
-        |    (tf + 1.2 * (0.25 + 0.75 * len / a))) AS c
-        |  FROM ctf JOIN clen USING(doc_id, chunk_id)
-        |  JOIN pruned USING(token) CROSS JOIN stats),
-        |scored AS (SELECT i, doc_id, chunk_id, round(sum(c), 6) AS bm25
-        |  FROM q JOIN pw USING(token) GROUP BY 1, 2, 3),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY i
-        |   ORDER BY bm25 DESC, doc_id, chunk_id) AS INT) AS rank FROM scored)
-        |SELECT i, doc_id, chunk_id, bm25, rank FROM r
-        |WHERE rank <= 3 ORDER BY i, rank""".stripMargin,
+    "retrieve_chunks_bm25" -> ragTopkSql,
 
     "match_bm25_topk" ->
       """WITH tokens AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS token
@@ -4300,5 +4312,125 @@ object SparkEntry {
         | payload AS last_price, n_changes, n_deletes
         |FROM latest WHERE rn = 1 AND op <> 'D'
         |ORDER BY o_custkey""".stripMargin,
+
+    "retrieval_ndcg" ->
+      s"""WITH t AS (SELECT * FROM ($ragTopkSql) x),
+         |m AS (SELECT doc_id, lang, source FROM documents),
+         |j AS (SELECT t.i, t.rank,
+         |   CAST(CASE WHEN cm.lang = qm.lang THEN 1 ELSE 0 END
+         |     + CASE WHEN cm.source = qm.source THEN 1 ELSE 0 END AS BIGINT)
+         |    AS rel
+         |  FROM t JOIN m qm ON t.i = qm.doc_id
+         |  JOIN m cm ON t.doc_id = cm.doc_id),
+         |g AS (SELECT i, rank, rel,
+         |   CAST(CASE WHEN rel = 2 THEN 3 WHEN rel = 1 THEN 1 ELSE 0 END
+         |     AS BIGINT) AS gain FROM j),
+         |ir AS (SELECT *, row_number() OVER (PARTITION BY i
+         |   ORDER BY gain DESC, rank) AS irank FROM g),
+         |agg AS (SELECT i,
+         |   CAST(sum(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+         |   max(CASE WHEN rel >= 1 THEN 1.0 / rank ELSE 0.0 END) AS mrr0,
+         |   sum(gain / log2(rank + 1.0)) AS dcg,
+         |   sum(gain / log2(irank + 1.0)) AS idcg
+         |  FROM ir GROUP BY i)
+         |SELECT i, n_rel, round(n_rel / 3.0, 6) AS prec_at3,
+         | round(mrr0, 6) AS mrr, round(dcg, 6) AS dcg_at3,
+         | round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6)
+         |  AS ndcg_at3
+         |FROM agg ORDER BY i""".stripMargin,
+
+    "graph_adamic_adar" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT a.p AS u, b.p AS v FROM op a
+        |  JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+        |sym AS (SELECT u AS s, v AS d FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS dg
+        |  FROM sym GROUP BY 1),
+        |q AS (SELECT node AS a, dg AS deg_a FROM deg
+        |  ORDER BY dg DESC, node LIMIT 50),
+        |w AS (SELECT q.a, q.deg_a, s1.d AS c, s2.d AS b
+        |  FROM q JOIN sym s1 ON s1.s = q.a
+        |  JOIN sym s2 ON s2.s = s1.d
+        |  WHERE s2.d <> q.a),
+        |ww AS (SELECT w.a, w.deg_a, w.b,
+        |   CAST(round(1000000.0 / ln(dc.dg), 0) AS BIGINT) AS w_u6
+        |  FROM w JOIN deg dc ON dc.node = w.c),
+        |sc AS (SELECT a, deg_a, b, CAST(count(*) AS BIGINT) AS n_common,
+        |   CAST(sum(w_u6) AS BIGINT) AS aa_u6
+        |  FROM ww GROUP BY 1, 2, 3),
+        |nonadj AS (SELECT sc.* FROM sc
+        |  LEFT JOIN sym ON sym.s = sc.a AND sym.d = sc.b
+        |  WHERE sym.s IS NULL),
+        |jb AS (SELECT nonadj.*, db.dg AS deg_b FROM nonadj
+        |  JOIN deg db ON db.node = nonadj.b),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY a
+        |   ORDER BY aa_u6 DESC, b) AS INT) AS rank FROM jb)
+        |SELECT a AS p_partkey, b AS candidate, n_common,
+        | round(n_common * 1.0 / (deg_a + deg_b - n_common), 6) AS jaccard,
+        | round(aa_u6 / 1000000.0, 6) AS adamic_adar, rank
+        |FROM r WHERE rank <= 3 ORDER BY p_partkey, rank""".stripMargin,
+
+    "part_weighted_median" ->
+      """WITH g AS (SELECT p_brand,
+        |   CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+        |   CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |c AS (SELECT p_brand, price_c, w,
+        |   CAST(sum(w) OVER (PARTITION BY p_brand ORDER BY price_c
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum
+        |  FROM g),
+        |t AS (SELECT p_brand, CAST(sum(w) AS BIGINT) AS total_qty,
+        |   CAST(count(*) AS BIGINT) AS n_price_points FROM g GROUP BY 1)
+        |SELECT c.p_brand, total_qty, n_price_points,
+        | min(price_c) / 100.0 AS median_price
+        |FROM c JOIN t ON c.p_brand = t.p_brand
+        |WHERE cum * 2 >= total_qty
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    "part_price_ols" ->
+      """WITH xy AS (SELECT p_brand,
+        |   CAST(round(l_discount * 100, 0) AS BIGINT) AS x,
+        |   CAST(round(l_quantity, 0) AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |s AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |   CAST(sum(x*y) AS BIGINT) AS sxy,
+        |   CAST(sum(x*x) AS BIGINT) AS sxx,
+        |   CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM xy GROUP BY 1),
+        |d AS (SELECT p_brand, n, n*sxy - sx*sy AS cov_n,
+        |   n*sxx - sx*sx AS varx_n, n*syy - sy*sy AS vary_n, sx, sy
+        |  FROM s)
+        |SELECT p_brand, n,
+        | round(CAST(cov_n AS DOUBLE) / varx_n, 6) AS slope_qty_per_pct,
+        | round((CAST(sy AS DOUBLE)
+        |   - CAST(cov_n AS DOUBLE) / varx_n * sx) / n, 6) AS intercept_qty,
+        | round(CAST(cov_n AS DOUBLE) * cov_n
+        |   / (CAST(varx_n AS DOUBLE) * vary_n), 6) AS r2
+        |FROM d ORDER BY p_brand""".stripMargin,
+
+    "events_burstiness" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |   epoch_ns(ts)//1000000000 AS ts_s FROM events),
+        |g AS (SELECT user_id,
+        |   ts_s - lag(ts_s, 1) OVER (PARTITION BY user_id
+        |     ORDER BY ts_s, event_id) AS gap
+        |  FROM e),
+        |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |   CAST(sum(gap) AS BIGINT) AS sg,
+        |   CAST(sum(gap*gap) AS BIGINT) AS sg2
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+        |  HAVING count(*) >= 2 AND sum(gap) > 0),
+        |m AS (SELECT user_id, n_gaps,
+        |   CAST(sg AS DOUBLE) / n_gaps AS mu,
+        |   sqrt(CAST(n_gaps*sg2 - sg*sg AS DOUBLE)) / n_gaps AS sigma
+        |  FROM s)
+        |SELECT user_id, n_gaps, round(mu, 6) AS mean_gap_s,
+        | round(sigma, 6) AS sd_gap_s, round(sigma / mu, 6) AS cv,
+        | round((sigma - mu) / (sigma + mu), 6) AS burstiness
+        |FROM m ORDER BY user_id""".stripMargin,
   )
 }

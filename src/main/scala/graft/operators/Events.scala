@@ -690,6 +690,49 @@ object Events {
     * partitioned (bounded state per key at any scale); the output is
     * 4 rows regardless of volume.
     */
+  /** Per-user inter-arrival burstiness: the dispersion statistics of
+    * the gaps between a user's consecutive events — coefficient of
+    * variation (σ/μ) and the Goh–Barabási burstiness index
+    * B = (σ−μ)/(σ+μ) ∈ [−1, 1] (−1 = perfectly periodic, 0 =
+    * Poisson, →1 = heavy-tailed bursts). The bot/automation
+    * complement to [[eventsBotDetect]]: a CV ≈ 0 user is a cron job
+    * no matter how slow, a B → 1 user is a scraper burst.
+    *
+    * Scale shape: ONE user-partitioned lag window (bounded state per
+    * key — the [[eventsSessionize]] discipline, total order by
+    * (ts_s, event_id)), then one per-user aggregate. Gaps are
+    * epoch-second BIGINTs, so n, Σg, Σg² are EXACT integers and
+    * μ/σ²  derive from the integer sums in one step — no
+    * order-dependent float accumulation; only the final three ratios
+    * are floating, rounded once.
+    */
+  def eventsBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val gaps = e
+      .withColumn("gap", col("ts_s") - lag("ts_s", 1).over(byUser))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap").as("sg"), sum(col("gap") * col("gap")).as("sg2"))
+      // ≥2 gaps for a defined σ; Σg > 0 keeps μ off zero (an
+      // all-same-second user would make cv 0/0 — engine-dependent NaN)
+      .filter(col("n_gaps") >= 2 && col("sg") > 0)
+      // population moments from the exact integer sums:
+      // μ = Σg/n, σ² = (n·Σg² − (Σg)²)/n²
+      .withColumn("mu", col("sg").cast("double") / col("n_gaps"))
+      .withColumn("sigma", sqrt(
+        (col("n_gaps") * col("sg2") - col("sg") * col("sg")).cast("double"))
+        / col("n_gaps"))
+      .select(col("user_id"), col("n_gaps"),
+        round(col("mu"), 6).as("mean_gap_s"),
+        round(col("sigma"), 6).as("sd_gap_s"),
+        round(col("sigma") / col("mu"), 6).as("cv"),
+        round((col("sigma") - col("mu")) / (col("sigma") + col("mu")), 6)
+          .as("burstiness"))
+      .orderBy("user_id")
+  }
+
   def eventsSessionStats(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")

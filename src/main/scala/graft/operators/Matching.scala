@@ -590,6 +590,56 @@ object Matching {
       .orderBy("i", "rank")
   }
 
+  /** Retrieval-quality read-out over [[retrieveChunksBm25]]'s top-3:
+    * graded relevance (query-doc language match + source match →
+    * rel ∈ {0,1,2}, gain 2^rel−1), per query the relevant count,
+    * precision@3, MRR (reciprocal rank of the first relevant hit)
+    * and NDCG@3 — the offline eval card a retrieval stack gates
+    * deployments on, next to [[Similarity]]'s knn_recall_eval.
+    * NDCG normalizes against the ideal permutation of the RETRIEVED
+    * set (exhaustive corpus judgments don't exist for weak-truth
+    * relevance; the metric is ordering quality at the cutoff), with
+    * the ideal rank's tie broken by retrieved rank so both engines
+    * rank identically.
+    *
+    * Scale shape: everything downstream of the retriever runs on
+    * |queries|·k rows — two hash joins to the slim (doc_id, lang,
+    * source) metadata projection, one ≤k-row-per-partition window
+    * for the ideal ranking, one aggregate. The retriever itself is
+    * the [[retrieveChunksBm25]] inverted-index plan, reused via its
+    * PlanCache'd chunk relation.
+    */
+  def retrievalNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val top = graft.functions.Unordered(retrieveChunksBm25(spark, dir))
+    val meta = Tables.documents(spark, dir).select("doc_id", "lang", "source")
+    val judged = top
+      .join(broadcast(meta.select(col("doc_id").as("i"),
+        col("lang").as("q_lang"), col("source").as("q_source"))), "i")
+      .join(meta.select(col("doc_id"),
+        col("lang").as("c_lang"), col("source").as("c_source")), "doc_id")
+      .withColumn("rel",
+        (col("c_lang") === col("q_lang")).cast("long")
+          + (col("c_source") === col("q_source")).cast("long"))
+      .withColumn("gain",
+        when(col("rel") === 2, 3L).when(col("rel") === 1, 1L).otherwise(0L))
+    val ideal = judged.withColumn("irank", row_number().over(
+      Window.partitionBy("i").orderBy(col("gain").desc, col("rank"))))
+    ideal.groupBy("i")
+      .agg(
+        sum(when(col("rel") >= 1, 1L).otherwise(0L)).as("n_rel"),
+        max(when(col("rel") >= 1, lit(1.0) / col("rank")).otherwise(0.0))
+          .as("mrr0"),
+        sum(col("gain") / log2(col("rank") + 1.0)).as("dcg"),
+        sum(col("gain") / log2(col("irank") + 1.0)).as("idcg"))
+      .select(col("i"), col("n_rel"),
+        round(col("n_rel") / 3.0, 6).as("prec_at3"),
+        round(col("mrr0"), 6).as("mrr"),
+        round(col("dcg"), 6).as("dcg_at3"),
+        round(when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(0.0), 6)
+          .as("ndcg_at3"))
+      .orderBy("i")
+  }
+
   /** Union of methods + pair dedup with exact winning over fuzzy —
     * the reference's concat + drop_duplicates combine step
     * (entity_matching.py:62-66).

@@ -593,6 +593,99 @@ object Olap {
       .orderBy("day")
   }
 
+  /** Quantity-weighted median line price per brand — the grouped
+    * weighted-quantile operator (exact, not sketched): the smallest
+    * price p per brand with cumulative quantity ≥ half the brand's
+    * total. The robust per-segment price point a pricing report
+    * quotes when means are skewed by outlier lines.
+    *
+    * Scale shape: prices collapse to cents and pre-aggregate per
+    * (brand, price) — the cumulative pass then runs over the DISTINCT
+    * price grid, not the fact stream. The grid cumsum follows the
+    * [[ordersConcurrency]] ECDF discipline: $1000 price blocks,
+    * in-block windows partitioned by (brand, block), block offsets
+    * from the bounded triangle join over (brand, block) totals —
+    * no global or brand-global window anywhere. Quantities are
+    * integral in this schema, so every cumulative sum is an exact
+    * BIGINT and the median-row predicate (2·cum ≥ total) compares
+    * integers; the pick is an argmin max/min-struct aggregate, not
+    * another window.
+    */
+  def partWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val grid = graft.PlanCache.cached("wmedian_grid", spark, dir) {
+      Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+          round(col("l_quantity")).cast("long").as("qty"))
+        .groupBy("p_brand", "price_c").agg(sum("qty").as("w"))
+        .withColumn("blk", expr("price_c div 100000"))
+    }
+    val inBlk = grid.withColumn("cum_in_blk",
+      sum("w").over(Window.partitionBy("p_brand", "blk").orderBy("price_c")))
+    val blkTot = grid.groupBy("p_brand", "blk").agg(sum("w").as("btot"))
+    val prefix = blkTot.as("a")
+      .join(blkTot.as("b"),
+        col("a.p_brand") === col("b.p_brand") && col("b.blk") < col("a.blk"),
+        "left_outer")
+      .groupBy(col("a.p_brand").as("p_brand"), col("a.blk").as("blk"))
+      .agg(coalesce(sum(col("b.btot")), lit(0L)).as("blk_prefix"))
+    val tot = grid.groupBy("p_brand").agg(
+      sum("w").as("total_qty"), count(lit(1)).as("n_price_points"))
+    inBlk.join(broadcast(prefix), Seq("p_brand", "blk"))
+      .withColumn("cum", col("cum_in_blk") + col("blk_prefix"))
+      .join(broadcast(tot), "p_brand")
+      .filter(col("cum") * 2 >= col("total_qty"))
+      .groupBy("p_brand", "total_qty", "n_price_points")
+      .agg(min("price_c").as("med_c"))
+      .select(col("p_brand"), col("total_qty"), col("n_price_points"),
+        (col("med_c").cast("double") / 100.0).as("median_price"))
+      .orderBy("p_brand")
+  }
+
+  /** Per-brand ordinary least squares of quantity on discount — does
+    * a deeper discount move more units, per product segment (the
+    * price-elasticity read-out)? Slope, intercept and r² per brand
+    * from the closed-form normal equations.
+    *
+    * Scale shape: ONE map-side-combined groupBy computing the five
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) — the entire
+    * regression is a constant-size aggregate per group, no second
+    * pass, no windows. Discounts are scaled to integer percent and
+    * quantities are integral, so ALL sufficient statistics are EXACT
+    * BIGINTs — the normal equations run on integers and two engines
+    * cannot drift by summation order; only the final three ratios
+    * are floating, rounded once.
+    */
+  def partPriceOls(spark: SparkSession, dir: String): DataFrame = {
+    val xy = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        round(col("l_discount") * 100).cast("long").as("x"),
+        round(col("l_quantity")).cast("long").as("y"))
+    xy.groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      // exact-integer covariance/variance numerators
+      .withColumn("cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("varx_n", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vary_n", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(col("p_brand"), col("n"),
+        round(col("cov_n").cast("double") / col("varx_n"), 6)
+          .as("slope_qty_per_pct"),
+        round((col("sy").cast("double")
+          - col("cov_n").cast("double") / col("varx_n") * col("sx")) / col("n"),
+          6).as("intercept_qty"),
+        round(col("cov_n").cast("double") * col("cov_n")
+          / (col("varx_n").cast("double") * col("vary_n")), 6).as("r2"))
+      .orderBy("p_brand")
+  }
+
   /** Year-over-year revenue growth by calendar month — monthly
     * aggregate (one map-side-combined pass over lineitem), then a
     * 12-month lag window over the ~dozens of month rows, partitioned
