@@ -259,6 +259,14 @@ object SparkEntry {
     "part_weighted_median" -> (Olap.partWeightedMedian _),
     "part_price_ols" -> (Olap.partPriceOls _),
     "events_burstiness" -> (Events.eventsBurstiness _),
+    // round 8, batch 8: partition quality, SLA percentiles,
+    // shard manifest, truncated-embedding ablation
+    "community_modularity" -> (Graph.communityModularity _),
+    "lineitem_ship_latency" -> (Olap.lineitemShipLatency _),
+    "mm_shard_manifest" ->
+      ((s, d) => multimodal.BinaryColumns.shardManifest(s, d)),
+    "embed_matryoshka_recall" ->
+      ((s, d) => Similarity.embedMatryoshkaRecall(s, d)),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -316,6 +324,29 @@ object SparkEntry {
       |   CAST(list_sum(list_transform(generate_series(3, 14),
       |     i -> (strpos('0123456789abcdef', substr(md5(token), i, 1)) - 1)
       |       * pow(16, 14-i))) AS BIGINT) AS v""".stripMargin
+
+  /** The two-round LPA CTE chain (→ l2: node, lbl) — shared verbatim
+    * by `graph_label_prop` and the `community_modularity` eval so
+    * the score can't be computed on a different partition than the
+    * one reported. `e` is the directed symmetric distinct co-order
+    * edge set (both orientations), so degrees read directly off it.
+    */
+  private val lpaCtes: String =
+    """e AS (
+      | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      | FROM lineitem a JOIN lineitem b
+      |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+      |c1 AS (SELECT e.src, l0.lbl, count(*) AS c
+      |  FROM e JOIN l0 ON e.dst = l0.node GROUP BY 1, 2),
+      |l1 AS (SELECT src AS node, lbl FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY src
+      |    ORDER BY c DESC, lbl) AS rk FROM c1) t WHERE rk = 1),
+      |c2 AS (SELECT e.src, l1.lbl, count(*) AS c
+      |  FROM e JOIN l1 ON e.dst = l1.node GROUP BY 1, 2),
+      |l2 AS (SELECT src AS node, lbl FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY src
+      |    ORDER BY c DESC, lbl) AS rk FROM c2) t WHERE rk = 1)""".stripMargin
 
   /** The chunk-then-retrieve BM25 top-3 oracle — shared verbatim by
     * `retrieve_chunks_bm25` and the `retrieval_ndcg` eval built on
@@ -4156,21 +4187,7 @@ object SparkEntry {
         |GROUP BY a.src ORDER BY vec_id""".stripMargin,
 
     "graph_label_prop" ->
-      """WITH e AS (
-        | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        | FROM lineitem a JOIN lineitem b
-        |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
-        |c1 AS (SELECT e.src, l0.lbl, count(*) AS c
-        |  FROM e JOIN l0 ON e.dst = l0.node GROUP BY 1, 2),
-        |l1 AS (SELECT src AS node, lbl FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY src
-        |    ORDER BY c DESC, lbl) AS rk FROM c1) t WHERE rk = 1),
-        |c2 AS (SELECT e.src, l1.lbl, count(*) AS c
-        |  FROM e JOIN l1 ON e.dst = l1.node GROUP BY 1, 2),
-        |l2 AS (SELECT src AS node, lbl FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY src
-        |    ORDER BY c DESC, lbl) AS rk FROM c2) t WHERE rk = 1),
+      s"""WITH $lpaCtes,
         |comm AS (SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
         |  min(node) AS min_node, max(node) AS max_node FROM l2 GROUP BY 1)
         |SELECT community, n_members, min_node, max_node,
@@ -4432,5 +4449,110 @@ object SparkEntry {
         | round(sigma, 6) AS sd_gap_s, round(sigma / mu, 6) AS cv,
         | round((sigma - mu) / (sigma + mu), 6) AS burstiness
         |FROM m ORDER BY user_id""".stripMargin,
+
+    "community_modularity" ->
+      s"""WITH $lpaCtes,
+        |und AS (SELECT src AS u, dst AS v FROM e WHERE src < dst),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS dg
+        |  FROM e GROUP BY 1),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+        |dc AS (SELECT l2.lbl, CAST(sum(dg) AS BIGINT) AS d_c,
+        |   CAST(count(*) AS BIGINT) AS n_members
+        |  FROM l2 JOIN deg ON l2.node = deg.node GROUP BY 1),
+        |ec AS (SELECT la.lbl, CAST(count(*) AS BIGINT) AS e_c
+        |  FROM und JOIN l2 la ON und.u = la.node
+        |  JOIN l2 lb ON und.v = lb.node
+        |  WHERE la.lbl = lb.lbl GROUP BY 1),
+        |per AS (SELECT dc.lbl, dc.d_c, dc.n_members,
+        |   CAST(coalesce(ec.e_c, 0) AS BIGINT) AS e_c
+        |  FROM dc LEFT JOIN ec ON dc.lbl = ec.lbl),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+        |   CAST(sum(n_members) AS BIGINT) AS n_nodes,
+        |   CAST(sum(e_c) AS BIGINT) AS intra_edges,
+        |   CAST(sum(d_c * d_c) AS BIGINT) AS sum_d2
+        |  FROM per)
+        |SELECT n_communities, n_nodes, m AS m_edges, intra_edges,
+        | round(CAST(intra_edges AS DOUBLE) / m, 6) AS intra_fraction,
+        | round(CAST(4 * m * intra_edges - sum_d2 AS DOUBLE)
+        |   / (4.0 * CAST(m AS DOUBLE) * m), 6) AS modularity
+        |FROM agg CROSS JOIN mm""".stripMargin,
+
+    "lineitem_ship_latency" ->
+      """WITH g AS (SELECT o_orderpriority,
+        |   CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |     CAST(l_shipdate AS DATE)) AS BIGINT) AS days,
+        |   CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY o_orderpriority
+        |   ORDER BY days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS cum FROM g),
+        |t AS (SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS n_lines,
+        |   min(days) AS min_days, max(days) AS max_days FROM g GROUP BY 1)
+        |SELECT c.o_orderpriority, n_lines, min_days,
+        | min(CASE WHEN cum * 10 >= n_lines THEN days END) AS p10_days,
+        | min(CASE WHEN cum * 2 >= n_lines THEN days END) AS p50_days,
+        | min(CASE WHEN cum * 10 >= n_lines * 9 THEN days END) AS p90_days,
+        | min(CASE WHEN cum * 100 >= n_lines * 99 THEN days END) AS p99_days,
+        | max_days
+        |FROM c JOIN t ON c.o_orderpriority = t.o_orderpriority
+        |GROUP BY c.o_orderpriority, n_lines, min_days, max_days
+        |ORDER BY 1""".stripMargin,
+
+    "mm_shard_manifest" ->
+      """WITH med AS (SELECT doc_id AS media_id, md5(text) AS content_hash,
+        |   CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),
+        |d AS (SELECT media_id, n_bytes,
+        |   list_sum(list_transform(generate_series(1, 8),
+        |     i -> (strpos('0123456789abcdef',
+        |       substr(md5(content_hash || '#manifest'), i, 1)) - 1)
+        |       * pow(16, 8-i))) / 4294967296.0 AS u
+        |  FROM med),
+        |s AS (SELECT media_id, n_bytes, u,
+        |   CAST(floor(u * 8) AS INT) AS shard FROM d),
+        |man AS (SELECT shard, media_id, n_bytes,
+        |   CAST(row_number() OVER (PARTITION BY shard
+        |     ORDER BY u, media_id) AS INT) AS pos,
+        |   CAST(coalesce(sum(n_bytes) OVER (PARTITION BY shard
+        |     ORDER BY u, media_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS offset_bytes
+        |  FROM s),
+        |t AS (SELECT shard, CAST(count(*) AS BIGINT) AS shard_items,
+        |   CAST(sum(n_bytes) AS BIGINT) AS shard_bytes FROM man GROUP BY 1)
+        |SELECT man.shard, pos, media_id, offset_bytes, n_bytes,
+        | shard_items, shard_bytes
+        |FROM man JOIN t ON man.shard = t.shard ORDER BY 1, 2""".stripMargin,
+
+    "embed_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, v[1:16] AS vp,
+        |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm,
+        |   sqrt(list_sum(list_transform(v[1:16], x -> x*x))) AS pnorm
+        |  FROM e),
+        |q AS (SELECT vec_id AS q_id, v AS qv, vp AS qvp,
+        |   norm AS qn, pnorm AS qpn FROM n WHERE vec_id < 8),
+        |sc AS (SELECT q.q_id, n.vec_id,
+        |   round(list_sum(list_transform(generate_series(1, len(n.v)),
+        |     i -> n.v[i]*q.qv[i])) / (n.norm * q.qn), 6) AS cos_full,
+        |   round(list_sum(list_transform(generate_series(1, 16),
+        |     i -> n.vp[i]*q.qvp[i])) / (n.pnorm * q.qpn), 6) AS cos_pre
+        |  FROM n CROSS JOIN q WHERE n.vec_id >= 8),
+        |tr AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+        |   row_number() OVER (PARTITION BY q_id
+        |     ORDER BY cos_full DESC, vec_id) AS rk FROM sc) t WHERE rk <= 10),
+        |ca AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+        |   row_number() OVER (PARTITION BY q_id
+        |     ORDER BY cos_pre DESC, vec_id) AS rk FROM sc) t WHERE rk <= 10),
+        |h AS (SELECT tr.q_id,
+        |   CAST(sum(CASE WHEN ca.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_hits
+        |  FROM tr LEFT JOIN ca ON tr.q_id = ca.q_id AND tr.vec_id = ca.vec_id
+        |  GROUP BY 1)
+        |SELECT q_id, CAST(10 AS BIGINT) AS k, CAST(16 AS INT) AS prefix_dims,
+        | n_hits, round(n_hits / 10.0, 6) AS recall_at10
+        |FROM h ORDER BY q_id""".stripMargin,
   )
 }

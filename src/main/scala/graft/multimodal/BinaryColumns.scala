@@ -38,6 +38,46 @@ object BinaryColumns {
       .as[MediaRow]
   }
 
+  /** WebDataset-style shard MANIFEST for the media corpus: every
+    * sample assigned to a shard by salted content hash, shuffled
+    * within its shard by the same hash, with its exact BYTE OFFSET
+    * inside the concatenated shard file — the (shard, offset, size)
+    * table a dataloader seeks with, plus per-shard item/byte totals
+    * for balance checking. The byte-level twin of
+    * [[graft.operators.Sampling.sampleShardShuffle]] (which places
+    * docs) and `pack_sequences` (which budgets tokens).
+    *
+    * Scale shape: assignment and ordering are map-side content-hash
+    * projections (deterministic across runs/engines/partitionings,
+    * no rand()); the offset is an EXCLUSIVE running sum of integer
+    * byte sizes inside a shard-partitioned window — S (shard count)
+    * is the scale knob: widen shards with the corpus and per-window
+    * state stays bounded, exactly the sampleShardShuffle argument.
+    * Offsets are exact BIGINTs; Σ(per-shard bytes) = corpus bytes by
+    * construction.
+    */
+  def shardManifest(spark: SparkSession, dir: String,
+                    shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = asMedia(spark, dir).toDF()
+      .withColumn("u", graft.functions.HexExprs.uniformHash(
+        concat(col("content_hash"), lit("#manifest"))))
+      .withColumn("shard", floor(col("u") * shards).cast("int"))
+    val w = Window.partitionBy("shard").orderBy(col("u"), col("media_id"))
+    val man = m
+      .withColumn("pos", row_number().over(w))
+      .withColumn("offset_bytes", coalesce(
+        sum("n_bytes").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val tot = man.groupBy("shard")
+      .agg(count(lit(1)).as("shard_items"), sum("n_bytes").as("shard_bytes"))
+    man.join(broadcast(tot), "shard")
+      .select(col("shard"), col("pos"), col("media_id"),
+        col("offset_bytes"), col("n_bytes"),
+        col("shard_items"), col("shard_bytes"))
+      .orderBy("shard", "pos")
+  }
+
   /** Deterministic stand-in for image/audio decode: pure function of
     * the payload bytes, runs per-partition like a real decoder batch
     * would (one library context per partition, no per-row setup).

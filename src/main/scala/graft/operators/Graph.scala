@@ -235,30 +235,89 @@ object Graph {
     * per-group sort) — the same message-passing discipline as
     * [[graphPagerank]], with |V|-row state per round.
     */
+  /** The two-round synchronous LPA assignment (node → final label),
+    * shared by [[graphLabelProp]] (community roll-up) and
+    * [[communityModularity]] (partition-quality score) under the
+    * PlanCache so the eval can never score a different partition than
+    * the one reported.
+    */
+  private def lpaLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("lpa_labels", spark, dir) {
+      val pairs = coPairCounts(spark, dir)
+      val edges = graft.PlanCache.cached("lpa_edges", spark, dir) {
+        pairs.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+          .repartition(col("src"))
+      }
+      def step(lbl: DataFrame): DataFrame = {
+        val cnt = edges.as("e").join(lbl.as("l"),
+            col("e.dst") === col("l.node"))
+          .groupBy(col("e.src").as("src"), col("l.lbl").as("lbl"))
+          .agg(count(lit(1)).as("c"))
+        graft.plans.TopKPerGroup(cnt, Seq("src"),
+          Seq(("c", true), ("lbl", false)), 1)
+          .select(col("src").as("node"), col("lbl"))
+      }
+      val l0 = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      step(step(l0))
+    }
+
   def graphLabelProp(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = coPairCounts(spark, dir)
-    val edges = graft.PlanCache.cached("lpa_edges", spark, dir) {
-      pairs.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
-        .repartition(col("src"))
-    }
-    def step(lbl: DataFrame): DataFrame = {
-      val cnt = edges.as("e").join(lbl.as("l"),
-          col("e.dst") === col("l.node"))
-        .groupBy(col("e.src").as("src"), col("l.lbl").as("lbl"))
-        .agg(count(lit(1)).as("c"))
-      graft.plans.TopKPerGroup(cnt, Seq("src"),
-        Seq(("c", true), ("lbl", false)), 1)
-        .select(col("src").as("node"), col("lbl"))
-    }
-    val l0 = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-    val comm = step(step(l0))
+    val comm = lpaLabels(spark, dir)
       .groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"),
         min("node").as("min_node"), max("node").as("max_node"))
     graft.functions.TopK.globalWithRank(comm, 20,
       col("n_members").desc, col("community"))
+  }
+
+  /** Newman modularity of the LPA partition — the partition-quality
+    * number that tells you whether [[graphLabelProp]]'s communities
+    * are real structure or noise: Q = Σ_c (e_c/m − (d_c/2m)²) over
+    * communities c, with e_c = intra-community edges, d_c = total
+    * degree in c, m = undirected edge count (Q ≈ 0 random, Q ≳ 0.3
+    * meaningful structure). The graph family's eval metric, the
+    * counterpart of knn_recall_eval (ANN) and quality_auc (filters).
+    *
+    * Scale shape: the labels come from the PlanCache-shared LPA
+    * relation (the SAME partition graphLabelProp reports); e_c is
+    * one (label, label) equi-join of the canonical edge list against
+    * the assignment on both endpoints, d_c one degree join — all
+    * aggregates map-side-combining on community keys. Q sums through
+    * the EXACT integer numerator 4m·Σe_c − Σd_c² (exact while
+    * 4m² < 2⁶³, i.e. to ~1.5e9 edges; beyond that the per-community
+    * double form takes over — noted, not gated, since the gate SFs
+    * sit far below). One output row regardless of corpus size.
+    */
+  def communityModularity(spark: SparkSession, dir: String): DataFrame = {
+    val lbl = lpaLabels(spark, dir)
+    val e = coPairCounts(spark, dir).select("u", "v")
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val dc = lbl.join(deg, "node")
+      .groupBy("lbl").agg(sum("dg").as("d_c"), count(lit(1)).as("n_members"))
+    val ec = e
+      .join(lbl.select(col("node").as("u"), col("lbl").as("la")), "u")
+      .join(lbl.select(col("node").as("v"), col("lbl").as("lb")), "v")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_c"))
+    dc.join(ec, Seq("lbl"), "left_outer")
+      .na.fill(0L, Seq("e_c"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum("n_members").as("n_nodes"),
+        sum("e_c").as("intra_edges"),
+        sum(col("d_c") * col("d_c")).as("sum_d2"))
+      .crossJoin(broadcast(m))
+      .select(col("n_communities"), col("n_nodes"), col("m").as("m_edges"),
+        col("intra_edges"),
+        round(col("intra_edges").cast("double") / col("m"), 6)
+          .as("intra_fraction"),
+        round((lit(4L) * col("m") * col("intra_edges") - col("sum_d2"))
+          .cast("double") / (lit(4.0) * col("m").cast("double") * col("m")), 6)
+          .as("modularity"))
   }
 
   /** Link prediction on the co-order part graph: for the 50

@@ -644,6 +644,48 @@ object Olap {
       .orderBy("p_brand")
   }
 
+  /** Fulfillment-latency SLA percentiles: exact p10/p50/p90/p99 of
+    * the order-to-ship lag in days, per order priority — the
+    * operations report behind "do URGENT orders actually ship
+    * faster". (This synthetic schema ships some lines before the
+    * order date; the negative tail is kept as-is — percentiles are
+    * well-defined on it and dropping it would hide a data-quality
+    * signal that [[graft.operators.Governance]] should surface.)
+    *
+    * Scale shape: latencies collapse onto the integer DAY grid per
+    * priority first (one map-side-combined groupBy; datediff is a
+    * scan-side projection), so the cumulative pass runs over a grid
+    * bounded by the calendar span (a few thousand rows per priority
+    * FOREVER — the date domain, not the data, bounds the window),
+    * and all four percentiles read out of ONE conditional argmin
+    * aggregate over the integer cumulative counts: k·cum ≥ q·n picks
+    * each quantile with no float rank arithmetic.
+    */
+  def lineitemShipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"))
+      .groupBy("o_orderpriority", "days").agg(count(lit(1)).as("cnt"))
+    val cum = grid.withColumn("cum", sum("cnt").over(
+      Window.partitionBy("o_orderpriority").orderBy("days")))
+    val tot = grid.groupBy("o_orderpriority")
+      .agg(sum("cnt").as("n_lines"), min("days").as("min_days"),
+        max("days").as("max_days"))
+    cum.join(broadcast(tot), "o_orderpriority")
+      .groupBy("o_orderpriority", "n_lines", "min_days", "max_days")
+      .agg(
+        min(when(col("cum") * 10 >= col("n_lines"), col("days"))).as("p10_days"),
+        min(when(col("cum") * 2 >= col("n_lines"), col("days"))).as("p50_days"),
+        min(when(col("cum") * 10 >= col("n_lines") * 9, col("days"))).as("p90_days"),
+        min(when(col("cum") * 100 >= col("n_lines") * 99, col("days"))).as("p99_days"))
+      .select("o_orderpriority", "n_lines", "min_days", "p10_days",
+        "p50_days", "p90_days", "p99_days", "max_days")
+      .orderBy("o_orderpriority")
+  }
+
   /** Per-brand ordinary least squares of quantity on discount — does
     * a deeper discount move more units, per product segment (the
     * price-elasticity read-out)? Slope, intercept and r² per brand

@@ -775,6 +775,56 @@ object Similarity {
     component(1, v1).unionAll(component(2, v2)).orderBy("component", "dim")
   }
 
+  /** Matryoshka-truncation ablation: recall@10 of a 16-dim PREFIX
+    * cosine search against the full 64-dim brute-force truth, per
+    * query — the measurement behind shipping truncated (MRL-style)
+    * embeddings: how much retrieval quality does 4x less vector
+    * memory/bandwidth cost? The dimension-axis counterpart of
+    * [[knnRecallPq]] (quantization axis) and [[knnRecallVsNprobe]]
+    * (probe axis).
+    *
+    * Scale shape: ONE scored pass computes both metrics — the corpus
+    * streams once against the 8-query broadcast, full and prefix
+    * cosines in the same codegen'd projection — then two
+    * bounded-heap TopKPerGroup reads and a k-row-per-query semi-join
+    * count the overlap. Cosines round to 6 BEFORE ranking with a
+    * vec_id tiebreak, so both engines pick identical top-k sets even
+    * on the tie-heavier 16-dim scores.
+    */
+  def embedMatryoshkaRecall(spark: SparkSession, dir: String,
+                            prefixDims: Int = 16): DataFrame = {
+    val e = vecsWithNorm(spark, dir)
+      .withColumn("vp", expr(s"slice(v, 1, $prefixDims)"))
+      .withColumn("pnorm", expr(
+        "sqrt(aggregate(vp, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qn"),
+        col("vp").as("qvp"), col("pnorm").as("qpn"))
+    val scored = e.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.VectorExprs.dot(col("v"), col("qv"))
+          / (col("norm") * col("qn")), 6).as("cos_full"),
+        round(graft.functions.VectorExprs.dot(col("vp"), col("qvp"))
+          / (col("pnorm") * col("qpn")), 6).as("cos_pre"))
+    val truth = graft.plans.TopKPerGroup(
+      scored.select("q_id", "vec_id", "cos_full"),
+      Seq("q_id"), Seq(("cos_full", true), ("vec_id", false)), 10)
+    val cand = graft.plans.TopKPerGroup(
+      scored.select("q_id", "vec_id", "cos_pre"),
+      Seq("q_id"), Seq(("cos_pre", true), ("vec_id", false)), 10)
+    // count via left-outer against the candidate set so a 0-recall
+    // query still emits its row (a semi-join would drop it)
+    truth
+      .join(cand.select(col("q_id"), col("vec_id"), lit(1L).as("hit")),
+        Seq("q_id", "vec_id"), "left_outer")
+      .groupBy("q_id").agg(coalesce(sum("hit"), lit(0L)).as("n_hits"))
+      .select(col("q_id"), lit(10L).as("k"), lit(prefixDims).as("prefix_dims"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / 10.0, 6).as("recall_at10"))
+      .orderBy("q_id")
+  }
+
   /** ANN quality evaluation: recall@10 of the sign-LSH multi-probe
     * candidate set against the brute-force cosine ground truth for the
     * fixed query — the measure-your-index step every ANN deployment
