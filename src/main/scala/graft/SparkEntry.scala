@@ -267,6 +267,9 @@ object SparkEntry {
       ((s, d) => multimodal.BinaryColumns.shardManifest(s, d)),
     "embed_matryoshka_recall" ->
       ((s, d) => Similarity.embedMatryoshkaRecall(s, d)),
+    // round 8, batch 9: contrastive pair mining, tokenizer bias
+    "retrieval_hard_negatives" -> (Matching.retrievalHardNegatives _),
+    "tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -348,12 +351,14 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (PARTITION BY src
       |    ORDER BY c DESC, lbl) AS rk FROM c2) t WHERE rk = 1)""".stripMargin
 
-  /** The chunk-then-retrieve BM25 top-3 oracle — shared verbatim by
-    * `retrieve_chunks_bm25` and the `retrieval_ndcg` eval built on
-    * its output, so retriever and eval can't drift.
+  /** The chunk-then-score BM25 CTE chain (→ scored: i, doc_id,
+    * chunk_id, bm25) — shared verbatim by `retrieve_chunks_bm25`,
+    * the `retrieval_ndcg` eval and the `retrieval_hard_negatives`
+    * pair builder, so retriever, eval and training prep can't drift
+    * (the Spark twin is Matching.ragScored, one PlanCache entry).
     */
-  private val ragTopkSql: String =
-    """WITH q AS (SELECT doc_id AS i,
+  private val ragScoredCtes: String =
+    """q AS (SELECT doc_id AS i,
       |   unnest(list_distinct(string_split_regex(text,'\s+'))) AS token
       |  FROM documents WHERE doc_id < 3),
       |d AS (SELECT doc_id, string_split_regex(text,'\s+') AS ts
@@ -375,7 +380,10 @@ object SparkEntry {
       |  FROM ctf JOIN clen USING(doc_id, chunk_id)
       |  JOIN pruned USING(token) CROSS JOIN stats),
       |scored AS (SELECT i, doc_id, chunk_id, round(sum(c), 6) AS bm25
-      |  FROM q JOIN pw USING(token) GROUP BY 1, 2, 3),
+      |  FROM q JOIN pw USING(token) GROUP BY 1, 2, 3)""".stripMargin
+
+  private val ragTopkSql: String =
+    s"""WITH $ragScoredCtes,
       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY i
       |   ORDER BY bm25 DESC, doc_id, chunk_id) AS INT) AS rank FROM scored)
       |SELECT i, doc_id, chunk_id, bm25, rank FROM r
@@ -4554,5 +4562,44 @@ object SparkEntry {
         |SELECT q_id, CAST(10 AS BIGINT) AS k, CAST(16 AS INT) AS prefix_dims,
         | n_hits, round(n_hits / 10.0, 6) AS recall_at10
         |FROM h ORDER BY q_id""".stripMargin,
+
+    "retrieval_hard_negatives" ->
+      s"""WITH $ragScoredCtes,
+        |m AS (SELECT doc_id, lang, source FROM documents),
+        |j AS (SELECT scored.i, scored.doc_id, scored.chunk_id, scored.bm25,
+        |   CAST(CASE WHEN cm.lang = qm.lang THEN 1 ELSE 0 END
+        |     + CASE WHEN cm.source = qm.source THEN 1 ELSE 0 END AS BIGINT)
+        |    AS rel
+        |  FROM scored JOIN m qm ON scored.i = qm.doc_id
+        |  JOIN m cm ON scored.doc_id = cm.doc_id),
+        |pos AS (SELECT i, 'positive' AS role, doc_id, chunk_id, bm25, rel,
+        |   CAST(row_number() OVER (PARTITION BY i
+        |     ORDER BY bm25 DESC, doc_id, chunk_id) AS INT) AS rank
+        |  FROM j WHERE rel >= 1),
+        |neg AS (SELECT i, 'negative' AS role, doc_id, chunk_id, bm25, rel,
+        |   CAST(row_number() OVER (PARTITION BY i
+        |     ORDER BY bm25 DESC, doc_id, chunk_id) AS INT) AS rank
+        |  FROM j WHERE rel = 0)
+        |SELECT i, role, rank, doc_id, chunk_id, bm25, rel FROM (
+        | SELECT * FROM pos WHERE rank <= 1
+        | UNION ALL SELECT * FROM neg WHERE rank <= 5) u
+        |ORDER BY i, role, rank""".stripMargin,
+
+    "tokenizer_fertility" ->
+      """WITH f AS (SELECT lang,
+        |   CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS w,
+        |   CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |     AS BIGINT) AS t,
+        |   CAST(length(text) AS BIGINT) AS c
+        |  FROM documents),
+        |s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(w) AS BIGINT) AS n_words,
+        |   CAST(sum(t) AS BIGINT) AS n_tokens,
+        |   CAST(sum(c) AS BIGINT) AS n_chars
+        |  FROM f GROUP BY 1)
+        |SELECT lang, n_docs, n_words, n_tokens, n_chars,
+        | round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
+        | round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
+        |FROM s ORDER BY lang""".stripMargin,
   )
 }

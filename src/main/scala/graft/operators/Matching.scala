@@ -541,46 +541,58 @@ object Matching {
     * job. Top-3 per query via the TopKPerGroup exec (bounded
     * per-partition heaps), not a window over the full score stream.
     */
-  def retrieveChunksBm25(spark: SparkSession, dir: String): DataFrame = {
-    val (k1, b) = (1.2, 0.75)
-    val docs = Tables.documents(spark, dir)
-    val queries = docs.filter(col("doc_id") < 3)
-      .select(col("doc_id").as("i"),
-        explode(split(col("text"), "\\s+")).as("token"))
-      .distinct()
-    val chunks = docs.filter(col("doc_id") >= 3)
-      .select(col("doc_id"), split(col("text"), "\\s+").as("ts"))
-      .withColumn("start",
-        explode(sequence(lit(0), size(col("ts")) - 1, lit(48))))
-      .select(col("doc_id"), (col("start") / 48).cast("int").as("chunk_id"),
-        explode(slice(col("ts"), col("start") + 1, lit(64))).as("token"))
-    val ctf = graft.PlanCache.cached("rag_chunk_tf", spark, dir) {
-      chunks.groupBy("doc_id", "chunk_id", "token").agg(count(lit(1)).as("tf"))
+  /** The scored (query, chunk) BM25 relation behind
+    * [[retrieveChunksBm25]], [[retrievalNdcg]] and
+    * [[retrievalHardNegatives]] — PlanCache'd so the retriever, its
+    * eval, and the training-pair builder all read the SAME scores
+    * from one materialization (its DuckDB twin is the shared
+    * ragScoredCtes val, same no-drift argument).
+    */
+  private[graft] def ragScored(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("rag_scored", spark, dir) {
+      val (k1, b) = (1.2, 0.75)
+      val docs = Tables.documents(spark, dir)
+      val queries = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("i"),
+          explode(split(col("text"), "\\s+")).as("token"))
+        .distinct()
+      val chunks = docs.filter(col("doc_id") >= 3)
+        .select(col("doc_id"), split(col("text"), "\\s+").as("ts"))
+        .withColumn("start",
+          explode(sequence(lit(0), size(col("ts")) - 1, lit(48))))
+        .select(col("doc_id"), (col("start") / 48).cast("int").as("chunk_id"),
+          explode(slice(col("ts"), col("start") + 1, lit(64))).as("token"))
+      val ctf = graft.PlanCache.cached("rag_chunk_tf", spark, dir) {
+        chunks.groupBy("doc_id", "chunk_id", "token").agg(count(lit(1)).as("tf"))
+      }
+      val clen = ctf.groupBy("doc_id", "chunk_id").agg(sum("tf").as("len"))
+      // chunk count and average length as ONE broadcast row — exact-int
+      // sum / count (avg() accumulates in double; drift desyncs the
+      // oracle), no eager .head mid-plan
+      val stats = clen.agg(count(lit(1)).as("n"),
+        (sum("len").cast("double") / count(lit(1))).as("a"))
+      // ctf is one row per (chunk, token), so chunk-frequency is a
+      // plain count; max_df pruning needs n → broadcast cross join
+      val dfreq = ctf.groupBy("token").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .filter(col("df") < lit(0.95) * col("n"))
+        .select("token", "df")
+      val postingW = ctf
+        .join(clen, Seq("doc_id", "chunk_id"))
+        .join(broadcast(dfreq), "token")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log(
+          (col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .select(col("token"), col("doc_id"), col("chunk_id"),
+          (col("idf") * (col("tf") * (k1 + 1)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("a")))).as("c"))
+      queries.join(postingW, "token")
+        .groupBy("i", "doc_id", "chunk_id")
+        .agg(round(sum("c"), 6).as("bm25"))
     }
-    val clen = ctf.groupBy("doc_id", "chunk_id").agg(sum("tf").as("len"))
-    // chunk count and average length as ONE broadcast row — exact-int
-    // sum / count (avg() accumulates in double; drift desyncs the
-    // oracle), no eager .head mid-plan
-    val stats = clen.agg(count(lit(1)).as("n"),
-      (sum("len").cast("double") / count(lit(1))).as("a"))
-    // ctf is one row per (chunk, token), so chunk-frequency is a
-    // plain count; max_df pruning needs n → broadcast cross join
-    val dfreq = ctf.groupBy("token").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats))
-      .filter(col("df") < lit(0.95) * col("n"))
-      .select("token", "df")
-    val postingW = ctf
-      .join(clen, Seq("doc_id", "chunk_id"))
-      .join(broadcast(dfreq), "token")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", log(
-        (col("n").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      .select(col("token"), col("doc_id"), col("chunk_id"),
-        (col("idf") * (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("a")))).as("c"))
-    val scored = queries.join(postingW, "token")
-      .groupBy("i", "doc_id", "chunk_id")
-      .agg(round(sum("c"), 6).as("bm25"))
+
+  def retrieveChunksBm25(spark: SparkSession, dir: String): DataFrame = {
+    val scored = ragScored(spark, dir)
     val top = graft.plans.TopKPerGroup(scored, Seq("i"),
       Seq(("bm25", true), ("doc_id", false), ("chunk_id", false)), 3)
     top.withColumn("rank", row_number().over(
@@ -588,6 +600,44 @@ object Matching {
           .orderBy(col("bm25").desc, col("doc_id"), col("chunk_id"))))
       .select("i", "doc_id", "chunk_id", "bm25", "rank")
       .orderBy("i", "rank")
+  }
+
+  /** Contrastive-training pair builder over the BM25 retriever: per
+    * query, the top RELEVANT chunk (the positive anchor) plus the 5
+    * highest-scoring NON-relevant chunks (lang AND source both
+    * mismatch) — HARD negatives: lexically close enough to outscore
+    * most of the corpus, semantically wrong, exactly the examples a
+    * dual-encoder needs (the DPR / in-batch-negatives prep step).
+    * Weak-truth relevance shares [[retrievalNdcg]]'s definition.
+    *
+    * Scale shape: reads the PlanCache-shared scored relation
+    * ([[ragScored]] — one materialization serves retriever, eval and
+    * this builder), one slim metadata join, then two bounded-heap
+    * TopKPerGroup reads (1 positive, 5 negatives per query) and a
+    * union. Output is \|queries\|·6 rows regardless of corpus size.
+    */
+  def retrievalHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val meta = Tables.documents(spark, dir).select("doc_id", "lang", "source")
+    val judged = ragScored(spark, dir)
+      .join(broadcast(meta.select(col("doc_id").as("i"),
+        col("lang").as("q_lang"), col("source").as("q_source"))), "i")
+      .join(meta, "doc_id")
+      .withColumn("rel",
+        (col("lang") === col("q_lang")).cast("long")
+          + (col("source") === col("q_source")).cast("long"))
+      .select("i", "doc_id", "chunk_id", "bm25", "rel")
+    val pos = graft.plans.TopKPerGroup(judged.filter(col("rel") >= 1),
+        Seq("i"), Seq(("bm25", true), ("doc_id", false), ("chunk_id", false)), 1)
+      .withColumn("role", lit("positive"))
+    val neg = graft.plans.TopKPerGroup(judged.filter(col("rel") === 0),
+        Seq("i"), Seq(("bm25", true), ("doc_id", false), ("chunk_id", false)), 5)
+      .withColumn("role", lit("negative"))
+    pos.unionByName(neg)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("i", "role")
+          .orderBy(col("bm25").desc, col("doc_id"), col("chunk_id"))))
+      .select("i", "role", "rank", "doc_id", "chunk_id", "bm25", "rel")
+      .orderBy("i", "role", "rank")
   }
 
   /** Retrieval-quality read-out over [[retrieveChunksBm25]]'s top-3:

@@ -219,6 +219,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer fertility by language: BPE-ish tokens per whitespace
+    * word and characters per token, per lang — the multilingual
+    * tokenizer-bias table (high fertility = the tokenizer fragments
+    * that language, inflating its effective sequence length and
+    * training cost; the metric mT5/XLM-R papers report when choosing
+    * vocabularies). Complements [[tokenizerOov]] (vocab coverage)
+    * with segmentation EFFICIENCY.
+    *
+    * Scale shape: both tokenizations are per-row regexp counts in
+    * one codegen'd projection riding the scan; the rollup is a
+    * \|langs\|-key groupBy of exact integer counts — ratios derive
+    * once from the integer sums, rounded once.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(toks).cast("long").as("w"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .cast("long").as("t"),
+        length(col("text")).cast("long").as("c"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+        sum("t").as("n_tokens"), sum("c").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        round(col("n_tokens").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 6)
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   /** Rolling-hash fingerprinting: a polynomial (Rabin-Karp style)
     * hash over the full character stream, plus the minimum over
     * 100-char chunk hashes (winnowing-lite) — order-sensitive
