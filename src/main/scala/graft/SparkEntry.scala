@@ -389,6 +389,21 @@ object SparkEntry {
       |SELECT i, doc_id, chunk_id, bm25, rank FROM r
       |WHERE rank <= 3 ORDER BY i, rank""".stripMargin
 
+  /** ragScoredCtes + the weak-truth relevance judgment (→ j: i,
+    * doc_id, chunk_id, bm25, rel) — ONE rel definition shared by the
+    * `retrieval_ndcg` and `retrieval_hard_negatives` oracles, the
+    * SQL twin of Matching.ragJudged.
+    */
+  private val ragJudgedCtes: String =
+    s"""$ragScoredCtes,
+      |m AS (SELECT doc_id, lang, source FROM documents),
+      |j AS (SELECT scored.i, scored.doc_id, scored.chunk_id, scored.bm25,
+      |   CAST(CASE WHEN cm.lang = qm.lang THEN 1 ELSE 0 END
+      |     + CASE WHEN cm.source = qm.source THEN 1 ELSE 0 END AS BIGINT)
+      |    AS rel
+      |  FROM scored JOIN m qm ON scored.i = qm.doc_id
+      |  JOIN m cm ON scored.doc_id = cm.doc_id)""".stripMargin
+
   private val qualityClassifierSql: String =
     """WITH f AS (SELECT doc_id, text,
       |   string_split_regex(text, '\s+') AS t FROM documents),
@@ -4339,17 +4354,12 @@ object SparkEntry {
         |ORDER BY o_custkey""".stripMargin,
 
     "retrieval_ndcg" ->
-      s"""WITH t AS (SELECT * FROM ($ragTopkSql) x),
-         |m AS (SELECT doc_id, lang, source FROM documents),
-         |j AS (SELECT t.i, t.rank,
-         |   CAST(CASE WHEN cm.lang = qm.lang THEN 1 ELSE 0 END
-         |     + CASE WHEN cm.source = qm.source THEN 1 ELSE 0 END AS BIGINT)
-         |    AS rel
-         |  FROM t JOIN m qm ON t.i = qm.doc_id
-         |  JOIN m cm ON t.doc_id = cm.doc_id),
+      s"""WITH $ragJudgedCtes,
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY i
+         |   ORDER BY bm25 DESC, doc_id, chunk_id) AS INT) AS rank FROM j),
          |g AS (SELECT i, rank, rel,
          |   CAST(CASE WHEN rel = 2 THEN 3 WHEN rel = 1 THEN 1 ELSE 0 END
-         |     AS BIGINT) AS gain FROM j),
+         |     AS BIGINT) AS gain FROM r WHERE rank <= 3),
          |ir AS (SELECT *, row_number() OVER (PARTITION BY i
          |   ORDER BY gain DESC, rank) AS irank FROM g),
          |agg AS (SELECT i,
@@ -4430,11 +4440,16 @@ object SparkEntry {
         |   n*sxx - sx*sx AS varx_n, n*syy - sy*sy AS vary_n, sx, sy
         |  FROM s)
         |SELECT p_brand, n,
-        | round(CAST(cov_n AS DOUBLE) / varx_n, 6) AS slope_qty_per_pct,
-        | round((CAST(sy AS DOUBLE)
-        |   - CAST(cov_n AS DOUBLE) / varx_n * sx) / n, 6) AS intercept_qty,
-        | round(CAST(cov_n AS DOUBLE) * cov_n
-        |   / (CAST(varx_n AS DOUBLE) * vary_n), 6) AS r2
+        | CASE WHEN varx_n > 0
+        |  THEN round(CAST(cov_n AS DOUBLE) / varx_n, 6) END
+        |  AS slope_qty_per_pct,
+        | CASE WHEN varx_n > 0
+        |  THEN round((CAST(sy AS DOUBLE)
+        |   - CAST(cov_n AS DOUBLE) / varx_n * sx) / n, 6) END
+        |  AS intercept_qty,
+        | CASE WHEN varx_n > 0 AND vary_n > 0
+        |  THEN round(CAST(cov_n AS DOUBLE) * cov_n
+        |   / (CAST(varx_n AS DOUBLE) * vary_n), 6) END AS r2
         |FROM d ORDER BY p_brand""".stripMargin,
 
     "events_burstiness" ->
@@ -4564,14 +4579,7 @@ object SparkEntry {
         |FROM h ORDER BY q_id""".stripMargin,
 
     "retrieval_hard_negatives" ->
-      s"""WITH $ragScoredCtes,
-        |m AS (SELECT doc_id, lang, source FROM documents),
-        |j AS (SELECT scored.i, scored.doc_id, scored.chunk_id, scored.bm25,
-        |   CAST(CASE WHEN cm.lang = qm.lang THEN 1 ELSE 0 END
-        |     + CASE WHEN cm.source = qm.source THEN 1 ELSE 0 END AS BIGINT)
-        |    AS rel
-        |  FROM scored JOIN m qm ON scored.i = qm.doc_id
-        |  JOIN m cm ON scored.doc_id = cm.doc_id),
+      s"""WITH $ragJudgedCtes,
         |pos AS (SELECT i, 'positive' AS role, doc_id, chunk_id, bm25, rel,
         |   CAST(row_number() OVER (PARTITION BY i
         |     ORDER BY bm25 DESC, doc_id, chunk_id) AS INT) AS rank

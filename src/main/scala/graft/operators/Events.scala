@@ -682,14 +682,6 @@ object Events {
       .orderBy("channel")
   }
 
-  /** Session-size distribution: sessions re-derived with the same
-    * 30-minute-gap rule as [[eventsSessionize]], then bucketed by
-    * event count (1 / 2-4 / 5-9 / 10+) with per-bucket session counts,
-    * mean duration and mean size — the bounce-rate / engagement-depth
-    * report product analytics runs daily. The windows are user-
-    * partitioned (bounded state per key at any scale); the output is
-    * 4 rows regardless of volume.
-    */
   /** Per-user inter-arrival burstiness: the dispersion statistics of
     * the gaps between a user's consecutive events — coefficient of
     * variation (σ/μ) and the Goh–Barabási burstiness index
@@ -733,6 +725,14 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Session-size distribution: sessions re-derived with the same
+    * 30-minute-gap rule as [[eventsSessionize]], then bucketed by
+    * event count (1 / 2-4 / 5-9 / 10+) with per-bucket session counts,
+    * mean duration and mean size — the bounce-rate / engagement-depth
+    * report product analytics runs daily. The windows are user-
+    * partitioned (bounded state per key at any scale); the output is
+    * 4 rows regardless of volume.
+    */
   def eventsSessionStats(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")

@@ -616,9 +616,17 @@ object Matching {
     * TopKPerGroup reads (1 positive, 5 negatives per query) and a
     * union. Output is \|queries\|·6 rows regardless of corpus size.
     */
-  def retrievalHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+  /** The weak-truth relevance judgment over the scored relation:
+    * rel = (query-doc language match) + (source match) ∈ {0, 1, 2}.
+    * ONE definition shared by [[retrievalNdcg]] (which judges the
+    * retrieved top-k) and [[retrievalHardNegatives]] (which judges
+    * the full candidate stream) — a future change to the truth
+    * signal lands in both, matching the single ragJudgedCtes SQL
+    * twin, so eval and training prep cannot desynchronize.
+    */
+  private def ragJudged(spark: SparkSession, dir: String): DataFrame = {
     val meta = Tables.documents(spark, dir).select("doc_id", "lang", "source")
-    val judged = ragScored(spark, dir)
+    ragScored(spark, dir)
       .join(broadcast(meta.select(col("doc_id").as("i"),
         col("lang").as("q_lang"), col("source").as("q_source"))), "i")
       .join(meta, "doc_id")
@@ -626,6 +634,10 @@ object Matching {
         (col("lang") === col("q_lang")).cast("long")
           + (col("source") === col("q_source")).cast("long"))
       .select("i", "doc_id", "chunk_id", "bm25", "rel")
+  }
+
+  def retrievalHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val judged = ragJudged(spark, dir)
     val pos = graft.plans.TopKPerGroup(judged.filter(col("rel") >= 1),
         Seq("i"), Seq(("bm25", true), ("doc_id", false), ("chunk_id", false)), 1)
       .withColumn("role", lit("positive"))
@@ -653,23 +665,17 @@ object Matching {
     * rank identically.
     *
     * Scale shape: everything downstream of the retriever runs on
-    * |queries|·k rows — two hash joins to the slim (doc_id, lang,
-    * source) metadata projection, one ≤k-row-per-partition window
-    * for the ideal ranking, one aggregate. The retriever itself is
-    * the [[retrieveChunksBm25]] inverted-index plan, reused via its
-    * PlanCache'd chunk relation.
+    * |queries|·k rows — one equi-join onto the shared [[ragJudged]]
+    * relevance relation, one ≤k-row-per-partition window for the
+    * ideal ranking, one aggregate. The retriever itself is the
+    * [[retrieveChunksBm25]] inverted-index plan, reused via the
+    * PlanCache'd [[ragScored]] relation.
     */
   def retrievalNdcg(spark: SparkSession, dir: String): DataFrame = {
     val top = graft.functions.Unordered(retrieveChunksBm25(spark, dir))
-    val meta = Tables.documents(spark, dir).select("doc_id", "lang", "source")
     val judged = top
-      .join(broadcast(meta.select(col("doc_id").as("i"),
-        col("lang").as("q_lang"), col("source").as("q_source"))), "i")
-      .join(meta.select(col("doc_id"),
-        col("lang").as("c_lang"), col("source").as("c_source")), "doc_id")
-      .withColumn("rel",
-        (col("c_lang") === col("q_lang")).cast("long")
-          + (col("c_source") === col("q_source")).cast("long"))
+      .join(ragJudged(spark, dir).select("i", "doc_id", "chunk_id", "rel"),
+        Seq("i", "doc_id", "chunk_id"))
       .withColumn("gain",
         when(col("rel") === 2, 3L).when(col("rel") === 1, 1L).otherwise(0L))
     val ideal = judged.withColumn("irank", row_number().over(

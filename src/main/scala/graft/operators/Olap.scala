@@ -717,14 +717,22 @@ object Olap {
       .withColumn("cov_n", col("n") * col("sxy") - col("sx") * col("sy"))
       .withColumn("varx_n", col("n") * col("sxx") - col("sx") * col("sx"))
       .withColumn("vary_n", col("n") * col("syy") - col("sy") * col("sy"))
+      // degenerate-variance guard: a brand with a single distinct
+      // discount (or constant quantity) has no defined slope/r² —
+      // emit NULL explicitly in BOTH engines rather than relying on
+      // their (different) x/0 semantics (Spark Divide → NULL,
+      // DuckDB IEEE → inf/nan)
       .select(col("p_brand"), col("n"),
-        round(col("cov_n").cast("double") / col("varx_n"), 6)
+        when(col("varx_n") > 0,
+          round(col("cov_n").cast("double") / col("varx_n"), 6))
           .as("slope_qty_per_pct"),
-        round((col("sy").cast("double")
-          - col("cov_n").cast("double") / col("varx_n") * col("sx")) / col("n"),
-          6).as("intercept_qty"),
-        round(col("cov_n").cast("double") * col("cov_n")
-          / (col("varx_n").cast("double") * col("vary_n")), 6).as("r2"))
+        when(col("varx_n") > 0,
+          round((col("sy").cast("double")
+            - col("cov_n").cast("double") / col("varx_n") * col("sx"))
+            / col("n"), 6)).as("intercept_qty"),
+        when(col("varx_n") > 0 && col("vary_n") > 0,
+          round(col("cov_n").cast("double") * col("cov_n")
+            / (col("varx_n").cast("double") * col("vary_n")), 6)).as("r2"))
       .orderBy("p_brand")
   }
 
