@@ -270,6 +270,9 @@ object SparkEntry {
     // round 8, batch 9: contrastive pair mining, tokenizer bias
     "retrieval_hard_negatives" -> (Matching.retrievalHardNegatives _),
     "tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
+    // round 8, batch 10: EB rate shrinkage, FDR-controlled A/B family
+    "part_return_eb_rates" -> (Olap.partReturnEbRates _),
+    "events_ab_pvalues_fdr" -> (Events.eventsAbPvaluesFdr _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -4609,5 +4612,80 @@ object SparkEntry {
         | round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
         | round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
         |FROM s ORDER BY lang""".stripMargin,
+
+    "part_return_eb_rates" ->
+      """WITH per AS (SELECT l_partkey AS p_partkey,
+        |   CAST(count(*) AS BIGINT) AS n_lines,
+        |   CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_returned
+        |  FROM lineitem GROUP BY 1),
+        |pr AS (SELECT *, CAST(n_returned AS DOUBLE) / n_lines AS raw_rate
+        |  FROM per),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS p_cnt,
+        |   sum(raw_rate) AS sr, sum(raw_rate * raw_rate) AS sr2 FROM pr),
+        |j AS (SELECT pr.*, sr / p_cnt AS mu,
+        |   sr2 / p_cnt - (sr / p_cnt) * (sr / p_cnt) AS v
+        |  FROM pr CROSS JOIN mo),
+        |g AS (SELECT *, CASE WHEN v > 0 AND mu > 0 AND mu < 1
+        |   THEN mu * (1.0 - mu) / v - 1.0 END AS s0 FROM j),
+        |h AS (SELECT *, CASE WHEN s0 > 0 THEN s0 END AS s FROM g)
+        |SELECT p_partkey, n_lines, n_returned,
+        | round(raw_rate, 6) AS raw_rate,
+        | round(CASE WHEN s IS NOT NULL
+        |   THEN (n_returned + mu * s) / (n_lines + s)
+        |   ELSE raw_rate END, 6) AS shrunk_rate,
+        | round(s, 6) AS prior_strength
+        |FROM h ORDER BY p_partkey""".stripMargin,
+
+    "events_ab_pvalues_fdr" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |uv AS (SELECT user_id,
+        |  CASE WHEN list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1) * pow(16, 8-i)))
+        |    / 4294967296.0 < 0.5 THEN 'A' ELSE 'B' END AS variant FROM u),
+        |ty AS (SELECT DISTINCT event_type FROM events LIMIT 64),
+        |c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT uv.user_id, uv.variant, ty.event_type,
+        |   coalesce(c.c, 0) AS c
+        |  FROM uv CROSS JOIN ty
+        |  LEFT JOIN c ON c.user_id = uv.user_id AND c.event_type = ty.event_type),
+        |per AS (SELECT event_type,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN c ELSE 0 END) AS BIGINT) AS s_a,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN c ELSE 0 END) AS BIGINT) AS s_b,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN c*c ELSE 0 END) AS BIGINT) AS ss_a,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN c*c ELSE 0 END) AS BIGINT) AS ss_b
+        | FROM grid GROUP BY 1),
+        |st AS (SELECT event_type, n_a, n_b,
+        |  CAST(s_a AS DOUBLE) / n_a AS mean_a,
+        |  CAST(s_b AS DOUBLE) / n_b AS mean_b,
+        |  CAST(ss_a AS DOUBLE) / n_a
+        |    - (CAST(s_a AS DOUBLE) / n_a) * (CAST(s_a AS DOUBLE) / n_a) AS var_a,
+        |  CAST(ss_b AS DOUBLE) / n_b
+        |    - (CAST(s_b AS DOUBLE) / n_b) * (CAST(s_b AS DOUBLE) / n_b) AS var_b
+        | FROM per),
+        |zz AS (SELECT *, (mean_b - mean_a)
+        |   / sqrt(var_a / n_a + var_b / n_b) AS z FROM st),
+        |pp AS (SELECT *, abs(z) AS az,
+        |   1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zz),
+        |p2 AS (SELECT *, round(least(
+        |   2.0 * exp(-az * az / 2.0) * 0.3989422804014327
+        |    * (t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+        |      + t * (-1.821255978 + t * 1.330274429))))), 1.0), 6) AS p
+        |  FROM pp),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p, event_type)
+        |   AS INT) AS rank, CAST(count(*) OVER () AS BIGINT) AS m FROM p2),
+        |qq AS (SELECT *, round(least(min(p * m / rank) OVER (
+        |   ORDER BY rank DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0), 6) AS q
+        |  FROM r)
+        |SELECT event_type, n_a, n_b,
+        | round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+        | round(z, 6) AS z, p AS p_value, rank, q AS q_value,
+        | CAST(CASE WHEN q <= 0.05 THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM qq ORDER BY rank""".stripMargin,
   )
 }

@@ -1008,6 +1008,87 @@ object Events {
           sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")), 6).as("z"))
   }
 
+  /** Per-metric A/B tests with multiple-testing control: a Welch z
+    * per EVENT TYPE (per-user event counts, the same deterministic
+    * hash variant split as [[eventsAbTest]]), two-sided p-values via
+    * the Abramowitz–Stegun 26.2.17 normal-CDF polynomial (both
+    * engines evaluate the IDENTICAL expression tree — no libm Φ),
+    * then Benjamini–Hochberg q-values and reject flags at q ≤ 0.05 —
+    * the guardrail that stops a 5-metric dashboard from "finding" a
+    * winner by running 5 uncorrected tests.
+    *
+    * Scale shape: the user×type grid is |users|·|types| (types
+    * broadcast; absent combinations count 0 so means are over ALL
+    * users, not just active ones); per-type sufficient statistics
+    * are EXACT integer sums (counts), one map-side-combined
+    * aggregate. The BH pass runs on the ≤64-row family — the no-op
+    * limit(64) puts that bound IN the plan (the dense-vocab-rank
+    * discipline), so the rank / m / suffix-min windows are
+    * plan-visibly bounded. p rounds to 6 BEFORE ranking (ties break
+    * on event_type) so both engines order identically.
+    */
+  def eventsAbPvaluesFdr(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val users = e.select("user_id").distinct()
+      .withColumn("variant", when(
+        graft.functions.HexExprs.uniformHash(col("user_id").cast("string")) < 0.5,
+        "A").otherwise("B"))
+    val types = e.select("event_type").distinct().limit(64)
+    val counts = e.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val grid = users.crossJoin(broadcast(types))
+      .join(counts, Seq("user_id", "event_type"), "left_outer")
+      .na.fill(0L, Seq("c"))
+    def side(v: String, c: org.apache.spark.sql.Column) =
+      when(col("variant") === v, c)
+    val per = grid.groupBy("event_type")
+      .agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(side("A", col("c"))).as("s_a"),
+        sum(side("B", col("c"))).as("s_b"),
+        sum(side("A", col("c") * col("c"))).as("ss_a"),
+        sum(side("B", col("c") * col("c"))).as("ss_b"))
+      .withColumn("mean_a", col("s_a").cast("double") / col("n_a"))
+      .withColumn("mean_b", col("s_b").cast("double") / col("n_b"))
+      .withColumn("var_a",
+        col("ss_a").cast("double") / col("n_a") - col("mean_a") * col("mean_a"))
+      .withColumn("var_b",
+        col("ss_b").cast("double") / col("n_b") - col("mean_b") * col("mean_b"))
+      .withColumn("z", (col("mean_b") - col("mean_a"))
+        / sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+      // Abramowitz–Stegun 26.2.17: Φ tail ≈ φ(z)·poly(t), identical
+      // literals on both engines; 0.3989422804014327 = 1/√(2π)
+      .withColumn("az", abs(col("z")))
+      .withColumn("t", lit(1.0) / (lit(1.0) + lit(0.2316419) * col("az")))
+      .withColumn("poly", col("t") * (lit(0.319381530)
+        + col("t") * (lit(-0.356563782)
+        + col("t") * (lit(1.781477937)
+        + col("t") * (lit(-1.821255978) + col("t") * lit(1.330274429))))))
+      .withColumn("p", round(least(
+        lit(2.0) * exp(-col("az") * col("az") / 2.0)
+          * lit(0.3989422804014327) * col("poly"), lit(1.0)), 6))
+    // the limit is a no-op (|types| ≤ 64 by the bound above) that
+    // makes the family windows plan-visibly bounded
+    val fam = per.limit(64)
+    val byP = Window.orderBy(col("p"), col("event_type"))
+    val suffix = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fam
+      .withColumn("m", count(lit(1)).over(
+        Window.orderBy(col("p"), col("event_type"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rank", row_number().over(byP))
+      .withColumn("padj", col("p") * col("m") / col("rank"))
+      .withColumn("q", round(least(min("padj").over(suffix), lit(1.0)), 6))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("mean_a"), 6).as("mean_a"),
+        round(col("mean_b"), 6).as("mean_b"),
+        round(col("z"), 6).as("z"), col("p").as("p_value"),
+        col("rank"), col("q").as("q_value"),
+        when(col("q") <= 0.05, 1L).otherwise(0L).as("significant"))
+      .orderBy("rank")
+  }
+
   /** Seasonal-naive forecast backtest: predict each of the last 168
     * observed hours' event volume as the SAME HOUR ONE WEEK EARLIER
     * (the baseline every forecasting system must beat before it

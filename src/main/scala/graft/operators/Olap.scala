@@ -644,6 +644,49 @@ object Olap {
       .orderBy("p_brand")
   }
 
+  /** Empirical-Bayes shrunk return rates per part: raw return rate
+    * x/n shrunk toward the corpus prior through a Beta-Binomial
+    * method-of-moments fit — the standard fix for ranking RATES on
+    * sparse groups (a 2/2 part must not outrank a 180/200 one).
+    * Prior strength s = μ(1−μ)/v − 1 and prior mean μ come from the
+    * per-part rate moments; shrunk = (x + μ·s)/(n + s). Degenerate
+    * moments (zero variance, boundary mean, non-positive s) fall
+    * back to the raw rate identically in both engines.
+    *
+    * Scale shape: ONE map-side-combined per-part aggregate, one
+    * 3-number moment aggregate broadcast back as a single row —
+    * two passes over lineitem total, no windows, output one row per
+    * part.
+    */
+  def partReturnEbRates(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"))
+      .withColumn("raw_rate",
+        col("n_returned").cast("double") / col("n_lines"))
+    val moments = per.agg(count(lit(1)).as("p_cnt"),
+      sum("raw_rate").as("sr"),
+      sum(col("raw_rate") * col("raw_rate")).as("sr2"))
+    per.crossJoin(broadcast(moments))
+      .withColumn("mu", col("sr") / col("p_cnt"))
+      .withColumn("v", col("sr2") / col("p_cnt")
+        - (col("sr") / col("p_cnt")) * (col("sr") / col("p_cnt")))
+      .withColumn("s0", when(
+        col("v") > 0 && col("mu") > 0 && col("mu") < 1,
+        col("mu") * (lit(1.0) - col("mu")) / col("v") - 1.0))
+      .withColumn("s", when(col("s0") > 0, col("s0")))
+      .select(col("p_partkey"), col("n_lines"), col("n_returned"),
+        round(col("raw_rate"), 6).as("raw_rate"),
+        round(when(col("s").isNotNull,
+          (col("n_returned") + col("mu") * col("s"))
+            / (col("n_lines") + col("s")))
+          .otherwise(col("raw_rate")), 6).as("shrunk_rate"),
+        round(col("s"), 6).as("prior_strength"))
+      .orderBy("p_partkey")
+  }
+
   /** Fulfillment-latency SLA percentiles: exact p10/p50/p90/p99 of
     * the order-to-ship lag in days, per order priority — the
     * operations report behind "do URGENT orders actually ship
