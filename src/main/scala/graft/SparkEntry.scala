@@ -273,6 +273,14 @@ object SparkEntry {
     // round 8, batch 10: EB rate shrinkage, FDR-controlled A/B family
     "part_return_eb_rates" -> (Olap.partReturnEbRates _),
     "events_ab_pvalues_fdr" -> (Events.eventsAbPvaluesFdr _),
+    // round 8, batch 11: graph mixing/core structure, Gopher rule
+    // battery, DP count release, aspect-ratio batch bucketing
+    "graph_assortativity" -> (Graph.graphAssortativity _),
+    "graph_kcore" -> ((s, d) => Graph.graphKcore(s, d)),
+    "text_gopher_rules" -> (TextAnalysis.textGopherRules _),
+    "privacy_dp_counts" -> ((s, d) => Governance.privacyDpCounts(s, d)),
+    "mm_aspect_buckets" ->
+      ((s, d) => multimodal.BinaryColumns.aspectBuckets(s, d)),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -4687,5 +4695,149 @@ object SparkEntry {
         | round(z, 6) AS z, p AS p_value, rank, q AS q_value,
         | CAST(CASE WHEN q <= 0.05 THEN 1 ELSE 0 END AS BIGINT) AS significant
         |FROM qq ORDER BY rank""".stripMargin,
+
+    "graph_assortativity" ->
+      """WITH e AS (
+        | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        | FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS dg
+        |  FROM e GROUP BY 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+        |  CAST(sum(du.dg) AS BIGINT) AS sx,
+        |  CAST(sum(dv.dg) AS BIGINT) AS sy,
+        |  CAST(sum(du.dg * dv.dg) AS BIGINT) AS sxy,
+        |  CAST(sum(du.dg * du.dg) AS BIGINT) AS sxx,
+        |  CAST(sum(dv.dg * dv.dg) AS BIGINT) AS syy
+        | FROM e JOIN deg du ON e.src = du.node JOIN deg dv ON e.dst = dv.node)
+        |SELECT m2 // 2 AS n_edges,
+        | round((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / sqrt((CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * (CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+        |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  AS assortativity
+        |FROM m""".stripMargin,
+
+    "graph_kcore" -> kcoreSql(k = 80, rounds = 6),
+
+    "text_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text,'\s+') AS t
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS sum_len,
+        |  CAST(list_max(list_transform(t, x -> length(x))) AS BIGINT)
+        |    AS max_word_len,
+        |  CAST(len(list_distinct(t)) AS BIGINT) AS n_unique,
+        |  CAST(len(list_distinct(list_filter(t,
+        |    x -> x IN ('the','a','and','or','of')))) AS BIGINT) AS n_stop_distinct
+        | FROM d),
+        |r AS (SELECT doc_id, n_words,
+        |  round(CAST(sum_len AS DOUBLE) / n_words, 6) AS mean_word_len,
+        |  round(CAST(n_unique AS DOUBLE) / n_words, 6) AS frac_unique,
+        |  n_stop_distinct, max_word_len FROM s)
+        |SELECT doc_id, n_words, mean_word_len, frac_unique, n_stop_distinct,
+        | max_word_len,
+        | CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS INT)
+        |   AS r_word_count,
+        | CAST(CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   THEN 1 ELSE 0 END AS INT) AS r_mean_word_len,
+        | CAST(CASE WHEN n_stop_distinct >= 2 THEN 1 ELSE 0 END AS INT)
+        |   AS r_stopwords,
+        | CAST(CASE WHEN frac_unique >= 0.2 THEN 1 ELSE 0 END AS INT)
+        |   AS r_unique_frac,
+        | CAST(CASE WHEN max_word_len <= 15 THEN 1 ELSE 0 END AS INT)
+        |   AS r_max_word,
+        | CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND n_stop_distinct >= 2 AND frac_unique >= 0.2
+        |   AND max_word_len <= 15 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "privacy_dp_counts" ->
+      """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |u AS (SELECT event_type, n,
+        |  list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(event_type || '#dp-release-1'), i, 1)) - 1)
+        |      * pow(16, 8-i))) / 4294967296.0 - 0.5 AS shift
+        | FROM c),
+        |z AS (SELECT event_type, n,
+        |  -1.0 * sign(shift)
+        |    * ln(greatest(1.0 - 2.0 * abs(shift), 1e-12)) AS noise
+        | FROM u)
+        |SELECT event_type, n AS true_count,
+        | CAST(1.0 AS DOUBLE) AS epsilon,
+        | round(noise, 6) AS noise,
+        | round(n + noise, 6) AS dp_count
+        |FROM z ORDER BY event_type""".stripMargin,
+
+    "mm_aspect_buckets" ->
+      """WITH dm AS (SELECT
+        |   64 + octet_length(CAST(text AS BLOB)) % 448 AS w,
+        |   64 + (octet_length(CAST(text AS BLOB)) // 7) % 448 AS h
+        |  FROM documents),
+        |r AS (SELECT (1000 * w) // h AS ratio_milli,
+        |   CAST(count(*) AS BIGINT) AS n
+        |  FROM dm GROUP BY 1),
+        |b(bucket_id, bucket_w, bucket_h) AS (VALUES
+        |  (1,512,2048),(2,576,1792),(3,640,1536),(4,704,1408),(5,768,1344),
+        |  (6,832,1216),(7,896,1152),(8,1024,1024),(9,1152,896),(10,1216,832),
+        |  (11,1344,768),(12,1408,704),(13,1536,640),(14,1792,576),
+        |  (15,2048,512)),
+        |c AS (SELECT r.ratio_milli, r.n, b.bucket_id, b.bucket_w, b.bucket_h,
+        |   row_number() OVER (PARTITION BY r.ratio_milli
+        |     ORDER BY abs(r.ratio_milli
+        |       - (1000 * b.bucket_w) // b.bucket_h), b.bucket_id) AS rn
+        |  FROM r CROSS JOIN b),
+        |a AS (SELECT * FROM c WHERE rn = 1)
+        |SELECT bucket_id, bucket_w, bucket_h,
+        | CAST(sum(n) AS BIGINT) AS n_items,
+        | CAST(sum(n) // 32 AS BIGINT) AS n_full_batches,
+        | CAST(sum(n) % 32 AS BIGINT) AS n_remainder,
+        | CAST(min(ratio_milli) AS BIGINT) AS min_ratio_milli,
+        | CAST(max(ratio_milli) AS BIGINT) AS max_ratio_milli
+        |FROM a GROUP BY 1, 2, 3 ORDER BY bucket_id""".stripMargin,
   )
+
+  /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of
+    * a_(r-1) whose degree within a_(r-1) is ≥ k — the same FIXED
+    * rounds the engine runs, so engine and oracle agree whether or
+    * not the peel has reached its fixpoint. Every CTE is AS
+    * MATERIALIZED: each a_r is referenced three times (both endpoint
+    * joins of the next round + its stat row), and DuckDB's default
+    * inlining re-expands the whole prefix at every reference — the
+    * same 2^R blowup the engine avoids with localCheckpoint (measured:
+    * a disk-filling ~70 GB spill at sf0.1 inlined vs 3 s materialized).
+    */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = if (r == 1) "a0" else s"a${r - 1}"
+      s"""d$r AS MATERIALIZED (SELECT e.src, CAST(count(*) AS BIGINT) AS dg
+         |  FROM e
+         | JOIN $prev x ON e.src = x.node JOIN $prev y ON e.dst = y.node
+         | GROUP BY 1),
+         |a$r AS MATERIALIZED (SELECT src AS node, dg FROM d$r
+         |  WHERE dg >= $k)""".stripMargin
+    }.mkString(",\n")
+    val statSelects = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS INT) AS round,
+         | CAST(count(*) AS BIGINT) AS n_alive,
+         | CAST(coalesce(min(dg), 0) AS BIGINT) AS min_deg,
+         | CAST(coalesce(max(dg), 0) AS BIGINT) AS max_deg,
+         | CAST(coalesce(sum(dg), 0) AS BIGINT) AS sum_deg
+         |FROM a$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (
+       | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       | FROM lineitem a JOIN lineitem b
+       |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+       |$roundCtes
+       |$statSelects
+       |ORDER BY round""".stripMargin
+  }
 }

@@ -299,6 +299,59 @@ object BinaryColumns {
       .orderBy("doc_id")
   }
 
+  /** Aspect-ratio bucketing for image-batch training (the SDXL-style
+    * bucket list): every image is assigned to the canonical training
+    * bucket whose aspect ratio is nearest its own (integer
+    * milli-ratio distance, ties → smaller bucket id), then each
+    * bucket reports its fill — item count, full 32-item batches, and
+    * the straggler remainder a dataloader pads or drops. Source
+    * dimensions follow [[resizePlan]]'s header-metadata convention.
+    *
+    * Scale shape: the per-image work is ONE map-side projection to an
+    * integer milli-ratio; the argmin over the 15-bucket constant list
+    * runs on the DISTINCT-ratio table (≤ ~8k rows regardless of
+    * corpus size — ratios are integer ratios of bounded dims), via a
+    * broadcast cross of the bucket list and a max(struct) argmin, so
+    * nothing per-image ever shuffles; the final fill report is a
+    * second bounded aggregate. Output rows = occupied buckets ≤ 15.
+    */
+  def aspectBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = Seq(
+      (1, 512, 2048), (2, 576, 1792), (3, 640, 1536), (4, 704, 1408),
+      (5, 768, 1344), (6, 832, 1216), (7, 896, 1152), (8, 1024, 1024),
+      (9, 1152, 896), (10, 1216, 832), (11, 1344, 768), (12, 1408, 704),
+      (13, 1536, 640), (14, 1792, 576), (15, 2048, 512))
+    import spark.implicits._
+    val b = buckets.toDF("bucket_id", "bucket_w", "bucket_h")
+      .withColumn("bucket_ratio_milli",
+        expr("CAST(1000 * bucket_w AS BIGINT) div bucket_h"))
+    val byRatio = Tables.documents(spark, dir)
+      .select(octet_length(col("text")).cast("long").as("n_bytes"))
+      .withColumn("w", lit(64L) + col("n_bytes") % 448)
+      .withColumn("h", lit(64L) + expr("n_bytes div 7") % 448)
+      .withColumn("ratio_milli", expr("(1000 * w) div h"))
+      .groupBy("ratio_milli").agg(count(lit(1)).as("n"))
+    val assigned = byRatio.crossJoin(broadcast(b))
+      .groupBy("ratio_milli", "n")
+      .agg(min(struct(
+        abs(col("ratio_milli") - col("bucket_ratio_milli")).as("d"),
+        col("bucket_id"), col("bucket_w"), col("bucket_h"))).as("pick"))
+      .select(col("ratio_milli"), col("n"),
+        col("pick.bucket_id").as("bucket_id"),
+        col("pick.bucket_w").as("bucket_w"),
+        col("pick.bucket_h").as("bucket_h"))
+    assigned.groupBy("bucket_id", "bucket_w", "bucket_h")
+      .agg(sum("n").as("n_items"),
+        min("ratio_milli").as("min_ratio_milli"),
+        max("ratio_milli").as("max_ratio_milli"))
+      .select(col("bucket_id"), col("bucket_w"), col("bucket_h"),
+        col("n_items"),
+        expr("n_items div 32").as("n_full_batches"),
+        (col("n_items") % 32).as("n_remainder"),
+        col("min_ratio_milli"), col("max_ratio_milli"))
+      .orderBy("bucket_id")
+  }
+
   def readMediaFiles(spark: SparkSession, pathGlob: String): Dataset[MediaRow] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(pathGlob)

@@ -395,4 +395,42 @@ object Governance {
         round(col("pe"), 6).as("p_chance"),
         round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6).as("kappa"))
   }
+
+  /** Differentially-private count release over event types (ε = 1
+    * Laplace mechanism): each group's true count is published with
+    * additive Laplace(1/ε) noise — the standard DP release for
+    * COUNT(*) queries, sensitivity 1. The noise draw is DERANDOMIZED
+    * through the same md5 uniform-hash discipline as every sampler in
+    * this engine (seeded by the group key + a release tag): u ∈
+    * [0,1) → inverse-CDF Laplace −b·sgn(u−½)·ln(1−2|u−½|). A real
+    * deployment would swap the hash for a CSPRNG per release; the
+    * MECHANISM (sensitivity, scale, inverse-CDF transform, per-group
+    * independence) is exactly what runs here, and determinism is
+    * what makes the release oracle-checkable.
+    *
+    * Scale shape: one map-side-combining count by key, then pure
+    * per-row arithmetic on the (tiny) group table — noise cost is
+    * O(groups), independent of corpus size. The ln() argument is
+    * clamped ≥ 1e-12 (u exactly 0 would be −∞; with an 8-hex-digit
+    * uniform the clamp also bounds worst-case noise at ~27.6·b).
+    */
+  def privacyDpCounts(spark: SparkSession, dir: String,
+                      epsilon: Double = 1.0): DataFrame = {
+    val b = 1.0 / epsilon
+    val cnt = Tables.events(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    cnt
+      .withColumn("u", graft.functions.HexExprs.uniformHash(
+        concat(col("event_type"), lit("#dp-release-1"))))
+      .withColumn("shift", col("u") - lit(0.5))
+      .withColumn("noise",
+        -lit(b) * signum(col("shift")) *
+          log(greatest(lit(1.0) - lit(2.0) * abs(col("shift")), lit(1e-12))))
+      .select(
+        col("event_type"), col("n").as("true_count"),
+        lit(epsilon).as("epsilon"),
+        round(col("noise"), 6).as("noise"),
+        round(col("n") + col("noise"), 6).as("dp_count"))
+      .orderBy("event_type")
+  }
 }

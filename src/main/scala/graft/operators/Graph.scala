@@ -381,4 +381,99 @@ object Graph {
         col("rank"))
       .orderBy("p_partkey", "rank")
   }
+
+  /** Degree assortativity of the co-order part graph: Pearson
+    * correlation of endpoint degrees over the DIRECTED edge set (each
+    * undirected edge counted in both orientations — the standard
+    * Newman 2002 convention). r > 0: high-degree parts co-order with
+    * other high-degree parts (hub-hub assortative mixing); r < 0:
+    * hubs link to the periphery. One scalar row that characterizes
+    * the whole graph's mixing structure — the topology twin of
+    * [[communityModularity]].
+    *
+    * Scale shape: degrees come from one groupBy of the shared
+    * PlanCache'd pair set; the edge×degree join is two equi-joins on
+    * node keys; the five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate
+    * as EXACT BIGINTs in one map-side-combining aggregate, and only
+    * the final Pearson ratio casts to double — the casts happen
+    * BEFORE the cross-moment products so the arithmetic stays inside
+    * IEEE-double range at any edge count (m·Σxy would overflow int64
+    * near sf10; double products of exact integer sums are
+    * engine-identical). One output row regardless of corpus size.
+    */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coPairCounts(spark, dir).select("u", "v")
+    val edges = pairs
+      .unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("dg"))
+    val m = edges
+      .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+      .agg(
+        count(lit(1)).as("m2"),
+        sum("du").as("sx"), sum("dv").as("sy"),
+        sum(col("du") * col("dv")).as("sxy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"))
+    val md = col("m2").cast("double")
+    val num = md * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val varx = md * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vary = md * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(
+      expr("m2 div 2").as("n_edges"),
+      round(num / sqrt(varx * vary), 6).as("assortativity"))
+  }
+
+  /** k-core peel trace of the co-order part graph (k = 80, 6 fixed
+    * rounds): round r drops every node whose degree WITHIN the
+    * surviving set is < k, and reports the survivor count plus the
+    * in-set degree range — the standard core-decomposition read-out
+    * for "how much of the graph is dense enough to mine". On this
+    * corpus the peel converges by round ~5 (the trace shows it);
+    * rounds are FIXED so engine and oracle compute the identical
+    * prefix whether or not the fixpoint has landed.
+    *
+    * Scale shape: the symmetric edge list is built once from the
+    * shared pair cache and repartitioned on src; each round is two
+    * semi-joins of the edge cache against the current alive set plus
+    * one count-by-src — message-passing rounds like [[graphPagerank]].
+    * Each round's alive set is localCheckpoint'd (the
+    * [[graft.operators.Dedup]] components discipline): it is read
+    * three times (both endpoint filters of the next round + its own
+    * stat row), and WITHOUT lineage truncation the logical plan
+    * nests a copy of every earlier round, so Catalyst
+    * re-optimization cost compounds ~3-4x per round (measured 32 s
+    * for round 6 alone at sf0.01; ~1 s total with the checkpoint).
+    * Checkpointed state per round is |V_r| rows — monotonically
+    * shrinking. Output: R rows, constant in corpus size.
+    */
+  def graphKcore(spark: SparkSession, dir: String,
+                 k: Int = 80, rounds: Int = 6): DataFrame = {
+    val pairs = coPairCounts(spark, dir).select("u", "v")
+    val edges = graft.PlanCache.cached("kcore_edges", spark, dir) {
+      pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(col("src"))
+    }
+    var alive: DataFrame = edges.select(col("src").as("node")).distinct()
+    val stats = (1 to rounds).map { r =>
+      val d = edges
+        .join(alive.select(col("node").as("src")), "src")
+        .join(alive.select(col("node").as("dst")), "dst")
+        .groupBy("src").agg(count(lit(1)).as("dg"))
+      val a = d.filter(col("dg") >= k).localCheckpoint()
+      alive = a.select(col("src").as("node"))
+      a.agg(
+        lit(r).cast("int").as("round"),
+        count(lit(1)).as("n_alive"),
+        coalesce(min("dg"), lit(0L)).as("min_deg"),
+        coalesce(max("dg"), lit(0L)).as("max_deg"),
+        coalesce(sum("dg"), lit(0L)).as("sum_deg"))
+    }
+    stats.reduce(_.unionAll(_)).orderBy("round")
+  }
 }

@@ -942,4 +942,54 @@ object TextAnalysis {
           .when(col("flesch") >= 30.0, "standard")
           .otherwise("hard").as("band"))
       .orderBy("doc_id")
+
+  /** Gopher-style per-document rule battery (Rae et al. 2021 §A1.1
+    * quality heuristics, the rule set most web-scale corpora filter
+    * with): word-count bounds, mean-word-length band, required
+    * distinct stopwords, type/token lower bound, max-word-length cap
+    * — each rule as its own 0/1 flag so downstream reports can
+    * attribute WHY a document fell, plus the conjunction (`keep`).
+    * Extends [[textQuality]]'s 3-bucket score to the full
+    * attributable battery; thresholds follow the paper where the
+    * corpus makes them meaningful.
+    *
+    * Scale shape: one pass, pure map-side projection (token array
+    * built once per row, every rule folds over it) — no shuffle, no
+    * UDF, linear in corpus bytes; the per-rule flags are tiny ints
+    * so the output parquet stays narrow. Ratios round(…,6) before
+    * anything compares them (oracle hash-parity).
+    */
+  def textGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "a", "and", "or", "of")
+    val inList = stops.map("'" + _ + "'").mkString(",")
+    Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .withColumn("n_words", size(col("t")).cast("long"))
+      .withColumn("sum_len", expr(
+        "aggregate(t, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"))
+      .withColumn("max_word_len", expr(
+        "aggregate(t, CAST(0 AS BIGINT), (acc, x) -> greatest(acc, CAST(length(x) AS BIGINT)))"))
+      .withColumn("n_unique", size(array_distinct(col("t"))).cast("long"))
+      .withColumn("n_stop_distinct", expr(
+        s"size(array_distinct(filter(t, x -> x IN ($inList))))").cast("long"))
+      .withColumn("mean_word_len",
+        round(col("sum_len").cast("double") / col("n_words"), 6))
+      .withColumn("frac_unique",
+        round(col("n_unique").cast("double") / col("n_words"), 6))
+      .withColumn("r_word_count",
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast("int"))
+      .withColumn("r_mean_word_len",
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).cast("int"))
+      .withColumn("r_stopwords", (col("n_stop_distinct") >= 2).cast("int"))
+      .withColumn("r_unique_frac", (col("frac_unique") >= 0.2).cast("int"))
+      .withColumn("r_max_word", (col("max_word_len") <= 15).cast("int"))
+      .withColumn("keep",
+        (col("r_word_count") + col("r_mean_word_len") + col("r_stopwords")
+          + col("r_unique_frac") + col("r_max_word") === 5).cast("int"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("frac_unique"), col("n_stop_distinct"), col("max_word_len"),
+        col("r_word_count"), col("r_mean_word_len"), col("r_stopwords"),
+        col("r_unique_frac"), col("r_max_word"), col("keep"))
+      .orderBy("doc_id")
+  }
 }
