@@ -281,6 +281,12 @@ object SparkEntry {
     "privacy_dp_counts" -> ((s, d) => Governance.privacyDpCounts(s, d)),
     "mm_aspect_buckets" ->
       ((s, d) => multimodal.BinaryColumns.aspectBuckets(s, d)),
+    // round 8, batch 12: RAKE keyphrases, pg_trgm matching, length
+    // curriculum, kNN label-coherence eval
+    "text_keyphrase_rake" -> (TextAnalysis.textKeyphraseRake _),
+    "match_trigram" -> (Matching.matchTrigram _),
+    "sample_curriculum" -> (Sampling.sampleCurriculum _),
+    "embed_knn_classifier" -> (Similarity.embedKnnClassifier _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -705,6 +711,39 @@ object SparkEntry {
   private lazy val oracleSqlAll: Map[String, String] =
     oracleSqlBase + ("knn_ivf_indexed" -> oracleSqlBase("knn_ivf")) +
       ("knn_ivfpq_indexed" -> oracleSqlBase("knn_ivfpq"))
+
+  /** IVF-blocked top-5 kNN edge chain (e..edges) — the ONE graph both
+    * knn_graph_mutual and embed_knn_classifier describe; shared so the
+    * two oracles can never drift from each other (or from the
+    * PlanCache-shared engine relation).
+    */
+  private val knnGraphCtes: String =
+    """e AS (SELECT vec_id, label,
+      |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+      |px AS (SELECT label, unnest(list_transform(generate_series(1, len(v)),
+      |   i -> {'pos': i, 'x': v[i]}), recursive := true) FROM n),
+      |cent AS (SELECT label, list(cx ORDER BY pos) AS cv FROM (
+      |   SELECT label, pos, avg(x) AS cx FROM px GROUP BY label, pos) g
+      | GROUP BY label),
+      |cn AS (SELECT label, cv,
+      |   sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnorm FROM cent),
+      |routes AS (SELECT s.vec_id AS src, s.v AS sv, s.norm AS sn, c.label,
+      |   round(list_sum(list_transform(generate_series(1, len(c.cv)),
+      |     i -> c.cv[i]*s.v[i])) / (c.cnorm * s.norm), 6) AS csim
+      |  FROM n s CROSS JOIN cn c),
+      |probes AS (SELECT src, sv, sn, label AS probe_label FROM (
+      |   SELECT *, row_number() OVER (PARTITION BY src
+      |     ORDER BY csim DESC, label) AS rk FROM routes) t WHERE rk <= 2),
+      |scored AS (SELECT p.src, d.vec_id AS dst,
+      |   round(list_sum(list_transform(generate_series(1, len(d.v)),
+      |     i -> d.v[i]*p.sv[i])) / (p.sn * d.norm), 6) AS cosine
+      |  FROM probes p JOIN n d ON d.label = p.probe_label
+      |  WHERE p.src <> d.vec_id),
+      |edges AS (SELECT src, dst, cosine FROM (
+      |   SELECT *, row_number() OVER (PARTITION BY src
+      |     ORDER BY cosine DESC, dst) AS rk FROM scored) t WHERE rk <= 5)""".stripMargin
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
@@ -4188,32 +4227,7 @@ object SparkEntry {
         |FROM m ORDER BY seg_id""".stripMargin,
 
     "knn_graph_mutual" ->
-      """WITH e AS (SELECT vec_id, label,
-        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |n AS (SELECT vec_id, label, v,
-        |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
-        |px AS (SELECT label, unnest(list_transform(generate_series(1, len(v)),
-        |   i -> {'pos': i, 'x': v[i]}), recursive := true) FROM n),
-        |cent AS (SELECT label, list(cx ORDER BY pos) AS cv FROM (
-        |   SELECT label, pos, avg(x) AS cx FROM px GROUP BY label, pos) g
-        | GROUP BY label),
-        |cn AS (SELECT label, cv,
-        |   sqrt(list_sum(list_transform(cv, x -> x*x))) AS cnorm FROM cent),
-        |routes AS (SELECT s.vec_id AS src, s.v AS sv, s.norm AS sn, c.label,
-        |   round(list_sum(list_transform(generate_series(1, len(c.cv)),
-        |     i -> c.cv[i]*s.v[i])) / (c.cnorm * s.norm), 6) AS csim
-        |  FROM n s CROSS JOIN cn c),
-        |probes AS (SELECT src, sv, sn, label AS probe_label FROM (
-        |   SELECT *, row_number() OVER (PARTITION BY src
-        |     ORDER BY csim DESC, label) AS rk FROM routes) t WHERE rk <= 2),
-        |scored AS (SELECT p.src, d.vec_id AS dst,
-        |   round(list_sum(list_transform(generate_series(1, len(d.v)),
-        |     i -> d.v[i]*p.sv[i])) / (p.sn * d.norm), 6) AS cosine
-        |  FROM probes p JOIN n d ON d.label = p.probe_label
-        |  WHERE p.src <> d.vec_id),
-        |edges AS (SELECT src, dst, cosine FROM (
-        |   SELECT *, row_number() OVER (PARTITION BY src
-        |     ORDER BY cosine DESC, dst) AS rk FROM scored) t WHERE rk <= 5)
+      s"""WITH $knnGraphCtes
         |SELECT a.src AS vec_id, CAST(count(*) AS BIGINT) AS deg,
         | CAST(sum(CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS mutual_deg,
         | round(avg(a.cosine), 6) AS mean_sim, round(max(a.cosine), 6) AS max_sim
@@ -4801,6 +4815,115 @@ object SparkEntry {
         | CAST(min(ratio_milli) AS BIGINT) AS min_ratio_milli,
         | CAST(max(ratio_milli) AS BIGINT) AS max_ratio_milli
         |FROM a GROUP BY 1, 2, 3 ORDER BY bucket_id""".stripMargin,
+
+    "text_keyphrase_rake" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(text,'\s+') AS t
+        |  FROM documents),
+        |tokpos AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(t)),
+        |    i -> {'pos': i, 'w': t[i]}), recursive := true) FROM d),
+        |ns AS (SELECT doc_id, pos, w FROM tokpos
+        |  WHERE w NOT IN ('the','a','and','or','of')),
+        |runs AS (SELECT doc_id, pos, w,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+        | FROM ns),
+        |chunks AS (SELECT doc_id, rid, pos, w,
+        |  (row_number() OVER (PARTITION BY doc_id, rid ORDER BY pos) - 1) // 3
+        |    AS chunk FROM runs),
+        |phr AS (SELECT doc_id, rid, chunk,
+        |  array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+        |  CAST(count(*) AS BIGINT) AS plen
+        | FROM chunks GROUP BY 1, 2, 3),
+        |pw AS (SELECT phrase, plen, unnest(string_split(phrase, ' ')) AS w
+        |  FROM phr),
+        |ws AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+        |  CAST(sum(plen) AS BIGINT) AS degree FROM pw GROUP BY 1),
+        |occ AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM phr GROUP BY 1),
+        |o2 AS (SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS w
+        |  FROM occ),
+        |sc AS (SELECT phrase, n_occ,
+        |  CAST(sum(CAST(round(1e6 * degree / freq) AS BIGINT)) AS BIGINT)
+        |    AS score_u6
+        | FROM o2 JOIN ws USING (w) GROUP BY 1, 2)
+        |SELECT phrase, n_occ, round(score_u6 / 1e6, 6) AS rake_score,
+        | CAST(row_number() OVER (ORDER BY score_u6 DESC, phrase) AS INT)
+        |   AS rank
+        |FROM sc ORDER BY rank LIMIT 20""".stripMargin,
+
+    "match_trigram" ->
+      """WITH tri AS (SELECT p_partkey, p_name,
+        |  list_distinct(flatten(list_transform(
+        |    string_split(lower(trim(p_name)), ' '), w ->
+        |    list_transform(generate_series(1, length(w) + 1),
+        |      i -> substr('  ' || w || ' ', i, 3))))) AS tg
+        | FROM part),
+        |posts AS (SELECT p_partkey, unnest(tg) AS t FROM tri),
+        |dfc AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+        |  FROM posts GROUP BY 1),
+        |rare AS (SELECT p_partkey, t FROM (
+        |  SELECT p.p_partkey, p.t, row_number() OVER (
+        |    PARTITION BY p.p_partkey ORDER BY d.df, p.t) AS rk
+        |  FROM posts p JOIN dfc d USING (t)) x WHERE rk <= 2),
+        |cand AS (SELECT DISTINCT l.p_partkey AS l_key, r.p_partkey AS r_key
+        |  FROM rare l JOIN rare r USING (t)
+        |  WHERE l.p_partkey % 2 = 0 AND r.p_partkey % 2 = 1),
+        |sc AS (SELECT c.l_key, c.r_key, rt.p_name AS r_name,
+        |  CAST(len(list_intersect(lt.tg, rt.tg)) AS BIGINT) AS shared,
+        |  round(CAST(len(list_intersect(lt.tg, rt.tg)) AS DOUBLE)
+        |    / (len(lt.tg) + len(rt.tg) - len(list_intersect(lt.tg, rt.tg))),
+        |    6) AS sim
+        | FROM cand c JOIN tri lt ON lt.p_partkey = c.l_key
+        |  JOIN tri rt ON rt.p_partkey = c.r_key),
+        |best AS (SELECT l_key, r_key, r_name, shared, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_key
+        |    ORDER BY sim DESC, r_key) AS rn
+        |  FROM sc WHERE sim >= 0.45) t WHERE rn = 1)
+        |SELECT l_key, r_key, r_name, shared, sim FROM best
+        |ORDER BY l_key""".stripMargin,
+
+    "sample_curriculum" ->
+      """WITH d AS (SELECT doc_id, source, text,
+        |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_words
+        | FROM documents),
+        |grid AS (SELECT source, n_words, CAST(count(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2),
+        |g2 AS (SELECT source, n_words, c,
+        |  CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY n_words
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before FROM grid),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src
+        |  FROM grid GROUP BY 1),
+        |g3 AS (SELECT g2.source, g2.n_words,
+        |  CAST(least(4, 1 + (4 * cum_before) // n_src) AS BIGINT) AS stage
+        | FROM g2 JOIN tot USING (source))
+        |SELECT doc_id, d.source, d.n_words, stage,
+        | round(list_sum(list_transform(generate_series(1, 8),
+        |   i -> (strpos('0123456789abcdef',
+        |     substr(md5(text || '#curriculum'), i, 1)) - 1) * pow(16, 8-i)))
+        |   / 4294967296.0, 6) AS shuffle_u
+        |FROM d JOIN g3 ON d.source = g3.source AND d.n_words = g3.n_words
+        |ORDER BY doc_id""".stripMargin,
+
+    "embed_knn_classifier" ->
+      s"""WITH $knnGraphCtes,
+        |votes AS (SELECT a.src, n.label AS nbr_label,
+        |   CAST(count(*) AS BIGINT) AS c
+        |  FROM edges a JOIN n ON n.vec_id = a.dst GROUP BY 1, 2),
+        |pred AS (SELECT src AS vec_id, nbr_label AS pred_label FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY src
+        |     ORDER BY c DESC, nbr_label) AS rk FROM votes) t WHERE rk = 1),
+        |cm AS (SELECT n.label AS true_label, p.pred_label,
+        |   CAST(count(*) AS BIGINT) AS n
+        |  FROM pred p JOIN n ON n.vec_id = p.vec_id GROUP BY 1, 2),
+        |per AS (SELECT true_label, CAST(sum(n) AS BIGINT) AS n_true,
+        |   CAST(sum(CASE WHEN pred_label = true_label THEN n ELSE 0 END)
+        |     AS BIGINT) AS n_correct
+        |  FROM cm GROUP BY 1)
+        |SELECT cm.true_label, cm.pred_label, cm.n,
+        | round(CAST(n_correct AS DOUBLE) / n_true, 6) AS label_accuracy
+        |FROM cm JOIN per USING (true_label)
+        |ORDER BY true_label, pred_label""".stripMargin,
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

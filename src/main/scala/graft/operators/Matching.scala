@@ -991,4 +991,59 @@ object Matching {
         col("m.r_name").as("r_name"), col("m.score").as("score"))
       .orderBy("l_key")
   }
+
+  /** pg_trgm-style trigram similarity matching (the Postgres fuzzy
+    * matcher the reference's entity tables would use in production):
+    * names decompose into padded word trigrams ("  w", " wo", …,
+    * exactly pg_trgm's 2-front/1-back padding), similarity =
+    * |shared trigrams| / |union|, matches at pg_trgm's conventional
+    * ≥ 0.45 line, best candidate per left row. Even/odd partkey split
+    * mirrors match_jaro's two-universe setup.
+    *
+    * Scale shape: candidate generation is RAREST-2 TRIGRAM blocking —
+    * each name indexes only its two globally-rarest trigrams (global
+    * df from one groupBy; ties → trigram order), so posting lists
+    * stay short where a full pg_trgm GIN join would pay Σ df_l·df_r
+    * on zipfy-hot trigrams. A pair is a candidate iff the two
+    * rarest-2 sets intersect — identical and near-identical names
+    * always qualify (their rarest trigrams coincide); the contract
+    * gives up only pairs whose ONLY shared trigrams are common ones,
+    * which sit far below the 0.45 line on realistic name lengths.
+    * Exact similarity is then computed per candidate from the full
+    * trigram arrays (one codegen'd array_intersect), never from
+    * postings.
+    */
+  def matchTrigram(spark: SparkSession, dir: String): DataFrame = {
+    val tri = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"),
+        lower(trim(col("p_name"))).as("nm"))
+      .withColumn("tg", expr(
+        "array_distinct(flatten(transform(split(nm, ' '), w -> " +
+          "transform(sequence(1, length(w) + 1), " +
+          "i -> substring(concat('  ', w, ' '), i, 3)))))"))
+    val posts = tri.select(col("p_partkey"), explode(col("tg")).as("t"))
+    val dfc = posts.groupBy("t").agg(count(lit(1)).as("df"))
+    val rare = graft.plans.TopKPerGroup(posts.join(dfc, "t"),
+      Seq("p_partkey"), Seq(("df", false), ("t", false)), 2)
+    val cand = rare.filter(col("p_partkey") % 2 === 0)
+      .select(col("p_partkey").as("l_key"), col("t"))
+      .join(rare.filter(col("p_partkey") % 2 === 1)
+        .select(col("p_partkey").as("r_key"), col("t")), "t")
+      .select("l_key", "r_key").distinct()
+    val scored = cand
+      .join(tri.select(col("p_partkey").as("l_key"), col("tg").as("l_tg")),
+        "l_key")
+      .join(tri.select(col("p_partkey").as("r_key"), col("p_name").as("r_name"),
+        col("tg").as("r_tg")), "r_key")
+      .withColumn("shared",
+        size(array_intersect(col("l_tg"), col("r_tg"))).cast("long"))
+      .withColumn("sim", round(col("shared").cast("double")
+        / (size(col("l_tg")) + size(col("r_tg")) - col("shared")), 6))
+      .filter(col("sim") >= 0.45)
+    graft.plans.TopKPerGroup(scored, Seq("l_key"),
+      Seq(("sim", true), ("r_key", false)), 1)
+      .select(col("l_key"), col("r_key"), col("r_name"), col("shared"),
+        col("sim"))
+      .orderBy("l_key")
+  }
 }

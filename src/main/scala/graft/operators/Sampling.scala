@@ -345,4 +345,42 @@ object Sampling {
         round(col("u"), 6).as("u"), col("keep"))
       .orderBy("doc_id")
   }
+
+  /** Length-based curriculum staging (the classic short→long training
+    * schedule): every document is assigned to one of 4 stages by its
+    * word-count quartile WITHIN its source (per-source ECDF, so a
+    * verbose source doesn't push a terse one's docs into late
+    * stages), plus a deterministic content-hash shuffle key for
+    * within-stage ordering.
+    *
+    * Scale shape: the quartile boundaries come from the EXACT integer
+    * length grid — per-(source, length) counts, one cumulative window
+    * over GRID rows (bounded by distinct lengths × sources, never
+    * corpus rows: the part_weighted_median ECDF block discipline) —
+    * and broadcast back onto the corpus as a (source, length) →
+    * stage map; docs sharing a length share a stage, so no per-doc
+    * window or global sort exists anywhere. The shuffle key is the
+    * usual md5 uniform hash: retry/engine/partitioning-stable, no
+    * rand().
+    */
+  def sampleCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("n_words",
+        size(split(col("text"), "\\s+")).cast("long"))
+    val grid = d.groupBy("source", "n_words").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy("n_words")
+    val g2 = grid.withColumn("cum_before", coalesce(
+      sum("c").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = grid.groupBy("source").agg(sum("c").as("n_src"))
+    val stages = g2.join(tot, "source")
+      .withColumn("stage",
+        least(lit(4L), lit(1L) + expr("(4 * cum_before) div n_src")))
+      .select("source", "n_words", "stage")
+    d.join(broadcast(stages), Seq("source", "n_words"))
+      .withColumn("shuffle_u", round(graft.functions.HexExprs.uniformHash(
+        concat(col("text"), lit("#curriculum"))), 6))
+      .select(col("doc_id"), col("source"), col("n_words"), col("stage"),
+        col("shuffle_u"))
+      .orderBy("doc_id")
+  }
 }

@@ -605,7 +605,13 @@ object Similarity {
     * heap-based TopKPerGroup (no per-group sort); mutuality is one
     * (src,dst)-keyed self-equi-join of the bounded edge list.
     */
-  def knnGraphMutual(spark: SparkSession, dir: String): DataFrame = {
+  /** IVF-blocked top-5 kNN edge list (src, dst, cosine) shared by
+    * [[knnGraphMutual]] and [[embedKnnClassifier]] under the
+    * PlanCache — both the mutuality self-join and the vote read it
+    * twice; cached it is n·k tiny rows, uncached each consumer
+    * re-scores every candidate.
+    */
+  private def knnGraphEdges(spark: SparkSession, dir: String): DataFrame = {
     val e = vecsWithNorm(spark, dir)
     val cent = ivfCentroids(e)
       .withColumn("cnorm", graft.functions.Vectors.normHof("cv"))
@@ -625,12 +631,14 @@ object Similarity {
         graft.functions.VectorExprs.dot(col("sv"), col("d.v"))
           / (col("sn") * col("d.norm")), 6))
       .select(col("src"), col("d.vec_id").as("dst"), col("cosine"))
-    // both sides of the mutuality self-join read the edge list; cached
-    // it is n·k tiny rows, uncached each side re-scores every candidate
-    val edges = graft.PlanCache.cached("knn_graph_edges", spark, dir) {
+    graft.PlanCache.cached("knn_graph_edges", spark, dir) {
       graft.plans.TopKPerGroup(scored, Seq("src"),
         Seq(("cosine", true), ("dst", false)), 5)
     }
+  }
+
+  def knnGraphMutual(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraphEdges(spark, dir)
     edges.as("a").join(edges.as("b"),
         col("a.src") === col("b.dst") && col("a.dst") === col("b.src"),
         "left_outer")
@@ -641,6 +649,50 @@ object Similarity {
         round(avg("cosine"), 6).as("mean_sim"),
         round(max("cosine"), 6).as("max_sim"))
       .orderBy("vec_id")
+  }
+
+  /** kNN label classifier evaluated on the blocked kNN graph: each
+    * vector's predicted label is the MAJORITY label of its top-5
+    * IVF-blocked cosine neighbors (ties → smaller label), compared to
+    * its own label — the standard embedding-space quality probe
+    * (label coherence under the metric). Output is the confusion
+    * matrix with per-true-label accuracy. The neighbor lists come
+    * from the SAME PlanCache'd edge relation [[knnGraphMutual]]
+    * reports on, so the two read-outs can never describe different
+    * graphs. Bias note: candidates are restricted to the 2 probed
+    * cells (documented ANN recall contract, quantified by
+    * knn_recall_vs_nprobe) — this evals the SERVED graph, not an
+    * exact brute-force one.
+    *
+    * Scale shape: the vote is one count-by-(src, label) over the n·k
+    * edge list + a heap argmax (TopKPerGroup k=1, no per-group
+    * sort); the confusion rollup is a bounded |labels|² aggregate.
+    */
+  def embedKnnClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecsWithNorm(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val edges = knnGraphEdges(spark, dir)
+    val votes = edges
+      .join(e.select(col("vec_id").as("dst"), col("label").as("nbr_label")),
+        "dst")
+      .groupBy(col("src"), col("nbr_label"))
+      .agg(count(lit(1)).as("c"))
+    val pred = graft.plans.TopKPerGroup(votes, Seq("src"),
+      Seq(("c", true), ("nbr_label", false)), 1)
+      .select(col("src").as("vec_id"), col("nbr_label").as("pred_label"))
+    val cm = pred
+      .join(e.select(col("vec_id"), col("label").as("true_label")), "vec_id")
+      .groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+    val per = cm.groupBy("true_label")
+      .agg(sum("n").as("n_true"),
+        sum(when(col("pred_label") === col("true_label"), col("n"))
+          .otherwise(0L)).as("n_correct"))
+    cm.join(per, "true_label")
+      .select(col("true_label"), col("pred_label"), col("n"),
+        round(col("n_correct").cast("double") / col("n_true"), 6)
+          .as("label_accuracy"))
+      .orderBy("true_label", "pred_label")
   }
 
   /** Symmetric per-dimension int8 scalar quantization of the embedding

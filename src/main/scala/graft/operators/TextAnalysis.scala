@@ -992,4 +992,58 @@ object TextAnalysis {
         col("r_unique_frac"), col("r_max_word"), col("keep"))
       .orderBy("doc_id")
   }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    * are stopword-delimited token runs, each word scores
+    * degree/frequency over the phrase co-occurrence graph (degree =
+    * Σ length of phrases containing the word, self included), a
+    * phrase scores the sum of its words' scores, top-20 phrases
+    * corpus-wide. One adaptation for this stopword-sparse corpus:
+    * runs are CHUNKED into consecutive ≤3-token phrases (standard
+    * RAKE implementations filter phrases above 3-4 words anyway —
+    * chunking keeps the run's tokens as candidates instead of
+    * discarding long runs wholesale).
+    *
+    * Scale shape: run/chunk ids come from per-DOC windows (bounded by
+    * doc length, never corpus-wide); word stats are one
+    * map-side-combining groupBy; per-word scores are quantized to
+    * round(1e6·degree/freq) and summed as BIGINT (the adamic_adar
+    * discipline — float addition order can flip last-ulp ranks, an
+    * integer sum cannot); the final top-20 is TakeOrdered on the
+    * integer score, and only the report divides back to a double.
+    */
+  def textKeyphraseRake(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stops = Seq("the", "a", "and", "or", "of")
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
+      .filter(!col("w").isin(stops: _*))
+    val wRun = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = tok.withColumn("rid", col("pos") - row_number().over(wRun))
+    val wChunk = Window.partitionBy("doc_id", "rid").orderBy("pos")
+    val phrases = runs
+      .withColumn("rn", row_number().over(wChunk))
+      .withColumn("chunk", expr("(rn - 1) div 3"))
+      .groupBy("doc_id", "rid", "chunk")
+      .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("ps"))
+      .select(col("doc_id"),
+        concat_ws(" ", expr("transform(ps, s -> s.w)")).as("phrase"),
+        size(col("ps")).cast("long").as("plen"))
+    val pw = phrases.select(col("phrase"), col("plen"),
+      explode(split(col("phrase"), " ")).as("w"))
+    val ws = pw.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("degree"))
+    val occ = phrases.groupBy("phrase").agg(count(lit(1)).as("n_occ"))
+    val scored = occ
+      .select(col("phrase"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(ws, "w")
+      .groupBy("phrase", "n_occ")
+      .agg(sum(round(lit(1e6) * col("degree") / col("freq")).cast("long"))
+        .as("score_u6"))
+    graft.functions.TopK.globalWithRank(scored, 20,
+      col("score_u6").desc, col("phrase"))
+      .select(col("phrase"), col("n_occ"),
+        round(col("score_u6") / 1e6, 6).as("rake_score"), col("rank"))
+  }
 }
