@@ -287,6 +287,12 @@ object SparkEntry {
     "match_trigram" -> (Matching.matchTrigram _),
     "sample_curriculum" -> (Sampling.sampleCurriculum _),
     "embed_knn_classifier" -> (Similarity.embedKnnClassifier _),
+    // round 8, batch 13: ACF periodicity, point-in-time features,
+    // degree tail, confident-learning label noise
+    "events_autocorrelation" -> (Events.eventsAutocorrelation _),
+    "events_pit_features" -> (Events.eventsPitFeatures _),
+    "graph_degree_hist" -> (Graph.graphDegreeHist _),
+    "quality_confident_joint" -> (Governance.qualityConfidentJoint _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -4924,6 +4930,111 @@ object SparkEntry {
         | round(CAST(n_correct AS DOUBLE) / n_true, 6) AS label_accuracy
         |FROM cm JOIN per USING (true_label)
         |ORDER BY true_label, pred_label""".stripMargin,
+
+    "events_autocorrelation" ->
+      """WITH daily AS (SELECT event_type,
+        |   epoch_ns(ts)//1000000000//86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+        |  FROM span),
+        |filled AS (SELECT g.event_type, g.day, coalesce(d.c, 0) AS c
+        |  FROM grid g LEFT JOIN daily d ON d.event_type = g.event_type
+        |    AND d.day = g.day),
+        |lags AS (SELECT f.event_type, f.day, f.c, l.lag
+        |  FROM filled f CROSS JOIN
+        |   (SELECT unnest(generate_series(1, 7)) AS lag) l),
+        |pairs AS (SELECT a.event_type, a.lag, a.c AS x, b.c AS y
+        |  FROM lags a JOIN filled b ON a.event_type = b.event_type
+        |   AND a.day - a.lag = b.day),
+        |m AS (SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |  CAST(sum(y*y) AS BIGINT) AS syy
+        | FROM pairs GROUP BY 1, 2)
+        |SELECT event_type, lag, n AS n_pairs,
+        | round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
+        |FROM m ORDER BY event_type, lag""".stripMargin,
+
+    "events_pit_features" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  epoch_ns(ts)//1000000000 AS ts_s FROM events),
+        |f AS (SELECT event_id, user_id, event_type, ts_s,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_s
+        |    RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING) AS BIGINT)
+        |    AS n_prior_7d,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s
+        |    RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS n_views_7d,
+        |  coalesce(ts_s - lag(ts_s, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts_s, event_id), -1) AS gap_s
+        | FROM e)
+        |SELECT event_id, user_id, ts_s, n_prior_7d, n_views_7d, gap_s
+        |FROM f WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "graph_degree_hist" ->
+      """WITH e AS (
+        | SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        | FROM lineitem a JOIN lineitem b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS dg
+        |  FROM e GROUP BY 1),
+        |binned AS (SELECT CAST(length(bin(dg)) - 1 AS BIGINT) AS bin_l2,
+        |   CAST(count(*) AS BIGINT) AS n_nodes
+        |  FROM deg GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n_total FROM binned),
+        |tail AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+        |   CAST(sum(CAST(round(1e6 * ln(dg / 64.0)) AS BIGINT)) AS BIGINT)
+        |     AS lnsum_u6
+        |  FROM deg WHERE dg >= 64)
+        |SELECT bin_l2,
+        | CAST(pow(2, bin_l2) AS BIGINT) AS d_lo,
+        | CAST(pow(2, bin_l2 + 1) AS BIGINT) - 1 AS d_hi,
+        | n_nodes,
+        | round(CAST(n_nodes AS DOUBLE) / n_total, 6) AS share,
+        | n_tail,
+        | round(1.0 + CAST(n_tail AS DOUBLE) / (CAST(lnsum_u6 AS DOUBLE) / 1e6),
+        |   6) AS hill_alpha
+        |FROM binned CROSS JOIN tot CROSS JOIN tail ORDER BY bin_l2""".stripMargin,
+
+    "quality_confident_joint" ->
+      s"""WITH sc AS (SELECT doc_id, score FROM ($qualityClassifierSql) c),
+        |yy AS (SELECT doc_id,
+        |  CASE WHEN quality_bucket = 'ok' THEN 1 ELSE 0 END AS y
+        | FROM ($textQualitySql) q),
+        |d AS (SELECT sc.doc_id, yy.y,
+        |  CAST(round(score * 1e6) AS BIGINT) AS s_u6
+        | FROM sc JOIN yy USING (doc_id)),
+        |th AS (SELECT
+        |  CAST(sum(CASE WHEN y = 1 THEN s_u6 END) AS BIGINT) AS sum1,
+        |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN y = 0 THEN 1000000 - s_u6 END) AS BIGINT)
+        |    AS sum0,
+        |  CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+        | FROM d),
+        |cells AS (SELECT CAST(y AS BIGINT) AS noisy_label,
+        |  CAST(CASE
+        |    WHEN s_u6 * n1 >= sum1 AND (1000000 - s_u6) * n0 >= sum0 THEN
+        |      CASE WHEN s_u6 >= 500000 THEN 1 ELSE 0 END
+        |    WHEN s_u6 * n1 >= sum1 THEN 1
+        |    WHEN (1000000 - s_u6) * n0 >= sum0 THEN 0
+        |    ELSE -1 END AS BIGINT) AS confident_label,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM d CROSS JOIN th GROUP BY 1, 2),
+        |rt AS (SELECT noisy_label, CAST(sum(n) AS BIGINT) AS n_row
+        |  FROM cells GROUP BY 1)
+        |SELECT noisy_label, confident_label, n,
+        | round(CAST(n AS DOUBLE) / n_row, 6) AS row_share
+        |FROM cells JOIN rt USING (noisy_label)
+        |ORDER BY noisy_label, confident_label""".stripMargin,
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

@@ -1569,4 +1569,94 @@ object Events {
           .as("stat"))
       .withColumn("drift", coalesce(col("stat") > 1.358, lit(false)))
   }
+
+  /** Autocorrelation function of the daily volume series per event
+    * type, lags 1..7 — the periodicity probe behind every seasonal
+    * model choice (a strong lag-7 says weekly structure;
+    * events_seasonal then quantifies the profile). Gap days count as
+    * ZERO volume (the series is regular by construction), so the ACF
+    * is over the true calendar series, not the observed-days one.
+    *
+    * Scale shape: the series lives on the bounded (type × day) GRID
+    * — one map-side-combining daily count, a per-type
+    * sequence-explode gap fill, and lag windows OVER GRID ROWS only
+    * (days × types, never events). Pearson per lag runs on exact
+    * integer count sums; casts to double happen before the
+    * cross-moment products (the assortativity overflow discipline).
+    */
+  def eventsAutocorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = daily.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    val filled = span
+      .withColumn("day", explode(expr("sequence(d0, d1)")))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("c"))
+    val lags = filled
+      .withColumn("lag", explode(expr("sequence(CAST(1 AS BIGINT), 7)")))
+    // lag value via a self-join on the grid (one join for all lags;
+    // a window-per-lag would re-sort the grid 7 times)
+    val pairs = lags.as("a").join(
+        filled.select(col("event_type"), col("day").as("pday"),
+          col("c").as("pc")).as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") - col("a.lag") === col("pday"))
+      .select(col("a.event_type").as("event_type"), col("a.lag").as("lag"),
+        col("a.c").as("x"), col("pc").as("y"))
+    val m = pairs.groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nd = col("n").cast("double")
+    m.select(col("event_type"), col("lag"), col("n").as("n_pairs"),
+        round((nd * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / sqrt((nd * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * (nd * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  /** Point-in-time-correct feature join (the feature-store
+    * correctness contract): for every purchase anchor, activity
+    * features computed from events STRICTLY BEFORE the anchor —
+    * 7-day trailing event count, 7-day trailing view count, and the
+    * gap to the user's previous event. The frame is
+    * [ts−7d, ts−1s], so nothing at or after the anchor second leaks
+    * in: this is the leak-free training-table build that naive
+    * "join latest features" pipelines get wrong.
+    *
+    * Scale shape: per-USER windows ordered by (ts_s, event_id) —
+    * bounded by a user's history, never corpus-wide; the RANGE frame
+    * is evaluated once over each user's sorted run (one shuffle on
+    * user_id), anchors filter AFTER the frame so non-purchase events
+    * still feed the features. Ties in ts_s are inside the frame
+    * boundary deterministically (range, not rows), and the gap lag
+    * carries the (ts_s, event_id) total order.
+    */
+  def eventsPitFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_s"))
+    val wRange = Window.partitionBy("user_id").orderBy("ts_s")
+      .rangeBetween(-7L * 86400, -1L)
+    val wSeq = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    e
+      .withColumn("n_prior_7d", count(lit(1)).over(wRange))
+      .withColumn("n_views_7d",
+        coalesce(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .over(wRange), lit(0L)))
+      .withColumn("gap_s",
+        coalesce(col("ts_s") - lag("ts_s", 1).over(wSeq), lit(-1L)))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_s"),
+        col("n_prior_7d"), col("n_views_7d"), col("gap_s"))
+      .orderBy("event_id")
+  }
 }

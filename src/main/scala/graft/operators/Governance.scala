@@ -433,4 +433,55 @@ object Governance {
         round(col("n") + col("noise"), 6).as("dp_count"))
       .orderBy("event_type")
   }
+
+  /** Confident-learning label-noise estimate (Northcutt et al. 2021,
+    * the Cleanlab confident joint) over the two quality signals: the
+    * heuristic rule bucket as the NOISY label (textQuality 'ok' = 1)
+    * and the model score as P(keep). Class thresholds are the
+    * per-class mean self-confidence (t₁ = mean score among y=1,
+    * t₀ = mean (1−score) among y=0); a doc joins cell (y, ĵ) when
+    * its probability clears ĵ's threshold (argmax on clearing both,
+    * tie at s=0.5 → class 1); docs clearing neither are the
+    * 'unconfident' row (ĵ = −1, counted, not dropped — silent
+    * exclusion would overstate confidence). The off-diagonal mass IS
+    * the estimated label-error rate the curation pipeline should
+    * audit.
+    *
+    * Scale shape: scores are already round(…,6), so s·10⁶ is an
+    * exact integer — thresholds and comparisons run as EXACT BIGINT
+    * cross-products (s_u6·n_c ≥ Σ_c), never a float mean: the sums
+    * are map-side-combining aggregates, the 2×3 matrix is constant
+    * -size, and the only doubles are the report-side shares.
+    */
+  def qualityConfidentJoint(spark: SparkSession, dir: String): DataFrame = {
+    val sc = graft.functions.Unordered(
+      TextAnalysis.qualityClassifier(spark, dir)).select("doc_id", "score")
+    val y = graft.functions.Unordered(TextAnalysis.textQuality(spark, dir))
+      .select(col("doc_id"),
+        when(col("quality_bucket") === "ok", 1L).otherwise(0L).as("y"))
+    val d = sc.join(y, "doc_id")
+      .withColumn("s_u6", round(col("score") * 1e6).cast("long"))
+    val th = d.agg(
+      sum(when(col("y") === 1L, col("s_u6"))).as("sum1"),
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("y") === 0L, lit(1000000L) - col("s_u6"))).as("sum0"),
+      sum(when(col("y") === 0L, 1L).otherwise(0L)).as("n0"))
+    val cells = d.crossJoin(broadcast(th))
+      .withColumn("ok1", col("s_u6") * col("n1") >= col("sum1"))
+      .withColumn("ok0",
+        (lit(1000000L) - col("s_u6")) * col("n0") >= col("sum0"))
+      .withColumn("j_hat",
+        when(col("ok1") && col("ok0"),
+          when(col("s_u6") >= lit(500000L), 1L).otherwise(0L))
+          .when(col("ok1"), 1L)
+          .when(col("ok0"), 0L)
+          .otherwise(-1L))
+      .groupBy(col("y").as("noisy_label"), col("j_hat").as("confident_label"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy("noisy_label").agg(sum("n").as("n_row"))
+    cells.join(rowTot, "noisy_label")
+      .select(col("noisy_label"), col("confident_label"), col("n"),
+        round(col("n").cast("double") / col("n_row"), 6).as("row_share"))
+      .orderBy("noisy_label", "confident_label")
+  }
 }

@@ -476,4 +476,44 @@ object Graph {
     }
     stats.reduce(_.unionAll(_)).orderBy("round")
   }
+
+  /** Degree distribution of the co-order part graph: exact log2-bin
+    * histogram plus the Hill tail estimator α = 1 + n/Σ ln(d/d_min)
+    * over the d ≥ 64 tail — the "is this graph scale-free" read-out
+    * (power-law tails α ≈ 2-3; this co-order graph's tight degree
+    * band shows up as mass in 2-3 adjacent bins and a LARGE α —
+    * evidence against a heavy tail, which is itself the answer).
+    *
+    * Scale shape: degrees from one groupBy of the shared pair cache;
+    * the bin is length(bin(d))−1 — EXACT integer log2 via the binary
+    * string, immune to the ln(2^k)/ln(2) last-ulp hazard both
+    * engines would hit at powers of two; the Hill sum quantizes
+    * round(1e6·ln(d/64)) per node and accumulates BIGINT (the
+    * adamic_adar float-order discipline). Output ≤ 64 bin rows with
+    * the one-row tail summary broadcast onto them.
+    */
+  def graphDegreeHist(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coPairCounts(spark, dir).select("u", "v")
+    val deg = pairs.select(col("u").as("node"))
+      .unionAll(pairs.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val binned = deg
+      .withColumn("bin_l2", (length(bin(col("dg"))) - 1).cast("long"))
+      .groupBy("bin_l2").agg(count(lit(1)).as("n_nodes"))
+    val tot = binned.agg(sum("n_nodes").as("n_total"))
+    val tail = deg.filter(col("dg") >= 64)
+      .agg(count(lit(1)).as("n_tail"),
+        sum(round(lit(1e6) * log(col("dg") / lit(64.0))).cast("long"))
+          .as("lnsum_u6"))
+    binned.crossJoin(broadcast(tot)).crossJoin(broadcast(tail))
+      .select(col("bin_l2"),
+        expr("CAST(pow(2, bin_l2) AS BIGINT)").as("d_lo"),
+        expr("CAST(pow(2, bin_l2 + 1) AS BIGINT) - 1").as("d_hi"),
+        col("n_nodes"),
+        round(col("n_nodes").cast("double") / col("n_total"), 6).as("share"),
+        col("n_tail"),
+        round(lit(1.0) + col("n_tail").cast("double")
+          / (col("lnsum_u6").cast("double") / 1e6), 6).as("hill_alpha"))
+      .orderBy("bin_l2")
+  }
 }
