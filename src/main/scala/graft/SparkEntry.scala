@@ -293,6 +293,10 @@ object SparkEntry {
     "events_pit_features" -> (Events.eventsPitFeatures _),
     "graph_degree_hist" -> (Graph.graphDegreeHist _),
     "quality_confident_joint" -> (Governance.qualityConfidentJoint _),
+    // round 8, batch 14: SLO burn alerting, price index, clustering NMI
+    "events_slo_burn" -> (Events.eventsSloBurn _),
+    "orders_price_index" -> (Olap.ordersPriceIndex _),
+    "embed_cluster_nmi" -> (Similarity.embedClusterNmi _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -5035,6 +5039,87 @@ object SparkEntry {
         | round(CAST(n AS DOUBLE) / n_row, 6) AS row_share
         |FROM cells JOIN rt USING (noisy_label)
         |ORDER BY noisy_label, confident_label""".stripMargin,
+
+    "events_slo_burn" ->
+      """WITH hourly AS (SELECT epoch_ns(ts)//1000000000//3600 AS hour,
+        |   CAST(count(*) AS BIGINT) AS n_total,
+        |   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_err
+        |  FROM events GROUP BY 1),
+        |span AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM hourly),
+        |grid AS (SELECT g.hour, coalesce(h.n_total, 0) AS n_total,
+        |   coalesce(h.n_err, 0) AS n_err
+        |  FROM (SELECT unnest(generate_series(h0, h1)) AS hour FROM span) g
+        |  LEFT JOIN hourly h USING (hour)),
+        |trail AS (SELECT hour + off AS hour,
+        |   CAST(sum(n_total) AS BIGINT) AS t6,
+        |   CAST(sum(n_err) AS BIGINT) AS e6
+        |  FROM grid CROSS JOIN
+        |   (SELECT unnest(generate_series(0, 5)) AS off) o
+        |  GROUP BY 1),
+        |j AS (SELECT g.hour, g.n_total, g.n_err, t.t6, t.e6,
+        |  CASE WHEN g.n_total > 0
+        |    THEN round(CAST(g.n_err AS DOUBLE) / g.n_total, 6)
+        |    ELSE 0.0 END AS rate1,
+        |  CASE WHEN t.t6 > 0
+        |    THEN round(CAST(t.e6 AS DOUBLE) / t.t6, 6)
+        |    ELSE 0.0 END AS rate6
+        | FROM grid g JOIN trail t USING (hour))
+        |SELECT hour AS hour_ts, n_total, n_err, rate1,
+        | round(rate1 / 0.01, 6) AS burn1, rate6,
+        | round(rate6 / 0.01, 6) AS burn6,
+        | CAST(CASE WHEN rate1 / 0.01 >= 14.4 AND rate6 / 0.01 >= 6.0
+        |   THEN 1 ELSE 0 END AS INT) AS page
+        |FROM j ORDER BY hour_ts""".stripMargin,
+
+    "orders_price_index" ->
+      """WITH m AS (SELECT
+        |   year(l_shipdate) * 100 + month(l_shipdate) AS ym, l_partkey,
+        |   CAST(round(sum(l_quantity)) AS BIGINT) AS qty,
+        |   CAST(round(100.0 * sum(l_extendedprice) / sum(l_quantity))
+        |     AS BIGINT) AS price_c
+        |  FROM lineitem GROUP BY 1, 2),
+        |base AS (SELECT min(ym) AS ym0 FROM m),
+        |bt AS (SELECT l_partkey, qty AS q0, price_c AS p0_c
+        |  FROM m CROSS JOIN base WHERE ym = ym0)
+        |SELECT m.ym, CAST(count(*) AS BIGINT) AS n_parts,
+        | round(CAST(sum(m.price_c * bt.q0) AS DOUBLE)
+        |   / CAST(sum(bt.p0_c * bt.q0) AS DOUBLE), 6) AS price_index
+        |FROM m JOIN bt USING (l_partkey)
+        |GROUP BY m.ym ORDER BY m.ym""".stripMargin,
+
+    "embed_cluster_nmi" ->
+      s"""$kmeansCtes,
+        |assign AS (SELECT vec_id, cid AS cluster FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d2, cid) AS rn FROM p2) t WHERE rn = 1),
+        |cells AS (SELECT a.cluster, emb.label,
+        |   CAST(count(*) AS BIGINT) AS n_ij
+        |  FROM assign a JOIN embeddings emb USING (vec_id) GROUP BY 1, 2),
+        |rc AS (SELECT cluster, CAST(sum(n_ij) AS BIGINT) AS n_i
+        |  FROM cells GROUP BY 1),
+        |ccc AS (SELECT label, CAST(sum(n_ij) AS BIGINT) AS n_j
+        |  FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_ij) AS BIGINT) AS nn FROM cells),
+        |mi AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(CAST(round(1e9 * (CAST(n_ij AS DOUBLE) / nn)
+        |    * ln(CAST(nn AS DOUBLE) * n_ij
+        |      / (CAST(n_i AS DOUBLE) * n_j))) AS BIGINT)) AS BIGINT) AS mi_u9
+        | FROM cells JOIN rc USING (cluster) JOIN ccc USING (label)
+        |  CROSS JOIN tt),
+        |hc AS (SELECT CAST(sum(CAST(round(-1e9 * (CAST(n_i AS DOUBLE) / nn)
+        |    * ln(CAST(n_i AS DOUBLE) / nn)) AS BIGINT)) AS BIGINT) AS hc_u9
+        |  FROM rc CROSS JOIN tt),
+        |hl AS (SELECT CAST(sum(CAST(round(-1e9 * (CAST(n_j AS DOUBLE) / nn)
+        |    * ln(CAST(n_j AS DOUBLE) / nn)) AS BIGINT)) AS BIGINT) AS hl_u9
+        |  FROM ccc CROSS JOIN tt)
+        |SELECT n_cells,
+        | round(mi_u9 / 1e9, 6) AS mutual_info,
+        | round(hc_u9 / 1e9, 6) AS h_cluster,
+        | round(hl_u9 / 1e9, 6) AS h_label,
+        | round(CAST(mi_u9 AS DOUBLE)
+        |   / sqrt(CAST(hc_u9 AS DOUBLE) * CAST(hl_u9 AS DOUBLE)), 6) AS nmi
+        |FROM mi CROSS JOIN hc CROSS JOIN hl""".stripMargin,
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

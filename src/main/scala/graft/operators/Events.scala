@@ -1659,4 +1659,51 @@ object Events {
         col("n_prior_7d"), col("n_views_7d"), col("gap_s"))
       .orderBy("event_id")
   }
+
+  /** Multiwindow SLO burn rate (the Google SRE alerting policy):
+    * hourly error share over trailing 1 h and 6 h windows against a
+    * 1% error budget, burn = rate/budget, page when BOTH windows
+    * burn hot (burn₁ ≥ 14.4 ∧ burn₆ ≥ 6 — the fast window confirms
+    * it's current, the slow one that it's sustained; single-window
+    * alerts flap). Gap hours count as zero traffic and zero errors
+    * so the windows are true calendar windows.
+    *
+    * Scale shape: everything after the one hourly count aggregate
+    * lives on the bounded calendar-hour GRID (sequence-explode gap
+    * fill); the 6-hour trailing sums come from a CONSTANT-offset
+    * self-join (each grid hour contributes to hours h..h+5, then a
+    * group-by-target-hour) — no unpartitioned window anywhere, the
+    * 6x fan-out is over grid rows only. Rates guard the zero-traffic
+    * hour with an explicit 0. Integer counts end-to-end; only the
+    * report divides.
+    */
+  def eventsSloBurn(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(expr("ts_s div 3600").as("hour"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_err"))
+    val span = hourly.agg(min("hour").as("h0"), max("hour").as("h1"))
+    val grid = span.select(explode(expr("sequence(h0, h1)")).as("hour"))
+      .join(hourly, Seq("hour"), "left")
+      .na.fill(0L, Seq("n_total", "n_err"))
+    val trail = grid
+      .withColumn("off", explode(expr("sequence(CAST(0 AS BIGINT), 5)")))
+      .groupBy((col("hour") + col("off")).as("hour"))
+      .agg(sum("n_total").as("t6"), sum("n_err").as("e6"))
+    grid.join(trail, "hour")
+      .withColumn("rate1", when(col("n_total") > 0,
+        round(col("n_err").cast("double") / col("n_total"), 6))
+        .otherwise(lit(0.0)))
+      .withColumn("rate6", when(col("t6") > 0,
+        round(col("e6").cast("double") / col("t6"), 6)).otherwise(lit(0.0)))
+      .select(col("hour").as("hour_ts"), col("n_total"), col("n_err"),
+        col("rate1"),
+        round(col("rate1") / 0.01, 6).as("burn1"),
+        col("rate6"),
+        round(col("rate6") / 0.01, 6).as("burn6"),
+        (col("rate1") / 0.01 >= 14.4 && col("rate6") / 0.01 >= 6.0)
+          .cast("int").as("page"))
+      .orderBy("hour_ts")
+  }
 }

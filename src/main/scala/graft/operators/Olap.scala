@@ -1047,4 +1047,43 @@ object Olap {
         col("quartile"), col("n_cust"), col("quartile_spend"))
       .orderBy("nationkey", "quartile")
   }
+
+  /** Laspeyres price index by ship month: each month's part prices
+    * weighted by BASE-month (the first month) quantities —
+    * Σ p_t·q₀ / Σ p₀·q₀ over parts present in both months (the part
+    * set adapts per month, as the official formula requires: a part
+    * with no base trade carries no weight). The inflation read-out a
+    * commerce warehouse publishes; base month indexes at 1.0 by
+    * construction.
+    *
+    * Scale shape: one (part, month) aggregate off the fact scan
+    * (map-side combining), the base month comes from a one-row
+    * broadcast min, the base table is |parts| rows broadcast onto
+    * the monthly table, and the index is a per-month aggregate of
+    * EXACT integers — unit prices quantized to round(cents)
+    * (Σext/Σqty is rational; cent-rounding makes both engines agree
+    * bit-for-bit), quantities rounded to BIGINT, weighted sums
+    * BIGINT.
+    */
+  def ordersPriceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.lineitem(spark, dir)
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("ym"), col("l_partkey"))
+      .agg(
+        round(sum("l_quantity")).cast("long").as("qty"),
+        round(lit(100.0) * sum("l_extendedprice") / sum("l_quantity"))
+          .cast("long").as("price_c"))
+    val base = m.agg(min("ym").as("ym0"))
+    val baseTbl = m.join(broadcast(base), col("ym") === col("ym0"))
+      .select(col("l_partkey"), col("qty").as("q0"),
+        col("price_c").as("p0_c"))
+    m.join(baseTbl, "l_partkey")
+      .groupBy("ym")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("price_c") * col("q0")).as("num"),
+        sum(col("p0_c") * col("q0")).as("den"))
+      .select(col("ym"), col("n_parts"),
+        round(col("num").cast("double") / col("den"), 6).as("price_index"))
+      .orderBy("ym")
+  }
 }

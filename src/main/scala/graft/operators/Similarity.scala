@@ -1412,4 +1412,58 @@ object Similarity {
         round((col("x") - col("mu")) / col("sd"), 6).as("white"))
       .orderBy("vec_id", "pos")
   }
+
+  /** Normalized mutual information between the k-means partition and
+    * the labels — the clustering family's eval metric (the
+    * counterpart of community_modularity for LPA and
+    * embed_knn_classifier for the kNN graph): NMI =
+    * I(C;L) / √(H(C)·H(L)), 0 = independent, 1 = identical
+    * partitions. Assignments come from the SAME round-1 centroids
+    * cluster_kmeans reports (shared kmeans relations/CTE chain), so
+    * the eval can never score a different clustering.
+    *
+    * Scale shape: the contingency table is one (cluster, label)
+    * count aggregate — |C|·|L| cells regardless of corpus size; the
+    * entropy/MI terms are per-cell doubles QUANTIZED to
+    * round(1e9·term) and summed as BIGINT (the adamic_adar
+    * discipline — a float Σ over cells would be partial-aggregation
+    * -order dependent), and only the final ratios divide back. One
+    * row out.
+    */
+  def embedClusterNmi(spark: SparkSession, dir: String): DataFrame = {
+    val assign = graft.functions.Unordered(clusterKmeans(spark, dir))
+      .select("vec_id", "cluster")
+    val lbl = Tables.embeddings(spark, dir).select("vec_id", "label")
+    val cells = assign.join(lbl, "vec_id")
+      .groupBy("cluster", "label").agg(count(lit(1)).as("n_ij"))
+    val rc = cells.groupBy("cluster").agg(sum("n_ij").as("n_i"))
+    val cc = cells.groupBy("label").agg(sum("n_ij").as("n_j"))
+    val tot = cells.agg(sum("n_ij").as("nn"))
+    val terms = cells.join(rc, "cluster").join(cc, "label")
+      .crossJoin(broadcast(tot))
+      .withColumn("mi_u9", round(lit(1e9) *
+        (col("n_ij").cast("double") / col("nn")) *
+        log(col("nn").cast("double") * col("n_ij")
+          / (col("n_i").cast("double") * col("n_j")))).cast("long"))
+    val hc = rc.crossJoin(broadcast(tot))
+      .withColumn("h_u9", round(lit(-1e9) *
+        (col("n_i").cast("double") / col("nn")) *
+        log(col("n_i").cast("double") / col("nn"))).cast("long"))
+      .agg(sum("h_u9").as("hc_u9"))
+    val hl = cc.crossJoin(broadcast(tot))
+      .withColumn("h_u9", round(lit(-1e9) *
+        (col("n_j").cast("double") / col("nn")) *
+        log(col("n_j").cast("double") / col("nn"))).cast("long"))
+      .agg(sum("h_u9").as("hl_u9"))
+    terms
+      .agg(count(lit(1)).as("n_cells"), sum("mi_u9").as("mi_u9"))
+      .crossJoin(broadcast(hc)).crossJoin(broadcast(hl))
+      .select(col("n_cells"),
+        round(col("mi_u9") / 1e9, 6).as("mutual_info"),
+        round(col("hc_u9") / 1e9, 6).as("h_cluster"),
+        round(col("hl_u9") / 1e9, 6).as("h_label"),
+        round(col("mi_u9").cast("double")
+          / sqrt(col("hc_u9").cast("double") * col("hl_u9").cast("double")),
+          6).as("nmi"))
+  }
 }
