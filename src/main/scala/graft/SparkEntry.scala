@@ -297,6 +297,12 @@ object SparkEntry {
     "events_slo_burn" -> (Events.eventsSloBurn _),
     "orders_price_index" -> (Olap.ordersPriceIndex _),
     "embed_cluster_nmi" -> (Similarity.embedClusterNmi _),
+    // round 8, batch 15: code detection, layout skew, AQP estimator,
+    // sequential always-valid A/B
+    "text_code_detect" -> (TextAnalysis.textCodeDetect _),
+    "layout_skew_report" -> ((s, d) => Quality.layoutSkewReport(s, d)),
+    "table_estimate" -> ((s, d) => Sketches.tableEstimate(s, d)),
+    "events_sequential_msprt" -> (Events.eventsSequentialMsprt _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -5120,6 +5126,154 @@ object SparkEntry {
         | round(CAST(mi_u9 AS DOUBLE)
         |   / sqrt(CAST(hc_u9 AS DOUBLE) * CAST(hl_u9 AS DOUBLE)), 6) AS nmi
         |FROM mi CROSS JOIN hc CROSS JOIN hl""".stripMargin,
+
+    "text_code_detect" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  string_split_regex(text, '\s+') AS t FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(
+        |    regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS BIGINT)
+        |    AS n_sym,
+        |  CAST(len(list_filter(t, x -> x IN
+        |    ('join','hash','scan','sort','merge','filter'))) AS BIGINT)
+        |    AS n_kw,
+        |  CAST(len(list_filter(t, x -> x IN
+        |    ('the','a','and','or','of'))) AS BIGINT) AS n_stop,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        | FROM d),
+        |r AS (SELECT doc_id, n_tokens,
+        |  round(CAST(n_sym AS DOUBLE) / n_chars, 6) AS sym_ratio,
+        |  round(CAST(n_kw AS DOUBLE) / n_tokens, 6) AS kw_ratio,
+        |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio
+        | FROM f)
+        |SELECT doc_id, n_tokens, sym_ratio, kw_ratio, stop_ratio,
+        | CASE WHEN kw_ratio >= 0.18 AND stop_ratio <= 0.08 THEN 'code'
+        |      WHEN kw_ratio >= 0.10 THEN 'mixed'
+        |      ELSE 'prose' END AS verdict
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "layout_skew_report" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |   CAST(count(*) AS BIGINT) AS n_parts FROM per)
+        |SELECT source, n_docs, bytes,
+        | round(CAST(bytes AS DOUBLE) / total_bytes, 6) AS byte_share,
+        | round(CAST(bytes AS DOUBLE) * n_parts / total_bytes, 6)
+        |   AS skew_vs_mean,
+        | greatest(CAST(1 AS BIGINT), (bytes + 1048575) // 1048576)
+        |   AS files_recommended
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    "table_estimate" ->
+      """WITH l AS (SELECT
+        |  l_extendedprice * (1.0 - l_discount) AS rev,
+        |  CASE WHEN list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef', substr(md5(
+        |      CAST(l_orderkey AS VARCHAR) || ':' ||
+        |      CAST(l_linenumber AS VARCHAR) || '#aqp'), i, 1)) - 1)
+        |      * pow(16, 8-i))) / 4294967296.0 < 0.1
+        |   THEN 1 ELSE 0 END AS inS
+        | FROM lineitem),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        |  sum(rev) AS rev_exact,
+        |  CAST(sum(inS) AS BIGINT) AS n_sample,
+        |  sum(CASE WHEN inS = 1 THEN rev ELSE 0.0 END) AS sr,
+        |  sum(CASE WHEN inS = 1 THEN rev * rev ELSE 0.0 END) AS sr2
+        | FROM l),
+        |est AS (SELECT *,
+        |  sr / n_sample AS mean,
+        |  sr2 / n_sample - (sr / n_sample) * (sr / n_sample) AS variance,
+        |  n_sample / 0.1 AS n_hat,
+        |  sr / 0.1 AS rev_est
+        | FROM agg),
+        |e2 AS (SELECT *,
+        |  sqrt(variance / n_sample) * n_hat AS se_total FROM est)
+        |SELECT n_sample, n_exact,
+        | CAST(round(n_hat) AS BIGINT) AS n_est,
+        | round(rev_est, 2) AS rev_est,
+        | round(rev_exact, 2) AS rev_exact,
+        | round(rev_est - 1.96 * se_total, 2) AS ci_lo,
+        | round(rev_est + 1.96 * se_total, 2) AS ci_hi,
+        | round(abs(rev_est - rev_exact) / rev_exact, 6) AS rel_err,
+        | CAST(CASE WHEN rev_exact >= rev_est - 1.96 * se_total
+        |   AND rev_exact <= rev_est + 1.96 * se_total
+        |   THEN 1 ELSE 0 END AS INT) AS within_ci
+        |FROM e2""".stripMargin,
+
+    "events_sequential_msprt" ->
+      """WITH e AS (SELECT user_id, value,
+        |  epoch_ns(ts)//1000000000//86400 AS day
+        | FROM events WHERE event_type = 'purchase'),
+        |uv AS (SELECT day, value,
+        |  CASE WHEN list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+        |      * pow(16, 8-i))) / 4294967296.0 < 0.5
+        |   THEN 'A' ELSE 'B' END AS variant FROM e),
+        |daily AS (SELECT day, variant, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(round(sum(value), 6) * 1e6) AS BIGINT) AS s_u6,
+        |  CAST(round(round(sum(value * value), 6) * 1e6) AS BIGINT) AS ss_u6
+        | FROM uv GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (SELECT g.day, v.variant, coalesce(d.n, 0) AS n,
+        |   coalesce(d.s_u6, 0) AS s_u6, coalesce(d.ss_u6, 0) AS ss_u6
+        |  FROM (SELECT unnest(generate_series(d0, d1)) AS day FROM span) g
+        |  CROSS JOIN (SELECT unnest(['A','B']) AS variant) v
+        |  LEFT JOIN daily d ON d.day = g.day AND d.variant = v.variant),
+        |cum AS (SELECT day, variant,
+        |  CAST(sum(n) OVER w AS BIGINT) AS cn,
+        |  CAST(sum(s_u6) OVER w AS BIGINT) AS cs,
+        |  CAST(sum(ss_u6) OVER w AS BIGINT) AS css
+        | FROM grid WINDOW w AS (PARTITION BY variant ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |byday AS (SELECT day,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN cn END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN cn END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN cs END) AS BIGINT) AS sa,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN cs END) AS BIGINT) AS sb,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN css END) AS BIGINT) AS ssa,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN css END) AS BIGINT) AS ssb
+        | FROM cum GROUP BY 1),
+        |st AS (SELECT *,
+        |  CAST(sa AS DOUBLE) / 1e6 / n_a AS ma,
+        |  CAST(sb AS DOUBLE) / 1e6 / n_b AS mb,
+        |  CAST(ssa AS DOUBLE) / 1e6 / n_a
+        |    - (CAST(sa AS DOUBLE) / 1e6 / n_a)
+        |      * (CAST(sa AS DOUBLE) / 1e6 / n_a) AS va,
+        |  CAST(ssb AS DOUBLE) / 1e6 / n_b
+        |    - (CAST(sb AS DOUBLE) / 1e6 / n_b)
+        |      * (CAST(sb AS DOUBLE) / 1e6 / n_b) AS vb
+        | FROM byday),
+        |sc AS (SELECT *, va / n_a + vb / n_b AS vn, mb - ma AS delta,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND va / n_a + vb / n_b > 0 THEN
+        |   sqrt((va / n_a + vb / n_b) / (va / n_a + vb / n_b + 0.01))
+        |   * exp((mb - ma) * (mb - ma) * 0.01
+        |     / (2.0 * (va / n_a + vb / n_b)
+        |        * (va / n_a + vb / n_b + 0.01)))
+        |  END AS lam FROM st),
+        |blk AS (SELECT *, day // 32 AS blk FROM sc),
+        |inblk AS (SELECT day, blk, lam,
+        |  max(lam) OVER (PARTITION BY blk ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmax
+        | FROM blk),
+        |btot AS (SELECT blk, max(lam) AS bmax FROM blk GROUP BY 1),
+        |pfx AS (SELECT a.blk, max(b.bmax) AS pmax
+        |  FROM btot a LEFT JOIN btot b ON b.blk < a.blk GROUP BY 1),
+        |prun AS (SELECT i.day,
+        |  CASE WHEN i.cmax IS NULL THEN p.pmax
+        |       WHEN p.pmax IS NULL THEN i.cmax
+        |       ELSE greatest(i.cmax, p.pmax) END AS max_lam
+        | FROM inblk i JOIN pfx p USING (blk))
+        |SELECT sc.day, n_a, n_b,
+        | round(delta, 6) AS delta,
+        | round(lam, 6) AS lambda,
+        | round(least(1.0, 1.0 / max_lam), 6) AS p_always,
+        | CAST(coalesce(CAST(1.0 / max_lam <= 0.05 AS INT), 0) AS INT)
+        |   AS reject
+        |FROM sc JOIN prun ON prun.day = sc.day ORDER BY sc.day""".stripMargin,
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

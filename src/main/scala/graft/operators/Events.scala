@@ -1706,4 +1706,96 @@ object Events {
           .cast("int").as("page"))
       .orderBy("hour_ts")
   }
+
+  /** Always-valid sequential A/B test (mixture SPRT, the "peek
+    * whenever you like" experimentation read-out): per experiment
+    * day, the cumulative purchase-value difference between the
+    * hash-split variants, the normal-mixture likelihood ratio
+    * Λ_n = √(V/(V+τ²))·exp(δ̂²τ²/(2V(V+τ²))) (τ = 0.1), and the
+    * always-valid p-value p_n = min(1, min_{t≤n} 1/Λ_t) — monotone
+    * by construction, so stopping the moment it crosses 0.05 never
+    * inflates the false-positive rate the way daily peeking at the
+    * fixed-horizon events_ab_test z does. The sequential member of
+    * the experimentation family (fixed-horizon, CUPED, DiD, FDR,
+    * SRM, power).
+    *
+    * Scale shape: one (day, variant) aggregate off the event scan,
+    * with per-day value sums quantized to round(1e6·round(Σ,6))
+    * BIGINTs (cross-engine float-sum order); cumulative sums are
+    * variant-PARTITIONED windows over the bounded day grid; the
+    * running min runs as a triangle self-join on grid days (t ≤ d) —
+    * order-free min, no unpartitioned window. Output = one row per
+    * day.
+    */
+  def eventsSequentialMsprt(spark: SparkSession, dir: String): DataFrame = {
+    val tau2 = 0.01
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("variant",
+        when(graft.functions.HexExprs.uniformHash(
+          col("user_id").cast("string")) < 0.5, "A").otherwise("B"))
+      .groupBy(expr("ts_s div 86400").as("day"), col("variant"))
+      .agg(count(lit(1)).as("n"),
+        round(round(sum("value"), 6) * 1e6).cast("long").as("s_u6"),
+        round(round(sum(col("value") * col("value")), 6) * 1e6)
+          .cast("long").as("ss_u6"))
+    val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = span.select(explode(expr("sequence(d0, d1)")).as("day"))
+      .crossJoin(spark.createDataFrame(
+        Seq(Tuple1("A"), Tuple1("B"))).toDF("variant"))
+      .join(daily, Seq("day", "variant"), "left")
+      .na.fill(0L, Seq("n", "s_u6", "ss_u6"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy("variant").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = grid
+      .withColumn("cn", sum("n").over(wv))
+      .withColumn("cs", sum("s_u6").over(wv))
+      .withColumn("css", sum("ss_u6").over(wv))
+    val byDay = cum.groupBy("day").agg(
+      sum(when(col("variant") === "A", col("cn"))).as("n_a"),
+      sum(when(col("variant") === "B", col("cn"))).as("n_b"),
+      sum(when(col("variant") === "A", col("cs"))).as("sa"),
+      sum(when(col("variant") === "B", col("cs"))).as("sb"),
+      sum(when(col("variant") === "A", col("css"))).as("ssa"),
+      sum(when(col("variant") === "B", col("css"))).as("ssb"))
+    val ma = col("sa").cast("double") / 1e6 / col("n_a")
+    val mb = col("sb").cast("double") / 1e6 / col("n_b")
+    val va = col("ssa").cast("double") / 1e6 / col("n_a") - ma * ma
+    val vb = col("ssb").cast("double") / 1e6 / col("n_b") - mb * mb
+    val vn = va / col("n_a") + vb / col("n_b")
+    val delta = mb - ma
+    val lam = sqrt(vn / (vn + lit(tau2))) *
+      exp(delta * delta * lit(tau2) / (lit(2.0) * vn * (vn + lit(tau2))))
+    val scored = byDay.withColumn("lam",
+      when(col("n_a") >= 2 && col("n_b") >= 2 && vn > 0, lam))
+    // running max_{t<=d} Λ_t via the block-partitioned cumulative +
+    // bounded triangle block-prefix (the eventsKsDrift ECDF shape —
+    // no unpartitioned window over the day grid)
+    val blk = scored.withColumn("blk", expr("day div 32"))
+    val inBlk = blk.withColumn("cmax", max("lam").over(
+      Window.partitionBy("blk").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val blkTot = blk.groupBy("blk").agg(max("lam").as("bmax"))
+    val prefix = blkTot.as("a")
+      .join(blkTot.as("b"), col("b.blk") < col("a.blk"), "left_outer")
+      .groupBy(col("a.blk").as("blk"))
+      .agg(max(col("b.bmax")).as("pmax"))
+    // explicit null laddering: Spark's greatest skips NULLs but other
+    // engines return NULL, so the oracle twin needs the same CASE
+    val pRun = inBlk.join(broadcast(prefix), "blk")
+      .withColumn("max_lam",
+        when(col("cmax").isNull, col("pmax"))
+          .when(col("pmax").isNull, col("cmax"))
+          .otherwise(greatest(col("cmax"), col("pmax"))))
+      .select(col("day"), col("max_lam"))
+    scored.join(pRun, "day")
+      .select(col("day"), col("n_a"), col("n_b"),
+        round(delta, 6).as("delta"),
+        round(col("lam"), 6).as("lambda"),
+        round(least(lit(1.0), lit(1.0) / col("max_lam")), 6).as("p_always"),
+        coalesce((lit(1.0) / col("max_lam") <= 0.05).cast("int"), lit(0))
+          .as("reject"))
+      .orderBy("day")
+  }
 }

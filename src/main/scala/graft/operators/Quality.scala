@@ -208,6 +208,39 @@ object Quality {
     * aggregation, a broadcast one-row total — output is
     * |sources|×|langs| rows regardless of corpus size.
     */
+  /** Partition-layout skew report (the small-files / hot-partition
+    * diagnostic a lakehouse compaction job reads): per source-key
+    * partition, row and byte totals, byte share, skew vs the MEAN
+    * partition (the balance number an even layout would hit), and
+    * the file count a compactor should emit at the target file size
+    * (ceil division, min 1). The input to "which partitions need
+    * salting / compaction".
+    *
+    * Scale shape: one map-side-combining aggregate by partition key
+    * + a one-row broadcast total — the report is |partitions| rows
+    * regardless of corpus size; the recommendation is pure integer
+    * arithmetic (no float file counts).
+    */
+  def layoutSkewReport(spark: SparkSession, dir: String,
+                       targetBytes: Long = 1L << 20): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text")).cast("long")).as("bytes"))
+    val tot = per.agg(sum("bytes").as("total_bytes"),
+      count(lit(1)).as("n_parts"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("bytes"),
+        round(col("bytes").cast("double") / col("total_bytes"), 6)
+          .as("byte_share"),
+        round(col("bytes").cast("double") * col("n_parts")
+          / col("total_bytes"), 6).as("skew_vs_mean"),
+        greatest(lit(1L),
+          expr(s"(bytes + ${targetBytes - 1}) div $targetBytes"))
+          .as("files_recommended"))
+      .orderBy("source")
+  }
+
   def corpusMixtureReport(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .withColumn("n_tokens", size(split(col("text"), "\\s+")).cast("long"))

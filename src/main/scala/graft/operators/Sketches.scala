@@ -297,4 +297,53 @@ object Sketches {
         col("union_est"), col("inter_est"), col("jaccard_est"))
       .orderBy("t1", "t2")
   }
+
+  /** Approximate query processing by deterministic Bernoulli sample
+    * (the BlinkDB/TABLESAMPLE read-out): a 10% content-hash sample of
+    * the fact table answers "total revenue" with an expansion
+    * estimate and a 95% CI, next to the exact answer and the
+    * realized relative error — the accuracy contract an AQP layer
+    * publishes. The sample is the engine's md5 uniform-hash
+    * discipline (row-content seeded), so it is retry/partitioning
+    * -stable and the oracle draws the IDENTICAL sample.
+    *
+    * Scale shape: one pass computes BOTH aggregates (the sample
+    * branch is a conditional aggregate, not a second scan); the
+    * estimator math is a one-row projection. At 100 TB only the
+    * sample aggregate would run (the exact side is the comparison
+    * harness), and the scan cost is the sample fraction.
+    */
+  def tableEstimate(spark: SparkSession, dir: String,
+                    p: Double = 0.1): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val l = Tables.lineitem(spark, dir)
+      .withColumn("rev", rev)
+      .withColumn("inS", (graft.functions.HexExprs.uniformHash(
+        concat(col("l_orderkey"), lit(":"), col("l_linenumber"),
+          lit("#aqp"))) < p).cast("int"))
+    val agg = l.agg(
+      count(lit(1)).as("n_exact"),
+      sum("rev").as("rev_exact"),
+      sum(col("inS").cast("long")).as("n_sample"),
+      sum(when(col("inS") === 1, col("rev")).otherwise(0.0)).as("sr"),
+      sum(when(col("inS") === 1, col("rev") * col("rev")).otherwise(0.0))
+        .as("sr2"))
+    val mean = col("sr") / col("n_sample")
+    val variance = col("sr2") / col("n_sample") - mean * mean
+    val nHat = col("n_sample") / lit(p)
+    val revEst = col("sr") / lit(p)
+    val seTotal = sqrt(variance / col("n_sample")) * nHat
+    agg.select(
+      col("n_sample"), col("n_exact"),
+      round(nHat).cast("long").as("n_est"),
+      round(revEst, 2).as("rev_est"),
+      round(col("rev_exact"), 2).as("rev_exact"),
+      round(revEst - lit(1.96) * seTotal, 2).as("ci_lo"),
+      round(revEst + lit(1.96) * seTotal, 2).as("ci_hi"),
+      round(abs(revEst - col("rev_exact")) / col("rev_exact"), 6)
+        .as("rel_err"),
+      (col("rev_exact") >= revEst - lit(1.96) * seTotal &&
+        col("rev_exact") <= revEst + lit(1.96) * seTotal)
+        .cast("int").as("within_ci"))
+  }
 }

@@ -1046,4 +1046,44 @@ object TextAnalysis {
       .select(col("phrase"), col("n_occ"),
         round(col("score_u6") / 1e6, 6).as("rake_score"), col("rank"))
   }
+
+  /** Code-vs-prose detection (the "strip code from the web corpus" /
+    * "route code to the code mix" filter every LLM pipeline runs):
+    * per-doc symbol density, keyword density against a
+    * domain-keyword list, mean token length, and stopword density,
+    * folded into a verdict — keyword-heavy + stopword-light text
+    * reads as code-like. Rule thresholds are explicit columns so the
+    * mix report can re-cut them.
+    *
+    * Scale shape: one map-side pass — every feature folds over the
+    * token array built once per row; no shuffle, no UDF; ratios
+    * round(…,6) before the verdict compares them.
+    */
+  def textCodeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val kw = Seq("join", "hash", "scan", "sort", "merge", "filter")
+    val stop = Seq("the", "a", "and", "or", "of")
+    val kwList = kw.map("'" + _ + "'").mkString(",")
+    val stList = stop.map("'" + _ + "'").mkString(",")
+    Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("n_sym", (length(col("text")) - length(
+        regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))).cast("long"))
+      .withColumn("n_kw", expr(
+        s"size(filter(t, x -> x IN ($kwList)))").cast("long"))
+      .withColumn("n_stop", expr(
+        s"size(filter(t, x -> x IN ($stList)))").cast("long"))
+      .withColumn("sym_ratio",
+        round(col("n_sym").cast("double") / length(col("text")), 6))
+      .withColumn("kw_ratio",
+        round(col("n_kw").cast("double") / col("n_tokens"), 6))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_tokens"), 6))
+      .select(col("doc_id"), col("n_tokens"), col("sym_ratio"),
+        col("kw_ratio"), col("stop_ratio"),
+        when(col("kw_ratio") >= 0.18 && col("stop_ratio") <= 0.08, "code")
+          .when(col("kw_ratio") >= 0.10, "mixed")
+          .otherwise("prose").as("verdict"))
+      .orderBy("doc_id")
+  }
 }
