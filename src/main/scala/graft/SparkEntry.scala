@@ -303,6 +303,12 @@ object SparkEntry {
     "layout_skew_report" -> ((s, d) => Quality.layoutSkewReport(s, d)),
     "table_estimate" -> ((s, d) => Sketches.tableEstimate(s, d)),
     "events_sequential_msprt" -> (Events.eventsSequentialMsprt _),
+    // round 8, batch 16: distributional A/B, Benford screen, lexical
+    // diversity, hub 2-hop expansion
+    "events_qte" -> (Events.eventsQte _),
+    "events_benford" -> (Events.eventsBenford _),
+    "text_lexical_diversity" -> (TextAnalysis.textLexicalDiversity _),
+    "graph_2hop_reach" -> (Graph.graphTwoHopReach _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -5274,6 +5280,102 @@ object SparkEntry {
         | CAST(coalesce(CAST(1.0 / max_lam <= 0.05 AS INT), 0) AS INT)
         |   AS reject
         |FROM sc JOIN prun ON prun.day = sc.day ORDER BY sc.day""".stripMargin,
+
+    "events_qte" ->
+      """WITH e AS (SELECT
+        |  CASE WHEN list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+        |      * pow(16, 8-i))) / 4294967296.0 < 0.5
+        |   THEN 'A' ELSE 'B' END AS variant,
+        |  CAST(round(value * 100) AS BIGINT) AS v_c
+        | FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT variant, v_c, CAST(count(*) AS BIGINT) AS w
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT variant, v_c,
+        |  sum(w) OVER (PARTITION BY variant ORDER BY v_c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM g),
+        |t AS (SELECT variant, sum(w) AS total_n FROM g GROUP BY 1),
+        |q AS (SELECT CAST(unnest([25, 50, 75, 90]) AS BIGINT) AS q_pct),
+        |p AS (SELECT c.variant, q.q_pct, min(c.v_c) AS qv_c
+        |  FROM c JOIN t USING (variant) CROSS JOIN q
+        |  WHERE c.cum * 100 >= q.q_pct * t.total_n
+        |  GROUP BY 1, 2)
+        |SELECT q_pct,
+        | CAST(sum(CASE WHEN variant = 'A' THEN qv_c END) AS DOUBLE)
+        |   / 100.0 AS q_a,
+        | CAST(sum(CASE WHEN variant = 'B' THEN qv_c END) AS DOUBLE)
+        |   / 100.0 AS q_b,
+        | CAST(sum(CASE WHEN variant = 'B' THEN qv_c END)
+        |   - sum(CASE WHEN variant = 'A' THEN qv_c END) AS DOUBLE)
+        |   / 100.0 AS qte
+        |FROM p GROUP BY 1 ORDER BY q_pct""".stripMargin,
+
+    "events_benford" ->
+      """WITH obs AS (SELECT
+        |  CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS d,
+        |  CAST(count(*) AS BIGINT) AS n_obs
+        | FROM events WHERE event_type = 'purchase' AND value > 0
+        | GROUP BY 1),
+        |digits AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT)
+        |  AS d),
+        |tot AS (SELECT sum(n_obs) AS n_total FROM obs),
+        |j AS (SELECT digits.d, coalesce(obs.n_obs, 0) AS n_obs
+        |  FROM digits LEFT JOIN obs ON obs.d = digits.d),
+        |x AS (SELECT j.d, j.n_obs, tot.n_total,
+        |  round(log10(1.0 + 1.0 / j.d), 6) AS exp_share
+        | FROM j CROSS JOIN tot)
+        |SELECT d, n_obs,
+        | round(CAST(n_obs AS DOUBLE) / n_total, 6) AS obs_share,
+        | exp_share,
+        | round((CAST(n_obs AS DOUBLE) - exp_share * n_total)
+        |   * (CAST(n_obs AS DOUBLE) - exp_share * n_total)
+        |   / (exp_share * n_total), 6) AS chi2_term
+        |FROM x ORDER BY d""".stripMargin,
+
+    "text_lexical_diversity" ->
+      """WITH tk AS (SELECT doc_id,
+        |  unnest(string_split_regex(text, '\s+')) AS tok
+        | FROM documents),
+        |f AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1, 2),
+        |a AS (SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  CAST(sum(c * c) AS BIGINT) AS sum_c2
+        | FROM f GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types, n_hapax,
+        | round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+        | round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_share,
+        | round(1e4 * CAST(sum_c2 - n_tokens AS DOUBLE)
+        |   / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)), 6)
+        |   AS yule_k
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "graph_2hop_reach" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |sym AS (SELECT u AS s, v AS d FROM e
+        |  UNION ALL SELECT v AS s, u AS d FROM e),
+        |deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS dg
+        |  FROM sym GROUP BY 1),
+        |q AS (SELECT node AS a, dg AS deg_a FROM deg
+        |  ORDER BY dg DESC, node LIMIT 50),
+        |h1 AS (SELECT q.a, sym.d AS b FROM sym JOIN q ON sym.s = q.a),
+        |h2 AS (SELECT h1.a, s2.d AS b FROM h1 JOIN sym s2 ON s2.s = h1.b),
+        |r AS (SELECT a, b FROM h1 UNION SELECT a, b FROM h2),
+        |rc AS (SELECT a, CAST(count(*) AS BIGINT) AS reach_2 FROM r
+        |  WHERE b <> a GROUP BY 1)
+        |SELECT q.a AS p_partkey, q.deg_a, rc.reach_2,
+        | round(CAST(rc.reach_2 AS DOUBLE) / q.deg_a, 6) AS expansion
+        |FROM q JOIN rc ON rc.a = q.a
+        |ORDER BY reach_2 DESC, p_partkey""".stripMargin,
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

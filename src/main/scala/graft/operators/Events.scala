@@ -1798,4 +1798,230 @@ object Events {
           .as("reject"))
       .orderBy("day")
   }
+
+  /** Quantile treatment effects (QTE): the A/B read-out at the
+    * DISTRIBUTION level rather than the mean — exact per-variant
+    * quartiles + p90 of purchase value under the deterministic 50/50
+    * content-hash split, and the per-quantile B−A lift. Means hide
+    * heterogeneous effects (a treatment that only moves the p90
+    * whale segment reads as a small mean shift); evaluating the
+    * ECDFs at fixed probability points is the standard first
+    * distributional look (reference analog: the A/B aggregates the
+    * reference's dashboards serve; QTE semantics from the public
+    * quantile-regression literature, evaluated on exact ECDFs).
+    *
+    * Scale shape: values collapse onto the distinct CENT grid per
+    * variant first (one map-side-combined aggregate — the grid is
+    * bounded by the price domain, not the event count), the ECDF
+    * runs block-partitioned ($40.96 blocks: in-block windows keyed
+    * (variant, blk) + the bounded triangle block-prefix join — the
+    * [[graft.operators.Olap.ordersConcurrency]] discipline, no
+    * variant-global window), and each quantile pick is one
+    * min-aggregate over the ≥-threshold rows. The threshold compares
+    * exact BIGINTs (cum·100 ≥ q_pct·total), so picks are
+    * reproducible at any scale; output is 4 rows regardless of
+    * corpus size.
+    */
+  def eventsQte(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("variant",
+        when(graft.functions.HexExprs.uniformHash(
+          col("user_id").cast("string")) < 0.5, "A").otherwise("B"))
+      .select(col("variant"),
+        round(col("value") * 100).cast("long").as("v_c"))
+      .groupBy("variant", "v_c").agg(count(lit(1)).as("w"))
+      .withColumn("blk", expr("v_c div 4096"))
+    val inBlk = grid.withColumn("cum_in_blk",
+      sum("w").over(Window.partitionBy("variant", "blk").orderBy("v_c")))
+    val blkTot = grid.groupBy("variant", "blk").agg(sum("w").as("btot"))
+    val prefix = blkTot.as("a")
+      .join(blkTot.as("b"),
+        col("a.variant") === col("b.variant") && col("b.blk") < col("a.blk"),
+        "left_outer")
+      .groupBy(col("a.variant").as("variant"), col("a.blk").as("blk"))
+      .agg(coalesce(sum(col("b.btot")), lit(0L)).as("blk_prefix"))
+    val tot = grid.groupBy("variant").agg(sum("w").as("total_n"))
+    val qs = spark.createDataFrame(Seq(Tuple1(25L), Tuple1(50L),
+      Tuple1(75L), Tuple1(90L))).toDF("q_pct")
+    val picks = inBlk.join(broadcast(prefix), Seq("variant", "blk"))
+      .withColumn("cum", col("cum_in_blk") + col("blk_prefix"))
+      .join(broadcast(tot), "variant")
+      .crossJoin(broadcast(qs))
+      .filter(col("cum") * 100 >= col("q_pct") * col("total_n"))
+      .groupBy("variant", "q_pct").agg(min("v_c").as("qv_c"))
+    picks.groupBy("q_pct")
+      .agg(sum(when(col("variant") === "A", col("qv_c"))).as("qa_c"),
+        sum(when(col("variant") === "B", col("qv_c"))).as("qb_c"))
+      .select(col("q_pct"),
+        (col("qa_c").cast("double") / 100.0).as("q_a"),
+        (col("qb_c").cast("double") / 100.0).as("q_b"),
+        ((col("qb_c") - col("qa_c")).cast("double") / 100.0).as("qte"))
+      .orderBy("q_pct")
+  }
+
+  /** Benford first-digit conformance of purchase amounts — the
+    * classic forensic data-quality screen (fabricated or defaulted
+    * amounts don't follow log-uniform digit frequencies): observed
+    * vs expected share per leading digit 1-9 and the per-digit χ²
+    * contribution. Digits come from the CENT integer's decimal
+    * string, so digit extraction is exact (no float formatting);
+    * the expected share log10(1+1/d) is rounded to 6 decimals
+    * BEFORE entering the χ² arithmetic so both engines feed
+    * identical doubles into identical expression trees.
+    *
+    * Scale shape: one map-side-combined 9-group aggregate over the
+    * scan; the digit frame (9 rows) and total (1 row) are broadcast.
+    * Output is 9 rows at any corpus size.
+    */
+  def eventsBenford(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" && col("value") > 0)
+      .select(substring(round(col("value") * 100).cast("long")
+        .cast("string"), 1, 1).cast("long").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n_obs"))
+    val digits = spark.range(1, 10).select(col("id").as("d"))
+    val tot = obs.agg(sum("n_obs").as("n_total"))
+    digits.join(obs, Seq("d"), "left").na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("exp_share",
+        round(log10(lit(1.0) + lit(1.0) / col("d")), 6))
+      .select(col("d"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n_total"), 6)
+          .as("obs_share"),
+        col("exp_share"),
+        round((col("n_obs").cast("double") - col("exp_share") * col("n_total"))
+          * (col("n_obs").cast("double") - col("exp_share") * col("n_total"))
+          / (col("exp_share") * col("n_total")), 6).as("chi2_term"))
+      .orderBy("d")
+  }
+
+  /** Bayesian conversion A/B: Beta(1+x, 1+n−x) posteriors per variant
+    * over the deterministic 50/50 user split, P(B>A) by exact
+    * discrete integration on a FIXED 199-point probability grid
+    * (p_k = k/200), posterior means and the mean lift — the "what is
+    * the probability B is actually better" read-out stakeholders ask
+    * for instead of a p-value. The grid quadrature replaces the
+    * closed-form Beta integral so both engines run the identical
+    * arithmetic: log-density x·ln p + (n−x)·ln(1−p), max-shifted
+    * exp, normalized weights, then Σ w_B(i)·w_A(j) over i>j with
+    * half-credit ties.
+    *
+    * Scale shape: conversion flags are one per-user
+    * map-side-combined aggregate; everything after is CONSTANT-size
+    * (one stats row broadcast through a 199-row grid and a 199×199
+    * broadcast-NLJ pair sum) — the corpus size only ever enters
+    * through the one scan. ln/exp are the only transcendental calls
+    * and feed a 6-decimal rounding, the [[eventsSequentialMsprt]]
+    * precedent for engine-identical floats.
+    */
+  def eventsBayesianAb(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("variant",
+        when(graft.functions.HexExprs.uniformHash(
+          col("user_id").cast("string")) < 0.5, "A").otherwise("B"))
+    val stats = users.agg(
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "A", col("conv")).otherwise(0L)).as("x_a"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === "B", col("conv")).otherwise(0L)).as("x_b"))
+    val grid = spark.range(1, 200)
+      .select(col("id").as("k"), (col("id").cast("double") / 200.0).as("p"))
+    val l = grid.crossJoin(broadcast(stats))
+      .withColumn("la", col("x_a") * log(col("p"))
+        + (col("n_a") - col("x_a")) * log(lit(1.0) - col("p")))
+      .withColumn("lb", col("x_b") * log(col("p"))
+        + (col("n_b") - col("x_b")) * log(lit(1.0) - col("p")))
+    val m = l.agg(max("la").as("ma"), max("lb").as("mb"))
+    val e = l.crossJoin(broadcast(m))
+      .withColumn("ea", exp(col("la") - col("ma")))
+      .withColumn("eb", exp(col("lb") - col("mb")))
+    val s = e.agg(sum("ea").as("sa"), sum("eb").as("sb"))
+    val w = e.crossJoin(broadcast(s))
+      .select(col("k"), (col("ea") / col("sa")).as("wa"),
+        (col("eb") / col("sb")).as("wb"))
+    val prob = w.select(col("k").as("ki"), col("wb").as("wbi"))
+      .crossJoin(broadcast(
+        w.select(col("k").as("kj"), col("wa").as("waj"))))
+      .select(when(col("ki") > col("kj"), col("wbi") * col("waj"))
+        .when(col("ki") === col("kj"), col("wbi") * col("waj") * 0.5)
+        .otherwise(0.0).as("c"))
+      .agg(sum("c").as("pb"))
+    stats.crossJoin(prob)
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        round((col("x_a") + 1).cast("double") / (col("n_a") + 2), 6)
+          .as("post_mean_a"),
+        round((col("x_b") + 1).cast("double") / (col("n_b") + 2), 6)
+          .as("post_mean_b"),
+        round((col("x_b") + 1).cast("double") / (col("n_b") + 2)
+          - (col("x_a") + 1).cast("double") / (col("n_a") + 2), 6)
+          .as("lift_mean"),
+        round(col("pb"), 6).as("p_b_gt_a"))
+  }
+
+  /** Winsorized / trimmed A/B means: per-variant purchase-value mean
+    * raw, winsorized at the variant's own exact p99 (outliers capped,
+    * mass kept) and trimmed above p99 (outliers dropped) — the
+    * standard robustification before reading a revenue experiment,
+    * since one whale order can swing a raw mean more than the
+    * treatment does. The cap is the exact ECDF p99 on the cent grid,
+    * so cap choice and both robust means are integer arithmetic
+    * until the final /100.
+    *
+    * Scale shape: identical to [[eventsQte]] — cent-grid collapse,
+    * block-partitioned ECDF for the p99 pick, then ONE more
+    * aggregate over the same grid (weights × capped values), never a
+    * second scan of the raw events. 2 rows out at any scale.
+    */
+  def eventsWinsorizedAb(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("variant",
+        when(graft.functions.HexExprs.uniformHash(
+          col("user_id").cast("string")) < 0.5, "A").otherwise("B"))
+      .select(col("variant"),
+        round(col("value") * 100).cast("long").as("v_c"))
+      .groupBy("variant", "v_c").agg(count(lit(1)).as("w"))
+      .withColumn("blk", expr("v_c div 4096"))
+    val inBlk = grid.withColumn("cum_in_blk",
+      sum("w").over(Window.partitionBy("variant", "blk").orderBy("v_c")))
+    val blkTot = grid.groupBy("variant", "blk").agg(sum("w").as("btot"))
+    val prefix = blkTot.as("a")
+      .join(blkTot.as("b"),
+        col("a.variant") === col("b.variant") && col("b.blk") < col("a.blk"),
+        "left_outer")
+      .groupBy(col("a.variant").as("variant"), col("a.blk").as("blk"))
+      .agg(coalesce(sum(col("b.btot")), lit(0L)).as("blk_prefix"))
+    val tot = grid.groupBy("variant").agg(sum("w").as("total_n"))
+    val cap = inBlk.join(broadcast(prefix), Seq("variant", "blk"))
+      .withColumn("cum", col("cum_in_blk") + col("blk_prefix"))
+      .join(broadcast(tot), "variant")
+      .filter(col("cum") * 100 >= col("total_n") * 99)
+      .groupBy("variant").agg(min("v_c").as("cap_c"))
+    grid.join(broadcast(cap), "variant")
+      .groupBy("variant")
+      .agg(sum("w").as("n"),
+        max("cap_c").as("cap_c"),
+        sum(col("w") * col("v_c")).as("sum_raw"),
+        sum(col("w") * least(col("v_c"), col("cap_c"))).as("sum_wins"),
+        sum(when(col("v_c") <= col("cap_c"), col("w")).otherwise(0L))
+          .as("n_trim"),
+        sum(when(col("v_c") <= col("cap_c"), col("w") * col("v_c"))
+          .otherwise(0L)).as("sum_trim"))
+      .select(col("variant"), col("n"),
+        (col("cap_c").cast("double") / 100.0).as("cap_p99"),
+        round(col("sum_raw").cast("double") / col("n") / 100.0, 6)
+          .as("mean_raw"),
+        round(col("sum_wins").cast("double") / col("n") / 100.0, 6)
+          .as("mean_wins"),
+        col("n_trim"),
+        round(col("sum_trim").cast("double") / col("n_trim") / 100.0, 6)
+          .as("mean_trim"),
+        round((col("sum_raw") - col("sum_wins")).cast("double")
+          / col("n") / 100.0, 6).as("wins_effect"))
+      .orderBy("variant")
+  }
 }

@@ -516,4 +516,50 @@ object Graph {
           / (col("lnsum_u6").cast("double") / 1e6), 6).as("hill_alpha"))
       .orderBy("bin_l2")
   }
+
+  /** 2-hop reach of the 50 highest-degree parts: |{b : dist(a,b) ≤ 2,
+    * b ≠ a}| plus the expansion ratio reach/degree — the
+    * neighborhood-growth diagnostic behind "how fast does influence
+    * spread from this hub" (small expansion ⇒ the hub's neighbors
+    * are each other's neighbors, i.e. a clique; large ⇒ the hub
+    * bridges otherwise-distant regions). Complements
+    * [[graphAdamicAdar]] (which ranks individual 2-hop candidates)
+    * with the aggregate neighborhood size.
+    *
+    * Scale shape: the query set is BOUNDED (top-50 by exact degree,
+    * deterministic node-asc tiebreak — a TakeOrdered, not a window)
+    * and broadcast into the hop-1 join, so hop-2 cost is
+    * Σ_{c∈N(a)} deg(c) per query node — the same wedge bound as
+    * Adamic-Adar, never |V|². The symmetric edge list and degree
+    * table are the PlanCache relations SHARED with graphAdamicAdar
+    * ("aa_sym"/"aa_deg"): when both queries run, the expensive
+    * self-join is built once. Reach dedup is one distinct on the
+    * bounded (a, b) wedge output.
+    */
+  def graphTwoHopReach(spark: SparkSession, dir: String): DataFrame = {
+    val e = coPairCounts(spark, dir).select("u", "v")
+    val sym = graft.PlanCache.cached("aa_sym", spark, dir) {
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+        .toDF("s", "d")
+    }
+    val deg = graft.PlanCache.cached("aa_deg", spark, dir) {
+      sym.groupBy(col("s").as("node")).agg(count(lit(1)).as("dg"))
+    }
+    val q = deg.orderBy(col("dg").desc, col("node")).limit(50)
+      .select(col("node").as("a"), col("dg").as("deg_a"))
+    val hop1 = sym.join(broadcast(q.select("a")), col("s") === col("a"))
+      .select(col("a"), col("d").as("b"))
+    val hop2 = hop1.select(col("a"), col("b").as("c"))
+      .join(sym.select(col("s").as("c"), col("d").as("b")), "c")
+      .select("a", "b")
+    val reach = hop1.unionAll(hop2)
+      .filter(col("b") =!= col("a"))
+      .distinct()
+      .groupBy("a").agg(count(lit(1)).as("reach_2"))
+    q.join(reach, "a")
+      .select(col("a").as("p_partkey"), col("deg_a"), col("reach_2"),
+        round(col("reach_2").cast("double") / col("deg_a"), 6)
+          .as("expansion"))
+      .orderBy(col("reach_2").desc, col("p_partkey"))
+  }
 }

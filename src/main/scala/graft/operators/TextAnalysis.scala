@@ -1086,4 +1086,38 @@ object TextAnalysis {
           .otherwise("prose").as("verdict"))
       .orderBy("doc_id")
   }
+
+  /** Per-document lexical diversity: type-token ratio, hapax share
+    * and Yule's K — the richness screen a corpus-curation pass runs
+    * next to [[textRepetition]] (templated/spun text has low TTR and
+    * high K; natural prose sits in a band). All three derive from
+    * the doc's exact integer frequency spectrum: TTR = V/N, hapax
+    * share = V(1)/V, K = 10⁴·(Σc²−N)/N² — integers until the final
+    * ratios, so both engines agree digit-for-digit.
+    *
+    * Scale shape: one explode + two map-side-combined aggregates
+    * ((doc_id, token) then doc_id) — the same linear shuffle
+    * discipline as the token family; no windows, no driver state.
+    * N² is computed in doubles so a book-length outlier doc cannot
+    * overflow the BIGINT square.
+    */
+  def textLexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6)
+          .as("hapax_share"),
+        round(lit(1e4) * (col("sum_c2") - col("n_tokens")).cast("double")
+          / (col("n_tokens").cast("double") * col("n_tokens").cast("double")),
+          6).as("yule_k"))
+      .orderBy("doc_id")
 }
