@@ -309,6 +309,12 @@ object SparkEntry {
     "events_benford" -> (Events.eventsBenford _),
     "text_lexical_diversity" -> (TextAnalysis.textLexicalDiversity _),
     "graph_2hop_reach" -> (Graph.graphTwoHopReach _),
+    // round 8, batch 17: Bayesian A/B, robust means, k-fold audit,
+    // pHash banding
+    "events_bayesian_ab" -> (Events.eventsBayesianAb _),
+    "events_winsorized_ab" -> (Events.eventsWinsorizedAb _),
+    "sample_kfold" -> (Sampling.sampleKfold _),
+    "mm_phash_buckets" -> (multimodal.BinaryColumns.phashBuckets _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -5376,6 +5382,143 @@ object SparkEntry {
         | round(CAST(rc.reach_2 AS DOUBLE) / q.deg_a, 6) AS expansion
         |FROM q JOIN rc ON rc.a = q.a
         |ORDER BY reach_2 DESC, p_partkey""".stripMargin,
+
+    "events_bayesian_ab" ->
+      """WITH u AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS conv
+        | FROM events GROUP BY 1),
+        |v AS (SELECT conv,
+        |  CASE WHEN list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+        |      * pow(16, 8-i))) / 4294967296.0 < 0.5
+        |   THEN 'A' ELSE 'B' END AS variant FROM u),
+        |st AS (SELECT
+        |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END)
+        |    AS BIGINT) AS x_a,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END)
+        |    AS BIGINT) AS x_b
+        | FROM v),
+        |g AS (SELECT unnest(generate_series(1, 199)) AS k),
+        |l AS (SELECT k,
+        |  x_a * ln(k / 200.0) + (n_a - x_a) * ln(1.0 - k / 200.0) AS la,
+        |  x_b * ln(k / 200.0) + (n_b - x_b) * ln(1.0 - k / 200.0) AS lb
+        | FROM g CROSS JOIN st),
+        |m AS (SELECT max(la) AS ma, max(lb) AS mb FROM l),
+        |e AS (SELECT k, exp(la - ma) AS ea, exp(lb - mb) AS eb
+        |  FROM l CROSS JOIN m),
+        |s AS (SELECT sum(ea) AS sa, sum(eb) AS sb FROM e),
+        |w AS (SELECT k, ea / sa AS wa, eb / sb AS wb
+        |  FROM e CROSS JOIN s),
+        |pr AS (SELECT sum(CASE WHEN i.k > j.k THEN i.wb * j.wa
+        |    WHEN i.k = j.k THEN i.wb * j.wa * 0.5 ELSE 0.0 END) AS pb
+        |  FROM w i CROSS JOIN w j)
+        |SELECT n_a, x_a, n_b, x_b,
+        | round(CAST(x_a + 1 AS DOUBLE) / (n_a + 2), 6) AS post_mean_a,
+        | round(CAST(x_b + 1 AS DOUBLE) / (n_b + 2), 6) AS post_mean_b,
+        | round(CAST(x_b + 1 AS DOUBLE) / (n_b + 2)
+        |   - CAST(x_a + 1 AS DOUBLE) / (n_a + 2), 6) AS lift_mean,
+        | round(pb, 6) AS p_b_gt_a
+        |FROM st CROSS JOIN pr""".stripMargin,
+
+    "events_winsorized_ab" ->
+      """WITH e AS (SELECT
+        |  CASE WHEN list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+        |      * pow(16, 8-i))) / 4294967296.0 < 0.5
+        |   THEN 'A' ELSE 'B' END AS variant,
+        |  CAST(round(value * 100) AS BIGINT) AS v_c
+        | FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT variant, v_c, CAST(count(*) AS BIGINT) AS w
+        |  FROM e GROUP BY 1, 2),
+        |c AS (SELECT variant, v_c,
+        |  sum(w) OVER (PARTITION BY variant ORDER BY v_c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM g),
+        |t AS (SELECT variant, sum(w) AS total_n FROM g GROUP BY 1),
+        |cap AS (SELECT c.variant, min(c.v_c) AS cap_c
+        |  FROM c JOIN t USING (variant)
+        |  WHERE c.cum * 100 >= t.total_n * 99 GROUP BY 1),
+        |a AS (SELECT g.variant,
+        |  CAST(sum(w) AS BIGINT) AS n,
+        |  max(cap_c) AS cap_c,
+        |  CAST(sum(w * v_c) AS BIGINT) AS sum_raw,
+        |  CAST(sum(w * least(v_c, cap_c)) AS BIGINT) AS sum_wins,
+        |  CAST(sum(CASE WHEN v_c <= cap_c THEN w ELSE 0 END)
+        |    AS BIGINT) AS n_trim,
+        |  CAST(sum(CASE WHEN v_c <= cap_c THEN w * v_c ELSE 0 END)
+        |    AS BIGINT) AS sum_trim
+        | FROM g JOIN cap ON cap.variant = g.variant GROUP BY 1)
+        |SELECT variant, n, CAST(cap_c AS DOUBLE) / 100.0 AS cap_p99,
+        | round(CAST(sum_raw AS DOUBLE) / n / 100.0, 6) AS mean_raw,
+        | round(CAST(sum_wins AS DOUBLE) / n / 100.0, 6) AS mean_wins,
+        | n_trim,
+        | round(CAST(sum_trim AS DOUBLE) / n_trim / 100.0, 6)
+        |   AS mean_trim,
+        | round(CAST(sum_raw - sum_wins AS DOUBLE) / n / 100.0, 6)
+        |   AS wins_effect
+        |FROM a ORDER BY variant""".stripMargin,
+
+    "sample_kfold" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CAST(floor(list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_id AS VARCHAR) || '#fold'), i, 1)) - 1)
+        |      * pow(16, 8-i))) / 4294967296.0 * 5) AS BIGINT) AS fold
+        | FROM documents),
+        |cell AS (SELECT fold, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM d GROUP BY 1, 2),
+        |bys AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source
+        |  FROM d GROUP BY 1),
+        |folds AS (SELECT CAST(unnest(generate_series(0, 4)) AS BIGINT)
+        |  AS fold)
+        |SELECT f.fold, b.source, coalesce(cell.n, 0) AS n, b.n_source,
+        | round(CAST(coalesce(cell.n, 0) AS DOUBLE) / b.n_source, 6)
+        |   AS share_of_source,
+        | round((CAST(coalesce(cell.n, 0) AS DOUBLE) - b.n_source / 5.0)
+        |   * (CAST(coalesce(cell.n, 0) AS DOUBLE) - b.n_source / 5.0)
+        |   / (b.n_source / 5.0), 6) AS chi2_term
+        |FROM folds f CROSS JOIN bys b
+        |LEFT JOIN cell ON cell.fold = f.fold AND cell.source = b.source
+        |ORDER BY f.fold, b.source""".stripMargin,
+
+    "mm_phash_buckets" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hhex FROM documents),
+        |h2 AS (SELECT doc_id, hhex,
+        |  CAST(list_sum(list_transform(generate_series(1, 12),
+        |    i -> (strpos('0123456789abcdef', substr(hhex, i, 1)) - 1)
+        |      * pow(16, 12 - i))) AS BIGINT) AS h48
+        | FROM h),
+        |bands AS (SELECT CAST(unnest(generate_series(1, 4)) AS BIGINT)
+        |  AS band),
+        |bd AS (SELECT band, doc_id, h48,
+        |  substr(hhex, CAST((band - 1) * 3 + 1 AS INT), 3) AS bkey
+        | FROM h2 CROSS JOIN bands),
+        |bk AS (SELECT band, bkey, CAST(count(*) AS BIGINT) AS k
+        |  FROM bd GROUP BY 1, 2),
+        |st AS (SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_multi,
+        |  CAST(sum(k * (k - 1) // 2) AS BIGINT) AS cand_pairs,
+        |  max(k) AS max_bucket
+        | FROM bk GROUP BY 1),
+        |hm AS (SELECT a.band,
+        |  CAST(sum(bit_count(xor(a.h48, b.h48))) AS BIGINT) AS sum_ham
+        | FROM bd a JOIN bd b ON a.band = b.band AND a.bkey = b.bkey
+        |   AND a.doc_id < b.doc_id
+        | GROUP BY 1)
+        |SELECT st.band, n_buckets, n_multi, cand_pairs, max_bucket,
+        | CASE WHEN cand_pairs > 0
+        |   THEN round(CAST(sum_ham AS DOUBLE) / cand_pairs, 6)
+        |   END AS avg_hamming
+        |FROM st LEFT JOIN hm ON hm.band = st.band
+        |ORDER BY st.band""".stripMargin,
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

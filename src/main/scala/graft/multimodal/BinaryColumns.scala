@@ -366,4 +366,54 @@ object BinaryColumns {
         md5(col("content")).as("content_hash"))
       .as[MediaRow]
   }
+
+  /** Perceptual-hash banding diagnostics — the image-near-dup LSH
+    * shape: a 48-bit content hash per item (md5 prefix standing in
+    * for a real pHash, the one seam a media lib would fill), split
+    * into 4 bands of 12 bits; items sharing a band value become
+    * candidate pairs exactly as in MinHash LSH. Per band: bucket
+    * count, multi-occupancy buckets, candidate-pair count (Σk(k−1)/2
+    * from bucket sizes — no pair materialization needed for the
+    * count), max bucket, and the mean Hamming distance of candidate
+    * pairs over the full 48 bits (bit_count of XOR — exact integers,
+    * so the only float is the final mean). On a uniform hash this
+    * reads as the LSH false-positive noise floor; with a real pHash
+    * plugged in, near-dup images collapse the Hamming mean toward 0.
+    *
+    * Scale shape: banding is a map-side projection; bucket stats are
+    * one (band, key) aggregate; the pair join runs only WITHIN
+    * multi-occupancy buckets (equi-join on the band key — bounded by
+    * bucket sizes, the standard LSH candidate bound, never
+    * all-pairs). 4 rows out at any corpus size.
+    */
+  def phashBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("hhex"))
+      .withColumn("h48",
+        graft.functions.HexExprs.hexPrefixLong(col("hhex"), 12))
+    val bands = spark.range(1, 5).select(col("id").as("band"))
+    val bd = h.crossJoin(broadcast(bands))
+      .select(col("band"), col("doc_id"), col("h48"),
+        expr("substring(hhex, (band - 1) * 3 + 1, 3)").as("bkey"))
+    val buckets = bd.groupBy("band", "bkey").agg(count(lit(1)).as("k"))
+    val stats = buckets.groupBy("band").agg(
+      count(lit(1)).as("n_buckets"),
+      sum(when(col("k") >= 2, 1L).otherwise(0L)).as("n_multi"),
+      sum(expr("k * (k - 1) div 2")).as("cand_pairs"),
+      max("k").as("max_bucket"))
+    val rhs = bd.select(col("band"), col("bkey"),
+      col("doc_id").as("doc2"), col("h48").as("h2"))
+    val ham = bd.join(rhs, Seq("band", "bkey"))
+      .filter(col("doc_id") < col("doc2"))
+      .groupBy("band")
+      .agg(sum(bit_count(col("h48").bitwiseXOR(col("h2"))).cast("long"))
+        .as("sum_ham"))
+    stats.join(ham, Seq("band"), "left")
+      .select(col("band"), col("n_buckets"), col("n_multi"),
+        col("cand_pairs"), col("max_bucket"),
+        when(col("cand_pairs") > 0,
+          round(col("sum_ham").cast("double") / col("cand_pairs"), 6))
+          .as("avg_hamming"))
+      .orderBy("band")
+  }
 }

@@ -383,4 +383,40 @@ object Sampling {
         col("shuffle_u"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic k-fold (k=5) cross-validation assignment with the
+    * per-source balance audit: every doc routes to fold
+    * ⌊5·u(doc_id)⌋ off the content-hash uniform (retry/engine/
+    * partitioning-stable — the same no-rand() discipline as every
+    * sampler here), and the output is the (fold × source) allocation
+    * table with each cell's share of its source and the χ² term
+    * against the ideal 1/5 — the check that CV folds are not
+    * accidentally source-skewed (which would leak domain identity
+    * into fold identity). The grid is COMPLETE: empty cells surface
+    * as explicit zero rows, not absences.
+    *
+    * Scale shape: one map-side-combined (fold, source) aggregate +
+    * one per-source aggregate broadcast back over the ≤ 5·|sources|
+    * row grid. Output size is the source count × 5, independent of
+    * corpus size.
+    */
+  def sampleKfold(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("fold", floor(graft.functions.HexExprs.uniformHash(
+        concat(col("doc_id").cast("string"), lit("#fold"))) * 5)
+        .cast("long"))
+    val cell = d.groupBy("fold", "source").agg(count(lit(1)).as("n"))
+    val bySource = d.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val folds = spark.range(0, 5).select(col("id").as("fold"))
+    folds.crossJoin(bySource)
+      .join(cell, Seq("fold", "source"), "left")
+      .na.fill(0L, Seq("n"))
+      .select(col("fold"), col("source"), col("n"), col("n_source"),
+        round(col("n").cast("double") / col("n_source"), 6)
+          .as("share_of_source"),
+        round((col("n").cast("double") - col("n_source") / 5.0)
+          * (col("n").cast("double") - col("n_source") / 5.0)
+          / (col("n_source") / 5.0), 6).as("chi2_term"))
+      .orderBy("fold", "source")
+  }
 }
