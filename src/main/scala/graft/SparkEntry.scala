@@ -315,6 +315,12 @@ object SparkEntry {
     "events_winsorized_ab" -> (Events.eventsWinsorizedAb _),
     "sample_kfold" -> (Sampling.sampleKfold _),
     "mm_phash_buckets" -> (multimodal.BinaryColumns.phashBuckets _),
+    // round 8, batch 18: zone-map pruning sim, velocity forensics,
+    // Zipf head coverage, keyed-hash pseudonymization
+    "layout_pruning_sim" -> ((s, d) => Quality.layoutPruningSim(s, d)),
+    "customer_order_velocity" -> (Olap.customerOrderVelocity _),
+    "text_zipf_coverage" -> (TextAnalysis.textZipfCoverage _),
+    "privacy_pseudonymize" -> (Governance.privacyPseudonymize _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -5519,6 +5525,98 @@ object SparkEntry {
         |   END AS avg_hamming
         |FROM st LEFT JOIN hm ON hm.band = st.band
         |ORDER BY st.band""".stripMargin,
+
+    "layout_pruning_sim" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT)
+        |    AS day
+        | FROM lineitem),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM li),
+        |sh AS (SELECT day,
+        |  CAST(floor(list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+        |        || CAST(l_linenumber AS VARCHAR)), i, 1)) - 1)
+        |      * pow(16, 8-i))) / 4294967296.0 * 32) AS BIGINT)
+        |    AS shard_hash,
+        |  least(31, (32 * (day - d0)) // (d1 - d0 + 1)) AS shard_sorted
+        | FROM li CROSS JOIN span),
+        |zh AS (SELECT shard_hash, min(day) AS mn, max(day) AS mx
+        |  FROM sh GROUP BY 1),
+        |zs AS (SELECT shard_sorted, min(day) AS mn, max(day) AS mx
+        |  FROM sh GROUP BY 1),
+        |qs AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT)
+        |  AS q_idx),
+        |qd AS (SELECT q_idx, d0 + (q_idx * (d1 - d0)) // 10 AS q_day
+        |  FROM qs CROSS JOIN span),
+        |hh AS (SELECT q_idx, q_day, CAST(count(*) AS BIGINT)
+        |    AS files_hash
+        |  FROM qd JOIN zh ON zh.mn <= q_day AND q_day <= zh.mx
+        |  GROUP BY 1, 2),
+        |hs AS (SELECT q_idx, q_day, CAST(count(*) AS BIGINT)
+        |    AS files_sorted
+        |  FROM qd JOIN zs ON zs.mn <= q_day AND q_day <= zs.mx
+        |  GROUP BY 1, 2)
+        |SELECT qd.q_idx, qd.q_day,
+        | CAST(coalesce(files_hash, 0) AS BIGINT) AS files_hash,
+        | CAST(coalesce(files_sorted, 0) AS BIGINT) AS files_sorted,
+        | round(1.0 - CAST(coalesce(files_hash, 0) AS DOUBLE) / 32, 6)
+        |   AS prune_ratio_hash,
+        | round(1.0 - CAST(coalesce(files_sorted, 0) AS DOUBLE) / 32, 6)
+        |   AS prune_ratio_sorted
+        |FROM qd LEFT JOIN hh USING (q_idx, q_day)
+        |LEFT JOIN hs USING (q_idx, q_day)
+        |ORDER BY q_idx""".stripMargin,
+
+    "customer_order_velocity" ->
+      """WITH o AS (SELECT o_custkey,
+        |  CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+        |    AS day
+        | FROM orders),
+        |b AS (SELECT o_custkey,
+        |  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS burst7
+        | FROM o),
+        |g AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  max(burst7) AS max_burst_7d
+        | FROM b GROUP BY 1)
+        |SELECT o_custkey, n_orders, max_burst_7d,
+        | CAST(CASE WHEN max_burst_7d >= 3 THEN 1 ELSE 0 END AS INT)
+        |   AS flagged
+        |FROM g ORDER BY max_burst_7d DESC, o_custkey LIMIT 20""".stripMargin,
+
+    "text_zipf_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS n_types FROM freq),
+        |top AS (SELECT c,
+        |  CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT)
+        |    AS rank
+        | FROM freq ORDER BY c DESC, tok LIMIT 1000),
+        |ks AS (SELECT CAST(unnest([10, 100, 1000]) AS BIGINT) AS k),
+        |hd AS (SELECT k, CAST(sum(c) AS BIGINT) AS covered_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_in_head
+        | FROM top CROSS JOIN ks WHERE rank <= k GROUP BY 1)
+        |SELECT k, n_in_head, covered_tokens, n_total, n_types,
+        | round(CAST(covered_tokens AS DOUBLE) / n_total, 6) AS coverage
+        |FROM hd CROSS JOIN tot ORDER BY k""".stripMargin,
+
+    "privacy_pseudonymize" ->
+      """WITH spend AS (SELECT o_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS spend_c
+        | FROM orders GROUP BY 1)
+        |SELECT substr(sha256('graft-pseudo:' || CAST(c_custkey AS VARCHAR)),
+        |    1, 16) AS pseudonym,
+        | c_mktsegment, n_orders,
+        | round(CAST(spend_c AS DOUBLE) / 100, 2) AS total_spend
+        |FROM customer JOIN spend ON c_custkey = o_custkey
+        |ORDER BY total_spend DESC, pseudonym LIMIT 20""".stripMargin,
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

@@ -484,4 +484,37 @@ object Governance {
         round(col("n").cast("double") / col("n_row"), 6).as("row_share"))
       .orderBy("noisy_label", "confident_label")
   }
+
+  /** Keyed-hash pseudonymized analytics extract: the top-20 customers
+    * by spend, identified only by a salted SHA-256 pseudonym — the
+    * share-with-analysts form of a revenue leaderboard (the salt
+    * lives with the data owner; without it the pseudonym is
+    * irreversible, with it joins back to the CRM remain possible).
+    * Complements [[privacyKanon]]/[[privacyLDiversity]] (which audit
+    * disclosure risk) with the de-identification transform itself —
+    * the reference's governance need when ABR entity extracts leave
+    * the warehouse (dags/etl_pipeline.py's load stage).
+    *
+    * Scale shape: the per-customer spend is one map-side-combined
+    * groupBy of orders; the customer join is broadcast-eligible at
+    * dim scale and an equi-shuffle beyond; the pseudonym is a
+    * projection (sha2 is codegen'd); top-20 is a TakeOrdered on a
+    * (spend desc, pseudonym) total order — never a global sort.
+    */
+  def privacyPseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("spend_c"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(spend, col("c_custkey") === col("o_custkey"))
+      .select(
+        substring(sha2(concat(lit("graft-pseudo:"),
+          col("c_custkey").cast("string")), 256), 1, 16).as("pseudonym"),
+        col("c_mktsegment"), col("n_orders"),
+        round(col("spend_c").cast("double") / 100.0, 2).as("total_spend"))
+      .orderBy(col("total_spend").desc, col("pseudonym"))
+      .limit(20)
+  }
 }

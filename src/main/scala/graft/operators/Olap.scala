@@ -1086,4 +1086,34 @@ object Olap {
         round(col("num").cast("double") / col("den"), 6).as("price_index"))
       .orderBy("ym")
   }
+
+  /** Order-velocity forensics: each customer's maximum order count in
+    * any trailing 7-day window, top-20 by burst — the fraud/abuse
+    * velocity screen (card testing and promo abuse look like order
+    * bursts, not large amounts, which is why this sits next to the
+    * Benford amount screen in a forensic battery). flagged marks
+    * bursts of ≥3.
+    *
+    * Scale shape: the RANGE window is partitioned per customer and
+    * ordered on the integer day — per-partition state is one
+    * 7-day sliding frame over that customer's orders (bounded by a
+    * customer's own order count, never global); the top-20 is a
+    * TakeOrdered with a full (burst desc, custkey asc) total order,
+    * no global window.
+    */
+  def customerOrderVelocity(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+          .cast("long").as("day"))
+    val burst = o.withColumn("burst7",
+      count(lit(1)).over(Window.partitionBy("o_custkey").orderBy("day")
+        .rangeBetween(-6, 0)))
+    burst.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), max("burst7").as("max_burst_7d"))
+      .withColumn("flagged",
+        (col("max_burst_7d") >= 3).cast("int"))
+      .orderBy(col("max_burst_7d").desc, col("o_custkey"))
+      .limit(20)
+  }
 }

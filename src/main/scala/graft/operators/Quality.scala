@@ -256,4 +256,62 @@ object Quality {
         col("avg_chars"))
       .orderBy("source", "lang")
   }
+
+  /** Zone-map pruning simulation — the measured case for sorted /
+    * clustered layout (the read-side twin of [[layoutSkewReport]]'s
+    * write-side compaction): shard lineitem 32 ways under (a) the
+    * content-hash layout every ingest defaults to and (b) a
+    * ship-day-clustered layout, record each shard's [min,max] day
+    * zone, then count how many shards a point query on each of 10
+    * probe days must read under min/max file skipping. Hash layout:
+    * every shard spans the full range, zero skipping. Clustered:
+    * ~1/32 of files read — the quantified argument for z-order /
+    * sort-on-write at 100 TB, where the difference is the whole
+    * scan bill.
+    *
+    * Scale shape: one scan computes day + both shard ids map-side;
+    * zones are two 32-row aggregates; probes are a constant 10-row
+    * frame joined to broadcast 32-row zone tables (non-equi on the
+    * containment predicate — a 320-pair constant-size NLJ, corpus
+    * size enters only through the one scan). 10 rows out.
+    */
+  def layoutPruningSim(spark: SparkSession, dir: String): DataFrame = {
+    val S = 32L
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), lit("1992-01-01").cast("date"))
+          .cast("long").as("day"))
+    val span = li.agg(min("day").as("d0"), max("day").as("d1"))
+    val sharded = li.crossJoin(broadcast(span))
+      .withColumn("shard_hash",
+        floor(graft.functions.HexExprs.uniformHash(
+          concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"))) * S).cast("long"))
+      .withColumn("shard_sorted", least(lit(S - 1),
+        expr(s"($S * (day - d0)) div (d1 - d0 + 1)")))
+    val zoneH = sharded.groupBy("shard_hash")
+      .agg(min("day").as("mn"), max("day").as("mx"))
+    val zoneS = sharded.groupBy("shard_sorted")
+      .agg(min("day").as("mn"), max("day").as("mx"))
+    val qs = spark.range(1, 11).select(col("id").as("q_idx"))
+      .crossJoin(broadcast(span))
+      .select(col("q_idx"),
+        (col("d0") + expr("(q_idx * (d1 - d0)) div 10")).as("q_day"))
+    val hitH = qs.join(broadcast(zoneH),
+        col("mn") <= col("q_day") && col("q_day") <= col("mx"))
+      .groupBy("q_idx", "q_day").agg(count(lit(1)).as("files_hash"))
+    val hitS = qs.join(broadcast(zoneS),
+        col("mn") <= col("q_day") && col("q_day") <= col("mx"))
+      .groupBy("q_idx", "q_day").agg(count(lit(1)).as("files_sorted"))
+    qs.join(hitH, Seq("q_idx", "q_day"), "left")
+      .join(hitS, Seq("q_idx", "q_day"), "left")
+      .na.fill(0L, Seq("files_hash", "files_sorted"))
+      .select(col("q_idx"), col("q_day"),
+        col("files_hash"), col("files_sorted"),
+        round(lit(1.0) - col("files_hash").cast("double") / S, 6)
+          .as("prune_ratio_hash"),
+        round(lit(1.0) - col("files_sorted").cast("double") / S, 6)
+          .as("prune_ratio_sorted"))
+      .orderBy("q_idx")
+  }
 }

@@ -1120,4 +1120,42 @@ object TextAnalysis {
           / (col("n_tokens").cast("double") * col("n_tokens").cast("double")),
           6).as("yule_k"))
       .orderBy("doc_id")
+
+  /** Zipf head coverage: what share of all corpus tokens the top-10 /
+    * top-100 / top-1000 most frequent types account for — the
+    * vocabulary-concentration read-out that sizes tokenizer vocab
+    * and stopword lists (natural corpora put ~40-50% of mass in the
+    * top 100; boilerplate-heavy ones much more). Complements
+    * [[textZipfFit]] (which fits the slope) with the cumulative-mass
+    * view.
+    *
+    * Scale shape: one (token) aggregate map-side-combined, then the
+    * global top-1000 via TakeOrdered on the total (freq desc, token
+    * asc) order — never a global sort; the rank window that
+    * assigns positions runs AFTER the 1000-row limit, so it is
+    * bounded. 3 rows out at any corpus size.
+    */
+  def textZipfCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(spark, dir)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum("c").as("n_total"),
+      count(lit(1)).as("n_types"))
+    val top = freq.orderBy(col("c").desc, col("tok")).limit(1000)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok"))))
+    val ks = spark.createDataFrame(Seq(Tuple1(10L), Tuple1(100L),
+      Tuple1(1000L))).toDF("k")
+    top.crossJoin(broadcast(ks))
+      .filter(col("rank") <= col("k"))
+      .groupBy("k").agg(sum("c").as("covered_tokens"),
+        count(lit(1)).as("n_in_head"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_in_head"), col("covered_tokens"),
+        col("n_total"), col("n_types"),
+        round(col("covered_tokens").cast("double") / col("n_total"), 6)
+          .as("coverage"))
+      .orderBy("k")
+  }
 }
