@@ -269,11 +269,16 @@ object Quality {
     * sort-on-write at 100 TB, where the difference is the whole
     * scan bill.
     *
-    * Scale shape: one scan computes day + both shard ids map-side;
-    * zones are two 32-row aggregates; probes are a constant 10-row
-    * frame joined to broadcast 32-row zone tables (non-equi on the
-    * containment predicate — a 320-pair constant-size NLJ, corpus
-    * size enters only through the one scan). 10 rows out.
+    * Scale shape: two corpus scans total — one (column-pruned
+    * min/max) for the day span, one that computes BOTH shard ids
+    * map-side and explodes each row into its two (layout, shard)
+    * assignments feeding ONE 64-group aggregate with map-side
+    * combine (an exploded second copy of a 3-column projection is
+    * far cheaper than the second full scan the two-aggregate shape
+    * would cost); probes are a constant 10-row frame joined to the
+    * broadcast 64-row zone table (non-equi on the containment
+    * predicate — a 640-pair constant-size NLJ, corpus size enters
+    * only through the scans). 10 rows out.
     */
   def layoutPruningSim(spark: SparkSession, dir: String): DataFrame = {
     val S = 32L
@@ -281,30 +286,36 @@ object Quality {
       .select(col("l_orderkey"), col("l_linenumber"),
         datediff(col("l_shipdate"), lit("1992-01-01").cast("date"))
           .cast("long").as("day"))
-    val span = li.agg(min("day").as("d0"), max("day").as("d1"))
-    val sharded = li.crossJoin(broadcast(span))
-      .withColumn("shard_hash",
-        floor(graft.functions.HexExprs.uniformHash(
-          concat(col("l_orderkey").cast("string"), lit(":"),
-            col("l_linenumber").cast("string"))) * S).cast("long"))
-      .withColumn("shard_sorted", least(lit(S - 1),
-        expr(s"($S * (day - d0)) div (d1 - d0 + 1)")))
-    val zoneH = sharded.groupBy("shard_hash")
-      .agg(min("day").as("mn"), max("day").as("mx"))
-    val zoneS = sharded.groupBy("shard_sorted")
+    // the 1-row span scalar is referenced by three consumers (zones,
+    // probes, and the probe re-join); PlanCache it so the min/max scan
+    // runs once, not once per reference
+    val span = graft.PlanCache.cached("layout_span", spark, dir) {
+      li.agg(min("day").as("d0"), max("day").as("d1"))
+    }
+    val zones = li.crossJoin(broadcast(span))
+      .select(col("day"), explode(array(
+        struct(lit("hash").as("layout"),
+          floor(graft.functions.HexExprs.uniformHash(
+            concat(col("l_orderkey").cast("string"), lit(":"),
+              col("l_linenumber").cast("string"))) * S).cast("long")
+            .as("shard")),
+        struct(lit("sorted").as("layout"),
+          least(lit(S - 1), expr(s"($S * (day - d0)) div (d1 - d0 + 1)"))
+            .as("shard")))).as("ls"))
+      .groupBy(col("ls.layout").as("layout"), col("ls.shard").as("shard"))
       .agg(min("day").as("mn"), max("day").as("mx"))
     val qs = spark.range(1, 11).select(col("id").as("q_idx"))
       .crossJoin(broadcast(span))
       .select(col("q_idx"),
         (col("d0") + expr("(q_idx * (d1 - d0)) div 10")).as("q_day"))
-    val hitH = qs.join(broadcast(zoneH),
+    val hits = qs.join(broadcast(zones),
         col("mn") <= col("q_day") && col("q_day") <= col("mx"))
-      .groupBy("q_idx", "q_day").agg(count(lit(1)).as("files_hash"))
-    val hitS = qs.join(broadcast(zoneS),
-        col("mn") <= col("q_day") && col("q_day") <= col("mx"))
-      .groupBy("q_idx", "q_day").agg(count(lit(1)).as("files_sorted"))
-    qs.join(hitH, Seq("q_idx", "q_day"), "left")
-      .join(hitS, Seq("q_idx", "q_day"), "left")
+      .groupBy("q_idx", "q_day")
+      .agg(sum(when(col("layout") === "hash", 1L).otherwise(0L))
+          .as("files_hash"),
+        sum(when(col("layout") === "sorted", 1L).otherwise(0L))
+          .as("files_sorted"))
+    qs.join(hits, Seq("q_idx", "q_day"), "left")
       .na.fill(0L, Seq("files_hash", "files_sorted"))
       .select(col("q_idx"), col("q_day"),
         col("files_hash"), col("files_sorted"),

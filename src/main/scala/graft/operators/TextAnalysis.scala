@@ -1129,27 +1129,26 @@ object TextAnalysis {
     * [[textZipfFit]] (which fits the slope) with the cumulative-mass
     * view.
     *
-    * Scale shape: one (token) aggregate map-side-combined, then the
-    * global top-1000 via TakeOrdered on the total (freq desc, token
-    * asc) order — never a global sort; the rank window that
-    * assigns positions runs AFTER the 1000-row limit, so it is
-    * bounded. 3 rows out at any corpus size.
+    * Scale shape: reads the PlanCache-shared unigram model table
+    * ([[uniCounts]] — one corpus scan serves this, [[textZipfFit]],
+    * and every unigram-LM consumer), so both the totals row and the
+    * head are aggregates of an already-materialized (w, cw)
+    * relation; the global top-1000 is a TakeOrdered on the total
+    * (freq desc, token asc) order — never a global sort — and the
+    * rank window runs AFTER the 1000-row limit, so it is bounded.
+    * 3 rows out at any corpus size.
     */
   def textZipfCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val freq = Tables.documents(spark, dir)
-      .select(explode(toks).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-    val tot = freq.agg(sum("c").as("n_total"),
+    val freq = uniCounts(spark, dir)
+    val tot = freq.agg(sum("cw").as("n_total"),
       count(lit(1)).as("n_types"))
-    val top = freq.orderBy(col("c").desc, col("tok")).limit(1000)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("c").desc, col("tok"))))
+    val top = graft.functions.TopK.globalWithRank(
+      freq, 1000, col("cw").desc, col("w"))
     val ks = spark.createDataFrame(Seq(Tuple1(10L), Tuple1(100L),
       Tuple1(1000L))).toDF("k")
     top.crossJoin(broadcast(ks))
       .filter(col("rank") <= col("k"))
-      .groupBy("k").agg(sum("c").as("covered_tokens"),
+      .groupBy("k").agg(sum("cw").as("covered_tokens"),
         count(lit(1)).as("n_in_head"))
       .crossJoin(broadcast(tot))
       .select(col("k"), col("n_in_head"), col("covered_tokens"),
