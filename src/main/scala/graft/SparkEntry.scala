@@ -321,6 +321,12 @@ object SparkEntry {
     "customer_order_velocity" -> (Olap.customerOrderVelocity _),
     "text_zipf_coverage" -> (TextAnalysis.textZipfCoverage _),
     "privacy_pseudonymize" -> (Governance.privacyPseudonymize _),
+    // round 8, batch 19: Poisson-bootstrap CI, exact-bytes media
+    // dedup, gap-island streaks, Wilson supplier on-time bounds
+    "events_bootstrap_ci" -> (Events.eventsBootstrapCi _),
+    "mm_dedup_bytes" -> (multimodal.BinaryColumns.dedupBytes _),
+    "customer_active_streaks" -> (Olap.customerActiveStreaks _),
+    "supplier_otif_wilson" -> (Olap.supplierOtifWilson _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -5617,6 +5623,117 @@ object SparkEntry {
         | round(CAST(spend_c AS DOUBLE) / 100, 2) AS total_spend
         |FROM customer JOIN spend ON c_custkey = o_custkey
         |ORDER BY total_spend DESC, pseudonym LIMIT 20""".stripMargin,
+
+    "events_bootstrap_ci" ->
+      """WITH pur AS (SELECT event_id,
+        |  CASE WHEN list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+        |      * pow(16, 8-i))) / 4294967296.0 < 0.5
+        |   THEN 'A' ELSE 'B' END AS variant,
+        |  CAST(round(value * 100) AS BIGINT) AS v_c
+        | FROM events WHERE event_type = 'purchase'),
+        |bs AS (SELECT CAST(unnest(generate_series(1, 100)) AS BIGINT)
+        |  AS b),
+        |reps AS (SELECT variant, v_c, b,
+        |  list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(CAST(event_id AS VARCHAR) || '#boot'
+        |        || CAST(b AS VARCHAR)), i, 1)) - 1)
+        |      * pow(16, 8-i))) / 4294967296.0 AS u
+        | FROM pur CROSS JOIN bs),
+        |wt AS (SELECT variant, v_c, b,
+        |  CASE WHEN u < 0.36787944117144233 THEN 0
+        |    WHEN u < 0.7357588823428847 THEN 1
+        |    WHEN u < 0.9196986029286058 THEN 2
+        |    WHEN u < 0.9810118431238463 THEN 3
+        |    WHEN u < 0.9963401531726563 THEN 4
+        |    WHEN u < 0.9994058151824183 THEN 5
+        |    WHEN u < 0.999916758850712 THEN 6
+        |    WHEN u < 0.9999897508033253 THEN 7
+        |    WHEN u < 0.999998874797402 THEN 8
+        |    ELSE 9 END AS w
+        | FROM reps),
+        |m AS (SELECT variant, b, CAST(sum(w * v_c) AS BIGINT) AS swv,
+        |  CAST(sum(w) AS BIGINT) AS sw
+        | FROM wt GROUP BY 1, 2),
+        |r AS (SELECT variant, b, CAST(swv AS DOUBLE) / sw AS mean_c,
+        |  row_number() OVER (PARTITION BY variant
+        |    ORDER BY CAST(swv AS DOUBLE) / sw, b) AS rk
+        | FROM m),
+        |ci AS (SELECT variant,
+        |  min(CASE WHEN rk = 3 THEN mean_c END) AS lo_c,
+        |  min(CASE WHEN rk = 98 THEN mean_c END) AS hi_c
+        | FROM r GROUP BY 1),
+        |pt AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(v_c) AS BIGINT) AS s_c
+        | FROM pur GROUP BY 1)
+        |SELECT pt.variant, n_purchases,
+        | round(CAST(s_c AS DOUBLE) / n_purchases / 100, 6) AS point_mean,
+        | round(lo_c / 100, 6) AS boot_lo,
+        | round(hi_c / 100, 6) AS boot_hi
+        |FROM pt JOIN ci ON pt.variant = ci.variant
+        |ORDER BY pt.variant""".stripMargin,
+
+    "mm_dedup_bytes" ->
+      """WITH m AS (SELECT md5(text) AS h,
+        |  CAST(strlen(text) AS BIGINT) AS nb FROM documents),
+        |f AS (SELECT h, CAST(count(*) AS BIGINT) AS family_size,
+        |  CAST(sum(nb) AS BIGINT) AS fam_bytes,
+        |  CAST(min(nb) AS BIGINT) AS keep_bytes
+        | FROM m GROUP BY 1),
+        |t AS (SELECT CAST(sum(nb) AS BIGINT) AS total_bytes FROM m),
+        |g AS (SELECT family_size, CAST(count(*) AS BIGINT) AS n_families,
+        |  CAST(sum(fam_bytes - keep_bytes) AS BIGINT) AS reclaim_bytes
+        | FROM f GROUP BY 1)
+        |SELECT family_size, n_families,
+        | family_size * n_families AS n_items, reclaim_bytes,
+        | round(CAST(reclaim_bytes AS DOUBLE) / total_bytes, 6)
+        |   AS reclaim_share
+        |FROM g CROSS JOIN t ORDER BY family_size""".stripMargin,
+
+    "customer_active_streaks" ->
+      """WITH mo AS (SELECT DISTINCT o_custkey,
+        |  CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1
+        |    AS BIGINT) AS m
+        | FROM orders),
+        |i AS (SELECT o_custkey, m,
+        |  m - row_number() OVER (PARTITION BY o_custkey ORDER BY m)
+        |    AS grp
+        | FROM mo),
+        |s AS (SELECT o_custkey, grp, CAST(count(*) AS BIGINT) AS len
+        |  FROM i GROUP BY 1, 2),
+        |mx AS (SELECT o_custkey, max(len) AS longest FROM s GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM mx)
+        |SELECT longest AS streak_months,
+        | CAST(count(*) AS BIGINT) AS n_customers,
+        | round(CAST(count(*) AS DOUBLE) / n_total, 6) AS share
+        |FROM mx CROSS JOIN t GROUP BY 1, n_total
+        |ORDER BY 1""".stripMargin,
+
+    "supplier_otif_wilson" ->
+      """WITH st AS (SELECT l_suppkey,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate)
+        |    <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY 1),
+        |w AS (SELECT l_suppkey, n_lines, n_ontime,
+        |  CAST(n_ontime AS DOUBLE) / n_lines AS p,
+        |  CAST(n_lines AS DOUBLE) AS nd,
+        |  CAST(1.959964 AS DOUBLE) AS z
+        | FROM st),
+        |lb AS (SELECT l_suppkey, n_lines, n_ontime, p,
+        |  ((p + z * z / (2 * nd))
+        |   - z * sqrt(p * (1 - p) / nd + z * z / (4 * nd * nd)))
+        |  / (1 + z * z / nd) AS wilson
+        | FROM w)
+        |SELECT l_suppkey, n_lines, n_ontime,
+        | round(p, 6) AS ontime_rate,
+        | round(wilson, 6) AS wilson_lb,
+        | CAST(CASE WHEN wilson < 0.5 THEN 1 ELSE 0 END AS INT)
+        |   AS flagged
+        |FROM lb ORDER BY l_suppkey""".stripMargin,
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

@@ -416,4 +416,36 @@ object BinaryColumns {
           .as("avg_hamming"))
       .orderBy("band")
   }
+
+  /** Exact-bytes dedup audit over the media corpus: items grouped by
+    * content digest into duplicate families, rolled up to a
+    * (family size → families, items, reclaimable bytes) report with
+    * each bucket's share of total corpus bytes — the storage-bill
+    * number an image/audio lake dedup job is sized by (keep one copy
+    * per family, reclaim the rest). The digest groupBy IS the dedup;
+    * this query is its cost-benefit read-out.
+    *
+    * Scale shape: digest and byte length are map-side projections
+    * ([[asMedia]]); the family aggregate shuffles (hash, bytes) pairs
+    * only — never payloads — with map-side combine; the bucket rollup
+    * carries ≤ max-family-size keys and the denominator is a
+    * broadcast 1-row total. Bounded rows out at any corpus size.
+    */
+  def dedupBytes(spark: SparkSession, dir: String): DataFrame = {
+    val m = asMedia(spark, dir).toDF().select("content_hash", "n_bytes")
+    val fam = m.groupBy("content_hash")
+      .agg(count(lit(1)).as("family_size"),
+        sum("n_bytes").as("fam_bytes"), min("n_bytes").as("keep_bytes"))
+    val tot = m.agg(sum("n_bytes").as("total_bytes"))
+    fam.groupBy("family_size")
+      .agg(count(lit(1)).as("n_families"),
+        sum(col("fam_bytes") - col("keep_bytes")).as("reclaim_bytes"))
+      .crossJoin(broadcast(tot))
+      .select(col("family_size"), col("n_families"),
+        (col("family_size") * col("n_families")).as("n_items"),
+        col("reclaim_bytes"),
+        round(col("reclaim_bytes").cast("double") / col("total_bytes"), 6)
+          .as("reclaim_share"))
+      .orderBy("family_size")
+  }
 }

@@ -2024,4 +2024,70 @@ object Events {
           / col("n") / 100.0, 6).as("wins_effect"))
       .orderBy("variant")
   }
+
+  /** Poisson-bootstrap 95% CI for each variant's mean purchase value
+    * — the SCALE-CORRECT bootstrap: instead of materializing B
+    * resamples (a B× shuffle of the raw data), every row draws a
+    * deterministic Poisson(1) weight per replicate b (the classic
+    * distributed-bootstrap approximation of multinomial resampling),
+    * so the whole thing is a map-side explode into a (variant, b)
+    * aggregate. Replicate means are exact BIGINT-cent ratios; the CI
+    * is the 3rd/98th of the 100 ordered replicate means (the 2.5/97.5
+    * percentile convention at B=100).
+    *
+    * Scale shape: the ×B explode happens map-side and feeds a
+    * 2×B-group aggregate with map-side combine — the shuffle carries
+    * 200 partial rows per task, NOT B copies of the corpus; rank
+    * selection is a window over 100 rows per variant (bounded); the
+    * Poisson draw is an md5-hash inverse-CDF projection (derandomized
+    * — retry/engine/partitioning-stable, the privacy_dp_counts
+    * discipline). 2 rows out at any corpus size.
+    */
+  def eventsBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val B = 100
+    val pur = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("variant",
+        when(graft.functions.HexExprs.uniformHash(
+          col("user_id").cast("string")) < 0.5, "A").otherwise("B"))
+      .select(col("variant"), col("event_id"),
+        round(col("value") * 100).cast("long").as("v_c"))
+    // Poisson(1) inverse CDF on the uniform hash; cumulative e^{-1}/k!
+    // breakpoints written as literals so both engines branch on the
+    // identical doubles
+    def poisson(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238463, 3L)
+        .when(u < 0.9963401531726563, 4L)
+        .when(u < 0.9994058151824183, 5L)
+        .when(u < 0.999916758850712, 6L)
+        .when(u < 0.9999897508033253, 7L)
+        .when(u < 0.999998874797402, 8L)
+        .otherwise(9L)
+    val reps = pur
+      .select(col("variant"), col("event_id"), col("v_c"),
+        explode(expr(s"sequence(1, $B)")).as("b"))
+      .withColumn("w", poisson(graft.functions.HexExprs.uniformHash(
+        concat(col("event_id").cast("string"), lit("#boot"),
+          col("b").cast("string")))))
+      .groupBy("variant", "b")
+      .agg(sum(col("w") * col("v_c")).as("swv"), sum("w").as("sw"))
+      .withColumn("mean_c", col("swv").cast("double") / col("sw"))
+    val ranked = reps.withColumn("rk", row_number().over(
+      Window.partitionBy("variant").orderBy(col("mean_c"), col("b"))))
+    val ci = ranked.groupBy("variant").agg(
+      min(when(col("rk") === 3, col("mean_c"))).as("lo_c"),
+      min(when(col("rk") === 98, col("mean_c"))).as("hi_c"))
+    val pt = pur.groupBy("variant")
+      .agg(count(lit(1)).as("n_purchases"), sum("v_c").as("s_c"))
+    pt.join(ci, "variant")
+      .select(col("variant"), col("n_purchases"),
+        round(col("s_c").cast("double") / col("n_purchases") / 100.0, 6)
+          .as("point_mean"),
+        round(col("lo_c") / 100.0, 6).as("boot_lo"),
+        round(col("hi_c") / 100.0, 6).as("boot_hi"))
+      .orderBy("variant")
+  }
 }

@@ -1116,4 +1116,77 @@ object Olap {
       .orderBy(col("max_burst_7d").desc, col("o_custkey"))
       .limit(20)
   }
+
+  /** Gap-and-island activity streaks: each customer's LONGEST run of
+    * consecutive active months (months with ≥1 order), rolled up to a
+    * (streak length → customer count) distribution — the
+    * engaged-customer tenure read-out behind retention/loyalty
+    * programs, and the classic gaps-and-islands SQL shape (island id
+    * = month index minus per-customer row_number).
+    *
+    * Scale shape: the month grid is one DISTINCT projection; the
+    * island window and both follow-up aggregates are partitioned per
+    * customer (per-partition state bounded by one customer's months,
+    * ≤ the calendar length); the histogram rollup carries ≤ |months|
+    * keys and the share denominator is a broadcast 1-row total. ≤84
+    * rows out at any corpus size.
+    */
+  def customerActiveStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val months = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        ((year(col("o_orderdate")) - 1992) * 12
+          + month(col("o_orderdate")) - 1).cast("long").as("m"))
+      .distinct()
+    val islands = months
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_custkey").orderBy("m")))
+      .withColumn("grp", col("m") - col("rn"))
+    val longest = islands.groupBy("o_custkey", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("o_custkey").agg(max("len").as("longest"))
+    val tot = longest.agg(count(lit(1)).as("n_total"))
+    longest.groupBy("longest").agg(count(lit(1)).as("n_customers"))
+      .crossJoin(broadcast(tot))
+      .select(col("longest").as("streak_months"), col("n_customers"),
+        round(col("n_customers").cast("double") / col("n_total"), 6)
+          .as("share"))
+      .orderBy("streak_months")
+  }
+
+  /** Supplier on-time rate with a Wilson 95% lower bound: share of a
+    * supplier's lineitems shipped within 30 days of the order date,
+    * flagged when the CONFIDENCE BOUND (not the raw rate) drops below
+    * 0.5 — the small-n-honest way to rank suppliers (a 1-for-2
+    * supplier's 0.5 raw rate is noise; Wilson shrinks it toward the
+    * prior and only flags when the evidence is there).
+    *
+    * Scale shape: one fact-fact equi-join on orderkey (both sides
+    * shuffle on the key — never broadcast at fact scale), then ONE
+    * map-side-combined per-supplier aggregate; the Wilson interval is
+    * a projection on (n, x) — no second pass. |suppliers| rows out.
+    */
+  def supplierOtifWilson(spark: SparkSession, dir: String): DataFrame = {
+    val z = lit(1.959964)
+    val st = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        (datediff(col("l_shipdate"), col("o_orderdate")) <= 30)
+          .cast("long").as("ontime"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_lines"), sum("ontime").as("n_ontime"))
+    val nD = col("n_lines").cast("double")
+    val p = col("n_ontime").cast("double") / nD
+    val z2 = z * z
+    val denom = lit(1.0) + z2 / nD
+    val center = p + z2 / (lit(2.0) * nD)
+    val rad = z * sqrt(p * (lit(1.0) - p) / nD + z2 / (lit(4.0) * nD * nD))
+    val lb = (center - rad) / denom
+    st.select(col("l_suppkey"), col("n_lines"), col("n_ontime"),
+        round(p, 6).as("ontime_rate"),
+        round(lb, 6).as("wilson_lb"),
+        (lb < 0.5).cast("int").as("flagged"))
+      .orderBy("l_suppkey")
+  }
 }
