@@ -327,6 +327,12 @@ object SparkEntry {
     "mm_dedup_bytes" -> (multimodal.BinaryColumns.dedupBytes _),
     "customer_active_streaks" -> (Olap.customerActiveStreaks _),
     "supplier_otif_wilson" -> (Olap.supplierOtifWilson _),
+    // round 8, batch 20: local clustering coefficients, growth
+    // accounting, ABC classification, ABN checksum audit
+    "graph_clustering_local" -> (Graph.graphClusteringLocal _),
+    "events_growth_accounting" -> (Events.eventsGrowthAccounting _),
+    "part_abc_class" -> (Olap.partAbcClass _),
+    "clean_abn_checksum" -> (Cleaning.cleanAbnChecksum _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -5734,6 +5740,114 @@ object SparkEntry {
         | CAST(CASE WHEN wilson < 0.5 THEN 1 ELSE 0 END AS INT)
         |   AS flagged
         |FROM lb ORDER BY l_suppkey""".stripMargin,
+
+    "graph_clustering_local" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |d AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS dg
+        |  FROM (SELECT u AS node FROM e
+        |        UNION ALL SELECT v AS node FROM e) nn GROUP BY 1),
+        |orient AS MATERIALIZED (SELECT
+        |   CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+        |     THEN u ELSE v END AS src,
+        |   CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+        |     THEN v ELSE u END AS dst
+        |  FROM e JOIN d du ON e.u = du.node JOIN d dv ON e.v = dv.node),
+        |w AS (SELECT x.src AS a, x.dst AS n1, y.dst AS n2
+        |  FROM orient x JOIN orient y ON x.src = y.src AND x.dst < y.dst),
+        |tri AS MATERIALIZED (SELECT a, n1, n2
+        |  FROM w JOIN e ON n1 = e.u AND n2 = e.v),
+        |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM (SELECT a AS node FROM tri UNION ALL SELECT n1 FROM tri
+        |        UNION ALL SELECT n2 FROM tri) t
+        |  GROUP BY 1),
+        |c AS (SELECT d.node, d.dg, coalesce(pn.n_triangles, 0) AS tr,
+        |  2.0 * coalesce(pn.n_triangles, 0)
+        |    / (CAST(d.dg AS DOUBLE) * CAST(d.dg - 1 AS DOUBLE)) AS coeff
+        | FROM d LEFT JOIN pn ON d.node = pn.node WHERE d.dg >= 2),
+        |cb AS (SELECT least(10, CAST(floor(coeff * 10) AS BIGINT))
+        |    AS bucket,
+        |  CAST(round(coeff * 1e6) AS BIGINT) AS c_u6
+        | FROM c),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM cb)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_nodes,
+        | round(CAST(count(*) AS DOUBLE) / n_total, 6) AS share,
+        | round(CAST(sum(c_u6) AS DOUBLE) / count(*) / 1e6, 6)
+        |   AS avg_coeff
+        |FROM cb CROSS JOIN t GROUP BY 1, n_total
+        |ORDER BY bucket""".stripMargin,
+
+    "events_growth_accounting" ->
+      """WITH pr AS (SELECT DISTINCT user_id,
+        |  CAST(epoch(ts) AS BIGINT) // 604800 AS week FROM events),
+        |lg AS (SELECT user_id, week,
+        |  lag(week) OVER (PARTITION BY user_id ORDER BY week)
+        |    AS prev_week
+        | FROM pr),
+        |wk AS (SELECT week,
+        |  CAST(sum(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN prev_week IS NOT NULL
+        |      AND prev_week < week - 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_resurrected
+        | FROM lg GROUP BY 1)
+        |SELECT a.week,
+        | a.n_new + a.n_retained + a.n_resurrected AS n_active,
+        | a.n_new, a.n_retained, a.n_resurrected,
+        | coalesce(p.n_new + p.n_retained + p.n_resurrected, 0)
+        |   - a.n_retained AS n_churned
+        |FROM wk a LEFT JOIN wk p ON p.week = a.week - 1
+        |ORDER BY a.week""".stripMargin,
+
+    "part_abc_class" ->
+      """WITH rev AS (SELECT l_partkey,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS rev_c
+        | FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c,
+        |  CAST(count(*) AS BIGINT) AS n_parts_total FROM rev),
+        |c AS (SELECT rev_c,
+        |  CAST(coalesce(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cum_excl
+        | FROM rev),
+        |cl AS (SELECT rev_c, total_c, n_parts_total,
+        |  CASE WHEN cum_excl * 5 < total_c * 4 THEN 'A'
+        |    WHEN cum_excl * 20 < total_c * 19 THEN 'B'
+        |    ELSE 'C' END AS abc_class
+        | FROM c CROSS JOIN t)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+        | round(CAST(sum(rev_c) AS DOUBLE) / 100, 2) AS revenue,
+        | round(CAST(sum(rev_c) AS DOUBLE) / total_c, 6)
+        |   AS revenue_share,
+        | round(CAST(count(*) AS DOUBLE) / n_parts_total, 6)
+        |   AS part_share
+        |FROM cl GROUP BY abc_class, total_c, n_parts_total
+        |ORDER BY abc_class""".stripMargin,
+
+    "clean_abn_checksum" ->
+      ("""WITH shaped AS (
+        | SELECT CASE WHEN c_custkey % 7 = 0 THEN printf('%010d', c_custkey)
+        |             ELSE printf('%011d', c_custkey) END AS abn
+        | FROM customer),
+        |f AS (SELECT CAST(length(abn) AS BIGINT) AS abn_len,
+        |  CAST(CASE WHEN length(abn) = 11 AND (
+        |    (TRY_CAST(substr(abn, 1, 1) AS INT) - 1) * 10""".stripMargin +
+        Seq(1, 3, 5, 7, 9, 11, 13, 15, 17, 19).zipWithIndex.map {
+          case (w, i) =>
+            s"\n    + TRY_CAST(substr(abn, ${i + 2}, 1) AS INT) * $w"
+        }.mkString +
+        """) % 89 = 0 THEN 1 ELSE 0 END AS INT) AS checksum_valid
+        | FROM shaped),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM f)
+        |SELECT abn_len, checksum_valid, CAST(count(*) AS BIGINT) AS n,
+        | round(CAST(count(*) AS DOUBLE) / n_total, 6) AS share
+        |FROM f CROSS JOIN t GROUP BY 1, 2, n_total
+        |ORDER BY abn_len, checksum_valid""".stripMargin),
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

@@ -2090,4 +2090,47 @@ object Events {
         round(col("hi_c") / 100.0, 6).as("boot_hi"))
       .orderBy("variant")
   }
+
+  /** Weekly growth accounting — the new / retained / resurrected /
+    * churned decomposition every growth team runs (net change is
+    * meaningless until it is split into these four flows): per week,
+    * new = first-ever week, retained = also active the week before,
+    * resurrected = returning after a gap ≥2 weeks, churned = active
+    * LAST week but not this one (reported against the week they went
+    * missing). active ≡ new + retained + resurrected, and
+    * net = new + resurrected − churned reconciles consecutive actives
+    * — both identities are spec-pinned.
+    *
+    * Scale shape: presence is one DISTINCT (user, week) projection;
+    * the state classification is a per-user lag window (state bounded
+    * by one user's weeks); both roll-ups are ≤|weeks|-key aggregates
+    * with map-side combine, and churn needs NO second corpus pass —
+    * it is last week's active count minus this week's retained,
+    * computed by a self-join of the bounded weekly table. |weeks|
+    * rows out at any corpus size.
+    */
+  def eventsGrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val presence = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_s div 604800").as("week"))
+      .distinct()
+    val lagged = presence.withColumn("prev_week",
+      lag("week", 1).over(Window.partitionBy("user_id").orderBy("week")))
+    val weekly = lagged.groupBy("week").agg(
+      sum(when(col("prev_week").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev_week") === col("week") - 1, 1L).otherwise(0L))
+        .as("n_retained"),
+      sum(when(col("prev_week").isNotNull &&
+        col("prev_week") < col("week") - 1, 1L).otherwise(0L))
+        .as("n_resurrected"))
+      .withColumn("n_active",
+        col("n_new") + col("n_retained") + col("n_resurrected"))
+    val prevActive = weekly.select((col("week") + 1).as("week"),
+      col("n_active").as("prev_active"))
+    weekly.join(prevActive, Seq("week"), "left")
+      .na.fill(0L, Seq("prev_active"))
+      .select(col("week"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        (col("prev_active") - col("n_retained")).as("n_churned"))
+      .orderBy("week")
+  }
 }

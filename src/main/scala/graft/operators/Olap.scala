@@ -1189,4 +1189,57 @@ object Olap {
         (lb < 0.5).cast("int").as("flagged"))
       .orderBy("l_suppkey")
   }
+
+  /** ABC inventory classification: parts ranked by revenue, class A =
+    * the head that carries the first 80% of revenue, B the next 15%,
+    * C the tail — the stock-policy segmentation behind cycle-count
+    * frequency and safety-stock tiers. Class assignment uses the
+    * EXCLUSIVE cumulative share (the part that crosses a boundary
+    * belongs to the higher class), and all boundary comparisons run
+    * on exact BIGINT cents (cum·5 < total·4) — never a float
+    * cumulative, whose summation order differs between engines.
+    *
+    * Scale shape: per-part revenue is one map-side-combined fact
+    * aggregate; the descending cumulative uses the block-partitioned
+    * ECDF discipline (revenue-value blocks: within-block window +
+    * bounded triangle-join block prefixes — no global window, the
+    * quality_auc shape); class roll-up is a 3-key aggregate. 3 rows
+    * out at any corpus size.
+    */
+  def partAbcClass(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100).cast("long").as("r_c"))
+      .groupBy("l_partkey").agg(sum("r_c").as("rev_c"))
+    val grid = rev.withColumn("blk", expr("rev_c div 16777216"))
+    val inBlk = grid.withColumn("cum_in",
+      sum("rev_c").over(Window.partitionBy("blk")
+        .orderBy(col("rev_c").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val blkTot = grid.groupBy("blk").agg(sum("rev_c").as("btot"))
+    val prefix = blkTot.as("a")
+      .join(blkTot.as("b"), col("b.blk") > col("a.blk"), "left_outer")
+      .groupBy(col("a.blk").as("blk"))
+      .agg(coalesce(sum(col("b.btot")), lit(0L)).as("blk_prefix"))
+    val tot = grid.agg(sum("rev_c").as("total_c"),
+      count(lit(1)).as("n_parts_total"))
+    inBlk.na.fill(0L, Seq("cum_in"))
+      .join(broadcast(prefix), "blk")
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_excl", col("blk_prefix") + col("cum_in"))
+      .withColumn("abc_class",
+        when(col("cum_excl") * 5 < col("total_c") * 4, "A")
+          .when(col("cum_excl") * 20 < col("total_c") * 19, "B")
+          .otherwise("C"))
+      .groupBy("abc_class", "total_c", "n_parts_total")
+      .agg(count(lit(1)).as("n_parts"), sum("rev_c").as("rev_sum_c"))
+      .select(col("abc_class"), col("n_parts"),
+        round(col("rev_sum_c").cast("double") / 100.0, 2).as("revenue"),
+        round(col("rev_sum_c").cast("double") / col("total_c"), 6)
+          .as("revenue_share"),
+        round(col("n_parts").cast("double") / col("n_parts_total"), 6)
+          .as("part_share"))
+      .orderBy("abc_class")
+  }
 }
