@@ -333,6 +333,12 @@ object SparkEntry {
     "events_growth_accounting" -> (Events.eventsGrowthAccounting _),
     "part_abc_class" -> (Olap.partAbcClass _),
     "clean_abn_checksum" -> (Cleaning.cleanAbnChecksum _),
+    // round 8, batch 21: garbage-text screen, PII incidence audit,
+    // supplier-concentration HHI, cross-source dup matrix
+    "text_garbage_score" -> (TextAnalysis.textGarbageScore _),
+    "text_pii_incidence" -> (TextAnalysis.textPiiIncidence _),
+    "part_supplier_hhi" -> (Olap.partSupplierHhi _),
+    "dedup_cross_source" -> (Dedup.dedupCrossSource _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -5848,6 +5854,107 @@ object SparkEntry {
         | round(CAST(count(*) AS DOUBLE) / n_total, 6) AS share
         |FROM f CROSS JOIN t GROUP BY 1, 2, n_total
         |ORDER BY abn_len, checksum_valid""".stripMargin),
+
+    "text_garbage_score" ->
+      """WITH d AS (SELECT source,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text)
+        |    - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+        |    AS BIGINT) AS n_alpha,
+        |  CAST(length(text)
+        |    - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |    AS BIGINT) AS n_digit,
+        |  CAST(coalesce(list_max(list_transform(
+        |    regexp_extract_all(text, '[bcdfghjklmnpqrstvwxz]+'),
+        |    m -> length(m))), 0) AS BIGINT) AS max_run
+        | FROM documents WHERE length(text) > 0),
+        |u AS (SELECT source, max_run,
+        |  CAST(round(n_alpha * 1e6 / n_chars) AS BIGINT) AS alpha_u6,
+        |  CAST(round(n_digit * 1e6 / n_chars) AS BIGINT) AS digit_u6
+        | FROM d),
+        |f AS (SELECT source, max_run, alpha_u6, digit_u6,
+        |  CASE WHEN alpha_u6 < 550000 OR digit_u6 > 300000
+        |    OR max_run >= 8 THEN 1 ELSE 0 END AS garbage
+        | FROM u)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(garbage) AS BIGINT) AS n_flagged,
+        | round(CAST(sum(garbage) AS DOUBLE) / count(*), 6) AS flag_share,
+        | round(CAST(sum(alpha_u6) AS DOUBLE) / count(*) / 1e6, 6)
+        |   AS avg_alpha_ratio,
+        | round(CAST(sum(digit_u6) AS DOUBLE) / count(*) / 1e6, 6)
+        |   AS avg_digit_ratio,
+        | max(max_run) AS max_consonant_run
+        |FROM f GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "text_pii_incidence" ->
+      """WITH withpii AS (SELECT doc_id, source,
+        |  text ||
+        |  CASE WHEN doc_id % 4 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 6 = 0 THEN ' call 555-' || printf('%04d', doc_id % 10000) ELSE '' END ||
+        |  CASE WHEN doc_id % 10 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ELSE '' END
+        |  AS text FROM documents),
+        |c AS (SELECT source,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS ne,
+        | CAST(len(regexp_extract_all(text, '\b555-[0-9]{4}\b')) AS BIGINT) AS np,
+        | CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS ni
+        | FROM withpii)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS docs_with_email,
+        | CAST(sum(ne) AS BIGINT) AS n_email_matches,
+        | CAST(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS docs_with_phone,
+        | CAST(sum(np) AS BIGINT) AS n_phone_matches,
+        | CAST(sum(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS docs_with_ip,
+        | CAST(sum(ni) AS BIGINT) AS n_ip_matches,
+        | CAST(sum(CASE WHEN ne > 0 OR np > 0 OR ni > 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS docs_with_any,
+        | round(CAST(sum(CASE WHEN ne > 0 OR np > 0 OR ni > 0 THEN 1
+        |   ELSE 0 END) AS DOUBLE) / count(*), 6) AS any_pii_share
+        |FROM c GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "part_supplier_hhi" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qs
+        | FROM lineitem GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey, CAST(sum(qs) AS BIGINT) AS qt,
+        |  CAST(sum(qs * qs) AS BIGINT) AS sq2,
+        |  CAST(count(*) AS BIGINT) AS n_suppliers
+        | FROM ps GROUP BY 1),
+        |h AS (SELECT n_suppliers,
+        |  CAST(round(CAST(sq2 AS DOUBLE) * 1e6
+        |    / (CAST(qt AS DOUBLE) * CAST(qt AS DOUBLE))) AS BIGINT)
+        |    AS hhi_u6
+        | FROM pp),
+        |b AS (SELECT least(10, hhi_u6 // 100000) AS bucket,
+        |  n_suppliers, hhi_u6 FROM h),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_parts_total FROM b)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_parts,
+        | round(CAST(count(*) AS DOUBLE) / n_parts_total, 6) AS share,
+        | round(CAST(sum(n_suppliers) AS DOUBLE) / count(*), 6)
+        |   AS avg_suppliers,
+        | round(CAST(sum(hhi_u6) AS DOUBLE) / count(*) / 1e6, 6)
+        |   AS avg_hhi
+        |FROM b CROSS JOIN t GROUP BY 1, n_parts_total
+        |ORDER BY bucket""".stripMargin,
+
+    "dedup_cross_source" ->
+      """WITH hs AS (SELECT DISTINCT md5(text) AS h, source
+        |  FROM documents),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS nh
+        |  FROM hs GROUP BY 1),
+        |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        | FROM hs a JOIN hs b ON a.h = b.h AND a.source <= b.source
+        | GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        | pa.nh AS n_a, pb.nh AS n_b,
+        | round(CAST(n_shared AS DOUBLE) / least(pa.nh, pb.nh), 6)
+        |   AS overlap_coef
+        |FROM pr JOIN per pa ON pr.source_a = pa.source
+        |JOIN per pb ON pr.source_b = pb.source
+        |ORDER BY source_a, source_b""".stripMargin,
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

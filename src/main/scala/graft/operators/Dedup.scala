@@ -817,5 +817,43 @@ object Dedup {
       .filter(col("n_docs") >= 3)
       .orderBy(col("n_docs").desc, col("segment"))
   }
+
+  /** Cross-source duplicate matrix: for every source pair (a ≤ b),
+    * the count of distinct content hashes they SHARE, with the
+    * overlap coefficient |A∩B| / min(|A|,|B|) — the inter-feed
+    * leakage table that drives mixture weights and dedup ordering in
+    * a multi-source corpus (two crawls of the same sites must not
+    * both be upweighted). Diagonal rows carry each source's own
+    * distinct-hash count, so the matrix is also the per-source dedup
+    * census.
+    *
+    * Scale shape: the (hash, source) relation is one DISTINCT
+    * projection (shuffles 16-byte digests, never text); the pair join
+    * is an equi-join ON THE HASH, so candidates are bounded by
+    * |sources|² per hash family — never all-pairs of docs; the rollup
+    * carries ≤|sources|² keys. ≤|sources|² rows out.
+    */
+  def dedupCrossSource(spark: SparkSession, dir: String): DataFrame = {
+    val hs = Tables.documents(spark, dir)
+      .select(md5(col("text")).as("h"), col("source")).distinct()
+    val perSource = hs.groupBy("source").agg(count(lit(1)).as("nh"))
+    val pairs = hs.as("a")
+      .join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") <= col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(perSource
+        .select(col("source").as("source_a"), col("nh").as("n_a"))),
+        "source_a")
+      .join(broadcast(perSource
+        .select(col("source").as("source_b"), col("nh").as("n_b"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")),
+          6).as("overlap_coef"))
+      .orderBy("source_a", "source_b")
+  }
 }
 

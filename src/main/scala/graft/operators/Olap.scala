@@ -1242,4 +1242,47 @@ object Olap {
           .as("part_share"))
       .orderBy("abc_class")
   }
+
+  /** Supply-concentration audit: per part, the Herfindahl–Hirschman
+    * index of its suppliers' quantity shares (HHI = Σ share², 1/n for
+    * perfectly split, 1.0 for sole-sourced), rolled up to an 11-bin
+    * distribution — the single-point-of-failure read-out behind
+    * second-sourcing decisions (q21 finds the sole supplier of late
+    * lines; this measures how close every part is to that state).
+    * Per-part HHI is an exact BIGINT ratio (Σqᵢ² / Q² on integer
+    * quantities) rounded to micro-units per part before any sum.
+    *
+    * Scale shape: one (part, supplier) map-side-combined aggregate,
+    * one per-part aggregate (state: two BIGINTs), an ≤11-key rollup
+    * with a broadcast 1-row total. ≤11 rows out.
+    */
+  def partSupplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy("l_partkey", "l_suppkey").agg(sum("q").as("qs"))
+    val perPart = ps.groupBy("l_partkey")
+      .agg(sum("qs").as("qt"), sum(col("qs") * col("qs")).as("sq2"),
+        count(lit(1)).as("n_suppliers"))
+      .withColumn("hhi_u6",
+        round(col("sq2").cast("double") * 1e6
+          / (col("qt").cast("double") * col("qt").cast("double")))
+          .cast("long"))
+    val tot = perPart.agg(count(lit(1)).as("n_parts_total"))
+    perPart
+      .withColumn("bucket", least(lit(10L),
+        expr("hhi_u6 div 100000")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_parts"),
+        sum("n_suppliers").as("s_supp"), sum("hhi_u6").as("s_hhi"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_parts"),
+        round(col("n_parts").cast("double") / col("n_parts_total"), 6)
+          .as("share"),
+        round(col("s_supp").cast("double") / col("n_parts"), 6)
+          .as("avg_suppliers"),
+        round(col("s_hhi").cast("double") / col("n_parts") / 1e6, 6)
+          .as("avg_hhi"))
+      .orderBy("bucket")
+  }
 }

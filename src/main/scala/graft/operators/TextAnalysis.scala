@@ -611,6 +611,101 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Mojibake / OCR-garbage screen — the char-level health check that
+    * runs BEFORE tokenization makes garbage look like exotic vocab
+    * (complements [[textGopherRules]]' word-level heuristics): per
+    * source, docs flagged when the alphabetic share drops below 0.55,
+    * the digit share exceeds 0.30, or a consonant run reaches 8+
+    * chars (scanner noise / binary-in-text look exactly like this).
+    * Per-doc ratios are micro-unit integers BEFORE the rollup sums
+    * (float sums are summation-order-dependent across engines).
+    *
+    * Scale shape: pure map-side regexp projections fused into the
+    * scan (counts by length-difference, runs by regexp_extract_all →
+    * max length — all codegen'd, no UDF); ONE |sources|-key aggregate
+    * with map-side combine. |sources| rows out.
+    */
+  def textGarbageScore(spark: SparkSession, dir: String): DataFrame = {
+    val consRun = "[bcdfghjklmnpqrstvwxz]+"
+    val d = Tables.documents(spark, dir)
+      .select(col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[a-zA-Z]", "")))
+          .cast("long").as("n_alpha"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("n_digit"),
+        coalesce(array_max(transform(
+          regexp_extract_all(col("text"), lit(consRun), lit(0)),
+          m => length(m))), lit(0)).cast("long").as("max_run"))
+      .filter(col("n_chars") > 0)
+      .withColumn("alpha_u6",
+        round(col("n_alpha") * 1e6 / col("n_chars")).cast("long"))
+      .withColumn("digit_u6",
+        round(col("n_digit") * 1e6 / col("n_chars")).cast("long"))
+      .withColumn("garbage",
+        (col("alpha_u6") < 550000L || col("digit_u6") > 300000L ||
+          col("max_run") >= 8L).cast("long"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("garbage").as("n_flagged"),
+        sum("alpha_u6").as("sa"), sum("digit_u6").as("sd"),
+        max("max_run").as("max_consonant_run"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        round(col("n_flagged").cast("double") / col("n_docs"), 6)
+          .as("flag_share"),
+        round(col("sa").cast("double") / col("n_docs") / 1e6, 6)
+          .as("avg_alpha_ratio"),
+        round(col("sd").cast("double") / col("n_docs") / 1e6, 6)
+          .as("avg_digit_ratio"),
+        col("max_consonant_run"))
+      .orderBy("source")
+  }
+
+  /** PII incidence audit — the governance summary ABOVE
+    * [[textPiiScrub]]'s per-doc redaction: per source, how many docs
+    * carry each PII kind and how many raw matches there are — the
+    * table that decides which ingest feeds need scrubbing at all
+    * (and evidences scrub coverage to an auditor). Runs on the SAME
+    * synthetic-PII relation and the SAME [[piiCounts]] detectors as
+    * the scrub, so audit and redaction can never disagree.
+    *
+    * Scale shape: map-side regexp counts fused into the scan, ONE
+    * |sources|-key aggregate with map-side combine. |sources| rows.
+    */
+  def textPiiIncidence(spark: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          concat(lit(" call 555-"), format_string("%04d", col("doc_id") % 10000)))
+          .otherwise(lit("")),
+        when(col("doc_id") % 10 === 0,
+          concat(lit(" from 10.0."), col("doc_id") % 256, lit("."),
+            (col("doc_id") * 7) % 256))
+          .otherwise(lit(""))).as("text"))
+    withPii
+      .select(Seq(col("source")) ++ piiCounts(col("text")): _*)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") > 0, 1L).otherwise(0L))
+          .as("docs_with_email"),
+        sum(col("n_emails").cast("long")).as("n_email_matches"),
+        sum(when(col("n_phones") > 0, 1L).otherwise(0L))
+          .as("docs_with_phone"),
+        sum(col("n_phones").cast("long")).as("n_phone_matches"),
+        sum(when(col("n_ips") > 0, 1L).otherwise(0L)).as("docs_with_ip"),
+        sum(col("n_ips").cast("long")).as("n_ip_matches"),
+        sum(when(col("n_emails") > 0 || col("n_phones") > 0 ||
+          col("n_ips") > 0, 1L).otherwise(0L)).as("docs_with_any"))
+      .withColumn("any_pii_share", round(
+        col("docs_with_any").cast("double") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
   /** Per-document keyword extraction: top-3 tokens by TF-IDF — the
     * "what is this document about" signal used for topic balancing
     * and cluster labeling in corpus curation. df is one aggregate
