@@ -339,6 +339,12 @@ object SparkEntry {
     "text_pii_incidence" -> (TextAnalysis.textPiiIncidence _),
     "part_supplier_hhi" -> (Olap.partSupplierHhi _),
     "dedup_cross_source" -> (Dedup.dedupCrossSource _),
+    // round 8, batch 22: DAU/MAU stickiness, unit-price integrity,
+    // priority mix-shift PSI, split-policy leakage audit
+    "events_stickiness" -> (Events.eventsStickiness _),
+    "part_price_dispersion" -> (Olap.partPriceDispersion _),
+    "orders_priority_psi" -> (Olap.ordersPriorityPsi _),
+    "sample_split_leakage" -> (Sampling.sampleSplitLeakage _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -4904,34 +4910,46 @@ object SparkEntry {
         |FROM sc ORDER BY rank LIMIT 20""".stripMargin,
 
     "match_trigram" ->
-      """WITH tri AS (SELECT p_partkey, p_name,
+      """WITH p0 AS (SELECT p_partkey, p_name,
+        |  lower(trim(p_name)) AS nm FROM part),
+        |names AS (SELECT nm, CAST(count(*) AS BIGINT) AS copies,
+        |  CAST(sum(CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_even,
         |  list_distinct(flatten(list_transform(
-        |    string_split(lower(trim(p_name)), ' '), w ->
+        |    string_split(nm, ' '), w ->
         |    list_transform(generate_series(1, length(w) + 1),
         |      i -> substr('  ' || w || ' ', i, 3))))) AS tg
-        | FROM part),
-        |posts AS (SELECT p_partkey, unnest(tg) AS t FROM tri),
-        |dfc AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+        | FROM p0 GROUP BY nm),
+        |posts AS (SELECT nm, copies, unnest(tg) AS t FROM names),
+        |dfc AS (SELECT t, CAST(sum(copies) AS BIGINT) AS df
         |  FROM posts GROUP BY 1),
-        |rare AS (SELECT p_partkey, t FROM (
-        |  SELECT p.p_partkey, p.t, row_number() OVER (
-        |    PARTITION BY p.p_partkey ORDER BY d.df, p.t) AS rk
+        |rare AS (SELECT nm, t FROM (
+        |  SELECT p.nm, p.t, row_number() OVER (
+        |    PARTITION BY p.nm ORDER BY d.df, p.t) AS rk
         |  FROM posts p JOIN dfc d USING (t)) x WHERE rk <= 2),
-        |cand AS (SELECT DISTINCT l.p_partkey AS l_key, r.p_partkey AS r_key
+        |oddmin AS (SELECT nm AS r_nm,
+        |  min(p_partkey) AS r_key,
+        |  arg_min(p_name, p_partkey) AS r_name
+        | FROM p0 WHERE p_partkey % 2 = 1 GROUP BY 1),
+        |cand AS (SELECT DISTINCT l.nm AS l_nm, r.nm AS r_nm
         |  FROM rare l JOIN rare r USING (t)
-        |  WHERE l.p_partkey % 2 = 0 AND r.p_partkey % 2 = 1),
-        |sc AS (SELECT c.l_key, c.r_key, rt.p_name AS r_name,
-        |  CAST(len(list_intersect(lt.tg, rt.tg)) AS BIGINT) AS shared,
-        |  round(CAST(len(list_intersect(lt.tg, rt.tg)) AS DOUBLE)
-        |    / (len(lt.tg) + len(rt.tg) - len(list_intersect(lt.tg, rt.tg))),
+        |  JOIN names ln ON ln.nm = l.nm AND ln.n_even > 0
+        |  JOIN oddmin o ON o.r_nm = r.nm),
+        |sc AS (SELECT c.l_nm, o.r_key, o.r_name,
+        |  CAST(len(list_intersect(ln.tg, rn.tg)) AS BIGINT) AS shared,
+        |  round(CAST(len(list_intersect(ln.tg, rn.tg)) AS DOUBLE)
+        |    / (len(ln.tg) + len(rn.tg) - len(list_intersect(ln.tg, rn.tg))),
         |    6) AS sim
-        | FROM cand c JOIN tri lt ON lt.p_partkey = c.l_key
-        |  JOIN tri rt ON rt.p_partkey = c.r_key),
-        |best AS (SELECT l_key, r_key, r_name, shared, sim FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY l_key
+        | FROM cand c JOIN names ln ON ln.nm = c.l_nm
+        |  JOIN names rn ON rn.nm = c.r_nm
+        |  JOIN oddmin o ON o.r_nm = c.r_nm),
+        |best AS (SELECT l_nm, r_key, r_name, shared, sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_nm
         |    ORDER BY sim DESC, r_key) AS rn
         |  FROM sc WHERE sim >= 0.45) t WHERE rn = 1)
-        |SELECT l_key, r_key, r_name, shared, sim FROM best
+        |SELECT e.p_partkey AS l_key, b.r_key, b.r_name, b.shared, b.sim
+        |FROM p0 e JOIN best b ON e.nm = b.l_nm
+        |WHERE e.p_partkey % 2 = 0
         |ORDER BY l_key""".stripMargin,
 
     "sample_curriculum" ->
@@ -5955,6 +5973,130 @@ object SparkEntry {
         |FROM pr JOIN per pa ON pr.source_a = pa.source
         |JOIN per pb ON pr.source_b = pb.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    "events_stickiness" ->
+      """WITH pr AS (SELECT DISTINCT user_id,
+        |  CAST(epoch(ts) AS BIGINT) // 86400 AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |  day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
+        |    AS gap
+        | FROM pr),
+        |b AS (SELECT user_id, day,
+        |  CASE WHEN gap IS NULL OR gap > 27 THEN 1 ELSE 0 END AS brk
+        | FROM g),
+        |i AS (SELECT user_id, day,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        | FROM b),
+        |iv AS (SELECT user_id, isl, min(day) AS s, max(day) AS e
+        |  FROM i GROUP BY 1, 2),
+        |dl AS (SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM (
+        |  SELECT s AS d, 1 AS delta FROM iv
+        |  UNION ALL SELECT e + 28 AS d, -1 AS delta FROM iv) x
+        | GROUP BY 1),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |  FROM pr GROUP BY 1),
+        |mau AS (SELECT day, CAST(sum(delta) AS BIGINT) AS mau28
+        |  FROM dau JOIN dl ON dl.d <= dau.day GROUP BY 1)
+        |SELECT dau.day, dau.dau, mau.mau28,
+        | round(CAST(dau.dau AS DOUBLE) / mau.mau28, 6) AS stickiness
+        |FROM dau JOIN mau ON dau.day = mau.day
+        |ORDER BY dau.day""".stripMargin,
+
+    "part_price_dispersion" ->
+      """WITH u AS (SELECT l_partkey,
+        |  CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)
+        |    AS u_c
+        | FROM lineitem),
+        |st AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(u_c) AS BIGINT) AS s,
+        |  CAST(sum(u_c * u_c) AS BIGINT) AS sq,
+        |  min(u_c) AS mn, max(u_c) AS mx
+        | FROM u GROUP BY 1 HAVING count(*) >= 2),
+        |cv AS (SELECT l_partkey, n_lines,
+        |  CAST(s AS DOUBLE) / n_lines AS mean_c,
+        |  sqrt(greatest(CAST(sq AS DOUBLE) / n_lines
+        |    - (CAST(s AS DOUBLE) / n_lines) * (CAST(s AS DOUBLE) / n_lines),
+        |    0.0)) / (CAST(s AS DOUBLE) / n_lines) AS cv_raw,
+        |  mn, mx
+        | FROM st)
+        |SELECT l_partkey, n_lines,
+        | round(mean_c / 100, 6) AS mean_unit_price,
+        | round(CAST(mn AS DOUBLE) / 100, 2) AS min_unit_price,
+        | round(CAST(mx AS DOUBLE) / 100, 2) AS max_unit_price,
+        | round(cv_raw, 6) AS cv
+        |FROM cv ORDER BY round(cv_raw, 6) DESC, l_partkey
+        |LIMIT 20""".stripMargin,
+
+    "orders_priority_psi" ->
+      """WITH cells AS (SELECT
+        |  CAST((year(o_orderdate) - 1992) * 4 + quarter(o_orderdate) - 1
+        |    AS BIGINT) AS q,
+        |  o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n
+        | FROM orders GROUP BY 1, 2),
+        |qt AS (SELECT q, CAST(sum(n) AS BIGINT) AS nq
+        |  FROM cells GROUP BY 1),
+        |b AS (SELECT priority, CAST(sum(n) AS BIGINT) AS nb
+        |  FROM cells GROUP BY 1),
+        |bt AS (SELECT CAST(sum(nb) AS BIGINT) AS nt FROM b),
+        |t AS (SELECT cells.q, cells.priority, cells.n,
+        |  (CAST(n AS DOUBLE) + 0.5) / (CAST(nq AS DOUBLE) + 0.5 * 5)
+        |    AS share_q,
+        |  (CAST(nb AS DOUBLE) + 0.5) / (CAST(nt AS DOUBLE) + 0.5 * 5)
+        |    AS share_b
+        | FROM cells JOIN qt ON cells.q = qt.q
+        | JOIN b ON cells.priority = b.priority CROSS JOIN bt),
+        |tt AS (SELECT q, priority, n, share_q, share_b,
+        |  (share_q - share_b) * ln(share_q / share_b) AS psi_term
+        | FROM t),
+        |qp AS (SELECT q, round(sum(psi_term), 6) AS psi_quarter
+        |  FROM tt GROUP BY 1)
+        |SELECT tt.q AS quarter, tt.priority, tt.n,
+        | round(share_q, 6) AS share_quarter,
+        | round(share_b, 6) AS share_baseline,
+        | round(psi_term, 6) AS psi_term, qp.psi_quarter
+        |FROM tt JOIN qp ON tt.q = qp.q
+        |ORDER BY quarter, priority""".stripMargin,
+
+    "sample_split_leakage" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h,
+        |  list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef', substr(md5(text), i, 1)) - 1)
+        |      * pow(16, 8-i))) / 4294967296.0 AS u_text,
+        |  list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_id AS VARCHAR) || '#split'), i, 1)) - 1)
+        |      * pow(16, 8-i))) / 4294967296.0 AS u_id
+        | FROM documents),
+        |a AS (SELECT doc_id, h,
+        |  CASE WHEN u_text < 0.8 THEN 'train' WHEN u_text < 0.9
+        |    THEN 'val' ELSE 'test' END AS split_content,
+        |  CASE WHEN u_id < 0.8 THEN 'train' WHEN u_id < 0.9
+        |    THEN 'val' ELSE 'test' END AS split_id
+        | FROM d),
+        |dh AS (SELECT h FROM a GROUP BY h HAVING count(*) >= 2),
+        |m AS (SELECT a.* FROM a JOIN dh ON a.h = dh.h),
+        |p AS (SELECT
+        |  CASE WHEN x.split_id <> y.split_id THEN 1 ELSE 0 END
+        |    AS cross_id,
+        |  CASE WHEN x.split_content <> y.split_content THEN 1 ELSE 0 END
+        |    AS cross_content
+        | FROM m x JOIN m y ON x.h = y.h AND x.doc_id < y.doc_id),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs,
+        |  CAST(sum(cross_id) AS BIGINT) AS leak_id,
+        |  CAST(sum(cross_content) AS BIGINT) AS leak_content
+        | FROM p)
+        |SELECT policy, n_dup_pairs, n_cross_split,
+        | round(CASE WHEN n_dup_pairs > 0
+        |   THEN CAST(n_cross_split AS DOUBLE) / n_dup_pairs
+        |   ELSE 0.0 END, 6) AS leak_share
+        |FROM (
+        | SELECT 'id_keyed' AS policy, n_dup_pairs,
+        |   leak_id AS n_cross_split FROM ag
+        | UNION ALL
+        | SELECT 'content_keyed' AS policy, n_dup_pairs,
+        |   leak_content AS n_cross_split FROM ag) z
+        |ORDER BY policy""".stripMargin,
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

@@ -2133,4 +2133,47 @@ object Events {
         (col("prev_active") - col("n_retained")).as("n_churned"))
       .orderBy("week")
   }
+
+  /** DAU/MAU stickiness: per day, daily actives over EXACT trailing-
+    * 28-day actives — the engagement-frequency ratio (a 0.5 product
+    * is used every other day; 0.03 is monthly). The trailing-28
+    * distinct count is NOT a sliding re-count: each user's presence
+    * days merge into coverage intervals [first, last+27] (gap >27 ⇒
+    * new interval — gaps-and-islands again), intervals become ±1
+    * deltas, and MAU(d) is the running delta sum — exact sliding
+    * distinct at interval cost.
+    *
+    * Scale shape: presence is one DISTINCT projection; interval
+    * detection is a per-user lag + running-sum window (state bounded
+    * by one user's days); deltas GROUP to ≤|days|+28 day keys BEFORE
+    * the prefix step, so the prefix is a broadcast
+    * calendar-×-calendar containment join (bounded by days², never a
+    * global window and never corpus-sized). |days| rows out.
+    */
+  def eventsStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val pres = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_s div 86400").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val iv = pres
+      .withColumn("gap", col("day") - lag("day", 1).over(w))
+      .withColumn("brk",
+        when(col("gap").isNull || col("gap") > 27, 1L).otherwise(0L))
+      .withColumn("isl",
+        sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "isl")
+      .agg(min("day").as("s"), max("day").as("e"))
+    val deltas = iv.select(col("s").as("d"), lit(1L).as("delta"))
+      .unionAll(iv.select((col("e") + 28).as("d"), lit(-1L).as("delta")))
+      .groupBy("d").agg(sum("delta").as("delta"))
+    val dau = pres.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = dau.select("day")
+      .join(broadcast(deltas), col("d") <= col("day"))
+      .groupBy("day").agg(sum("delta").as("mau28"))
+    dau.join(mau, "day")
+      .select(col("day"), col("dau"), col("mau28"),
+        round(col("dau").cast("double") / col("mau28"), 6)
+          .as("stickiness"))
+      .orderBy("day")
+  }
 }

@@ -1014,34 +1014,60 @@ object Matching {
     * postings.
     */
   def matchTrigram(spark: SparkSession, dir: String): DataFrame = {
-    val tri = Tables.part(spark, dir)
+    // Score DISTINCT NAMES, not part rows — the skeleton-matcher
+    // lesson (commit "Score distinct norms, not rows"): this corpus
+    // has 20k parts over 64 distinct names, so part-level scoring
+    // re-scores every name pair |copies|² times (measured 56s → ~1s).
+    // All blocking/scoring state is name-determined (tg = f(nm)), so
+    // the reformulation is EXACT: per even part, the old argmax over
+    // candidate odd parts equals the argmax over candidate names
+    // ordered by (sim desc, that name's MIN odd partkey asc).
+    val parts = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_name"),
         lower(trim(col("p_name"))).as("nm"))
+    val names = parts.groupBy("nm")
+      .agg(count(lit(1)).as("copies"),
+        sum(when(col("p_partkey") % 2 === 0, 1L).otherwise(0L))
+          .as("n_even"))
       .withColumn("tg", expr(
         "array_distinct(flatten(transform(split(nm, ' '), w -> " +
           "transform(sequence(1, length(w) + 1), " +
           "i -> substring(concat('  ', w, ' '), i, 3)))))"))
-    val posts = tri.select(col("p_partkey"), explode(col("tg")).as("t"))
-    val dfc = posts.groupBy("t").agg(count(lit(1)).as("df"))
+    // trigram df still counts PARTS (copies-weighted), as before
+    val posts = names.select(col("nm"), col("copies"),
+      explode(col("tg")).as("t"))
+    val dfc = posts.groupBy("t").agg(sum("copies").as("df"))
     val rare = graft.plans.TopKPerGroup(posts.join(dfc, "t"),
-      Seq("p_partkey"), Seq(("df", false), ("t", false)), 2)
-    val cand = rare.filter(col("p_partkey") % 2 === 0)
-      .select(col("p_partkey").as("l_key"), col("t"))
-      .join(rare.filter(col("p_partkey") % 2 === 1)
-        .select(col("p_partkey").as("r_key"), col("t")), "t")
-      .select("l_key", "r_key").distinct()
+      Seq("nm"), Seq(("df", false), ("t", false)), 2)
+    // the chosen representative of an odd-side name: its min partkey
+    // (+ that part's raw p_name), via one argmin struct aggregate
+    val oddMin = parts.filter(col("p_partkey") % 2 === 1)
+      .groupBy("nm")
+      .agg(min(struct(col("p_partkey"), col("p_name"))).as("m"))
+      .select(col("nm").as("r_nm"), col("m.p_partkey").as("r_key"),
+        col("m.p_name").as("r_name"))
+    val evenNames = names.filter(col("n_even") > 0)
+    val cand = rare.join(evenNames.select(col("nm"), col("tg").as("l_tg")),
+        "nm")
+      .select(col("nm").as("l_nm"), col("l_tg"), col("t"))
+      .join(rare.select(col("nm").as("r_nm"), col("t")), "t")
+      .select("l_nm", "l_tg", "r_nm").distinct()
+      .join(oddMin, "r_nm")
+      .join(names.select(col("nm").as("r_nm"), col("tg").as("r_tg")),
+        "r_nm")
     val scored = cand
-      .join(tri.select(col("p_partkey").as("l_key"), col("tg").as("l_tg")),
-        "l_key")
-      .join(tri.select(col("p_partkey").as("r_key"), col("p_name").as("r_name"),
-        col("tg").as("r_tg")), "r_key")
       .withColumn("shared",
         size(array_intersect(col("l_tg"), col("r_tg"))).cast("long"))
       .withColumn("sim", round(col("shared").cast("double")
         / (size(col("l_tg")) + size(col("r_tg")) - col("shared")), 6))
       .filter(col("sim") >= 0.45)
-    graft.plans.TopKPerGroup(scored, Seq("l_key"),
+    val bestByName = graft.plans.TopKPerGroup(scored, Seq("l_nm"),
       Seq(("sim", true), ("r_key", false)), 1)
+      .select(col("l_nm"), col("r_key"), col("r_name"), col("shared"),
+        col("sim"))
+    parts.filter(col("p_partkey") % 2 === 0)
+      .select(col("p_partkey").as("l_key"), col("nm").as("l_nm"))
+      .join(bestByName, "l_nm")
       .select(col("l_key"), col("r_key"), col("r_name"), col("shared"),
         col("sim"))
       .orderBy("l_key")

@@ -1285,4 +1285,85 @@ object Olap {
           .as("avg_hhi"))
       .orderBy("bucket")
   }
+
+  /** Unit-price integrity screen: per part, the coefficient of
+    * variation of its observed per-unit price (extendedprice /
+    * quantity) across lineitems, top-20 most dispersed — the pricing-
+    * error detector (a part whose unit price varies 30% across
+    * invoices has a data problem or an uncontrolled discount
+    * channel). Moments accumulate as exact BIGINT cents (per-row
+    * rounding before the sum); CV expands from the sufficient
+    * statistics in one projection.
+    *
+    * Scale shape: ONE map-side-combined per-part aggregate (state:
+    * four BIGINTs), no second pass, top-20 via TakeOrdered on a
+    * (cv, partkey) total order. 20 rows out.
+    */
+  def partPriceDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") / col("l_quantity") * 100)
+          .cast("long").as("u_c"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_lines"), sum("u_c").as("s"),
+        sum(col("u_c") * col("u_c")).as("sq"),
+        min("u_c").as("mn"), max("u_c").as("mx"))
+      .filter(col("n_lines") >= 2)
+    val mean = col("s").cast("double") / col("n_lines")
+    val variance = col("sq").cast("double") / col("n_lines") - mean * mean
+    // clamp tiny negative FP residue before the sqrt
+    val cv = sqrt(greatest(variance, lit(0.0))) / mean
+    st.select(col("l_partkey"), col("n_lines"),
+        round(mean / 100.0, 6).as("mean_unit_price"),
+        round(col("mn").cast("double") / 100.0, 2).as("min_unit_price"),
+        round(col("mx").cast("double") / 100.0, 2).as("max_unit_price"),
+        round(cv, 6).as("cv"))
+      .orderBy(col("cv").desc, col("l_partkey"))
+      .limit(20)
+  }
+
+  /** Order-priority mix-shift monitor: per quarter, the priority mix
+    * against the all-time mix with each cell's PSI contribution and
+    * the quarter's total PSI — the dimension-drift alarm for an
+    * intake pipeline (a quarter whose priority mix drifts is a
+    * process change or an upstream bug; PSI > 0.2 is the
+    * conventional "investigate" line). Laplace-smoothed shares (the
+    * events_psi_drift discipline) keep log terms finite on empty
+    * cells.
+    *
+    * Scale shape: ONE (quarter, priority) map-side-combined
+    * aggregate; the baseline mix re-aggregates the bounded cell
+    * table, never the facts; shares and PSI are projections on a
+    * broadcast join of two bounded tables. |quarters|·|priorities|
+    * rows out.
+    */
+  def ordersPriorityPsi(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .select(((year(col("o_orderdate")) - 1992) * 4
+        + quarter(col("o_orderdate")) - 1).cast("long").as("q"),
+        col("o_orderpriority").as("priority"))
+      .groupBy("q", "priority").agg(count(lit(1)).as("n"))
+    val qTot = cells.groupBy("q").agg(sum("n").as("nq"))
+    val base = cells.groupBy("priority").agg(sum("n").as("nb"))
+    val baseTot = base.agg(sum("nb").as("nt"))
+    val k = 5.0 // priority arity for the Laplace denominator
+    val terms = cells.join(qTot, "q")
+      .join(broadcast(base), "priority")
+      .crossJoin(broadcast(baseTot))
+      .withColumn("share_q",
+        (col("n").cast("double") + 0.5) / (col("nq").cast("double") + 0.5 * k))
+      .withColumn("share_b",
+        (col("nb").cast("double") + 0.5) / (col("nt").cast("double") + 0.5 * k))
+      .withColumn("psi_term",
+        (col("share_q") - col("share_b")) * log(col("share_q") / col("share_b")))
+    val qPsi = terms.groupBy("q")
+      .agg(round(sum("psi_term"), 6).as("psi_quarter"))
+    terms.join(qPsi, "q")
+      .select(col("q").as("quarter"), col("priority"), col("n"),
+        round(col("share_q"), 6).as("share_quarter"),
+        round(col("share_b"), 6).as("share_baseline"),
+        round(col("psi_term"), 6).as("psi_term"),
+        col("psi_quarter"))
+      .orderBy("quarter", "priority")
+  }
 }

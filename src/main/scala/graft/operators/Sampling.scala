@@ -419,4 +419,57 @@ object Sampling {
           / (col("n_source") / 5.0), 6).as("chi2_term"))
       .orderBy("fold", "source")
   }
+
+  /** Train/test leakage audit of the split POLICY — the measured case
+    * for content-keyed splits: under an id-keyed split (hash of
+    * doc_id), exact-duplicate documents can straddle the train/test
+    * boundary (the classic eval contamination); under the
+    * content-keyed split [[sampleHashSplit]] actually uses (hash of
+    * text), duplicates land together BY CONSTRUCTION. Reported per
+    * policy: duplicate pairs total, pairs crossing any split
+    * boundary, and the leaked share — the id-keyed row is the bug
+    * this audit exists to catch, the content-keyed row its proof of
+    * fix (structurally 0).
+    *
+    * Scale shape: duplicate families come from the digest groupBy
+    * (shuffles 16-byte hashes); the pair join is an equi-join ON THE
+    * HASH restricted to multi-member families, so candidates are
+    * bounded by family sizes, never corpus all-pairs; the roll-up is
+    * a 2-key aggregate. 2 rows out.
+    */
+  def sampleSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        graft.functions.HexExprs.uniformHash(col("text")).as("u_text"),
+        graft.functions.HexExprs.uniformHash(
+          concat(col("doc_id").cast("string"), lit("#split"))).as("u_id"))
+    def splitOf(u: org.apache.spark.sql.Column) =
+      when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+    val assigned = d.select(col("doc_id"), col("h"),
+      splitOf(col("u_text")).as("split_content"),
+      splitOf(col("u_id")).as("split_id"))
+    // multi-member families only: the join key list for pair building
+    val dupHashes = assigned.groupBy("h").agg(count(lit(1)).as("k"))
+      .filter(col("k") >= 2).select("h")
+    val members = assigned.join(dupHashes, "h")
+    val pairs = members.as("a")
+      .join(members.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        (col("a.split_id") =!= col("b.split_id")).cast("long")
+          .as("cross_id"),
+        (col("a.split_content") =!= col("b.split_content")).cast("long")
+          .as("cross_content"))
+    val agg = pairs.agg(count(lit(1)).as("n_dup_pairs"),
+      sum("cross_id").as("leak_id"), sum("cross_content").as("leak_content"))
+    val byPolicy = agg.select(lit("id_keyed").as("policy"),
+        col("n_dup_pairs"), col("leak_id").as("n_cross_split"))
+      .unionAll(agg.select(lit("content_keyed").as("policy"),
+        col("n_dup_pairs"), col("leak_content").as("n_cross_split")))
+    byPolicy.select(col("policy"), col("n_dup_pairs"), col("n_cross_split"),
+        round(when(col("n_dup_pairs") > 0,
+          col("n_cross_split").cast("double") / col("n_dup_pairs"))
+          .otherwise(0.0), 6).as("leak_share"))
+      .orderBy("policy")
+  }
 }
