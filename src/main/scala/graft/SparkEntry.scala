@@ -345,6 +345,12 @@ object SparkEntry {
     "part_price_dispersion" -> (Olap.partPriceDispersion _),
     "orders_priority_psi" -> (Olap.ordersPriorityPsi _),
     "sample_split_leakage" -> (Sampling.sampleSplitLeakage _),
+    // round 8, batch 23: hybrid RRF retrieval, embedding anisotropy,
+    // AU postcode geography, purchase cadence
+    "retrieval_rrf_fusion" -> (Matching.retrievalRrfFusion _),
+    "embed_cosine_histogram" -> (Similarity.embedCosineHistogram _),
+    "clean_postcode_states" -> (Cleaning.cleanPostcodeStates _),
+    "events_purchase_cadence" -> (Events.eventsPurchaseCadence _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -6097,6 +6103,141 @@ object SparkEntry {
         | SELECT 'content_keyed' AS policy, n_dup_pairs,
         |   leak_content AS n_cross_split FROM ag) z
         |ORDER BY policy""".stripMargin,
+
+    "retrieval_rrf_fusion" ->
+      s"""WITH $ragScoredCtes,
+        |db AS (SELECT i, doc_id, max(bm25) AS bm25
+        |  FROM scored GROUP BY 1, 2),
+        |sr AS (SELECT i, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY i ORDER BY bm25 DESC, doc_id) AS INT)
+        |    AS rank_sparse
+        |  FROM db QUALIFY rank_sparse <= 20),
+        |e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |qv AS (SELECT vec_id AS i, v AS qvec, norm AS qn FROM n
+        |  WHERE vec_id < 3),
+        |ds AS (SELECT qv.i, n.vec_id AS doc_id,
+        |  round(list_sum(list_transform(generate_series(1, len(n.v)),
+        |    k -> n.v[k] * qv.qvec[k])) / (qv.qn * n.norm), 6) AS cos
+        | FROM n CROSS JOIN qv WHERE n.vec_id >= 3),
+        |dr AS (SELECT i, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY i ORDER BY cos DESC, doc_id) AS INT)
+        |    AS rank_dense
+        |  FROM ds QUALIFY rank_dense <= 20),
+        |f AS (SELECT coalesce(sr.i, dr.i) AS i,
+        |  coalesce(sr.doc_id, dr.doc_id) AS doc_id,
+        |  sr.rank_sparse, dr.rank_dense,
+        |  coalesce(CAST(1 AS DOUBLE) / (60.0 + sr.rank_sparse), 0.0)
+        |   + coalesce(CAST(1 AS DOUBLE) / (60.0 + dr.rank_dense), 0.0)
+        |    AS rrf
+        | FROM sr FULL OUTER JOIN dr
+        |   ON sr.i = dr.i AND sr.doc_id = dr.doc_id)
+        |SELECT i, doc_id, rank_sparse, rank_dense,
+        | round(rrf, 6) AS rrf_score,
+        | CAST(row_number() OVER (PARTITION BY i
+        |   ORDER BY rrf DESC, doc_id) AS INT) AS rank
+        |FROM f QUALIFY rank <= 5
+        |ORDER BY i, rank""".stripMargin,
+
+    "embed_cosine_histogram" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |  sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM e),
+        |st AS (SELECT CAST(unnest([1, 17, 101]) AS BIGINT) AS stride),
+        |pr AS (SELECT a.vec_id,
+        |  (a.vec_id + stride) % n_vecs AS partner, a.v AS va,
+        |  a.norm AS na
+        | FROM n a CROSS JOIN st CROSS JOIN c
+        | WHERE (a.vec_id + stride) % n_vecs <> a.vec_id),
+        |sc AS (SELECT round(list_sum(list_transform(
+        |    generate_series(1, len(pr.va)), k -> pr.va[k] * b.v[k]))
+        |    / (pr.na * b.norm), 6) AS cos
+        | FROM pr JOIN n b ON pr.partner = b.vec_id),
+        |bk AS (SELECT least(9, greatest(0,
+        |    CAST(floor((cos + 1.0) * 5) AS BIGINT))) AS bucket,
+        |  CAST(round(cos * 1e6) AS BIGINT) AS c_u6
+        | FROM sc),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM bk)
+        |SELECT bucket,
+        | round(CAST(bucket AS DOUBLE) / 5 - 1.0, 1) AS lo_edge,
+        | CAST(count(*) AS BIGINT) AS n_pairs,
+        | round(CAST(count(*) AS DOUBLE) / n_total, 6) AS share,
+        | round(CAST(sum(c_u6) AS DOUBLE) / count(*) / 1e6, 6)
+        |   AS avg_cos
+        |FROM bk CROSS JOIN t GROUP BY 1, n_total
+        |ORDER BY bucket""".stripMargin,
+
+    "clean_postcode_states" ->
+      """WITH shaped AS (
+        | SELECT CASE WHEN c_custkey % 5 = 0 THEN '99'
+        |   ELSE printf('%04d', c_nationkey * 100 + c_custkey % 100)
+        |   END AS postcode,
+        |  CASE WHEN c_custkey % 3 = 0 THEN 'active' ELSE 'cancelled'
+        |   END AS entity_status
+        | FROM customer),
+        |s AS (SELECT
+        |  CASE WHEN NOT regexp_matches(postcode, '^\d{4}$')
+        |    THEN 'INVALID'
+        |   WHEN CAST(postcode AS INT) BETWEEN 1000 AND 2599 THEN 'NSW'
+        |   WHEN CAST(postcode AS INT) BETWEEN 2619 AND 2899 THEN 'NSW'
+        |   WHEN CAST(postcode AS INT) BETWEEN 2921 AND 2999 THEN 'NSW'
+        |   WHEN CAST(postcode AS INT) BETWEEN 200 AND 299 THEN 'ACT'
+        |   WHEN CAST(postcode AS INT) BETWEEN 2600 AND 2618 THEN 'ACT'
+        |   WHEN CAST(postcode AS INT) BETWEEN 2900 AND 2920 THEN 'ACT'
+        |   WHEN CAST(postcode AS INT) BETWEEN 3000 AND 3999
+        |     OR CAST(postcode AS INT) BETWEEN 8000 AND 8999 THEN 'VIC'
+        |   WHEN CAST(postcode AS INT) BETWEEN 4000 AND 4999
+        |     OR CAST(postcode AS INT) BETWEEN 9000 AND 9999 THEN 'QLD'
+        |   WHEN CAST(postcode AS INT) BETWEEN 5000 AND 5999 THEN 'SA'
+        |   WHEN CAST(postcode AS INT) BETWEEN 6000 AND 6999 THEN 'WA'
+        |   WHEN CAST(postcode AS INT) BETWEEN 7000 AND 7999 THEN 'TAS'
+        |   WHEN CAST(postcode AS INT) BETWEEN 800 AND 999 THEN 'NT'
+        |   ELSE 'UNKNOWN' END AS state,
+        |  CASE WHEN lower(entity_status) = 'active' THEN 1 ELSE 0 END
+        |    AS is_active
+        | FROM shaped),
+        |cells AS (SELECT state, CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(sum(is_active) AS BIGINT) AS n_active
+        | FROM s GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_entities) AS BIGINT) AS n_total
+        |  FROM cells)
+        |SELECT state, n_entities,
+        | round(CAST(n_entities AS DOUBLE) / n_total, 6) AS share,
+        | n_active,
+        | round(CAST(n_active AS DOUBLE) / n_entities, 6)
+        |   AS active_share
+        |FROM cells CROSS JOIN t ORDER BY state""".stripMargin,
+
+    "events_purchase_cadence" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |  CAST(epoch(ts) AS BIGINT) // 86400 AS day
+        | FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT day - lag(day) OVER (PARTITION BY user_id
+        |    ORDER BY day) AS gap
+        | FROM d),
+        |b AS (SELECT gap,
+        |  CASE WHEN gap = 1 THEN 0 WHEN gap <= 3 THEN 1
+        |    WHEN gap <= 7 THEN 2 WHEN gap <= 14 THEN 3
+        |    WHEN gap <= 30 THEN 4 ELSE 5 END AS bucket_order,
+        |  CASE WHEN gap = 1 THEN '1d' WHEN gap <= 3 THEN '2-3d'
+        |    WHEN gap <= 7 THEN '4-7d' WHEN gap <= 14 THEN '8-14d'
+        |    WHEN gap <= 30 THEN '15-30d' ELSE '31d+' END AS bucket
+        | FROM g WHERE gap IS NOT NULL),
+        |cells AS (SELECT CAST(bucket_order AS BIGINT) AS bucket_order,
+        |  bucket, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(sum(gap) AS BIGINT) AS sum_days
+        | FROM b GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_gaps) AS BIGINT) AS n_total FROM cells)
+        |SELECT bucket_order, bucket, n_gaps,
+        | round(CAST(n_gaps AS DOUBLE) / n_total, 6) AS share,
+        | round(CAST(sum_days AS DOUBLE) / n_gaps, 6) AS avg_gap_days
+        |FROM cells CROSS JOIN t ORDER BY bucket_order""".stripMargin,
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

@@ -116,13 +116,65 @@ object Cleaning {
       .withColumn("checksum_valid",
         when(col("abn_len") === 11 && (digitSum % 89 === 0), 1)
           .otherwise(0).cast("int"))
-    val tot = flagged.agg(count(lit(1)).as("n_total"))
-    flagged.groupBy("abn_len", "checksum_valid")
+    val cells = flagged.groupBy("abn_len", "checksum_valid")
       .agg(count(lit(1)).as("n"))
+    // total from the ≤4-row cell table — never a second corpus pass
+    val tot = cells.agg(sum("n").as("n_total"))
+    cells
       .crossJoin(broadcast(tot))
       .select(col("abn_len"), col("checksum_valid"), col("n"),
         round(col("n").cast("double") / col("n_total"), 6).as("share"))
       .orderBy("abn_len", "checksum_valid")
+  }
+
+  /** Geographic rollup by the Australian postcode→state mapping (the
+    * coarse public range table: 1000-2599/2619-2899/2921-2999 NSW,
+    * 0200-0299/2600-2618/2900-2920 ACT, 3xxx+8xxx VIC, 4xxx+9xxx
+    * QLD, 5xxx SA, 6xxx WA, 7xxx TAS, 08xx-09xx NT) over the shaped
+    * register — the reference's load-side geography dimension
+    * (clean_abr.py keeps postcode as an opaque string; the state is
+    * what every downstream BI query actually groups by). Postcodes
+    * failing the 4-digit rule or outside every range report as
+    * INVALID/UNKNOWN rather than silently vanishing.
+    *
+    * Scale shape: the range CASE is one codegen'd projection; the
+    * rollup is a ≤10-key aggregate with map-side combine and a
+    * broadcast 1-row total. ≤10 rows out.
+    */
+  def cleanPostcodeStates(spark: SparkSession, dir: String): DataFrame = {
+    val pc = col("postcode")
+    val n = pc.cast("int")
+    val state = when(!pc.rlike("^\\d{4}$"), "INVALID")
+      .when(n >= 1000 && n <= 2599, "NSW")
+      .when(n >= 2619 && n <= 2899, "NSW")
+      .when(n >= 2921 && n <= 2999, "NSW")
+      .when(n >= 200 && n <= 299, "ACT")
+      .when(n >= 2600 && n <= 2618, "ACT")
+      .when(n >= 2900 && n <= 2920, "ACT")
+      .when((n >= 3000 && n <= 3999) || (n >= 8000 && n <= 8999), "VIC")
+      .when((n >= 4000 && n <= 4999) || (n >= 9000 && n <= 9999), "QLD")
+      .when(n >= 5000 && n <= 5999, "SA")
+      .when(n >= 6000 && n <= 6999, "WA")
+      .when(n >= 7000 && n <= 7999, "TAS")
+      .when(n >= 800 && n <= 999, "NT")
+      .otherwise("UNKNOWN")
+    val shaped = abrShapedTrimmed(spark, dir)
+      .select(state.as("state"),
+        (lower(col("entity_status")) === "active").cast("long")
+          .as("is_active"))
+    val cells = shaped.groupBy("state")
+      .agg(count(lit(1)).as("n_entities"), sum("is_active").as("n_active"))
+    // total from the ≤10-row cell table — never a second corpus pass
+    val tot = cells.agg(sum("n_entities").as("n_total"))
+    cells
+      .crossJoin(broadcast(tot))
+      .select(col("state"), col("n_entities"),
+        round(col("n_entities").cast("double") / col("n_total"), 6)
+          .as("share"),
+        col("n_active"),
+        round(col("n_active").cast("double") / col("n_entities"), 6)
+          .as("active_share"))
+      .orderBy("state")
   }
 
   /** Common-Crawl-shaped cleaning on a part projection: URL trim +

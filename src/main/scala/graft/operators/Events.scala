@@ -2110,9 +2110,14 @@ object Events {
     * rows out at any corpus size.
     */
   def eventsGrowthAccounting(spark: SparkSession, dir: String): DataFrame = {
-    val presence = Tables.events(spark, dir)
-      .select(col("user_id"), expr("ts_s div 604800").as("week"))
-      .distinct()
+    // weekly presence derives from the shared daily presence pin
+    // (week = day div 7 — floor-div composition, 604800 = 7·86400),
+    // so the growth family costs ONE corpus distinct total
+    val presence = graft.PlanCache.cached("nvr_presence", spark, dir) {
+      Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts_s div 86400").as("day"))
+        .distinct()
+    }.select(col("user_id"), expr("day div 7").as("week")).distinct()
     val lagged = presence.withColumn("prev_week",
       lag("week", 1).over(Window.partitionBy("user_id").orderBy("week")))
     val weekly = lagged.groupBy("week").agg(
@@ -2151,9 +2156,15 @@ object Events {
     * global window and never corpus-sized). |days| rows out.
     */
   def eventsStickiness(spark: SparkSession, dir: String): DataFrame = {
-    val pres = Tables.events(spark, dir)
-      .select(col("user_id"), expr("ts_s div 86400").as("day"))
-      .distinct()
+    // the (user, day) presence set is the PlanCache'd relation the
+    // growth family shares (eventsNewVsReturning's nvr_presence) —
+    // both its consumers here (interval build + DAU) read the pin
+    // instead of re-scanning and re-distincting the corpus
+    val pres = graft.PlanCache.cached("nvr_presence", spark, dir) {
+      Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts_s div 86400").as("day"))
+        .distinct()
+    }
     val w = Window.partitionBy("user_id").orderBy("day")
     val iv = pres
       .withColumn("gap", col("day") - lag("day", 1).over(w))
@@ -2175,5 +2186,55 @@ object Events {
         round(col("dau").cast("double") / col("mau28"), 6)
           .as("stickiness"))
       .orderBy("day")
+  }
+
+  /** Repeat-purchase cadence: gaps in days between a user's
+    * consecutive DISTINCT purchase days, binned into the standard
+    * replenishment buckets (1, 2-3, 4-7, 8-14, 15-30, 31+) — the
+    * table behind re-engagement timing and churn-definition choices
+    * (defining churn at 30 days is wrong for a 60-day-cadence
+    * product). Distinct days first, so same-day repeat orders don't
+    * flood the histogram with zero gaps.
+    *
+    * Scale shape: presence is one DISTINCT projection; gaps are a
+    * per-user lag window (state bounded by one user's days); the
+    * roll-up is a 6-key aggregate with map-side combine and a
+    * broadcast 1-row total. ≤6 rows out.
+    */
+  def eventsPurchaseCadence(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_s div 86400").as("day"))
+      .distinct()
+    val gaps = days
+      .withColumn("gap", col("day") - lag("day", 1).over(
+        Window.partitionBy("user_id").orderBy("day")))
+      .filter(col("gap").isNotNull)
+      .withColumn("bucket_order",
+        when(col("gap") === 1, 0L)
+          .when(col("gap") <= 3, 1L)
+          .when(col("gap") <= 7, 2L)
+          .when(col("gap") <= 14, 3L)
+          .when(col("gap") <= 30, 4L)
+          .otherwise(5L))
+      .withColumn("bucket",
+        when(col("bucket_order") === 0, "1d")
+          .when(col("bucket_order") === 1, "2-3d")
+          .when(col("bucket_order") === 2, "4-7d")
+          .when(col("bucket_order") === 3, "8-14d")
+          .when(col("bucket_order") === 4, "15-30d")
+          .otherwise("31d+"))
+    val cells = gaps.groupBy("bucket_order", "bucket")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sum_days"))
+    // total from the 6-row cell table — never a second corpus pass
+    val tot = cells.agg(sum("n_gaps").as("n_total"))
+    cells
+      .crossJoin(broadcast(tot))
+      .select(col("bucket_order"), col("bucket"), col("n_gaps"),
+        round(col("n_gaps").cast("double") / col("n_total"), 6)
+          .as("share"),
+        round(col("sum_days").cast("double") / col("n_gaps"), 6)
+          .as("avg_gap_days"))
+      .orderBy("bucket_order")
   }
 }

@@ -696,6 +696,63 @@ object Matching {
       .orderBy("i")
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    * ranking ([[retrieveChunksBm25]]'s scored relation, rolled up to
+    * doc level) fused with a dense cosine ranking (the query doc's
+    * embedding against candidate docs) as Σ 1/(60+rank) over both
+    * lists — the standard hybrid-search combiner (rank-based, so the
+    * incomparable BM25 and cosine scales never meet). A doc missing
+    * from one list contributes 0 from that ranker, not a NULL sum.
+    *
+    * Scale shape: the sparse side reuses the PlanCache'd inverted-
+    * index scored relation (one per-(query, doc) max aggregate +
+    * per-query top-20 heap); the dense side is a broadcast of the
+    * 3-row query-vector set against the corpus (the knn_brute
+    * baseline plan — at corpus scale the IVF-bucketed variant is the
+    * drop-in, same downstream fusion); the fusion join and the final
+    * top-5 run on two ≤20-row-per-query lists. 5·|queries| rows out.
+    */
+  def retrievalRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val docBm = ragScored(spark, dir)
+      .groupBy("i", "doc_id").agg(max("bm25").as("bm25"))
+    val sTop = graft.plans.TopKPerGroup(docBm, Seq("i"),
+        Seq(("bm25", true), ("doc_id", false)), 20)
+      .withColumn("rank_sparse", row_number().over(
+        Window.partitionBy("i").orderBy(col("bm25").desc, col("doc_id"))))
+      .select("i", "doc_id", "rank_sparse")
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", expr(
+        "sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("i"), col("v").as("qv"),
+        col("norm").as("qn"))
+    val dScored = e.filter(col("vec_id") >= 3)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(
+        graft.functions.VectorExprs.dot(col("qv"), col("v"))
+          / (col("qn") * col("norm")), 6))
+      .select(col("i"), col("vec_id").as("doc_id"), col("cos"))
+    val dTop = graft.plans.TopKPerGroup(dScored, Seq("i"),
+        Seq(("cos", true), ("doc_id", false)), 20)
+      .withColumn("rank_dense", row_number().over(
+        Window.partitionBy("i").orderBy(col("cos").desc, col("doc_id"))))
+      .select("i", "doc_id", "rank_dense")
+    val fused = sTop.join(dTop, Seq("i", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("rank_sparse")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60.0) + col("rank_dense")), lit(0.0)))
+    graft.plans.TopKPerGroup(fused, Seq("i"),
+        Seq(("rrf", true), ("doc_id", false)), 5)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("i").orderBy(col("rrf").desc, col("doc_id")))
+        .cast("int"))
+      .select(col("i"), col("doc_id"), col("rank_sparse"),
+        col("rank_dense"), round(col("rrf"), 6).as("rrf_score"),
+        col("rank"))
+      .orderBy("i", "rank")
+  }
+
   /** Union of methods + pair dedup with exact winning over fuzzy —
     * the reference's concat + drop_duplicates combine step
     * (entity_matching.py:62-66).

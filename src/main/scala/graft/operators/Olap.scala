@@ -1144,8 +1144,11 @@ object Olap {
     val longest = islands.groupBy("o_custkey", "grp")
       .agg(count(lit(1)).as("len"))
       .groupBy("o_custkey").agg(max("len").as("longest"))
-    val tot = longest.agg(count(lit(1)).as("n_total"))
-    longest.groupBy("longest").agg(count(lit(1)).as("n_customers"))
+    val cells = longest.groupBy("longest")
+      .agg(count(lit(1)).as("n_customers"))
+    // total from the ≤84-row histogram — never a second fact pass
+    val tot = cells.agg(sum("n_customers").as("n_total"))
+    cells
       .crossJoin(broadcast(tot))
       .select(col("longest").as("streak_months"), col("n_customers"),
         round(col("n_customers").cast("double") / col("n_total"), 6)
@@ -1207,11 +1210,16 @@ object Olap {
     * out at any corpus size.
     */
   def partAbcClass(spark: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.lineitem(spark, dir)
-      .select(col("l_partkey"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-          * 100).cast("long").as("r_c"))
-      .groupBy("l_partkey").agg(sum("r_c").as("rev_c"))
+    // per-part revenue is PlanCache'd: four consumers (the in-block
+    // window, block totals, the corpus total, and the classed join)
+    // read this |parts|-row pin instead of re-running the fact scan
+    val rev = graft.PlanCache.cached("abc_part_rev", spark, dir) {
+      Tables.lineitem(spark, dir)
+        .select(col("l_partkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long").as("r_c"))
+        .groupBy("l_partkey").agg(sum("r_c").as("rev_c"))
+    }
     val grid = rev.withColumn("blk", expr("rev_c div 16777216"))
     val inBlk = grid.withColumn("cum_in",
       sum("rev_c").over(Window.partitionBy("blk")
@@ -1268,13 +1276,15 @@ object Olap {
         round(col("sq2").cast("double") * 1e6
           / (col("qt").cast("double") * col("qt").cast("double")))
           .cast("long"))
-    val tot = perPart.agg(count(lit(1)).as("n_parts_total"))
-    perPart
+    val cells = perPart
       .withColumn("bucket", least(lit(10L),
         expr("hhi_u6 div 100000")))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_parts"),
         sum("n_suppliers").as("s_supp"), sum("hhi_u6").as("s_hhi"))
+    // total from the ≤11-row cell table — never a second fact pass
+    val tot = cells.agg(sum("n_parts").as("n_parts_total"))
+    cells
       .crossJoin(broadcast(tot))
       .select(col("bucket"), col("n_parts"),
         round(col("n_parts").cast("double") / col("n_parts_total"), 6)

@@ -1466,4 +1466,57 @@ object Similarity {
           / sqrt(col("hc_u9").cast("double") * col("hl_u9").cast("double")),
           6).as("nmi"))
   }
+
+  /** Embedding-space anisotropy histogram: cosine similarity over a
+    * deterministic O(N) pair sample (each vector paired with its
+    * +1 / +17 / +101 stride neighbors mod N), binned into ten 0.2-wide
+    * buckets over [-1, 1] with the per-bucket exact mean — the
+    * embedding-collapse health check (a healthy space centers random-
+    * pair cosine near 0; mass piling toward 1 means the encoder
+    * collapsed and every ANN / dedup / cluster op downstream
+    * degrades). Strides are coprime to typical batch sizes, so the
+    * sample can't alias a batch-ordering artifact.
+    *
+    * Scale shape: partner ids are a map-side projection (no pair
+    * explosion — exactly 3N pairs); the partner join is an equi-join
+    * on the id; per-pair cosines round to micro-units BEFORE the
+    * ≤10-key rollup (float sums are order-dependent across engines);
+    * the count scalar is a broadcast 1-row relation. ≤10 rows out.
+    */
+  def embedCosineHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecsWithNorm(spark, dir).select("vec_id", "v", "norm")
+    val n = e.agg(count(lit(1)).as("n_vecs"))
+    val strides = spark.createDataFrame(
+      Seq(Tuple1(1L), Tuple1(17L), Tuple1(101L))).toDF("stride")
+    val pairs = e.crossJoin(broadcast(strides)).crossJoin(broadcast(n))
+      .withColumn("partner",
+        (col("vec_id") + col("stride")) % col("n_vecs"))
+      .filter(col("partner") =!= col("vec_id"))
+      .select(col("vec_id"), col("partner"),
+        col("v").as("va"), col("norm").as("na"))
+    val scored = pairs
+      .join(e.select(col("vec_id").as("partner"), col("v").as("vb"),
+        col("norm").as("nb")), "partner")
+      .withColumn("cos", round(
+        graft.functions.VectorExprs.dot(col("va"), col("vb"))
+          / (col("na") * col("nb")), 6))
+      .withColumn("c_u6", round(col("cos") * 1e6).cast("long"))
+      .withColumn("bucket", least(lit(9L),
+        greatest(lit(0L), floor((col("cos") + 1.0) * 5).cast("long"))))
+    // denominator from the PRE-join pair frame (the partner equi-join
+    // preserves cardinality — every partner id exists) so the scoring
+    // join never runs twice (the graph_clustering_local lesson)
+    val tot = pairs.agg(count(lit(1)).as("n_total"))
+    scored.groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"), sum("c_u6").as("s_u6"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(col("bucket").cast("double") / 5.0 - 1.0, 1).as("lo_edge"),
+        col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("n_total"), 6)
+          .as("share"),
+        round(col("s_u6").cast("double") / col("n_pairs") / 1e6, 6)
+          .as("avg_cos"))
+      .orderBy("bucket")
+  }
 }
