@@ -351,6 +351,12 @@ object SparkEntry {
     "embed_cosine_histogram" -> (Similarity.embedCosineHistogram _),
     "clean_postcode_states" -> (Cleaning.cleanPostcodeStates _),
     "events_purchase_cadence" -> (Events.eventsPurchaseCadence _),
+    // round 8, batch 24: weekend conversion effect, open-order aging,
+    // char-entropy compressibility, feature co-usage matrix
+    "events_weekend_effect" -> (Events.eventsWeekendEffect _),
+    "orders_aging" -> (Olap.ordersAging _),
+    "text_char_entropy" -> (TextAnalysis.textCharEntropy _),
+    "events_type_overlap" -> (Events.eventsTypeOverlap _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -6238,6 +6244,109 @@ object SparkEntry {
         | round(CAST(n_gaps AS DOUBLE) / n_total, 6) AS share,
         | round(CAST(sum_days AS DOUBLE) / n_gaps, 6) AS avg_gap_days
         |FROM cells CROSS JOIN t ORDER BY bucket_order""".stripMargin,
+
+    "events_weekend_effect" ->
+      """WITH pr AS (SELECT DISTINCT user_id,
+        |  CAST(epoch(ts) AS BIGINT) // 86400 AS day FROM events),
+        |p2 AS (SELECT user_id, day,
+        |  CAST(CASE WHEN (day + 4) % 7 IN (0, 6) THEN 1 ELSE 0 END
+        |    AS INT) AS is_weekend
+        | FROM pr),
+        |bu AS (SELECT DISTINCT user_id,
+        |  CAST(epoch(ts) AS BIGINT) // 86400 AS day
+        | FROM events WHERE event_type = 'purchase'),
+        |fl AS (SELECT p2.is_weekend,
+        |  CASE WHEN bu.user_id IS NULL THEN 0 ELSE 1 END AS b
+        | FROM p2 LEFT JOIN bu ON p2.user_id = bu.user_id
+        |   AND p2.day = bu.day),
+        |cells AS (SELECT is_weekend,
+        |  CAST(count(*) AS BIGINT) AS n_user_days,
+        |  CAST(sum(b) AS BIGINT) AS n_buyer_days
+        | FROM fl GROUP BY 1),
+        |st AS (SELECT
+        |  CAST(sum(CASE WHEN is_weekend = 1 THEN n_user_days END)
+        |    AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN is_weekend = 1 THEN n_buyer_days END)
+        |    AS BIGINT) AS b1,
+        |  CAST(sum(CASE WHEN is_weekend = 0 THEN n_user_days END)
+        |    AS BIGINT) AS n0,
+        |  CAST(sum(CASE WHEN is_weekend = 0 THEN n_buyer_days END)
+        |    AS BIGINT) AS b0
+        | FROM cells)
+        |SELECT is_weekend, n_user_days, n_buyer_days,
+        | round(CAST(n_buyer_days AS DOUBLE) / n_user_days, 6)
+        |   AS conv_rate,
+        | round(CAST(b1 AS DOUBLE) / n1 - CAST(b0 AS DOUBLE) / n0, 6)
+        |   AS weekend_lift,
+        | round((CAST(b1 AS DOUBLE) / n1 - CAST(b0 AS DOUBLE) / n0)
+        |   / sqrt((CAST(b1 + b0 AS DOUBLE) / (n1 + n0))
+        |     * (1.0 - CAST(b1 + b0 AS DOUBLE) / (n1 + n0))
+        |     * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n0)), 6)
+        |   AS z_pooled
+        |FROM cells CROSS JOIN st ORDER BY is_weekend""".stripMargin,
+
+    "orders_aging" ->
+      """WITH ref AS (SELECT max(o_orderdate) AS ref FROM orders),
+        |aged AS (SELECT o_orderstatus AS status,
+        |  CAST(datediff('day', o_orderdate, ref) AS BIGINT) AS age,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS v_c
+        | FROM orders CROSS JOIN ref WHERE o_orderstatus <> 'F'),
+        |b AS (SELECT status, v_c,
+        |  CASE WHEN age <= 30 THEN 0 WHEN age <= 90 THEN 1
+        |    WHEN age <= 180 THEN 2 WHEN age <= 365 THEN 3
+        |    ELSE 4 END AS bucket_order,
+        |  CASE WHEN age <= 30 THEN '0-30d' WHEN age <= 90 THEN '31-90d'
+        |    WHEN age <= 180 THEN '91-180d'
+        |    WHEN age <= 365 THEN '181-365d' ELSE '366d+' END AS bucket
+        | FROM aged),
+        |cells AS (SELECT status, CAST(bucket_order AS BIGINT)
+        |    AS bucket_order, bucket,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(v_c) AS BIGINT) AS v_c
+        | FROM b GROUP BY 1, 2, 3),
+        |t AS (SELECT CAST(sum(v_c) AS BIGINT) AS total_c FROM cells)
+        |SELECT status, bucket_order, bucket, n_orders,
+        | round(CAST(v_c AS DOUBLE) / 100, 2) AS open_value,
+        | round(CAST(v_c AS DOUBLE) / total_c, 6) AS value_share
+        |FROM cells CROSS JOIN t
+        |ORDER BY status, bucket_order""".stripMargin,
+
+    "text_char_entropy" ->
+      """WITH ch AS (SELECT source,
+        |  unnest(string_split_regex(text, '')) AS ch FROM documents),
+        |counts AS (SELECT source, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM ch WHERE length(ch) = 1 GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_chars,
+        |  CAST(count(*) AS BIGINT) AS n_distinct
+        | FROM counts GROUP BY 1),
+        |terms AS (SELECT counts.source, n_chars, n_distinct,
+        |  CAST(round(-(CAST(c AS DOUBLE) / n_chars)
+        |    * log2(CAST(c AS DOUBLE) / n_chars) * 1e9) AS BIGINT)
+        |    AS t_u9
+        | FROM counts JOIN tot ON counts.source = tot.source)
+        |SELECT source, n_chars, n_distinct,
+        | round(CAST(sum(t_u9) AS DOUBLE) / 1e9, 6) AS entropy_bits,
+        | round(CAST(sum(t_u9) AS DOUBLE) / 1e9 / 8, 6)
+        |   AS est_compression_ratio
+        |FROM terms GROUP BY 1, 2, 3 ORDER BY source""".stripMargin,
+
+    "events_type_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+        |  FROM tu GROUP BY 1),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS n_both
+        | FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |   AND a.event_type < b.event_type
+        | GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both, pa.nu AS n_a, pb.nu AS n_b,
+        | round(CAST(n_both AS DOUBLE) / (pa.nu + pb.nu - n_both), 6)
+        |   AS jaccard,
+        | round(CAST(n_both AS DOUBLE) / least(pa.nu, pb.nu), 6)
+        |   AS overlap_coef
+        |FROM pairs JOIN per pa ON pairs.type_a = pa.event_type
+        |JOIN per pb ON pairs.type_b = pb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

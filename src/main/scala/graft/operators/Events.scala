@@ -2237,4 +2237,87 @@ object Events {
           .as("avg_gap_days"))
       .orderBy("bucket_order")
   }
+
+  /** Weekend effect on conversion: the share of active user-days that
+    * include a purchase, weekday vs weekend, with the two-proportion
+    * pooled z — the day-mix sanity check every experiment and
+    * forecast should control for (a weekday-launched A/B reads
+    * differently if weekends convert at half the rate). Day-of-week
+    * comes from epoch-day arithmetic ((day+4) mod 7), never a
+    * timezone-dependent date function.
+    *
+    * Scale shape: presence reads the shared nvr_presence pin; buyer
+    * days are one DISTINCT projection of the purchase slice; the
+    * flag join is per-(user, day) equi; the z expands from the 2-row
+    * cell table's exact counts. 2 rows out.
+    */
+  def eventsWeekendEffect(spark: SparkSession, dir: String): DataFrame = {
+    val pres = graft.PlanCache.cached("nvr_presence", spark, dir) {
+      Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts_s div 86400").as("day"))
+        .distinct()
+    }.withColumn("is_weekend",
+      ((col("day") + 4) % 7).isin(0L, 6L).cast("int"))
+    val buys = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_s div 86400").as("day"))
+      .distinct().withColumn("b", lit(1L))
+    val cells = pres.join(buys, Seq("user_id", "day"), "left")
+      .na.fill(0L, Seq("b"))
+      .groupBy("is_weekend")
+      .agg(count(lit(1)).as("n_user_days"), sum("b").as("n_buyer_days"))
+    val st = cells.agg(
+      sum(when(col("is_weekend") === 1, col("n_user_days"))).as("n1"),
+      sum(when(col("is_weekend") === 1, col("n_buyer_days"))).as("b1"),
+      sum(when(col("is_weekend") === 0, col("n_user_days"))).as("n0"),
+      sum(when(col("is_weekend") === 0, col("n_buyer_days"))).as("b0"))
+    val p1 = col("b1").cast("double") / col("n1")
+    val p0 = col("b0").cast("double") / col("n0")
+    val pp = (col("b1") + col("b0")).cast("double") /
+      (col("n1") + col("n0")).cast("double")
+    val z = (p1 - p0) / sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n1") + lit(1.0) / col("n0")))
+    cells.crossJoin(broadcast(st))
+      .select(col("is_weekend"), col("n_user_days"), col("n_buyer_days"),
+        round(col("n_buyer_days").cast("double") / col("n_user_days"), 6)
+          .as("conv_rate"),
+        round(p1 - p0, 6).as("weekend_lift"),
+        round(z, 6).as("z_pooled"))
+      .orderBy("is_weekend")
+  }
+
+  /** Feature co-usage matrix: for every event-type pair, the Jaccard
+    * and overlap coefficient of their USER sets — the product-
+    * analytics table behind bundling/cross-sell and funnel-ordering
+    * decisions (which behaviors share an audience). Diagonal-free,
+    * type_a < type_b.
+    *
+    * Scale shape: the (type, user) relation is one DISTINCT
+    * projection; the pair join is an equi-join ON THE USER, so
+    * per-key fanout is bounded by |types|² (a constant), never
+    * user-pairs; per-type sizes re-aggregate the distinct relation
+    * once and broadcast. ≤|types|² rows out.
+    */
+  def eventsTypeOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val tu = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val per = tu.groupBy("event_type").agg(count(lit(1)).as("nu"))
+    val pairs = tu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")),
+        "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(per.select(col("event_type").as("type_a"),
+        col("nu").as("n_a"))), "type_a")
+      .join(broadcast(per.select(col("event_type").as("type_b"),
+        col("nu").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        col("n_a"), col("n_b"),
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"),
+        round(col("n_both").cast("double") /
+          least(col("n_a"), col("n_b")), 6).as("overlap_coef"))
+      .orderBy("type_a", "type_b")
+  }
 }

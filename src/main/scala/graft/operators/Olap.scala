@@ -1376,4 +1376,48 @@ object Olap {
         col("psi_quarter"))
       .orderBy("quarter", "priority")
   }
+
+  /** Open-order aging: orders not yet finalized (status O / P)
+    * bucketed by age at the dataset's reference date (its max order
+    * date) with order counts and exact-cent open value per bucket —
+    * the receivables-aging / fulfillment-backlog table finance runs
+    * weekly. Value shares are of TOTAL open value, so the report
+    * reads as "what fraction of our exposure is over a year old".
+    *
+    * Scale shape: the reference date is a PlanCache'd 1-row scalar
+    * (broadcast, no driver collect); aging and bucketing are
+    * projections; ONE (status, bucket) aggregate with map-side
+    * combine; totals from the ≤10-row cell table. ≤10 rows out.
+    */
+  def ordersAging(spark: SparkSession, dir: String): DataFrame = {
+    val ref = graft.PlanCache.cached("orders_ref_date", spark, dir) {
+      Tables.orders(spark, dir).agg(max(col("o_orderdate")).as("ref"))
+    }
+    val aged = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") =!= "F")
+      .crossJoin(broadcast(ref))
+      .select(col("o_orderstatus").as("status"),
+        datediff(col("ref"), col("o_orderdate")).cast("long").as("age"),
+        round(col("o_totalprice") * 100).cast("long").as("v_c"))
+      .withColumn("bucket_order",
+        when(col("age") <= 30, 0L).when(col("age") <= 90, 1L)
+          .when(col("age") <= 180, 2L).when(col("age") <= 365, 3L)
+          .otherwise(4L))
+      .withColumn("bucket",
+        when(col("bucket_order") === 0, "0-30d")
+          .when(col("bucket_order") === 1, "31-90d")
+          .when(col("bucket_order") === 2, "91-180d")
+          .when(col("bucket_order") === 3, "181-365d")
+          .otherwise("366d+"))
+    val cells = aged.groupBy("status", "bucket_order", "bucket")
+      .agg(count(lit(1)).as("n_orders"), sum("v_c").as("v_c"))
+    val tot = cells.agg(sum("v_c").as("total_c"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("status"), col("bucket_order"), col("bucket"),
+        col("n_orders"),
+        round(col("v_c").cast("double") / 100.0, 2).as("open_value"),
+        round(col("v_c").cast("double") / col("total_c"), 6)
+          .as("value_share"))
+      .orderBy("status", "bucket_order")
+  }
 }

@@ -706,6 +706,40 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Per-source character-level entropy — the compressibility /
+    * repetitiveness proxy that needs no compressor in the loop: H =
+    * −Σ p(c)·log₂p(c) over the source's character distribution;
+    * natural English text sits ~4.1 bits/char, heavily-duplicated or
+    * templated feeds drop far lower and encrypted/binary junk pushes
+    * toward log₂|alphabet|. est_ratio = H/8 approximates the best
+    * order-0 byte coder — the "is this feed worth storing
+    * uncompressed" screen.
+    *
+    * Scale shape: the char explode is map-side and lands in a
+    * (source × alphabet)-key aggregate (≤ a few hundred keys) with
+    * map-side combine; entropy terms round to nano-units per
+    * DISTINCT CHARACTER before the final ≤10-term sum, so both
+    * engines add identical integers. |sources| rows out.
+    */
+  def textCharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .groupBy("source", "ch").agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy("source")
+      .agg(sum("c").as("n_chars"), count(lit(1)).as("n_distinct"))
+    val p = col("c").cast("double") / col("n_chars")
+    counts.join(tot, "source")
+      .withColumn("t_u9", round(-p * log2(p) * 1e9).cast("long"))
+      .groupBy("source", "n_chars", "n_distinct")
+      .agg(sum("t_u9").as("s_u9"))
+      .select(col("source"), col("n_chars"), col("n_distinct"),
+        round(col("s_u9").cast("double") / 1e9, 6).as("entropy_bits"),
+        round(col("s_u9").cast("double") / 1e9 / 8.0, 6)
+          .as("est_compression_ratio"))
+      .orderBy("source")
+  }
+
   /** Per-document keyword extraction: top-3 tokens by TF-IDF — the
     * "what is this document about" signal used for topic balancing
     * and cluster labeling in corpus curation. df is one aggregate
