@@ -357,6 +357,12 @@ object SparkEntry {
     "orders_aging" -> (Olap.ordersAging _),
     "text_char_entropy" -> (TextAnalysis.textCharEntropy _),
     "events_type_overlap" -> (Events.eventsTypeOverlap _),
+    // round 8, batch 25: Heaps'-law vocab growth, latency SLO trend,
+    // dedup survival by source, discount lift
+    "text_heaps_law" -> (TextAnalysis.textHeapsLaw _),
+    "lineitem_latency_trend" -> (Olap.lineitemLatencyTrend _),
+    "dedup_source_survival" -> (Dedup.dedupSourceSurvival _),
+    "lineitem_discount_lift" -> (Olap.lineitemDiscountLift _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -6347,6 +6353,93 @@ object SparkEntry {
         |FROM pairs JOIN per pa ON pairs.type_a = pa.event_type
         |JOIN per pb ON pairs.type_b = pb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+
+    "text_heaps_law" ->
+      """WITH tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS w
+        |   FROM documents) t GROUP BY 1, 2),
+        |fo AS (SELECT w, min(doc_id) AS first_doc FROM tf GROUP BY 1),
+        |ds AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_toks
+        |  FROM tf GROUP BY 1),
+        |md AS (SELECT max(doc_id) AS max_doc FROM ds),
+        |cks AS (SELECT ck, CAST((ck * (max_doc + 1)) / 10 AS BIGINT)
+        |    AS doc_lim
+        |  FROM (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT)
+        |    AS ck) x CROSS JOIN md),
+        |vv AS (SELECT ck, doc_lim, CAST(count(*) AS BIGINT) AS v_types
+        |  FROM fo JOIN cks ON fo.first_doc < cks.doc_lim
+        |  GROUP BY 1, 2),
+        |mm AS (SELECT ck, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |  FROM ds JOIN cks ON ds.doc_id < cks.doc_lim GROUP BY 1),
+        |pts AS (SELECT vv.ck, n_tokens, v_types,
+        |  ln(CAST(n_tokens AS DOUBLE)) AS x,
+        |  ln(CAST(v_types AS DOUBLE)) AS y
+        | FROM vv JOIN mm ON vv.ck = mm.ck),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |  sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx FROM pts),
+        |fit AS (SELECT
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS beta,
+        |  round(exp((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n),
+        |    6) AS k
+        | FROM s)
+        |SELECT ck, n_tokens, v_types, beta, k
+        |FROM pts CROSS JOIN fit ORDER BY ck""".stripMargin,
+
+    "lineitem_latency_trend" ->
+      """WITH grid AS (SELECT
+        |  CAST((year(o_orderdate) - 1992) * 4 + quarter(o_orderdate) - 1
+        |    AS BIGINT) AS q,
+        |  CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT)
+        |    AS days,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY 1, 2),
+        |cum AS (SELECT q, days, c,
+        |  sum(c) OVER (PARTITION BY q ORDER BY days
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM grid),
+        |tot AS (SELECT q, CAST(sum(c) AS BIGINT) AS n_lines,
+        |  CAST(sum(days * c) AS BIGINT) AS sd
+        | FROM grid GROUP BY 1),
+        |p50 AS (SELECT cum.q, min(days) AS p50_days
+        |  FROM cum JOIN tot ON cum.q = tot.q
+        |  WHERE cum * 2 >= n_lines GROUP BY 1),
+        |p90 AS (SELECT cum.q, min(days) AS p90_days
+        |  FROM cum JOIN tot ON cum.q = tot.q
+        |  WHERE cum * 10 >= n_lines * 9 GROUP BY 1)
+        |SELECT tot.q AS quarter, n_lines,
+        | round(CAST(sd AS DOUBLE) / n_lines, 6) AS mean_days,
+        | p50_days, p90_days
+        |FROM tot JOIN p50 ON tot.q = p50.q JOIN p90 ON tot.q = p90.q
+        |ORDER BY quarter""".stripMargin,
+
+    "dedup_source_survival" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h
+        |  FROM documents),
+        |fam AS (SELECT h, min(doc_id) AS keeper FROM d GROUP BY 1),
+        |cells AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN d.doc_id <> fam.keeper THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_removed
+        | FROM d JOIN fam ON d.h = fam.h GROUP BY 1)
+        |SELECT source, n_docs, n_docs - n_removed AS n_kept, n_removed,
+        | round(CAST(n_removed AS DOUBLE) / n_docs, 6) AS removed_share
+        |FROM cells ORDER BY source""".stripMargin,
+
+    "lineitem_discount_lift" ->
+      """WITH cells AS (SELECT
+        |  CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS rc
+        | FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(rc) AS BIGINT) AS total_c FROM cells)
+        |SELECT disc_pct, n_lines,
+        | round(CAST(sq AS DOUBLE) / n_lines, 6) AS avg_qty,
+        | round(CAST(rc AS DOUBLE) / 100, 2) AS revenue,
+        | round(CAST(rc AS DOUBLE) / total_c, 6) AS revenue_share
+        |FROM cells CROSS JOIN t ORDER BY disc_pct""".stripMargin,
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

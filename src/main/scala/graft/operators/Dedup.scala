@@ -855,5 +855,35 @@ object Dedup {
           6).as("overlap_coef"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Dedup impact by source: after exact content dedup with the
+    * min-id keeper policy, how many of each source's docs survive —
+    * the curation-impact report that tells you WHOSE mixture weight
+    * the dedup silently changed (a source that loses 40% of its docs
+    * to another feed's duplicates needs its weight recomputed on the
+    * POST-dedup census, or the mixture is wrong). Cross-feed loss is
+    * attributed to the source that held the non-kept copy.
+    *
+    * Scale shape: families from the digest groupBy (shuffles 16-byte
+    * hashes + the min-id argmin — map-side combine); the keeper flag
+    * is one equi-join back on the hash; ONE |sources|-key rollup.
+    * |sources| rows out.
+    */
+  def dedupSourceSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val fam = d.groupBy("h").agg(min("doc_id").as("keeper"))
+    val cells = d.join(fam, "h")
+      .withColumn("removed",
+        (col("doc_id") =!= col("keeper")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("removed").as("n_removed"))
+    cells.select(col("source"), col("n_docs"),
+        (col("n_docs") - col("n_removed")).as("n_kept"),
+        col("n_removed"),
+        round(col("n_removed").cast("double") / col("n_docs"), 6)
+          .as("removed_share"))
+      .orderBy("source")
+  }
 }
 

@@ -1420,4 +1420,73 @@ object Olap {
           .as("value_share"))
       .orderBy("status", "bucket_order")
   }
+
+  /** Fulfillment-latency trend: exact p50/p90 ship latency (days from
+    * order to line ship) per order quarter — the "are we getting
+    * slower" SLO table, quarter-grain so a seasonal ramp is visible
+    * before it becomes a contract breach. Exact quantiles via the
+    * per-quarter day-grid ECDF (latencies land on a ≤few-hundred-key
+    * integer grid — cumulative counts, not value buffering).
+    *
+    * Scale shape: one fact-fact orderkey equi-join, one (quarter,
+    * days) aggregate with map-side combine; the cumulative window is
+    * partitioned per quarter over the bounded day grid; quantile
+    * selection is a filtered min per quarter. |quarters| rows out.
+    */
+  def lineitemLatencyTrend(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(((year(col("o_orderdate")) - 1992) * 4
+        + quarter(col("o_orderdate")) - 1).cast("long").as("q"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("days"))
+      .groupBy("q", "days").agg(count(lit(1)).as("c"))
+    val cum = grid.withColumn("cum",
+      sum("c").over(Window.partitionBy("q").orderBy("days")))
+    val tot = grid.groupBy("q")
+      .agg(sum("c").as("n_lines"), sum(col("days") * col("c")).as("sd"))
+    val j = cum.join(tot, "q")
+    val p50 = j.filter(col("cum") * 2 >= col("n_lines"))
+      .groupBy("q").agg(min("days").as("p50_days"))
+    val p90 = j.filter(col("cum") * 10 >= col("n_lines") * 9)
+      .groupBy("q").agg(min("days").as("p90_days"))
+    tot.join(p50, "q").join(p90, "q")
+      .select(col("q").as("quarter"), col("n_lines"),
+        round(col("sd").cast("double") / col("n_lines"), 6)
+          .as("mean_days"),
+        col("p50_days"), col("p90_days"))
+      .orderBy("quarter")
+  }
+
+  /** Discount-lift read-out: per discount level (integer percent),
+    * line counts, exact average quantity, and revenue share — the
+    * "does discounting actually move volume" table behind promo
+    * planning (monotone-ish avg quantity by discount is elasticity;
+    * flat is margin burn). All moments exact BIGINTs (quantities are
+    * integral, revenue in rounded cents).
+    *
+    * Scale shape: one ≤11-key map-side-combined aggregate; totals
+    * from the cell table. ≤11 rows out at any corpus size.
+    */
+  def lineitemDiscountLift(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(spark, dir)
+      .select(round(col("l_discount") * 100).cast("long").as("disc_pct"),
+        col("l_quantity").cast("long").as("qn"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100).cast("long").as("rev_c"))
+      .groupBy("disc_pct")
+      .agg(count(lit(1)).as("n_lines"), sum("qn").as("sq"),
+        sum("rev_c").as("rc"))
+    val tot = cells.agg(sum("rc").as("total_c"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("disc_pct"), col("n_lines"),
+        round(col("sq").cast("double") / col("n_lines"), 6)
+          .as("avg_qty"),
+        round(col("rc").cast("double") / 100.0, 2).as("revenue"),
+        round(col("rc").cast("double") / col("total_c"), 6)
+          .as("revenue_share"))
+      .orderBy("disc_pct")
+  }
 }

@@ -740,6 +740,57 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Heaps'-law vocabulary growth: V(N) = K·N^β fitted over ten
+    * corpus-prefix checkpoints — the curve that predicts how much NEW
+    * vocabulary another 10x of data buys (β≈0.5 for natural language;
+    * a flat curve means the crawl is recycling itself). The trick
+    * that makes this ONE pass instead of ten: V(prefix) = count of
+    * types whose FIRST OCCURRENCE falls inside the prefix, so a
+    * per-type min(doc_id) + a cumulative over the 10-row checkpoint
+    * table reproduces every prefix's exact distinct count.
+    *
+    * Scale shape: one (token → min doc, global token totals)
+    * aggregate with map-side combine; checkpoints are a broadcast
+    * 10-row frame; the OLS fit is the text_zipf_fit constant-size
+    * aggregate over 10 (ln N, ln V) points. 10 rows out (fit columns
+    * repeated — the curve AND the fit in one table).
+    */
+  def textHeapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val firstOcc = docTf(spark, dir)
+      .groupBy("w").agg(min("doc_id").as("first_doc"))
+    val docStats = docTf(spark, dir)
+      .groupBy("doc_id").agg(sum("cnt").as("n_toks"))
+    val maxDoc = docStats.agg(max("doc_id").as("max_doc"))
+    val cks = spark.range(1, 11).select(col("id").as("ck"))
+      .crossJoin(broadcast(maxDoc))
+      .select(col("ck"), ((col("ck") * (col("max_doc") + 1)) / 10)
+        .cast("long").as("doc_lim"))
+    // tokens seen and types first-seen within each prefix: the 10-row
+    // checkpoint frame is the BROADCAST side (never the vocab/doc
+    // relations — corpus-sized at scale), each row matches ≤10
+    // checkpoints, and the rollup map-side-combines to 10 keys
+    val vocab = firstOcc.join(broadcast(cks), col("first_doc") < col("doc_lim"))
+      .groupBy("ck", "doc_lim").agg(count(lit(1)).as("v_types"))
+    val mass = docStats.join(broadcast(cks), col("doc_id") < col("doc_lim"))
+      .groupBy("ck").agg(sum("n_toks").as("n_tokens"))
+    val pts = vocab.join(mass, "ck")
+      .select(col("ck"), col("n_tokens"), col("v_types"),
+        log(col("n_tokens").cast("double")).as("x"),
+        log(col("v_types").cast("double")).as("y"))
+    val s = pts.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val beta = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val fit = s.select(
+      round(beta, 6).as("beta"),
+      round(exp((col("sy") - beta * col("sx")) / col("n")), 6).as("k"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("ck"), col("n_tokens"), col("v_types"),
+        col("beta"), col("k"))
+      .orderBy("ck")
+  }
+
   /** Per-document keyword extraction: top-3 tokens by TF-IDF — the
     * "what is this document about" signal used for topic balancing
     * and cluster labeling in corpus curation. df is one aggregate
