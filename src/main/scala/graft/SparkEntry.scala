@@ -363,6 +363,12 @@ object SparkEntry {
     "lineitem_latency_trend" -> (Olap.lineitemLatencyTrend _),
     "dedup_source_survival" -> (Dedup.dedupSourceSurvival _),
     "lineitem_discount_lift" -> (Olap.lineitemDiscountLift _),
+    // round 8, batch 26: conversion p-chart, per-variant funnel,
+    // retention half-life, corpus dup-ngram mass
+    "events_conversion_pchart" -> (Events.eventsConversionPchart _),
+    "events_funnel_ab" -> (Events.eventsFunnelAb _),
+    "events_retention_halflife" -> (Events.eventsRetentionHalflife _),
+    "text_dup_ngram_mass" -> (TextAnalysis.textDupNgramMass _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -6440,6 +6446,143 @@ object SparkEntry {
         | round(CAST(rc AS DOUBLE) / 100, 2) AS revenue,
         | round(CAST(rc AS DOUBLE) / total_c, 6) AS revenue_share
         |FROM cells CROSS JOIN t ORDER BY disc_pct""".stripMargin,
+
+    "events_conversion_pchart" ->
+      """WITH pr AS (SELECT DISTINCT user_id,
+        |  CAST(epoch(ts) AS BIGINT) // 86400 AS day FROM events),
+        |bu AS (SELECT DISTINCT user_id,
+        |  CAST(epoch(ts) AS BIGINT) // 86400 AS day
+        | FROM events WHERE event_type = 'purchase'),
+        |daily AS (SELECT pr.day,
+        |  CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN bu.user_id IS NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_buyers
+        | FROM pr LEFT JOIN bu ON pr.user_id = bu.user_id
+        |   AND pr.day = bu.day
+        | GROUP BY 1),
+        |c AS (SELECT CAST(sum(n_buyers) AS BIGINT) AS tb,
+        |  CAST(sum(n_active) AS BIGINT) AS ta FROM daily)
+        |SELECT day, n_active, n_buyers,
+        | round(CAST(n_buyers AS DOUBLE) / n_active, 6) AS conv_rate,
+        | round(CAST(tb AS DOUBLE) / ta, 6) AS center_line,
+        | round(greatest(CAST(tb AS DOUBLE) / ta
+        |   - 3 * sqrt((CAST(tb AS DOUBLE) / ta)
+        |     * (1.0 - CAST(tb AS DOUBLE) / ta) / n_active), 0.0), 6)
+        |   AS lcl,
+        | round(least(CAST(tb AS DOUBLE) / ta
+        |   + 3 * sqrt((CAST(tb AS DOUBLE) / ta)
+        |     * (1.0 - CAST(tb AS DOUBLE) / ta) / n_active), 1.0), 6)
+        |   AS ucl,
+        | CAST(CASE WHEN CAST(n_buyers AS DOUBLE) / n_active
+        |     < CAST(tb AS DOUBLE) / ta - 3 * sqrt((CAST(tb AS DOUBLE) / ta)
+        |       * (1.0 - CAST(tb AS DOUBLE) / ta) / n_active)
+        |   OR CAST(n_buyers AS DOUBLE) / n_active
+        |     > CAST(tb AS DOUBLE) / ta + 3 * sqrt((CAST(tb AS DOUBLE) / ta)
+        |       * (1.0 - CAST(tb AS DOUBLE) / ta) / n_active)
+        |  THEN 1 ELSE 0 END AS INT) AS out_of_control
+        |FROM daily CROSS JOIN c ORDER BY day""".stripMargin,
+
+    "events_funnel_ab" ->
+      """WITH st AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup'
+        |    THEN CAST(epoch(ts) AS BIGINT) END) AS ts,
+        |  min(CASE WHEN event_type = 'view'
+        |    THEN CAST(epoch(ts) AS BIGINT) END) AS tv,
+        |  min(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(epoch(ts) AS BIGINT) END) AS tp
+        | FROM events GROUP BY 1),
+        |v AS (SELECT
+        |  CASE WHEN list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+        |      * pow(16, 8-i))) / 4294967296.0 < 0.5
+        |   THEN 'A' ELSE 'B' END AS variant,
+        |  CASE WHEN ts IS NOT NULL THEN 1 ELSE 0 END AS s1,
+        |  CASE WHEN ts IS NOT NULL AND tv IS NOT NULL AND tv >= ts
+        |   THEN 1 ELSE 0 END AS s2,
+        |  CASE WHEN ts IS NOT NULL AND tv IS NOT NULL
+        |    AND tp IS NOT NULL AND tv >= ts AND tp >= tv
+        |   THEN 1 ELSE 0 END AS s3
+        | FROM st),
+        |cells AS (SELECT variant, CAST(sum(s1) AS BIGINT) AS n_signup,
+        |  CAST(sum(s2) AS BIGINT) AS n_view,
+        |  CAST(sum(s3) AS BIGINT) AS n_purchase
+        | FROM v GROUP BY 1),
+        |w AS (SELECT
+        |  CAST(sum(CASE WHEN variant = 'A' THEN n_signup END) AS BIGINT) AS s1a,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN n_view END) AS BIGINT) AS s2a,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN n_purchase END) AS BIGINT) AS s3a,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN n_signup END) AS BIGINT) AS s1b,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN n_view END) AS BIGINT) AS s2b,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN n_purchase END) AS BIGINT) AS s3b
+        | FROM cells)
+        |SELECT variant, n_signup, n_view, n_purchase,
+        | round(CAST(n_view AS DOUBLE) / n_signup, 6) AS view_rate,
+        | round(CAST(n_purchase AS DOUBLE) / n_view, 6)
+        |   AS purchase_rate,
+        | round((CAST(s2b AS DOUBLE) / s1b - CAST(s2a AS DOUBLE) / s1a)
+        |   / sqrt((CAST(s2a + s2b AS DOUBLE) / (s1a + s1b))
+        |     * (1.0 - CAST(s2a + s2b AS DOUBLE) / (s1a + s1b))
+        |     * (CAST(1 AS DOUBLE) / s1a + CAST(1 AS DOUBLE) / s1b)), 6)
+        |   AS z_view_step,
+        | round((CAST(s3b AS DOUBLE) / s2b - CAST(s3a AS DOUBLE) / s2a)
+        |   / sqrt((CAST(s3a + s3b AS DOUBLE) / (s2a + s2b))
+        |     * (1.0 - CAST(s3a + s3b AS DOUBLE) / (s2a + s2b))
+        |     * (CAST(1 AS DOUBLE) / s2a + CAST(1 AS DOUBLE) / s2b)), 6)
+        |   AS z_purchase_step
+        |FROM cells CROSS JOIN w ORDER BY variant""".stripMargin,
+
+    "events_retention_halflife" ->
+      """WITH pr AS (SELECT DISTINCT user_id,
+        |  CAST(epoch(ts) AS BIGINT) // 86400 AS day FROM events),
+        |md AS (SELECT max(day) AS max_day FROM pr),
+        |co AS (SELECT user_id, min(day) AS cohort_day
+        |  FROM pr GROUP BY 1),
+        |el AS (SELECT user_id, cohort_day FROM co CROSS JOIN md
+        |  WHERE cohort_day <= max_day - 7),
+        |b AS (SELECT CAST(count(*) AS BIGINT) AS n_cohort FROM el),
+        |act AS (SELECT t, CAST(count(*) AS BIGINT) AS n_active FROM (
+        |  SELECT DISTINCT pr.user_id, pr.day - el.cohort_day AS t
+        |  FROM pr JOIN el ON pr.user_id = el.user_id
+        |  WHERE pr.day - el.cohort_day BETWEEN 1 AND 7) x GROUP BY 1),
+        |pts AS (SELECT t, n_active, n_cohort,
+        |  round(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention,
+        |  CAST(t AS DOUBLE) AS x,
+        |  ln(CAST(n_active AS DOUBLE) / n_cohort) AS y
+        | FROM act CROSS JOIN b),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+        |  sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx FROM pts),
+        |fit AS (SELECT
+        |  round(-(n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS lambda,
+        |  round(CASE WHEN -(n*sxy - sx*sy) / (n*sxx - sx*sx) > 0
+        |    THEN ln(2.0) / (-(n*sxy - sx*sy) / (n*sxx - sx*sx)) END, 6)
+        |    AS half_life_days
+        | FROM s)
+        |SELECT t, n_cohort, n_active, retention, lambda, half_life_days
+        |FROM pts CROSS JOIN fit ORDER BY t""".stripMargin,
+
+    "text_dup_ngram_mass" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  string_split_regex(text, '\s+') AS t FROM documents),
+        |g AS (SELECT doc_id, source,
+        |  unnest(list_transform(generate_series(1, len(t) - 4),
+        |    i -> array_to_string(t[i : i + 4], ' '))) AS g
+        | FROM d WHERE len(t) >= 5),
+        |sg AS (SELECT source, g, CAST(count(*) AS BIGINT) AS occ
+        |  FROM g GROUP BY 1, 2),
+        |dg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_docs FROM (
+        |  SELECT DISTINCT doc_id, g FROM g) x GROUP BY 1)
+        |SELECT source,
+        | CAST(sum(occ) AS BIGINT) AS n_gram_occ,
+        | CAST(sum(CASE WHEN n_docs >= 2 THEN occ ELSE 0 END) AS BIGINT)
+        |   AS dup_occ,
+        | round(CAST(sum(CASE WHEN n_docs >= 2 THEN occ ELSE 0 END)
+        |   AS DOUBLE) / sum(occ), 6) AS dup_mass,
+        | CAST(count(*) AS BIGINT) AS n_distinct_grams,
+        | CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dup_grams
+        |FROM sg JOIN dg ON sg.g = dg.g
+        |GROUP BY 1 ORDER BY source""".stripMargin,
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

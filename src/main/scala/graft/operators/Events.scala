@@ -2286,6 +2286,158 @@ object Events {
       .orderBy("is_weekend")
   }
 
+  /** SPC p-chart for daily conversion: each day's buyer share of
+    * active users against the all-period center line with ±3σ
+    * binomial control limits (variable by day size — small days get
+    * wide limits, the whole point of a p-chart vs a fixed threshold)
+    * and an out-of-control flag — the process-control complement to
+    * [[eventsAnomalyMad]]'s volume screen: this one watches a RATE.
+    *
+    * Scale shape: presence reads the shared nvr_presence pin; buyer
+    * days are one DISTINCT projection; ONE per-day aggregate; the
+    * center line is a 1-row re-aggregate of the bounded daily table,
+    * limits are projections. |days| rows out.
+    */
+  def eventsConversionPchart(spark: SparkSession, dir: String): DataFrame = {
+    val pres = graft.PlanCache.cached("nvr_presence", spark, dir) {
+      Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts_s div 86400").as("day"))
+        .distinct()
+    }
+    val buys = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_s div 86400").as("day"))
+      .distinct().withColumn("b", lit(1L))
+    val daily = pres.join(buys, Seq("user_id", "day"), "left")
+      .na.fill(0L, Seq("b"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"), sum("b").as("n_buyers"))
+    val center = daily.agg(sum("n_buyers").as("tb"), sum("n_active").as("ta"))
+    val pbar = col("tb").cast("double") / col("ta")
+    val sigma = sqrt(pbar * (lit(1.0) - pbar) / col("n_active"))
+    val p = col("n_buyers").cast("double") / col("n_active")
+    daily.crossJoin(broadcast(center))
+      .select(col("day"), col("n_active"), col("n_buyers"),
+        round(p, 6).as("conv_rate"),
+        round(pbar, 6).as("center_line"),
+        round(greatest(pbar - lit(3.0) * sigma, lit(0.0)), 6).as("lcl"),
+        round(least(pbar + lit(3.0) * sigma, lit(1.0)), 6).as("ucl"),
+        (p < pbar - lit(3.0) * sigma || p > pbar + lit(3.0) * sigma)
+          .cast("int").as("out_of_control"))
+      .orderBy("day")
+  }
+
+  /** Per-variant funnel A/B: the signup→view→purchase ordered funnel
+    * ([[eventsFunnel]]'s step semantics) split by the hash variant,
+    * with per-step two-proportion z — the experiment read-out that
+    * says WHERE in the funnel a treatment moves (a flat topline often
+    * hides one step up and another down).
+    *
+    * Scale shape: one per-user conditional aggregate (the funnel
+    * shape), one 2-key rollup; step z's expand from the 2-row cell
+    * table. 2 rows out.
+    */
+  def eventsFunnelAb(spark: SparkSession, dir: String): DataFrame = {
+    val stages = Tables.events(spark, dir)
+      .groupBy("user_id").agg(
+        min(when(col("event_type") === "signup", col("ts_s"))).as("ts"),
+        min(when(col("event_type") === "view", col("ts_s"))).as("tv"),
+        min(when(col("event_type") === "purchase", col("ts_s"))).as("tp"))
+      .withColumn("variant",
+        when(graft.functions.HexExprs.uniformHash(
+          col("user_id").cast("string")) < 0.5, "A").otherwise("B"))
+      .select(col("variant"),
+        col("ts").isNotNull.cast("long").as("s1"),
+        (col("ts").isNotNull && col("tv").isNotNull &&
+          col("tv") >= col("ts")).cast("long").as("s2"),
+        (col("ts").isNotNull && col("tv").isNotNull &&
+          col("tp").isNotNull && col("tv") >= col("ts") &&
+          col("tp") >= col("tv")).cast("long").as("s3"))
+    val cells = stages.groupBy("variant")
+      .agg(sum("s1").as("n_signup"), sum("s2").as("n_view"),
+        sum("s3").as("n_purchase"))
+    val st = cells.agg(
+      sum(when(col("variant") === "A", col("n_signup"))).as("s1a"),
+      sum(when(col("variant") === "A", col("n_view"))).as("s2a"),
+      sum(when(col("variant") === "A", col("n_purchase"))).as("s3a"),
+      sum(when(col("variant") === "B", col("n_signup"))).as("s1b"),
+      sum(when(col("variant") === "B", col("n_view"))).as("s2b"),
+      sum(when(col("variant") === "B", col("n_purchase"))).as("s3b"))
+    def z(xa: org.apache.spark.sql.Column, na: org.apache.spark.sql.Column,
+          xb: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = {
+      val pa = xa.cast("double") / na
+      val pb = xb.cast("double") / nb
+      val pp = (xa + xb).cast("double") / (na + nb).cast("double")
+      (pb - pa) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / na + lit(1.0) / nb))
+    }
+    cells.crossJoin(broadcast(st))
+      .select(col("variant"), col("n_signup"), col("n_view"),
+        col("n_purchase"),
+        round(col("n_view").cast("double") / col("n_signup"), 6)
+          .as("view_rate"),
+        round(col("n_purchase").cast("double") / col("n_view"), 6)
+          .as("purchase_rate"),
+        round(z(col("s2a"), col("s1a"), col("s2b"), col("s1b")), 6)
+          .as("z_view_step"),
+        round(z(col("s3a"), col("s2a"), col("s3b"), col("s2b")), 6)
+          .as("z_purchase_step"))
+      .orderBy("variant")
+  }
+
+  /** Retention half-life: the aggregate day-1..7 retention curve
+    * restricted to fully-observed cohorts (cohort day ≤ last day − 7,
+    * so every point is censoring-free), with an exponential-decay fit
+    * ln R(t) = a − λt and the implied half-life ln2/λ — the single
+    * number that compresses a retention curve for cross-product
+    * comparison (and the sanity check: λ≤0 means retention does not
+    * decay and the "half-life" framing is wrong for this product).
+    *
+    * Scale shape: cohorts are one per-user min aggregate; the curve
+    * is a ≤7-key aggregate over the offset join; the OLS fit is a
+    * constant-size aggregate over 7 points (the zipf_fit shape).
+    * 7 rows out (curve + fit columns repeated).
+    */
+  def eventsRetentionHalflife(spark: SparkSession, dir: String): DataFrame = {
+    // all three reads (max day, cohorts, activity) come off the shared
+    // nvr_presence pin — one corpus distinct for the whole growth family
+    val e = graft.PlanCache.cached("nvr_presence", spark, dir) {
+      Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts_s div 86400").as("day"))
+        .distinct()
+    }
+    val maxDay = e.agg(max("day").as("max_day"))
+    val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val eligible = cohort.crossJoin(broadcast(maxDay))
+      .filter(col("cohort_day") <= col("max_day") - 7)
+      .select("user_id", "cohort_day")
+    val base = eligible.agg(count(lit(1)).as("n_cohort"))
+    val activity = e.join(eligible, "user_id")
+      .withColumn("t", col("day") - col("cohort_day"))
+      .filter(col("t") >= 1 && col("t") <= 7)
+      .select("user_id", "t").distinct()
+      .groupBy("t").agg(count(lit(1)).as("n_active"))
+    val pts = activity.crossJoin(broadcast(base))
+      .select(col("t"), col("n_active"), col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6)
+          .as("retention"))
+    val fitIn = pts.select(col("t").cast("double").as("x"),
+      log(col("n_active").cast("double") / col("n_cohort")).as("y"))
+    val s = fitIn.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val lambda = -(col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val fit = s.select(round(lambda, 6).as("lambda"),
+      round(when(lambda > 0, log(lit(2.0)) / lambda), 6)
+        .as("half_life_days"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("t"), col("n_cohort"), col("n_active"),
+        col("retention"), col("lambda"), col("half_life_days"))
+      .orderBy("t")
+  }
+
   /** Feature co-usage matrix: for every event-type pair, the Jaccard
     * and overlap coefficient of their USER sets — the product-
     * analytics table behind bundling/cross-sell and funnel-ordering

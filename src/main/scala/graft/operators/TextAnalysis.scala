@@ -740,6 +740,46 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Cross-document duplicate 5-gram mass per source — the
+    * RefinedWeb-style dup-mass metric: what share of a source's
+    * 5-gram OCCURRENCES belong to grams seen in ≥2 distinct docs
+    * corpus-wide (boilerplate, templates, syndicated text). The
+    * intra-doc complement is [[textRepetition]]; this one catches
+    * text that is clean per-doc but copied ACROSS docs — exactly
+    * what inflates next-token loss if it survives into training.
+    *
+    * Scale shape: gram occurrences aggregate per (source, gram) and
+    * doc counts per gram — both map-side-combined; the dup flag is
+    * one equi-join ON THE GRAM between those two aggregates (shuffles
+    * gram keys, never raw positions); final rollup |sources| keys.
+    * |sources| rows out.
+    */
+  def textDupNgramMass(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(t) - 4), " +
+          "i -> concat_ws(' ', slice(t, i, 5)))")).as("g"))
+    val bySrcGram = grams.groupBy("source", "g")
+      .agg(count(lit(1)).as("occ"))
+    val docsPerGram = grams.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("n_docs"))
+    bySrcGram.join(docsPerGram, "g")
+      .groupBy("source")
+      .agg(sum("occ").as("n_gram_occ"),
+        sum(when(col("n_docs") >= 2, col("occ")).otherwise(0L))
+          .as("dup_occ"),
+        count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L))
+          .as("n_dup_grams"))
+      .select(col("source"), col("n_gram_occ"), col("dup_occ"),
+        round(col("dup_occ").cast("double") / col("n_gram_occ"), 6)
+          .as("dup_mass"),
+        col("n_distinct_grams"), col("n_dup_grams"))
+      .orderBy("source")
+  }
+
   /** Heaps'-law vocabulary growth: V(N) = K·N^β fitted over ten
     * corpus-prefix checkpoints — the curve that predicts how much NEW
     * vocabulary another 10x of data buys (β≈0.5 for natural language;
