@@ -369,6 +369,12 @@ object SparkEntry {
     "events_funnel_ab" -> (Events.eventsFunnelAb _),
     "events_retention_halflife" -> (Events.eventsRetentionHalflife _),
     "text_dup_ngram_mass" -> (TextAnalysis.textDupNgramMass _),
+    // round 8, batch 27: revenue bridge, DES forecast, freshness
+    // monitor, ICC variance decomposition
+    "orders_revenue_bridge" -> (Olap.ordersRevenueBridge _),
+    "events_forecast_des" -> (Events.eventsForecastDes _),
+    "events_freshness" -> (Events.eventsFreshness _),
+    "events_value_icc" -> (Events.eventsValueIcc _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -6583,6 +6589,128 @@ object SparkEntry {
         |   AS n_dup_grams
         |FROM sg JOIN dg ON sg.g = dg.g
         |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "orders_revenue_bridge" ->
+      """WITH cy AS (SELECT o_custkey, year(o_orderdate) AS yr,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS rev_c
+        | FROM orders GROUP BY 1, 2),
+        |lg AS (SELECT o_custkey, yr, rev_c,
+        |  lag(yr) OVER (PARTITION BY o_custkey ORDER BY yr) AS prev_yr
+        | FROM cy),
+        |cells AS (SELECT yr,
+        |  CAST(sum(CASE WHEN prev_yr IS NULL THEN rev_c ELSE 0 END)
+        |    AS BIGINT) AS rev_new,
+        |  CAST(sum(CASE WHEN prev_yr = yr - 1 THEN rev_c ELSE 0 END)
+        |    AS BIGINT) AS rev_retained,
+        |  CAST(sum(CASE WHEN prev_yr IS NOT NULL AND prev_yr < yr - 1
+        |    THEN rev_c ELSE 0 END) AS BIGINT) AS rev_resurrected,
+        |  CAST(sum(rev_c) AS BIGINT) AS rev_total_c,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        | FROM lg GROUP BY 1),
+        |rp AS (SELECT lg.prev_yr + 1 AS yr,
+        |  CAST(sum(p.rev_c) AS BIGINT) AS retained_prev_c
+        | FROM lg JOIN cy p ON lg.o_custkey = p.o_custkey
+        |   AND p.yr = lg.prev_yr
+        | WHERE lg.prev_yr = lg.yr - 1 GROUP BY 1),
+        |pt AS (SELECT yr + 1 AS yr, rev_total_c AS prev_total_c
+        |  FROM cells)
+        |SELECT cells.yr, n_customers,
+        | round(CAST(rev_total_c AS DOUBLE) / 100, 2) AS revenue,
+        | round(CAST(rev_new AS DOUBLE) / 100, 2) AS rev_new,
+        | round(CAST(rev_retained AS DOUBLE) / 100, 2) AS rev_retained,
+        | round(CAST(rev_resurrected AS DOUBLE) / 100, 2)
+        |   AS rev_resurrected,
+        | round(CAST(coalesce(prev_total_c, 0)
+        |   - coalesce(retained_prev_c, 0) AS DOUBLE) / 100, 2)
+        |   AS rev_churned_out
+        |FROM cells LEFT JOIN rp ON cells.yr = rp.yr
+        |LEFT JOIN pt ON cells.yr = pt.yr
+        |ORDER BY cells.yr""".stripMargin,
+
+    "events_forecast_des" ->
+      """WITH daily AS (SELECT CAST(epoch(ts) AS BIGINT) // 86400
+        |    AS day, CAST(count(*) AS BIGINT) AS y
+        | FROM events GROUP BY 1),
+        |d0 AS (SELECT min(day) AS d0 FROM daily),
+        |g AS (SELECT day - d0 AS t, y FROM daily CROSS JOIN d0),
+        |s1p AS (SELECT gt.t,
+        |  CAST(round((CASE WHEN gk.t = 0 THEN pow(0.7, gt.t)
+        |    ELSE 0.3 * pow(0.7, gt.t - gk.t) END)
+        |    * gk.y * 1e9) AS BIGINT) AS term_u9
+        | FROM g gk JOIN g gt ON gk.t <= gt.t),
+        |s1 AS (SELECT t, CAST(sum(term_u9) AS DOUBLE) / 1e9 AS s1
+        |  FROM s1p GROUP BY 1),
+        |s2p AS (SELECT bt.t,
+        |  CAST(round((CASE WHEN bk.t = 0 THEN pow(0.7, bt.t)
+        |    ELSE 0.3 * pow(0.7, bt.t - bk.t) END)
+        |    * bk.s1 * 1e9) AS BIGINT) AS term_u9
+        | FROM s1 bk JOIN s1 bt ON bk.t <= bt.t),
+        |s2 AS (SELECT t, CAST(sum(term_u9) AS DOUBLE) / 1e9 AS s2
+        |  FROM s2p GROUP BY 1)
+        |SELECT g.t AS day_idx, g.y AS actual,
+        | round(s1.s1, 6) AS s1, round(s2.s2, 6) AS s2,
+        | round(2.0 * s1.s1 - s2.s2, 6) AS level,
+        | round((0.3 / 0.7) * (s1.s1 - s2.s2), 6) AS trend,
+        | round(2.0 * s1.s1 - s2.s2
+        |   + 7.0 * ((0.3 / 0.7) * (s1.s1 - s2.s2)), 6) AS forecast_7d
+        |FROM g JOIN s1 ON g.t = s1.t JOIN s2 ON g.t = s2.t
+        |ORDER BY day_idx""".stripMargin,
+
+    "events_freshness" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |h AS (SELECT max(ts_s) AS hwm FROM e)
+        |SELECT event_type,
+        | max(ts_s) AS last_ts_s,
+        | max(hwm) - max(ts_s) AS lag_s,
+        | CAST(sum(CASE WHEN ts_s > hwm - 3600 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS events_last_hour,
+        | CAST(CASE WHEN max(hwm) - max(ts_s) > 3600
+        |   THEN 1 ELSE 0 END AS INT) AS stalled
+        |FROM e CROSS JOIN h
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_value_icc" ->
+      """WITH per AS (SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_u,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS s_u,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)
+        |    * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sq_u
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |p2 AS (SELECT n_u, s_u, sq_u,
+        |  CAST(round(CAST(s_u AS DOUBLE) * s_u / n_u * 1e-2)
+        |    AS BIGINT) AS bt_u6
+        | FROM per),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS g,
+        |  CAST(sum(n_u) AS BIGINT) AS n, CAST(sum(s_u) AS BIGINT) AS s,
+        |  CAST(sum(sq_u) AS BIGINT) AS sq,
+        |  CAST(sum(bt_u6) AS BIGINT) AS bt
+        | FROM p2)
+        |SELECT g AS n_users, n AS n_purchases,
+        | round((CAST(bt AS DOUBLE) * 1e2
+        |   - CAST(s AS DOUBLE) * s / n) / 1e4, 2) AS ss_between,
+        | round((CAST(sq AS DOUBLE) - CAST(bt AS DOUBLE) * 1e2) / 1e4, 2)
+        |   AS ss_within,
+        | round(((CAST(bt AS DOUBLE) * 1e2 - CAST(s AS DOUBLE) * s / n)
+        |     / (g - 1)
+        |   - (CAST(sq AS DOUBLE) - CAST(bt AS DOUBLE) * 1e2) / (n - g))
+        |  / ((CAST(bt AS DOUBLE) * 1e2 - CAST(s AS DOUBLE) * s / n)
+        |     / (g - 1)
+        |   + (CAST(n AS DOUBLE) / g - 1.0)
+        |     * ((CAST(sq AS DOUBLE) - CAST(bt AS DOUBLE) * 1e2)
+        |       / (n - g))), 6) AS icc,
+        | round(1.0 + (CAST(n AS DOUBLE) / g - 1.0)
+        |  * (((CAST(bt AS DOUBLE) * 1e2 - CAST(s AS DOUBLE) * s / n)
+        |      / (g - 1)
+        |    - (CAST(sq AS DOUBLE) - CAST(bt AS DOUBLE) * 1e2) / (n - g))
+        |   / ((CAST(bt AS DOUBLE) * 1e2 - CAST(s AS DOUBLE) * s / n)
+        |      / (g - 1)
+        |    + (CAST(n AS DOUBLE) / g - 1.0)
+        |      * ((CAST(sq AS DOUBLE) - CAST(bt AS DOUBLE) * 1e2)
+        |        / (n - g)))), 6) AS design_effect
+        |FROM st ORDER BY n_users""".stripMargin,
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

@@ -2438,6 +2438,135 @@ object Events {
       .orderBy("t")
   }
 
+  /** Trend-aware volume forecast via Brown's double exponential
+    * smoothing (α=0.3): s1 = EWMA(y), s2 = EWMA(s1), level =
+    * 2s1−s2, trend = α/(1−α)·(s1−s2), 7-day-ahead = level+7·trend —
+    * the next step up from [[eventsForecastBaseline]]'s seasonal
+    * naive when volume carries a drift the naive can't see. EWMAs
+    * expand to their closed-form weighted sums (w = α(1−α)^(t−k),
+    * first term keeps the full (1−α)^t mass so weights sum to 1),
+    * every weighted term rounds to nano-units before summation —
+    * both engines add identical integers; s2's terms build on the
+    * already-rounded s1 values, so the whole recurrence is
+    * engine-exact.
+    *
+    * Scale shape: the daily series is one corpus aggregate; both
+    * EWMA expansions are triangle joins over the ≤|days| grid
+    * (bounded by the calendar², never corpus-sized); everything
+    * after is projections. |days| rows out.
+    */
+  def eventsForecastDes(spark: SparkSession, dir: String): DataFrame = {
+    val a = 0.3
+    val daily = Tables.events(spark, dir)
+      .groupBy(expr("ts_s div 86400").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val d0 = daily.agg(min("day").as("d0"))
+    val g = daily.crossJoin(broadcast(d0))
+      .select((col("day") - col("d0")).as("t"), col("y"))
+    // closed-form EWMA over a bounded grid: x_t = Σ_k w(t,k)·v_k with
+    // w = α(1−α)^(t−k) for k>0 and (1−α)^t + α(1−α)^t... — the k=0
+    // term carries weight (1−α)^t + α(1−α)^t·0 — implemented as:
+    // w(t,0) = (1−α)^t (init mass), w(t,k) = α(1−α)^(t−k) for k≥1
+    def ewma(in: DataFrame, vcol: String, out: String): DataFrame = {
+      val pairs = in.select(col("t").as("k"), col(vcol).as("v"))
+        .join(broadcast(in.select(col("t"))), col("k") <= col("t"))
+        .withColumn("w",
+          when(col("k") === 0, pow(lit(1.0 - a), col("t")))
+            .otherwise(lit(a) * pow(lit(1.0 - a), col("t") - col("k"))))
+        .withColumn("term_u9",
+          round(col("w") * col("v") * 1e9).cast("long"))
+      pairs.groupBy("t")
+        .agg((sum("term_u9").cast("double") / 1e9).as(out))
+    }
+    val s1 = ewma(g.select(col("t"), col("y").cast("double").as("v")),
+      "v", "s1")
+    val s2 = ewma(s1.select(col("t"), col("s1").as("v")), "v", "s2")
+    val lvl = (lit(2.0) * col("s1")) - col("s2")
+    val trd = lit(a / (1.0 - a)) * (col("s1") - col("s2"))
+    g.join(s1, "t").join(s2, "t")
+      .select(col("t").as("day_idx"), col("y").as("actual"),
+        round(col("s1"), 6).as("s1"),
+        round(col("s2"), 6).as("s2"),
+        round(lvl, 6).as("level"),
+        round(trd, 6).as("trend"),
+        round(lvl + lit(7.0) * trd, 6).as("forecast_7d"))
+      .orderBy("day_idx")
+  }
+
+  /** Pipeline freshness monitor: per event type, the last-seen
+    * timestamp, its lag behind the stream's global high-water mark,
+    * the event count in the final hour, and a stalled flag (lag >
+    * 1h) — the first dashboard an on-call engineer checks when a
+    * producer dies silently (volume alarms miss a single dead type
+    * if the others keep flowing).
+    *
+    * Scale shape: ONE per-type aggregate computes last-seen and the
+    * final-hour count against the broadcast 1-row high-water mark;
+    * no second pass. |types| rows out.
+    */
+  def eventsFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val hwm = Tables.events(spark, dir).agg(max("ts_s").as("hwm"))
+    Tables.events(spark, dir)
+      .crossJoin(broadcast(hwm))
+      .groupBy("event_type")
+      .agg(max("ts_s").as("last_ts_s"),
+        sum(when(col("ts_s") > col("hwm") - 3600, 1L).otherwise(0L))
+          .as("events_last_hour"),
+        max("hwm").as("hwm"))
+      .select(col("event_type"), col("last_ts_s"),
+        (col("hwm") - col("last_ts_s")).as("lag_s"),
+        col("events_last_hour"),
+        (col("hwm") - col("last_ts_s") > 3600).cast("int").as("stalled"))
+      .orderBy("event_type")
+  }
+
+  /** Variance decomposition of purchase value: between-user vs
+    * within-user sums of squares, the intraclass correlation
+    * ICC = (MSB−MSW)/(MSB+(k̄−1)·MSW), and the design effect
+    * 1+(k̄−1)·ICC — the numbers that decide whether an experiment
+    * must randomize by USER (high ICC: a user's purchases are
+    * clones, per-event randomization fakes its sample size) and how
+    * much CUPED-style user-level modeling can help. Sums of squares
+    * expand from exact per-user BIGINT-cent sufficient statistics;
+    * the per-user term s_u²/n_u rounds to micro-units before the
+    * user sum, so both engines add identical integers.
+    *
+    * Scale shape: one per-user aggregate (two BIGINTs each), one
+    * 1-row reduce — no value buffering anywhere. 1 row out.
+    */
+  def eventsValueIcc(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("v_c"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_u"), sum("v_c").as("s_u"),
+        sum(col("v_c") * col("v_c")).as("sq_u"))
+      .filter(col("n_u") >= 1)
+      .withColumn("bt_u6", round(
+        col("s_u").cast("double") * col("s_u") / col("n_u") * 1e-2)
+        .cast("long"))
+    val st = per.agg(count(lit(1)).as("g"), sum("n_u").as("n"),
+      sum("s_u").as("s"), sum("sq_u").as("sq"), sum("bt_u6").as("bt"))
+    // bt is Σ s_u²/n_u in units of 1e-2 cent² (u6-style per-user
+    // rounding); grand terms expand in the same units
+    val n = col("n").cast("double")
+    val gD = col("g").cast("double")
+    val ssb = col("bt").cast("double") * 1e2 -
+      col("s").cast("double") * col("s") / n
+    val ssw = col("sq").cast("double") - col("bt").cast("double") * 1e2
+    val msb = ssb / (gD - 1)
+    val msw = ssw / (n - gD)
+    val kbar = n / gD
+    val icc = (msb - msw) / (msb + (kbar - lit(1.0)) * msw)
+    st.select(col("g").as("n_users"), col("n").as("n_purchases"),
+      round(ssb / 1e4, 2).as("ss_between"),
+      round(ssw / 1e4, 2).as("ss_within"),
+      round(icc, 6).as("icc"),
+      round(lit(1.0) + (kbar - lit(1.0)) * icc, 6).as("design_effect"))
+      .orderBy("n_users")
+  }
+
   /** Feature co-usage matrix: for every event-type pair, the Jaccard
     * and overlap coefficient of their USER sets — the product-
     * analytics table behind bundling/cross-sell and funnel-ordering

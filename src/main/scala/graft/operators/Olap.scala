@@ -1460,6 +1460,65 @@ object Olap {
       .orderBy("quarter")
   }
 
+  /** Revenue growth-accounting bridge: each year's revenue split by
+    * customer state — new (first-ever order year), retained (also
+    * bought last year), resurrected (returning after a gap) — plus
+    * the revenue LOST to churned customers (last year's buyers who
+    * didn't return), so consecutive years reconcile: Δrevenue = new +
+    * resurrected + retention Δ − churned. The finance twin of
+    * [[Events.eventsGrowthAccounting]]'s user flows: counts say WHO
+    * moved, this says how much MONEY moved.
+    *
+    * Scale shape: per (customer, year) revenue is one map-side-
+    * combined aggregate (exact cents); the state classification is a
+    * per-customer lag window over that bounded relation; churned-out
+    * revenue derives from the (customer, year) relation and the
+    * ≤|years| cell table — never a second fact pass. |years| rows.
+    */
+  def ordersRevenueBridge(spark: SparkSession, dir: String): DataFrame = {
+    val cy = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("v_c"))
+      .groupBy("o_custkey", "yr").agg(sum("v_c").as("rev_c"))
+    val lagged = cy.withColumn("prev_yr",
+      lag("yr", 1).over(Window.partitionBy("o_custkey").orderBy("yr")))
+    val cells = lagged.groupBy("yr").agg(
+      sum(when(col("prev_yr").isNull, col("rev_c")).otherwise(0L))
+        .as("rev_new"),
+      sum(when(col("prev_yr") === col("yr") - 1, col("rev_c"))
+        .otherwise(0L)).as("rev_retained"),
+      sum(when(col("prev_yr").isNotNull && col("prev_yr") < col("yr") - 1,
+        col("rev_c")).otherwise(0L)).as("rev_resurrected"),
+      sum("rev_c").as("rev_total_c"),
+      count(lit(1)).as("n_customers"))
+    // churned-out revenue: what last year's buyers spent LAST year,
+    // minus the retained cohort's last-year spend — from the bounded
+    // per-(customer, year) relation, no fact re-scan
+    val retainedPrev = lagged.filter(col("prev_yr") === col("yr") - 1)
+      .select(col("o_custkey"), col("prev_yr").as("yr"))
+      .join(cy.select(col("o_custkey"), col("yr"),
+        col("rev_c").as("prev_rev")), Seq("o_custkey", "yr"))
+      .groupBy((col("yr") + 1).as("yr"))
+      .agg(sum("prev_rev").as("retained_prev_c"))
+    val prevTot = cells.select((col("yr") + 1).as("yr"),
+      col("rev_total_c").as("prev_total_c"))
+    cells.join(retainedPrev, Seq("yr"), "left")
+      .join(prevTot, Seq("yr"), "left")
+      .na.fill(0L, Seq("retained_prev_c", "prev_total_c"))
+      .select(col("yr"), col("n_customers"),
+        round(col("rev_total_c").cast("double") / 100.0, 2)
+          .as("revenue"),
+        round(col("rev_new").cast("double") / 100.0, 2).as("rev_new"),
+        round(col("rev_retained").cast("double") / 100.0, 2)
+          .as("rev_retained"),
+        round(col("rev_resurrected").cast("double") / 100.0, 2)
+          .as("rev_resurrected"),
+        round((col("prev_total_c") - col("retained_prev_c"))
+          .cast("double") / 100.0, 2).as("rev_churned_out"))
+      .orderBy("yr")
+  }
+
   /** Discount-lift read-out: per discount level (integer percent),
     * line counts, exact average quantity, and revenue share — the
     * "does discounting actually move volume" table behind promo
