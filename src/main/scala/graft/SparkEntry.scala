@@ -375,6 +375,12 @@ object SparkEntry {
     "events_forecast_des" -> (Events.eventsForecastDes _),
     "events_freshness" -> (Events.eventsFreshness _),
     "events_value_icc" -> (Events.eventsValueIcc _),
+    // round 8, batch 28: IVF balance, ppl-filter sweep, sampled
+    // triangle AQP, spend-band migration
+    "knn_ivf_balance" -> (Similarity.knnIvfBalance _),
+    "text_ppl_filter_sweep" -> (TextAnalysis.textPplFilterSweep _),
+    "graph_triangle_estimate" -> (Graph.graphTriangleEstimate _),
+    "orders_band_migration" -> (Olap.ordersBandMigration _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -6711,6 +6717,136 @@ object SparkEntry {
         |      * ((CAST(sq AS DOUBLE) - CAST(bt AS DOUBLE) * 1e2)
         |        / (n - g)))), 6) AS design_effect
         |FROM st ORDER BY n_users""".stripMargin,
+
+    "knn_ivf_balance" ->
+      """WITH e AS (SELECT vec_id, label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |px AS (SELECT label, unnest(list_transform(generate_series(1, len(v)),
+        |   i -> {'pos': i, 'x': v[i]}), recursive := true) FROM n),
+        |cent AS (SELECT label, list(cx ORDER BY pos) AS cv FROM (
+        |   SELECT label, pos, avg(x) AS cx FROM px GROUP BY label, pos) g
+        | GROUP BY label),
+        |j AS (SELECT n.label,
+        |  CAST(round(round(list_sum(list_transform(
+        |      generate_series(1, len(cv)), i -> n.v[i] * cv[i]))
+        |    / (n.norm * sqrt(list_sum(list_transform(cv, x -> x*x)))),
+        |    6) * 1e6) AS BIGINT) AS c_u6
+        | FROM n JOIN cent ON n.label = cent.label),
+        |cells AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(c_u6) AS BIGINT) AS s_u6
+        | FROM j GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total,
+        |  CAST(count(*) AS BIGINT) AS n_lists FROM cells)
+        |SELECT label, n_vecs,
+        | round(CAST(n_vecs AS DOUBLE) / n_total, 6) AS share,
+        | round(CAST(n_vecs AS DOUBLE) * n_lists / n_total, 6)
+        |   AS imbalance,
+        | round(CAST(s_u6 AS DOUBLE) / n_vecs / 1e6, 6)
+        |   AS avg_centroid_cos
+        |FROM cells CROSS JOIN t ORDER BY label""".stripMargin,
+
+    "text_ppl_filter_sweep" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |uni AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS cw FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cw) AS DOUBLE) AS total FROM uni),
+        |d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |   sum(cnt * ln((SELECT total FROM tot) / cw)) AS nll
+        |  FROM tf JOIN uni USING (w) GROUP BY 1),
+        |sc AS (SELECT doc_id, n_tokens,
+        |  round(exp(round(nll/n_tokens, 6)), 6) AS ppl FROM d),
+        |th AS (SELECT CAST(unnest([2, 4, 8, 16, 32, 64, 128, 256, 512])
+        |  AS BIGINT) AS threshold),
+        |dt AS (SELECT CAST(count(*) AS BIGINT) AS docs_total,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total FROM sc)
+        |SELECT threshold,
+        | CAST(sum(CASE WHEN ppl <= threshold THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS docs_kept,
+        | docs_total,
+        | round(CAST(sum(CASE WHEN ppl <= threshold THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / docs_total, 6) AS doc_share,
+        | CAST(sum(CASE WHEN ppl <= threshold THEN n_tokens ELSE 0 END)
+        |   AS BIGINT) AS tokens_kept,
+        | tokens_total,
+        | round(CAST(sum(CASE WHEN ppl <= threshold THEN n_tokens
+        |   ELSE 0 END) AS DOUBLE) / tokens_total, 6) AS token_share
+        |FROM sc CROSS JOIN th CROSS JOIN dt
+        |GROUP BY threshold, docs_total, tokens_total
+        |ORDER BY threshold""".stripMargin,
+
+    "graph_triangle_estimate" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |d AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+        |   SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) nn
+        |  GROUP BY 1),
+        |orient AS MATERIALIZED (SELECT
+        |   CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+        |     THEN u ELSE v END AS src,
+        |   CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+        |     THEN v ELSE u END AS dst
+        |  FROM e JOIN d du ON e.u = du.node JOIN d dv ON e.v = dv.node),
+        |w AS (SELECT x.src, x.dst AS n1, y.dst AS n2
+        |  FROM orient x JOIN orient y ON x.src = y.src AND x.dst < y.dst),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_triangles
+        |  FROM w JOIN e ON n1 = e.u AND n2 = e.v),
+        |se AS MATERIALIZED (SELECT u, v FROM e
+        |  WHERE list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)
+        |        || '#tri'), i, 1)) - 1)
+        |      * pow(16, 8-i))) / 4294967296.0 < 0.5),
+        |sd AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+        |   SELECT u AS node FROM se UNION ALL SELECT v AS node FROM se) nn
+        |  GROUP BY 1),
+        |sor AS MATERIALIZED (SELECT
+        |   CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+        |     THEN u ELSE v END AS src,
+        |   CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
+        |     THEN v ELSE u END AS dst
+        |  FROM se JOIN sd du ON se.u = du.node JOIN sd dv ON se.v = dv.node),
+        |sw AS (SELECT x.src, x.dst AS n1, y.dst AS n2
+        |  FROM sor x JOIN sor y ON x.src = y.src AND x.dst < y.dst),
+        |sc AS (SELECT CAST(count(*) AS BIGINT) AS sampled_triangles
+        |  FROM sw JOIN se ON n1 = se.u AND n2 = se.v)
+        |SELECT exact_triangles, sampled_triangles,
+        | CAST(0.5 AS DOUBLE) AS p,
+        | round(CAST(sampled_triangles AS DOUBLE) / 0.125, 6)
+        |   AS estimate,
+        | round(abs(CAST(sampled_triangles AS DOUBLE) / 0.125
+        |   - exact_triangles) / exact_triangles, 6) AS rel_error
+        |FROM ex CROSS JOIN sc""".stripMargin,
+
+    "orders_band_migration" ->
+      """WITH cy AS (SELECT o_custkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS rev_c
+        | FROM orders GROUP BY 1, 2),
+        |b AS (SELECT o_custkey, yr,
+        |  least(4, greatest(0, CAST(floor(log10(
+        |    CAST(rev_c AS DOUBLE) / 100)) AS BIGINT))) AS band
+        | FROM cy),
+        |lg AS (SELECT o_custkey, yr, band,
+        |  lag(band) OVER (PARTITION BY o_custkey ORDER BY yr)
+        |    AS prev_band,
+        |  lag(yr) OVER (PARTITION BY o_custkey ORDER BY yr) AS prev_yr
+        | FROM b),
+        |mig AS (SELECT prev_band AS band_from, band AS band_to,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        | FROM lg WHERE prev_yr = yr - 1 GROUP BY 1, 2),
+        |rt AS (SELECT band_from, CAST(sum(n_customers) AS BIGINT)
+        |  AS n_from FROM mig GROUP BY 1)
+        |SELECT mig.band_from, band_to, n_customers,
+        | round(CAST(n_customers AS DOUBLE) / n_from, 6) AS row_share
+        |FROM mig JOIN rt ON mig.band_from = rt.band_from
+        |ORDER BY mig.band_from, band_to""".stripMargin,
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

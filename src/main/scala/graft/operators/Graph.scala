@@ -282,6 +282,53 @@ object Graph {
       .orderBy("bucket")
   }
 
+  /** Sampled triangle-count estimator vs the exact count — graph AQP:
+    * keep each canonical edge with deterministic probability p=1/2
+    * (md5 hash, engine/retry-stable), count triangles on the sampled
+    * subgraph, scale by 1/p³ (a triangle survives iff all 3 edges
+    * do). The measured case for "estimate first, pay for exact only
+    * when the decision needs it" — at 100 TB the sampled pass costs
+    * ~p³ = 1/8 of the closing-join work and the relative error lands
+    * in a few percent on triangle-rich graphs.
+    *
+    * Scale shape: exact side reuses the cached triangle relations
+    * (one bounded closing join); the sampled side re-runs the same
+    * orientation pipeline on half the edges (its own smaller
+    * O(m^1.5) bound); both reduce to 1-row counts. 1 row out.
+    */
+  def graphTriangleEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val exact = perNodeTriangles(spark, dir, 256L << 20)
+      .agg((sum("n_triangles") / 3).cast("long").as("exact_triangles"))
+    val e = coPairCounts(spark, dir).select("u", "v")
+    val sampled = e.filter(graft.functions.HexExprs.uniformHash(
+      concat(col("u").cast("string"), lit(":"), col("v").cast("string"),
+        lit("#tri"))) < 0.5)
+    val deg = sampled.select(col("u").as("node"))
+      .unionAll(sampled.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val lowFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = sampled
+      .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+      .select(when(lowFirst, col("u")).otherwise(col("v")).as("src"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("dst"))
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("u"), col("y.dst").as("v"))
+    val sCnt = wedges.join(sampled, Seq("u", "v"))
+      .agg(count(lit(1)).as("sampled_triangles"))
+    exact.crossJoin(sCnt)
+      .select(col("exact_triangles"), col("sampled_triangles"),
+        lit(0.5).as("p"),
+        round(col("sampled_triangles").cast("double") / 0.125, 6)
+          .as("estimate"),
+        round(abs(col("sampled_triangles").cast("double") / 0.125
+          - col("exact_triangles"))
+          / col("exact_triangles"), 6).as("rel_error"))
+  }
+
   /** Two-round synchronous label propagation over the part co-order
     * graph — deterministic community detection: every node starts as
     * its own label and each round adopts the most frequent label

@@ -1519,6 +1519,43 @@ object Olap {
       .orderBy("yr")
   }
 
+  /** Customer spend-band migration matrix: each customer's yearly
+    * spend mapped to its order-of-magnitude band (floor log₁₀
+    * dollars, clamped to 0-4), then the (band last year → band this
+    * year) transition counts over consecutive-year customers with
+    * row shares — the CRM value-migration table (upgrades fill the
+    * upper triangle, value churn the lower). Bands are magnitude
+    * thresholds, not quantiles, so the matrix is comparable across
+    * periods and engines (no data-dependent boundary drift).
+    *
+    * Scale shape: one per-(customer, year) exact-cent aggregate; the
+    * lag window runs per customer over its ≤|years| rows; the matrix
+    * rollup carries ≤25 keys and row totals re-aggregate the cell
+    * table. ≤25 rows out.
+    */
+  def ordersBandMigration(spark: SparkSession, dir: String): DataFrame = {
+    val cy = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("v_c"))
+      .groupBy("o_custkey", "yr").agg(sum("v_c").as("rev_c"))
+      .withColumn("band", least(lit(4L), greatest(lit(0L),
+        floor(log10(col("rev_c").cast("double") / 100.0)).cast("long"))))
+    val w = Window.partitionBy("o_custkey").orderBy("yr")
+    val mig = cy
+      .withColumn("prev_band", lag("band", 1).over(w))
+      .withColumn("prev_yr", lag("yr", 1).over(w))
+      .filter(col("prev_yr") === col("yr") - 1)
+      .groupBy(col("prev_band").as("band_from"), col("band").as("band_to"))
+      .agg(count(lit(1)).as("n_customers"))
+    val rowTot = mig.groupBy("band_from").agg(sum("n_customers").as("n_from"))
+    mig.join(rowTot, "band_from")
+      .select(col("band_from"), col("band_to"), col("n_customers"),
+        round(col("n_customers").cast("double") / col("n_from"), 6)
+          .as("row_share"))
+      .orderBy("band_from", "band_to")
+  }
+
   /** Discount-lift read-out: per discount level (integer percent),
     * line counts, exact average quantity, and revenue share — the
     * "does discounting actually move volume" table behind promo

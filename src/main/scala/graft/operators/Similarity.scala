@@ -1467,6 +1467,44 @@ object Similarity {
           6).as("nmi"))
   }
 
+  /** IVF list-balance health check: per inverted list (coarse cell),
+    * its vector count, share, imbalance factor vs the mean list, and
+    * the mean member-to-centroid cosine (cell tightness) — the table
+    * that predicts ANN tail latency (a hot cell serves every query
+    * routed to it; imbalance ×4 ≈ tail ×4) and recall (loose cells
+    * leak neighbors to their Voronoi boundary). Run it BEFORE
+    * shipping an index; rebalance (split hot cells) when imbalance
+    * drifts past ~2.
+    *
+    * Scale shape: centroids are the tiny broadcast side; member
+    * cosines are map-side projections with per-row micro-unit
+    * rounding before the per-cell sum; ONE |cells|-key aggregate,
+    * totals from the cell table. |cells| rows out.
+    */
+  def knnIvfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecsWithNorm(spark, dir)
+    val cents = ivfCentroids(e)
+    val cells = e.join(broadcast(cents), "label")
+      .withColumn("cnorm", graft.functions.Vectors.normHof("cv"))
+      .withColumn("csim", round(
+        graft.functions.Vectors.dot("v", "cv")
+          / (col("norm") * col("cnorm")), 6))
+      .withColumn("c_u6", round(col("csim") * 1e6).cast("long"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("c_u6").as("s_u6"))
+    val tot = cells.agg(sum("n_vecs").as("n_total"),
+      count(lit(1)).as("n_lists"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("label"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("n_total"), 6)
+          .as("share"),
+        round(col("n_vecs").cast("double") * col("n_lists")
+          / col("n_total"), 6).as("imbalance"),
+        round(col("s_u6").cast("double") / col("n_vecs") / 1e6, 6)
+          .as("avg_centroid_cos"))
+      .orderBy("label")
+  }
+
   /** Embedding-space anisotropy histogram: cosine similarity over a
     * deterministic O(N) pair sample (each vector paired with its
     * +1 / +17 / +101 stride neighbors mod N), binned into ten 0.2-wide

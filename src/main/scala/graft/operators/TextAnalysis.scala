@@ -740,6 +740,43 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Perplexity-filter calibration sweep (the CCNet knob): for nine
+    * log2-spaced thresholds, the docs and TOKENS surviving a
+    * "keep iff ppl ≤ t" filter — choosing the threshold from this
+    * curve instead of folklore is the difference between dropping 2%
+    * and 40% of a corpus. Reads [[textPerplexity]]'s per-doc scores
+    * (the PlanCache'd unigram LM underneath), sweeps all nine
+    * thresholds in ONE conditional aggregation — the score stream is
+    * read once, not once per threshold (the quality_pr_curve shape).
+    *
+    * Scale shape: per-doc scores are an existing bounded-per-doc
+    * relation; the 9-row threshold frame broadcasts into one
+    * aggregate. 9 rows out.
+    */
+  def textPplFilterSweep(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.functions.Unordered(textPerplexity(spark, dir))
+      .select("doc_id", "n_tokens", "ppl")
+    val ths = spark.createDataFrame(
+      Seq(2, 4, 8, 16, 32, 64, 128, 256, 512).map(t => Tuple1(t.toLong)))
+      .toDF("threshold")
+    val tot = scored.agg(count(lit(1)).as("docs_total"),
+      sum("n_tokens").as("tokens_total"))
+    scored.crossJoin(broadcast(ths))
+      .groupBy("threshold")
+      .agg(sum(when(col("ppl") <= col("threshold"), 1L).otherwise(0L))
+        .as("docs_kept"),
+        sum(when(col("ppl") <= col("threshold"), col("n_tokens"))
+          .otherwise(0L)).as("tokens_kept"))
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"), col("docs_kept"), col("docs_total"),
+        round(col("docs_kept").cast("double") / col("docs_total"), 6)
+          .as("doc_share"),
+        col("tokens_kept"), col("tokens_total"),
+        round(col("tokens_kept").cast("double") / col("tokens_total"), 6)
+          .as("token_share"))
+      .orderBy("threshold")
+  }
+
   /** Cross-document duplicate 5-gram mass per source — the
     * RefinedWeb-style dup-mass metric: what share of a source's
     * 5-gram OCCURRENCES belong to grams seen in ≥2 distinct docs
