@@ -26,9 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default: a full Verify/Bench run persists one PlanCache
-  // relation per operator family (140+ queries) — at 8g the block
-  // manager starts evicting mid-run and late heavy queries (triangle
-  // counting) pay recompute/disk-read instead of cache hits
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 48g default: a full Verify/Bench run persists one PlanCache
+  // relation per operator family (300 queries as of r8) — at 8g the
+  // block manager starts evicting mid-run and late heavy queries pay
+  // recompute instead of cache hits; the r8 closing bench measured
+  // a uniform 1.5x drag at 24g (eviction churn) that 48g removes on
+  // this 128 GiB box
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -381,6 +381,12 @@ object SparkEntry {
     "text_ppl_filter_sweep" -> (TextAnalysis.textPplFilterSweep _),
     "graph_triangle_estimate" -> (Graph.graphTriangleEstimate _),
     "orders_band_migration" -> (Olap.ordersBandMigration _),
+    // round 8, batch 29: rich-club curve, bigram entropy, top movers,
+    // langid confidence margins
+    "graph_rich_club" -> (Graph.graphRichClub _),
+    "text_bigram_entropy" -> (TextAnalysis.textBigramEntropy _),
+    "events_top_movers" -> (Events.eventsTopMovers _),
+    "text_langid_margin" -> (TextAnalysis.textLangidMargin _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -6847,6 +6853,110 @@ object SparkEntry {
         | round(CAST(n_customers AS DOUBLE) / n_from, 6) AS row_share
         |FROM mig JOIN rt ON mig.band_from = rt.band_from
         |ORDER BY mig.band_from, band_to""".stripMargin,
+
+    "graph_rich_club" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |d AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+        |   SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) nn
+        |  GROUP BY 1),
+        |ks AS (SELECT CAST(unnest([0, 8, 16, 24]) AS BIGINT) AS k),
+        |cs AS (SELECT k, CAST(count(*) AS BIGINT) AS n_club
+        |  FROM d CROSS JOIN ks WHERE dg > k GROUP BY 1),
+        |ed AS (SELECT e.u, e.v, du.dg AS du, dv.dg AS dv
+        |  FROM e JOIN d du ON e.u = du.node JOIN d dv ON e.v = dv.node),
+        |ce AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+        |  FROM ed CROSS JOIN ks WHERE du > k AND dv > k GROUP BY 1)
+        |SELECT cs.k, n_club, coalesce(n_edges, 0) AS n_edges,
+        | round(CASE WHEN n_club >= 2
+        |   THEN CAST(coalesce(n_edges, 0) AS DOUBLE) * 2
+        |     / (CAST(n_club AS DOUBLE) * (n_club - 1))
+        |   ELSE 0.0 END, 6) AS phi
+        |FROM cs LEFT JOIN ce ON cs.k = ce.k
+        |ORDER BY cs.k""".stripMargin,
+
+    "text_bigram_entropy" ->
+      """WITH d AS (SELECT source, string_split_regex(text, '\s+') AS t
+        |  FROM documents),
+        |bi AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM (SELECT source,
+        |    unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> {'w1': t[i], 'w2': t[i+1]}), recursive := true)
+        |   FROM d WHERE len(t) >= 2) x
+        | GROUP BY 1, 2, 3),
+        |uni AS (SELECT source, w1, CAST(sum(c12) AS BIGINT) AS c1
+        |  FROM bi GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c1) AS BIGINT) AS n_bi
+        |  FROM uni GROUP BY 1),
+        |hc AS (SELECT bi.source,
+        |  CAST(sum(CAST(round(-(CAST(c12 AS DOUBLE) / n_bi)
+        |    * log2(CAST(c12 AS DOUBLE) / c1) * 1e9) AS BIGINT))
+        |    AS BIGINT) AS hc_u9
+        | FROM bi JOIN uni ON bi.source = uni.source AND bi.w1 = uni.w1
+        | JOIN tot ON bi.source = tot.source
+        | GROUP BY 1),
+        |hu AS (SELECT uni.source,
+        |  CAST(sum(CAST(round(-(CAST(c1 AS DOUBLE) / n_bi)
+        |    * log2(CAST(c1 AS DOUBLE) / n_bi) * 1e9) AS BIGINT))
+        |    AS BIGINT) AS hu_u9
+        | FROM uni JOIN tot ON uni.source = tot.source GROUP BY 1)
+        |SELECT hc.source, n_bi AS n_bigrams,
+        | round(CAST(hc_u9 AS DOUBLE) / 1e9, 6) AS h_cond_bits,
+        | round(CAST(hu_u9 AS DOUBLE) / 1e9, 6) AS h_uni_bits,
+        | round(1.0 - CAST(hc_u9 AS DOUBLE) / hu_u9, 6)
+        |   AS predictability
+        |FROM hc JOIN hu ON hc.source = hu.source
+        |JOIN tot ON hc.source = tot.source
+        |ORDER BY hc.source""".stripMargin,
+
+    "events_top_movers" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |lg AS (SELECT event_type, day, n,
+        |  lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
+        |  lag(day) OVER (PARTITION BY event_type ORDER BY day)
+        |    AS prev_day
+        | FROM daily),
+        |mv AS (SELECT event_type, day, prev_n, n,
+        |  round(ln((CAST(n AS DOUBLE) + 1) / (CAST(prev_n AS DOUBLE) + 1)),
+        |    6) AS log_ratio
+        | FROM lg WHERE prev_day = day - 1)
+        |SELECT event_type, day, prev_n, n, log_ratio,
+        | round(CAST(n - prev_n AS DOUBLE) / prev_n, 6) AS pct_change
+        |FROM mv
+        |ORDER BY abs(log_ratio) DESC, event_type, day
+        |LIMIT 20""".stripMargin,
+
+    "text_langid_margin" ->
+      (s"""WITH m(token, cand_lang) AS (VALUES ${operators.TextAnalysis
+          .markers.map { case (l, t) => s"('$t','$l')" }.mkString(", ")}),
+         |hits AS (SELECT doc_id, cand_lang, CAST(count(*) AS BIGINT)
+         |    AS score
+         |  FROM (SELECT doc_id, unnest(string_split_regex(text,'\\s+'))
+         |      AS token FROM documents) t
+         |  JOIN m USING (token) GROUP BY 1, 2),
+         |t2 AS (SELECT doc_id,
+         |  max(CASE WHEN rn = 1 THEN cand_lang END) AS pred_lang,
+         |  max(CASE WHEN rn = 1 THEN score END) AS s1,
+         |  coalesce(max(CASE WHEN rn = 2 THEN score END), 0) AS s2
+         | FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, cand_lang) AS rn FROM hits) x
+         | WHERE rn <= 2 GROUP BY 1),
+         |sc AS (SELECT coalesce(pred_lang, 'und') AS pred_lang,
+         |  CAST(coalesce(s1 - s2, 0) AS BIGINT) AS margin
+         | FROM documents d LEFT JOIN t2 ON d.doc_id = t2.doc_id)
+         |SELECT pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | round(CAST(sum(margin) AS DOUBLE) / count(*), 6)
+         |   AS avg_margin,
+         | CAST(sum(CASE WHEN margin <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_low_margin,
+         | round(CAST(sum(CASE WHEN margin <= 1 THEN 1 ELSE 0 END)
+         |   AS DOUBLE) / count(*), 6) AS low_margin_share
+         |FROM sc GROUP BY 1 ORDER BY pred_lang""".stripMargin),
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

@@ -2493,6 +2493,39 @@ object Events {
       .orderBy("day_idx")
   }
 
+  /** Top daily movers: the 20 largest day-over-day volume swings per
+    * (event type, day), by absolute log-ratio — the "what changed
+    * yesterday" triage table an on-call run starts with (log-ratio
+    * ranks a 3×-up the same as a 3×-down and is size-independent, so
+    * small types don't drown big ones). Laplace +1 keeps day-zero
+    * ratios finite.
+    *
+    * Scale shape: ONE (type, day) corpus aggregate; the lag window
+    * runs per type over its ≤|days| rows; top-20 via TakeOrdered on
+    * a (|log-ratio|, type, day) total order. 20 rows out.
+    */
+  def eventsTopMovers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_s div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val moved = daily
+      .withColumn("prev_n", lag("n", 1).over(w))
+      .withColumn("prev_day", lag("day", 1).over(w))
+      .filter(col("prev_day") === col("day") - 1)
+      .withColumn("log_ratio", round(
+        log((col("n").cast("double") + 1.0)
+          / (col("prev_n").cast("double") + 1.0)), 6))
+      .withColumn("abs_lr", abs(col("log_ratio")))
+    moved
+      .orderBy(col("abs_lr").desc, col("event_type"), col("day"))
+      .limit(20)
+      .select(col("event_type"), col("day"), col("prev_n"), col("n"),
+        col("log_ratio"),
+        round((col("n") - col("prev_n")).cast("double")
+          / col("prev_n"), 6).as("pct_change"))
+  }
+
   /** Pipeline freshness monitor: per event type, the last-seen
     * timestamp, its lag behind the stream's global high-water mark,
     * the event count in the final hour, and a stalled flag (lag >

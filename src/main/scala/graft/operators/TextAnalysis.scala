@@ -740,6 +740,95 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Conditional bigram entropy per source: H(w₂|w₁) = −Σ p(w₁,w₂)·
+    * log₂ p(w₂|w₁) against the unigram entropy H(w) — the
+    * predictability ratio 1 − H(w₂|w₁)/H(w) says how much knowing
+    * one word tells you about the next (templated/boilerplate feeds
+    * are near-deterministic, natural text is not) — the word-level
+    * step between [[textCharEntropy]] (chars) and the perplexity
+    * family (model-based). Terms round to nano-units per bigram TYPE
+    * before the per-source sum, so both engines add identical ints.
+    *
+    * Scale shape: two map-side-combined count aggregates (per-source
+    * bigrams, per-source unigrams), one equi-join on the history
+    * word, bounded rollups. |sources| rows out.
+    */
+  def textBigramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .withColumn("t", toks).filter(size(col("t")) >= 2)
+    val bi = t.select(col("source"), explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"))
+        .as("b"))
+      .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("source", "w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = bi.groupBy("source", "w1").agg(sum("c12").as("c1"))
+    val tot = uni.groupBy("source").agg(sum("c1").as("n_bi"))
+    val joint = bi.join(uni, Seq("source", "w1")).join(tot, "source")
+    val pJoint = col("c12").cast("double") / col("n_bi")
+    val pCond = col("c12").cast("double") / col("c1")
+    val hCond = joint
+      .withColumn("t_u9", round(-pJoint * log2(pCond) * 1e9).cast("long"))
+      .groupBy("source").agg(sum("t_u9").as("hc_u9"))
+    val pUni = col("c1").cast("double") / col("n_bi")
+    val hUni = uni.join(tot, "source")
+      .withColumn("t_u9", round(-pUni * log2(pUni) * 1e9).cast("long"))
+      .groupBy("source").agg(sum("t_u9").as("hu_u9"))
+    hCond.join(hUni, "source").join(tot, "source")
+      .select(col("source"), col("n_bi").as("n_bigrams"),
+        round(col("hc_u9").cast("double") / 1e9, 6).as("h_cond_bits"),
+        round(col("hu_u9").cast("double") / 1e9, 6).as("h_uni_bits"),
+        round(lit(1.0) - col("hc_u9").cast("double") / col("hu_u9"), 6)
+          .as("predictability"))
+      .orderBy("source")
+  }
+
+  /** Language-ID confidence margin: per predicted language, how far
+    * the winning marker score sits above the runner-up (margin ≤ 1
+    * means the call was a coin flip) — the calibration table that
+    * decides whether a lang-filtered training mix can TRUST the
+    * classifier at its operating point, complementing
+    * [[langidConfusion]]'s accuracy matrix with a confidence view.
+    * Margins are integer marker counts — fully exact.
+    *
+    * Scale shape: the marker join is map-side broadcast; per-doc
+    * top-2 is a bounded window over ≤|langs| candidate rows per doc;
+    * ONE |langs|-key rollup. ≤|langs|+1 rows out.
+    */
+  def textLangidMargin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = markers.toDF("cand_lang", "token")
+    val hits = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .join(broadcast(m), "token")
+      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cand_lang"))
+    val top2 = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("doc_id")
+      .agg(max(when(col("rn") === 1, col("cand_lang"))).as("pred_lang"),
+        max(when(col("rn") === 1, col("score"))).as("s1"),
+        coalesce(max(when(col("rn") === 2, col("score"))), lit(0L))
+          .as("s2"))
+      .withColumn("margin", col("s1") - col("s2"))
+    val scored = Tables.documents(spark, dir).select("doc_id")
+      .join(top2, Seq("doc_id"), "left")
+      .select(coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("margin"), lit(0L)).as("margin"))
+    val cells = scored.groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"), sum("margin").as("s_margin"),
+        sum(when(col("margin") <= 1, 1L).otherwise(0L))
+          .as("n_low_margin"))
+    cells.select(col("pred_lang"), col("n_docs"),
+        round(col("s_margin").cast("double") / col("n_docs"), 6)
+          .as("avg_margin"),
+        col("n_low_margin"),
+        round(col("n_low_margin").cast("double") / col("n_docs"), 6)
+          .as("low_margin_share"))
+      .orderBy("pred_lang")
+  }
+
   /** Perplexity-filter calibration sweep (the CCNet knob): for nine
     * log2-spaced thresholds, the docs and TOKENS surviving a
     * "keep iff ppl ≤ t" filter — choosing the threshold from this
