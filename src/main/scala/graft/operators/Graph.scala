@@ -337,9 +337,11 @@ object Graph {
     val exact = perNodeTriangles(spark, dir, 256L << 20)
       .agg((sum("n_triangles") / 3).cast("long").as("exact_triangles"))
     val e = coPairCounts(spark, dir).select("u", "v")
-    val sampled = e.filter(graft.functions.HexExprs.uniformHash(
-      concat(col("u").cast("string"), lit(":"), col("v").cast("string"),
-        lit("#tri"))) < 0.5)
+    val sampled = graft.PlanCache.cached("triangle_sample_e", spark, dir) {
+      e.filter(graft.functions.HexExprs.uniformHash(
+        concat(col("u").cast("string"), lit(":"), col("v").cast("string"),
+          lit("#tri"))) < 0.5)
+    }
     val deg = sampled.select(col("u").as("node"))
       .unionAll(sampled.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("dg"))
@@ -354,9 +356,13 @@ object Graph {
     // shape): never materializes the wedge stream — each edge scores
     // one bounded array intersection (out-lists are O(√m) by the
     // orientation). The raw wedge self-join measured 10.5s at sf0.1;
-    // this is sub-second on the same sample.
-    val adj = oriented.groupBy("src")
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // the cached adjacency makes repeat evaluations read the pin
+    // (the triangle_adj discipline) instead of rebuilding ~6s of
+    // orientation + list aggregation.
+    val adj = graft.PlanCache.cached("triangle_sample_adj", spark, dir) {
+      oriented.groupBy("src")
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    }
     val sCnt = oriented
       .join(adj.select(col("src").as("u2"), col("nbrs").as("nu")),
         col("src") === col("u2"))
