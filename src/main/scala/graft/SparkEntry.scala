@@ -387,6 +387,12 @@ object SparkEntry {
     "text_bigram_entropy" -> (TextAnalysis.textBigramEntropy _),
     "events_top_movers" -> (Events.eventsTopMovers _),
     "text_langid_margin" -> (TextAnalysis.textLangidMargin _),
+    // round 8, batch 30: chi-square independence, one-way ANOVA,
+    // exact Gini, term burstiness
+    "clean_state_type_chi2" -> (Cleaning.cleanStateTypeChi2 _),
+    "events_value_anova" -> (Events.eventsValueAnova _),
+    "orders_spend_gini" -> (Olap.ordersSpendGini _),
+    "text_term_burstiness" -> (TextAnalysis.textTermBurstiness _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -6957,6 +6963,143 @@ object SparkEntry {
          | round(CAST(sum(CASE WHEN margin <= 1 THEN 1 ELSE 0 END)
          |   AS DOUBLE) / count(*), 6) AS low_margin_share
          |FROM sc GROUP BY 1 ORDER BY pred_lang""".stripMargin),
+
+    "clean_state_type_chi2" ->
+      """WITH shaped AS (
+        | SELECT CASE WHEN c_custkey % 5 = 0 THEN '99'
+        |   ELSE printf('%04d', c_nationkey * 100 + c_custkey % 100)
+        |   END AS postcode,
+        |  c_mktsegment AS entity_type
+        | FROM customer),
+        |s AS (SELECT
+        |  CASE WHEN NOT regexp_matches(postcode, '^\d{4}$')
+        |    THEN 'INVALID'
+        |   WHEN CAST(postcode AS INT) BETWEEN 1000 AND 2599 THEN 'NSW'
+        |   WHEN CAST(postcode AS INT) BETWEEN 2619 AND 2899 THEN 'NSW'
+        |   WHEN CAST(postcode AS INT) BETWEEN 2921 AND 2999 THEN 'NSW'
+        |   WHEN CAST(postcode AS INT) BETWEEN 200 AND 299 THEN 'ACT'
+        |   WHEN CAST(postcode AS INT) BETWEEN 2600 AND 2618 THEN 'ACT'
+        |   WHEN CAST(postcode AS INT) BETWEEN 2900 AND 2920 THEN 'ACT'
+        |   WHEN CAST(postcode AS INT) BETWEEN 3000 AND 3999
+        |     OR CAST(postcode AS INT) BETWEEN 8000 AND 8999 THEN 'VIC'
+        |   WHEN CAST(postcode AS INT) BETWEEN 4000 AND 4999
+        |     OR CAST(postcode AS INT) BETWEEN 9000 AND 9999 THEN 'QLD'
+        |   WHEN CAST(postcode AS INT) BETWEEN 5000 AND 5999 THEN 'SA'
+        |   WHEN CAST(postcode AS INT) BETWEEN 6000 AND 6999 THEN 'WA'
+        |   WHEN CAST(postcode AS INT) BETWEEN 7000 AND 7999 THEN 'TAS'
+        |   WHEN CAST(postcode AS INT) BETWEEN 800 AND 999 THEN 'NT'
+        |   ELSE 'UNKNOWN' END AS state,
+        |  entity_type
+        | FROM shaped),
+        |cells AS (SELECT state, entity_type,
+        |  CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2),
+        |rm AS (SELECT state, CAST(sum(n) AS BIGINT) AS n_state
+        |  FROM cells GROUP BY 1),
+        |cm AS (SELECT entity_type, CAST(sum(n) AS BIGINT) AS n_type
+        |  FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cells),
+        |dims AS (SELECT CAST(count(DISTINCT state) AS BIGINT)
+        |    AS n_states,
+        |  CAST(count(DISTINCT entity_type) AS BIGINT) AS n_types
+        | FROM cells),
+        |terms AS (SELECT cells.state, cells.entity_type, n,
+        |  CAST(n_state AS DOUBLE) * n_type / n_total AS expected,
+        |  CAST(round((n - CAST(n_state AS DOUBLE) * n_type / n_total)
+        |    * (n - CAST(n_state AS DOUBLE) * n_type / n_total)
+        |    / (CAST(n_state AS DOUBLE) * n_type / n_total) * 1e6)
+        |    AS BIGINT) AS chi2_u6
+        | FROM cells JOIN rm ON cells.state = rm.state
+        | JOIN cm ON cells.entity_type = cm.entity_type CROSS JOIN t),
+        |tt AS (SELECT CAST(sum(chi2_u6) AS BIGINT) AS chi2_tot_u6
+        |  FROM terms)
+        |SELECT state, entity_type, n,
+        | round(expected, 6) AS expected,
+        | round(CAST(chi2_u6 AS DOUBLE) / 1e6, 6) AS chi2_term,
+        | round(CAST(chi2_tot_u6 AS DOUBLE) / 1e6, 6) AS chi2_total,
+        | (n_states - 1) * (n_types - 1) AS dof
+        |FROM terms CROSS JOIN tt CROSS JOIN dims
+        |ORDER BY state, entity_type""".stripMargin,
+
+    "events_value_anova" ->
+      """WITH per AS (SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_g,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS s_g,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)
+        |    * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sq_g
+        | FROM events GROUP BY 1),
+        |p2 AS (SELECT event_type, n_g, s_g, sq_g,
+        |  CAST(round(CAST(s_g AS DOUBLE) * s_g / n_g * 1e-2)
+        |    AS BIGINT) AS bt_u6
+        | FROM per),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS g,
+        |  CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s,
+        |  CAST(sum(sq_g) AS BIGINT) AS sq,
+        |  CAST(sum(bt_u6) AS BIGINT) AS bt
+        | FROM p2)
+        |SELECT event_type, n_g AS n,
+        | round(CAST(s_g AS DOUBLE) / n_g / 100, 6) AS mean_value,
+        | round(((CAST(bt AS DOUBLE) * 1e2 - CAST(s AS DOUBLE) * s / n)
+        |    / (g - 1))
+        |  / ((CAST(sq AS DOUBLE) - CAST(bt AS DOUBLE) * 1e2) / (n - g)),
+        |  6) AS f_stat,
+        | round((CAST(bt AS DOUBLE) * 1e2 - CAST(s AS DOUBLE) * s / n)
+        |  / ((CAST(bt AS DOUBLE) * 1e2 - CAST(s AS DOUBLE) * s / n)
+        |   + (CAST(sq AS DOUBLE) - CAST(bt AS DOUBLE) * 1e2)), 6)
+        |   AS eta_sq,
+        | g - 1 AS dof_between, n - g AS dof_within
+        |FROM p2 CROSS JOIN st ORDER BY event_type""".stripMargin,
+
+    "orders_spend_gini" ->
+      """WITH spend AS (SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS spend_c
+        | FROM orders GROUP BY 1),
+        |vals AS (SELECT CAST(spend_c // 100 AS BIGINT) AS v, spend_c
+        |  FROM spend),
+        |grid AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(spend_c) AS BIGINT) AS sc
+        | FROM vals GROUP BY 1),
+        |rk AS (SELECT v, cnt, sc,
+        |  CAST(coalesce(sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS c_below
+        | FROM grid),
+        |st AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(sum(v * cnt) AS BIGINT) AS s_d,
+        |  CAST(sum(v * (cnt * c_below + cnt * (cnt + 1) // 2))
+        |    AS BIGINT) AS srx,
+        |  CAST(sum(sc) AS BIGINT) AS s_c
+        | FROM rk)
+        |SELECT n AS n_customers,
+        | round(CAST(s_c AS DOUBLE) / 100, 2) AS total_spend,
+        | round(CAST(s_c AS DOUBLE) / n / 100, 6) AS mean_spend,
+        | round((2.0 * CAST(srx AS DOUBLE)
+        |   - CAST(n + 1 AS DOUBLE) * s_d)
+        |   / (CAST(n AS DOUBLE) * s_d), 6) AS gini
+        |FROM st ORDER BY n_customers""".stripMargin,
+
+    "text_term_burstiness" ->
+      """WITH tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS w
+        |   FROM documents) t GROUP BY 1, 2),
+        |uni AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS cw
+        |  FROM tf GROUP BY 1),
+        |dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |top AS (SELECT w, cw,
+        |  CAST(row_number() OVER (ORDER BY cw DESC, w) AS INT) AS rank
+        | FROM uni ORDER BY cw DESC, w LIMIT 20),
+        |ex AS (SELECT rank, w, cw, df,
+        |  round(CAST(nd AS DOUBLE)
+        |    * (1.0 - pow(1.0 - CAST(1 AS DOUBLE) / nd,
+        |        CAST(cw AS DOUBLE))), 6) AS expected_df
+        | FROM top JOIN dfreq USING (w) CROSS JOIN nd)
+        |SELECT rank, w AS term, cw, df, expected_df,
+        | round(expected_df / df, 6) AS burstiness
+        |FROM ex ORDER BY rank""".stripMargin,
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

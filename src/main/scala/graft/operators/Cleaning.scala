@@ -142,24 +142,8 @@ object Cleaning {
     * broadcast 1-row total. ≤10 rows out.
     */
   def cleanPostcodeStates(spark: SparkSession, dir: String): DataFrame = {
-    val pc = col("postcode")
-    val n = pc.cast("int")
-    val state = when(!pc.rlike("^\\d{4}$"), "INVALID")
-      .when(n >= 1000 && n <= 2599, "NSW")
-      .when(n >= 2619 && n <= 2899, "NSW")
-      .when(n >= 2921 && n <= 2999, "NSW")
-      .when(n >= 200 && n <= 299, "ACT")
-      .when(n >= 2600 && n <= 2618, "ACT")
-      .when(n >= 2900 && n <= 2920, "ACT")
-      .when((n >= 3000 && n <= 3999) || (n >= 8000 && n <= 8999), "VIC")
-      .when((n >= 4000 && n <= 4999) || (n >= 9000 && n <= 9999), "QLD")
-      .when(n >= 5000 && n <= 5999, "SA")
-      .when(n >= 6000 && n <= 6999, "WA")
-      .when(n >= 7000 && n <= 7999, "TAS")
-      .when(n >= 800 && n <= 999, "NT")
-      .otherwise("UNKNOWN")
     val shaped = abrShapedTrimmed(spark, dir)
-      .select(state.as("state"),
+      .select(postcodeState.as("state"),
         (lower(col("entity_status")) === "active").cast("long")
           .as("is_active"))
     val cells = shaped.groupBy("state")
@@ -175,6 +159,74 @@ object Cleaning {
         round(col("n_active").cast("double") / col("n_entities"), 6)
           .as("active_share"))
       .orderBy("state")
+  }
+
+  /** Independence test on the register's geography × segment
+    * contingency table: every (state, entity type) cell with its
+    * observed count, the independence-expected count n_row·n_col/N,
+    * and the χ² contribution (plus the table-level χ² and degrees of
+    * freedom on every row) — "does entity type depend on geography"
+    * is the first question a register analyst asks before building
+    * per-state segment models. Expected counts and χ² terms expand
+    * from exact BIGINT marginals; terms round to micro-units per
+    * CELL before the bounded total.
+    *
+    * Scale shape: ONE (state, type) aggregate with map-side combine;
+    * marginals and the total re-aggregate the bounded cell table.
+    * ≤|states|·|types| rows out.
+    */
+  def cleanStateTypeChi2(spark: SparkSession, dir: String): DataFrame = {
+    val cells = abrShapedTrimmed(spark, dir)
+      .select(postcodeState.as("state"), col("entity_type"))
+      .groupBy("state", "entity_type").agg(count(lit(1)).as("n"))
+    val rowM = cells.groupBy("state").agg(sum("n").as("n_state"))
+    val colM = cells.groupBy("entity_type").agg(sum("n").as("n_type"))
+    val tot = cells.agg(sum("n").as("n_total"),
+      count(lit(1)).as("n_cells"))
+    val dims = cells.agg(countDistinct("state").as("n_states"),
+      countDistinct("entity_type").as("n_types"))
+    val expected = col("n_state").cast("double") * col("n_type") /
+      col("n_total")
+    val terms = cells.join(broadcast(rowM), "state")
+      .join(broadcast(colM), "entity_type")
+      .crossJoin(broadcast(tot))
+      .withColumn("expected", expected)
+      .withColumn("chi2_u6", round(
+        (col("n") - expected) * (col("n") - expected) / expected * 1e6)
+        .cast("long"))
+    val total = terms.groupBy(lit(1).as("one"))
+      .agg(sum("chi2_u6").as("chi2_tot_u6"))
+    terms.crossJoin(broadcast(total)).crossJoin(broadcast(dims))
+      .select(col("state"), col("entity_type"), col("n"),
+        round(col("expected"), 6).as("expected"),
+        round(col("chi2_u6").cast("double") / 1e6, 6).as("chi2_term"),
+        round(col("chi2_tot_u6").cast("double") / 1e6, 6)
+          .as("chi2_total"),
+        ((col("n_states") - 1) * (col("n_types") - 1)).as("dof"))
+      .orderBy("state", "entity_type")
+  }
+
+  /** The postcode→state CASE, shared by [[cleanPostcodeStates]] and
+    * [[cleanStateTypeChi2]] so the geography dimension has exactly
+    * one definition.
+    */
+  private def postcodeState: org.apache.spark.sql.Column = {
+    val pc = col("postcode")
+    val n = pc.cast("int")
+    when(!pc.rlike("^\\d{4}$"), "INVALID")
+      .when(n >= 1000 && n <= 2599, "NSW")
+      .when(n >= 2619 && n <= 2899, "NSW")
+      .when(n >= 2921 && n <= 2999, "NSW")
+      .when(n >= 200 && n <= 299, "ACT")
+      .when(n >= 2600 && n <= 2618, "ACT")
+      .when(n >= 2900 && n <= 2920, "ACT")
+      .when((n >= 3000 && n <= 3999) || (n >= 8000 && n <= 8999), "VIC")
+      .when((n >= 4000 && n <= 4999) || (n >= 9000 && n <= 9999), "QLD")
+      .when(n >= 5000 && n <= 5999, "SA")
+      .when(n >= 6000 && n <= 6999, "WA")
+      .when(n >= 7000 && n <= 7999, "TAS")
+      .when(n >= 800 && n <= 999, "NT")
+      .otherwise("UNKNOWN")
   }
 
   /** Common-Crawl-shaped cleaning on a part projection: URL trim +

@@ -2493,6 +2493,48 @@ object Events {
       .orderBy("day_idx")
   }
 
+  /** One-way ANOVA of event value across event types: per-type exact
+    * moments, the F statistic MSB/MSW, and η² (the variance share
+    * the grouping explains) — "does value differ by type at all"
+    * before anyone builds per-type models. Same exact-sufficient-
+    * statistics discipline as [[eventsValueIcc]]: per-type s²/n
+    * rounds to micro-units before the group sum, grand terms expand
+    * in the same units.
+    *
+    * Scale shape: ONE per-type aggregate (two BIGINTs each) + a
+    * 1-row reduce; per-type rows re-read the bounded cell table.
+    * |types| rows out (F/η² repeated — cells AND test in one table).
+    */
+  def eventsValueAnova(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("v_c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_g"), sum("v_c").as("s_g"),
+        sum(col("v_c") * col("v_c")).as("sq_g"))
+      .withColumn("bt_u6", round(
+        col("s_g").cast("double") * col("s_g") / col("n_g") * 1e-2)
+        .cast("long"))
+    val st = per.agg(count(lit(1)).as("g"), sum("n_g").as("n"),
+      sum("s_g").as("s"), sum("sq_g").as("sq"), sum("bt_u6").as("bt"))
+    val n = col("n").cast("double")
+    val gD = col("g").cast("double")
+    val ssb = col("bt").cast("double") * 1e2 -
+      col("s").cast("double") * col("s") / n
+    val ssw = col("sq").cast("double") - col("bt").cast("double") * 1e2
+    val f = (ssb / (gD - 1)) / (ssw / (n - gD))
+    val eta2 = ssb / (ssb + ssw)
+    per.crossJoin(broadcast(st))
+      .select(col("event_type"), col("n_g").as("n"),
+        round(col("s_g").cast("double") / col("n_g") / 100.0, 6)
+          .as("mean_value"),
+        round(f, 6).as("f_stat"),
+        round(eta2, 6).as("eta_sq"),
+        (col("g") - 1).as("dof_between"),
+        (col("n") - col("g")).as("dof_within"))
+      .orderBy("event_type")
+  }
+
   /** Top daily movers: the 20 largest day-over-day volume swings per
     * (event type, day), by absolute log-ratio — the "what changed
     * yesterday" triage table an on-call run starts with (log-ratio

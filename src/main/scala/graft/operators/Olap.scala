@@ -1556,6 +1556,55 @@ object Olap {
       .orderBy("band_from", "band_to")
   }
 
+  /** Gini coefficient of customer spend — the single-number
+    * inequality read-out behind concentration-risk and
+    * whale-dependence decisions (complements [[customerPareto]]'s
+    * decile curve). Computed EXACTLY on a whole-dollar value grid
+    * via the rank identity G = (2·Σrᵢxᵢ − (n+1)·S) / (n·S), where
+    * tie groups contribute x·(cnt·C_below + cnt(cnt+1)/2) — all
+    * BIGINT arithmetic (exact for n·n·x_max within int64: ~2M
+    * customers at this spend scale; beyond that, coarsen the value
+    * unit), no global sort: the rank prefix uses the block-ECDF
+    * discipline (value blocks + bounded triangle-join prefixes).
+    *
+    * Scale shape: one per-customer aggregate, one (value, count)
+    * grid, block-partitioned windows + a bounded block-prefix join,
+    * a 1-row reduce. 1 row out.
+    */
+  def ordersSpendGini(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("v_c"))
+      .groupBy("o_custkey").agg(sum("v_c").as("spend_c"))
+      .select((col("spend_c") / 100).cast("long").as("v"),
+        col("spend_c"))
+    val grid = spend.groupBy("v")
+      .agg(count(lit(1)).as("cnt"), sum("spend_c").as("sc"))
+      .withColumn("blk", expr("v div 65536"))
+    val inBlk = grid.withColumn("cum_in",
+      coalesce(sum("cnt").over(Window.partitionBy("blk").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val blkTot = grid.groupBy("blk").agg(sum("cnt").as("btot"))
+    val prefix = blkTot.as("a")
+      .join(blkTot.as("b"), col("b.blk") < col("a.blk"), "left_outer")
+      .groupBy(col("a.blk").as("blk"))
+      .agg(coalesce(sum(col("b.btot")), lit(0L)).as("blk_prefix"))
+    val ranked = inBlk.join(broadcast(prefix), "blk")
+      .withColumn("c_below", col("blk_prefix") + col("cum_in"))
+      .withColumn("srx",
+        expr("v * (cnt * c_below + cnt * (cnt + 1) div 2)"))
+    val st = ranked.agg(sum("cnt").as("n"), sum(col("v") * col("cnt"))
+      .as("s_d"), sum("srx").as("srx"), sum("sc").as("s_c"))
+    st.select(col("n").as("n_customers"),
+        round(col("s_c").cast("double") / 100.0, 2).as("total_spend"),
+        round(col("s_c").cast("double") / col("n") / 100.0, 6)
+          .as("mean_spend"),
+        round((lit(2.0) * col("srx").cast("double")
+          - (col("n") + 1).cast("double") * col("s_d"))
+          / (col("n").cast("double") * col("s_d")), 6).as("gini"))
+      .orderBy("n_customers")
+  }
+
   /** Discount-lift read-out: per discount level (integer percent),
     * line counts, exact average quantity, and revenue share — the
     * "does discounting actually move volume" table behind promo

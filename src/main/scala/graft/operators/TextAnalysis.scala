@@ -740,6 +740,38 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Term burstiness (Church & Gale): for the top-20 corpus terms,
+    * the observed document frequency against the binomial-expected
+    * df under an "occurrences scatter independently" null —
+    * E[df] = N·(1 − (1−1/N)^cw). burstiness = expected/observed > 1
+    * means the term CLUMPS into few docs (topical or keyword-stuffed
+    * text); ≈1 means function-word-like scatter. The read-out that
+    * separates a topical corpus from template spam at the term
+    * level.
+    *
+    * Scale shape: reads the PlanCache-shared unigram and per-doc
+    * term relations (no new corpus pass); docs-per-term is one
+    * aggregate of the per-doc table; top-20 via TakeOrdered; the
+    * null expectation is a projection. 20 rows out.
+    */
+  def textTermBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val df_ = docTf(spark, dir).groupBy("w")
+      .agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("nd"))
+    val top = graft.functions.TopK.globalWithRank(
+      uniCounts(spark, dir), 20, col("cw").desc, col("w"))
+    top.join(df_, "w").crossJoin(broadcast(nDocs))
+      .withColumn("expected_df", round(
+        col("nd").cast("double") * (lit(1.0) -
+          pow(lit(1.0) - lit(1.0) / col("nd").cast("double"),
+            col("cw").cast("double"))), 6))
+      .select(col("rank"), col("w").as("term"), col("cw"), col("df"),
+        col("expected_df"),
+        round(col("expected_df") / col("df").cast("double"), 6)
+          .as("burstiness"))
+      .orderBy("rank")
+  }
+
   /** Conditional bigram entropy per source: H(w₂|w₁) = −Σ p(w₁,w₂)·
     * log₂ p(w₂|w₁) against the unigram entropy H(w) — the
     * predictability ratio 1 − H(w₂|w₁)/H(w) says how much knowing
