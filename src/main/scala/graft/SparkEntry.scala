@@ -393,6 +393,12 @@ object SparkEntry {
     "events_value_anova" -> (Events.eventsValueAnova _),
     "orders_spend_gini" -> (Olap.ordersSpendGini _),
     "text_term_burstiness" -> (TextAnalysis.textTermBurstiness _),
+    // round 8, batch 31: seasonality index, pHash review queue,
+    // degree Gini, Levene variance test
+    "orders_seasonality_index" -> (Olap.ordersSeasonalityIndex _),
+    "mm_phash_top_pairs" -> (multimodal.BinaryColumns.phashTopPairs _),
+    "graph_degree_gini" -> (Graph.graphDegreeGini _),
+    "events_levene_variance" -> (Events.eventsLeveneVariance _),
   )
 
   /** Queries intentionally without a SQL oracle (driver falls back to
@@ -7100,6 +7106,104 @@ object SparkEntry {
         |SELECT rank, w AS term, cw, df, expected_df,
         | round(expected_df / df, 6) AS burstiness
         |FROM ex ORDER BY rank""".stripMargin,
+
+    "orders_seasonality_index" ->
+      """WITH cells AS (SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS v_c
+        | FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS nt,
+        |  CAST(sum(v_c) AS BIGINT) AS vt FROM cells)
+        |SELECT m AS month, n_orders,
+        | round(CAST(n_orders AS DOUBLE) * 12 / nt, 6) AS volume_index,
+        | round(CAST(v_c AS DOUBLE) / 100, 2) AS value,
+        | round(CAST(v_c AS DOUBLE) * 12 / vt, 6) AS value_index
+        |FROM cells CROSS JOIN t ORDER BY month""".stripMargin,
+
+    "mm_phash_top_pairs" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hhex FROM documents),
+        |h2 AS (SELECT doc_id, hhex,
+        |  CAST(list_sum(list_transform(generate_series(1, 12),
+        |    i -> (strpos('0123456789abcdef', substr(hhex, i, 1)) - 1)
+        |      * pow(16, 12 - i))) AS BIGINT) AS h48
+        | FROM h),
+        |bands AS (SELECT CAST(unnest(generate_series(1, 4)) AS BIGINT)
+        |  AS band),
+        |bd AS (SELECT band, doc_id, h48,
+        |  substr(hhex, CAST((band - 1) * 3 + 1 AS INT), 3) AS bkey
+        | FROM h2 CROSS JOIN bands),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(min(bit_count(xor(a.h48, b.h48))) AS BIGINT) AS hamming
+        | FROM bd a JOIN bd b ON a.band = b.band AND a.bkey = b.bkey
+        |   AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, hamming FROM pr
+        |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    "graph_degree_gini" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        |d AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
+        |   SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) nn
+        |  GROUP BY 1),
+        |grid AS (SELECT dg AS v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM d GROUP BY 1),
+        |rk AS (SELECT v, cnt,
+        |  CAST(coalesce(sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS c_below
+        | FROM grid),
+        |st AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(sum(v * cnt) AS BIGINT) AS s,
+        |  CAST(sum(v * (cnt * c_below + cnt * (cnt + 1) // 2))
+        |    AS BIGINT) AS srx
+        | FROM rk)
+        |SELECT n AS n_nodes,
+        | round(CAST(s AS DOUBLE) / n, 6) AS mean_degree,
+        | round((2.0 * CAST(srx AS DOUBLE)
+        |   - CAST(n + 1 AS DOUBLE) * s) / (CAST(n AS DOUBLE) * s), 6)
+        |   AS degree_gini
+        |FROM st ORDER BY n_nodes""".stripMargin,
+
+    "events_levene_variance" ->
+      """WITH pur AS (SELECT
+        |  CASE WHEN list_sum(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef',
+        |      substr(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1)
+        |      * pow(16, 8-i))) / 4294967296.0 < 0.5
+        |   THEN 'A' ELSE 'B' END AS variant,
+        |  CAST(round(value * 100) AS BIGINT) AS v_c
+        | FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_g,
+        |  CAST(sum(v_c) AS BIGINT) AS s_g FROM pur GROUP BY 1),
+        |dv AS (SELECT pur.variant,
+        |  CAST(round(abs(CAST(v_c AS DOUBLE)
+        |    - CAST(s_g AS DOUBLE) / n_g)) AS BIGINT) AS z
+        | FROM pur JOIN m ON pur.variant = m.variant),
+        |cells AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_g,
+        |  CAST(sum(z) AS BIGINT) AS sz,
+        |  CAST(sum(z * z) AS BIGINT) AS szz
+        | FROM dv GROUP BY 1),
+        |c2 AS (SELECT variant, n_g, sz, szz,
+        |  CAST(round(CAST(sz AS DOUBLE) * sz / n_g * 1e-2) AS BIGINT)
+        |    AS bt_u6
+        | FROM cells),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS g,
+        |  CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(sz) AS BIGINT) AS s,
+        |  CAST(sum(szz) AS BIGINT) AS sq,
+        |  CAST(sum(bt_u6) AS BIGINT) AS bt
+        | FROM c2)
+        |SELECT variant, n_g AS n,
+        | round(CAST(sz AS DOUBLE) / n_g / 100, 6) AS mean_abs_dev,
+        | round(((CAST(bt AS DOUBLE) * 1e2 - CAST(s AS DOUBLE) * s / n)
+        |    / (g - 1))
+        |  / ((CAST(sq AS DOUBLE) - CAST(bt AS DOUBLE) * 1e2) / (n - g)),
+        |  6) AS levene_f,
+        | g - 1 AS dof_between, n - g AS dof_within
+        |FROM c2 CROSS JOIN st ORDER BY variant""".stripMargin,
   )
 
   /** Unrolled k-core peel oracle: round r's alive set a_r = nodes of

@@ -417,6 +417,39 @@ object BinaryColumns {
       .orderBy("band")
   }
 
+  /** The actionable output of [[phashBuckets]]' LSH banding: the 20
+    * CLOSEST candidate pairs by 48-bit Hamming distance — the review
+    * queue a human (or a pixel-level verifier) works through when
+    * near-dup images are flagged. Pairs come only from shared LSH
+    * buckets (the banding bound), deduped across bands, ordered by
+    * (distance, pair id) so the queue is stable.
+    *
+    * Scale shape: candidates are equi-joins WITHIN multi-occupancy
+    * buckets (never all-pairs); the cross-band dedup is a min-
+    * aggregate on the pair key; top-20 via TakeOrdered. 20 rows out.
+    */
+  def phashTopPairs(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("hhex"))
+      .withColumn("h48",
+        graft.functions.HexExprs.hexPrefixLong(col("hhex"), 12))
+    val bands = spark.range(1, 5).select(col("id").as("band"))
+    val bd = h.crossJoin(broadcast(bands))
+      .select(col("band"), col("doc_id"), col("h48"),
+        expr("substring(hhex, (band - 1) * 3 + 1, 3)").as("bkey"))
+    val rhs = bd.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("h48").as("h_b"))
+    val pairs = bd.join(rhs, Seq("band", "bkey"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        bit_count(col("h48").bitwiseXOR(col("h_b"))).cast("long")
+          .as("hamming"))
+      .groupBy("doc_a", "doc_b").agg(min("hamming").as("hamming"))
+    pairs
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   /** Exact-bytes dedup audit over the media corpus: items grouped by
     * content digest into duplicate families, rolled up to a
     * (family size → families, items, reclaimable bytes) report with

@@ -2493,6 +2493,58 @@ object Events {
       .orderBy("day_idx")
   }
 
+  /** Levene/Brown-Forsythe variance-homogeneity test for the A/B
+    * split: F-test on per-observation absolute deviations from the
+    * GROUP mean — the check that the variants differ (or not) in
+    * SPREAD, not just mean (a treatment that widens the revenue
+    * distribution passes every mean test and still changes the
+    * business). Deviations round to integer cents per row (both
+    * engines compute |v − mean| from the same exact-integer mean),
+    * then the one-way F expands from exact BIGINT deviation moments.
+    *
+    * Scale shape: two passes — one per-variant exact-moment
+    * aggregate (broadcast back), one deviation-moment aggregate —
+    * both map-side-combined; the F is a projection on the 2-row cell
+    * table. 2 rows out.
+    */
+  def eventsLeveneVariance(spark: SparkSession, dir: String): DataFrame = {
+    val pur = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("variant",
+        when(graft.functions.HexExprs.uniformHash(
+          col("user_id").cast("string")) < 0.5, "A").otherwise("B"))
+      .select(col("variant"),
+        round(col("value") * 100).cast("long").as("v_c"))
+    val means = pur.groupBy("variant")
+      .agg(count(lit(1)).as("n_g"), sum("v_c").as("s_g"))
+    val dev = pur.join(broadcast(means), "variant")
+      .withColumn("z_c", abs(col("v_c").cast("double")
+        - col("s_g").cast("double") / col("n_g")))
+      .withColumn("z", round(col("z_c")).cast("long"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_g"), sum("z").as("sz"),
+        sum(col("z") * col("z")).as("szz"))
+      .withColumn("bt_u6", round(
+        col("sz").cast("double") * col("sz") / col("n_g") * 1e-2)
+        .cast("long"))
+    val st = dev.agg(count(lit(1)).as("g"), sum("n_g").as("n"),
+      sum("sz").as("s"), sum("szz").as("sq"), sum("bt_u6").as("bt"))
+    val n = col("n").cast("double")
+    val gD = col("g").cast("double")
+    val ssb = col("bt").cast("double") * 1e2 -
+      col("s").cast("double") * col("s") / n
+    val ssw = col("sq").cast("double") - col("bt").cast("double") * 1e2
+    val f = (ssb / (gD - 1)) / (ssw / (n - gD))
+    dev.crossJoin(broadcast(st))
+      .select(col("variant"), col("n_g").as("n"),
+        round(col("sz").cast("double") / col("n_g") / 100.0, 6)
+          .as("mean_abs_dev"),
+        round(f, 6).as("levene_f"),
+        (col("g") - 1).as("dof_between"),
+        (col("n") - col("g")).as("dof_within"))
+      .orderBy("variant")
+  }
+
   /** One-way ANOVA of event value across event types: per-type exact
     * moments, the F statistic MSB/MSW, and η² (the variance share
     * the grouping explains) — "does value differ by type at all"

@@ -282,6 +282,44 @@ object Graph {
       .orderBy("bucket")
   }
 
+  /** Gini coefficient of the degree distribution — hub inequality in
+    * one number (0 = regular graph, →1 = a few hubs own all the
+    * edges): the load-balance read-out for partition planning (a
+    * high-Gini co-occurrence graph needs salting on its hubs — the
+    * measured justification for Skew.saltedJoin). Same exact BIGINT
+    * rank identity as [[Olap.ordersSpendGini]], on the (degree,
+    * count) grid with block-ECDF prefixes.
+    */
+  def graphDegreeGini(spark: SparkSession, dir: String): DataFrame = {
+    val e = coPairCounts(spark, dir).select("u", "v")
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val grid = deg.groupBy(col("dg").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("blk", expr("v div 256"))
+    val inBlk = grid.withColumn("cum_in",
+      coalesce(sum("cnt").over(Window.partitionBy("blk").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val blkTot = grid.groupBy("blk").agg(sum("cnt").as("btot"))
+    val prefix = blkTot.as("a")
+      .join(blkTot.as("b"), col("b.blk") < col("a.blk"), "left_outer")
+      .groupBy(col("a.blk").as("blk"))
+      .agg(coalesce(sum(col("b.btot")), lit(0L)).as("blk_prefix"))
+    val st = inBlk.join(broadcast(prefix), "blk")
+      .withColumn("c_below", col("blk_prefix") + col("cum_in"))
+      .withColumn("srx",
+        expr("v * (cnt * c_below + cnt * (cnt + 1) div 2)"))
+      .agg(sum("cnt").as("n"), sum(expr("v * cnt")).as("s"),
+        sum("srx").as("srx"))
+    st.select(col("n").as("n_nodes"),
+        round(col("s").cast("double") / col("n"), 6).as("mean_degree"),
+        round((lit(2.0) * col("srx").cast("double")
+          - (col("n") + 1).cast("double") * col("s"))
+          / (col("n").cast("double") * col("s")), 6).as("degree_gini"))
+      .orderBy("n_nodes")
+  }
+
   /** Rich-club connectivity: for degree thresholds k, the density of
     * the subgraph induced by nodes of degree > k — φ(k) = edges among
     * the club / C(|club|, 2). A rising φ(k) means hubs preferentially

@@ -1556,6 +1556,29 @@ object Olap {
       .orderBy("band_from", "band_to")
   }
 
+  /** Month-of-year seasonality index: each calendar month's share of
+    * annual order volume ×12 (1.0 = flat; 1.3 = a 30%-over-par
+    * month) with exact counts and the value-weighted twin — the
+    * capacity-planning table behind staffing and inventory
+    * pre-builds. One ≤12-key aggregate; totals from the cell table.
+    */
+  def ordersSeasonalityIndex(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .select(month(col("o_orderdate")).cast("long").as("m"),
+        round(col("o_totalprice") * 100).cast("long").as("v_c"))
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_orders"), sum("v_c").as("v_c"))
+    val tot = cells.agg(sum("n_orders").as("nt"), sum("v_c").as("vt"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("m").as("month"), col("n_orders"),
+        round(col("n_orders").cast("double") * 12 / col("nt"), 6)
+          .as("volume_index"),
+        round(col("v_c").cast("double") / 100.0, 2).as("value"),
+        round(col("v_c").cast("double") * 12 / col("vt"), 6)
+          .as("value_index"))
+      .orderBy("month")
+  }
+
   /** Gini coefficient of customer spend — the single-number
     * inequality read-out behind concentration-risk and
     * whale-dependence decisions (complements [[customerPareto]]'s
