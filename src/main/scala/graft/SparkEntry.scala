@@ -427,18 +427,29 @@ object SparkEntry {
       |          AND lower(entity_status) = 'active') d) w
       | WHERE rn = 1)""".stripMargin
 
-  /** Blocked fuzzy scoring relation, shared by fuzzy + combined. */
+  /** Blocked fuzzy scoring relation, shared by fuzzy + combined.
+    * Candidates = the multi-pass name block of Matching.fuzzyBlockKeys
+    * (reference 2-char prefix pass UNION 4-char suffix pass); the
+    * UNION dedups pairs both passes admit, matching the Spark side's
+    * argmax collapse.
+    */
   private val fuzzyBestCte: String =
-    """cn AS (SELECT c_custkey, c_name, c_nationkey,
+    """cn AS (SELECT c_custkey, c_name,
       |  array_to_string(list_sort(string_split_regex(lower(trim(c_name)),'\s+')),' ') AS c_norm
       | FROM customer),
-      |sn AS (SELECT s_suppkey, s_name, s_nationkey,
+      |sn AS (SELECT s_suppkey, s_name,
       |  array_to_string(list_sort(string_split_regex(lower(trim(s_name)),'\s+')),' ') AS s_norm
       | FROM supplier),
+      |cand AS (
+      |  SELECT c_custkey, c_name, c_norm, s_suppkey, s_name, s_norm
+      |  FROM cn JOIN sn ON substr(c_norm, 1, 2) = substr(s_norm, 1, 2)
+      |  UNION
+      |  SELECT c_custkey, c_name, c_norm, s_suppkey, s_name, s_norm
+      |  FROM cn JOIN sn ON right(c_norm, 4) = right(s_norm, 4)),
       |scored AS (SELECT c_custkey, c_name, s_suppkey, s_name,
       |  round(CAST(1.0 AS DOUBLE) - CAST(levenshtein(c_norm, s_norm) AS DOUBLE)
       |        / CAST(greatest(length(c_norm), length(s_norm)) AS DOUBLE), 6) AS score
-      | FROM cn JOIN sn ON c_nationkey = s_nationkey),
+      | FROM cand),
       |fuzzy_best AS (SELECT c_custkey, c_name, s_suppkey, s_name, score FROM (
       |  SELECT *, row_number() OVER (PARTITION BY c_custkey
       |    ORDER BY score DESC, s_suppkey) AS rn
@@ -1508,10 +1519,10 @@ object SparkEntry {
          |FROM abr JOIN cc USING (abn) ORDER BY abn""".stripMargin,
 
     "match_blocking_eval" ->
-      """WITH cn AS (SELECT c_custkey, c_nationkey,
+      """WITH cn AS (SELECT c_custkey,
         |  array_to_string(list_sort(string_split_regex(lower(trim(c_name)),'\s+')),' ') AS c_norm
         | FROM customer),
-        |sn AS (SELECT s_suppkey, s_nationkey,
+        |sn AS (SELECT s_suppkey,
         |  array_to_string(list_sort(string_split_regex(lower(trim(s_name)),'\s+')),' ') AS s_norm
         | FROM supplier),
         |par AS (SELECT
@@ -1531,14 +1542,19 @@ object SparkEntry {
         |   / 4294967296.0 < (SELECT ths FROM par)),
         |truth AS (SELECT
         |  CAST(count(*) AS BIGINT) AS n_true_pairs,
-        |  CAST(sum(CASE WHEN c_nationkey = s_nationkey THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_true_in_block
+        |  CAST(sum(CASE WHEN substr(c_norm, 1, 2) = substr(s_norm, 1, 2)
+        |             OR right(c_norm, 4) = right(s_norm, 4)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_true_in_block
         | FROM cs CROSS JOIN ss
         | WHERE round(CAST(1.0 AS DOUBLE) - CAST(levenshtein(c_norm, s_norm) AS DOUBLE)
         |   / CAST(greatest(length(c_norm), length(s_norm)) AS DOUBLE), 6) >= 0.7),
+        |ckeys AS (SELECT 'p:' || substr(c_norm, 1, 2) AS k FROM cn
+        | UNION ALL SELECT 's:' || right(c_norm, 4) FROM cn),
+        |skeys AS (SELECT 'p:' || substr(s_norm, 1, 2) AS k FROM sn
+        | UNION ALL SELECT 's:' || right(s_norm, 4) FROM sn),
         |vol AS (SELECT CAST(coalesce(sum(nc * ns), 0) AS BIGINT) AS n_blocked_candidates
-        | FROM (SELECT c_nationkey AS k, count(*) AS nc FROM cn GROUP BY 1) a
-        | JOIN (SELECT s_nationkey AS k, count(*) AS ns FROM sn GROUP BY 1) b USING (k))
+        | FROM (SELECT k, count(*) AS nc FROM ckeys GROUP BY 1) a
+        | JOIN (SELECT k, count(*) AS ns FROM skeys GROUP BY 1) b USING (k))
         |SELECT n_true_pairs, n_blocked_candidates, n_true_in_block,
         | round(CAST(n_true_in_block AS DOUBLE) / n_true_pairs, 6) AS recall
         |FROM truth CROSS JOIN vol""".stripMargin,

@@ -58,10 +58,39 @@ object Matching {
       .orderBy("abn")
   }
 
+  /** The fuzzy matcher's NAME-derived multi-pass block keys, shared by
+    * [[matchFuzzyBlocked]] and [[matchBlockingEval]] so the eval always
+    * judges the block the matcher actually runs:
+    *
+    *  - pass "p:" = first 2 chars of the normalized name — the
+    *    reference's block verbatim (entity_matching_optimized.py:43
+    *    `create_blocks(block_size=2)`);
+    *  - pass "s:" = last 4 chars — the standard multi-pass union
+    *    widening (each pass is a cheap equi-join; candidates are the
+    *    union), which carries recall on registers whose discriminating
+    *    variation sits in a name suffix (serial-numbered or
+    *    branch-numbered entities), where a prefix-only block is either
+    *    degenerate (one giant block per template) or empty (templates
+    *    never share a prefix).
+    *
+    * Selectivity scales WITH the data: key cardinality grows as the
+    * register grows (prefix: alphabet² × the name distribution;
+    * suffix: the full tail space), so per-block candidate counts stay
+    * bounded as N does — unlike the fixed-25-value nationkey block
+    * this replaced, whose per-block volume grew as (N/25)·(M/25) and
+    * was measured as the one sf10 kill (>34 min) in r8.
+    */
+  private def fuzzyBlockKeys(df: DataFrame, normCol: String): DataFrame =
+    df.withColumn("blk", explode(array(
+      concat(lit("p:"), substring(col(normCol), 1, 2)),
+      concat(lit("s:"), expr(s"right($normCol, 4)")))))
+
   /** Blocked fuzzy match: customer×supplier candidates share a
-    * nationkey block (entity_matching_optimized.py:43-63 blocks on a
-    * name prefix; any bounded-cardinality key works), scored with
-    * tokenSortSim, thresholded, best-per-customer.
+    * name-derived block key (reference 2-char prefix pass ∪ 4-char
+    * suffix pass — see [[fuzzyBlockKeys]]), scored with tokenSortSim,
+    * thresholded, best-per-customer. A pair hitting both passes needs
+    * no distinct: its duplicate (score, key) tuples collapse inside
+    * the argmax aggregate, so the union costs no extra shuffle.
     */
   def matchFuzzyBlocked(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache.cached("match_fuzzy_blocked", spark, dir) {
@@ -69,15 +98,15 @@ object Matching {
     }
 
   private def matchFuzzyBlockedImpl(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-        normName(col("c_name")).as("c_norm"))
-    val s = Tables.supplier(spark, dir)
-      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
-        normName(col("s_name")).as("s_norm"))
+    val c = fuzzyBlockKeys(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"),
+        normName(col("c_name")).as("c_norm")), "c_norm")
+    val s = fuzzyBlockKeys(Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"),
+        normName(col("s_name")).as("s_norm")), "s_norm")
     // banded native similarity: exact for every pair that can clear
     // the 0.5 threshold; provably-below pairs abandon early
-    val scored = c.join(broadcast(s), col("c_nationkey") === col("s_nationkey"))
+    val scored = c.join(broadcast(s), "blk")
       .withColumn("score", round(
         graft.functions.BoundedLev.sim(col("c_norm"), col("s_norm"), 0.5), 6))
       .filter(col("score") >= 0.5)
@@ -845,9 +874,10 @@ object Matching {
     * fuzzy matches (score ≥ 0.7 over ALL cross pairs, no block —
     * 0.7 is where this corpus's genuine same-entity pairs sit; at
     * the matcher's 0.5 every cross pair "matches" and the eval
-    * degenerates to the block's size share) the
-    * `c_nationkey = s_nationkey` block admits, next to the candidate
-    * volume the block pays. THE record-linkage pre-flight: a block
+    * degenerates to the block's size share) the matcher's multi-pass
+    * name block ([[fuzzyBlockKeys]]: prefix-2 ∪ suffix-4) admits,
+    * next to the candidate volume the block pays (join rows through
+    * the exploded key streams). THE record-linkage pre-flight: a block
     * that saves 99% of comparisons but drops 20% of true matches is
     * not a win, and nobody can know without this table.
     *
@@ -881,9 +911,9 @@ object Matching {
                         broadcastSuppliersMaxBytes: Long,
                         truthPairBudget: Double = 8e6): DataFrame = {
     val c = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_nationkey"), normName(col("c_name")).as("c_norm"))
+      .select(col("c_custkey"), normName(col("c_name")).as("c_norm"))
     val s = Tables.supplier(spark, dir)
-      .select(col("s_suppkey"), col("s_nationkey"), normName(col("s_name")).as("s_norm"))
+      .select(col("s_suppkey"), normName(col("s_name")).as("s_norm"))
     // adaptive thresholds from the two measured counts (cheap key-only
     // scans); arithmetic ORDER mirrors the oracle SQL exactly so both
     // engines derive the identical quantized literal
@@ -905,15 +935,24 @@ object Matching {
     // rereads — no extra pass); ~128B covers the two keys + the
     // normalized name in a hashed relation
     val sFits = sSample.count() * 128L <= broadcastSuppliersMaxBytes
+    // in-block ⟺ the multi-pass name block of [[fuzzyBlockKeys]]
+    // admits the pair (either pass suffices)
     val truth = cSample.crossJoin(if (sFits) broadcast(sSample) else sSample)
       .withColumn("score", round(
         graft.functions.BoundedLev.sim(col("c_norm"), col("s_norm"), 0.7), 6))
       .filter(col("score") >= 0.7)
       .agg(count(lit(1)).as("n_true_pairs"),
-        sum(when(col("c_nationkey") === col("s_nationkey"), 1L).otherwise(0L))
-          .as("n_true_in_block"))
-    val volume = c.groupBy(col("c_nationkey").as("k")).agg(count(lit(1)).as("nc"))
-      .join(s.groupBy(col("s_nationkey").as("k")).agg(count(lit(1)).as("ns")), "k")
+        sum(when(
+          (substring(col("c_norm"), 1, 2) === substring(col("s_norm"), 1, 2)) ||
+            (expr("right(c_norm, 4)") === expr("right(s_norm, 4)")), 1L)
+          .otherwise(0L)).as("n_true_in_block"))
+    // candidate volume = join rows the exploded multi-pass key streams
+    // actually pay: Σ_k |c@k|·|s@k| over the tagged key space (a pair
+    // both passes admit is counted once per pass, as the join emits it)
+    val volume = fuzzyBlockKeys(c, "c_norm")
+      .groupBy(col("blk").as("k")).agg(count(lit(1)).as("nc"))
+      .join(fuzzyBlockKeys(s, "s_norm")
+        .groupBy(col("blk").as("k")).agg(count(lit(1)).as("ns")), "k")
       .agg(coalesce(sum(col("nc") * col("ns")), lit(0L)).as("n_blocked_candidates"))
     truth.crossJoin(broadcast(volume))
       .select(col("n_true_pairs"), col("n_blocked_candidates"), col("n_true_in_block"),
