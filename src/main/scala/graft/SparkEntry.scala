@@ -4041,11 +4041,11 @@ object SparkEntry {
     // complement terms keep the (1.0 - 0.12) form so Catalyst's
     // constant fold and DuckDB produce the same double
     "match_fellegi_sunter" ->
-      s"""WITH c AS (SELECT c_custkey, c_nationkey,
+      s"""WITH c AS (SELECT c_custkey,
          |  array_to_string(list_sort(string_split_regex(lower(trim(c_name)), '\\s+')), ' ') AS c_norm,
          |  floor(c_acctbal / 1000.0) AS c_bkt, c_custkey % 10 AS c_dig
          | FROM customer),
-         |s AS (SELECT s_suppkey, s_nationkey,
+         |s AS (SELECT s_suppkey,
          |  array_to_string(list_sort(string_split_regex(lower(trim(s_name)), '\\s+')), ' ') AS s_norm,
          |  floor(s_acctbal / 1000.0) AS s_bkt, s_suppkey % 10 AS s_dig
          | FROM supplier),
@@ -4057,12 +4057,18 @@ object SparkEntry {
          |    / ((SELECT count(*) FROM c) * (SELECT count(*) FROM s)) AS u
          |  FROM (SELECT c_dig AS v, count(*) AS nl FROM c GROUP BY 1) a
          |  JOIN (SELECT s_dig AS v, count(*) AS nr FROM s GROUP BY 1) b USING (v)),
+         |cand AS (
+         |  SELECT c_custkey, s_suppkey, c_norm, s_norm, c_bkt, s_bkt, c_dig, s_dig
+         |  FROM c JOIN s ON substr(c_norm, 1, 2) = substr(s_norm, 1, 2)
+         |  UNION
+         |  SELECT c_custkey, s_suppkey, c_norm, s_norm, c_bkt, s_bkt, c_dig, s_dig
+         |  FROM c JOIN s ON right(c_norm, 4) = right(s_norm, 4)),
          |pairs AS (SELECT
          |  CASE WHEN 1.0 - CAST(levenshtein(c_norm, s_norm) AS DOUBLE)
          |      / greatest(length(c_norm), length(s_norm)) >= 0.65 THEN 1 ELSE 0 END AS g_name,
          |  CASE WHEN c_bkt = s_bkt THEN 1 ELSE 0 END AS g_bkt,
          |  CASE WHEN c_dig = s_dig THEN 1 ELSE 0 END AS g_dig
-         | FROM c JOIN s ON c_nationkey = s_nationkey),
+         | FROM cand),
          |pat AS (SELECT g_name, g_bkt, g_dig, CAST(count(*) AS BIGINT) AS n_pairs,
          |  round((CASE WHEN g_name = 1 THEN ${math.log(0.9 / 0.01)}
          |              ELSE ${math.log((1 - 0.9) / (1 - 0.01))} END)

@@ -119,6 +119,52 @@ object Matching {
       .orderBy("c_custkey")
   }
 
+  /** Budget-bounded candidate generation for the exact top-1 matchers'
+    * above-budget regime: when the exact pair volume (every query ×
+    * every corpus doc, or the prefix join's near-equivalent on a
+    * shared-vocabulary corpus) exceeds the pair budget, candidates
+    * come from IMPACT-ORDERED postings instead — each doc keeps its
+    * `topPerDoc` highest-impact tokens (weight desc — high weight =
+    * rare = selective), and tokens are then admitted cheapest-first
+    * (by their candidate-pair contribution |L_t|·|R_t|, cumulative sum
+    * capped at the budget) so total candidate volume is ≤ budget BY
+    * CONSTRUCTION, whatever the corpus looks like. Scoring of admitted
+    * candidates stays EXACT; only the candidate set is reduced — below
+    * the budget the operators are pinned hash-equal to the exact
+    * formulation, above it they trade bounded recall for a linear
+    * plan (the regime web-scale sparse retrieval actually runs).
+    *
+    * Plan shape: per-doc top-P is a doc-partitioned row_number; the
+    * admit list is a TakeOrdered top-K (bounded heaps) + a cumsum
+    * window over that LIMIT-bounded relation (plan-visible bound, the
+    * PlanLint global-window discipline); the pair join is two
+    * broadcast semi-joins + one equi-join on token.
+    */
+  private[operators] def impactCappedPairs(left: DataFrame, right: DataFrame,
+      budget: Double, topPerDoc: Int = 8, maxTokens: Int = 65536): DataFrame = {
+    def topP(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("id").orderBy(col("imp").desc, col("token"))
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= topPerDoc)
+        .select("id", "token")
+    }
+    val l = topP(left); val r = topP(right)
+    val byPairs = l.groupBy("token").agg(count(lit(1)).as("ln"))
+      .join(r.groupBy("token").agg(count(lit(1)).as("rn")), "token")
+      .select(col("token"), (col("ln") * col("rn")).as("pairs"))
+    val admitted = graft.functions.TopK.globalWithRank(byPairs, maxTokens,
+        col("pairs"), col("token"))
+      .limit(maxTokens)
+      .withColumn("cum", sum("pairs").over(Window
+        .orderBy(col("pairs"), col("token"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum") <= budget)
+      .select("token")
+    l.join(broadcast(admitted), "token").select(col("id").as("i"), col("token"))
+      .join(r.join(broadcast(admitted), "token")
+        .select(col("id").as("j"), col("token")), "token")
+      .select("i", "j").distinct()
+  }
+
   /** TF-IDF cosine top-1 match between the even and odd halves of the
     * documents corpus (entity_matching_tfidf.py /
     * entity_matching.py:44-60). Sparse inverted-index join on token;
@@ -149,7 +195,8 @@ object Matching {
     */
   def matchTfidfTopk(spark: SparkSession, dir: String, denseVocabMax: Int,
       prefixFilter: Boolean = true,
-      denseBroadcastMaxBytes: Long = 512L << 20): DataFrame = {
+      denseBroadcastMaxBytes: Long = 512L << 20,
+      exactPairBudget: Double = 5e7): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // 1-2-gram vocabulary, mirroring TfidfVectorizer(ngram_range=(1,2))
     // in entity_matching_optimized.py:146-149 — bigram features let
@@ -247,8 +294,30 @@ object Matching {
     // escape hatch the densification depends on), so gate on the
     // estimated vector-table size too, not only on vocab width.
     val denseBytes = (nDocs / 2 + 1) * (vocab * 8L + 64L)
+    // Exact-regime pair budget: both exact physical plans (dense NLJ,
+    // prefix-candidate sparse) score a pair stream that is quadratic
+    // on a shared-vocabulary corpus ((n/2)² — measured: the prefix
+    // filter still admits ~76% of pairs on this templated text).
+    // Above the budget, candidates come from impact-capped postings
+    // ([[impactCappedPairs]]) and only those pairs are scored exactly.
+    val exactPairsEst = (nDocs / 2.0) * (nDocs / 2.0)
+    val overBudget = exactPairsEst > exactPairBudget
+    graft.GateLog.decide("match_tfidf_topk.regime", dir,
+      if (overBudget) "capped"
+      else if (vocab <= denseVocabMax && denseBytes <= denseBroadcastMaxBytes)
+        "dense" else "sparse",
+      f"est_pairs=$exactPairsEst%.3g budget=$exactPairBudget%.3g " +
+        s"vocab=$vocab denseBytes=$denseBytes")
+    val candEff =
+      if (overBudget) impactCappedPairs(
+        weights.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("id"), col("token"), col("w").as("imp")),
+        weights.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id").as("id"), col("token"), col("w").as("imp")),
+        exactPairBudget)
+      else cand
     val cos =
-      if (vocab <= denseVocabMax && denseBytes <= denseBroadcastMaxBytes) {
+      if (!overBudget && vocab <= denseVocabMax && denseBytes <= denseBroadcastMaxBytes) {
         // Densifiable (shared-vocabulary) regime: per-doc dense
         // vectors + a broadcast nested-loop scan of the corpus half.
         // When the vocabulary is small relative to the corpus, nearly
@@ -312,7 +381,7 @@ object Matching {
           .select(col("doc_id").as("i"), col("token"), col("w").as("wi"))
         val right = weights.filter(col("doc_id") % 2 === 1)
           .select(col("doc_id").as("j"), col("token"), col("w").as("wj"))
-        cand.join(left, "i")
+        candEff.join(left, "i")
           .join(right, Seq("token", "j"))
           .groupBy("i", "j").agg(sum(col("wi") * col("wj")).as("dot"))
           .join(norms.select(col("doc_id").as("i"), col("norm").as("ni")), "i")
@@ -463,7 +532,8 @@ object Matching {
     matchBm25Topk(spark, dir, denseVocabMax = 4096)
 
   def matchBm25Topk(spark: SparkSession, dir: String, denseVocabMax: Int,
-      denseBroadcastMaxBytes: Long = 512L << 20): DataFrame = {
+      denseBroadcastMaxBytes: Long = 512L << 20,
+      exactPairBudget: Double = 5e7): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val tokens = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
@@ -511,8 +581,35 @@ object Matching {
     val nd0 = docLen.count()
     val vocab = dfreq.count()
     val denseBytes = nd0 * (vocab * 8L + 64L)
+    // Exact-regime pair budget (see [[impactCappedPairs]] and the
+    // tfidf twin): both exact plans score every query × every corpus
+    // doc that shares any term — near-(nq·nc) on a shared vocabulary.
+    // Above the budget, candidates come from impact-capped postings
+    // (query impact = rarity, i.e. -df; corpus impact = the BM25 term
+    // weight c) and only those pairs are scored exactly.
+    val nq = math.max(Tables.documents(spark, dir).count() - nd0, 0L)
+    val exactPairsEst = nq.toDouble * nd0.toDouble
+    val overBudget = exactPairsEst > exactPairBudget
+    graft.GateLog.decide("match_bm25_topk.regime", dir,
+      if (overBudget) "capped"
+      else if (vocab <= denseVocabMax && denseBytes <= denseBroadcastMaxBytes)
+        "dense" else "sparse",
+      f"est_pairs=$exactPairsEst%.3g budget=$exactPairBudget%.3g " +
+        s"vocab=$vocab denseBytes=$denseBytes")
     val scored =
-      if (vocab <= denseVocabMax && denseBytes <= denseBroadcastMaxBytes) {
+      if (overBudget) {
+        val cappedCand = impactCappedPairs(
+          queries.join(broadcast(dfreq.select(col("token"), col("df"))), "token")
+            .select(col("i").as("id"), col("token"),
+              (-col("df")).cast("double").as("imp")),
+          postingW.select(col("j").as("id"), col("token"), col("c").as("imp")),
+          exactPairBudget)
+        cappedCand.join(queries, "i")
+          .join(postingW.select(col("token"), col("j"), col("c")),
+            Seq("token", "j"))
+          .groupBy("i", "j")
+          .agg(round(sum("c"), 6).as("bm25"))
+      } else if (vocab <= denseVocabMax && denseBytes <= denseBroadcastMaxBytes) {
         // no-op limit (the gate proved vocab <= denseVocabMax) so the
         // global row_number is plan-visibly bounded — see the tfidf
         // twin and PlanLint's global-window rule
@@ -960,9 +1057,11 @@ object Matching {
           .as("recall"))
   }
 
-  /** Fellegi-Sunter probabilistic record linkage over the nation-blocked
-    * customer×supplier candidates (the statistical successor to the
-    * reference's single-score fuzzy threshold, entity_matching.py:33):
+  /** Fellegi-Sunter probabilistic record linkage over the SAME
+    * multi-pass name-blocked customer×supplier candidates the fuzzy
+    * matcher scores ([[fuzzyBlockKeys]]: reference prefix-2 pass ∪
+    * suffix-4 pass — the statistical successor to the reference's
+    * single-score fuzzy threshold, entity_matching.py:33):
     * each pair gets a γ agreement PATTERN over three fields — name
     * similarity ≥ 0.5 (informative), acctbal-bucket equality and
     * key-last-digit equality (both uninformative by construction) —
@@ -979,18 +1078,23 @@ object Matching {
     * match / possible / non-match verdict at ±ln(8) thresholds) — the
     * per-pair stream never leaves its aggregation.
     *
-    * Scale shape: one equi-join on the block key, per-pair codegen'd
-    * BoundedLev, map-side γ arithmetic, an 8-key aggregate; the u
-    * tables are one-row broadcasts.
+    * Scale shape: equi-joins on the exploded name-block keys (whose
+    * cardinality grows with the register, so per-block volume stays
+    * bounded — the r8 nationkey form was quadratic, 52 s at sf1), one
+    * pair-level dedup shuffle (a pair both passes admit must count
+    * once in the γ census), per-pair codegen'd BoundedLev, map-side γ
+    * arithmetic, an 8-key aggregate; the u tables are one-row
+    * broadcasts over the FULL relations (u is a random-pair rate, not
+    * a blocked-pair rate, so blocking does not touch it).
     */
   def matchFellegiSunter(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_nationkey"),
+      .select(col("c_custkey"),
         normName(col("c_name")).as("c_norm"),
         floor(col("c_acctbal") / 1000.0).as("c_bkt"),
         (col("c_custkey") % 10).as("c_dig"))
     val s = Tables.supplier(spark, dir)
-      .select(col("s_suppkey"), col("s_nationkey"),
+      .select(col("s_suppkey"),
         normName(col("s_name")).as("s_norm"),
         floor(col("s_acctbal") / 1000.0).as("s_bkt"),
         (col("s_suppkey") % 10).as("s_dig"))
@@ -1015,7 +1119,9 @@ object Matching {
     // 0.65 sits between the template floor (~0.56: any two names share
     // the 'Xxx#digits' scaffold) and digit-equal pairs (≥ 0.67) — the
     // field separates real key agreement from the shared template
-    val pairs = c.join(broadcast(s), col("c_nationkey") === col("s_nationkey"))
+    val pairs = fuzzyBlockKeys(c, "c_norm")
+      .join(broadcast(fuzzyBlockKeys(s, "s_norm")), "blk")
+      .dropDuplicates("c_custkey", "s_suppkey")
       .withColumn("g_name",
         (graft.functions.BoundedLev.sim(col("c_norm"), col("s_norm"), 0.65) >= 0.65)
           .cast("int"))
