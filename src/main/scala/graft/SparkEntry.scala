@@ -5894,13 +5894,20 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN prev_week IS NOT NULL
         |      AND prev_week < week - 1 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_resurrected
-        | FROM lg GROUP BY 1)
+        | FROM lg GROUP BY 1),
+        |cal AS (SELECT unnest(generate_series(
+        |  (SELECT min(week) FROM wk), (SELECT max(week) FROM wk))) AS week),
+        |wkf AS (SELECT cal.week,
+        |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(coalesce(n_retained, 0) AS BIGINT) AS n_retained,
+        |  CAST(coalesce(n_resurrected, 0) AS BIGINT) AS n_resurrected
+        | FROM cal LEFT JOIN wk ON wk.week = cal.week)
         |SELECT a.week,
         | a.n_new + a.n_retained + a.n_resurrected AS n_active,
         | a.n_new, a.n_retained, a.n_resurrected,
         | coalesce(p.n_new + p.n_retained + p.n_resurrected, 0)
         |   - a.n_retained AS n_churned
-        |FROM wk a LEFT JOIN wk p ON p.week = a.week - 1
+        |FROM wkf a LEFT JOIN wkf p ON p.week = a.week - 1
         |ORDER BY a.week""".stripMargin,
 
     "part_abc_class" ->
@@ -5959,7 +5966,7 @@ object SparkEntry {
         |    - length(regexp_replace(text, '[0-9]', '', 'g'))
         |    AS BIGINT) AS n_digit,
         |  CAST(coalesce(list_max(list_transform(
-        |    regexp_extract_all(text, '[bcdfghjklmnpqrstvwxz]+'),
+        |    regexp_extract_all(text, '[bcdfghjklmnpqrstvwxzBCDFGHJKLMNPQRSTVWXZ]+'),
         |    m -> length(m))), 0) AS BIGINT) AS max_run
         | FROM documents WHERE length(text) > 0),
         |u AS (SELECT source, max_run,
@@ -6678,8 +6685,10 @@ object SparkEntry {
       """WITH daily AS (SELECT CAST(epoch(ts) AS BIGINT) // 86400
         |    AS day, CAST(count(*) AS BIGINT) AS y
         | FROM events GROUP BY 1),
-        |d0 AS (SELECT min(day) AS d0 FROM daily),
-        |g AS (SELECT day - d0 AS t, y FROM daily CROSS JOIN d0),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |grid AS (SELECT unnest(generate_series(0, d1 - d0)) AS t, d0 FROM span),
+        |g AS (SELECT grid.t AS t, CAST(coalesce(daily.y, 0) AS BIGINT) AS y
+        |  FROM grid LEFT JOIN daily ON daily.day = grid.t + grid.d0),
         |s1p AS (SELECT gt.t,
         |  CAST(round((CASE WHEN gk.t = 0 THEN pow(0.7, gt.t)
         |    ELSE 0.3 * pow(0.7, gt.t - gk.t) END)

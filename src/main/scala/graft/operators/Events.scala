@@ -2129,9 +2129,18 @@ object Events {
         .as("n_resurrected"))
       .withColumn("n_active",
         col("n_new") + col("n_retained") + col("n_resurrected"))
-    val prevActive = weekly.select((col("week") + 1).as("week"),
+    // complete week calendar: a fully-inactive week must still emit a
+    // row (n_active=0, n_churned=prev_active) or the pinned identity
+    // net = new + resurrected − churned can't reconcile across gaps —
+    // the flows left-join onto the min..max week grid (bounded by the
+    // calendar, never corpus-sized)
+    val calendar = presence.agg(min("week").as("w0"), max("week").as("w1"))
+      .select(explode(sequence(col("w0"), col("w1"))).as("week"))
+    val weeklyFull = calendar.join(weekly, Seq("week"), "left")
+      .na.fill(0L, Seq("n_new", "n_retained", "n_resurrected", "n_active"))
+    val prevActive = weeklyFull.select((col("week") + 1).as("week"),
       col("n_active").as("prev_active"))
-    weekly.join(prevActive, Seq("week"), "left")
+    weeklyFull.join(prevActive, Seq("week"), "left")
       .na.fill(0L, Seq("prev_active"))
       .select(col("week"), col("n_active"), col("n_new"),
         col("n_retained"), col("n_resurrected"),
@@ -2460,9 +2469,18 @@ object Events {
     val daily = Tables.events(spark, dir)
       .groupBy(expr("ts_s div 86400").as("day"))
       .agg(count(lit(1)).as("y"))
-    val d0 = daily.agg(min("day").as("d0"))
-    val g = daily.crossJoin(broadcast(d0))
-      .select((col("day") - col("d0")).as("t"), col("y"))
+    // densify the day grid before the closed-form expansion: the EWMA
+    // weights w(t,0)=(1−α)^t, w(t,k)=α(1−α)^(t−k) only sum to 1 when
+    // every k in 0..t is present — a zero-event day absent from
+    // `daily` would silently under-sum the weights and bias level and
+    // trend low, so interior gaps surface explicitly as y=0 rows
+    val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val g = span
+      .select(col("d0"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"))
+      .withColumn("day", col("t") + col("d0"))
+      .join(daily, Seq("day"), "left")
+      .select(col("t"), coalesce(col("y"), lit(0L)).as("y"))
     // closed-form EWMA over a bounded grid: x_t = Σ_k w(t,k)·v_k with
     // w = α(1−α)^(t−k) for k>0 and (1−α)^t + α(1−α)^t... — the k=0
     // term carries weight (1−α)^t + α(1−α)^t·0 — implemented as:

@@ -626,7 +626,7 @@ object TextAnalysis {
     * with map-side combine. |sources| rows out.
     */
   def textGarbageScore(spark: SparkSession, dir: String): DataFrame = {
-    val consRun = "[bcdfghjklmnpqrstvwxz]+"
+    val consRun = "[bcdfghjklmnpqrstvwxzBCDFGHJKLMNPQRSTVWXZ]+"
     val d = Tables.documents(spark, dir)
       .select(col("source"),
         length(col("text")).cast("long").as("n_chars"),

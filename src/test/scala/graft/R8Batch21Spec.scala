@@ -27,7 +27,7 @@ class R8Batch21Spec extends SparkSpec {
       val nAlpha = t.count(c => (c >= 'a' && c <= 'z') ||
         (c >= 'A' && c <= 'Z')).toLong
       val nDigit = t.count(c => c >= '0' && c <= '9').toLong
-      val runs = "[bcdfghjklmnpqrstvwxz]+".r.findAllIn(t).map(_.length)
+      val runs = "[bcdfghjklmnpqrstvwxzBCDFGHJKLMNPQRSTVWXZ]+".r.findAllIn(t).map(_.length)
       val maxRun = if (runs.isEmpty) 0L else runs.max.toLong
       val aU6 = math.round(nAlpha * 1e6 / nChars)
       val dU6 = math.round(nDigit * 1e6 / nChars)
