@@ -122,6 +122,75 @@ object BinaryColumns {
       Array(w.toFloat, h.toFloat,
         r.toFloat / n / 255f, g.toFloat / n / 255f, b.toFloat / n / 255f)
     }
+
+    /** REAL perceptual hash — the average-hash (aHash) kernel the
+      * md5-prefix stand-in in [[BinaryColumns.phashBuckets]] is a
+      * placeholder for: decode via `javax.imageio`, box-pool the
+      * image onto an 8×8 luma grid (Rec.601 integer weights
+      * 299/587/114 — exact integer sums, no float drift), then one
+      * bit per cell: 1 iff the cell's mean luma exceeds the grid
+      * mean. Bit i = cell (row i/8, col i%8). Near-duplicate images
+      * (small crops/edits/re-encodes) agree on most of the 64 bits,
+      * so the same 4-band LSH banding that buckets the stand-in hash
+      * buckets REAL near-dups with Hamming means near 0 instead of
+      * the uniform-hash noise floor (~32).
+      *
+      * Pooling is exact integer box partition: pixel (x, y) belongs
+      * to cell (y·8/h, x·8/w) — every pixel in exactly one cell, no
+      * resampling filter, so the kernel is bit-reproducible on any
+      * JVM (PropertySpec pins it against a straight-line recompute).
+      */
+    def averageHash64(payload: Array[Byte]): Long = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      require(w >= 8 && h >= 8, s"aHash needs >=8x8 pixels, got ${w}x$h")
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val cy = (y.toLong * 8 / h).toInt
+        var x = 0
+        while (x < w) {
+          val cx = (x.toLong * 8 / w).toInt
+          val p = img.getRGB(x, y)
+          val lum = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+            114L * (p & 0xff)
+          val i = cy * 8 + cx
+          sums(i) += lum
+          cnts(i) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val means = Array.tabulate(64)(i => sums(i).toDouble / cnts(i))
+      val grid = means.sum / 64.0
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (means(i) > grid) bits |= (1L << i)
+        i += 1
+      }
+      bits
+    }
+  }
+
+  /** Per-image 64-bit average-hash row ([[FakeDecoder.averageHash64]]
+    * contract). */
+  case class ImageHash(media_id: Long, ahash64: Long)
+
+  /** Partition-parallel REAL perceptual hashing over a media Dataset —
+    * same batch shape as [[realDecodeImageFeatures]] (one ImageIO
+    * pass per partition, payloads never leave the executor); feed the
+    * output straight into [[phashBuckets]]-style 4-band LSH banding.
+    */
+  def imageAverageHashes(ds: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      rows.map(r => ImageHash(r.media_id, FakeDecoder.averageHash64(r.payload)))
+    }
   }
 
   /** per-image decoded features (decodeImageReal contract). */
@@ -369,7 +438,10 @@ object BinaryColumns {
 
   /** Perceptual-hash banding diagnostics — the image-near-dup LSH
     * shape: a 48-bit content hash per item (md5 prefix standing in
-    * for a real pHash, the one seam a media lib would fill), split
+    * for a perceptual hash on this TEXT corpus — on real image bytes
+    * the same banding runs over [[FakeDecoder.averageHash64]] via
+    * [[imageAverageHashes]], the JDK-only aHash kernel, spec-pinned
+    * to rank generated near-dup images above this noise floor), split
     * into 4 bands of 12 bits; items sharing a band value become
     * candidate pairs exactly as in MinHash LSH. Per band: bucket
     * count, multi-occupancy buckets, candidate-pair count (Σk(k−1)/2

@@ -23,11 +23,13 @@ import org.apache.spark.sql.functions._
   *  - entity names regenerate from the SHIFTED key (the generator's
   *    name = f(key) relationship holds), keeping match semantics.
   *
-  * Known honest non-linearity: blocked matching (customer×supplier on
-  * nationkey) grows quadratically in block density because BOTH sides
-  * of every nation block scale ×factor — that is what happens to a
-  * real register at 10× too, and it is exactly what the scale report
-  * should surface, not hide.
+  * Known honest non-linearity (historical): the r8 fuzzy matcher
+  * blocked customer×supplier on nationkey, whose 25 fixed blocks both
+  * scale ×factor — quadratic block density, measured as the sf10
+  * kill. The r9 multi-pass NAME block (prefix-2 ∪ suffix-4) keys on
+  * regenerated names = f(shifted key), so block cardinality grows
+  * with the register and per-block volume stays bounded — the scale
+  * report should now show the matcher family near-linear.
   *
   * Usage: ScaleUp <inDir> <outDir> [factor=10]. Writes one parquet
   * dir per table under outDir.

@@ -95,3 +95,84 @@ class R9Batch1Spec extends SparkSpec {
     assert(got == want, s"pattern census mismatch: got $got want $want")
   }
 }
+
+class R9AHashSpec extends SparkSpec {
+  import multimodal.BinaryColumns
+  import multimodal.BinaryColumns.{FakeDecoder, MediaRow}
+
+  // deterministic textured test image: per-pixel function of (x, y,
+  // seed) so near-dups (same seed, few pixels perturbed) and
+  // unrelated images (different seed) are both constructible
+  private def img(w: Int, h: Int, seed: Int,
+                  perturb: Set[(Int, Int)] = Set.empty): java.awt.image.BufferedImage = {
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.abs((x * 31 + y * 17 + seed * 131) * 2654435761L).toInt
+      val base = 0x010101 * ((v >>> 8) & 0xff)
+      bi.setRGB(x, y, if (perturb((x, y))) base ^ 0xffffff else base)
+    }
+    bi
+  }
+
+  private def pngBytes(bi: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
+
+  test("averageHash64 matches a straight-line recompute on exact-division grids") {
+    // 16x16: each aHash cell is an exact 2x2 box — the straight-line
+    // reference pools independently of the kernel's single-pass loop
+    val bi = img(16, 16, seed = 7)
+    val got = FakeDecoder.averageHash64(pngBytes(bi))
+    val lum = Array.tabulate(16, 16) { (y, x) =>
+      val p = bi.getRGB(x, y)
+      299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+    }
+    val cell = Array.tabulate(8, 8) { (cy, cx) =>
+      (lum(2 * cy)(2 * cx) + lum(2 * cy)(2 * cx + 1) +
+        lum(2 * cy + 1)(2 * cx) + lum(2 * cy + 1)(2 * cx + 1)).toDouble / 4
+    }
+    val grid = cell.flatten.sum / 64.0
+    var want = 0L
+    for (cy <- 0 until 8; cx <- 0 until 8)
+      if (cell(cy)(cx) > grid) want |= 1L << (cy * 8 + cx)
+    assert(got == want, f"kernel $got%016x != reference $want%016x")
+  }
+
+  test("near-dup images rank above the unrelated-pair noise floor") {
+    // 10 base images; each gets a near-dup with 5 perturbed pixels
+    // out of 1024 (an edit/re-encode-scale change)
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val hashes = (0 until 10).map { s =>
+      val base = FakeDecoder.averageHash64(pngBytes(img(32, 32, s)))
+      val near = FakeDecoder.averageHash64(pngBytes(img(32, 32, s,
+        perturb = Set((1, 1), (5, 9), (17, 3), (22, 28), (30, 30)))))
+      (base, near)
+    }
+    val nearD = hashes.map { case (a, b) => ham(a, b) }
+    val unrelatedD = for (i <- hashes.indices; j <- hashes.indices if i < j)
+      yield ham(hashes(i)._1, hashes(j)._1)
+    val worstNear = nearD.max
+    val medUnrel = unrelatedD.sorted.apply(unrelatedD.size / 2)
+    assert(worstNear <= 10,
+      s"near-dup Hamming distances too large: $nearD")
+    assert(medUnrel >= 20,
+      s"unrelated pairs sit below the expected noise floor: $unrelatedD")
+    assert(worstNear < medUnrel,
+      s"near-dups ($nearD) must rank above the noise floor ($medUnrel)")
+  }
+
+  test("imageAverageHashes: partition-parallel hashing equals local kernel") {
+    import spark.implicits._
+    val rows = (0 until 6).map { s =>
+      MediaRow(s.toLong, pngBytes(img(24, 24, s)), "image/png", 0L, "")
+    }
+    val got = BinaryColumns.imageAverageHashes(spark.createDataset(rows))
+      .collect().map(r => r.media_id -> r.ahash64).toMap
+    val want = rows.map(r =>
+      r.media_id -> FakeDecoder.averageHash64(r.payload)).toMap
+    assert(got == want)
+  }
+}
