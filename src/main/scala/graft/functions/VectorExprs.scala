@@ -221,6 +221,77 @@ case class SparseDenseDotExpr(indices: Expression, weights: Expression,
     copy(indices = newFirst, weights = newSecond, dense = newThird)
 }
 
+/** Sparse·sparse dot over two RANK-SORTED index/weight array pairs —
+  * one ascending merge walk, O(nnz_a + nnz_b) per pair, no dense
+  * scatter and no per-token row explosion. The capped-regime scorer
+  * of the top-k matchers ([[graft.operators.Matching]]): candidate
+  * pairs join each side's cached sparse vector once and score with
+  * this single codegen'd walk. Accumulation order is ascending rank —
+  * the SAME order as [[SparseDenseDotExpr]]'s probe walk over a
+  * scattered vector — so scores are bit-identical to the dense-regime
+  * exact path for the same pair.
+  */
+case class SparseSparseDotExpr(ia: Expression, wa: Expression,
+    ib: Expression, wb: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def first: Expression = ia
+  override def second: Expression = wa
+  override def third: Expression = ib
+  override def fourth: Expression = wb
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (ia.dataType, wa.dataType, ib.dataType, wb.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _),
+            ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c, d) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (array<int>, array<double>) x2, got " +
+          s"${a.simpleString}, ${b.simpleString}, ${c.simpleString}, ${d.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sparse_sparse_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any = {
+    val xi = a.asInstanceOf[ArrayData]; val xw = b.asInstanceOf[ArrayData]
+    val yi = c.asInstanceOf[ArrayData]; val yw = d.asInstanceOf[ArrayData]
+    val n = math.min(xi.numElements(), xw.numElements())
+    val m = math.min(yi.numElements(), yw.numElements())
+    var s = 0.0; var p = 0; var q = 0
+    while (p < n && q < m) {
+      val u = xi.getInt(p); val v = yi.getInt(q)
+      if (u == v) { s += xw.getDouble(p) * yw.getDouble(q); p += 1; q += 1 }
+      else if (u < v) p += 1
+      else q += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val p = ctx.freshName("p"); val q = ctx.freshName("q")
+      val u = ctx.freshName("u"); val v = ctx.freshName("v")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $m = java.lang.Math.min($c.numElements(), $d.numElements());
+         |double $s = 0.0;
+         |int $p = 0; int $q = 0;
+         |while ($p < $n && $q < $m) {
+         |  int $u = $a.getInt($p); int $v = $c.getInt($q);
+         |  if ($u == $v) { $s += $b.getDouble($p) * $d.getDouble($q); $p++; $q++; }
+         |  else if ($u < $v) { $p++; } else { $q++; }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(ia = newFirst, wa = newSecond, ib = newThird, wb = newFourth)
+}
+
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
     GraftShim.column(DotProductExpr(
@@ -230,6 +301,11 @@ object VectorExprs {
     GraftShim.column(SparseDenseDotExpr(
       GraftShim.expression(indices), GraftShim.expression(weights),
       GraftShim.expression(dense)))
+
+  def sparseSparseDot(ia: Column, wa: Column, ib: Column, wb: Column): Column =
+    GraftShim.column(SparseSparseDotExpr(
+      GraftShim.expression(ia), GraftShim.expression(wa),
+      GraftShim.expression(ib), GraftShim.expression(wb)))
 
   def bitsetInter(a: Column, b: Column): Column =
     GraftShim.column(BitsetIntersectExpr(

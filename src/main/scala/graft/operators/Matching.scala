@@ -27,6 +27,30 @@ import graft.Tables
   */
 object Matching {
 
+  /** Exact-regime pair budget for the top-k matcher family — the
+    * crossover between the two measured regimes at sf1 (50k docs,
+    * 6.25e8 pairs): the dense broadcast-NLJ scores ~2e7 pairs/s
+    * (bm25 30s, tfidf 27s, r8 sf1 run), while the impact-capped
+    * candidate path is ~flat ~150s regardless of corpus size (pair
+    * materialization + distinct dominate, bounded by its own 5e7
+    * admitted-pair cap). Dense-exact is therefore FASTER up to
+    * ~150s × 2e7 ≈ 3e9 pairs; beyond that (sf10's 6.25e10 est and
+    * every cluster-scale corpus) the capped path wins and keeps the
+    * operator flat-cost. Gate decisions log via [[graft.GateLog]].
+    */
+  val ExactPairBudget: Double = 3e9
+
+  /** Admitted-pair cap INSIDE the capped regime ([[impactCappedPairs]]):
+    * the scoring stage materializes and scores this many candidate
+    * pairs, so it is sized for the pair-join shuffle (~16B/pair
+    * narrow stream), NOT the in-place dense scan the crossover budget
+    * above is sized for. Kept separate on purpose — raising the
+    * crossover must not widen the capped regime's own work. When a
+    * caller forces a lower exactPairBudget the admit cap follows it
+    * down (specs force tiny budgets to pin the gate flip).
+    */
+  val CappedAdmitPairs: Double = 5e7
+
   /** lower/trim + token-sort canonicalization
     * (entity_matching.py:20-24 normalize_name + token_sort_ratio's
     * sort step).
@@ -196,7 +220,7 @@ object Matching {
   def matchTfidfTopk(spark: SparkSession, dir: String, denseVocabMax: Int,
       prefixFilter: Boolean = true,
       denseBroadcastMaxBytes: Long = 512L << 20,
-      exactPairBudget: Double = 5e7): DataFrame = {
+      exactPairBudget: Double = Matching.ExactPairBudget): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // 1-2-gram vocabulary, mirroring TfidfVectorizer(ngram_range=(1,2))
     // in entity_matching_optimized.py:146-149 — bigram features let
@@ -314,7 +338,7 @@ object Matching {
           .select(col("doc_id").as("id"), col("token"), col("w").as("imp")),
         weights.filter(col("doc_id") % 2 === 1)
           .select(col("doc_id").as("id"), col("token"), col("w").as("imp")),
-        exactPairBudget)
+        math.min(exactPairBudget, Matching.CappedAdmitPairs))
       else cand
     val cos =
       if (!overBudget && vocab <= denseVocabMax && denseBytes <= denseBroadcastMaxBytes) {
@@ -372,6 +396,49 @@ object Matching {
         evens.crossJoin(broadcast(odds))
           .withColumn("dot", graft.functions.VectorExprs.sparseDenseDot(
             col("ri"), col("wi"), col("vj")))
+          .withColumn("cosine", round(col("dot") / (col("ni") * col("nj")), 6))
+          .select("i", "j", "cosine")
+      } else if (overBudget) {
+        // Capped-regime scorer: candidate pairs join each side's
+        // rank-sorted sparse vector ONCE and score with a single
+        // native merge-walk dot ([[graft.functions.VectorExprs
+        // .sparseSparseDot]]) — the token-join formulation explodes
+        // |cand|·nnz rows through a (token, j) shuffle (measured
+        // 379 s at sf1 with the budget forced low; this path scores
+        // the same pairs bit-identically via the same ascending-rank
+        // accumulation order as the dense scan). The candidate stream
+        // shuffles NARROW by j; the query-half vectors ride a
+        // broadcast when their measured nnz fits, a co-partitioned
+        // join otherwise — correct at any size, decision logged.
+        val rankedAll = dfreq.select("token")
+          .withColumn("r", row_number().over(Window.orderBy("token")))
+        val sparseAll = graft.PlanCache.cached("tfidf_sparse_all", spark, dir) {
+          weights.join(broadcast(rankedAll), "token")
+            .groupBy("doc_id")
+            .agg(sort_array(collect_list(struct(col("r"), col("w")))).as("rw"),
+              sum(col("w") * col("w")).as("n2"))
+            .select(col("doc_id"),
+              expr("transform(rw, x -> x.r)").as("ri"),
+              expr("transform(rw, x -> x.w)").as("wi"),
+              sqrt(col("n2")).as("norm"))
+        }
+        val evens = sparseAll.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("i"), col("ri"), col("wi"),
+            col("norm").as("ni"))
+        val odds = sparseAll.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id").as("j"), col("ri").as("rj"),
+            col("wi").as("wj"), col("norm").as("nj"))
+        val nnzEven = weights.filter(col("doc_id") % 2 === 0).count()
+        val evFits = nnzEven * 16L + (nDocs / 2 + 1) * 80L <=
+          denseBroadcastMaxBytes
+        graft.GateLog.decide("match_tfidf_topk.capped_query_side", dir,
+          if (evFits) "broadcast" else "shuffle",
+          s"nnz=$nnzEven est=${nnzEven * 16L + (nDocs / 2 + 1) * 80L}B " +
+            s"max=${denseBroadcastMaxBytes}B")
+        candEff.join(odds, "j")
+          .join(if (evFits) broadcast(evens) else evens, "i")
+          .withColumn("dot", graft.functions.VectorExprs.sparseSparseDot(
+            col("ri"), col("wi"), col("rj"), col("wj")))
           .withColumn("cosine", round(col("dot") / (col("ni") * col("nj")), 6))
           .select("i", "j", "cosine")
       } else {
@@ -533,7 +600,7 @@ object Matching {
 
   def matchBm25Topk(spark: SparkSession, dir: String, denseVocabMax: Int,
       denseBroadcastMaxBytes: Long = 512L << 20,
-      exactPairBudget: Double = 5e7): DataFrame = {
+      exactPairBudget: Double = Matching.ExactPairBudget): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val tokens = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
@@ -603,12 +670,38 @@ object Matching {
             .select(col("i").as("id"), col("token"),
               (-col("df")).cast("double").as("imp")),
           postingW.select(col("j").as("id"), col("token"), col("c").as("imp")),
-          exactPairBudget)
-        cappedCand.join(queries, "i")
-          .join(postingW.select(col("token"), col("j"), col("c")),
-            Seq("token", "j"))
-          .groupBy("i", "j")
-          .agg(round(sum("c"), 6).as("bm25"))
+          math.min(exactPairBudget, Matching.CappedAdmitPairs))
+        // pair-vector scorer (the tfidf twin's capped discipline):
+        // candidates shuffle NARROW by j onto the corpus-side sparse
+        // weight vectors, the query-side rank sets ride a broadcast
+        // when the measured nnz fits, and one native merge-walk dot
+        // scores each pair — no |cand|·|q-tokens| row explosion
+        // through a (token, j) shuffle
+        val rankedAll = dfreq.select("token")
+          .withColumn("r", row_number().over(Window.orderBy("token")))
+        val jSparse = graft.PlanCache.cached("bm25_sparse_all", spark, dir) {
+          postingW.join(broadcast(rankedAll), "token")
+            .groupBy("j")
+            .agg(sort_array(collect_list(struct(col("r"), col("c")))).as("rw"))
+            .select(col("j"), expr("transform(rw, x -> x.r)").as("rj"),
+              expr("transform(rw, x -> x.c)").as("cj"))
+        }
+        val qSparse = queries.join(broadcast(rankedAll), "token")
+          .groupBy("i")
+          .agg(sort_array(collect_list(col("r"))).as("ri"))
+          .withColumn("wi", expr("transform(ri, x -> CAST(1.0 AS DOUBLE))"))
+        val nnzQ = queries.count()
+        val qFits = nnzQ * 12L + nq * 80L <= denseBroadcastMaxBytes
+        graft.GateLog.decide("match_bm25_topk.capped_query_side", dir,
+          if (qFits) "broadcast" else "shuffle",
+          s"nnz=$nnzQ est=${nnzQ * 12L + nq * 80L}B " +
+            s"max=${denseBroadcastMaxBytes}B")
+        cappedCand.join(jSparse, "j")
+          .join(if (qFits) broadcast(qSparse) else qSparse, "i")
+          .withColumn("dot", graft.functions.VectorExprs.sparseSparseDot(
+            col("ri"), col("wi"), col("rj"), col("cj")))
+          .filter(col("dot") > 0.0)
+          .select(col("i"), col("j"), round(col("dot"), 6).as("bm25"))
       } else if (vocab <= denseVocabMax && denseBytes <= denseBroadcastMaxBytes) {
         // no-op limit (the gate proved vocab <= denseVocabMax) so the
         // global row_number is plan-visibly bounded — see the tfidf
@@ -1031,7 +1124,11 @@ object Matching {
     // PlanCache'd, so the count materializes the cache the join
     // rereads — no extra pass); ~128B covers the two keys + the
     // normalized name in a hashed relation
-    val sFits = sSample.count() * 128L <= broadcastSuppliersMaxBytes
+    val nSS = sSample.count()
+    val sFits = nSS * 128L <= broadcastSuppliersMaxBytes
+    graft.GateLog.decide("match_blocking_eval.supplier_side", dir,
+      if (sFits) "broadcast" else "shuffle",
+      s"sampled=$nSS est=${nSS * 128L}B max=${broadcastSuppliersMaxBytes}B")
     // in-block ⟺ the multi-pass name block of [[fuzzyBlockKeys]]
     // admits the pair (either pass suffices)
     val truth = cSample.crossJoin(if (sFits) broadcast(sSample) else sSample)

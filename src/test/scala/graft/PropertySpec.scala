@@ -335,6 +335,37 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("sparseSparseDot: merge walk bit-identical to sparseDenseDot over the scattered side") {
+    import spark.implicits._
+    val n = 16
+    val dv = Gen.choose(-4.0, 4.0)
+    // the capped-matcher contract: both sides rank-SORTED unique
+    // in-range — the merge walk must reproduce the sparse-dense walk
+    // over the other side scattered dense (shared bit-exactness with
+    // the dense-regime scorer), including empty/disjoint supports
+    val pairs = for {
+      ka <- Gen.choose(0, n); kb <- Gen.choose(0, n)
+      ia <- Gen.pick(ka, 1 to n).map(_.sorted.toList)
+      ib <- Gen.pick(kb, 1 to n).map(_.sorted.toList)
+      wa <- Gen.listOfN(ka, dv); wb <- Gen.listOfN(kb, dv)
+    } yield (ia, wa, ib, wb)
+    sample(pairs, 300, 59L)
+      .toDF("ia", "wa", "ib", "wb")
+      .withColumn("ss", graft.functions.VectorExprs.sparseSparseDot(
+        col("ia"), col("wa"), col("ib"), col("wb")))
+      .withColumn("sd", graft.functions.VectorExprs.sparseDenseDot(
+        col("ia"), col("wa"),
+        graft.functions.VectorExprs.denseScatter(col("ib"), col("wb"), n)))
+      .collect()
+      .foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(5)),
+          s"ss=${r.getDouble(4)} sd=${r.getDouble(5)} for " +
+            s"(${r.getSeq[Int](0)}, ${r.getSeq[Double](1)}, " +
+            s"${r.getSeq[Int](2)}, ${r.getSeq[Double](3)})")
+      }
+  }
+
   test("ArgMaxAgg: equals max(struct) lexicographic semantics; plans hash-based") {
     import spark.implicits._
     // random (group, score, key) rows with deliberate score ties so

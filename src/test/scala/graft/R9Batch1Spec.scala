@@ -45,16 +45,21 @@ class R9Batch1Spec extends SparkSpec {
     }
   }
 
-  test("gate decisions pin at sf1-shaped stats (arithmetic, no data)") {
-    // the pair-budget gates are pure functions of measured counts:
-    // sf1-shaped corpora (50k docs → 6.25e8 exact pairs) must go
-    // capped at the default 5e7 budget; oracle-scale corpora (5k docs
-    // at sf0.1 → 6.25e6) must stay exact
+  test("gate decisions pin at sf1/sf10-shaped stats (arithmetic, no data)") {
+    // the pair-budget gates are pure functions of measured counts.
+    // The default budget is the measured dense-vs-capped crossover
+    // (Matching.ExactPairBudget ≈ 3e9: dense ~2e7 pairs/s vs ~flat
+    // ~150s capped): sf1 (50k docs → 6.25e8 pairs) must stay on the
+    // FASTER dense-exact regime — the 5e7 budget of the first cut
+    // flipped it to capped and measured 5x slower — while sf10-shaped
+    // corpora (500k docs → 6.25e10) must go capped
     def tfidfChoice(nDocs: Long, budget: Double): String =
       if ((nDocs / 2.0) * (nDocs / 2.0) > budget) "capped" else "exact"
-    assert(tfidfChoice(50000, 5e7) == "capped")
-    assert(tfidfChoice(5000, 5e7) == "exact")
-    assert(tfidfChoice(500000, 5e7) == "capped")
+    val budget = operators.Matching.ExactPairBudget
+    assert(tfidfChoice(50000, budget) == "exact")
+    assert(tfidfChoice(5000, budget) == "exact")
+    assert(tfidfChoice(500000, budget) == "capped")
+    assert(tfidfChoice(5000000, budget) == "capped")
     // and the below-budget default at the spec scale factor really is
     // what ran: the exact regimes above logged dense/sparse, not capped
     val d = graft.GateLog.lastDecision("match_tfidf_topk.regime", sf)

@@ -266,11 +266,20 @@ class Round5OpsSpec extends SparkSpec {
     assert(row.getAs[Double]("recall") ==
       BigDecimal(inBlock.toDouble / nTrue)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    // the blocked candidate volume equals sum over nations of |c|x|s|
-    val c = Tables.customer(spark, sf).groupBy("c_nationkey").count()
-      .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
-    val s = Tables.supplier(spark, sf).groupBy("s_nationkey").count()
-      .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    // the blocked candidate volume equals the exploded multi-pass
+    // key-stream join rows: Σ_k |c@k|·|s@k| over the tagged
+    // prefix-2 ∪ suffix-4 keys of the normalized name (a pair both
+    // passes admit is paid once per pass, as the join emits it)
+    def norm(x: String): String =
+      x.trim.toLowerCase.split("\\s+").sorted.mkString(" ")
+    def keys(x: String): Seq[String] =
+      Seq("p:" + norm(x).take(2), "s:" + norm(x).takeRight(4))
+    val c = Tables.customer(spark, sf).select("c_name").collect()
+      .flatMap(r => keys(r.getString(0))).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val s = Tables.supplier(spark, sf).select("s_name").collect()
+      .flatMap(r => keys(r.getString(0))).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
     val vol = c.keySet.intersect(s.keySet).toSeq.map(k => c(k) * s(k)).sum
     assert(row.getAs[Long]("n_blocked_candidates") == vol)
   }

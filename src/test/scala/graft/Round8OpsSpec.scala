@@ -14,13 +14,19 @@ class Round8OpsSpec extends SparkSpec {
   test("match_fellegi_sunter: patterns partition the block pairs; weights ordered by evidence") {
     val out = operators.Matching.matchFellegiSunter(spark, sf).collect()
     assert(out.nonEmpty && out.length <= 8)
-    // patterns partition the candidate set: total = blocked pair count
-    val c = Tables.customer(spark, sf)
-      .groupBy("c_nationkey").agg(count(lit(1)).as("nc"))
-    val s = Tables.supplier(spark, sf)
-      .groupBy("s_nationkey").agg(count(lit(1)).as("ns"))
-    val expectPairs = c.join(s, col("c_nationkey") === col("s_nationkey"))
-      .agg(sum(col("nc") * col("ns"))).head.getLong(0)
+    // patterns partition the candidate set: total = DISTINCT pairs the
+    // multi-pass name block admits (prefix-2 OR suffix-4 agreement on
+    // the normalized names — the same block the fuzzy matcher runs)
+    def norm(x: String): String =
+      x.trim.toLowerCase.split("\\s+").sorted.mkString(" ")
+    val cn = Tables.customer(spark, sf).select("c_name").collect()
+      .map(r => norm(r.getString(0)))
+    val sn = Tables.supplier(spark, sf).select("s_name").collect()
+      .map(r => norm(r.getString(0)))
+    val expectPairs = (for {
+      a <- cn; b <- sn
+      if a.take(2) == b.take(2) || a.takeRight(4) == b.takeRight(4)
+    } yield 1L).sum
     assert(out.map(_.getAs[Long]("n_pairs")).sum == expectPairs)
     // more agreement never lowers the weight: flipping any γ from 0→1
     // adds ln(m/u) − ln((1−m)/(1−u)) > 0 for every field here
@@ -32,10 +38,15 @@ class Round8OpsSpec extends SparkSpec {
       if (gd == 0 && w.contains((gn, gb, 1))) assert(w((gn, gb, 1)) > wt)
     }
     // the name field dominates: any name-agree pattern outweighs any
-    // name-disagree pattern (the noise fields' weights are near zero)
+    // name-disagree pattern (the noise fields' weights are near zero).
+    // Under the multi-pass NAME block the admitted pairs may ALL agree
+    // on the name γ at tiny SFs (suffix-matched templated names clear
+    // the 0.5 similarity bar), so the disagree side is compared only
+    // when present — the agree side must always exist.
     val minAgree = w.collect { case ((1, _, _), v) => v }.min
-    val maxDisagree = w.collect { case ((0, _, _), v) => v }.max
-    assert(minAgree > maxDisagree + 3.0)
+    w.collect { case ((0, _, _), v) => v }.maxOption.foreach { maxDisagree =>
+      assert(minAgree > maxDisagree + 3.0)
+    }
     // verdict thresholds applied on the emitted weight
     out.foreach { r =>
       val v = r.getAs[String]("verdict"); val wt = r.getAs[Double]("weight")
