@@ -95,7 +95,11 @@ object Graph {
     // count materializes the cache both regimes reuse — no extra
     // pass). The rank vector's row count is |V| in EVERY iteration,
     // so one measurement decides all three rounds.
-    val rankFits = deg.count() * 64L <= broadcastRankMaxBytes
+    val nNodes = deg.count()
+    val rankFits = nNodes * 64L <= broadcastRankMaxBytes
+    graft.GateLog.decide("graph_pagerank.rank_side", dir,
+      if (rankFits) "broadcast" else "shuffle",
+      s"nodes=$nNodes est=${nNodes * 64L}B max=${broadcastRankMaxBytes}B")
     val n = deg.agg(count(lit(1)).as("nn"))
     val r0 = deg.crossJoin(broadcast(n))
       .select(col("src").as("node"), (lit(1.0) / col("nn")).as("r"), col("nn"))
@@ -220,6 +224,9 @@ object Graph {
     // instead — same result, same bound.
     val edgeBytes = e.count() * 48L
     val closing = adj.select(col("src").as("w"), col("nbrs").as("nv"))
+    graft.GateLog.decide("graph_triangles.closing_side", dir,
+      if (edgeBytes <= broadcastEdgesMaxBytes) "broadcast" else "shuffle",
+      s"est=${edgeBytes}B max=${broadcastEdgesMaxBytes}B")
     val closingSide =
       if (edgeBytes <= broadcastEdgesMaxBytes) broadcast(closing) else closing
     val tri = oriented
