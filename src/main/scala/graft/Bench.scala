@@ -64,6 +64,12 @@ object Bench {
       val dt = if (err != null) -1.0 else ts.min
       // per-rep times expose cold-vs-warm attribution (a big rep-1 is
       // a cache build landing on its family's first consumer)
+      // shuffle files of finished queries are only deleted when their
+      // ShuffleDependency is GC'd (ContextCleaner weak refs) — with a
+      // 48g heap that barely fills, a 300-query run accumulated 49 GB
+      // of dead shuffle spill at sf10 and ENOSPC'd the container; one
+      // explicit GC per query keeps the local dirs at working-set size
+      System.gc()
       if (err != null)
         System.err.println(s"[bench] $name FAILED: ${err.getClass.getName}: " +
           s"${err.getMessage}")

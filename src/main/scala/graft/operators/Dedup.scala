@@ -17,6 +17,16 @@ import graft.Tables
   */
 object Dedup {
 
+  /** Exact-regime pair budget for the hashed-ngram jaccard family:
+    * the bitset scorer measures ~2.5e7 pairs/s (sf1: 2.5e8 in-block
+    * pairs, ~10s build), so 2e9 caps the exact all-pairs pass at
+    * ~80s; above it candidates route through the banded MinHash-LSH
+    * join (flat cost, bounded recall, scores stay exact). sf1
+    * (2.5e8) stays exact — the oracle-gated regime — and sf10
+    * (2.5e10, the r8 exclusion) goes LSH-candidates and completes.
+    */
+  val NgramExactPairBudget: Double = 2e9
+
   /** Exact dedup families by content hash: one row per distinct text,
     * keeper = min doc_id (clean_abr.py:34 drop_duplicates).
     */
@@ -356,7 +366,8 @@ object Dedup {
     * self-join (the one O(block²) hot loop in this family).
     */
   def ngramJaccardScores(spark: SparkSession, dir: String,
-                         minJaccard: Double = 0.0): DataFrame = {
+                         minJaccard: Double = 0.0,
+                         exactPairBudget: Double = Dedup.NgramExactPairBudget): DataFrame = {
     // one row per doc: packed bitset words + popcount, built map-side
     // in ONE native pass per document (graft_ngram_bitset) — no gram
     // explode, no shuffle; NgramBitsetSpec pins it bit-identical to
@@ -382,9 +393,33 @@ object Dedup {
       col("n").as("la"), col("v").as("va"))
     val b = dense.select(col("doc_id").as("j"), col("lang"),
       col("n").as("lb"), col("v").as("vb"))
-    val paired = graft.functions.Skew.saltedJoin(
-        a.hint("shuffle_hash"), b, Seq("lang"), col("i"), salts = 32)
-      .filter(col("i") < col("j"))
+    // Exact-regime pair budget (the matcher-family discipline): the
+    // lang block is ~5 keys, so its pair volume grows (N/5)²·5 —
+    // 2.5e8 at sf1 (measured ~10s bitset scoring), 2.5e10 at sf10
+    // (the r8 sf10 exclusion). Above the budget, candidates come
+    // from the SAME banded MinHash-LSH join the family's scale twin
+    // runs (bounded buckets at any N, catch prob ≥ 98% at the 0.8
+    // verify threshold), still scored by the EXACT bitset jaccard
+    // and still lang-constrained — bounded recall, exact scores,
+    // flat cost. Below the budget the plan is byte-identical to the
+    // exact all-pairs form. The ≤10-row lang census is a bounded
+    // driver-side scalar gate (the ExactQuantiles discipline).
+    val langN = dense.groupBy("lang").agg(count(lit(1)).as("nl")).collect()
+    val pairEst = langN.map { r =>
+      val n = r.getLong(1).toDouble; n * n / 2 }.sum
+    val overBudget = pairEst > exactPairBudget
+    graft.GateLog.decide("dedup_ngram_jaccard.regime", dir,
+      if (overBudget) "lsh_candidates" else "exact",
+      f"est_pairs=$pairEst%.3g budget=$exactPairBudget%.3g langs=${langN.length}")
+    val paired =
+      if (overBudget)
+        minhashCandidates(spark, dir)
+          .join(a.withColumnRenamed("lang", "lang_i"), "i")
+          .join(b.withColumnRenamed("lang", "lang_j"), "j")
+          .filter(col("lang_i") === col("lang_j"))
+      else graft.functions.Skew.saltedJoin(
+          a.hint("shuffle_hash"), b, Seq("lang"), col("i"), salts = 32)
+        .filter(col("i") < col("j"))
     val pruned =
       if (minJaccard > 0)
         paired.filter(lit(minJaccard) * col("la") <= col("lb") &&

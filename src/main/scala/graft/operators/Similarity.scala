@@ -625,14 +625,31 @@ object Similarity {
     val probes = graft.plans.TopKPerGroup(routes,
       Seq("src"), Seq(("csim", true), ("label", false)), 2)
       .select(col("src"), col("sv"), col("sn"), col("label").as("probe_label"))
-    val scored = probes.join(e.as("d"),
+    // The cell join explodes to ~n·(n·nprobe/nlist) scored rows with
+    // the label key's cardinality (~10 cells) as its only
+    // parallelism — as a shuffle join at sf10 (200k vecs) that wrote
+    // tens of GB of wide spill and died on disk. Broadcast the
+    // corpus side when its measured bytes fit (200k x ~320B ≈ 60 MB;
+    // decision logged) so the pair stream is generated IN-STAGE, and
+    // collapse it with STAGED top-k: map-side partial heaps eat the
+    // stream where it is born (each src is partition-local under a
+    // broadcast join), the exchange carries only n·k survivors.
+    val nVecs = e.count()
+    val corpusBytes = nVecs * 320L
+    val dMax = 256L << 20
+    val dFits = corpusBytes <= dMax
+    graft.GateLog.decide("knn_graph.corpus_side", dir,
+      if (dFits) "broadcast" else "shuffle",
+      s"vecs=$nVecs est=${corpusBytes}B max=${dMax}B")
+    val dSide = e.as("d")
+    val scored = probes.join(if (dFits) broadcast(dSide) else dSide,
         col("probe_label") === col("d.label") && col("src") =!= col("d.vec_id"))
       .withColumn("cosine", round(
         graft.functions.VectorExprs.dot(col("sv"), col("d.v"))
           / (col("sn") * col("d.norm")), 6))
       .select(col("src"), col("d.vec_id").as("dst"), col("cosine"))
     graft.PlanCache.cached("knn_graph_edges", spark, dir) {
-      graft.plans.TopKPerGroup(scored, Seq("src"),
+      graft.plans.TopKPerGroup.staged(scored, Seq("src"),
         Seq(("cosine", true), ("dst", false)), 5)
     }
   }

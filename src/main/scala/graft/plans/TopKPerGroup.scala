@@ -23,7 +23,8 @@ import org.apache.spark.sql.graftshim.GraftShim
   * a 100 TB event log).
   */
 case class TopKPerGroupPlan(grouping: Seq[Attribute], order: Seq[SortOrder],
-                            k: Int, child: LogicalPlan) extends UnaryNode {
+                            k: Int, child: LogicalPlan,
+                            partial: Boolean = false) extends UnaryNode {
   require(k >= 1)
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -33,18 +34,26 @@ case class TopKPerGroupPlan(grouping: Seq[Attribute], order: Seq[SortOrder],
 
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupPlan(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+    case TopKPerGroupPlan(g, o, k, child, partial) =>
+      TopKPerGroupExec(g, o, k, planLater(child), partial) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerGroupExec(grouping: Seq[Attribute], order: Seq[SortOrder],
-                            k: Int, child: SparkPlan) extends UnaryExecNode {
+                            k: Int, child: SparkPlan,
+                            partial: Boolean = false) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
+  // partial mode runs the same heaps WITHIN each child partition, no
+  // exchange: per-group-per-partition top-k always CONTAINS the
+  // global per-group top-k, so a final clustered TopK over its
+  // bounded output is exact — and when the upstream join is a
+  // broadcast (each group's rows partition-local by construction),
+  // the heavy stream never shuffles at all
   override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(grouping))
+    if (partial) super.requiredChildDistribution
+    else Seq(ClusteredDistribution(grouping))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -81,8 +90,8 @@ case class TopKPerGroupExec(grouping: Seq[Attribute], order: Seq[SortOrder],
 
 /** Public API: df → top-k rows per group under (col, desc?) orders. */
 object TopKPerGroup {
-  def apply(df: DataFrame, groupCols: Seq[String],
-            orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+  private def build(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[(String, Boolean)], k: Int, partial: Boolean): DataFrame = {
     val plan = df.queryExecution.analyzed
     def attr(name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
@@ -91,6 +100,20 @@ object TopKPerGroup {
       SortOrder(attr(n), if (desc) Descending else Ascending)
     }
     GraftShim.ofRows(df.sparkSession,
-      TopKPerGroupPlan(groupCols.map(attr), order, k, plan))
+      TopKPerGroupPlan(groupCols.map(attr), order, k, plan, partial))
   }
+
+  def apply(df: DataFrame, groupCols: Seq[String],
+            orderCols: Seq[(String, Boolean)], k: Int): DataFrame =
+    build(df, groupCols, orderCols, k, partial = false)
+
+  /** Map-side partial heaps feeding the exact clustered pass: the
+    * heavy (e.g. broadcast-join-scored) stream collapses to at most
+    * groups-per-partition x k rows BEFORE any exchange — the exact
+    * per-group top-k, with the shuffle carrying only heap survivors.
+    */
+  def staged(df: DataFrame, groupCols: Seq[String],
+             orderCols: Seq[(String, Boolean)], k: Int): DataFrame =
+    build(build(df, groupCols, orderCols, k, partial = true),
+      groupCols, orderCols, k, partial = false)
 }

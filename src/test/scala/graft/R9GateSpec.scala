@@ -6,6 +6,29 @@ package graft
   * broadcast gate for lack of exactly this visibility.
   */
 class R9GateSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  test("ngram-jaccard pair budget: LSH-candidate regime is an exact-scored subset") {
+    val exact = operators.Dedup.ngramJaccardScores(spark, sf, minJaccard = 0.5)
+      .filter(col("jaccard") >= 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(GateLog.lastDecision("dedup_ngram_jaccard.regime", sf)
+      .exists(_.chosen == "exact"))
+    val capped = operators.Dedup.ngramJaccardScores(spark, sf,
+      minJaccard = 0.5, exactPairBudget = 1.0)
+      .filter(col("jaccard") >= 0.5).collect()
+    assert(GateLog.lastDecision("dedup_ngram_jaccard.regime", sf)
+      .exists(_.chosen == "lsh_candidates"))
+    // the LSH-candidate regime reduces the PAIR SET only: every pair
+    // it emits carries the identical exact bitset-jaccard score
+    assert(capped.nonEmpty && capped.length <= exact.size)
+    for (r <- capped) {
+      val k = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(k), s"pair $k absent from exact scores")
+      assert(exact(k) == r.getDouble(2),
+        s"score mismatch for $k: ${exact(k)} vs ${r.getDouble(2)}")
+    }
+  }
 
   test("graph gates record decisions and choose broadcast at spec scale") {
     operators.Graph.graphPagerank(spark, sf).count()

@@ -42,7 +42,17 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
+    import os, time
+    # ORACLE_ONLY / ORACLE_SKIP: comma-separated name filters so big-SF
+    # gates can stage the DuckDB-infeasible oracles (quadratic matcher
+    # SQL, planner-spill CTE chains) through tools/oracle_sf*_*.py
+    # instead of hanging the whole gate
+    only = set(filter(None, os.environ.get("ORACLE_ONLY", "").split(",")))
+    skip = set(filter(None, os.environ.get("ORACLE_SKIP", "").split(",")))
     for name, sql in sorted(oracle.items()):
+        if (only and name not in only) or name in skip:
+            continue
+        t0 = time.time()
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"MISSING  {name} (no spark output)"); n_bad += 1; continue
@@ -69,7 +79,8 @@ def main(sf_dir, out_dir):
                   for c in spark_df.columns
                   if str(spark_df[c].dtype) != str(duck_df[c].dtype)]
             flag = f"  dtypes differ: {dt}" if dt else ""
-            print(f"OK       {name} rows={len(spark_df)}{flag}")
+            print(f"OK       {name} rows={len(spark_df)}{flag} ({time.time()-t0:.1f}s)",
+                  flush=True)
             n_ok += 1
         except AssertionError as e:
             print(f"VALUES   {name}: {str(e).splitlines()[0]}")
