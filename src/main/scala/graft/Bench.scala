@@ -1,6 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Free-space floor (bytes) under which the bench forces a full GC
+    * so the ContextCleaner reclaims finished queries' shuffle files.
+    * 24 GiB default: comfortably above any single query's working set
+    * at sf10 on this container, far below the bench-SF free space (so
+    * the pressure valve never fires in a timing-grade run). Override
+    * via SPARK_GRAFT_MIN_FREE_GB.
+    */
+  private[graft] def minFreeBytes: Long =
+    sys.env.get("SPARK_GRAFT_MIN_FREE_GB").map(_.toLong)
+      .getOrElse(24L) * (1L << 30)
+
+  /** GC only when the Spark scratch dir's filesystem is under the
+    * free-space floor — the ENOSPC valve without a GC in every timed
+    * path (see the call-site note).
+    */
+  private[graft] def maybeReclaimShuffleDisk(): Unit = {
+    val scratch = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+    if (scratch.getUsableSpace < minFreeBytes) {
+      System.err.println(s"[bench] scratch free ${scratch.getUsableSpace >> 30} GiB " +
+        s"< floor ${minFreeBytes >> 30} GiB: forcing GC to release dead shuffles")
+      System.gc()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
@@ -67,9 +92,14 @@ object Bench {
       // shuffle files of finished queries are only deleted when their
       // ShuffleDependency is GC'd (ContextCleaner weak refs) — with a
       // 48g heap that barely fills, a 300-query run accumulated 49 GB
-      // of dead shuffle spill at sf10 and ENOSPC'd the container; one
-      // explicit GC per query keeps the local dirs at working-set size
-      System.gc()
+      // of dead shuffle spill at sf10 and ENOSPC'd the container. The
+      // r9 unconditional per-query System.gc() sat one line from the
+      // timing loop during the round's unadjudicated regression
+      // cluster: now GC fires ONLY under measured scratch-disk
+      // pressure (sf10 territory — never at the bench SFs, where free
+      // space stays far above the floor), so quiet-window sf0.1 runs
+      // have no GC in the timed path at all
+      maybeReclaimShuffleDisk()
       if (err != null)
         System.err.println(s"[bench] $name FAILED: ${err.getClass.getName}: " +
           s"${err.getMessage}")
@@ -104,6 +134,22 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[bench] write $out: $e") }
+    // a full clean registry run that just rewrote BENCH_FULL.json also
+    // regenerates PLANS.md from ITS OWN timings, so the two artifacts
+    // land consistent in the same commit and PlanHeadsSpec's owed-full
+    // set can never be orphaned by a later bench (the r9 failure).
+    // Plans are generated at the canonical tiny dir (plan shapes are
+    // data-size independent; gate decisions recorded per-dir) from a
+    // cleared PlanCache so no InMemoryRelation from the timing run
+    // masks a scan head.
+    if (only.isEmpty && nFailed == 0 && out == "BENCH_FULL.json" &&
+        sys.env.get("SPARK_GRAFT_SKIP_PLANS").isEmpty) {
+      PlanCache.clear()
+      try Plans.write(spark, "/root/testdata/sf0.001",
+        results.collect { case (k, v, _) if v >= 0 => k -> v }.toMap)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] plans regen failed: $e") }
+    }
     PlanCache.clear()
     spark.stop()
   }

@@ -66,24 +66,59 @@ object Plans {
       .groupBy { case (k, _) => family(k) }
       .values.flatMap(_.sortBy { case (k, s) => (-s, k) }.take(3).map(_._1))
 
-  /** The committed bench artifact's per-query seconds (failed = -1
-    * entries dropped); empty map if the file is absent/unparsable.
+  /** The bench artifact's per-query seconds (failed = -1 entries
+    * dropped). Absent file → empty map (headline-only full plans);
+    * a PRESENT-but-unparsable artifact, or one whose parsed entry
+    * count disagrees with its own `n_queries` field, THROWS — a
+    * format evolution must fail the PlanHeadsSpec audit loudly, not
+    * silently shrink the owed-full set (the r9 failure mode).
     */
-  private[graft] def benchSeconds(path: String = "BENCH_FULL.json"): Map[String, Double] =
-    try {
-      val txt = Files.readString(Paths.get(path))
-      val qobj = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-        .map(_.group(1)).getOrElse("")
-      """"([a-z0-9_]+)":(-?[0-9.eE+\-]+)""".r.findAllMatchIn(qobj)
-        .map(m => m.group(1) -> m.group(2).toDouble)
-        .filter(_._2 >= 0).toMap
-    } catch { case _: Exception => Map.empty }
+  private[graft] def benchSeconds(path: String = "BENCH_FULL.json"): Map[String, Double] = {
+    if (!Files.exists(Paths.get(path))) return Map.empty
+    val txt = Files.readString(Paths.get(path))
+    val start = txt.indexOf("\"queries\":")
+    require(start >= 0, s"$path: no \"queries\" field")
+    val open = txt.indexOf('{', start)
+    require(open >= 0, s"$path: \"queries\" is not an object")
+    var depth = 0; var i = open; var end = -1
+    while (i < txt.length && end < 0) {
+      val c = txt.charAt(i)
+      if (c == '{') depth += 1
+      else if (c == '}') { depth -= 1; if (depth == 0) end = i }
+      i += 1
+    }
+    require(end > open, s"$path: unbalanced \"queries\" object")
+    val entries = """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9][0-9.eE+\-]*)""".r
+      .findAllMatchIn(txt.substring(open + 1, end))
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    """"n_queries"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).foreach { exp =>
+        require(entries.size == exp,
+          s"$path: parsed ${entries.size} query timings but the " +
+            s"artifact says n_queries=$exp — format drift, fix the parser")
+      }
+    entries.filter(_._2 >= 0).toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.local(4)
     graft.plans.GraftExtensions.registerInto(spark)
-    val full = requiredFull(benchSeconds())
+    write(spark, sfDir, benchSeconds())
+    PlanCache.clear()
+    spark.stop()
+  }
+
+  /** Generate PLANS.md over `sfDir` with full plans for
+    * `requiredFull(measured)` — callable from [[Bench]] right after it
+    * lands a fresh BENCH_FULL.json, so the committed artifact pair can
+    * never disagree (the r9 PlanHeadsSpec failure: a post-commit
+    * driver bench reshuffled the per-family heaviest and orphaned 14
+    * owed-full plans).
+    */
+  def write(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+            measured: Map[String, Double]): Unit = {
+    val full = requiredFull(measured)
     val out = new StringBuilder
     out ++= "# PLANS — physical plans of every registered query\n\n"
     out ++= s"Generated by `graft.Plans` over `$sfDir`. Regenerate with\n"
@@ -107,8 +142,6 @@ object Plans {
         out ++= s"- `${d.gate}` → **${d.chosen}** (${d.detail})\n" }
     }
     Files.writeString(Paths.get("PLANS.md"), out.toString)
-    PlanCache.clear()
-    spark.stop()
     println(s"[plans] wrote PLANS.md (${names.size} heads, $nFull full)")
   }
 }

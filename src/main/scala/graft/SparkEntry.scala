@@ -403,8 +403,11 @@ object SparkEntry {
 
   /** Queries intentionally without a SQL oracle (driver falls back to
     * the weaker rows-only check); kept in sync with OperatorsSpec.
+    * Empty since r10: mm_fake_decode — the last rows-only entry — is
+    * oracle-checkable because the corpus text is ASCII, so the decode
+    * stand-in's byte features are exactly DuckDB's per-char ord sums.
     */
-  val noOracle: Set[String] = Set("mm_fake_decode")
+  val noOracle: Set[String] = Set.empty
 
   /** clean_abr's shaped+filtered relation, shared by several oracles. */
   private val abrCleanedCte: String =
@@ -1554,10 +1557,17 @@ object SparkEntry {
         | UNION ALL SELECT 's:' || right(s_norm, 4) FROM sn),
         |vol AS (SELECT CAST(coalesce(sum(nc * ns), 0) AS BIGINT) AS n_blocked_candidates
         | FROM (SELECT k, count(*) AS nc FROM ckeys GROUP BY 1) a
-        | JOIN (SELECT k, count(*) AS ns FROM skeys GROUP BY 1) b USING (k))
-        |SELECT n_true_pairs, n_blocked_candidates, n_true_in_block,
+        | JOIN (SELECT k, count(*) AS ns FROM skeys GROUP BY 1) b USING (k)),
+        |ovl AS (SELECT CAST(coalesce(sum(nc * ns), 0) AS BIGINT) AS n_both
+        | FROM (SELECT substr(c_norm, 1, 2) AS p2, right(c_norm, 4) AS s4,
+        |        count(*) AS nc FROM cn GROUP BY 1, 2) a
+        | JOIN (SELECT substr(s_norm, 1, 2) AS p2, right(s_norm, 4) AS s4,
+        |        count(*) AS ns FROM sn GROUP BY 1, 2) b USING (p2, s4))
+        |SELECT n_true_pairs, n_blocked_candidates,
+        | n_blocked_candidates - n_both AS n_blocked_pairs_distinct,
+        | n_true_in_block,
         | round(CAST(n_true_in_block AS DOUBLE) / n_true_pairs, 6) AS recall
-        |FROM truth CROSS JOIN vol""".stripMargin,
+        |FROM truth CROSS JOIN vol CROSS JOIN ovl""".stripMargin,
 
     "match_fuzzy_blocked" ->
       s"""WITH $fuzzyBestCte
@@ -2848,6 +2858,19 @@ object SparkEntry {
         | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
         | min(md5(text)) AS min_hash, max(md5(text)) AS max_hash
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // the decode stand-in is a pure byte function (sum / head / tail
+    // of the UTF-8 payload); the corpus text is ASCII at every SF, so
+    // per-char ord() IS the byte value and the oracle reproduces the
+    // mapPartitions decoder exactly
+    "mm_fake_decode" ->
+      """SELECT doc_id AS media_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(list_aggregate(list_transform(string_split(text, ''),
+        |   c -> ord(c)), 'sum') AS BIGINT) AS byte_sum,
+        | CAST(ord(text[1]) AS INT) AS head_byte,
+        | CAST(ord(text[-1]) AS INT) AS tail_byte
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "mm_pair_builder" ->
       """WITH d AS (SELECT doc_id, lang,
@@ -6832,19 +6855,6 @@ object SparkEntry {
         |  FROM lineitem),
         |e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
         |  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
-        |d AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM (
-        |   SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) nn
-        |  GROUP BY 1),
-        |orient AS MATERIALIZED (SELECT
-        |   CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
-        |     THEN u ELSE v END AS src,
-        |   CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v)
-        |     THEN v ELSE u END AS dst
-        |  FROM e JOIN d du ON e.u = du.node JOIN d dv ON e.v = dv.node),
-        |w AS (SELECT x.src, x.dst AS n1, y.dst AS n2
-        |  FROM orient x JOIN orient y ON x.src = y.src AND x.dst < y.dst),
-        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_triangles
-        |  FROM w JOIN e ON n1 = e.u AND n2 = e.v),
         |se AS MATERIALIZED (SELECT u, v FROM e
         |  WHERE list_sum(list_transform(generate_series(1, 8),
         |    i -> (strpos('0123456789abcdef',
@@ -6864,13 +6874,11 @@ object SparkEntry {
         |  FROM sor x JOIN sor y ON x.src = y.src AND x.dst < y.dst),
         |sc AS (SELECT CAST(count(*) AS BIGINT) AS sampled_triangles
         |  FROM sw JOIN se ON n1 = se.u AND n2 = se.v)
-        |SELECT exact_triangles, sampled_triangles,
+        |SELECT sampled_triangles,
         | CAST(0.5 AS DOUBLE) AS p,
         | round(CAST(sampled_triangles AS DOUBLE) / 0.125, 6)
-        |   AS estimate,
-        | round(abs(CAST(sampled_triangles AS DOUBLE) / 0.125
-        |   - exact_triangles) / exact_triangles, 6) AS rel_error
-        |FROM ex CROSS JOIN sc""".stripMargin,
+        |   AS estimate
+        |FROM sc""".stripMargin,
 
     "orders_band_migration" ->
       """WITH cy AS (SELECT o_custkey,

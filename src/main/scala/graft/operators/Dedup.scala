@@ -27,6 +27,18 @@ object Dedup {
     */
   val NgramExactPairBudget: Double = 2e9
 
+  /** S-curve catch probability of the banded MinHash-LSH candidate
+    * join at true jaccard `s`: 1 − (1 − s^r)^b. The family runs b=4
+    * bands of r=2 rows ([[bandsOf]]), so the ≥98% figure quoted for
+    * the 0.8 verify threshold does NOT transfer down the sweep bins —
+    * s=0.5 catches only ~68%. Emitted into the LSH-regime gate detail
+    * so any consumer reading sub-0.8 bins under the capped regime sees
+    * its per-decile bias instead of inheriting the 0.8-threshold
+    * number (R10GateSpec pins the arithmetic).
+    */
+  def lshCatchProb(s: Double, bands: Int = 4, rows: Int = 2): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
   /** Exact dedup families by content hash: one row per distinct text,
     * keeper = min doc_id (clean_abr.py:34 drop_duplicates).
     */
@@ -408,9 +420,19 @@ object Dedup {
     val pairEst = langN.map { r =>
       val n = r.getLong(1).toDouble; n * n / 2 }.sum
     val overBudget = pairEst > exactPairBudget
+    // under the LSH regime the candidate set is biased BY DECILE
+    // (1−(1−s²)⁴ — near-total at the 0.8 verify threshold, ~68% at
+    // 0.5), and the threshold-sweep consumer bins from 0.5 up: the
+    // gate line carries the per-decile catch curve so a sweep read
+    // under this regime is labeled with exactly how under-counted
+    // each bin is (minJaccard < 0.8 consumers, take note)
+    val catchCurve = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+      .map(s => f"s$s%.1f=${lshCatchProb(s)}%.3f").mkString(" ")
     graft.GateLog.decide("dedup_ngram_jaccard.regime", dir,
       if (overBudget) "lsh_candidates" else "exact",
-      f"est_pairs=$pairEst%.3g budget=$exactPairBudget%.3g langs=${langN.length}")
+      f"est_pairs=$pairEst%.3g budget=$exactPairBudget%.3g langs=${langN.length}" +
+        (if (overBudget) s" min_jaccard=$minJaccard catch_prob[b=4,r=2]: $catchCurve"
+         else ""))
     val paired =
       if (overBudget)
         minhashCandidates(spark, dir)
@@ -466,29 +488,44 @@ object Dedup {
     * threshold artifacts worth reading before picking one detector
     * at 100 TB).
     *
-    * Scale shape: each method's pair relation is already bounded
-    * (near-dup-sized, not corpus²); the union shuffles once on
-    * (i, j) with map-side max-combine, and the final rollup is a
-    * 16-row aggregate. The ngram side rides the SAME cached ≥0.5
-    * scored pairs as the rest of its family; the trailing per-method
-    * oracle sorts are stripped ([[graft.functions.Unordered]]) so no
-    * global sort survives below the aggregation.
+    * Scale shape: each method's pair relation is MATERIALIZED once
+    * per corpus into a persisted parquet table (the
+    * [[dedupIndexProbe]] / [[Similarity.ensureIndex]] staging
+    * discipline — fingerprint-keyed, atomically published), built
+    * SEQUENTIALLY so no two methods' shuffle working sets ever share
+    * the scratch disk (the r9 form unioned all four LIVE pipelines
+    * into one job: standalone at sf10 the combined spill footprint
+    * cost 1018 s and ENOSPC'd the shared sweep). The audit itself
+    * then reads four bounded near-dup-sized parquet relations: one
+    * (i, j) shuffle with map-side max-combine + a 16-row rollup. The
+    * ngram side rides the SAME cached ≥0.5 scored pairs as the rest
+    * of its family during the build; the trailing per-method oracle
+    * sorts are stripped ([[graft.functions.Unordered]]) so no global
+    * sort survives below the aggregation.
     */
   def dedupMethodAgreement(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).as("h"))
-    val ex = d.as("a").join(d.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
     def pairs(df: DataFrame): DataFrame =
       graft.functions.Unordered(df).select("i", "j")
-    val sets = Seq(
-      "f_exact" -> ex,
-      "f_minhash" -> pairs(dedupMinhashLsh(spark, dir)),
-      "f_ngram" -> pairs(dedupNgramJaccard(spark, dir)),
-      "f_simhash" -> pairs(dedupSimhash(spark, dir)))
-    val names = sets.map(_._1)
-    val flagged = sets.map { case (n, df) =>
+    def exactPairs(): DataFrame = {
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      d.as("a").join(d.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    }
+    val methods: Seq[(String, () => DataFrame)] = Seq(
+      "f_exact" -> (() => exactPairs()),
+      "f_minhash" -> (() => pairs(dedupMinhashLsh(spark, dir))),
+      "f_ngram" -> (() => pairs(dedupNgramJaccard(spark, dir))),
+      "f_simhash" -> (() => pairs(dedupSimhash(spark, dir))))
+    val names = methods.map(_._1)
+    val idx = Similarity.ensureIndex(dir, "graft_dedup_pairs", names,
+      stage => methods.foreach { case (n, f) =>
+        f().write.mode("overwrite").parquet(s"$stage/$n")
+      },
+      srcFile = "documents.parquet")
+    val flagged = names.map { n =>
+      val df = spark.read.parquet(s"$idx/$n")
       names.foldLeft(df) { (acc, m) =>
         acc.withColumn(m, lit(if (m == n) 1L else 0L))
       }

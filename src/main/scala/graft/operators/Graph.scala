@@ -364,23 +364,24 @@ object Graph {
       .orderBy("k")
   }
 
-  /** Sampled triangle-count estimator vs the exact count — graph AQP:
-    * keep each canonical edge with deterministic probability p=1/2
-    * (md5 hash, engine/retry-stable), count triangles on the sampled
-    * subgraph, scale by 1/p³ (a triangle survives iff all 3 edges
-    * do). The measured case for "estimate first, pay for exact only
-    * when the decision needs it" — at 100 TB the sampled pass costs
-    * ~p³ = 1/8 of the closing-join work and the relative error lands
-    * in a few percent on triangle-rich graphs.
+  /** Sampled triangle-count estimator — graph AQP: keep each
+    * canonical edge with deterministic probability p=1/2 (md5 hash,
+    * engine/retry-stable), count triangles on the sampled subgraph,
+    * scale by 1/p³ (a triangle survives iff all 3 edges do). The
+    * point of AQP is to NOT pay for exact: this query runs the
+    * sampled pass alone (~p^1.5 of the exact closing-join work under
+    * the O(m^1.5) wedge bound — the r9 form embedded the exact count
+    * as a reference column and measured 34% SLOWER than graph_triangles
+    * itself at sf10, an estimate that costs more than its ground
+    * truth). The estimate-vs-exact audit lives in
+    * [[graphTriangleEstimateAudit]] (spec-gated, expected to pay for
+    * exact); at 100 TB the registered query touches only the sampled
+    * half-edge subgraph.
     *
-    * Scale shape: exact side reuses the cached triangle relations
-    * (one bounded closing join); the sampled side re-runs the same
-    * orientation pipeline on half the edges (its own smaller
-    * O(m^1.5) bound); both reduce to 1-row counts. 1 row out.
+    * Scale shape: one orientation pipeline over half the edges (its
+    * own smaller O(m^1.5) bound), reduced to a 1-row count.
     */
   def graphTriangleEstimate(spark: SparkSession, dir: String): DataFrame = {
-    val exact = perNodeTriangles(spark, dir, 256L << 20)
-      .agg((sum("n_triangles") / 3).cast("long").as("exact_triangles"))
     val e = coPairCounts(spark, dir).select("u", "v")
     val sampled = graft.PlanCache.cached("triangle_sample_e", spark, dir) {
       e.filter(graft.functions.HexExprs.uniformHash(
@@ -415,13 +416,25 @@ object Graph {
         col("dst") === col("w"))
       .agg(sum(size(array_intersect(col("nu"), col("nv"))))
         .cast("long").as("sampled_triangles"))
-    exact.crossJoin(sCnt)
-      .select(col("exact_triangles"), col("sampled_triangles"),
-        lit(0.5).as("p"),
-        round(col("sampled_triangles").cast("double") / 0.125, 6)
-          .as("estimate"),
-        round(abs(col("sampled_triangles").cast("double") / 0.125
-          - col("exact_triangles"))
+    sCnt.select(col("sampled_triangles"), lit(0.5).as("p"),
+      round(col("sampled_triangles").cast("double") / 0.125, 6)
+        .as("estimate"))
+  }
+
+  /** Estimate-vs-exact audit for [[graphTriangleEstimate]] — the eval
+    * that IS expected to pay for the exact count (one closing join
+    * over the cached triangle relations). Spec-gated, not registered:
+    * a 100-TB pipeline runs the estimator; it runs this audit once per
+    * corpus when calibrating, knowingly buying the exact O(m^1.5)
+    * pass the estimator exists to avoid.
+    */
+  def graphTriangleEstimateAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = perNodeTriangles(spark, dir, 256L << 20)
+      .agg((sum("n_triangles") / 3).cast("long").as("exact_triangles"))
+    graphTriangleEstimate(spark, dir).crossJoin(exact)
+      .select(col("exact_triangles"), col("sampled_triangles"), col("p"),
+        col("estimate"),
+        round(abs(col("estimate") - col("exact_triangles"))
           / col("exact_triangles"), 6).as("rel_error"))
   }
 

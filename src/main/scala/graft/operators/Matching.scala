@@ -1140,16 +1140,34 @@ object Matching {
           (substring(col("c_norm"), 1, 2) === substring(col("s_norm"), 1, 2)) ||
             (expr("right(c_norm, 4)") === expr("right(s_norm, 4)")), 1L)
           .otherwise(0L)).as("n_true_in_block"))
-    // candidate volume = join rows the exploded multi-pass key streams
-    // actually pay: Σ_k |c@k|·|s@k| over the tagged key space (a pair
-    // both passes admit is counted once per pass, as the join emits it)
+    // candidate volume in BOTH units (the two costs mean different
+    // things and a dual-pass pair differs between them):
+    // n_blocked_candidates = JOIN ROWS the exploded multi-pass key
+    // streams pay (Σ_k |c@k|·|s@k| over the tagged key space — a pair
+    // both passes admit is emitted once per pass, the shuffle/score
+    // stream cost); n_blocked_pairs_distinct = DISTINCT admitted
+    // pairs (what the downstream argmax actually scores after
+    // duplicate admissions collapse) = join rows − |both-pass pairs|,
+    // where the overlap is Σ over combined (prefix2, suffix4) keys of
+    // |c@key|·|s@key| — per-key counts again, never materialized pairs
     val volume = fuzzyBlockKeys(c, "c_norm")
       .groupBy(col("blk").as("k")).agg(count(lit(1)).as("nc"))
       .join(fuzzyBlockKeys(s, "s_norm")
         .groupBy(col("blk").as("k")).agg(count(lit(1)).as("ns")), "k")
       .agg(coalesce(sum(col("nc") * col("ns")), lit(0L)).as("n_blocked_candidates"))
-    truth.crossJoin(broadcast(volume))
-      .select(col("n_true_pairs"), col("n_blocked_candidates"), col("n_true_in_block"),
+    val overlap = c
+      .select(substring(col("c_norm"), 1, 2).as("p2"),
+        expr("right(c_norm, 4)").as("s4"))
+      .groupBy("p2", "s4").agg(count(lit(1)).as("nc"))
+      .join(s.select(substring(col("s_norm"), 1, 2).as("p2"),
+          expr("right(s_norm, 4)").as("s4"))
+        .groupBy("p2", "s4").agg(count(lit(1)).as("ns")), Seq("p2", "s4"))
+      .agg(coalesce(sum(col("nc") * col("ns")), lit(0L)).as("n_both"))
+    truth.crossJoin(broadcast(volume)).crossJoin(broadcast(overlap))
+      .select(col("n_true_pairs"), col("n_blocked_candidates"),
+        (col("n_blocked_candidates") - col("n_both"))
+          .as("n_blocked_pairs_distinct"),
+        col("n_true_in_block"),
         round(col("n_true_in_block").cast("double") / col("n_true_pairs"), 6)
           .as("recall"))
   }

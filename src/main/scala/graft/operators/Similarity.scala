@@ -611,7 +611,18 @@ object Similarity {
     * twice; cached it is n·k tiny rows, uncached each consumer
     * re-scores every candidate.
     */
-  private def knnGraphEdges(spark: SparkSession, dir: String): DataFrame = {
+  private def knnGraphEdges(spark: SparkSession, dir: String): DataFrame =
+    knnGraphEdges(spark, dir, KnnGraphBroadcastMaxBytes)
+
+  /** Broadcast cap for the kNN-graph corpus side — surfaced like the
+    * other measured gates (tfidf dense regime, blocking-eval supplier
+    * side) so deployments size it to their executor memory instead of
+    * inheriting a buried constant.
+    */
+  val KnnGraphBroadcastMaxBytes: Long = 256L << 20
+
+  private[graft] def knnGraphEdges(spark: SparkSession, dir: String,
+                                   broadcastCorpusMaxBytes: Long): DataFrame = {
     val e = vecsWithNorm(spark, dir)
     val cent = ivfCentroids(e)
       .withColumn("cnorm", graft.functions.Vectors.normHof("cv"))
@@ -627,28 +638,48 @@ object Similarity {
       .select(col("src"), col("sv"), col("sn"), col("label").as("probe_label"))
     // The cell join explodes to ~n·(n·nprobe/nlist) scored rows with
     // the label key's cardinality (~10 cells) as its only
-    // parallelism — as a shuffle join at sf10 (200k vecs) that wrote
-    // tens of GB of wide spill and died on disk. Broadcast the
-    // corpus side when its measured bytes fit (200k x ~320B ≈ 60 MB;
-    // decision logged) so the pair stream is generated IN-STAGE, and
-    // collapse it with STAGED top-k: map-side partial heaps eat the
-    // stream where it is born (each src is partition-local under a
-    // broadcast join), the exchange carries only n·k survivors.
+    // parallelism — as a plain shuffle join at sf10 (200k vecs) that
+    // wrote tens of GB of wide spill and died on disk. Broadcast the
+    // corpus side when its measured bytes fit (decision logged) so
+    // the pair stream is generated IN-STAGE, and collapse it with
+    // STAGED top-k: map-side partial heaps eat the stream where it is
+    // born (each src is partition-local under a broadcast join), the
+    // exchange carries only n·k survivors. Per-row bytes are derived
+    // from the MEASURED vector dim (vec_id+label+norm+array header
+    // ≈ 64 B, 8 B per double element), not a hardcoded constant — a
+    // wider embedding column must shrink the row budget, not blow the
+    // driver. Above the cap, the label join is SALTED (the Dedup
+    // bitset-join discipline): same pairs, `salts`× the parallelism
+    // of the ~10-value label key, and the staged top-k still collapses
+    // each salt shard map-side before the exchange.
     val nVecs = e.count()
-    val corpusBytes = nVecs * 320L
-    val dMax = 256L << 20
-    val dFits = corpusBytes <= dMax
+    val dim = if (nVecs > 0)
+      e.select(size(col("v"))).head().getInt(0) else 0
+    val corpusBytes = nVecs * (64L + 8L * dim)
+    val dFits = corpusBytes <= broadcastCorpusMaxBytes
     graft.GateLog.decide("knn_graph.corpus_side", dir,
-      if (dFits) "broadcast" else "shuffle",
-      s"vecs=$nVecs est=${corpusBytes}B max=${dMax}B")
-    val dSide = e.as("d")
-    val scored = probes.join(if (dFits) broadcast(dSide) else dSide,
-        col("probe_label") === col("d.label") && col("src") =!= col("d.vec_id"))
+      if (dFits) "broadcast" else "shuffle_salted",
+      s"vecs=$nVecs dim=$dim est=${corpusBytes}B max=${broadcastCorpusMaxBytes}B")
+    val dSide = e.select(col("vec_id").as("d_vec_id"), col("label"),
+      col("v").as("d_v"), col("norm").as("d_norm"))
+    val paired =
+      if (dFits)
+        probes.withColumnRenamed("probe_label", "label")
+          .join(broadcast(dSide), "label")
+      else graft.functions.Skew.saltedJoin(
+        probes.withColumnRenamed("probe_label", "label"),
+        dSide, Seq("label"), col("src"), salts = 32)
+    val scored = paired
+      .filter(col("src") =!= col("d_vec_id"))
       .withColumn("cosine", round(
-        graft.functions.VectorExprs.dot(col("sv"), col("d.v"))
-          / (col("sn") * col("d.norm")), 6))
-      .select(col("src"), col("d.vec_id").as("dst"), col("cosine"))
-    graft.PlanCache.cached("knn_graph_edges", spark, dir) {
+        graft.functions.VectorExprs.dot(col("sv"), col("d_v"))
+          / (col("sn") * col("d_norm")), 6))
+      .select(col("src"), col("d_vec_id").as("dst"), col("cosine"))
+    // forced-cap callers (regime specs) must not serve or poison the
+    // default-regime cache entry — key the pin by the effective cap
+    val cacheKey = if (broadcastCorpusMaxBytes == KnnGraphBroadcastMaxBytes)
+      "knn_graph_edges" else s"knn_graph_edges_cap$broadcastCorpusMaxBytes"
+    graft.PlanCache.cached(cacheKey, spark, dir) {
       graft.plans.TopKPerGroup.staged(scored, Seq("src"),
         Seq(("cosine", true), ("dst", false)), 5)
     }

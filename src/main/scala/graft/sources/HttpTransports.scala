@@ -66,7 +66,13 @@ object HttpTransports extends Serializable {
       case 206 => resp.body()
       case 200 if first == 0L =>
         val want = (last - first + 1).min(Int.MaxValue).toInt
-        if (resp.body().length <= want) resp.body()
+        // a SHORT 200 body is truncation (a range-oblivious proxy that
+        // also cut the stream): fail HERE with the URL, not 3 layers
+        // later as an anonymous gzip error mid-WARC-parse
+        if (resp.body().length < want) throw new java.io.IOException(
+          s"truncated 200 response: got ${resp.body().length} bytes of " +
+            s"range $first-$last ($want wanted) from $url")
+        if (resp.body().length == want) resp.body()
         else java.util.Arrays.copyOfRange(resp.body(), 0, want)
       case s => throw new java.io.IOException(
         s"HTTP $s for range $first-$last of $url (expected 206)")

@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Matching}
+
+/** Recall-vs-exact eval for the three CAPPED candidate regimes
+  * (match_tfidf_topk / match_bm25_topk impact-capped postings,
+  * dedup_ngram_jaccard MinHash-LSH candidates): force each gate at a
+  * scale factor where the EXACT regime is still affordable, score the
+  * capped answer against the exact answer, and emit the recall table
+  * a 100-TB deployment needs before trusting the gate — the reference
+  * quotes raw thresholds (entity_matching_tfidf.py: cosine ≥ 0.7;
+  * entity_matching_optimized.py:85: ratio ≥ 85) that are meaningful
+  * only under known candidate recall.
+  *
+  * Metrics:
+  *  - matchers (top-1-per-query shape): query coverage (capped
+  *    answered / exact answered), top-1 agreement (same argmax doc),
+  *    and score-exactness on agreeing pairs (must be 1.0 — the capped
+  *    regime scores candidates with the identical native dot).
+  *  - ngram dedup (pair-set shape): pair-level recall per jaccard
+  *    decile (≥0.5 … ≥0.9 bins) next to the THEORETICAL banded-LSH
+  *    catch probability 1−(1−s²)⁴ ([[Dedup.lshCatchProb]]), plus the
+  *    headline recall at the 0.8 verify threshold.
+  *
+  * Usage: `sbt "runMain graft.tools.RecallEval <sfDir> [out.json]"`.
+  * One JSON object on stdout and in the out file.
+  */
+object RecallEval {
+
+  private def top1Map(df: DataFrame): Map[Long, (Long, Double)] =
+    df.collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2))
+    }.toMap
+
+  /** Compare capped vs exact top-1 maps. */
+  private def matcherMetrics(name: String, exact: Map[Long, (Long, Double)],
+                             capped: Map[Long, (Long, Double)]): String = {
+    val answered = exact.keySet
+    val covered = answered.intersect(capped.keySet)
+    val agree = covered.count(i => capped(i)._1 == exact(i)._1)
+    val scoreExact = covered.count(i =>
+      capped(i)._1 == exact(i)._1 && capped(i)._2 == exact(i)._2)
+    f"""  "$name": {"n_exact": ${exact.size}, "n_capped": ${capped.size},
+       |    "query_coverage": ${covered.size.toDouble / answered.size}%.6f,
+       |    "top1_agreement": ${agree.toDouble / answered.size}%.6f,
+       |    "score_exact_on_agreed": ${
+            if (agree == 0) 1.0 else scoreExact.toDouble / agree}%.6f}""".stripMargin
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "RECALL_EVAL.json"
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
+    val spark = graft.GraftSession.builder(s"local[$cpus]", math.max(cpus, 4))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftExtensions.registerInto(spark)
+
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    // ---- ngram-jaccard: pair recall per decile under LSH candidates
+    def bins(df: DataFrame): Map[Long, Long] = df
+      .withColumn("bin_x10", expr(
+        "CAST(round(jaccard * 1000000) AS BIGINT) div 100000"))
+      .groupBy("bin_x10").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactScores = Dedup.ngramJaccardScores(spark, sfDir, minJaccard = 0.5)
+      .filter(col("jaccard") >= 0.5)
+    val cappedScores = Dedup.ngramJaccardScores(spark, sfDir,
+      minJaccard = 0.5, exactPairBudget = 1.0)
+      .filter(col("jaccard") >= 0.5)
+    val be = bins(exactScores)
+    val bc = bins(cappedScores)
+    val decileRows = (5L to 9L).map { b =>
+      val ne = be.getOrElse(b, 0L); val nc = bc.getOrElse(b, 0L)
+      val rec = if (ne == 0) 1.0 else nc.toDouble / ne
+      val s = b / 10.0
+      f"""    {"bin": "[${s}%.1f,${s + 0.1}%.1f)", "n_exact": $ne, "n_capped": $nc,
+         |     "recall": $rec%.6f, "lsh_catch_theory": ${Dedup.lshCatchProb(s)}%.6f}""".stripMargin
+    }
+    val e08 = (8L to 10L).map(b => be.getOrElse(b, 0L)).sum
+    val c08 = (8L to 10L).map(b => bc.getOrElse(b, 0L)).sum
+    parts += f"""  "dedup_ngram_jaccard": {
+       |    "regime": "lsh_candidates (forced)",
+       |    "recall_at_verify_0.8": ${
+            if (e08 == 0) 1.0 else c08.toDouble / e08}%.6f,
+       |    "n_exact_ge_0.8": $e08, "n_capped_ge_0.8": $c08,
+       |    "deciles": [
+       |${decileRows.mkString(",\n")}
+       |  ]}""".stripMargin
+
+    // ---- tfidf / bm25: forced capped regime vs the exact regime.
+    // exactPairBudget = CappedAdmitPairs keeps the admitted-pair cap
+    // at its production value (5e7) while forcing the regime flip.
+    val forced = Matching.CappedAdmitPairs
+    val tfidfExact = top1Map(Matching.matchTfidfTopk(spark, sfDir))
+    val tfidfCapped = top1Map(Matching.matchTfidfTopk(spark, sfDir,
+      denseVocabMax = 4096, exactPairBudget = forced))
+    parts += matcherMetrics("match_tfidf_topk", tfidfExact, tfidfCapped)
+    val bm25Exact = top1Map(Matching.matchBm25Topk(spark, sfDir))
+    val bm25Capped = top1Map(Matching.matchBm25Topk(spark, sfDir,
+      denseVocabMax = 4096, exactPairBudget = forced))
+    parts += matcherMetrics("match_bm25_topk", bm25Exact, bm25Capped)
+
+    val json = s"""{\n  "sf_dir": "$sfDir",\n  "forced_admit_cap": $forced,\n""" +
+      parts.mkString(",\n") + "\n}"
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes("UTF-8"))
+    graft.PlanCache.clear()
+    spark.stop()
+  }
+}

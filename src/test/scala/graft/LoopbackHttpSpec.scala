@@ -109,6 +109,15 @@ class LoopbackHttpSpec extends SparkSpec {
       }
     })
 
+    // range-oblivious mirror: ignores the Range header and answers a
+    // plain 200 with (possibly truncated) whole-object bytes — the
+    // misconfigured-proxy shapes the transport must catch at the wire
+    server.createContext("/oblivious/", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      val upto = if (path.endsWith("short.bin")) blob.length / 2 else blob.length
+      respond(ex, 200, java.util.Arrays.copyOfRange(blob, 0, upto))
+    })
+
     // LLM classify: parse the request pairs, answer the heuristic
     // verdicts in the wire shape; first attempt per body 503s
     server.createContext("/classify", (ex: HttpExchange) => {
@@ -161,6 +170,27 @@ class LoopbackHttpSpec extends SparkSpec {
     val wantRanges = members.map { case (off, len) =>
       s"/data/seg/00001.warc.gz bytes=$off-${off + len - 1}" }.toSet
     assert(att.keySet == wantRanges)
+  }
+
+  test("range transport vs a range-oblivious 200 mirror: whole-object ok, truncation throws at the wire") {
+    val fetch = HttpTransports.getRange(s"$base/oblivious") _
+    // whole-object request from byte 0: a 200 with exactly the asked
+    // span is accepted (range-oblivious but complete mirror)
+    val whole = fetch("full.bin", 0L, blob.length - 1L)
+    assert(whole.toSeq == blob.toSeq)
+    // same but the mirror ALSO truncates: must fail here, naming the
+    // URL — not 3 layers later as an anonymous gzip parse error
+    val e = intercept[java.io.IOException] {
+      fetch("short.bin", 0L, blob.length - 1L)
+    }
+    assert(e.getMessage.contains("truncated 200"))
+    assert(e.getMessage.contains("short.bin"))
+    // a mid-object range against a 200-only mirror is NEVER sliced
+    // client-side silently: non-zero first + 200 is an error
+    val e2 = intercept[java.io.IOException] {
+      fetch("full.bin", 10L, 20L)
+    }
+    assert(e2.getMessage.contains("expected 206"))
   }
 
   test("batched LLM classifier over the wire: chunking, 503 retry, verdict parity") {

@@ -78,9 +78,18 @@ class R8Batch28Spec extends SparkSpec {
   }
 
   test("graph_triangle_estimate: sampled count matches brute force") {
-    val out = operators.Graph.graphTriangleEstimate(spark, sf).collect()
+    // registered query returns the sampled side alone; the audit
+    // relation joins in the exact count (spec-only — the estimator's
+    // whole point is that production never pays for exact)
+    val est = operators.Graph.graphTriangleEstimate(spark, sf).collect()
+    assert(est.length == 1)
+    assert(est.head.schema.fieldNames.toSet ==
+      Set("sampled_triangles", "p", "estimate"))
+    val out = operators.Graph.graphTriangleEstimateAudit(spark, sf).collect()
     assert(out.length == 1)
     val r = out.head
+    assert(est.head.getAs[Long]("sampled_triangles") ==
+      r.getAs[Long]("sampled_triangles"))
     val op = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct().collect()

@@ -282,6 +282,21 @@ class Round5OpsSpec extends SparkSpec {
       .map { case (k, v) => k -> v.size.toLong }
     val vol = c.keySet.intersect(s.keySet).toSeq.map(k => c(k) * s(k)).sum
     assert(row.getAs[Long]("n_blocked_candidates") == vol)
+    // distinct admitted pairs subtract the dual-pass overlap (counted
+    // via combined (prefix2, suffix4) key collisions — the unit the
+    // downstream argmax actually scores)
+    def combo(x: String): (String, String) =
+      (norm(x).take(2), norm(x).takeRight(4))
+    val cc = Tables.customer(spark, sf).select("c_name").collect()
+      .map(r => combo(r.getString(0))).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val sc = Tables.supplier(spark, sf).select("s_name").collect()
+      .map(r => combo(r.getString(0))).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val both = cc.keySet.intersect(sc.keySet).toSeq.map(k => cc(k) * sc(k)).sum
+    assert(row.getAs[Long]("n_blocked_pairs_distinct") == vol - both)
+    assert(row.getAs[Long]("n_blocked_pairs_distinct") <=
+      row.getAs[Long]("n_blocked_candidates"))
   }
 
   test("dedup_minhash_est_eval: estimator covers the verify set and errors are bounded") {
