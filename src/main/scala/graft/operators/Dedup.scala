@@ -39,6 +39,22 @@ object Dedup {
   def lshCatchProb(s: Double, bands: Int = 4, rows: Int = 2): Double =
     1.0 - math.pow(1.0 - math.pow(s, rows), bands)
 
+  /** Band shape of the ngram family's OWN capped-regime LSH
+    * ([[BitsetMinhash]] over the scoring bitsets — same similarity
+    * space as the exact scorer, so the curve below is the measured
+    * candidate recall, not an upper bound from a different feature
+    * space). 40 bands × 10 rows: catch ≥ 0.989 at the 0.8 verify
+    * threshold, 1−ε at 0.9, while the templated corpus's huge
+    * s≈0.5 background mass stays ~96% excluded (0.038 catch) — the
+    * steep part of the S-curve sits exactly between the background
+    * and the verify threshold. The r9 regime reused the word-shingle
+    * bands (b=4, r=2, and the WRONG space): measured recall at
+    * jaccard ≥ 0.8 was 0.434 against the quoted 0.983
+    * (RECALL_EVAL.json, forced regime at sf1).
+    */
+  val NgramLshBands = 40
+  val NgramLshRows = 10
+
   /** Exact dedup families by content hash: one row per distinct text,
     * keeper = min doc_id (clean_abr.py:34 drop_duplicates).
     */
@@ -416,6 +432,26 @@ object Dedup {
     // flat cost. Below the budget the plan is byte-identical to the
     // exact all-pairs form. The ≤10-row lang census is a bounded
     // driver-side scalar gate (the ExactQuantiles discipline).
+    // Capped-regime candidates: banded minhash over the SAME bitsets
+    // the exact path scores (see [[NgramLshBands]]) — lang rides the
+    // band key so candidates are block-constrained in the join itself.
+    // Map-side band build (native, no shuffle), one equi-join on
+    // (lang, band_idx, band_val), bounded buckets at any N.
+    def lshCandidates(): DataFrame = {
+      val bands = graft.PlanCache.cached("ngram_lsh_bands", spark, dir) {
+        dense.select(col("doc_id"), col("lang"),
+          posexplode(graft.functions.BitsetMinhash.bandKeys(
+            col("v"), NgramLshBands, NgramLshRows))
+            .as(Seq("band_idx", "band_val")))
+      }
+      bands.as("ba").join(bands.as("bb"),
+          col("ba.lang") === col("bb.lang") &&
+          col("ba.band_idx") === col("bb.band_idx") &&
+          col("ba.band_val") === col("bb.band_val") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+        .select(col("ba.doc_id").as("i"), col("bb.doc_id").as("j"))
+        .distinct()
+    }
     val langN = dense.groupBy("lang").agg(count(lit(1)).as("nl")).collect()
     val pairEst = langN.map { r =>
       val n = r.getLong(1).toDouble; n * n / 2 }.sum
@@ -427,15 +463,17 @@ object Dedup {
     // under this regime is labeled with exactly how under-counted
     // each bin is (minJaccard < 0.8 consumers, take note)
     val catchCurve = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
-      .map(s => f"s$s%.1f=${lshCatchProb(s)}%.3f").mkString(" ")
+      .map(s => f"s$s%.1f=${lshCatchProb(s, NgramLshBands, NgramLshRows)}%.3f")
+      .mkString(" ")
     graft.GateLog.decide("dedup_ngram_jaccard.regime", dir,
       if (overBudget) "lsh_candidates" else "exact",
       f"est_pairs=$pairEst%.3g budget=$exactPairBudget%.3g langs=${langN.length}" +
-        (if (overBudget) s" min_jaccard=$minJaccard catch_prob[b=4,r=2]: $catchCurve"
+        (if (overBudget) s" min_jaccard=$minJaccard" +
+          s" catch_prob[b=$NgramLshBands,r=$NgramLshRows]: $catchCurve"
          else ""))
     val paired =
       if (overBudget)
-        minhashCandidates(spark, dir)
+        lshCandidates()
           .join(a.withColumnRenamed("lang", "lang_i"), "i")
           .join(b.withColumnRenamed("lang", "lang_j"), "j")
           .filter(col("lang_i") === col("lang_j"))

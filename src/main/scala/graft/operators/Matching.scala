@@ -149,43 +149,78 @@ object Matching {
     * shared-vocabulary corpus) exceeds the pair budget, candidates
     * come from IMPACT-ORDERED postings instead — each doc keeps its
     * `topPerDoc` highest-impact tokens (weight desc — high weight =
-    * rare = selective), and tokens are then admitted cheapest-first
-    * (by their candidate-pair contribution |L_t|·|R_t|, cumulative sum
-    * capped at the budget) so total candidate volume is ≤ budget BY
-    * CONSTRUCTION, whatever the corpus looks like. Scoring of admitted
-    * candidates stays EXACT; only the candidate set is reduced — below
-    * the budget the operators are pinned hash-equal to the exact
-    * formulation, above it they trade bounded recall for a linear
-    * plan (the regime web-scale sparse retrieval actually runs).
+    * rare = selective), and each token then keeps its top-K corpus
+    * postings by impact (champion lists), K solved against the budget
+    * so total candidate volume is ≤ budget BY CONSTRUCTION, whatever
+    * the corpus looks like. Scoring of admitted candidates stays
+    * EXACT; only the candidate set is reduced — below the budget the
+    * operators are pinned hash-equal to the exact formulation, above
+    * it they trade bounded recall for a linear plan (the regime
+    * web-scale sparse retrieval actually runs).
     *
     * Plan shape: per-doc top-P is a doc-partitioned row_number; the
-    * admit list is a TakeOrdered top-K (bounded heaps) + a cumsum
-    * window over that LIMIT-bounded relation (plan-visible bound, the
-    * PlanLint global-window discipline); the pair join is two
-    * broadcast semi-joins + one equi-join on token.
+    * champion cut is a token-partitioned row_number over the already
+    * doc-truncated postings; K comes from ~log₂(max postings)
+    * bounded single-row aggregates over the persisted vocab-sized
+    * census (the bounded-scalar-gate discipline); the pair join is
+    * one equi-join on token.
     */
   private[operators] def impactCappedPairs(left: DataFrame, right: DataFrame,
-      budget: Double, topPerDoc: Int = 8, maxTokens: Int = 65536): DataFrame = {
+      budget: Double, topPerDoc: Int = 8, gate: String = "impact_capped"): DataFrame = {
     def topP(df: DataFrame): DataFrame = {
       val w = Window.partitionBy("id").orderBy(col("imp").desc, col("token"))
       df.withColumn("rn", row_number().over(w)).filter(col("rn") <= topPerDoc)
-        .select("id", "token")
     }
-    val l = topP(left); val r = topP(right)
-    val byPairs = l.groupBy("token").agg(count(lit(1)).as("ln"))
+    val l = topP(left).select("id", "token")
+    val r = topP(right).select("id", "token", "imp")
+    // Per-token CHAMPION-LIST truncation (impact-ordered postings,
+    // Persin et al. '96 pruning shape): every token keeps its top-K
+    // corpus postings by impact, K global, found by bisection on the
+    // vocab-bounded census so Σ_t ln_t·min(rn_t, K) ≤ budget BY
+    // CONSTRUCTION. Rare tokens (rn_t ≤ K) keep their FULL posting
+    // list — this strictly generalizes the r9 cheapest-token-first
+    // whole-token admit, whose failure mode RECALL_EVAL.json measured:
+    // on bm25's 40-token vocabulary, most queries' tokens were never
+    // admitted at all (query coverage 0.485, top-1 agreement 0.464 at
+    // forced-cap sf1). With K ≥ 1, every query holding ANY corpus
+    // token gets candidates, so coverage is structural, not lucky.
+    val census = l.groupBy("token").agg(count(lit(1)).as("ln"))
       .join(r.groupBy("token").agg(count(lit(1)).as("rn")), "token")
-      .select(col("token"), (col("ln") * col("rn")).as("pairs"))
-    val admitted = graft.functions.TopK.globalWithRank(byPairs, maxTokens,
-        col("pairs"), col("token"))
-      .limit(maxTokens)
-      .withColumn("cum", sum("pairs").over(Window
-        .orderBy(col("pairs"), col("token"))
-        .rowsBetween(Window.unboundedPreceding, 0)))
-      .filter(col("cum") <= budget)
-      .select("token")
-    l.join(broadcast(admitted), "token").select(col("id").as("i"), col("token"))
-      .join(r.join(broadcast(admitted), "token")
-        .select(col("id").as("j"), col("token")), "token")
+      .persist()
+    def volume(k: Long): Double = {
+      val v = census.agg(sum(col("ln") * least(col("rn"), lit(k)))).head()
+      if (v.isNullAt(0)) 0.0 else v.getLong(0).toDouble
+    }
+    val maxRn = {
+      val m = census.agg(max("rn")).head()
+      if (m.isNullAt(0)) 1L else m.getLong(0)
+    }
+    var lo = 1L; var hi = maxRn
+    if (volume(maxRn) <= budget) lo = maxRn
+    else while (lo < hi) { // largest K with volume(K) <= budget, floor 1
+      val mid = (lo + hi + 1) / 2
+      if (volume(mid) <= budget) lo = mid else hi = mid - 1
+    }
+    val k = math.max(lo, 1L)
+    val vol = volume(k)
+    census.unpersist()
+    // (A global-mass champion side-channel — top docs by Σ_t imp
+    // joined to every query, WAND-upper-bound style — was measured
+    // and REJECTED: at an 80/20 budget split it lowered tfidf top-1
+    // agreement 0.979 → 0.918 and did not help bm25 (0.540 → 0.513);
+    // the budget buys more from per-token champion depth than from a
+    // query-independent doc prior. RECALL_EVAL.json carries the
+    // score-regret evidence for what the champion cut actually
+    // costs.)
+    graft.GateLog.decide(gate, "-", s"champion_k=$k",
+      f"admitted_pairs=$vol%.3g budget=$budget%.3g max_postings=$maxRn" +
+        (if (vol > budget) " OVER_BUDGET_AT_K1" else ""))
+    val wTok = Window.partitionBy("token").orderBy(col("imp").desc, col("id"))
+    val rTop = r.withColumn("rk", row_number().over(wTok))
+      .filter(col("rk") <= k)
+      .select(col("id").as("j"), col("token"))
+    l.select(col("id").as("i"), col("token"))
+      .join(rTop, "token")
       .select("i", "j").distinct()
   }
 
@@ -220,7 +255,8 @@ object Matching {
   def matchTfidfTopk(spark: SparkSession, dir: String, denseVocabMax: Int,
       prefixFilter: Boolean = true,
       denseBroadcastMaxBytes: Long = 512L << 20,
-      exactPairBudget: Double = Matching.ExactPairBudget): DataFrame = {
+      exactPairBudget: Double = Matching.ExactPairBudget,
+      admitPairBudget: Double = Matching.CappedAdmitPairs): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // 1-2-gram vocabulary, mirroring TfidfVectorizer(ngram_range=(1,2))
     // in entity_matching_optimized.py:146-149 — bigram features let
@@ -338,7 +374,8 @@ object Matching {
           .select(col("doc_id").as("id"), col("token"), col("w").as("imp")),
         weights.filter(col("doc_id") % 2 === 1)
           .select(col("doc_id").as("id"), col("token"), col("w").as("imp")),
-        math.min(exactPairBudget, Matching.CappedAdmitPairs))
+        math.min(exactPairBudget, admitPairBudget),
+        gate = "match_tfidf_topk.capped_k")
       else cand
     val cos =
       if (!overBudget && vocab <= denseVocabMax && denseBytes <= denseBroadcastMaxBytes) {
@@ -600,7 +637,8 @@ object Matching {
 
   def matchBm25Topk(spark: SparkSession, dir: String, denseVocabMax: Int,
       denseBroadcastMaxBytes: Long = 512L << 20,
-      exactPairBudget: Double = Matching.ExactPairBudget): DataFrame = {
+      exactPairBudget: Double = Matching.ExactPairBudget,
+      admitPairBudget: Double = Matching.CappedAdmitPairs): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val tokens = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
@@ -670,7 +708,8 @@ object Matching {
             .select(col("i").as("id"), col("token"),
               (-col("df")).cast("double").as("imp")),
           postingW.select(col("j").as("id"), col("token"), col("c").as("imp")),
-          math.min(exactPairBudget, Matching.CappedAdmitPairs))
+          math.min(exactPairBudget, admitPairBudget),
+          gate = "match_bm25_topk.capped_k")
         // pair-vector scorer (the tfidf twin's capped discipline):
         // candidates shuffle NARROW by j onto the corpus-side sparse
         // weight vectors, the query-side rank sets ride a broadcast

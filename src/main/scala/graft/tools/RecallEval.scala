@@ -35,7 +35,14 @@ object RecallEval {
       r.getLong(0) -> (r.getLong(1), r.getDouble(2))
     }.toMap
 
-  /** Compare capped vs exact top-1 maps. */
+  /** Compare capped vs exact top-1 maps. Beyond argmax agreement,
+    * SCORE REGRET@1 (exact top-1 score − capped top-1 score, relative)
+    * is reported: on a templated shared-vocabulary corpus thousands
+    * of docs tie at the top to within rounding, so a disagreeing
+    * argmax that loses ~0 score is a tie-break artifact, not a
+    * candidate-recall failure — regret is the metric that separates
+    * the two.
+    */
   private def matcherMetrics(name: String, exact: Map[Long, (Long, Double)],
                              capped: Map[Long, (Long, Double)]): String = {
     val answered = exact.keySet
@@ -43,16 +50,31 @@ object RecallEval {
     val agree = covered.count(i => capped(i)._1 == exact(i)._1)
     val scoreExact = covered.count(i =>
       capped(i)._1 == exact(i)._1 && capped(i)._2 == exact(i)._2)
+    val regrets = covered.toSeq.map { i =>
+      val e = exact(i)._2
+      if (e <= 0) 0.0 else math.max(e - capped(i)._2, 0.0) / e
+    }.sorted
+    def pct(p: Double): Double =
+      if (regrets.isEmpty) 0.0
+      else regrets(math.min(regrets.size - 1, (p * regrets.size).toInt))
+    val zeroRegret =
+      if (covered.isEmpty) 1.0
+      else regrets.count(_ <= 1e-6).toDouble / covered.size
     f"""  "$name": {"n_exact": ${exact.size}, "n_capped": ${capped.size},
        |    "query_coverage": ${covered.size.toDouble / answered.size}%.6f,
        |    "top1_agreement": ${agree.toDouble / answered.size}%.6f,
        |    "score_exact_on_agreed": ${
-            if (agree == 0) 1.0 else scoreExact.toDouble / agree}%.6f}""".stripMargin
+            if (agree == 0) 1.0 else scoreExact.toDouble / agree}%.6f,
+       |    "zero_regret_frac": $zeroRegret%.6f,
+       |    "regret_p50": ${pct(0.50)}%.6f, "regret_p95": ${pct(0.95)}%.6f,
+       |    "regret_p99": ${pct(0.99)}%.6f, "regret_max": ${pct(1.0)}%.6f}""".stripMargin
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "RECALL_EVAL.json"
+    // iteration aid: restrict to one section (all | matchers | ngram)
+    val sections = if (args.length > 2) args(2) else "all"
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors)
     val spark = graft.GraftSession.builder(s"local[$cpus]", math.max(cpus, 4))
@@ -63,6 +85,7 @@ object RecallEval {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
 
     // ---- ngram-jaccard: pair recall per decile under LSH candidates
+    if (sections != "matchers") {
     def bins(df: DataFrame): Map[Long, Long] = df
       .withColumn("bin_x10", expr(
         "CAST(round(jaccard * 1000000) AS BIGINT) div 100000"))
@@ -79,8 +102,10 @@ object RecallEval {
       val ne = be.getOrElse(b, 0L); val nc = bc.getOrElse(b, 0L)
       val rec = if (ne == 0) 1.0 else nc.toDouble / ne
       val s = b / 10.0
+      // theory at the bin's LOW edge — the regime's own band shape
+      val th = Dedup.lshCatchProb(s, Dedup.NgramLshBands, Dedup.NgramLshRows)
       f"""    {"bin": "[${s}%.1f,${s + 0.1}%.1f)", "n_exact": $ne, "n_capped": $nc,
-         |     "recall": $rec%.6f, "lsh_catch_theory": ${Dedup.lshCatchProb(s)}%.6f}""".stripMargin
+         |     "recall": $rec%.6f, "lsh_catch_theory_low_edge": $th%.6f}""".stripMargin
     }
     val e08 = (8L to 10L).map(b => be.getOrElse(b, 0L)).sum
     val c08 = (8L to 10L).map(b => bc.getOrElse(b, 0L)).sum
@@ -92,11 +117,13 @@ object RecallEval {
        |    "deciles": [
        |${decileRows.mkString(",\n")}
        |  ]}""".stripMargin
+    }
 
     // ---- tfidf / bm25: forced capped regime vs the exact regime.
     // exactPairBudget = CappedAdmitPairs keeps the admitted-pair cap
     // at its production value (5e7) while forcing the regime flip.
     val forced = Matching.CappedAdmitPairs
+    if (sections != "ngram") {
     val tfidfExact = top1Map(Matching.matchTfidfTopk(spark, sfDir))
     val tfidfCapped = top1Map(Matching.matchTfidfTopk(spark, sfDir,
       denseVocabMax = 4096, exactPairBudget = forced))
@@ -105,6 +132,14 @@ object RecallEval {
     val bm25Capped = top1Map(Matching.matchBm25Topk(spark, sfDir,
       denseVocabMax = 4096, exactPairBudget = forced))
     parts += matcherMetrics("match_bm25_topk", bm25Exact, bm25Capped)
+    // the budget IS the recall knob: one more point on the curve at
+    // 4x the production cap, so a deployment can read agreement-vs-
+    // budget instead of a single number
+    val bm25Capped4x = top1Map(Matching.matchBm25Topk(spark, sfDir,
+      denseVocabMax = 4096, exactPairBudget = 4 * forced,
+      admitPairBudget = 4 * forced))
+    parts += matcherMetrics("match_bm25_topk_budget_4x", bm25Exact, bm25Capped4x)
+    }
 
     val json = s"""{\n  "sf_dir": "$sfDir",\n  "forced_admit_cap": $forced,\n""" +
       parts.mkString(",\n") + "\n}"

@@ -23,6 +23,13 @@ class R10GateSpec extends SparkSpec {
     // generic (b, r): monotone in s, degenerate cases exact
     assert(operators.Dedup.lshCatchProb(1.0, 8, 4) == 1.0)
     assert(operators.Dedup.lshCatchProb(0.0, 8, 4) == 0.0)
+    // the ngram family's OWN band shape (bitset-space LSH): ≥ 0.98 at
+    // the 0.8 verify threshold, while the templated corpus's s≈0.5
+    // background mass stays ~96% excluded
+    val (b, r) = (operators.Dedup.NgramLshBands, operators.Dedup.NgramLshRows)
+    assert(operators.Dedup.lshCatchProb(0.8, b, r) >= 0.98)
+    assert(operators.Dedup.lshCatchProb(0.9, b, r) >= 0.9999)
+    assert(operators.Dedup.lshCatchProb(0.5, b, r) < 0.05)
   }
 
   test("ngram LSH regime logs the per-decile catch curve; exact regime does not") {
@@ -39,11 +46,12 @@ class R10GateSpec extends SparkSpec {
     assert(capped.exists(_.chosen == "lsh_candidates"))
     val detail = capped.get.detail
     assert(detail.contains("min_jaccard=0.5"), detail)
-    assert(detail.contains("catch_prob[b=4,r=2]"), detail)
+    val (b, r) = (operators.Dedup.NgramLshBands, operators.Dedup.NgramLshRows)
+    assert(detail.contains(s"catch_prob[b=$b,r=$r]"), detail)
     // the disclosed curve is the lshCatchProb arithmetic verbatim
     for (s <- Seq(0.5, 0.6, 0.7, 0.8, 0.9))
       assert(detail.contains(
-        f"s$s%.1f=${operators.Dedup.lshCatchProb(s)}%.3f"), detail)
+        f"s$s%.1f=${operators.Dedup.lshCatchProb(s, b, r)}%.3f"), detail)
   }
 
   test("knn-graph corpus gate: dim-derived bytes, salted fallback is plan-equivalent") {

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+import graft.functions.BitsetMinhash
+
+/** Round-10 capped-regime recall hardening, spec side (the measured
+  * companion is RECALL_EVAL.json at forced-cap sf1):
+  *
+  *  - [[BitsetMinhash]] is a true minhash of the ngram bitset — the
+  *    per-slot agreement fraction of a pair is an unbiased estimate
+  *    of its BITSET jaccard (the similarity the exact scorer
+  *    computes), so the banded catch curve 1−(1−s^r)^b transfers to
+  *    measured candidate recall. The r9 regime borrowed word-shingle
+  *    bands: a different similarity space, measured 0.434 recall at
+  *    the 0.8 verify threshold against a quoted 0.983.
+  *
+  *  - [[Matching.impactCappedPairs]] champion-list truncation keeps
+  *    every rare token's FULL posting list and guarantees K ≥ 1, so
+  *    any query holding ANY corpus-shared token gets candidates —
+  *    the r9 whole-token cheapest-first admit measured 0.485 query
+  *    coverage on bm25's 40-token vocabulary.
+  */
+class CappedRecallSpec extends graft.SparkSpec {
+
+  /** Deterministic bitset pair with exact jaccard inter/(2n−inter),
+    * in the NgramBitset layout (32 bits used per long word).
+    */
+  private def bitsetPair(n: Int, inter: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(seed)
+    val all = rnd.ints(0, 4096).distinct().limit(2L * n - inter)
+      .toArray
+    def pack(idxs: Array[Int]): Array[Long] = {
+      val w = new Array[Long](128)
+      for (i <- idxs) w(i / 32) |= 1L << (i % 32)
+      w
+    }
+    (pack(all.take(n)), pack(all.takeRight(n)))
+  }
+
+  test("bitset minhash: slot agreement estimates bitset jaccard (the scorer's space)") {
+    val k = Dedup.NgramLshBands * Dedup.NgramLshRows
+    for ((n, inter, seed) <- Seq((300, 260, 1L), (300, 150, 2L), (800, 700, 3L))) {
+      val (va, vb) = bitsetPair(n, inter, seed)
+      val s = inter.toDouble / (2 * n - inter)
+      val ma = BitsetMinhash.minhashSlots(va, k)
+      val mb = BitsetMinhash.minhashSlots(vb, k)
+      val agree = ma.zip(mb).count { case (x, y) => x == y }.toDouble / k
+      // binomial σ = sqrt(s(1−s)/k) ≈ 0.025 at k=400 — 4σ band
+      assert(math.abs(agree - s) < 0.1, f"agree=$agree%.3f vs s=$s%.3f")
+    }
+  }
+
+  test("bitset minhash: deterministic, and equal sets always collide") {
+    val (va, _) = bitsetPair(200, 100, 7L)
+    val a1 = BitsetMinhash.bandKeys(new GenericArrayData(va),
+      Dedup.NgramLshBands, Dedup.NgramLshRows).toLongArray()
+    val a2 = BitsetMinhash.bandKeys(new GenericArrayData(va.clone()),
+      Dedup.NgramLshBands, Dedup.NgramLshRows).toLongArray()
+    assert(a1.toSeq == a2.toSeq)
+    assert(a1.length == Dedup.NgramLshBands)
+  }
+
+  test("champion-list capped pairs: structural query coverage at any budget") {
+    import spark.implicits._
+    // 40 queries × 100 corpus docs on a 4-token vocabulary — the
+    // bm25-at-sf1 failure shape in miniature
+    val toks = Seq("alpha", "beta", "gamma", "delta")
+    val left = (0L until 40L).flatMap(i =>
+        toks.take(2 + (i % 3).toInt).map(t => (i, t, 1.0)))
+      .toDF("id", "token", "imp")
+    val right = (0L until 100L).flatMap(j =>
+        toks.map(t => (j, t, 1.0 / (1 + (j + t.length) % 7))))
+      .toDF("id", "token", "imp")
+    val budget = 50.0 // far below the ~12k exact pairs
+    val cand = Matching.impactCappedPairs(left, right, budget,
+      gate = "spec.capped_k")
+    val covered = cand.select("i").distinct().count()
+    assert(covered == 40L,
+      s"every query shares a token with the corpus; covered=$covered")
+    val g = graft.GateLog.lastDecision("spec.capped_k", "-").get
+    assert(g.chosen.startsWith("champion_k="), g.chosen)
+  }
+
+  test("champion-list capped pairs: admitted volume respects the budget when K>1 fits") {
+    import spark.implicits._
+    val left = (0L until 20L).map(i => (i, s"t${i % 5}", 1.0))
+      .toDF("id", "token", "imp")
+    val right = (0L until 200L).map(j => (j, s"t${j % 5}", j.toDouble))
+      .toDF("id", "token", "imp")
+    // exact volume = 5 tokens × 4 queries × 40 postings = 800
+    val cand = Matching.impactCappedPairs(left, right, budget = 400.0,
+      gate = "spec.capped_k2")
+    assert(cand.count() <= 400L)
+    // and the champion cut keeps the HIGHEST-impact postings: with
+    // imp = j, every admitted corpus doc outranks every dropped one
+    // within its token
+    val minKept = cand.agg(min("j")).head().getLong(0)
+    assert(minKept >= 100L, s"low-impact posting admitted: j=$minKept")
+  }
+}
