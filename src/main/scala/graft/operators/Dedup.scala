@@ -55,6 +55,23 @@ object Dedup {
   val NgramLshBands = 40
   val NgramLshRows = 10
 
+  /** Broadcast cap for the bitset relation inside the LSH regime's
+    * verify join (~1 KB/doc: 528 MB at sf10's 500k docs — one
+    * executor-resident copy beats shuffling the 100M+-pair candidate
+    * stream widened to 1 KB/row, the measured ENOSPC shape). A
+    * 100-TB corpus overflows any broadcast — the gate falls back to
+    * the exchange join and logs it.
+    */
+  val NgramBitsetBroadcastMaxBytes: Long = 1L << 30
+
+  /** Bucket size at which the LSH band join switches a bucket to the
+    * broadcast self-join (see the hot/cold note at the join): B ≥ 1024
+    * means ≥ ~0.5M pairs from one key — tail-risk under a shared-key
+    * join, trivially spread under the broadcast form. The sf10 census
+    * put 503k of 20M exploded rows (186 MB) in hot buckets.
+    */
+  val NgramHotBucketMin: Long = 1024L
+
   /** Exact dedup families by content hash: one row per distinct text,
     * keeper = min doc_id (clean_abr.py:34 drop_duplicates).
     */
@@ -435,22 +452,64 @@ object Dedup {
     // Capped-regime candidates: banded minhash over the SAME bitsets
     // the exact path scores (see [[NgramLshBands]]) — lang rides the
     // band key so candidates are block-constrained in the join itself.
-    // Map-side band build (native, no shuffle), one equi-join on
+    // Map-side band build (native, no shuffle; the CACHED relation is
+    // the compact per-doc signature, 500k × 40-long rows at sf10, not
+    // the 40×-exploded band stream), one equi-join on
     // (lang, band_idx, band_val), bounded buckets at any N.
+    //
+    // MINIMAL-BAND emission: a jaccard-0.95 pair collides in ~30 of
+    // the 40 bands, so the plain join emits it ~30× and a distinct()
+    // must shuffle the whole duplicated pair stream — measured as a
+    // 70+ GB spill at sf10 (near-dup families are 10-wide there; the
+    // first r10 sweep died on it). Instead both join sides carry
+    // their band ARRAY and the join keeps a match only when no
+    // EARLIER band also matches — each colliding pair survives in
+    // exactly one band, in-stage, so there is no distinct and no
+    // pair-stream shuffle at all.
     def lshCandidates(): DataFrame = {
-      val bands = graft.PlanCache.cached("ngram_lsh_bands", spark, dir) {
+      val sigs = graft.PlanCache.cached("ngram_lsh_sigs", spark, dir) {
         dense.select(col("doc_id"), col("lang"),
-          posexplode(graft.functions.BitsetMinhash.bandKeys(
-            col("v"), NgramLshBands, NgramLshRows))
-            .as(Seq("band_idx", "band_val")))
+          graft.functions.BitsetMinhash.bandKeys(
+            col("v"), NgramLshBands, NgramLshRows).as("sig"))
       }
-      bands.as("ba").join(bands.as("bb"),
-          col("ba.lang") === col("bb.lang") &&
-          col("ba.band_idx") === col("bb.band_idx") &&
-          col("ba.band_val") === col("bb.band_val") &&
-          col("ba.doc_id") < col("bb.doc_id"))
-        .select(col("ba.doc_id").as("i"), col("bb.doc_id").as("j"))
-        .distinct()
+      def exploded = sigs.select(col("doc_id"), col("lang"), col("sig"),
+        posexplode(col("sig")).as(Seq("band_idx", "band_val")))
+      def pairJoin(left: DataFrame, right: DataFrame): DataFrame =
+        left.as("ba").join(right.as("bb"),
+            col("ba.lang") === col("bb.lang") &&
+            col("ba.band_idx") === col("bb.band_idx") &&
+            col("ba.band_val") === col("bb.band_val") &&
+            col("ba.doc_id") < col("bb.doc_id") &&
+            graft.functions.BitsetMinhash.noEarlierBandMatch(
+              col("ba.sig"), col("bb.sig"), col("ba.band_idx")))
+          .select(col("ba.doc_id").as("i"), col("bb.doc_id").as("j"))
+      // HOT/COLD bucket split: a shared-key join puts a bucket's
+      // ENTIRE B²/2 pair emission (and the pipelined verify behind
+      // it) into the one task that owns the key — the sf10 census
+      // has a 12k-doc bucket (75M pairs) and 360 buckets over 1k
+      // docs (552M pairs), i.e. minutes-long single-thread tails no
+      // exchange-based join can split (AQE skew handling reads input
+      // bytes; these buckets are input-SMALL, output-quadratic).
+      // Hot-bucket rows instead stream against a BROADCAST copy of
+      // themselves: each stream row probes the map and emits its
+      // matches, so the quadratic work spreads across stream rows —
+      // per-task work is balanced at any bucket shape. Cold buckets
+      // (bounded B) keep the shuffle-hash join. Buckets are entirely
+      // hot or cold, so the union is exactly the full pair set.
+      val key = Seq("lang", "band_idx", "band_val")
+      val counts = exploded.groupBy(key.map(col): _*)
+        .agg(count(lit(1)).as("bn"))
+      val hotKeys = counts.filter(col("bn") >= NgramHotBucketMin)
+        .select(key.map(col): _*)
+      // the hot stream inherits the corpus parquet's few input
+      // partitions — without an explicit spread, one task still owns
+      // most of the broadcast join's emission. 186 MB round-robin
+      // shuffle, then every task emits its rows' matches.
+      val exHot = exploded.join(broadcast(hotKeys), key, "left_semi")
+        .repartition(spark.sparkContext.defaultParallelism * 4)
+      val exCold = exploded.join(broadcast(hotKeys), key, "left_anti")
+      pairJoin(exCold, exCold.hint("shuffle_hash"))
+        .unionAll(pairJoin(exHot, broadcast(exHot)))
     }
     val langN = dense.groupBy("lang").agg(count(lit(1)).as("nl")).collect()
     val pairEst = langN.map { r =>
@@ -472,11 +531,35 @@ object Dedup {
           s" catch_prob[b=$NgramLshBands,r=$NgramLshRows]: $catchCurve"
          else ""))
     val paired =
-      if (overBudget)
+      if (overBudget) {
+        // BROADCAST the bitset sides under a measured-size gate: the
+        // candidate stream is 100M+ NARROW rows at sf10 while each
+        // bitset row is ~1 KB. Any exchange-based join (sort-merge OR
+        // shuffle-hash) must move the candidate stream WIDENED by the
+        // first join's bitset to satisfy the second join's
+        // distribution — i.e. shuffle (i, j, va) at ~1 KB/row:
+        // measured as the hundreds-of-GB spill that ENOSPC'd the
+        // first two r10 sf10 probes. Broadcasting the bitset table
+        // (528 MB at sf10 — one in-JVM copy in local mode, one per
+        // executor on a cluster) lets the band join's candidate
+        // output PIPELINE through two broadcast hash probes and the
+        // popcount with no wide exchange anywhere; only the ≥
+        // minJaccard survivors materialize. Above the gate the plan
+        // falls back to the exchange form (correct, known-expensive,
+        // the gate line says so — at that scale co-bucketing both
+        // relations is the cluster answer).
+        val nDocs = langN.map(_.getLong(1)).sum
+        val bytesEst = nDocs * (graft.functions.NgramBitset.Words * 8L + 64L)
+        val fits = bytesEst <= NgramBitsetBroadcastMaxBytes
+        graft.GateLog.decide("dedup_ngram_jaccard.bitset_side", dir,
+          if (fits) "broadcast" else "shuffle_hash",
+          s"docs=$nDocs est=${bytesEst}B max=${NgramBitsetBroadcastMaxBytes}B")
+        def side(df: DataFrame) = if (fits) broadcast(df) else df.hint("shuffle_hash")
         lshCandidates()
-          .join(a.withColumnRenamed("lang", "lang_i"), "i")
-          .join(b.withColumnRenamed("lang", "lang_j"), "j")
+          .join(side(a.withColumnRenamed("lang", "lang_i")), "i")
+          .join(side(b.withColumnRenamed("lang", "lang_j")), "j")
           .filter(col("lang_i") === col("lang_j"))
+      }
       else graft.functions.Skew.saltedJoin(
           a.hint("shuffle_hash"), b, Seq("lang"), col("i"), salts = 32)
         .filter(col("i") < col("j"))
