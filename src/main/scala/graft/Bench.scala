@@ -32,6 +32,17 @@ object Bench {
       .getOrElse(Runtime.getRuntime.availableProcessors)
     val spark = GraftSession.builder(s"local[$cpus]", math.max(cpus, 4)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The "No Partition Defined for Window operation" warning is
+    // known-bounded here: PlanLint's global-window rule fails any plan
+    // whose unpartitioned WindowExec is NOT directly above a limit, and
+    // PlanHeadsSpec lints every registered query. What remains is 21
+    // TopK.globalWithRank heads emitting the warning once per rep —
+    // enough stderr volume that the r10 driver's tail capture drowned
+    // the bench summary line (BENCH_r10.json parsed:null). Silence
+    // exactly that logger package; everything else stays at WARN.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     graft.plans.GraftExtensions.registerInto(spark)
     // steady-state JIT/codegen warmup so the first measured query
     // doesn't absorb session startup costs
@@ -124,7 +135,22 @@ object Bench {
     // what the stdout contract line cannot: the PER-REP arrays that
     // separate cold builds (big rep-1) and container noise from real
     // plan regressions — the r7 adjudication hinged on exactly this.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // BENCH_FULL.json is the RATCHET artifact: it must always cover
+    // the full registry with zero failures, or later rounds diff a
+    // partial map against a full one (r10 committed a 1-query probe
+    // over the 312-query artifact and orphaned the ratchet evidence).
+    // Partial or failed runs route to a side file unconditionally —
+    // an explicit SPARK_GRAFT_BENCH_OUT=BENCH_FULL.json cannot
+    // override the refusal.
+    val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val fullRegistry = only.isEmpty && nFailed == 0
+    val out =
+      if (requested == "BENCH_FULL.json" && !fullRegistry) {
+        val side = "bench_probe.json"
+        System.err.println(s"[bench] partial/failed run (only=${only.size} " +
+          s"failed=$nFailed): refusing to write BENCH_FULL.json, using $side")
+        side
+      } else requested
     val repsJson = results.map { case (k, _, ts) =>
       s"\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -152,5 +178,9 @@ object Bench {
     }
     PlanCache.clear()
     spark.stop()
+    // the contract line again as the process's FINAL stdout, after
+    // every Spark shutdown message — belt to the logger-silence
+    // suspenders above for the driver's tail capture
+    println(line)
   }
 }

@@ -5630,16 +5630,21 @@ object SparkEntry {
         |ORDER BY f.fold, b.source""".stripMargin,
 
     "mm_phash_buckets" ->
-      """WITH h AS (SELECT doc_id, md5(text) AS hhex FROM documents),
-        |h2 AS (SELECT doc_id, hhex,
-        |  CAST(list_sum(list_transform(generate_series(1, 12),
-        |    i -> (strpos('0123456789abcdef', substr(hhex, i, 1)) - 1)
-        |      * pow(16, 12 - i))) AS BIGINT) AS h48
-        | FROM h),
+      """WITH g AS (SELECT doc_id,
+        |  list_transform(generate_series(0, 63),
+        |    i -> least(ascii(substr(text,
+        |      CAST((i * length(text)) // 64 AS INT) + 1, 1)), 255)) AS v
+        | FROM documents WHERE length(text) >= 1),
+        |hs AS (SELECT doc_id, v, list_sum(v) AS sv FROM g),
+        |h2 AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(1, 48),
+        |    i -> CASE WHEN 64 * v[i] > sv THEN pow(2.0, i - 1)
+        |      ELSE 0.0 END)) AS BIGINT) AS h48
+        | FROM hs),
         |bands AS (SELECT CAST(unnest(generate_series(1, 4)) AS BIGINT)
         |  AS band),
         |bd AS (SELECT band, doc_id, h48,
-        |  substr(hhex, CAST((band - 1) * 3 + 1 AS INT), 3) AS bkey
+        |  (h48 >> CAST((band - 1) * 12 AS INT)) & 4095 AS bkey
         | FROM h2 CROSS JOIN bands),
         |bk AS (SELECT band, bkey, CAST(count(*) AS BIGINT) AS k
         |  FROM bd GROUP BY 1, 2),
@@ -7161,16 +7166,21 @@ object SparkEntry {
         |FROM cells CROSS JOIN t ORDER BY month""".stripMargin,
 
     "mm_phash_top_pairs" ->
-      """WITH h AS (SELECT doc_id, md5(text) AS hhex FROM documents),
-        |h2 AS (SELECT doc_id, hhex,
-        |  CAST(list_sum(list_transform(generate_series(1, 12),
-        |    i -> (strpos('0123456789abcdef', substr(hhex, i, 1)) - 1)
-        |      * pow(16, 12 - i))) AS BIGINT) AS h48
-        | FROM h),
+      """WITH g AS (SELECT doc_id,
+        |  list_transform(generate_series(0, 63),
+        |    i -> least(ascii(substr(text,
+        |      CAST((i * length(text)) // 64 AS INT) + 1, 1)), 255)) AS v
+        | FROM documents WHERE length(text) >= 1),
+        |hs AS (SELECT doc_id, v, list_sum(v) AS sv FROM g),
+        |h2 AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(1, 48),
+        |    i -> CASE WHEN 64 * v[i] > sv THEN pow(2.0, i - 1)
+        |      ELSE 0.0 END)) AS BIGINT) AS h48
+        | FROM hs),
         |bands AS (SELECT CAST(unnest(generate_series(1, 4)) AS BIGINT)
         |  AS band),
         |bd AS (SELECT band, doc_id, h48,
-        |  substr(hhex, CAST((band - 1) * 3 + 1 AS INT), 3) AS bkey
+        |  (h48 >> CAST((band - 1) * 12 AS INT)) & 4095 AS bkey
         | FROM h2 CROSS JOIN bands),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(min(bit_count(xor(a.h48, b.h48))) AS BIGINT) AS hamming

@@ -181,6 +181,66 @@ object BinaryColumns {
     * contract). */
   case class ImageHash(media_id: Long, ahash64: Long)
 
+  /** 64 gray levels sampled from a document's text — the pixel values
+    * of the generated-image corpus ([[docPng]]) AND the oracle-replay
+    * formula: gray i = the code point at position ⌊i·len/64⌋ (clamped
+    * to 255 so it is a legal 8-bit channel value). Near-duplicate
+    * texts sample near-identical grids, so their generated images are
+    * visually near-identical and the REAL aHash kernel lands them at
+    * small Hamming distance — the structure [[phashTopPairs]] ranks.
+    */
+  private[graft] def grayLevels(text: String): Array[Int] = {
+    val len = text.length
+    Array.tabulate(64)(i =>
+      math.min(text.charAt(((i.toLong * len) / 64).toInt).toInt, 255))
+  }
+
+  /** Deterministic 8×8 grayscale PNG for a document: pixel (i%8, i/8)
+    * carries gray [[grayLevels]](i). One pixel per aHash cell, so the
+    * kernel's cell mean IS the pixel's luma (1000·v, Rec.601 integer
+    * weights on r=g=b=v) and the bit condition `cell mean > grid
+    * mean` reduces EXACTLY to the integer comparison 64·vᵢ > Σv —
+    * divisions by 64 are exact in double, so the real decode chain
+    * (PNG encode → ImageIO decode → [[FakeDecoder.averageHash64]])
+    * is replayable digit-for-digit by engine-portable arithmetic
+    * (the DuckDB oracle computes the same bits from ascii()).
+    */
+  private[graft] def docPng(text: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val v = grayLevels(text)
+    var i = 0
+    while (i < 64) {
+      img.setRGB(i % 8, i / 8, v(i) * 0x010101)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Per-document 48-bit perceptual-hash key over the generated-image
+    * corpus, via the REAL chain: PNG encode ([[docPng]]) → ImageIO
+    * decode → [[FakeDecoder.averageHash64]] → low 48 bits (non-
+    * negative, so plain shifts band it on both engines). PlanCache'd:
+    * [[phashBuckets]] and [[phashTopPairs]] both consume it, and the
+    * encode/decode pass is the family's one non-codegen stage.
+    */
+  private[graft] def imageHash48(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.PlanCache.cached("mm_ahash48", spark, dir) {
+      Tables.documents(spark, dir)
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { rows =>
+          rows.map { case (id, text) =>
+            (id, FakeDecoder.averageHash64(docPng(text)) & ((1L << 48) - 1))
+          }
+        }.toDF("doc_id", "h48")
+    }
+  }
+
   /** Partition-parallel REAL perceptual hashing over a media Dataset —
     * same batch shape as [[realDecodeImageFeatures]] (one ImageIO
     * pass per partition, payloads never leave the executor); feed the
@@ -437,20 +497,20 @@ object BinaryColumns {
   }
 
   /** Perceptual-hash banding diagnostics — the image-near-dup LSH
-    * shape: a 48-bit content hash per item (md5 prefix standing in
-    * for a perceptual hash on this TEXT corpus — on real image bytes
-    * the same banding runs over [[FakeDecoder.averageHash64]] via
-    * [[imageAverageHashes]], the JDK-only aHash kernel, spec-pinned
-    * to rank generated near-dup images above this noise floor), split
-    * into 4 bands of 12 bits; items sharing a band value become
-    * candidate pairs exactly as in MinHash LSH. Per band: bucket
-    * count, multi-occupancy buckets, candidate-pair count (Σk(k−1)/2
-    * from bucket sizes — no pair materialization needed for the
-    * count), max bucket, and the mean Hamming distance of candidate
-    * pairs over the full 48 bits (bit_count of XOR — exact integers,
-    * so the only float is the final mean). On a uniform hash this
-    * reads as the LSH false-positive noise floor; with a real pHash
-    * plugged in, near-dup images collapse the Hamming mean toward 0.
+    * shape, over the REAL aHash of the generated-image corpus
+    * ([[imageHash48]]: PNG encode → ImageIO decode →
+    * [[FakeDecoder.averageHash64]], promoted from the r9 md5-prefix
+    * stand-in — the banding math was hash-agnostic by design). The
+    * 48-bit key splits into 4 bands of 12 bits; items sharing a band
+    * value become candidate pairs exactly as in MinHash LSH. Per
+    * band: bucket count, multi-occupancy buckets, candidate-pair
+    * count (Σk(k−1)/2 from bucket sizes — no pair materialization
+    * needed for the count), max bucket, and the mean Hamming distance
+    * of candidate pairs over the full 48 bits (bit_count of XOR —
+    * exact integers, so the only float is the final mean). Under the
+    * real kernel, near-dup images collapse the Hamming mean toward 0
+    * while unrelated collisions sit near the uniform noise floor —
+    * the separation the md5 stand-in could only show in spec.
     *
     * Scale shape: banding is a map-side projection; bucket stats are
     * one (band, key) aggregate; the pair join runs only WITHIN
@@ -459,14 +519,12 @@ object BinaryColumns {
     * all-pairs). 4 rows out at any corpus size.
     */
   def phashBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val h = Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).as("hhex"))
-      .withColumn("h48",
-        graft.functions.HexExprs.hexPrefixLong(col("hhex"), 12))
+    val h = imageHash48(spark, dir)
     val bands = spark.range(1, 5).select(col("id").as("band"))
     val bd = h.crossJoin(broadcast(bands))
       .select(col("band"), col("doc_id"), col("h48"),
-        expr("substring(hhex, (band - 1) * 3 + 1, 3)").as("bkey"))
+        expr("shiftright(h48, CAST((band - 1) * 12 AS INT)) & 4095")
+          .as("bkey"))
     val buckets = bd.groupBy("band", "bkey").agg(count(lit(1)).as("k"))
     val stats = buckets.groupBy("band").agg(
       count(lit(1)).as("n_buckets"),
@@ -501,14 +559,12 @@ object BinaryColumns {
     * aggregate on the pair key; top-20 via TakeOrdered. 20 rows out.
     */
   def phashTopPairs(spark: SparkSession, dir: String): DataFrame = {
-    val h = Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(col("text")).as("hhex"))
-      .withColumn("h48",
-        graft.functions.HexExprs.hexPrefixLong(col("hhex"), 12))
+    val h = imageHash48(spark, dir)
     val bands = spark.range(1, 5).select(col("id").as("band"))
     val bd = h.crossJoin(broadcast(bands))
       .select(col("band"), col("doc_id"), col("h48"),
-        expr("substring(hhex, (band - 1) * 3 + 1, 3)").as("bkey"))
+        expr("shiftright(h48, CAST((band - 1) * 12 AS INT)) & 4095")
+          .as("bkey"))
     val rhs = bd.select(col("band"), col("bkey"),
       col("doc_id").as("doc_b"), col("h48").as("h_b"))
     val pairs = bd.join(rhs, Seq("band", "bkey"))

@@ -72,6 +72,23 @@ object Dedup {
     */
   val NgramHotBucketMin: Long = 1024L
 
+  /** Broadcast cap for the hot-bucket stream itself (the self-join's
+    * build side): each exploded row carries the 40-long band signature
+    * (~400 B with array headers; 512 B is the conservative estimate
+    * used for the gate). The one measured census (sf10, r10) put
+    * 186 MB in hot buckets — comfortably under the cap — but hot-row
+    * volume is DATA-dependent: a templated or duplicate-heavy corpus
+    * can push most of the exploded stream hot, and an ungated
+    * broadcast then dies on driver memory instead of degrading. Above
+    * the cap the hot branch falls back to a salted self-join
+    * (replicate-right, salt-left-by-doc_id): same pairs, bounded
+    * per-task emission, `NgramHotSalts`× the replication cost — the
+    * trade the gate line records.
+    */
+  val NgramHotRowBytes: Long = 512L
+  val NgramHotBroadcastMaxBytes: Long = 1L << 30
+  val NgramHotSalts: Int = 32
+
   /** Exact dedup families by content hash: one row per distinct text,
     * keeper = min doc_id (clean_abr.py:34 drop_duplicates).
     */
@@ -412,7 +429,9 @@ object Dedup {
     */
   def ngramJaccardScores(spark: SparkSession, dir: String,
                          minJaccard: Double = 0.0,
-                         exactPairBudget: Double = Dedup.NgramExactPairBudget): DataFrame = {
+                         exactPairBudget: Double = Dedup.NgramExactPairBudget,
+                         hotBucketMin: Long = Dedup.NgramHotBucketMin,
+                         hotBroadcastMaxBytes: Long = Dedup.NgramHotBroadcastMaxBytes): DataFrame = {
     // one row per doc: packed bitset words + popcount, built map-side
     // in ONE native pass per document (graft_ngram_bitset) — no gram
     // explode, no shuffle; NgramBitsetSpec pins it bit-identical to
@@ -499,7 +518,7 @@ object Dedup {
       val key = Seq("lang", "band_idx", "band_val")
       val counts = exploded.groupBy(key.map(col): _*)
         .agg(count(lit(1)).as("bn"))
-      val hotKeys = counts.filter(col("bn") >= NgramHotBucketMin)
+      val hotKeys = counts.filter(col("bn") >= hotBucketMin)
         .select(key.map(col): _*)
       // the hot stream inherits the corpus parquet's few input
       // partitions — without an explicit spread, one task still owns
@@ -508,8 +527,42 @@ object Dedup {
       val exHot = exploded.join(broadcast(hotKeys), key, "left_semi")
         .repartition(spark.sparkContext.defaultParallelism * 4)
       val exCold = exploded.join(broadcast(hotKeys), key, "left_anti")
-      pairJoin(exCold, exCold.hint("shuffle_hash"))
-        .unionAll(pairJoin(exHot, broadcast(exHot)))
+      // broadcast(exHot) under a measured-size gate (the bitset-side
+      // discipline below): hot-row volume comes from the already-built
+      // `counts` relation — a census-bounded scalar — and the fallback
+      // is a salted self-join that replicates the right side
+      // NgramHotSalts ways and salts the left by doc_id, so each
+      // (i<j) pair still matches exactly once (j's replica salt ==
+      // i mod salts) while per-task emission drops by the salt count.
+      val hotRows = {
+        val r = counts.filter(col("bn") >= hotBucketMin)
+          .agg(sum("bn")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      val hotBytes = hotRows * NgramHotRowBytes
+      val hotFits = hotBytes <= hotBroadcastMaxBytes
+      graft.GateLog.decide("dedup_ngram_jaccard.hot_side", dir,
+        if (hotFits) "broadcast" else "salted_self_join",
+        s"hot_rows=$hotRows est=${hotBytes}B max=${hotBroadcastMaxBytes}B" +
+          (if (hotFits) "" else s" salts=$NgramHotSalts"))
+      val hotPairs =
+        if (hotFits) pairJoin(exHot, broadcast(exHot))
+        else {
+          val l = exHot.withColumn("_salt",
+            pmod(col("doc_id"), lit(NgramHotSalts)).cast("int"))
+          val r = exHot.withColumn("_salt",
+            explode(expr(s"sequence(0, ${NgramHotSalts - 1})")))
+          l.as("ba").join(r.as("bb").hint("shuffle_hash"),
+              col("ba._salt") === col("bb._salt") &&
+              col("ba.lang") === col("bb.lang") &&
+              col("ba.band_idx") === col("bb.band_idx") &&
+              col("ba.band_val") === col("bb.band_val") &&
+              col("ba.doc_id") < col("bb.doc_id") &&
+              graft.functions.BitsetMinhash.noEarlierBandMatch(
+                col("ba.sig"), col("bb.sig"), col("ba.band_idx")))
+            .select(col("ba.doc_id").as("i"), col("bb.doc_id").as("j"))
+        }
+      pairJoin(exCold, exCold.hint("shuffle_hash")).unionAll(hotPairs)
     }
     val langN = dense.groupBy("lang").agg(count(lit(1)).as("nl")).collect()
     val pairEst = langN.map { r =>

@@ -51,6 +51,42 @@ object Matching {
     */
   val CappedAdmitPairs: Double = 5e7
 
+  /** Vocab-aware scale on the admitted-pair cap: a PRUNED vocabulary
+    * at or under `VocabSmallMax` multiplies the admit budget by
+    * `VocabSmallBudgetScale`. Small shared vocabularies are exactly
+    * where capped top-1 fidelity collapses (every doc shares most
+    * tokens, so thousands of near-ties sit at the argmax and shallow
+    * champion lists break them differently than the exact scan) AND
+    * where the extra budget is cheap (champion lists overlap heavily
+    * across so few tokens, so the distinct admitted-pair set dedups
+    * far below the nominal pre-distinct volume). Measured on the
+    * forced-cap sf1 protocol (RECALL_EVAL r10): bm25's 40-token vocab
+    * went 0.540 → 0.926 top-1 agreement at 4×, while tfidf's ~1900
+    * token vocab already held 0.979 at 1× — so the threshold sits
+    * well above one and well below the other.
+    */
+  val VocabSmallMax: Long = 1024L
+  val VocabSmallBudgetScale: Double = 4.0
+
+  private[operators] def admitBudgetFor(vocab: Long, base: Double): Double =
+    if (vocab <= VocabSmallMax) base * VocabSmallBudgetScale else base
+
+  /** Query-side membership for the even/odd matchers, with optional
+    * 1-in-`querySample` thinning of the QUERY half only (corpus half,
+    * df/idf/avgdl stats, and vocabulary pruning untouched — so a
+    * sampled query's exact top-1 equals its top-1 in the unsampled
+    * run). This is the sampled-truth hook RecallEval's second-decade
+    * protocol uses: at an SF where full exact truth is unaffordable,
+    * exact scoring of a deterministic 1-in-K query subset against the
+    * FULL corpus is truth for exactly those queries. querySample <= 1
+    * returns the production predicate unchanged.
+    */
+  private[operators] def querySide(idCol: String, querySample: Long): Column = {
+    val base = col(idCol) % 2 === 0
+    if (querySample <= 1) base
+    else base && expr(s"($idCol div 2) % $querySample") === 0
+  }
+
   /** lower/trim + token-sort canonicalization
     * (entity_matching.py:20-24 normalize_name + token_sort_ratio's
     * sort step).
@@ -151,9 +187,13 @@ object Matching {
     * `topPerDoc` highest-impact tokens (weight desc — high weight =
     * rare = selective), and each token then keeps its top-K corpus
     * postings by impact (champion lists), K solved against the budget
-    * so total candidate volume is ≤ budget BY CONSTRUCTION, whatever
-    * the corpus looks like. Scoring of admitted candidates stays
-    * EXACT; only the candidate set is reduced — below the budget the
+    * so total candidate volume is ≤ budget BY CONSTRUCTION — with one
+    * deliberate exception: K never drops below 1, so when even K=1
+    * exceeds the budget the operator proceeds over budget rather than
+    * dropping whole queries (structural coverage outranks the cap;
+    * the gate's chosen value carries an `!over_budget` suffix when
+    * this fires, so specs can pin it). Scoring of admitted candidates
+    * stays EXACT; only the candidate set is reduced — below the budget the
     * operators are pinned hash-equal to the exact formulation, above
     * it they trade bounded recall for a linear plan (the regime
     * web-scale sparse retrieval actually runs).
@@ -166,7 +206,8 @@ object Matching {
     * one equi-join on token.
     */
   private[operators] def impactCappedPairs(left: DataFrame, right: DataFrame,
-      budget: Double, topPerDoc: Int = 8, gate: String = "impact_capped"): DataFrame = {
+      budget: Double, topPerDoc: Int = 8, gate: String = "impact_capped",
+      dir: String = "-"): DataFrame = {
     def topP(df: DataFrame): DataFrame = {
       val w = Window.partitionBy("id").orderBy(col("imp").desc, col("token"))
       df.withColumn("rn", row_number().over(w)).filter(col("rn") <= topPerDoc)
@@ -212,9 +253,15 @@ object Matching {
     // query-independent doc prior. RECALL_EVAL.json carries the
     // score-regret evidence for what the champion cut actually
     // costs.)
-    graft.GateLog.decide(gate, "-", s"champion_k=$k",
-      f"admitted_pairs=$vol%.3g budget=$budget%.3g max_postings=$maxRn" +
-        (if (vol > budget) " OVER_BUDGET_AT_K1" else ""))
+    // dir threads from the caller so this decision lands in
+    // GateLog.decisionsFor(dir) / the per-dir PLANS dump like every
+    // other gate (the r10 "-" literal kept these out of exactly the
+    // observability surface GateLog exists for). The over-budget
+    // K=1-floor state rides the CHOSEN value, not just the detail, so
+    // specs can pin it.
+    graft.GateLog.decide(gate, dir,
+      s"champion_k=$k" + (if (vol > budget) "!over_budget" else ""),
+      f"admitted_pairs=$vol%.3g budget=$budget%.3g max_postings=$maxRn")
     val wTok = Window.partitionBy("token").orderBy(col("imp").desc, col("id"))
     val rTop = r.withColumn("rk", row_number().over(wTok))
       .filter(col("rk") <= k)
@@ -256,7 +303,8 @@ object Matching {
       prefixFilter: Boolean = true,
       denseBroadcastMaxBytes: Long = 512L << 20,
       exactPairBudget: Double = Matching.ExactPairBudget,
-      admitPairBudget: Double = Matching.CappedAdmitPairs): DataFrame = {
+      admitPairBudget: Double = Matching.CappedAdmitPairs,
+      querySample: Long = 1L): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // 1-2-gram vocabulary, mirroring TfidfVectorizer(ngram_range=(1,2))
     // in entity_matching_optimized.py:146-149 — bigram features let
@@ -334,7 +382,7 @@ object Matching {
     val probe =
       if (prefixFilter) prefix
       else weights.select("doc_id", "token")
-    val cand = probe.filter(col("doc_id") % 2 === 0)
+    val cand = probe.filter(Matching.querySide("doc_id", querySample))
         .select(col("doc_id").as("i"), col("token"))
       .join(weights.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id").as("j"), col("token")), "token")
@@ -360,7 +408,7 @@ object Matching {
     // filter still admits ~76% of pairs on this templated text).
     // Above the budget, candidates come from impact-capped postings
     // ([[impactCappedPairs]]) and only those pairs are scored exactly.
-    val exactPairsEst = (nDocs / 2.0) * (nDocs / 2.0)
+    val exactPairsEst = (nDocs / 2.0) * (nDocs / 2.0) / querySample
     val overBudget = exactPairsEst > exactPairBudget
     graft.GateLog.decide("match_tfidf_topk.regime", dir,
       if (overBudget) "capped"
@@ -370,12 +418,12 @@ object Matching {
         s"vocab=$vocab denseBytes=$denseBytes")
     val candEff =
       if (overBudget) impactCappedPairs(
-        weights.filter(col("doc_id") % 2 === 0)
+        weights.filter(Matching.querySide("doc_id", querySample))
           .select(col("doc_id").as("id"), col("token"), col("w").as("imp")),
         weights.filter(col("doc_id") % 2 === 1)
           .select(col("doc_id").as("id"), col("token"), col("w").as("imp")),
-        math.min(exactPairBudget, admitPairBudget),
-        gate = "match_tfidf_topk.capped_k")
+        Matching.admitBudgetFor(vocab, math.min(exactPairBudget, admitPairBudget)),
+        gate = "match_tfidf_topk.capped_k", dir = dir)
       else cand
     val cos =
       if (!overBudget && vocab <= denseVocabMax && denseBytes <= denseBroadcastMaxBytes) {
@@ -422,7 +470,7 @@ object Matching {
         // visits the same indices ascending and the dense scan's
         // extra terms are exact +0.0 no-ops (measured sf1: 130 s
         // dense-dense → see BASELINE.md scaling table)
-        val evens = sparse.filter(col("doc_id") % 2 === 0)
+        val evens = sparse.filter(Matching.querySide("doc_id", querySample))
           .select(col("doc_id").as("i"), col("ri"), col("wi"),
             col("norm").as("ni"))
         val odds = sparse.filter(col("doc_id") % 2 === 1)
@@ -459,13 +507,13 @@ object Matching {
               expr("transform(rw, x -> x.w)").as("wi"),
               sqrt(col("n2")).as("norm"))
         }
-        val evens = sparseAll.filter(col("doc_id") % 2 === 0)
+        val evens = sparseAll.filter(Matching.querySide("doc_id", querySample))
           .select(col("doc_id").as("i"), col("ri"), col("wi"),
             col("norm").as("ni"))
         val odds = sparseAll.filter(col("doc_id") % 2 === 1)
           .select(col("doc_id").as("j"), col("ri").as("rj"),
             col("wi").as("wj"), col("norm").as("nj"))
-        val nnzEven = weights.filter(col("doc_id") % 2 === 0).count()
+        val nnzEven = weights.filter(Matching.querySide("doc_id", querySample)).count()
         val evFits = nnzEven * 16L + (nDocs / 2 + 1) * 80L <=
           denseBroadcastMaxBytes
         graft.GateLog.decide("match_tfidf_topk.capped_query_side", dir,
@@ -481,7 +529,7 @@ object Matching {
       } else {
         val norms = weights.groupBy("doc_id")
           .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
-        val left = weights.filter(col("doc_id") % 2 === 0)
+        val left = weights.filter(Matching.querySide("doc_id", querySample))
           .select(col("doc_id").as("i"), col("token"), col("w").as("wi"))
         val right = weights.filter(col("doc_id") % 2 === 1)
           .select(col("doc_id").as("j"), col("token"), col("w").as("wj"))
@@ -638,7 +686,8 @@ object Matching {
   def matchBm25Topk(spark: SparkSession, dir: String, denseVocabMax: Int,
       denseBroadcastMaxBytes: Long = 512L << 20,
       exactPairBudget: Double = Matching.ExactPairBudget,
-      admitPairBudget: Double = Matching.CappedAdmitPairs): DataFrame = {
+      admitPairBudget: Double = Matching.CappedAdmitPairs,
+      querySample: Long = 1L): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val tokens = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
@@ -664,7 +713,7 @@ object Matching {
     val dfreq = corpusTf.groupBy("token").agg(countDistinct("j").as("df"))
       .crossJoin(broadcast(stats))
       .filter(col("df") < lit(0.95) * col("nd"))
-    val queries = tokens.filter(col("doc_id") % 2 === 0)
+    val queries = tokens.filter(Matching.querySide("doc_id", querySample))
       .select(col("doc_id").as("i"), col("token")).distinct()
     // With qtf saturated to 1, the whole BM25 term weight is
     // query-INDEPENDENT — compute it once per posting (|postings|
@@ -693,7 +742,7 @@ object Matching {
     // (query impact = rarity, i.e. -df; corpus impact = the BM25 term
     // weight c) and only those pairs are scored exactly.
     val nq = math.max(Tables.documents(spark, dir).count() - nd0, 0L)
-    val exactPairsEst = nq.toDouble * nd0.toDouble
+    val exactPairsEst = nq.toDouble * nd0.toDouble / querySample
     val overBudget = exactPairsEst > exactPairBudget
     graft.GateLog.decide("match_bm25_topk.regime", dir,
       if (overBudget) "capped"
@@ -703,13 +752,17 @@ object Matching {
         s"vocab=$vocab denseBytes=$denseBytes")
     val scored =
       if (overBudget) {
+        // vocab-aware admit budget (see [[Matching.admitBudgetFor]]):
+        // this pruned-vocab census is the one the regime gate above
+        // already measured — at bm25's 40-token sf1 vocabulary the 4×
+        // scale is the measured 0.540 → 0.926 top-1 agreement point
         val cappedCand = impactCappedPairs(
           queries.join(broadcast(dfreq.select(col("token"), col("df"))), "token")
             .select(col("i").as("id"), col("token"),
               (-col("df")).cast("double").as("imp")),
           postingW.select(col("j").as("id"), col("token"), col("c").as("imp")),
-          math.min(exactPairBudget, admitPairBudget),
-          gate = "match_bm25_topk.capped_k")
+          Matching.admitBudgetFor(vocab, math.min(exactPairBudget, admitPairBudget)),
+          gate = "match_bm25_topk.capped_k", dir = dir)
         // pair-vector scorer (the tfidf twin's capped discipline):
         // candidates shuffle NARROW by j onto the corpus-side sparse
         // weight vectors, the query-side rank sets ride a broadcast

@@ -124,18 +124,40 @@ class R8Batch17Spec extends SparkSpec {
         .map(_.getAs[Long]("n")).sum == bySource(src))
   }
 
+  /** The oracle-replay arithmetic for the aHash-over-generated-images
+    * chain: gray i = min(codepoint at ⌊i·len/64⌋, 255), bit i (of the
+    * LOW 48) set iff 64·vᵢ > Σv — the exact-integer reduction of the
+    * real kernel's cell-mean-vs-grid-mean comparison on one-pixel
+    * cells (see BinaryColumns.docPng).
+    */
+  private def ahash48(text: String): Long = {
+    val len = text.length
+    val v = Array.tabulate(64)(i =>
+      math.min(text.charAt(((i.toLong * len) / 64).toInt).toInt, 255))
+    val s = v.map(_.toLong).sum
+    var bits = 0L
+    for (i <- 0 until 48) if (64L * v(i) > s) bits |= 1L << i
+    bits
+  }
+
   test("mm_phash_buckets matches local banding; pairs share 12 bits") {
     val out = multimodal.BinaryColumns.phashBuckets(spark, sf)
       .collect().map(r => r.getAs[Long]("band") -> r).toMap
     assert(out.keySet == Set(1L, 2L, 3L, 4L))
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .collect()
-      .map(r => (r.getAs[Long]("doc_id"),
-        md5hex(r.getAs[String]("text"))))
+      .filter(_.getAs[String]("text").nonEmpty)
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    // oracle-replayability pin: the arithmetic formula IS the real
+    // chain (PNG encode → ImageIO decode → averageHash64, low 48)
+    for ((_, text) <- docs.take(20))
+      assert((multimodal.BinaryColumns.FakeDecoder.averageHash64(
+        multimodal.BinaryColumns.docPng(text)) & ((1L << 48) - 1))
+        == ahash48(text))
     for (band <- 1 to 4) {
-      val keyed = docs.map { case (id, h) =>
-        (h.substring((band - 1) * 3, (band - 1) * 3 + 3),
-          (id, java.lang.Long.parseLong(h.substring(0, 12), 16)))
+      val keyed = docs.map { case (id, text) =>
+        val h48 = ahash48(text)
+        (((h48 >> ((band - 1) * 12)) & 4095L), (id, h48))
       }
       val buckets = keyed.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val ks = buckets.values.map(_.length.toLong)

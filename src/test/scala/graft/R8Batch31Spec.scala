@@ -45,21 +45,34 @@ class R8Batch31Spec extends SparkSpec {
         - 12.0) < 1e-3)
   }
 
+  /** Arithmetic twin of the real PNG→decode→averageHash64 chain (see
+    * R8Batch17Spec.ahash48 and BinaryColumns.docPng for the exactness
+    * argument).
+    */
+  private def ahash48(text: String): Long = {
+    val len = text.length
+    val v = Array.tabulate(64)(i =>
+      math.min(text.charAt(((i.toLong * len) / 64).toInt).toInt, 255))
+    val s = v.map(_.toLong).sum
+    var bits = 0L
+    for (i <- 0 until 48) if (64L * v(i) > s) bits |= 1L << i
+    bits
+  }
+
   test("mm_phash_top_pairs matches a local banded-candidate recompute") {
     val out = multimodal.BinaryColumns.phashTopPairs(spark, sf).collect()
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .collect()
+      .filter(_.getAs[String]("text").nonEmpty)
       .map(r => (r.getAs[Long]("doc_id"),
-        md5hex(r.getAs[String]("text"))))
+        ahash48(r.getAs[String]("text"))))
     val cands = collection.mutable.Map.empty[(Long, Long), Long]
     for (band <- 0 until 4) {
-      val byKey = docs.groupBy(_._2.substring(band * 3, band * 3 + 3))
+      val byKey = docs.groupBy { case (_, h) => (h >> (band * 12)) & 4095L }
       for ((_, members) <- byKey if members.length >= 2) {
         val s = members.sortBy(_._1)
         for (i <- s.indices; j <- (i + 1) until s.length) {
-          val h1 = java.lang.Long.parseLong(s(i)._2.take(12), 16)
-          val h2 = java.lang.Long.parseLong(s(j)._2.take(12), 16)
-          val d = java.lang.Long.bitCount(h1 ^ h2).toLong
+          val d = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2).toLong
           val key = (s(i)._1, s(j)._1)
           cands(key) = math.min(cands.getOrElse(key, Long.MaxValue), d)
         }

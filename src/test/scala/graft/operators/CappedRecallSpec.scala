@@ -60,6 +60,18 @@ class CappedRecallSpec extends graft.SparkSpec {
       Dedup.NgramLshBands, Dedup.NgramLshRows).toLongArray()
     assert(a1.toSeq == a2.toSeq)
     assert(a1.length == Dedup.NgramLshBands)
+    // "equal sets collide": rebuild the SAME index set through a
+    // different construction path (set bits in reverse order into a
+    // fresh array) and assert every band key matches pairwise — a
+    // band join on (band_idx, band_val) therefore collides this pair
+    // in all 40 bands, which is the collision claim in the name.
+    val idxs = (0 until 4096).filter(i => (va(i / 32) >> (i % 32) & 1L) == 1L)
+    val vb = new Array[Long](va.length)
+    for (i <- idxs.reverse) vb(i / 32) |= 1L << (i % 32)
+    val b = BitsetMinhash.bandKeys(new GenericArrayData(vb),
+      Dedup.NgramLshBands, Dedup.NgramLshRows).toLongArray()
+    assert(b.toSeq == a1.toSeq,
+      "independently built identical bitset must share every band key")
   }
 
   test("champion-list capped pairs: structural query coverage at any budget") {
