@@ -53,23 +53,37 @@ object Matching {
 
   /** Vocab-aware scale on the admitted-pair cap: a PRUNED vocabulary
     * at or under `VocabSmallMax` multiplies the admit budget by
-    * `VocabSmallBudgetScale`. Small shared vocabularies are exactly
-    * where capped top-1 fidelity collapses (every doc shares most
-    * tokens, so thousands of near-ties sit at the argmax and shallow
-    * champion lists break them differently than the exact scan) AND
-    * where the extra budget is cheap (champion lists overlap heavily
-    * across so few tokens, so the distinct admitted-pair set dedups
-    * far below the nominal pre-distinct volume). Measured on the
-    * forced-cap sf1 protocol (RECALL_EVAL r10): bm25's 40-token vocab
-    * went 0.540 → 0.926 top-1 agreement at 4×, while tfidf's ~1900
-    * token vocab already held 0.979 at 1× — so the threshold sits
-    * well above one and well below the other.
+    * `VocabSmallBudgetScale` — but ONLY when the scaled budget can
+    * reach `DepthFloorFrac` of the corpus per query. Small shared
+    * vocabularies are exactly where capped top-1 fidelity collapses
+    * (every doc shares most tokens, so thousands of near-ties sit at
+    * the argmax and shallow champion lists break them differently
+    * than the exact scan), and the r11 sampled-truth protocol
+    * measured fidelity to track PER-QUERY ADMITTED DEPTH AS A
+    * CORPUS FRACTION, not the absolute budget: at sf1 (25k corpus)
+    * the 4× scale gives depth 8000/query = 32% of the corpus and
+    * 0.540 → 0.926 top-1 agreement (0.994 at 4× more); at sf10
+    * (250k corpus) the same 4× reaches 0.3% depth and agreement is
+    * 0.022 — identical to the unscaled budget, at 2.5× the cost. On
+    * a near-tie corpus NO sublinear candidate scheme preserves
+    * argmax (the same reason WAND-style exact pruning degrades to a
+    * full scan there), so above the reachable-depth floor the right
+    * spend is zero: keep the base budget, log that fidelity is not
+    * budget-recoverable, and let RECALL_EVAL's regret distribution
+    * quantify what the capped answer loses (sf10: regret p50 18%).
+    * tfidf's ~1600-token vocab never triggers the scale and holds
+    * 0.979 at 1×.
     */
   val VocabSmallMax: Long = 1024L
   val VocabSmallBudgetScale: Double = 4.0
+  val DepthFloorFrac: Double = 0.25
 
-  private[operators] def admitBudgetFor(vocab: Long, base: Double): Double =
-    if (vocab <= VocabSmallMax) base * VocabSmallBudgetScale else base
+  private[operators] def admitBudgetFor(vocab: Long, base: Double,
+      nQueries: Long, nCorpus: Long): Double = {
+    val scaled = base * VocabSmallBudgetScale
+    val depthFrac = scaled / math.max(nQueries, 1L) / math.max(nCorpus, 1L)
+    if (vocab <= VocabSmallMax && depthFrac >= DepthFloorFrac) scaled else base
+  }
 
   /** Query-side membership for the even/odd matchers, with optional
     * 1-in-`querySample` thinning of the QUERY half only (corpus half,
@@ -422,7 +436,8 @@ object Matching {
           .select(col("doc_id").as("id"), col("token"), col("w").as("imp")),
         weights.filter(col("doc_id") % 2 === 1)
           .select(col("doc_id").as("id"), col("token"), col("w").as("imp")),
-        Matching.admitBudgetFor(vocab, math.min(exactPairBudget, admitPairBudget)),
+        Matching.admitBudgetFor(vocab,
+          math.min(exactPairBudget, admitPairBudget), nDocs / 2, nDocs / 2),
         gate = "match_tfidf_topk.capped_k", dir = dir)
       else cand
     val cos =
@@ -478,7 +493,12 @@ object Matching {
             graft.functions.VectorExprs.denseScatter(
               col("ri"), col("wi"), vocab.toInt).as("vj"),
             col("norm").as("nj"))
-        evens.crossJoin(broadcast(odds))
+        // spread the NLJ stream side explicitly — its per-row work is
+        // (nDocs/2) dots, so task count bounds the scan's parallelism
+        // and AQE's byte-sized coalesce under-partitions it whenever
+        // the query half is small (see the bm25 twin's note)
+        evens.repartition(spark.sparkContext.defaultParallelism)
+          .crossJoin(broadcast(odds))
           .withColumn("dot", graft.functions.VectorExprs.sparseDenseDot(
             col("ri"), col("wi"), col("vj")))
           .withColumn("cosine", round(col("dot") / (col("ni") * col("nj")), 6))
@@ -761,7 +781,8 @@ object Matching {
             .select(col("i").as("id"), col("token"),
               (-col("df")).cast("double").as("imp")),
           postingW.select(col("j").as("id"), col("token"), col("c").as("imp")),
-          Matching.admitBudgetFor(vocab, math.min(exactPairBudget, admitPairBudget)),
+          Matching.admitBudgetFor(vocab,
+            math.min(exactPairBudget, admitPairBudget), nq, nd0),
           gate = "match_bm25_topk.capped_k", dir = dir)
         // pair-vector scorer (the tfidf twin's capped discipline):
         // candidates shuffle NARROW by j onto the corpus-side sparse
@@ -812,10 +833,18 @@ object Matching {
               expr("transform(rw, x -> x.r)"), expr("transform(rw, x -> x.c)"),
               vocab.toInt).as("vj"))
         }
+        // the NLJ stream side carries nd0 dots PER ROW, so its task
+        // count — not its byte size — bounds the scan's parallelism:
+        // AQE sizes partitions by bytes and coalesces a few thousand
+        // sampled queries onto ONE task (measured: the querySample
+        // sf10 truth run pinned a single core for the whole 6.25e8-dot
+        // scan). An explicit round-robin spread costs one tiny
+        // shuffle of nq rows and keeps the scan full-width always.
         queries.join(broadcast(ranked), "token")
           .groupBy("i")
           .agg(sort_array(collect_list(col("r"))).as("ri"))
           .withColumn("wi", expr("transform(ri, x -> CAST(1.0 AS DOUBLE))"))
+          .repartition(spark.sparkContext.defaultParallelism)
           .crossJoin(broadcast(vecs))
           .withColumn("dot", graft.functions.VectorExprs.sparseDenseDot(
             col("ri"), col("wi"), col("vj")))
