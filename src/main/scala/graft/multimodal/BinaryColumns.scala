@@ -229,9 +229,18 @@ object BinaryColumns {
   private[graft] def imageHash48(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.PlanCache.cached("mm_ahash48", spark, dir) {
+      // spread the decode: a mapPartitions stage inherits the scan's
+      // split count (~6 tasks on the sf10 parquet), and per-row
+      // encode/decode work — not bytes — is the cost here (measured
+      // 583 s cold at sf10 on the inherited layout). One narrow
+      // (id, text) shuffle buys a full-width decode stage; this is
+      // the standing rule for EVERY per-row-expensive mapPartitions
+      // seam (the cluster answer is identical: decode stages
+      // repartition to total cores).
       Tables.documents(spark, dir)
         .filter(length(col("text")) >= 1)
         .select(col("doc_id"), col("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .as[(Long, String)]
         .mapPartitions { rows =>
           rows.map { case (id, text) =>
