@@ -564,10 +564,24 @@ object BinaryColumns {
     * (distance, pair id) so the queue is stable.
     *
     * Scale shape: candidates are equi-joins WITHIN multi-occupancy
-    * buckets (never all-pairs); the cross-band dedup is a min-
-    * aggregate on the pair key; top-20 via TakeOrdered. 20 rows out.
+    * buckets (never all-pairs) — and a REAL perceptual hash makes
+    * those buckets big on purpose (near-dups collide; the r11 sf10
+    * measurement put ~1e10 pair emissions through this query once the
+    * md5 stand-in's uniform buckets were replaced). So the pair
+    * stream is cut per bucket BEFORE anything global: only a bucket's
+    * 20 smallest pairs can reach the global top-20 (any global-top-20
+    * pair has ≤ 19 pairs above it anywhere, hence rank ≤ 20 inside
+    * every bucket that contains it, under the same total order —
+    * an EXACT prefilter, not an approximation). The per-bucket
+    * row_number window needs no extra exchange (the join output is
+    * already distributed by the band key); what it removes is the
+    * pair-keyed dedup aggregate over the full emission, which was the
+    * measured memory-pressure stage. Cross-band dedup then runs on
+    * ≤ 20·buckets rows, and the global top-20 is a TakeOrdered.
+    * 20 rows out.
     */
   def phashTopPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val h = imageHash48(spark, dir)
     val bands = spark.range(1, 5).select(col("id").as("band"))
     val bd = h.crossJoin(broadcast(bands))
@@ -576,13 +590,18 @@ object BinaryColumns {
           .as("bkey"))
     val rhs = bd.select(col("band"), col("bkey"),
       col("doc_id").as("doc_b"), col("h48").as("h_b"))
-    val pairs = bd.join(rhs, Seq("band", "bkey"))
+    val wb = Window.partitionBy("band", "bkey")
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+    val pruned = bd.join(rhs, Seq("band", "bkey"))
       .filter(col("doc_id") < col("doc_b"))
-      .select(col("doc_id").as("doc_a"), col("doc_b"),
+      .select(col("band"), col("bkey"),
+        col("doc_id").as("doc_a"), col("doc_b"),
         bit_count(col("h48").bitwiseXOR(col("h_b"))).cast("long")
           .as("hamming"))
+      .withColumn("rk", row_number().over(wb))
+      .filter(col("rk") <= 20)
+    pruned
       .groupBy("doc_a", "doc_b").agg(min("hamming").as("hamming"))
-    pairs
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(20)
   }
