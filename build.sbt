@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as the bench summary JSON; sbt's trailing "[success] Total time"
+// line has kept BENCH_r{N}.json at parsed:null since r10 — suppress
+// it so the contract line Bench prints last actually IS last
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -14,16 +14,50 @@ object Bench {
 
   /** GC only when the Spark scratch dir's filesystem is under the
     * free-space floor — the ENOSPC valve without a GC in every timed
-    * path (see the call-site note).
+    * path (see the call-site note). Returns whether pressure was
+    * measured, so the caller can escalate to LIVE-cache eviction
+    * ([[PlanCache.releaseAfter]]'s idle path).
     */
-  private[graft] def maybeReclaimShuffleDisk(): Unit = {
+  private[graft] def maybeReclaimShuffleDisk(): Boolean = {
     val scratch = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"))
-    if (scratch.getUsableSpace < minFreeBytes) {
+    val pressure = scratch.getUsableSpace < minFreeBytes
+    if (pressure) {
       System.err.println(s"[bench] scratch free ${scratch.getUsableSpace >> 30} GiB " +
         s"< floor ${minFreeBytes >> 30} GiB: forcing GC to release dead shuffles")
       System.gc()
     }
+    pressure
+  }
+
+  /** Consumer census: plan-build every registered query at the tiny
+    * canonical dir (the [[Plans.write]] loop, sans explain) with
+    * [[PlanCache.beginConsumer]] tagging, so the sweep knows which
+    * registry queries consume which family caches — the map that lets
+    * the timing loop proactively unpersist a LIVE cache the moment
+    * its last consumer has run (r11: a 312-query sf10 sweep carried
+    * ~70 GB of spent family caches into ENOSPC). Regime gates can
+    * flip with scale, so the census is a lower bound on cache NAMES
+    * (a capped-regime-only cache never appears at sf0.001); unknown
+    * names fall back to idle-under-pressure eviction. Cost: one
+    * sf0.001 plan-build pass (~1 min), outside every timed rep.
+    */
+  private def cacheCensus(spark: SparkSession,
+      names: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+      : Map[String, Set[String]] = {
+    val tiny = "/root/testdata/sf0.001"
+    if (!new java.io.File(tiny).isDirectory) return Map.empty
+    names.zipWithIndex.foreach { case ((name, fn), i) =>
+      PlanCache.beginConsumer(name, -names.size + i)
+      try fn(spark, tiny)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] census $name: $e") }
+    }
+    val census = PlanCache.consumersSeen
+    PlanCache.invalidate(tiny)
+    System.err.println(s"[bench] census: ${census.size} cache names over " +
+      s"${names.size} queries")
+    census
   }
 
   def main(args: Array[String]): Unit = {
@@ -77,10 +111,18 @@ object Bench {
     // rather than absorbing the whole family's cold build
     val runLast = Set("dedup_method_agreement", "dedup_minhash_est_eval",
       "dedup_threshold_sweep")
-    val results = SparkEntry.queries.toSeq
+    val ordered = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => (runLast(name), name) }
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
+    // full-registry runs take the consumer census so the loop below
+    // can release spent family caches as it goes; probes skip it
+    val census: Map[String, Set[String]] =
+      if (only.isEmpty && sys.env.get("SPARK_GRAFT_SKIP_CENSUS").isEmpty)
+        cacheCensus(spark, ordered)
+      else Map.empty
+    val ran = scala.collection.mutable.Set.empty[String]
+    val results = ordered.zipWithIndex.map { case ((name, fn), qi) =>
+      PlanCache.beginConsumer(name, qi)
       // a failed rep must NOT masquerade as a fast one: the r8 sf1 run
       // showed ~90 queries reporting 0.01s because the context had died
       // and the old catch swallowed every exception — record failures
@@ -110,7 +152,19 @@ object Bench {
       // pressure (sf10 territory — never at the bench SFs, where free
       // space stays far above the floor), so quiet-window sf0.1 runs
       // have no GC in the timed path at all
-      maybeReclaimShuffleDisk()
+      ran += name
+      val pressure = maybeReclaimShuffleDisk()
+      // consumer-aware valve: unpersist LIVE family caches whose
+      // (census ∪ observed) consumers have all run — proactive, so a
+      // sweep's peak scratch footprint tracks the ACTIVE family, not
+      // the whole day's history; under measured pressure also evict
+      // census-unknown idle entries (SF-dependent regime caches)
+      if (census.nonEmpty || pressure) {
+        val evicted = PlanCache.releaseAfter(sfDir, ran.toSet, census, pressure)
+        if (evicted.nonEmpty)
+          System.err.println(
+            s"[bench] released after $name: ${evicted.sorted.mkString(", ")}")
+      }
       if (err != null)
         System.err.println(s"[bench] $name FAILED: ${err.getClass.getName}: " +
           s"${err.getMessage}")
@@ -144,8 +198,14 @@ object Bench {
     // override the refusal.
     val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val fullRegistry = only.isEmpty && nFailed == 0
+    // canonical-path compare: SPARK_GRAFT_BENCH_OUT=./BENCH_FULL.json
+    // (or an absolute spelling) must hit the same partial-run refusal
+    // as the bare name — the guard protects the artifact, not a string
+    val isRatchetTarget = java.nio.file.Paths.get(requested)
+      .toAbsolutePath.normalize ==
+      java.nio.file.Paths.get("BENCH_FULL.json").toAbsolutePath.normalize
     val out =
-      if (requested == "BENCH_FULL.json" && !fullRegistry) {
+      if (isRatchetTarget && !fullRegistry) {
         val side = "bench_probe.json"
         System.err.println(s"[bench] partial/failed run (only=${only.size} " +
           s"failed=$nFailed): refusing to write BENCH_FULL.json, using $side")
@@ -168,7 +228,7 @@ object Bench {
     // data-size independent; gate decisions recorded per-dir) from a
     // cleared PlanCache so no InMemoryRelation from the timing run
     // masks a scan head.
-    if (only.isEmpty && nFailed == 0 && out == "BENCH_FULL.json" &&
+    if (fullRegistry && isRatchetTarget && out == requested &&
         sys.env.get("SPARK_GRAFT_SKIP_PLANS").isEmpty) {
       PlanCache.clear()
       try Plans.write(spark, "/root/testdata/sf0.001",
@@ -179,8 +239,10 @@ object Bench {
     PlanCache.clear()
     spark.stop()
     // the contract line again as the process's FINAL stdout, after
-    // every Spark shutdown message — belt to the logger-silence
-    // suspenders above for the driver's tail capture
+    // every Spark shutdown message — the driver parses the LAST
+    // stdout line of the run as the bench summary, and build.sbt's
+    // `Global / showSuccess := false` keeps sbt from trailing a
+    // "[success]" line behind it (the r10/r11 parsed:null cause)
     println(line)
   }
 }

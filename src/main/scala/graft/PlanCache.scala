@@ -24,20 +24,87 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PlanCache {
   private val cache = TrieMap.empty[(String, SparkSession, String), DataFrame]
 
+  // --- consumer-aware release (the sf10 scratch-disk valve) ---
+  // A full-registry sweep at sf10 accumulates ~70 GB of LIVE persisted
+  // family caches whose consumers have all already run (r11: 4 ENOSPC
+  // kills + the graph family's disk-thrash exponent). Bench tags each
+  // registry query as the current consumer; every cached() touch
+  // records (cache name → consumers, last-touch epoch), and
+  // [[releaseAfter]] unpersists entries that provably (census) or
+  // heuristically (idle, under measured disk pressure) have no
+  // remaining consumer. A wrong eviction is a recompute, never a
+  // correctness event — cached() just rebuilds.
+  @volatile private var consumer: String = ""
+  @volatile private var epoch: Int = 0
+  private val touchedBy = TrieMap.empty[String, Set[String]]
+  private val lastTouch = TrieMap.empty[(String, SparkSession, String), Int]
+
+  /** Tag subsequent cached() touches with the registry query that
+    * caused them (Bench's census + timing loops). `e` orders entries
+    * by recency for the idle-eviction heuristic.
+    */
+  def beginConsumer(q: String, e: Int): Unit = { consumer = q; epoch = e }
+
+  /** Snapshot of cache-name → consumer-query names seen so far — the
+    * census Bench harvests after its sf0.001 plan-build pass.
+    */
+  def consumersSeen: Map[String, Set[String]] = touchedBy.toMap
+
+  /** Unpersist (and drop) entries under `dir` with no remaining
+    * consumer: proactively when the census knows the entry's full
+    * consumer set and every consumer already ran; under measured
+    * scratch-disk pressure also entries the census never saw
+    * (SF-dependent regime caches) that have sat idle ≥ `idleEpochs`
+    * queries. Returns the evicted names for the bench log.
+    */
+  def releaseAfter(dir: String, ran: Set[String],
+      census: Map[String, Set[String]], pressure: Boolean,
+      idleEpochs: Int = 2): Seq[String] = {
+    val evicted = scala.collection.mutable.ArrayBuffer.empty[String]
+    cache.filterInPlace { case (k @ (name, _, d), df) =>
+      val drop = d == dir && {
+        val consumers = census.getOrElse(name, Set.empty) ++
+          touchedBy.getOrElse(name, Set.empty)
+        val allRan = census.contains(name) && consumers.subsetOf(ran)
+        val idle = pressure &&
+          epoch - lastTouch.getOrElse(k, epoch) >= idleEpochs
+        allRan || idle
+      }
+      if (drop) {
+        try df.unpersist() catch { case _: Exception => () }
+        lastTouch.remove(k)
+        evicted += name
+      }
+      !drop
+    }
+    evicted.toSeq
+  }
+
+  private def recordTouch(key: (String, SparkSession, String)): Unit =
+    if (consumer.nonEmpty) {
+      touchedBy.updateWith(key._1) {
+        case Some(s) => Some(s + consumer)
+        case None => Some(Set(consumer))
+      }
+      lastTouch.put(key, epoch)
+    }
+
   def cached(name: String, spark: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
     // entries for stopped sessions are dead weight: their persisted
     // blocks are already gone with the session's block manager, and
     // keeping them would pin the SparkSession itself for the process
     // lifetime — evict them whenever the cache is touched
     cache.filterInPlace { case ((_, s, _), _) => !s.sparkContext.isStopped }
-    cache.get((name, spark, dir)) match {
+    val key = (name, spark, dir)
+    recordTouch(key)
+    cache.get(key) match {
       case Some(df) => df
       case None =>
         val built = build.persist()
         // putIfAbsent (not getOrElseUpdate): two threads may race the
         // build — the loser's persisted plan must be unpinned, not
         // stranded in the block manager forever
-        cache.putIfAbsent((name, spark, dir), built) match {
+        cache.putIfAbsent(key, built) match {
           case Some(winner) => built.unpersist(); winner
           case None => built
         }
@@ -49,8 +116,11 @@ object PlanCache {
     * files instead of serving the stale persisted relation.
     */
   def invalidate(dir: String): Unit =
-    cache.filterInPlace { case ((_, _, d), df) =>
-      if (d == dir) { try df.unpersist() catch { case _: Exception => () }; false }
+    cache.filterInPlace { case (k @ (_, _, d), df) =>
+      if (d == dir) {
+        try df.unpersist() catch { case _: Exception => () }
+        lastTouch.remove(k); false
+      }
       else true
     }
 
@@ -63,5 +133,6 @@ object PlanCache {
     cache.values.foreach(df =>
       try df.unpersist() catch { case _: Exception => () })
     cache.clear()
+    lastTouch.clear()
   }
 }

@@ -7182,13 +7182,40 @@ object SparkEntry {
         |bd AS (SELECT band, doc_id, h48,
         |  (h48 >> CAST((band - 1) * 12 AS INT)) & 4095 AS bkey
         | FROM h2 CROSS JOIN bands),
+        |bk AS (SELECT band, bkey, CAST(count(*) AS BIGINT) AS k
+        | FROM bd GROUP BY 1, 2),
+        |hot AS (SELECT band, bkey, k,
+        |  CAST(k * (k - 1) // 2 AS BIGINT) AS n_pairs
+        | FROM bk WHERE k > 16),
+        |hotham AS (SELECT a.band, a.bkey,
+        |  CAST(sum(bit_count(xor(a.h48, b.h48))) AS BIGINT) AS sum_ham
+        | FROM bd a JOIN bd b ON a.band = b.band AND a.bkey = b.bkey
+        |   AND a.doc_id < b.doc_id
+        | JOIN hot h ON h.band = a.band AND h.bkey = a.bkey
+        | GROUP BY 1, 2),
+        |hotrows AS (SELECT 'hot_bucket' AS kind, hot.band, hot.bkey,
+        |  k AS bucket_k, n_pairs,
+        |  round(CAST(sum_ham AS DOUBLE) / n_pairs, 6) AS avg_hamming,
+        |  CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+        |  CAST(NULL AS BIGINT) AS hamming
+        | FROM hot JOIN hotham ON hotham.band = hot.band
+        |   AND hotham.bkey = hot.bkey
+        | ORDER BY bucket_k DESC, band, bkey LIMIT 20),
+        |warm AS (SELECT band, bkey FROM bk WHERE k BETWEEN 2 AND 16),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(min(bit_count(xor(a.h48, b.h48))) AS BIGINT) AS hamming
         | FROM bd a JOIN bd b ON a.band = b.band AND a.bkey = b.bkey
         |   AND a.doc_id < b.doc_id
-        | GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, hamming FROM pr
-        |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin,
+        | JOIN warm w ON w.band = a.band AND w.bkey = a.bkey
+        | GROUP BY 1, 2),
+        |pairrows AS (SELECT 'pair' AS kind, CAST(NULL AS BIGINT) AS band,
+        |  CAST(NULL AS BIGINT) AS bkey, CAST(NULL AS BIGINT) AS bucket_k,
+        |  CAST(NULL AS BIGINT) AS n_pairs, CAST(NULL AS DOUBLE) AS avg_hamming,
+        |  doc_a, doc_b, hamming
+        | FROM pr ORDER BY hamming, doc_a, doc_b LIMIT 20)
+        |SELECT * FROM hotrows UNION ALL SELECT * FROM pairrows
+        |ORDER BY kind, bucket_k DESC NULLS LAST, band, bkey,
+        |  hamming, doc_a, doc_b""".stripMargin,
 
     "graph_degree_gini" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p

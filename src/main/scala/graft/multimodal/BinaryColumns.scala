@@ -190,9 +190,25 @@ object BinaryColumns {
     * small Hamming distance — the structure [[phashTopPairs]] ranks.
     */
   private[graft] def grayLevels(text: String): Array[Int] = {
-    val len = text.length
-    Array.tabulate(64)(i =>
-      math.min(text.charAt(((i.toLong * len) / 64).toInt).toInt, 255))
+    // CODE-POINT semantics, matching the DuckDB replay's
+    // length()/substr()/ascii(): UTF-16 charAt indexing would shift
+    // every sample index after the first non-BMP character (emoji,
+    // supplementary CJK) and diverge the hashes — the corpus is
+    // ASCII today, but the equivalence must be structural. Sample
+    // positions are nondecreasing in i, so one monotone walk over
+    // the string visits all 64 code points in O(len).
+    val len = text.codePointCount(0, text.length)
+    val out = new Array[Int](64)
+    var i = 0; var cp = 0; var off = 0
+    while (i < 64) {
+      val target = ((i.toLong * len) / 64).toInt
+      while (cp < target) {
+        off = text.offsetByCodePoints(off, 1); cp += 1
+      }
+      out(i) = math.min(text.codePointAt(off), 255)
+      i += 1
+    }
+    out
   }
 
   /** Deterministic 8×8 grayscale PNG for a document: pixel (i%8, i/8)
@@ -521,33 +537,29 @@ object BinaryColumns {
     * while unrelated collisions sit near the uniform noise floor —
     * the separation the md5 stand-in could only show in spec.
     *
-    * Scale shape: banding is a map-side projection; bucket stats are
-    * one (band, key) aggregate; the pair join runs only WITHIN
-    * multi-occupancy buckets (equi-join on the band key — bounded by
-    * bucket sizes, the standard LSH candidate bound, never
-    * all-pairs). 4 rows out at any corpus size.
+    * Scale shape: banding is a map-side projection; EVERYTHING else
+    * is one (band, key) aggregate — including the candidate-pair
+    * Hamming mean, which never materializes a pair: within a bucket
+    * of k members where bit b is set in c_b of them, exactly
+    * c_b·(k−c_b) of the k(k−1)/2 pairs differ at bit b, so
+    * Σ_pairs hamming = Σ_b c_b·(k−c_b) — 48 exact-integer per-bucket
+    * bit sums replace the k² pair emission the real (low-entropy)
+    * aHash makes quadratic in hot buckets. The bucket key space is
+    * ≤ 4·4096 rows, so the post-aggregate work is constant-bounded
+    * at ANY corpus size. 4 rows out.
     */
   def phashBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val h = imageHash48(spark, dir)
-    val bands = spark.range(1, 5).select(col("id").as("band"))
-    val bd = h.crossJoin(broadcast(bands))
-      .select(col("band"), col("doc_id"), col("h48"),
-        expr("shiftright(h48, CAST((band - 1) * 12 AS INT)) & 4095")
-          .as("bkey"))
-    val buckets = bd.groupBy("band", "bkey").agg(count(lit(1)).as("k"))
-    val stats = buckets.groupBy("band").agg(
-      count(lit(1)).as("n_buckets"),
-      sum(when(col("k") >= 2, 1L).otherwise(0L)).as("n_multi"),
-      sum(expr("k * (k - 1) div 2")).as("cand_pairs"),
-      max("k").as("max_bucket"))
-    val rhs = bd.select(col("band"), col("bkey"),
-      col("doc_id").as("doc2"), col("h48").as("h2"))
-    val ham = bd.join(rhs, Seq("band", "bkey"))
-      .filter(col("doc_id") < col("doc2"))
-      .groupBy("band")
-      .agg(sum(bit_count(col("h48").bitwiseXOR(col("h2"))).cast("long"))
-        .as("sum_ham"))
-    stats.join(ham, Seq("band"), "left")
+    val perBucket = phashPerBucket(spark, dir)
+    val sumHam = (0 until 48)
+      .map(b => col(s"c$b") * (col("k") - col(s"c$b")))
+      .reduce(_ + _)
+    perBucket.withColumn("bham", sumHam)
+      .groupBy("band").agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("k") >= 2, 1L).otherwise(0L)).as("n_multi"),
+        sum(expr("k * (k - 1) div 2")).as("cand_pairs"),
+        max("k").as("max_bucket"),
+        sum("bham").as("sum_ham"))
       .select(col("band"), col("n_buckets"), col("n_multi"),
         col("cand_pairs"), col("max_bucket"),
         when(col("cand_pairs") > 0,
@@ -556,54 +568,107 @@ object BinaryColumns {
       .orderBy("band")
   }
 
-  /** The actionable output of [[phashBuckets]]' LSH banding: the 20
-    * CLOSEST candidate pairs by 48-bit Hamming distance — the review
-    * queue a human (or a pixel-level verifier) works through when
-    * near-dup images are flagged. Pairs come only from shared LSH
-    * buckets (the banding bound), deduped across bands, ordered by
-    * (distance, pair id) so the queue is stable.
-    *
-    * Scale shape: candidates are equi-joins WITHIN multi-occupancy
-    * buckets (never all-pairs) — and a REAL perceptual hash makes
-    * those buckets big on purpose (near-dups collide; the r11 sf10
-    * measurement put ~1e10 pair emissions through this query once the
-    * md5 stand-in's uniform buckets were replaced). So the pair
-    * stream is cut per bucket BEFORE anything global: only a bucket's
-    * 20 smallest pairs can reach the global top-20 (any global-top-20
-    * pair has ≤ 19 pairs above it anywhere, hence rank ≤ 20 inside
-    * every bucket that contains it, under the same total order —
-    * an EXACT prefilter, not an approximation). The per-bucket
-    * row_number window needs no extra exchange (the join output is
-    * already distributed by the band key); what it removes is the
-    * pair-keyed dedup aggregate over the full emission, which was the
-    * measured memory-pressure stage. Cross-band dedup then runs on
-    * ≤ 20·buckets rows, and the global top-20 is a TakeOrdered.
-    * 20 rows out.
-    */
-  def phashTopPairs(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** 4-band LSH banding of [[imageHash48]]: one row per (band,
+    * 12-bit band key). */
+  private def phashBanded(spark: SparkSession, dir: String): DataFrame = {
     val h = imageHash48(spark, dir)
     val bands = spark.range(1, 5).select(col("id").as("band"))
-    val bd = h.crossJoin(broadcast(bands))
+    h.crossJoin(broadcast(bands))
       .select(col("band"), col("doc_id"), col("h48"),
         expr("shiftright(h48, CAST((band - 1) * 12 AS INT)) & 4095")
           .as("bkey"))
-    val rhs = bd.select(col("band"), col("bkey"),
+  }
+
+  /** Per-bucket occupancy + per-bit population counts: (band, bkey,
+    * k, c0..c47) — the ≤ 4·4096-row relation from which both the
+    * banding stats and the hot-bucket Hamming summaries derive
+    * without any pair emission (see [[phashBuckets]]' identity).
+    */
+  private def phashPerBucket(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("mm_phash_bucketbits", spark, dir) {
+      val bd = phashBanded(spark, dir)
+      val bitSums = (0 until 48)
+        .map(b => sum(expr(s"shiftright(h48, $b) & 1")).as(s"c$b"))
+      bd.groupBy("band", "bkey")
+        .agg(count(lit(1)).as("k"), bitSums: _*)
+    }
+
+  /** Hot-bucket occupancy cap for [[phashTopPairs]]: buckets with
+    * more than this many members are SUMMARIZED, never pair-joined.
+    * A real perceptual hash is low-entropy BY DESIGN — near-dup
+    * images collide — so at scale the biggest band buckets hold
+    * thousands of members at Hamming ≈ 0, and enumerating their
+    * k(k−1)/2 pairs (the r11 sf10 measurement: ~1e10 emissions,
+    * 343 s cold, one hot bucket's whole emission through one
+    * row_number task) reports nothing a single "this bucket IS a
+    * duplicate family" row doesn't say better. 16 keeps the warm
+    * pair volume ≤ C(16,2)·4·4096 ≈ 2e6 BY CONSTRUCTION (the band
+    * key space is 12 bits) and is small enough that the sf0.01
+    * oracle corpus (max bucket 26) exercises BOTH regimes.
+    */
+  val PhashHotBucketCap = 16
+
+  /** The actionable output of [[phashBuckets]]' LSH banding, in two
+    * parts (one table, discriminated by `kind`):
+    *
+    *  - `hot_bucket` rows: the 20 biggest buckets whose occupancy
+    *    exceeds [[PhashHotBucketCap]] — each reported as ONE summary
+    *    row (band, key, size, implied pair count, exact mean pairwise
+    *    Hamming via the per-bit identity — see [[phashBuckets]]).
+    *    A 10k-member bucket at Hamming ≈ 0 IS the answer ("this is a
+    *    duplicate family"); its 50M constituent pairs are not.
+    *  - `pair` rows: the 20 closest candidate pairs by 48-bit
+    *    Hamming among WARM buckets (2 ≤ k ≤ cap), deduped across
+    *    bands, ordered by (distance, pair id) — the human review
+    *    queue, now guaranteed to surface borderline near-dups
+    *    instead of 20 interchangeable members of the one hot family.
+    *
+    * Scale shape: bucket occupancies and hot summaries come from the
+    * ≤ 4·4096-row per-bucket bit-count relation (no pair emission);
+    * the warm pair join is bounded by cap²/2 per bucket — ≤ ~2e6
+    * pairs TOTAL at any corpus size — and the global top-20s are
+    * TakeOrdereds. ≤ 40 rows out.
+    */
+  def phashTopPairs(spark: SparkSession, dir: String): DataFrame = {
+    val perBucket = phashPerBucket(spark, dir)
+    val sumHam = (0 until 48)
+      .map(b => col(s"c$b") * (col("k") - col(s"c$b")))
+      .reduce(_ + _)
+    val nullL = lit(null).cast("long")
+    val hot = perBucket.filter(col("k") > PhashHotBucketCap)
+      .withColumn("n_pairs", expr("k * (k - 1) div 2"))
+      .withColumn("sum_ham", sumHam)
+      .orderBy(col("k").desc, col("band"), col("bkey"))
+      .limit(20)
+      .select(lit("hot_bucket").as("kind"), col("band"), col("bkey"),
+        col("k").as("bucket_k"), col("n_pairs"),
+        round(col("sum_ham").cast("double") / col("n_pairs"), 6)
+          .as("avg_hamming"),
+        nullL.as("doc_a"), nullL.as("doc_b"), nullL.as("hamming"))
+    // warm-bucket membership via a broadcast semijoin on the bounded
+    // bucket-key relation — the hot families never enter the join
+    val warmKeys = perBucket
+      .filter(col("k") >= 2 && col("k") <= PhashHotBucketCap)
+      .select("band", "bkey")
+    val bd = phashBanded(spark, dir)
+    val wbd = bd.join(broadcast(warmKeys), Seq("band", "bkey"))
+    val rhs = wbd.select(col("band"), col("bkey"),
       col("doc_id").as("doc_b"), col("h48").as("h_b"))
-    val wb = Window.partitionBy("band", "bkey")
-      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
-    val pruned = bd.join(rhs, Seq("band", "bkey"))
+    val pairs = wbd.join(rhs, Seq("band", "bkey"))
       .filter(col("doc_id") < col("doc_b"))
-      .select(col("band"), col("bkey"),
-        col("doc_id").as("doc_a"), col("doc_b"),
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
         bit_count(col("h48").bitwiseXOR(col("h_b"))).cast("long")
           .as("hamming"))
-      .withColumn("rk", row_number().over(wb))
-      .filter(col("rk") <= 20)
-    pruned
       .groupBy("doc_a", "doc_b").agg(min("hamming").as("hamming"))
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(20)
+      .select(lit("pair").as("kind"), nullL.as("band"), nullL.as("bkey"),
+        nullL.as("bucket_k"), nullL.as("n_pairs"),
+        lit(null).cast("double").as("avg_hamming"),
+        col("doc_a"), col("doc_b"), col("hamming"))
+    hot.unionByName(pairs)
+      .orderBy(col("kind"), col("bucket_k").desc_nulls_last, col("band"),
+        col("bkey"), col("hamming"), col("doc_a"), col("doc_b"))
   }
 
   /** Exact-bytes dedup audit over the media corpus: items grouped by

@@ -59,6 +59,69 @@ class R8Batch31Spec extends SparkSpec {
     bits
   }
 
+  /** Local recompute of [[multimodal.BinaryColumns.phashTopPairs]]'
+    * capped semantics over an arbitrary (doc_id, h48) set: hot-bucket
+    * summaries (k > cap, top-20 by size) + warm-bucket top-20 pairs.
+    */
+  private def expectedTopPairs(docs: Seq[(Long, Long)])
+      : (Seq[(Long, Long, Long, Long, Double)], Seq[(Long, Long, Long)]) = {
+    val cap = multimodal.BinaryColumns.PhashHotBucketCap
+    val hotRows = collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Double)]
+    val cands = collection.mutable.Map.empty[(Long, Long), Long]
+    for (band <- 0 until 4) {
+      val byKey = docs.groupBy { case (_, h) => (h >> (band * 12)) & 4095L }
+      for ((bkey, members) <- byKey if members.length >= 2) {
+        val s = members.sortBy(_._1)
+        if (members.length > cap) {
+          var sumHam = 0L
+          for (i <- s.indices; j <- (i + 1) until s.length)
+            sumHam += java.lang.Long.bitCount(s(i)._2 ^ s(j)._2).toLong
+          val nPairs = s.length.toLong * (s.length - 1) / 2
+          hotRows += ((band + 1L, bkey, s.length.toLong, nPairs,
+            round6(sumHam.toDouble / nPairs)))
+        } else {
+          for (i <- s.indices; j <- (i + 1) until s.length) {
+            val d = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2).toLong
+            val key = (s(i)._1, s(j)._1)
+            cands(key) = math.min(cands.getOrElse(key, Long.MaxValue), d)
+          }
+        }
+      }
+    }
+    val hot = hotRows.toSeq
+      .sortBy { case (band, bkey, k, _, _) => (-k, band, bkey) }.take(20)
+    val pairs = cands.toSeq
+      .sortBy { case ((a, b), h) => (h, a, b) }.take(20)
+      .map { case ((a, b), h) => (a, b, h) }
+    (hot, pairs)
+  }
+
+  private def checkTopPairs(out: Array[org.apache.spark.sql.Row],
+      docs: Seq[(Long, Long)]): Unit = {
+    val (hot, pairs) = expectedTopPairs(docs)
+    val outHot = out.filter(_.getAs[String]("kind") == "hot_bucket")
+    val outPairs = out.filter(_.getAs[String]("kind") == "pair")
+    assert(out.length == hot.length + pairs.length)
+    assert(outHot.length == hot.length)
+    for ((r, (band, bkey, k, nPairs, avg)) <- outHot.zip(hot)) {
+      assert(r.getAs[Long]("band") == band)
+      assert(r.getAs[Long]("bkey") == bkey)
+      assert(r.getAs[Long]("bucket_k") == k)
+      assert(r.getAs[Long]("n_pairs") == nPairs)
+      assert(r.getAs[Double]("avg_hamming") == avg)
+      assert(r.isNullAt(r.fieldIndex("doc_a")))
+      assert(r.isNullAt(r.fieldIndex("hamming")))
+    }
+    for ((r, (a, b, h)) <- outPairs.zip(pairs)) {
+      assert(r.getAs[Long]("doc_a") == a)
+      assert(r.getAs[Long]("doc_b") == b)
+      assert(r.getAs[Long]("hamming") == h)
+      assert(r.isNullAt(r.fieldIndex("band")))
+      assert(r.isNullAt(r.fieldIndex("bucket_k")))
+    }
+  }
+
   test("mm_phash_top_pairs matches a local banded-candidate recompute") {
     val out = multimodal.BinaryColumns.phashTopPairs(spark, sf).collect()
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
@@ -66,26 +129,56 @@ class R8Batch31Spec extends SparkSpec {
       .filter(_.getAs[String]("text").nonEmpty)
       .map(r => (r.getAs[Long]("doc_id"),
         ahash48(r.getAs[String]("text"))))
-    val cands = collection.mutable.Map.empty[(Long, Long), Long]
-    for (band <- 0 until 4) {
-      val byKey = docs.groupBy { case (_, h) => (h >> (band * 12)) & 4095L }
-      for ((_, members) <- byKey if members.length >= 2) {
-        val s = members.sortBy(_._1)
-        for (i <- s.indices; j <- (i + 1) until s.length) {
-          val d = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2).toLong
-          val key = (s(i)._1, s(j)._1)
-          cands(key) = math.min(cands.getOrElse(key, Long.MaxValue), d)
-        }
-      }
-    }
-    val expected = cands.toSeq
-      .sortBy { case ((a, b), h) => (h, a, b) }.take(20)
-    assert(out.length == expected.length)
-    for ((r, ((a, b), h)) <- out.zip(expected)) {
-      assert(r.getAs[Long]("doc_a") == a)
-      assert(r.getAs[Long]("doc_b") == b)
-      assert(r.getAs[Long]("hamming") == h)
-    }
+    checkTopPairs(out, docs.toSeq)
+  }
+
+  test("mm_phash_top_pairs: a planted hot family is ONE summary row, " +
+      "never a pair emission; warm near-dups still surface as pairs") {
+    val cap = multimodal.BinaryColumns.PhashHotBucketCap
+    val dir = java.nio.file.Files
+      .createTempDirectory("phash_capped").toString
+    // one duplicate family of cap+8 identical texts (all 4 band keys
+    // collide, Hamming 0 — the hot regime), plus 6 distinct warm
+    // texts sharing a near-identical template (warm-bucket pairs)
+    val hotN = cap + 8
+    val texts =
+      (0 until hotN).map(i => (i.toLong, "alpha beta gamma delta " * 8)) ++
+      (0 until 6).map(i => (100L + i,
+        s"omega psi chi phi tau ${('a' + i).toChar} " * 6))
+    import spark.implicits._
+    texts.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    PlanCache.invalidate(dir)
+    val out = multimodal.BinaryColumns.phashTopPairs(spark, dir).collect()
+    val docs = texts.map { case (id, t) => (id, ahash48(t)) }
+    checkTopPairs(out, docs)
+    val outHot = out.filter(_.getAs[String]("kind") == "hot_bucket")
+    // the planted family: 4 hot buckets (one per band), k = cap+8,
+    // Hamming 0 — and NO pair row touches the hot family's members
+    assert(outHot.length == 4)
+    assert(outHot.forall(_.getAs[Long]("bucket_k") == hotN.toLong))
+    assert(outHot.forall(_.getAs[Double]("avg_hamming") == 0.0))
+    val hotIds = (0 until hotN).map(_.toLong).toSet
+    val outPairs = out.filter(_.getAs[String]("kind") == "pair")
+    assert(outPairs.nonEmpty)
+    assert(outPairs.forall(r => !hotIds(r.getAs[Long]("doc_a")) &&
+      !hotIds(r.getAs[Long]("doc_b"))))
+    PlanCache.invalidate(dir)
+  }
+
+  test("grayLevels samples by CODE POINT (oracle substr/ascii " +
+      "semantics), not UTF-16 index") {
+    // a supplementary-plane char (surrogate PAIR in UTF-16) followed
+    // by ASCII: charAt-based sampling would shift every later index
+    val text = "😀" + ('a' to 'z').mkString // 😀 + 26 ASCII
+    val v = multimodal.BinaryColumns.grayLevels(text)
+    val cps = text.codePoints().toArray
+    val len = cps.length
+    for (i <- 0 until 64)
+      assert(v(i) == math.min(cps(((i.toLong * len) / 64).toInt), 255),
+        s"sample $i")
   }
 
   test("graph_degree_gini matches a local sorted-rank recompute") {
