@@ -66,8 +66,14 @@ object PlanCache {
         val consumers = census.getOrElse(name, Set.empty) ++
           touchedBy.getOrElse(name, Set.empty)
         val allRan = census.contains(name) && consumers.subsetOf(ran)
+        // entries with a census-known FUTURE consumer are the last
+        // resort under pressure (8x the idle floor — evicting them
+        // trades a known rebuild for disk headroom); census-unknown
+        // entries evict at the floor
+        val hasFuture = census.contains(name) && !consumers.subsetOf(ran)
+        val floor = if (hasFuture) idleEpochs * 8 else idleEpochs
         val idle = pressure &&
-          epoch - lastTouch.getOrElse(k, epoch) >= idleEpochs
+          epoch - lastTouch.getOrElse(k, epoch) >= floor
         allRan || idle
       }
       if (drop) {

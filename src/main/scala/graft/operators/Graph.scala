@@ -186,12 +186,26 @@ object Graph {
 
   /** Per-node triangle counts over the co-order graph — the shared
     * core of [[graphTriangles]] (top-20 roll-up) and
-    * [[graphClusteringLocal]] (coefficient distribution). Not cached
-    * itself: its inputs (the oriented edge list and adjacency lists)
-    * are the PlanCache entries, so each consumer replays only the
-    * bounded closing join.
+    * [[graphClusteringLocal]] (coefficient distribution). The
+    * RESULT (a |V|-row table) is PlanCache'd under the default
+    * broadcast gate: the closing join behind it is the graph
+    * family's single most expensive stage at sf10 (~90-170 s), and
+    * the r10 "inputs are cached, consumers replay only the closing
+    * join" discipline made BOTH consumers pay it — the r11
+    * adjudicated cause of the family's >1 scaling exponent. A
+    * non-default broadcastEdgesMaxBytes (regime-pinning tests)
+    * bypasses the cache so a forced-shuffle run can never serve a
+    * broadcast-regime result or vice versa.
     */
   private def perNodeTriangles(spark: SparkSession, dir: String,
+                               broadcastEdgesMaxBytes: Long): DataFrame =
+    if (broadcastEdgesMaxBytes == 256L << 20)
+      graft.PlanCache.cached("triangle_per_node", spark, dir) {
+        perNodeTrianglesImpl(spark, dir, broadcastEdgesMaxBytes)
+      }
+    else perNodeTrianglesImpl(spark, dir, broadcastEdgesMaxBytes)
+
+  private def perNodeTrianglesImpl(spark: SparkSession, dir: String,
                                broadcastEdgesMaxBytes: Long): DataFrame = {
     // canonical undirected edges (u < v): the keys of the shared
     // co-order pair relation — the family's one self-join, reused

@@ -232,7 +232,9 @@ object Matching {
     // Persin et al. '96 pruning shape): every token keeps its top-K
     // corpus postings by impact, K global, found by bisection on the
     // vocab-bounded census so Σ_t ln_t·min(rn_t, K) ≤ budget BY
-    // CONSTRUCTION. Rare tokens (rn_t ≤ K) keep their FULL posting
+    // CONSTRUCTION (modulo the same K=1 floor as above: when even
+    // K=1 is over budget, the admit proceeds over budget rather than
+    // dropping queries). Rare tokens (rn_t ≤ K) keep their FULL posting
     // list — this strictly generalizes the r9 cheapest-token-first
     // whole-token admit, whose failure mode RECALL_EVAL.json measured:
     // on bm25's 40-token vocabulary, most queries' tokens were never
@@ -318,7 +320,8 @@ object Matching {
       denseBroadcastMaxBytes: Long = 512L << 20,
       exactPairBudget: Double = Matching.ExactPairBudget,
       admitPairBudget: Double = Matching.CappedAdmitPairs,
-      querySample: Long = 1L): DataFrame = {
+      querySample: Long = 1L,
+      simThreshold: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     // 1-2-gram vocabulary, mirroring TfidfVectorizer(ngram_range=(1,2))
     // in entity_matching_optimized.py:146-149 — bigram features let
@@ -377,7 +380,11 @@ object Matching {
     // global sort. Ranked on the ROUNDED weight (project rule: never
     // rank on raw doubles) with a 2e-6 threshold margin absorbing the
     // round-6 applied to the final cosine.
-    val simT = 0.5
+    // prefix bound keyed to the FINAL threshold (clamped into [0,
+    // 0.5]): a lowered simThreshold (RecallEval's below-threshold
+    // diagnosis) must weaken the lossless prune in step, never let
+    // it drop a pair the weaker final filter would keep
+    val simT = math.max(0.0, math.min(0.5, simThreshold))
     val wOrd = Window.partitionBy("doc_id")
       .orderBy(col("wr").desc, col("token"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -430,15 +437,33 @@ object Matching {
         "dense" else "sparse",
       f"est_pairs=$exactPairsEst%.3g budget=$exactPairBudget%.3g " +
         s"vocab=$vocab denseBytes=$denseBytes")
+    // Champion impact is the NORMALIZED weight w/||d|| — the doc's
+    // actual cosine contribution for that token (the query-side
+    // factor w_qt/||q|| is common to every candidate of the query, so
+    // per-token contribution order IS w_dt/||d|| order). The r11
+    // unnormalized ranking favored long/high-tf docs whose cosine is
+    // diluted by their own norm: at sf10 half the sampled queries'
+    // admitted candidates all scored under the 0.5 threshold
+    // (RECALL_EVAL sf10_production coverage 0.502) while bm25 — whose
+    // corpus impact c already IS the score contribution — measured
+    // 1.0 on the same corpus. Per-doc top-P ordering is unchanged
+    // (dividing one doc's weights by its own norm permutes nothing),
+    // so only the cross-doc champion cut moves.
     val candEff =
-      if (overBudget) impactCappedPairs(
-        weights.filter(Matching.querySide("doc_id", querySample))
-          .select(col("doc_id").as("id"), col("token"), col("w").as("imp")),
-        weights.filter(col("doc_id") % 2 === 1)
-          .select(col("doc_id").as("id"), col("token"), col("w").as("imp")),
-        Matching.admitBudgetFor(vocab,
-          math.min(exactPairBudget, admitPairBudget), nDocs / 2, nDocs / 2),
-        gate = "match_tfidf_topk.capped_k", dir = dir)
+      if (overBudget) {
+        val normsOdd = weights.filter(col("doc_id") % 2 === 1)
+          .groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+        impactCappedPairs(
+          weights.filter(Matching.querySide("doc_id", querySample))
+            .select(col("doc_id").as("id"), col("token"), col("w").as("imp")),
+          weights.filter(col("doc_id") % 2 === 1).join(normsOdd, "doc_id")
+            .select(col("doc_id").as("id"), col("token"),
+              (col("w") / col("nrm")).as("imp")),
+          Matching.admitBudgetFor(vocab,
+            math.min(exactPairBudget, admitPairBudget),
+            nDocs / 2 / math.max(querySample, 1L), nDocs / 2),
+          gate = "match_tfidf_topk.capped_k", dir = dir)
+      }
       else cand
     val cos =
       if (!overBudget && vocab <= denseVocabMax && denseBytes <= denseBroadcastMaxBytes) {
@@ -571,7 +596,7 @@ object Matching {
     // graft_argmax (ObjectHashAggregate) instead of max(struct)
     // (SortAggregate): no per-partition sort of the pair stream —
     // the same sf1 lesson as [[matchBm25Topk]]
-    cos.filter(col("cosine") >= 0.5)
+    cos.filter(col("cosine") >= simThreshold)
       .groupBy("i")
       .agg(graft.functions.ArgMaxAgg.of(col("cosine"), -col("j")).as("m"))
       .select(col("i"), (-col("m.k")).as("j"), col("m.s").as("cosine"))
@@ -782,7 +807,8 @@ object Matching {
               (-col("df")).cast("double").as("imp")),
           postingW.select(col("j").as("id"), col("token"), col("c").as("imp")),
           Matching.admitBudgetFor(vocab,
-            math.min(exactPairBudget, admitPairBudget), nq, nd0),
+            math.min(exactPairBudget, admitPairBudget),
+            nq / math.max(querySample, 1L), nd0),
           gate = "match_bm25_topk.capped_k", dir = dir)
         // pair-vector scorer (the tfidf twin's capped discipline):
         // candidates shuffle NARROW by j onto the corpus-side sparse

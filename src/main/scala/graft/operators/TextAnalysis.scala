@@ -911,6 +911,16 @@ object TextAnalysis {
     * one equi-join ON THE GRAM between those two aggregates (shuffles
     * gram keys, never raw positions); final rollup |sources| keys.
     * |sources| rows out.
+    *
+    * Gram keys are xxhash64 of the 5 tokens (8B longs), NOT the
+    * ~30-char gram strings: the keys cross two shuffles (the
+    * (source, gram) aggregate and the gram-keyed join) on the
+    * heaviest text query in the fleet, and token equality ==
+    * 5-tuple equality (whitespace tokens can't contain the joiner).
+    * The DuckDB oracle keeps RAW gram strings — same equality
+    * classes, so identical output unless a 64-bit collision merges
+    * two engine-side grams, which the hash check would surface (none
+    * observed at any SF; ~1e-7 odds at the sf0.01 gate).
     */
   def textDupNgramMass(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
@@ -918,7 +928,9 @@ object TextAnalysis {
       .filter(size(col("t")) >= 5)
       .select(col("doc_id"), col("source"), explode(expr(
         "transform(sequence(1, size(t) - 4), " +
-          "i -> concat_ws(' ', slice(t, i, 5)))")).as("g"))
+          "i -> xxhash64(element_at(t, i), element_at(t, i + 1), " +
+          "element_at(t, i + 2), element_at(t, i + 3), " +
+          "element_at(t, i + 4)))")).as("g"))
     val bySrcGram = grams.groupBy("source", "g")
       .agg(count(lit(1)).as("occ"))
     val docsPerGram = grams.select("doc_id", "g").distinct()

@@ -119,11 +119,71 @@ object RecallEval {
   val Bm25QuerySample = 100L
   val TfidfQuerySample = 1000L
 
+  /** Fail LOUDLY if a truth run silently left the exact regime: the
+    * sampled-truth protocol is only truth while the sampled run's
+    * regime gate chose exact scoring — at a larger SF (or a lowered
+    * budget) the "exact" side would become capped-vs-capped and every
+    * fidelity number below it meaningless with no visible error.
+    */
+  private def assertExactRegime(gate: String, dir: String): Unit = {
+    val d = graft.GateLog.lastDecision(gate, dir)
+    require(d.nonEmpty, s"truth run recorded no regime decision for $gate")
+    require(!d.get.chosen.startsWith("capped") &&
+      !d.get.chosen.startsWith("lsh"),
+      s"truth run NOT exact: $gate chose ${d.get.chosen} (${d.get.detail}) " +
+        "— raise the query/doc sample until the exact regime is reachable")
+  }
+
+  /** Deterministic zipfy-vocabulary name register at `out` (a
+    * documents.parquet the matchers read directly): the bench corpus'
+    * 40-shared-token whitespace vocabulary makes every doc near-tie
+    * at the argmax, so its capped-regime agreement measures CORPUS
+    * DEGENERACY, not champion-list fidelity (the r11 adjudication).
+    * Real registers — the reference's matching domain
+    * (entity_matching.py) — have wide zipfy vocabularies; this slice
+    * reproduces that regime deterministically: V-word vocabulary with
+    * rank drawn as exp(u·lnV) (zipf-1 inverse CDF), 4-7 tokens per
+    * name, and every second even/odd pair a planted near-duplicate
+    * (one token swapped) so exact truth has real matches to find.
+    */
+  def writeNameCorpus(spark: SparkSession, out: String,
+      n: Long = 20000L, vocab: Int = 4000): Unit = {
+    import spark.implicits._
+    def u(s: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val x = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+        ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+      x / 4294967296.0
+    }
+    def zipfTok(seed: String): String = {
+      val r = math.min(vocab.toLong,
+        math.max(1L, math.exp(u(seed) * math.log(vocab.toDouble)).toLong))
+      s"w$r"
+    }
+    val df = spark.range(0, n).map { d =>
+      val m = d / 2
+      val ntok = 4 + (u(s"name$m#n") * 4).toInt // 4..7
+      val base = (0 until ntok).map(k => zipfTok(s"name$m#t$k"))
+      val toks =
+        if (d % 2 == 0) base
+        else if (m % 2 == 0) // planted near-dup: one token swapped
+          base.updated(ntok - 1, zipfTok(s"name$d#swap"))
+        else (0 until ntok).map(k => zipfTok(s"name$d#u$k"))
+      (d, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'names' AS source",
+        "length(text) AS n_chars")
+    df.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    graft.PlanCache.invalidate(out)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "RECALL_EVAL.json"
     // iteration aid: restrict to one section
-    // (all | matchers | ngram | sf10 | sf10_ngram | sf10_matchers)
+    // (all | matchers | ngram | names | sf10 | sf10_ngram |
+    //  sf10_matchers)
     val sections = if (args.length > 2) args(2) else "all"
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors)
@@ -160,12 +220,14 @@ object RecallEval {
       graft.PlanCache.invalidate(sub)
       val exact = Dedup.ngramJaccardScores(spark, sub, minJaccard = 0.5)
         .filter(col("jaccard") >= 0.5)
+      val be = bins(exact)
+      assertExactRegime("dedup_ngram_jaccard.regime", sub)
       val capped = Dedup.ngramJaccardScores(spark, sfDir, minJaccard = 0.5)
         .filter(col("jaccard") >= 0.5)
         .filter(col("i") % NgramDocSample === 0 &&
           col("j") % NgramDocSample === 0)
       parts += ngramSectionJson("dedup_ngram_jaccard_sf10",
-        "lsh_candidates (production)", bins(exact), bins(capped),
+        "lsh_candidates (production)", be, bins(capped),
         s""", "doc_sample": $NgramDocSample""")
     }
     if (sections == "sf10" || sections == "sf10_matchers") {
@@ -181,18 +243,74 @@ object RecallEval {
         top1Map(Matching.matchBm25Topk(spark, sfDir)))
       val bm25Exact = top1Map(Matching.matchBm25Topk(spark, sfDir,
         denseVocabMax = 4096, querySample = Bm25QuerySample))
+      assertExactRegime("match_bm25_topk.regime", sfDir)
       parts += matcherMetrics("match_bm25_topk_sf10", bm25Exact,
         bm25Cap.filter { case (i, _) => (i / 2) % Bm25QuerySample == 0 },
         f""",
            |    "query_sample": $Bm25QuerySample, "capped_seconds": $bm25Secs%.1f""".stripMargin)
       val (tfidfCap, tfidfSecs) = timed(
         top1Map(Matching.matchTfidfTopk(spark, sfDir)))
+      // below-threshold decomposition of any coverage gap: the same
+      // capped run with the final 0.5 filter lifted says, per sampled
+      // query, whether it had NO admitted candidate at all or only
+      // candidates scoring under the threshold — the difference
+      // between a champion-cut defect and a threshold semantics fact
+      val tfidfCapAll = top1Map(Matching.matchTfidfTopk(spark, sfDir,
+        denseVocabMax = 4096, simThreshold = 0.0))
       val tfidfExact = top1Map(Matching.matchTfidfTopk(spark, sfDir,
         denseVocabMax = 4096, querySample = TfidfQuerySample))
-      parts += matcherMetrics("match_tfidf_topk_sf10", tfidfExact,
-        tfidfCap.filter { case (i, _) => (i / 2) % TfidfQuerySample == 0 },
+      assertExactRegime("match_tfidf_topk.regime", sfDir)
+      val sampled: ((Long, (Long, Double))) => Boolean =
+        { case (i, _) => (i / 2) % TfidfQuerySample == 0 }
+      val tCapS = tfidfCap.filter(sampled)
+      val tAllS = tfidfCapAll.filter(sampled)
+      val uncovered = tfidfExact.keySet -- tCapS.keySet
+      val belowThresh = uncovered.count(tAllS.contains)
+      val noCand = uncovered.size - belowThresh
+      parts += matcherMetrics("match_tfidf_topk_sf10", tfidfExact, tCapS,
         f""",
-           |    "query_sample": $TfidfQuerySample, "capped_seconds": $tfidfSecs%.1f""".stripMargin)
+           |    "query_sample": $TfidfQuerySample, "capped_seconds": $tfidfSecs%.1f,
+           |    "uncovered_below_threshold": $belowThresh, "uncovered_no_candidates": $noCand""".stripMargin)
+    }
+
+    // ---- realistic-vocabulary slice: the SAME capped pipeline at the
+    // SHIPPED budget over a zipfy wide-vocab name register (see
+    // [[writeNameCorpus]]) — separates champion-list fidelity from
+    // the bench corpus' 40-token degeneracy.
+    if (sections == "all" || sections == "names") {
+      val nd = "/tmp/recall_names"
+      writeNameCorpus(spark, nd)
+      val tfidfExactN = top1Map(Matching.matchTfidfTopk(spark, nd))
+      assertExactRegime("match_tfidf_topk.regime", nd)
+      val tfidfCapN = top1Map(Matching.matchTfidfTopk(spark, nd,
+        denseVocabMax = 4096, exactPairBudget = Matching.CappedAdmitPairs))
+      parts += matcherMetrics("match_tfidf_topk_names", tfidfExactN,
+        tfidfCapN, """,
+           |    "corpus": "zipf-4000-vocab names, 20k docs"""".stripMargin)
+      val bm25ExactN = top1Map(Matching.matchBm25Topk(spark, nd))
+      assertExactRegime("match_bm25_topk.regime", nd)
+      val bm25CapN = top1Map(Matching.matchBm25Topk(spark, nd,
+        denseVocabMax = 4096, exactPairBudget = Matching.CappedAdmitPairs))
+      parts += matcherMetrics("match_bm25_topk_names", bm25ExactN,
+        bm25CapN, """,
+           |    "corpus": "zipf-4000-vocab names, 20k docs"""".stripMargin)
+      // at the shipped 5e7 budget a 20k-name register is admitted in
+      // FULL (champion K = max postings — the gate lines say so), so
+      // the rows above prove budget sufficiency, not truncation
+      // fidelity; a 10x-tighter budget forces a real champion cut on
+      // the same corpus and measures what truncation actually costs
+      // where vocabulary is wide
+      val tight = Matching.CappedAdmitPairs / 10
+      val tfidfTight = top1Map(Matching.matchTfidfTopk(spark, nd,
+        denseVocabMax = 4096, exactPairBudget = tight,
+        admitPairBudget = tight))
+      parts += matcherMetrics("match_tfidf_topk_names_budget_0.1x",
+        tfidfExactN, tfidfTight)
+      val bm25Tight = top1Map(Matching.matchBm25Topk(spark, nd,
+        denseVocabMax = 4096, exactPairBudget = tight,
+        admitPairBudget = tight))
+      parts += matcherMetrics("match_bm25_topk_names_budget_0.1x",
+        bm25ExactN, bm25Tight)
     }
 
     // ---- tfidf / bm25: forced capped regime vs the exact regime.

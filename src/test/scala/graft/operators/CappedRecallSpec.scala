@@ -111,4 +111,50 @@ class CappedRecallSpec extends graft.SparkSpec {
     val minKept = cand.agg(min("j")).head().getLong(0)
     assert(minKept >= 100L, s"low-impact posting admitted: j=$minKept")
   }
+
+  test("admitBudgetFor: depth floor is a CORPUS FRACTION per query, " +
+      "and sampled call sites divide queries by the sample factor") {
+    val base = 1e6
+    // small vocab + reachable depth (4e6 / 1000 / 1000 = 4 >= 0.25)
+    assert(Matching.admitBudgetFor(1000, base, 1000, 1000) == 4 * base)
+    // small vocab, depth NOT reachable (0.04 < 0.25): keep base —
+    // the sf10 lesson (scaling spend cannot buy argmax fidelity on a
+    // near-tie corpus below the depth floor)
+    assert(Matching.admitBudgetFor(1000, base, 100000, 1000) == base)
+    // the SAME run 1-in-100 query-sampled reaches the floor: call
+    // sites must pass nQueries/querySample (ADVICE r11: passing the
+    // unsampled count understates depth by the sample factor)
+    assert(Matching.admitBudgetFor(1000, base, 100000 / 100, 1000)
+      == 4 * base)
+    // wide vocab never scales regardless of depth
+    assert(Matching.admitBudgetFor(10000, base, 10, 10) == base)
+  }
+
+  test("tfidf capped regime on a wide zipfy vocabulary: normalized " +
+      "champion impact preserves coverage AND the argmax (canary for " +
+      "the r11 sf10 coverage collapse)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("capped_names").toString
+    graft.tools.RecallEval.writeNameCorpus(spark, dir, n = 400, vocab = 300)
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+      df.collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = top1(Matching.matchTfidfTopk(spark, dir))
+    assert(graft.GateLog.lastDecision("match_tfidf_topk.regime", dir)
+      .exists(_.chosen != "capped"))
+    // force the capped regime at a budget that truncates (4e4 exact
+    // pairs > 1e4) — fidelity must survive a REAL champion cut
+    val capped = top1(Matching.matchTfidfTopk(spark, dir,
+      denseVocabMax = 4096, exactPairBudget = 1e4, admitPairBudget = 1e4))
+    assert(graft.GateLog.lastDecision("match_tfidf_topk.regime", dir)
+      .exists(_.chosen == "capped"))
+    assert(exact.nonEmpty)
+    val covered = exact.keySet.intersect(capped.keySet)
+    assert(covered == exact.keySet,
+      s"capped run lost ${exact.size - covered.size} of ${exact.size} queries")
+    val agree = covered.count(i => capped(i)._1 == exact(i)._1)
+    assert(agree == covered.size,
+      s"argmax disagreement on ${covered.size - agree} queries")
+    graft.PlanCache.invalidate(dir)
+  }
 }

@@ -22,8 +22,13 @@ import sys
 
 
 def key_to_file(verdict_path):
+    # file cells may carry a directory prefix (multimodal/
+    # BinaryColumns.scala:530, sources/Extraction.scala:95) — the
+    # family is the bare file stem either way
     m = {}
-    pat = re.compile(r"^\|\s*`([a-z0-9_]+)`\s*\|.*?\|\s*([A-Za-z]+)\.scala:\d+")
+    pat = re.compile(
+        r"^\|\s*`([a-z0-9_]+)`\s*\|.*?\|"
+        r"\s*(?:[A-Za-z0-9_]+/)*([A-Za-z0-9_]+)\.scala:\d+")
     for line in open(verdict_path):
         mm = pat.match(line)
         if mm:
@@ -54,6 +59,12 @@ def main(verdict, sf1_path, sf10_path):
     for e, fam, n, s1, s10, wk, wr in sorted(rows, reverse=True):
         print(f"| {fam} | {n} | {s1:.1f} | {s10:.1f} | {e:.2f} "
               f"| `{wk}` ({wr:.1f}x) |")
+    # dropped attribution must be VISIBLE: an UNKNOWN family row means
+    # the VERDICT.md table format drifted past the regex above
+    unknown = [k for k in q10 if k in q1 and fam_of.get(k) is None]
+    if unknown:
+        print(f"\nWARNING: {len(unknown)} queries fell to UNKNOWN "
+              f"(first: {sorted(unknown)[:5]}) — fix key_to_file's regex")
     t1 = sum(v for v in q1.values() if v > 0)
     t10 = sum(v for v in q10.values() if v > 0)
     print(f"\ntotal: sf1 {t1:.1f}s -> sf10 {t10:.1f}s, "
