@@ -14,8 +14,10 @@ run / fork := true
 // the driver parses the LAST stdout line of `sbt runMain graft.Bench`
 // as the bench summary JSON; sbt's trailing "[success] Total time"
 // line has kept BENCH_r{N}.json at parsed:null since r10 — suppress
-// it so the contract line Bench prints last actually IS last
+// it so the contract line Bench prints last actually IS last, and
+// pass forked run output through verbatim (no "[info] " prefix)
 Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
