@@ -7193,14 +7193,14 @@ object SparkEntry {
         |   AND a.doc_id < b.doc_id
         | JOIN hot h ON h.band = a.band AND h.bkey = a.bkey
         | GROUP BY 1, 2),
-        |hotrows AS (SELECT 'hot_bucket' AS kind, hot.band, hot.bkey,
-        |  k AS bucket_k, n_pairs,
+        |hotrows AS (SELECT 'hot_bucket' AS kind, hot.band AS band,
+        |  hot.bkey AS bkey, k AS bucket_k, n_pairs,
         |  round(CAST(sum_ham AS DOUBLE) / n_pairs, 6) AS avg_hamming,
         |  CAST(NULL AS BIGINT) AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
         |  CAST(NULL AS BIGINT) AS hamming
         | FROM hot JOIN hotham ON hotham.band = hot.band
         |   AND hotham.bkey = hot.bkey
-        | ORDER BY bucket_k DESC, band, bkey LIMIT 20),
+        | ORDER BY bucket_k DESC, hot.band, hot.bkey LIMIT 20),
         |warm AS (SELECT band, bkey FROM bk WHERE k BETWEEN 2 AND 16),
         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(min(bit_count(xor(a.h48, b.h48))) AS BIGINT) AS hamming

@@ -230,7 +230,8 @@ object RecallEval {
         "lsh_candidates (production)", be, bins(capped),
         s""", "doc_sample": $NgramDocSample""")
     }
-    if (sections == "sf10" || sections == "sf10_matchers") {
+    if (sections == "sf10" || sections == "sf10_matchers" ||
+        sections == "sf10_tfidf") {
       // capped side = the PRODUCTION run (its timing is the shipped
       // sf10 cost), result map filtered to the sampled queries whose
       // exact truth the querySample run computes against the full
@@ -239,6 +240,7 @@ object RecallEval {
         val t0 = System.nanoTime(); val r = f
         (r, (System.nanoTime() - t0) / 1e9)
       }
+      if (sections != "sf10_tfidf") {
       val (bm25Cap, bm25Secs) = timed(
         top1Map(Matching.matchBm25Topk(spark, sfDir)))
       val bm25Exact = top1Map(Matching.matchBm25Topk(spark, sfDir,
@@ -248,6 +250,7 @@ object RecallEval {
         bm25Cap.filter { case (i, _) => (i / 2) % Bm25QuerySample == 0 },
         f""",
            |    "query_sample": $Bm25QuerySample, "capped_seconds": $bm25Secs%.1f""".stripMargin)
+      }
       val (tfidfCap, tfidfSecs) = timed(
         top1Map(Matching.matchTfidfTopk(spark, sfDir)))
       // below-threshold decomposition of any coverage gap: the same
@@ -267,10 +270,27 @@ object RecallEval {
       val uncovered = tfidfExact.keySet -- tCapS.keySet
       val belowThresh = uncovered.count(tAllS.contains)
       val noCand = uncovered.size - belowThresh
+      // threshold-straddle evidence: if the uncovered population's
+      // EXACT best scores sit just above 0.5 while their capped best
+      // sit just below, the coverage gap is the near-tie corpus
+      // crossing the threshold under a few-percent regret — the bm25
+      // agreement collapse wearing tfidf's threshold — not a missing-
+      // candidate defect (uncovered_no_candidates says that part)
+      def pcts(xs: Seq[Double]): String =
+        if (xs.isEmpty) "[]"
+        else {
+          val s = xs.sorted
+          def p(q: Double) = s(math.min(s.size - 1, (q * s.size).toInt))
+          f"""{"min": ${s.head}%.4f, "p50": ${p(0.5)}%.4f, "max": ${s.last}%.4f}"""
+        }
+      val uncExact = pcts(uncovered.toSeq.flatMap(tfidfExact.get).map(_._2))
+      val uncCapped = pcts(uncovered.toSeq.flatMap(tAllS.get).map(_._2))
       parts += matcherMetrics("match_tfidf_topk_sf10", tfidfExact, tCapS,
         f""",
            |    "query_sample": $TfidfQuerySample, "capped_seconds": $tfidfSecs%.1f,
-           |    "uncovered_below_threshold": $belowThresh, "uncovered_no_candidates": $noCand""".stripMargin)
+           |    "uncovered_below_threshold": $belowThresh, "uncovered_no_candidates": $noCand,
+           |    "uncovered_exact_best": $uncExact,
+           |    "uncovered_capped_best": $uncCapped""".stripMargin)
     }
 
     // ---- realistic-vocabulary slice: the SAME capped pipeline at the
