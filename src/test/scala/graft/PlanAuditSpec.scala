@@ -93,7 +93,12 @@ class PlanAuditSpec extends SparkSpec {
       assert(!pB.contains("CartesianProduct"))
       // oversized regime: cap of 0 forces the fallback — the closing
       // join shuffles on (n1,n2) instead of OOMing the driver with a
-      // forced broadcast of an edge list that no longer fits
+      // forced broadcast of an edge list that no longer fits. The
+      // default run above persisted triangle_per_node (r12), and
+      // Spark's CacheManager substitutes any sameResult subtree with
+      // the InMemoryRelation — whose BUILD plan embeds the broadcast
+      // — so drop the cache first to expose the fallback's own plan.
+      PlanCache.invalidate(sf)
       val pS = plan(operators.Graph.graphTriangles(spark, sf, broadcastEdgesMaxBytes = 0L))
       assert(!pS.contains("BroadcastHashJoin"),
         "above the cap the closing probe must not force a broadcast")
