@@ -54,6 +54,25 @@ object Graph {
         .distinct()
     }
 
+  /** The family's ONE (node, dg) undirected-degree relation, shared
+    * under the PlanCache. Seven members used to re-derive this table
+    * inline from the 239M-row pair cache (two projections + a
+    * groupBy shuffle EACH — the r12 exponent table's named cause for
+    * graph_degree_gini/hist's ~17× warm ratios: a row-based
+    * InMemoryRelation scan of a wide relation loses to columnar
+    * parquet when the consumer needs ≤2 long columns). The |V|-row
+    * degree table is what those consumers actually read — build it
+    * once, cache the NARROW thing, and every consumer's edge-cache
+    * rescan disappears.
+    */
+  private[operators] def degrees(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("graph_degrees", spark, dir) {
+      val e = coPairCounts(spark, dir).select("u", "v")
+      e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+    }
+
   def graphPagerank(spark: SparkSession, dir: String): DataFrame =
     graphPagerank(spark, dir, broadcastRankMaxBytes = 256L << 20)
 
@@ -77,9 +96,8 @@ object Graph {
     val pairs = coPairCounts(spark, dir)
     val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
-    val deg = graft.PlanCache.cached("pagerank_deg", spark, dir) {
-      edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    }
+    val deg = degrees(spark, dir)
+      .select(col("node").as("src"), col("dg").as("outdeg"))
     // The per-iteration state is the |V|-row rank vector; the edge
     // list is the big side. Fold the degree into a per-edge message
     // weight ONCE and pre-partition the cached edges by dst: under
@@ -312,10 +330,7 @@ object Graph {
     * count) grid with block-ECDF prefixes.
     */
   def graphDegreeGini(spark: SparkSession, dir: String): DataFrame = {
-    val e = coPairCounts(spark, dir).select("u", "v")
-    val deg = e.select(col("u").as("node"))
-      .unionAll(e.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val deg = degrees(spark, dir)
     val grid = deg.groupBy(col("dg").as("v"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("blk", expr("v div 256"))
@@ -355,9 +370,7 @@ object Graph {
     */
   def graphRichClub(spark: SparkSession, dir: String): DataFrame = {
     val e = coPairCounts(spark, dir).select("u", "v")
-    val deg = e.select(col("u").as("node"))
-      .unionAll(e.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val deg = degrees(spark, dir)
     val ks = spark.range(0, 4).select((col("id") * 8).as("k"))
     val clubSize = deg.crossJoin(broadcast(ks))
       .filter(col("dg") > col("k"))
@@ -524,9 +537,7 @@ object Graph {
   def communityModularity(spark: SparkSession, dir: String): DataFrame = {
     val lbl = lpaLabels(spark, dir)
     val e = coPairCounts(spark, dir).select("u", "v")
-    val deg = e.select(col("u").as("node"))
-      .unionAll(e.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val deg = degrees(spark, dir)
     val m = e.agg(count(lit(1)).as("m"))
     val dc = lbl.join(deg, "node")
       .groupBy("lbl").agg(sum("dg").as("d_c"), count(lit(1)).as("n_members"))
@@ -580,9 +591,7 @@ object Graph {
       e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
         .toDF("s", "d")
     }
-    val deg = graft.PlanCache.cached("aa_deg", spark, dir) {
-      sym.groupBy(col("s").as("node")).agg(count(lit(1)).as("dg"))
-    }
+    val deg = degrees(spark, dir)
     val q = deg.orderBy(col("dg").desc, col("node")).limit(50)
       .select(col("node").as("a"), col("dg").as("deg_a"))
     // hop 1: query → its neighbors c; hop 2: c → its neighbors b
@@ -636,8 +645,7 @@ object Graph {
     val pairs = coPairCounts(spark, dir).select("u", "v")
     val edges = pairs
       .unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
-    val deg = edges.groupBy(col("u").as("node"))
-      .agg(count(lit(1)).as("dg"))
+    val deg = degrees(spark, dir)
     val m = edges
       .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
@@ -683,19 +691,46 @@ object Graph {
     * shrinking. Output: R rows, constant in corpus size.
     */
   def graphKcore(spark: SparkSession, dir: String,
-                 k: Int = 80, rounds: Int = 6): DataFrame = {
+                 k: Int = 80, rounds: Int = 6): DataFrame =
+    graphKcore(spark, dir, k, rounds, broadcastAliveMaxBytes = 256L << 20)
+
+  /** broadcastAliveMaxBytes gates whether each peel round's alive set
+    * (≤ |V| node ids) broadcasts into the two endpoint semijoins.
+    * Under the gate a round is a pure map-side pass over the cached
+    * src-partitioned edge relation — two broadcast-hash probes + an
+    * in-partition count-by-src, NO edge shuffle per round (the
+    * pagerank rank-side regime, measured there: a forced broadcast
+    * above the cap OOMs the driver, so the switch rides a measured
+    * node count). Above the cap the semijoins shuffle — the plan
+    * that holds at any |V|. Exposed so tests pin both regimes.
+    */
+  def graphKcore(spark: SparkSession, dir: String, k: Int, rounds: Int,
+                 broadcastAliveMaxBytes: Long): DataFrame = {
     val pairs = coPairCounts(spark, dir).select("u", "v")
     val edges = graft.PlanCache.cached("kcore_edges", spark, dir) {
       pairs.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
         .repartition(col("src"))
     }
-    var alive: DataFrame = edges.select(col("src").as("node")).distinct()
+    // One measured decision for every round: the alive set only
+    // shrinks, so if round 1's survivor count fits, every later
+    // round's does too. degrees() is PlanCache'd — the count
+    // materializes the same cache round 1 seeds from.
+    val nNodes = degrees(spark, dir).count()
+    val aliveFits = nNodes * 32L <= broadcastAliveMaxBytes
+    graft.GateLog.decide("graph_kcore.alive_side", dir,
+      if (aliveFits) "broadcast" else "shuffle",
+      s"nodes=$nNodes est=${nNodes * 32L}B max=${broadcastAliveMaxBytes}B")
+    // Round 1's "degree within the surviving set" IS the full-graph
+    // degree table (alive starts as every node), so it seeds from the
+    // shared narrow [[degrees]] cache instead of paying one full
+    // 2|E|-row scan + two semijoins for what a |V|-row relation
+    // already holds.
+    var alive: DataFrame = null
     val stats = (1 to rounds).map { r =>
-      val d = edges
-        .join(alive.select(col("node").as("src")), "src")
-        .join(alive.select(col("node").as("dst")), "dst")
-        .groupBy("src").agg(count(lit(1)).as("dg"))
+      val d =
+        if (r == 1) degrees(spark, dir).select(col("node").as("src"), col("dg"))
+        else kcoreRoundDegrees(edges, alive, aliveFits)
       val a = d.filter(col("dg") >= k).localCheckpoint()
       alive = a.select(col("src").as("node"))
       a.agg(
@@ -706,6 +741,21 @@ object Graph {
         coalesce(sum("dg"), lit(0L)).as("sum_deg"))
     }
     stats.reduce(_.unionAll(_)).orderBy("round")
+  }
+
+  /** One peel round's in-set degree table — exposed (package-private)
+    * because [[graphKcore]]'s localCheckpoint materializes each round
+    * eagerly, so the returned trace's plan shows only
+    * `Scan ExistingRDD` heads and PlanAuditSpec could not otherwise
+    * pin the per-round join regime the alive-side gate chooses.
+    */
+  private[graft] def kcoreRoundDegrees(edges: DataFrame, alive: DataFrame,
+                                       aliveFits: Boolean): DataFrame = {
+    def gate(df: DataFrame): DataFrame = if (aliveFits) broadcast(df) else df
+    edges
+      .join(gate(alive.select(col("node").as("src"))), "src")
+      .join(gate(alive.select(col("node").as("dst"))), "dst")
+      .groupBy("src").agg(count(lit(1)).as("dg"))
   }
 
   /** Degree distribution of the co-order part graph: exact log2-bin
@@ -724,10 +774,7 @@ object Graph {
     * the one-row tail summary broadcast onto them.
     */
   def graphDegreeHist(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = coPairCounts(spark, dir).select("u", "v")
-    val deg = pairs.select(col("u").as("node"))
-      .unionAll(pairs.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("dg"))
+    val deg = degrees(spark, dir)
     val binned = deg
       .withColumn("bin_l2", (length(bin(col("dg"))) - 1).cast("long"))
       .groupBy("bin_l2").agg(count(lit(1)).as("n_nodes"))
@@ -763,7 +810,7 @@ object Graph {
     * Σ_{c∈N(a)} deg(c) per query node — the same wedge bound as
     * Adamic-Adar, never |V|². The symmetric edge list and degree
     * table are the PlanCache relations SHARED with graphAdamicAdar
-    * ("aa_sym"/"aa_deg"): when both queries run, the expensive
+    * ("aa_sym"/"graph_degrees"): when both queries run, the expensive
     * self-join is built once. Reach dedup is one distinct on the
     * bounded (a, b) wedge output.
     */
@@ -773,9 +820,7 @@ object Graph {
       e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
         .toDF("s", "d")
     }
-    val deg = graft.PlanCache.cached("aa_deg", spark, dir) {
-      sym.groupBy(col("s").as("node")).agg(count(lit(1)).as("dg"))
-    }
+    val deg = degrees(spark, dir)
     val q = deg.orderBy(col("dg").desc, col("node")).limit(50)
       .select(col("node").as("a"), col("dg").as("deg_a"))
     val hop1 = sym.join(broadcast(q.select("a")), col("s") === col("a"))

@@ -292,13 +292,12 @@ object TextAnalysis {
       d.select(explode(toks).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cw"))
     }
-    val bi = d.withColumn("t", toks).filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(t)-1), i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"))
-        .as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // still its own (small) cache: totals and the scored join both
+    // re-read it, and the fold-away re-agg from the shared per-source
+    // cache shouldn't run twice
     val cbi = graft.PlanCache.cached("pmi_cbi", spark, dir) {
-      bi.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      sourceBigramCounts(spark, dir)
+        .groupBy("w1", "w2").agg(sum("c12").as("cxy"))
     }
     // corpus totals as ONE broadcast one-row cross join (the
     // codebase's scalar-subquery pattern) — no driver-side eager
@@ -541,15 +540,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-(source, w1, w2) bigram counts — the ONE explode+partial-agg
+    * pass over the corpus that the bigram family shares under the
+    * PlanCache. Three consumers re-derived this scan independently
+    * (the 30s-apiece sf10 cost was the doc scan + 100M-row explode,
+    * not their own rollups): [[textBigramEntropy]] reads it verbatim,
+    * [[textBigrams]] and [[textPmiBigrams]] fold the source column
+    * away with a second (much smaller) distinct-bigram-sized
+    * aggregate — per-source counts sum to the global counts exactly,
+    * so the derived tables are equal row-for-row to the scans they
+    * replace.
+    */
+  private def sourceBigramCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("bigram_counts_src", spark, dir) {
+      Tables.documents(spark, dir)
+        .withColumn("t", toks).filter(size(col("t")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"))
+          .as("b"))
+        .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("source", "w1", "w2").agg(count(lit(1)).as("c12"))
+    }
+
   /** Top-20 corpus bigrams. */
   def textBigrams(spark: SparkSession, dir: String): DataFrame = {
-    val bi = Tables.documents(spark, dir)
-      .withColumn("t", toks)
-      .filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(t)-1), i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"))
-        .as("bigram"))
-    val agg = bi.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    val agg = sourceBigramCounts(spark, dir)
+      .groupBy(concat(col("w1"), lit(" "), col("w2")).as("bigram"))
+      .agg(sum("c12").as("cnt"))
     graft.functions.TopK.globalWithRank(agg, 20, col("cnt").desc, col("bigram"))
   }
 
@@ -786,14 +804,7 @@ object TextAnalysis {
     * word, bounded rollups. |sources| rows out.
     */
   def textBigramEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(spark, dir)
-      .withColumn("t", toks).filter(size(col("t")) >= 2)
-    val bi = t.select(col("source"), explode(expr(
-        "transform(sequence(1, size(t) - 1), " +
-          "i -> struct(element_at(t, i) AS w1, element_at(t, i+1) AS w2))"))
-        .as("b"))
-      .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .groupBy("source", "w1", "w2").agg(count(lit(1)).as("c12"))
+    val bi = sourceBigramCounts(spark, dir)
     val uni = bi.groupBy("source", "w1").agg(sum("c12").as("c1"))
     val tot = uni.groupBy("source").agg(sum("c1").as("n_bi"))
     val joint = bi.join(uni, Seq("source", "w1")).join(tot, "source")

@@ -136,6 +136,42 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("graph_kcore: alive set broadcasts under the cap, shuffles above it; regimes agree") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // graphKcore localCheckpoints every round, so the returned
+      // trace's plan shows only ExistingRDD heads — pin the per-round
+      // regime on the round builder itself, with a planted edge/alive
+      // pair (the same shape the real rounds feed it)
+      import spark.implicits._
+      val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+        .toDF("src", "dst")
+      val alive = Seq(1L, 2L, 3L).toDF("node")
+      val pB = plan(operators.Graph.kcoreRoundDegrees(edges, alive,
+        aliveFits = true))
+      assert(pB.contains("BroadcastHashJoin"),
+        "under the cap the alive semijoins must broadcast")
+      assert(!pB.contains("CartesianProduct"))
+      // oversized regime: the shuffled fallback — the semijoins
+      // repartition instead of OOMing the driver with a forced
+      // broadcast of an alive set that no longer fits
+      val pS = plan(operators.Graph.kcoreRoundDegrees(edges, alive,
+        aliveFits = false))
+      assert(!pS.contains("BroadcastHashJoin"),
+        "above the cap the alive semijoins must not force a broadcast")
+      assert(pS.contains("SortMergeJoin") || pS.contains("ShuffledHashJoin"),
+        s"above the cap the alive semijoins must shuffle:\n${pS.take(2000)}")
+      assert(!pS.contains("CartesianProduct"))
+      // both end-to-end regimes compute the identical peel trace, and
+      // the measured gate records its decision
+      assert(operators.Graph.graphKcore(spark, sf, 80, 6, 0L).collect().toSeq ==
+        operators.Graph.graphKcore(spark, sf).collect().toSeq)
+      assert(GateLog.lastDecision("graph_kcore.alive_side", sf)
+        .exists(d => d.chosen == "broadcast" || d.chosen == "shuffle"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("match_blocking_eval: sampled supplier side broadcasts under the cap only") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
