@@ -767,17 +767,39 @@ object Dedup {
     * known-bounded by construction.
     */
   /** Distinct word-5-gram hashes per doc — shared by the
-    * decontamination gate and the novelty profile.
+    * decontamination gate, the novelty profile, and (via
+    * [[fiveGramDf]]) the cross-doc dup-mass metric. Keys are
+    * xxhash64 of the 5 tokens (8-byte longs, the dup-mass shuffle
+    * discipline — these keys cross a df aggregate and two hash
+    * joins; the md5-of-string form shuffled 32-char keys), and the
+    * map-side array_distinct dedups LONGS before the explode. Token
+    * equality == 5-tuple equality, the oracle keeps raw gram
+    * strings, and a 64-bit collision would surface as a hash
+    * mismatch at the gate (none at any SF).
     */
-  private def fiveGrams(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def fiveGrams(spark: SparkSession, dir: String): DataFrame =
     graft.PlanCache.cached("word5_grams", spark, dir) {
       Tables.documents(spark, dir)
         .withColumn("t", tokensCol)
         .filter(size(col("t")) >= 5)
         .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(1, size(t)-4), i -> array_join(slice(t, i, 5), ' '))")))
-          .as("g5"))
-        .select(col("doc_id"), md5(col("g5")).as("h"))
+          "transform(sequence(1, size(t)-4), " +
+            "i -> xxhash64(element_at(t, i), element_at(t, i + 1), " +
+            "element_at(t, i + 2), element_at(t, i + 3), " +
+            "element_at(t, i + 4)))")))
+          .as("h"))
+    }
+
+  /** Per-gram document frequency (h, df) over [[fiveGrams]] — the
+    * ONE gram-keyed counting aggregate that [[textNgramNovelty]]
+    * (novel/common split) and [[TextAnalysis.textDupNgramMass]]
+    * (docs-per-gram dup flag) both need, shared under the PlanCache
+    * so the second consumer reads |distinct grams| cached rows
+    * instead of re-aggregating the corpus.
+    */
+  private[operators] def fiveGramDf(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("word5_df", spark, dir) {
+      fiveGrams(spark, dir).groupBy("h").agg(count(lit(1)).as("df"))
     }
 
   def contaminationNgram(spark: SparkSession, dir: String): DataFrame = {
@@ -806,7 +828,7 @@ object Dedup {
     */
   def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val grams = fiveGrams(spark, dir)
-    val dfreq = grams.groupBy("h").agg(count(lit(1)).as("df"))
+    val dfreq = fiveGramDf(spark, dir)
     grams.join(dfreq, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),

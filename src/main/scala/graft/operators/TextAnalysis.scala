@@ -182,6 +182,11 @@ object TextAnalysis {
     * weights end-to-end — the profile is summation-order-exact.
     */
   def textFeatureHashing(spark: SparkSession, dir: String, dims: Int = 64): DataFrame = {
+    // The weight branch stays at occurrence grain: dim and sign are
+    // map-side md5 parses riding the scan, and groupBy(doc, dim) has
+    // map-side combine onto |docs|·64 keys — no token ever shuffles.
+    // (Shuffling doc-token rows first measures WORSE: the string
+    // shuffle costs more than the digests it saves.)
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(toks).as("token"))
     val feats = tok
@@ -192,7 +197,16 @@ object TextAnalysis {
           substring(md5(col("token")), 3, 1), 1) % 2 === 0, 1L).otherwise(-1L))
     val perDocDim = feats.groupBy("doc_id", "dim")
       .agg(sum("s").as("w"), count(lit(1)).as("n_occ"))
-    val tokDim = feats.select("dim", "token").distinct()
+    // The distinct-token census reads the corpus VOCABULARY — the
+    // perplexity family's shared "ppl_uni" unigram-count relation —
+    // instead of paying this branch's own second scan + digest pass
+    // over every token occurrence: dim is a function of the token
+    // alone, so hashing the |vocab|-row model table gives the exact
+    // same per-dim distinct count (the occurrence-grain distinct and
+    // the vocab-grain hash collapse to the same token set).
+    val tokDim = uniCounts(spark, dir).select(col("w").as("token"))
+      .withColumn("dim",
+        graft.functions.HexExprs.hexPrefixLong(md5(col("token")), 2) % dims)
       .groupBy("dim").agg(count(lit(1)).as("n_distinct_tokens"))
     perDocDim.groupBy("dim")
       .agg(count(lit(1)).as("n_docs"),
@@ -287,11 +301,10 @@ object TextAnalysis {
     * TakeOrderedAndProject.
     */
   def textPmiBigrams(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val uni = graft.PlanCache.cached("pmi_uni", spark, dir) {
-      d.select(explode(toks).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cw"))
-    }
+    // corpus unigram counts = the unigram-LM model table — same
+    // relation ("ppl_uni"), so PMI rides the perplexity family's
+    // cache instead of paying its own full corpus explode
+    val uni = uniCounts(spark, dir)
     // still its own (small) cache: totals and the scored join both
     // re-read it, and the fold-away re-agg from the shared per-source
     // cache shouldn't run twice
@@ -944,8 +957,14 @@ object TextAnalysis {
           "element_at(t, i + 4)))")).as("g"))
     val bySrcGram = grams.groupBy("source", "g")
       .agg(count(lit(1)).as("occ"))
-    val docsPerGram = grams.select("doc_id", "g").distinct()
-      .groupBy("g").agg(count(lit(1)).as("n_docs"))
+    // docs-per-gram is the SAME relation as the novelty family's
+    // per-gram df (identical tokenizer, identical xxhash64 keys,
+    // identical ≥5-token filter; fiveGrams is per-doc DISTINCT grams
+    // so its df IS the distinct-doc count) — ride the shared cache
+    // instead of paying a second full corpus explode + a 100M-row
+    // (doc, gram) distinct shuffle
+    val docsPerGram = Dedup.fiveGramDf(spark, dir)
+      .select(col("h").as("g"), col("df").as("n_docs"))
     bySrcGram.join(docsPerGram, "g")
       .groupBy("source")
       .agg(sum("occ").as("n_gram_occ"),
@@ -1012,6 +1031,18 @@ object TextAnalysis {
       .orderBy("ck")
   }
 
+  /** The per-(doc, token) term-frequency relation under tf-idf's
+    * column names — a projection over the SAME "ppl_tf" PlanCache
+    * relation the unigram-LM family shares ([[docTf]]), not a second
+    * corpus explode: read by [[textKeywordsTfidf]] (tf side of
+    * tf-idf) and [[textFeatureHashing]] (digest grain: hashing a
+    * token once per doc instead of once per occurrence is exact
+    * because dim and sign are functions of the token alone).
+    */
+  private def kwTf(spark: SparkSession, dir: String): DataFrame =
+    docTf(spark, dir)
+      .select(col("doc_id"), col("w").as("token"), col("cnt").as("c"))
+
   /** Per-document keyword extraction: top-3 tokens by TF-IDF — the
     * "what is this document about" signal used for topic balancing
     * and cluster labeling in corpus curation. df is one aggregate
@@ -1020,11 +1051,7 @@ object TextAnalysis {
     * 3-row heap — no global sort anywhere).
     */
   def textKeywordsTfidf(spark: SparkSession, dir: String): DataFrame = {
-    val tf = graft.PlanCache.cached("kw_tf", spark, dir) {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(toks).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
-    }
+    val tf = kwTf(spark, dir)
     val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("nd"))
     val scored = tf
