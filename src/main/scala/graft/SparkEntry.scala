@@ -657,9 +657,17 @@ object SparkEntry {
       | FROM bits GROUP BY 1, 2),
       |sim AS (SELECT doc_id, CAST(sum(
       |   (CASE WHEN sv > 0 THEN 1 ELSE 0 END) * CAST(pow(2,b) AS BIGINT)) AS BIGINT) AS simhash
-      | FROM sv GROUP BY doc_id)
+      | FROM sv GROUP BY doc_id),
+      |fam AS (SELECT simhash, count(*) AS n_members, min(doc_id) AS hub
+      | FROM sim GROUP BY 1 HAVING count(*) >= 2),
+      |m AS (SELECT s.doc_id, s.simhash, f.n_members, f.hub
+      | FROM sim s JOIN fam f USING (simhash))
       |SELECT a.doc_id AS i, b.doc_id AS j, a.simhash AS simhash
-      |FROM sim a JOIN sim b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+      |FROM m a JOIN m b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+      |WHERE a.n_members <= 16 AND b.n_members <= 16
+      |UNION ALL
+      |SELECT hub AS i, doc_id AS j, simhash FROM m
+      |WHERE n_members > 16 AND doc_id <> hub
       |ORDER BY i, j""".stripMargin
 
   private val dedupNgramJaccardSql: String =

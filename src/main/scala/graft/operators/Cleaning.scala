@@ -234,21 +234,25 @@ object Cleaning {
     * collapse, drop nulls, dedup by (url, name)
     * (clean_common_crawl.py:6-31).
     */
-  def cleanCc(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables.part(spark, dir)
-    val shaped = p.select(
-      concat(lit("  HTTPS://www."),
-        regexp_replace(col("p_name"), " ", "-"),
-        lit(".example.com/"), col("p_brand"), lit("  ")).as("raw_url"),
-      concat(lit(" "), col("p_name"), lit("   "), col("p_type"), lit(" ")).as("raw_name"),
-      col("p_partkey"))
-    shaped.select(
-      lower(substring(trim(col("raw_url")), 1, 500)).as("website_url"),
-      titleCase(col("raw_name")).as("company_name"))
-      .filter(col("website_url").isNotNull && col("company_name").isNotNull)
-      .dropDuplicates("website_url", "company_name")
-      .orderBy("website_url", "company_name")
-  }
+  def cleanCc(spark: SparkSession, dir: String): DataFrame =
+    // the cleaned register is PlanCache'd: [[ccDomains]] re-reads the
+    // same relation for its host rollup, and the (url, name) dedup
+    // shuffle over ~24M synthesized strings at sf10 is the family's
+    // whole cost — one build serves both consumers
+    graft.PlanCache.cached("clean_cc_register", spark, dir) {
+      val p = Tables.part(spark, dir)
+      val shaped = p.select(
+        concat(lit("  HTTPS://www."),
+          regexp_replace(col("p_name"), " ", "-"),
+          lit(".example.com/"), col("p_brand"), lit("  ")).as("raw_url"),
+        concat(lit(" "), col("p_name"), lit("   "), col("p_type"), lit(" ")).as("raw_name"),
+        col("p_partkey"))
+      shaped.select(
+        lower(substring(trim(col("raw_url")), 1, 500)).as("website_url"),
+        titleCase(col("raw_name")).as("company_name"))
+        .filter(col("website_url").isNotNull && col("company_name").isNotNull)
+        .dropDuplicates("website_url", "company_name")
+    }.orderBy("website_url", "company_name")
 
   /** Domain-level rollup of the cleaned web register: entities and
     * distinct names per host — the "which domains did we crawl"

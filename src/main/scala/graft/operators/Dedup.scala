@@ -360,9 +360,34 @@ object Dedup {
     * candidates. A 64-bit native variant lives in
     * graft.functions.SimHash64 for production use (tested in
     * ScalaTest; this query keeps the DuckDB-checkable form).
+    *
+    * Hot-bucket cap (the mm_phash/star-components discipline): a
+    * signature bucket with more than [[SimhashBucketCap]] members is
+    * a duplicate FAMILY — emitting its C(k,2) clique is quadratic in
+    * family size (measured: 460M pair rows at sf10, 97% of the
+    * method-agreement audit's input), and the clique carries no more
+    * information than its spanning star. Buckets ≤ cap keep full
+    * cliques (pairwise semantics where pairwise is affordable);
+    * bigger buckets emit hub→member stars — k−1 rows whose
+    * transitive closure yields the identical families. Output is
+    * bounded by C(cap,2)·buckets + |docs| at ANY corpus size. The
+    * oracle mirrors the cap; sf0.01 exercises both regimes (max
+    * bucket 52 there).
     */
+  val SimhashBucketCap = 16
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-      graft.PlanCache.cached("simhash_pairs", spark, dir) {
+    dedupSimhash(spark, dir, SimhashBucketCap)
+
+  /** Cap-parameterized form so the spec can pin capped == uncapped
+    * family equality ([[SimhashCapSpec]]); the registry always runs
+    * the default cap.
+    */
+  private[operators] def dedupSimhash(spark: SparkSession, dir: String,
+      cap: Int): DataFrame = {
+    val cname =
+      if (cap == SimhashBucketCap) "simhash_pairs" else s"simhash_pairs_cap$cap"
+    graft.PlanCache.cached(cname, spark, dir) {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(tokensCol)).as("tk"))
       .withColumn("h", md5(col("tk"))) // hash once, not once per bit
@@ -378,11 +403,21 @@ object Dedup {
       .withColumn("bit", when(col("sv") > 0, 1L).otherwise(0L))
       .groupBy("doc_id")
       .agg(sum(expr("bit * CAST(pow(2, b) AS BIGINT)")).as("simhash"))
-    sim.as("a").join(sim.as("b"),
+    val fam = sim.groupBy("simhash")
+      .agg(count(lit(1)).as("n_members"), min("doc_id").as("hub"))
+      .filter(col("n_members") >= 2)
+    // ≤ 2^16 signature values → fam broadcasts at any corpus size
+    val m = sim.join(broadcast(fam), "simhash")
+    val warm = m.filter(col("n_members") <= cap)
+    val warmPairs = warm.as("a").join(warm.as("b"),
         col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
         col("a.simhash").as("simhash"))
-      .orderBy("i", "j")
+    val hotStars = m
+      .filter(col("n_members") > cap && col("doc_id") =!= col("hub"))
+      .select(col("hub").as("i"), col("doc_id").as("j"), col("simhash"))
+    warmPairs.unionAll(hotStars).orderBy("i", "j")
+    }
   }
 
   /** Character-3-gram jaccard ≥ 0.8 within language blocks, over
@@ -862,12 +897,25 @@ object Dedup {
     * skews one key — the same salting tools as every other family
     * join apply; the aggregate itself is map-side combinable.
     */
+  /** Per-doc normalized-token-set fingerprint (doc_id, fp, n_tokens)
+    * — the sorted-distinct-token md5 that three operators key
+    * families on ([[dedupKeepBest]] twice: election + member join;
+    * [[dedupComponents]]' star edges; `TextAnalysis.textFingerprint`).
+    * The per-doc array_sort + md5 is the measured map-side cost, so
+    * the |docs|-row narrow result is the thing to cache, not re-derive
+    * once per consumer (and twice inside one query).
+    */
+  private[operators] def docFingerprints(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("doc_fp", spark, dir) {
+      Tables.documents(spark, dir)
+        .withColumn("t", split(col("text"), "\\s+"))
+        .withColumn("fp", md5(array_join(array_sort(array_distinct(col("t"))), " ")))
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .select("doc_id", "fp", "n_tokens")
+    }
+
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val fp = Tables.documents(spark, dir)
-      .withColumn("t", split(col("text"), "\\s+"))
-      .withColumn("fp", md5(array_join(array_sort(array_distinct(col("t"))), " ")))
-      .withColumn("n_tokens", size(col("t")).cast("long"))
-      .select("doc_id", "fp", "n_tokens")
+    val fp = docFingerprints(spark, dir)
     // keeper via max(struct(n_tokens, -doc_id)): max tokens, then the
     // SMALLEST id among equals (negation flips min into the max)
     val fam = fp.groupBy("fp")
@@ -883,10 +931,7 @@ object Dedup {
   }
 
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val fp = Tables.documents(spark, dir)
-      .withColumn("fp", md5(array_join(array_sort(array_distinct(
-        split(col("text"), "\\s+"))), " ")))
-      .select("doc_id", "fp")
+    val fp = docFingerprints(spark, dir).select("doc_id", "fp")
     // star topology per fingerprint family (hub = min doc): the same
     // components as clique edges but O(n) edges per family instead of
     // O(n²) — a degenerate family (e.g. millions of empty docs) stays
@@ -1079,6 +1124,13 @@ object Dedup {
         s"transform(sequence(1, size(t) div $segLen), " +
           s"i -> array_join(slice(t, (i-1)*$segLen+1, $segLen), ' '))"))
         .as("segment"))
+    // The segment carve (transform + slice + array_join) runs
+    // INTERPRETED — it dominates this query, so the plan's job is to
+    // carve exactly ONCE: the two stacked aggregations consume the
+    // single carved stream through one exchange chain. (A hash-keyed
+    // variant that re-carved for a text-recovery join measured
+    // strictly worse: the second carve cost more than the string
+    // shuffle it saved.)
     segs.groupBy("segment", "doc_id").agg(count(lit(1)).as("occ"))
       .groupBy("segment")
       .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occ"))

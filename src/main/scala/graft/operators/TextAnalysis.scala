@@ -155,8 +155,7 @@ object TextAnalysis {
     * repetition invariant).
     */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("fp", md5(array_join(array_sort(array_distinct(toks)), " ")))
+    Dedup.docFingerprints(spark, dir)
       .groupBy("fp")
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= 2)
@@ -1441,27 +1440,56 @@ object TextAnalysis {
     * integer score, and only the report divides back to a double.
     */
   def textKeyphraseRake(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val stops = Seq("the", "a", "and", "or", "of")
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
-      .filter(!col("w").isin(stops: _*))
-    val wRun = Window.partitionBy("doc_id").orderBy("pos")
-    val runs = tok.withColumn("rid", col("pos") - row_number().over(wRun))
-    val wChunk = Window.partitionBy("doc_id", "rid").orderBy("pos")
-    val phrases = runs
-      .withColumn("rn", row_number().over(wChunk))
-      .withColumn("chunk", expr("(rn - 1) div 3"))
-      .groupBy("doc_id", "rid", "chunk")
-      .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("ps"))
+    // Candidate phrases are maximal runs of non-stopword tokens,
+    // chunked to ≤3 tokens — a PER-DOC computation, so it runs as
+    // flat map-side array ops over the token array: stopword
+    // positions → boundary list → one slice per run → one slice per
+    // 3-chunk, all O(len) per doc (an aggregate-HOF fold measured
+    // 6x WORSE — Catalyst copies the whole accumulator per step, so
+    // a growing array-of-arrays accumulator is quadratic per doc).
+    // The previous form posexploded 37M tokens into TWO
+    // doc-partitioned row_number windows plus a collect_list
+    // aggregate — three full sort/shuffle passes to rebuild
+    // adjacency the token array already had.
+    val phrases = Tables.documents(spark, dir)
+      .withColumn("t", toks)
+      .withColumn("bs", expr(
+        // 1-based stopword positions, fenced by 0 and size+1
+        """concat(array(0),
+          |  filter(transform(t,
+          |    (x, i) -> IF(x IN ('the', 'a', 'and', 'or', 'of'), i + 1, 0)),
+          |    p -> p > 0),
+          |  array(size(t) + 1))""".stripMargin))
+      .select(col("doc_id"), explode(expr(
+        """flatten(transform(
+          |  filter(transform(sequence(1, size(bs) - 1),
+          |    k -> slice(t, element_at(bs, k) + 1,
+          |               element_at(bs, k + 1) - element_at(bs, k) - 1)),
+          |    r -> size(r) > 0),
+          |  r -> transform(sequence(0, (size(r) - 1) div 3),
+          |    c -> slice(r, c * 3 + 1, 3))))""".stripMargin))
+        .as("ps"))
       .select(col("doc_id"),
-        concat_ws(" ", expr("transform(ps, s -> s.w)")).as("phrase"),
+        concat_ws(" ", col("ps")).as("phrase"),
         size(col("ps")).cast("long").as("plen"))
-    val pw = phrases.select(col("phrase"), col("plen"),
-      explode(split(col("phrase"), " ")).as("w"))
-    val ws = pw.groupBy("w")
-      .agg(count(lit(1)).as("freq"), sum("plen").as("degree"))
-    val occ = phrases.groupBy("phrase").agg(count(lit(1)).as("n_occ"))
+    // The carve HOFs run INTERPRETED (ArrayTransform and friends
+    // don't codegen) — ~7 µs/segment on this corpus — so the carve
+    // must execute exactly ONCE: collapse the occurrence stream to
+    // distinct phrases FIRST (one map-side-combined shuffle keyed on
+    // the phrase), and derive the word stats from that |distinct
+    // phrases|-sized table — freq(w) = Σ n_occ over phrases holding
+    // w (once per appearance) and degree(w) = Σ plen·n_occ are
+    // exactly the per-occurrence sums the exploded stream produced,
+    // without the two extra carve evaluations that dominated the
+    // branch-per-scan form (measured: each re-carve ≈ the whole
+    // query's remaining cost).
+    val occ = phrases.groupBy("phrase", "plen")
+      .agg(count(lit(1)).as("n_occ"))
+    val ws = occ
+      .select(col("plen"), col("n_occ"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy("w")
+      .agg(sum("n_occ").as("freq"),
+        sum(col("plen") * col("n_occ")).as("degree"))
     val scored = occ
       .select(col("phrase"), col("n_occ"),
         explode(split(col("phrase"), " ")).as("w"))
