@@ -763,11 +763,15 @@ object Dedup {
     // over ~len/32 chunks), so the doc's chunk count rides along with
     // every posting row — no global distinct shuffle, no separate
     // per-doc count aggregation, no count joins back onto the pairs
+    // chunk keys are xxhash64 longs (the word5_grams discipline): h
+    // crosses the df aggregate, the pair self-join, and the cached
+    // relation itself — 8 bytes instead of a 32-char md5 string, same
+    // equality classes, collisions surface at the oracle hash gate
     val posting = graft.PlanCache.cached("substring_posting", spark, dir) {
       Tables.documents(spark, dir)
         .filter(length(col("text")) >= 64)
         .select(col("doc_id"), array_distinct(expr(
-          "transform(sequence(0, CAST(floor((length(text)-64)/32.0) AS INT)), c -> md5(substring(text, c*32+1, 64)))"))
+          "transform(sequence(0, CAST(floor((length(text)-64)/32.0) AS INT)), c -> xxhash64(substring(text, c*32+1, 64)))"))
           .as("hs"))
         .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
           explode(col("hs")).as("h"))
