@@ -252,13 +252,7 @@ object Governance {
     * cross join — nothing beyond the [[qualityPrCurve]] pattern.
     */
   def qualityReliability(spark: SparkSession, dir: String): DataFrame = {
-    val sc = graft.functions.Unordered(
-      TextAnalysis.qualityClassifier(spark, dir)).select("doc_id", "score")
-    val tr = graft.functions.Unordered(
-      TextAnalysis.textQuality(spark, dir))
-      .select(col("doc_id"),
-        when(col("quality_bucket") === "ok", 1L).otherwise(0L).as("pos"))
-    val binned = sc.join(tr, "doc_id")
+    val binned = TextAnalysis.qualitySignals(spark, dir)
       .withColumn("bin", least(floor(col("score") * 10).cast("long"), lit(9L)))
     val bins = binned.groupBy("bin").agg(
       count(lit(1)).as("n"), avg("score").as("ms"), sum("pos").as("n_pos"))
@@ -276,14 +270,8 @@ object Governance {
   }
 
   def qualityPrCurve(spark: SparkSession, dir: String): DataFrame = {
-    val sc = graft.functions.Unordered(
-      TextAnalysis.qualityClassifier(spark, dir)).select("doc_id", "score")
-    val tr = graft.functions.Unordered(
-      TextAnalysis.textQuality(spark, dir))
-      .select(col("doc_id"),
-        when(col("quality_bucket") === "ok", 1L).otherwise(0L).as("pos"))
     val th = spark.range(1, 10).select(col("id").as("t10"))
-    sc.join(tr, "doc_id")
+    TextAnalysis.qualitySignals(spark, dir)
       .crossJoin(broadcast(th))
       .withColumn("hit", (col("score") >= col("t10") / 10.0).cast("long"))
       .groupBy("t10")
@@ -312,8 +300,10 @@ object Governance {
     * (operating point) and [[qualityReliability]] (probability
     * trust).
     *
-    * Scale shape: one per-doc equi-join of two map-side relations
-    * into ONE four-cell conditional aggregation — constant state, no
+    * Scale shape: one pass over the shared per-doc signal relation
+    * ([[TextAnalysis.qualitySignals]] — the two raters are
+    * projections of the same document row, so no join exists) into
+    * ONE four-cell conditional aggregation — constant state, no
     * second pass for the marginals (they expand from the same cells).
     */
   /** ROC AUC of the model-based quality filter against the heuristic
@@ -337,13 +327,7 @@ object Governance {
     */
   def qualityAuc(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sc = graft.functions.Unordered(
-      TextAnalysis.qualityClassifier(spark, dir)).select("doc_id", "score")
-    val tr = graft.functions.Unordered(
-      TextAnalysis.textQuality(spark, dir))
-      .select(col("doc_id"),
-        when(col("quality_bucket") === "ok", 1L).otherwise(0L).as("pos"))
-    val byScore = sc.join(tr, "doc_id")
+    val byScore = TextAnalysis.qualitySignals(spark, dir)
       .groupBy("score")
       .agg(count(lit(1)).as("c"), sum("pos").as("p"))
       .withColumn("neg", col("c") - col("p"))
@@ -368,15 +352,8 @@ object Governance {
   }
 
   def qualityKappa(spark: SparkSession, dir: String): DataFrame = {
-    val heur = graft.functions.Unordered(
-      TextAnalysis.textQuality(spark, dir))
-      .select(col("doc_id"),
-        when(col("quality_bucket") === "ok", 1L).otherwise(0L).as("a"))
-    val model = graft.functions.Unordered(
-      TextAnalysis.qualityClassifier(spark, dir))
-      .select(col("doc_id"),
-        when(col("verdict") === "keep", 1L).otherwise(0L).as("b"))
-    heur.join(model, "doc_id")
+    TextAnalysis.qualitySignals(spark, dir)
+      .select(col("pos").as("a"), col("keep").as("b"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("a") * col("b")).as("n11"),
@@ -454,12 +431,8 @@ object Governance {
     * -size, and the only doubles are the report-side shares.
     */
   def qualityConfidentJoint(spark: SparkSession, dir: String): DataFrame = {
-    val sc = graft.functions.Unordered(
-      TextAnalysis.qualityClassifier(spark, dir)).select("doc_id", "score")
-    val y = graft.functions.Unordered(TextAnalysis.textQuality(spark, dir))
-      .select(col("doc_id"),
-        when(col("quality_bucket") === "ok", 1L).otherwise(0L).as("y"))
-    val d = sc.join(y, "doc_id")
+    val d = TextAnalysis.qualitySignals(spark, dir)
+      .select(col("score"), col("pos").as("y"))
       .withColumn("s_u6", round(col("score") * 1e6).cast("long"))
     val th = d.agg(
       sum(when(col("y") === 1L, col("s_u6"))).as("sum1"),

@@ -101,6 +101,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Shared per-doc quality-signal relation for the five Governance
+    * eval queries (AUC, PR curve, reliability, kappa, confident
+    * joint): the model score ([[qualityClassifier]]), its keep
+    * verdict, and the heuristic positive flag ([[textQuality]]
+    * bucket == 'ok'). Both signals are map-side projections of the
+    * SAME documents row, so the per-doc equi-join every consumer
+    * used to run was an identity self-join over two full corpus
+    * scans (score and bucket derive from the same text cell) — fused
+    * here into ONE scan and cached narrow: 3 columns × |docs| rows,
+    * no doc_id (no consumer's aggregate needs it). The expressions
+    * replicate the two sources verbatim, including every rounding
+    * point and the UNROUNDED stop-ratio in the bucket rule, so each
+    * consumer's result is bit-identical to the joined form the
+    * oracle still computes.
+    */
+  private[graft] def qualitySignals(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("quality_signals", spark, dir) {
+      val stop = Seq("the", "a", "or", "and")
+      Tables.documents(spark, dir)
+        .withColumn("t", toks)
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .withColumn("sum_len", expr(
+          "aggregate(t, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"))
+        .withColumn("n_stop", expr(
+          s"size(filter(t, x -> x IN (${stop.map("'" + _ + "'").mkString(",")})))").cast("long"))
+        .withColumn("stop_ratio",
+          round(col("n_stop").cast("double") / col("n_tokens"), 6))
+        .withColumn("digit_ratio", round(
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("double") / length(col("text")), 6))
+        .withColumn("len_dev", round(abs(
+          col("sum_len").cast("double") / col("n_tokens") - lit(5.0)), 6))
+        .withColumn("logit", round(
+          lit(-1.0) + lit(0.35) * log(lit(1.0) + col("n_tokens"))
+            + lit(2.0) * col("stop_ratio") - lit(4.0) * col("digit_ratio")
+            - lit(0.15) * col("len_dev"), 6))
+        .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 6))
+        .select(
+          col("score"),
+          when(col("n_tokens") < 20, 0L)
+            .when(col("n_stop").cast("double") / col("n_tokens") > 0.3, 0L)
+            .otherwise(1L).as("pos"),
+          when(col("score") >= 0.5, 1L).otherwise(0L).as("keep"))
+    }
+
   /** Corpus token stats: top-20 tokens by frequency with doc freq.
     * The vocabulary of a web corpus is effectively unbounded, so the
     * top-k runs as TakeOrderedAndProject over the aggregated counts
