@@ -31,6 +31,15 @@ object Graph {
     * so there are no dangling nodes and in-set == out-set (the rank
     * mass that matters stays on the node set across iterations).
     */
+  /** Cap on the estimated broadcast size of a |V|-row node relation
+    * (~32B/row hashed: degree tables, query-slice wedges) — the
+    * family-wide analogue of the pagerank rank-side and kcore
+    * alive-side gates. Under the cap an attach is a map-side
+    * broadcast probe over the cached edge relation; above it the
+    * equi-join shuffles — the plan that holds at any |V|.
+    */
+  private[operators] val DegreeBroadcastMaxBytes: Long = 256L << 20
+
   /** Distinct co-order part pairs (u < v) with their order-count
     * multiplicity — the ONE expensive self-join of the whole graph
     * family, shared under the PlanCache: [[partAffinity]] reads the
@@ -575,8 +584,10 @@ object Graph {
     * so the stream is |Q|·d̄² (bounded by the max degree squared,
     * independent of |V|), never the Σ deg(c)² global wedge set that
     * makes whole-graph link prediction quadratic in hub degree.
-    * Candidates cross ONE left-anti join against the canonical edge
-    * set to drop already-linked pairs, and per-query top-3 runs
+    * Candidates cross ONE left-anti join against the QUERY HUBS'
+    * adjacency slice of the edge set (a linked pair the anti join can
+    * hit necessarily has a ∈ q, so the full-graph side never moves)
+    * to drop already-linked pairs, and per-query top-3 runs
     * through the bounded-heap TopKPerGroup exec. The AA weight is
     * quantized per CENTER to round(10⁶/ln deg(c)) and summed as
     * BIGINT — scores are exact integers, so the ranking cannot be
@@ -594,20 +605,42 @@ object Graph {
     val deg = degrees(spark, dir)
     val q = deg.orderBy(col("dg").desc, col("node")).limit(50)
       .select(col("node").as("a"), col("dg").as("deg_a"))
+    // measured gates (both reads ride the shared degree cache): the
+    // hop-1 slice and the anti side are Σ deg(a) over the 50 query
+    // hubs rows; the degree attaches are |V| rows. Under the caps the
+    // ONLY exchange left is the wedge aggregation itself — hop 2
+    // probes the cached sym relation map-side instead of shuffling
+    // all 2|E| rows by wedge center, and the linked-pair anti join
+    // probes the q-slice of sym instead of shuffling 2|E| rows by
+    // (a, b). Above the caps every join shuffles — the any-|V| plan.
+    val sliceRows = q.agg(coalesce(sum("deg_a"), lit(0L))).head().getLong(0)
+    val nNodes = deg.count()
+    val sliceFits = sliceRows * 32L <= DegreeBroadcastMaxBytes
+    val degFits = nNodes * 32L <= DegreeBroadcastMaxBytes
+    graft.GateLog.decide("graph_adamic_adar.hop_sides", dir,
+      (if (sliceFits) "slice=broadcast" else "slice=shuffle") +
+        (if (degFits) ",deg=broadcast" else ",deg=shuffle"),
+      s"slice_rows=$sliceRows nodes=$nNodes max=${DegreeBroadcastMaxBytes}B")
+    def gs(df: DataFrame): DataFrame = if (sliceFits) broadcast(df) else df
+    def gd(df: DataFrame): DataFrame = if (degFits) broadcast(df) else df
     // hop 1: query → its neighbors c; hop 2: c → its neighbors b
-    val wedges = sym.join(broadcast(q), col("s") === col("a"))
+    val hop1 = sym.join(broadcast(q), col("s") === col("a"))
       .select(col("a"), col("deg_a"), col("d").as("c"))
+    val wedges = gs(hop1)
       .join(sym.select(col("s").as("c"), col("d").as("b")), "c")
       .filter(col("b") =!= col("a"))
-      .join(deg.select(col("node").as("c"), col("dg").as("deg_c")), "c")
+      .join(gd(deg.select(col("node").as("c"), col("dg").as("deg_c"))), "c")
       .withColumn("w_u6",
         round(lit(1e6) / log(col("deg_c").cast("double"))).cast("long"))
+    // linked pairs with a ∈ q are the only ones the anti join can hit:
+    // pre-filter sym to the query hubs' adjacency before the probe
+    val linked = sym.join(broadcast(q.select("a")), col("s") === col("a"))
+      .select(col("a"), col("d").as("b"))
     val scored = wedges.groupBy("a", "deg_a", "b")
       .agg(count(lit(1)).as("n_common"), sum("w_u6").as("aa_u6"))
       // drop pairs already linked (either orientation is in sym)
-      .join(sym.select(col("s").as("a"), col("d").as("b")),
-        Seq("a", "b"), "left_anti")
-      .join(deg.select(col("node").as("b"), col("dg").as("deg_b")), "b")
+      .join(gs(linked), Seq("a", "b"), "left_anti")
+      .join(gd(deg.select(col("node").as("b"), col("dg").as("deg_b"))), "b")
     val top = graft.plans.TopKPerGroup(scored, Seq("a"),
       Seq(("aa_u6", true), ("b", false)), 3)
     top
@@ -631,9 +664,13 @@ object Graph {
     * the whole graph's mixing structure — the topology twin of
     * [[communityModularity]].
     *
-    * Scale shape: degrees come from one groupBy of the shared
-    * PlanCache'd pair set; the edge×degree join is two equi-joins on
-    * node keys; the five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate
+    * Scale shape: degrees come from the shared |V|-row degree cache;
+    * the edge×degree attach rides the [[graphKcore]] alive-side
+    * discipline — under a measured node-count cap both degree sides
+    * BROADCAST, so the whole query is one map-side pass over the
+    * cached pair relation (NO 2|E|-row shuffle; above the cap the
+    * equi-joins shuffle — the any-|V| plan); the five moments (Σx,
+    * Σy, Σxy, Σx², Σy²) accumulate
     * as EXACT BIGINTs in one map-side-combining aggregate, and only
     * the final Pearson ratio casts to double — the casts happen
     * BEFORE the cross-moment products so the arithmetic stays inside
@@ -646,9 +683,19 @@ object Graph {
     val edges = pairs
       .unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
     val deg = degrees(spark, dir)
+    // one measured decision (the count materializes the shared degree
+    // cache the joins read anyway): under the cap both degree attaches
+    // broadcast and the aggregate is a single map-side pass over the
+    // cached pair relation — no 2|E|-row exchange
+    val nNodes = deg.count()
+    val degFits = nNodes * 32L <= DegreeBroadcastMaxBytes
+    graft.GateLog.decide("graph_assortativity.deg_side", dir,
+      if (degFits) "broadcast" else "shuffle",
+      s"nodes=$nNodes est=${nNodes * 32L}B max=${DegreeBroadcastMaxBytes}B")
+    def gate(df: DataFrame): DataFrame = if (degFits) broadcast(df) else df
     val m = edges
-      .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+      .join(gate(deg.select(col("node").as("u"), col("dg").as("du"))), "u")
+      .join(gate(deg.select(col("node").as("v"), col("dg").as("dv"))), "v")
       .agg(
         count(lit(1)).as("m2"),
         sum("du").as("sx"), sum("dv").as("sy"),
@@ -823,9 +870,19 @@ object Graph {
     val deg = degrees(spark, dir)
     val q = deg.orderBy(col("dg").desc, col("node")).limit(50)
       .select(col("node").as("a"), col("dg").as("deg_a"))
+    // the hop-1 slice is Σ deg(a) over the 50 hubs rows: under the
+    // measured cap it BROADCASTS into hop 2, which then probes the
+    // cached sym relation map-side instead of shuffling all 2|E|
+    // rows by wedge center (the graphAdamicAdar hop-side gate)
+    val sliceRows = q.agg(coalesce(sum("deg_a"), lit(0L))).head().getLong(0)
+    val sliceFits = sliceRows * 32L <= DegreeBroadcastMaxBytes
+    graft.GateLog.decide("graph_2hop_reach.hop1_side", dir,
+      if (sliceFits) "broadcast" else "shuffle",
+      s"slice_rows=$sliceRows est=${sliceRows * 32L}B max=${DegreeBroadcastMaxBytes}B")
+    def gs(df: DataFrame): DataFrame = if (sliceFits) broadcast(df) else df
     val hop1 = sym.join(broadcast(q.select("a")), col("s") === col("a"))
       .select(col("a"), col("d").as("b"))
-    val hop2 = hop1.select(col("a"), col("b").as("c"))
+    val hop2 = gs(hop1.select(col("a"), col("b").as("c")))
       .join(sym.select(col("s").as("c"), col("d").as("b")), "c")
       .select("a", "b")
     val reach = hop1.unionAll(hop2)
