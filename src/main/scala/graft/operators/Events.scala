@@ -16,6 +16,24 @@ import graft.Tables
   */
 object Events {
 
+  /** The growth family's shared (user, active-day) presence pin — one
+    * corpus distinct serving six consumers (new-vs-returning, growth
+    * accounting, stickiness, weekend effect, conversion p-chart,
+    * retention half-life). Cached hash-partitioned on user_id: the
+    * user-keyed consumers (first-day cohorts, per-user lag windows,
+    * presence-cohort joins) all reuse the cache's partitioning and
+    * skip their own exchange of the presence stream, while the
+    * day-keyed consumers partial-aggregate to ~|days| rows per
+    * partition before their exchange either way.
+    */
+  private def nvrPresence(spark: SparkSession, dir: String): DataFrame =
+    graft.PlanCache.cached("nvr_presence", spark, dir) {
+      Tables.events(spark, dir)
+        .select(col("user_id"), expr("ts_s div 86400").as("day"))
+        .distinct()
+        .repartition(col("user_id"))
+    }
+
   /** JSON property extraction + per-type stats. regexp-based so the
     * oracle needs no JSON extension; Spark side stays codegen'd.
     */
@@ -451,11 +469,7 @@ object Events {
     * user after their aggregates.
     */
   def eventsNewVsReturning(spark: SparkSession, dir: String): DataFrame = {
-    val presence = graft.PlanCache.cached("nvr_presence", spark, dir) {
-      Tables.events(spark, dir)
-        .select(col("user_id"), expr("ts_s div 86400").as("day"))
-        .distinct()
-    }
+    val presence = nvrPresence(spark, dir)
     val firstDay = presence.groupBy("user_id").agg(min("day").as("first_day"))
     presence.join(firstDay, "user_id")
       .groupBy("day")
@@ -2113,11 +2127,7 @@ object Events {
     // weekly presence derives from the shared daily presence pin
     // (week = day div 7 — floor-div composition, 604800 = 7·86400),
     // so the growth family costs ONE corpus distinct total
-    val presence = graft.PlanCache.cached("nvr_presence", spark, dir) {
-      Tables.events(spark, dir)
-        .select(col("user_id"), expr("ts_s div 86400").as("day"))
-        .distinct()
-    }.select(col("user_id"), expr("day div 7").as("week")).distinct()
+    val presence = nvrPresence(spark, dir).select(col("user_id"), expr("day div 7").as("week")).distinct()
     val lagged = presence.withColumn("prev_week",
       lag("week", 1).over(Window.partitionBy("user_id").orderBy("week")))
     val weekly = lagged.groupBy("week").agg(
@@ -2169,11 +2179,7 @@ object Events {
     // growth family shares (eventsNewVsReturning's nvr_presence) —
     // both its consumers here (interval build + DAU) read the pin
     // instead of re-scanning and re-distincting the corpus
-    val pres = graft.PlanCache.cached("nvr_presence", spark, dir) {
-      Tables.events(spark, dir)
-        .select(col("user_id"), expr("ts_s div 86400").as("day"))
-        .distinct()
-    }
+    val pres = nvrPresence(spark, dir)
     val w = Window.partitionBy("user_id").orderBy("day")
     val iv = pres
       .withColumn("gap", col("day") - lag("day", 1).over(w))
@@ -2261,11 +2267,7 @@ object Events {
     * cell table's exact counts. 2 rows out.
     */
   def eventsWeekendEffect(spark: SparkSession, dir: String): DataFrame = {
-    val pres = graft.PlanCache.cached("nvr_presence", spark, dir) {
-      Tables.events(spark, dir)
-        .select(col("user_id"), expr("ts_s div 86400").as("day"))
-        .distinct()
-    }.withColumn("is_weekend",
+    val pres = nvrPresence(spark, dir).withColumn("is_weekend",
       ((col("day") + 4) % 7).isin(0L, 6L).cast("int"))
     val buys = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
@@ -2308,11 +2310,7 @@ object Events {
     * limits are projections. |days| rows out.
     */
   def eventsConversionPchart(spark: SparkSession, dir: String): DataFrame = {
-    val pres = graft.PlanCache.cached("nvr_presence", spark, dir) {
-      Tables.events(spark, dir)
-        .select(col("user_id"), expr("ts_s div 86400").as("day"))
-        .distinct()
-    }
+    val pres = nvrPresence(spark, dir)
     val buys = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), expr("ts_s div 86400").as("day"))
@@ -2411,11 +2409,7 @@ object Events {
   def eventsRetentionHalflife(spark: SparkSession, dir: String): DataFrame = {
     // all three reads (max day, cohorts, activity) come off the shared
     // nvr_presence pin — one corpus distinct for the whole growth family
-    val e = graft.PlanCache.cached("nvr_presence", spark, dir) {
-      Tables.events(spark, dir)
-        .select(col("user_id"), expr("ts_s div 86400").as("day"))
-        .distinct()
-    }
+    val e = nvrPresence(spark, dir)
     val maxDay = e.agg(max("day").as("max_day"))
     val cohort = e.groupBy("user_id").agg(min("day").as("cohort_day"))
     val eligible = cohort.crossJoin(broadcast(maxDay))

@@ -1381,14 +1381,23 @@ object Matching {
     // 0.65 sits between the template floor (~0.56: any two names share
     // the 'Xxx#digits' scaffold) and digit-equal pairs (≥ 0.67) — the
     // field separates real key agreement from the shared template
+    // γ is a pure function of the pair, so a pair admitted by several
+    // block keys carries IDENTICAL γ under each — computing γ BEFORE
+    // the pair-level dedup keeps the census exact while the dedup
+    // shuffle carries (2 keys + 3 int flags) instead of both
+    // normalized name strings; the trade is one BoundedLev evaluation
+    // per block instance (≤2 per pair: prefix ∪ suffix keys) instead
+    // of per pair, and the early-exit bound keeps that map-side cost
+    // far below the string-shuffle bytes it saves
     val pairs = fuzzyBlockKeys(c, "c_norm")
       .join(broadcast(fuzzyBlockKeys(s, "s_norm")), "blk")
-      .dropDuplicates("c_custkey", "s_suppkey")
       .withColumn("g_name",
         (graft.functions.BoundedLev.sim(col("c_norm"), col("s_norm"), 0.65) >= 0.65)
           .cast("int"))
       .withColumn("g_bkt", (col("c_bkt") === col("s_bkt")).cast("int"))
       .withColumn("g_dig", (col("c_dig") === col("s_dig")).cast("int"))
+      .select("c_custkey", "s_suppkey", "g_name", "g_bkt", "g_dig")
+      .dropDuplicates("c_custkey", "s_suppkey")
     val byPattern = pairs.groupBy("g_name", "g_bkt", "g_dig")
       .agg(count(lit(1)).as("n_pairs"))
       .crossJoin(broadcast(uBkt)).crossJoin(broadcast(uDig))

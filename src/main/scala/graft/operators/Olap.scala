@@ -71,14 +71,23 @@ object Olap {
       .orderBy("n_name")
   }
 
-  /** Top-3 orders per customer by totalprice — windowed top-k, the
-    * canonical "best match per record" shape the matcher also uses.
+  /** Top-3 orders per customer by totalprice — the canonical "best
+    * match per record" shape the matcher also uses. Runs through the
+    * staged bounded-heap TopKPerGroup exec instead of a row_number
+    * window: the window form fully SORTS every customer's orders
+    * inside the exchange, the heaps keep 3 rows per (customer,
+    * partition) map-side so the shuffle carries only heap survivors
+    * and the reduce side never sorts the full stream. The rank column
+    * is re-derived by a row_number over the ≤3-row groups (same
+    * total order, so the output is bit-identical).
     */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val top = graft.plans.TopKPerGroup.staged(o, Seq("o_custkey"),
+      Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
     val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    o.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    top.withColumn("rn", row_number().over(w))
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
       .orderBy("o_custkey", "rn")
   }
@@ -1066,13 +1075,20 @@ object Olap {
     * BIGINT.
     */
   def ordersPriceIndex(spark: SparkSession, dir: String): DataFrame = {
-    val m = Tables.lineitem(spark, dir)
-      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
-        .cast("long").as("ym"), col("l_partkey"))
-      .agg(
-        round(sum("l_quantity")).cast("long").as("qty"),
-        round(lit(100.0) * sum("l_extendedprice") / sum("l_quantity"))
-          .cast("long").as("price_c"))
+    // the monthly table feeds THREE branches (base-month min, base
+    // table, index aggregate) and Catalyst does not reuse the exchange
+    // across them — without the cache the 60M-row fact aggregate runs
+    // three times per query (the plan showed 3 lineitem scans). Narrow
+    // cache: 4 long columns × (part, month) rows.
+    val m = graft.PlanCache.cached("price_index_monthly", spark, dir) {
+      Tables.lineitem(spark, dir)
+        .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long").as("ym"), col("l_partkey"))
+        .agg(
+          round(sum("l_quantity")).cast("long").as("qty"),
+          round(lit(100.0) * sum("l_extendedprice") / sum("l_quantity"))
+            .cast("long").as("price_c"))
+    }
     val base = m.agg(min("ym").as("ym0"))
     val baseTbl = m.join(broadcast(base), col("ym") === col("ym0"))
       .select(col("l_partkey"), col("qty").as("q0"),

@@ -152,10 +152,14 @@ object TextAnalysis {
     * (bounded per-partition heaps), not a single-partition window.
     */
   def textTokens(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks).as("token"))
-    val agg = tok.groupBy("token")
-      .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("df"))
+    // rides the shared per-doc tf cache: occurrence count = Σ cnt and
+    // doc frequency = row count per token (docTf holds one row per
+    // DISTINCT (doc, token)), so the corpus re-explode and the
+    // two-phase count(DISTINCT) Expand both disappear
+    val agg = docTf(spark, dir)
+      .select(col("w").as("token"), col("cnt"))
+      .groupBy("token")
+      .agg(sum("cnt").as("cnt"), count(lit(1)).as("df"))
     graft.functions.TopK.globalWithRank(agg, 20, col("cnt").desc, col("token"))
   }
 
@@ -396,6 +400,16 @@ object TextAnalysis {
       Tables.documents(spark, dir)
         .select(col("doc_id"), explode(toks).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+        // land the cache hash-partitioned on doc_id: five consumers
+        // re-aggregate, window, or join BY DOC over this relation
+        // (perplexity, DSIR, Heaps, keyword tf-idf, source
+        // divergence), and HashPartitioning(doc_id) satisfies each
+        // one's clustering requirement — so every one of them skips
+        // its own full exchange of the |distinct (doc, token)|
+        // stream. The one token-keyed consumer (uniCounts) partial-
+        // aggregates to ~|vocab| rows per partition before its
+        // exchange either way, so it loses nothing.
+        .repartition(col("doc_id"))
     }
 
   /** Corpus unigram counts (w, cw) — the "model table" shared by
@@ -790,17 +804,22 @@ object TextAnalysis {
     * order-0 byte coder — the "is this feed worth storing
     * uncompressed" screen.
     *
-    * Scale shape: the char explode is map-side and lands in a
-    * (source × alphabet)-key aggregate (≤ a few hundred keys) with
-    * map-side combine; entropy terms round to nano-units per
-    * DISTINCT CHARACTER before the final ≤10-term sum, so both
-    * engines add identical integers. |sources| rows out.
+    * Scale shape: each document collapses to its ≤|alphabet| distinct
+    * characters INSIDE the scan (the [[graft.functions.CharCounts]]
+    * native one-pass histogram — the explode(split(text,'')) form it
+    * replaces pushed every corpus character through the aggregate as
+    * its own row, ~10⁹ rows at sf10 for a ≤hundreds-key answer), then
+    * lands in a (source × alphabet)-key aggregate with map-side
+    * combine; entropy terms round to nano-units per DISTINCT
+    * CHARACTER before the final ≤10-term sum, so both engines add
+    * identical integers. |sources| rows out.
     */
   def textCharEntropy(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(spark, dir)
-      .select(col("source"), explode(split(col("text"), "")).as("ch"))
-      .filter(length(col("ch")) === 1)
-      .groupBy("source", "ch").agg(count(lit(1)).as("c"))
+      .select(col("source"),
+        explode(graft.functions.CharCounts.of(col("text")))
+          .as(Seq("ch", "c_doc")))
+      .groupBy("source", "ch").agg(sum("c_doc").as("c"))
     val tot = counts.groupBy("source")
       .agg(sum("c").as("n_chars"), count(lit(1)).as("n_distinct"))
     val p = col("c").cast("double") / col("n_chars")
@@ -898,10 +917,14 @@ object TextAnalysis {
   def textLangidMargin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val m = markers.toDF("cand_lang", "token")
-    val hits = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks).as("token"))
+    // marker occurrences per doc = Σ cnt over the shared per-doc tf
+    // cache (one row per distinct (doc, token)) — no corpus
+    // re-explode, and the (doc, lang) aggregate plus the top-2 window
+    // both reuse the cache's doc_id partitioning
+    val hits = docTf(spark, dir)
+      .select(col("doc_id"), col("w").as("token"), col("cnt"))
       .join(broadcast(m), "token")
-      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("score"))
+      .groupBy("doc_id", "cand_lang").agg(sum("cnt").as("score"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("cand_lang"))
     val top2 = hits.withColumn("rn", row_number().over(w))
@@ -1215,17 +1238,23 @@ object TextAnalysis {
     * join plus one partial-aggregated groupBy on doc_id.
     */
   def tokenizerOov(spark: SparkSession, dir: String, vocabSize: Int = 256): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks).as("token"))
-    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    // both legs ride the shared per-doc tf cache: the vocabulary's
+    // occurrence counts are Σ cnt per token, and the per-doc scoring
+    // weights each distinct token by its in-doc count instead of
+    // re-exploding the corpus — the doc_id aggregate then reuses the
+    // cache's own partitioning, so the whole query is one map-side
+    // pass plus the bounded vocab TakeOrdered
+    val tf = docTf(spark, dir).select(
+      col("doc_id"), col("w").as("token"), col("cnt"))
+    val vocab = tf.groupBy("token").agg(sum("cnt").as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(vocabSize)
       .select(col("token"), lit(1).as("in_vocab"))
-    tok.join(broadcast(vocab), Seq("token"), "left_outer")
+    tf.join(broadcast(vocab), Seq("token"), "left_outer")
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        sum("cnt").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("cnt")).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate",
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
       .orderBy("doc_id")
